@@ -1,0 +1,130 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Config-driven data profiling — the Spark-native counterpart of the
+  * reference's `m01_diagnostics/data_diag.py` (generate_data_profile,
+  * data_diag.py:20-127).
+  *
+  * Design: the reference loops per-column over a pandas frame. Here every
+  * profile is ONE distributed aggregation pass — all per-column statistics
+  * are computed as a single `agg(array(struct(...)))` so a 100 TB table is
+  * scanned once, reduced map-side, and only a few KB of aggregate state
+  * crosses the shuffle. The long (one-row-per-column) shape is recovered by
+  * exploding the array afterwards, on a 1-row DataFrame.
+  */
+object Profiler {
+
+  private def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+
+  /** Schema overview: dtype, non-null/null counts, missing %, distinct count
+    * per column (data_diag.py:47-83). `exact=false` (default) uses HLL
+    * `approx_count_distinct` — the 100 TB path: exact multi-column distinct
+    * forces an Expand (row multiplication by #columns) that is pointless for
+    * profiling. `exact=true` matches a SQL oracle bit-for-bit.
+    */
+  def schemaProfile(df: DataFrame, exact: Boolean = false): DataFrame = {
+    val total = count(lit(1))
+    val entries = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val distinct: Column =
+        if (exact) count_distinct(c) else approx_count_distinct(c)
+      struct(
+        lit(f.name).as("column_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        count(c).cast(LongType).as("non_null"),
+        (total - count(c)).cast(LongType).as("null_count"),
+        round((total - count(c)).cast(DoubleType) / total * 100, 2).as("missing_pct"),
+        distinct.cast(LongType).as("distinct_count"))
+    }
+    df.agg(array(entries.toIndexedSeq: _*).as("m"))
+      .select(explode(col("m")).as("e"))
+      .select("e.*")
+      .orderBy("column_name")
+  }
+
+  /** Descriptive statistics for numeric columns (data_diag.py:104-110):
+    * count/mean/std/min/q1/median/q3/max plus skew and kurtosis.
+    *
+    * Skew/kurtosis use the bias-corrected (sample) estimators to match the
+    * reference's pandas `.skew()`/`.kurt()` (and DuckDB): Spark's built-ins
+    * return population moments g1/g2, corrected here via
+    *   G1 = g1 * sqrt(n(n-1))/(n-2)
+    *   G2 = ((n-1)/((n-2)(n-3))) * ((n+1) g2 + 6).
+    * `exactQuantiles=false` switches to `percentile_approx` for the 100 TB
+    * path (exact percentile holds all values of a partition in memory).
+    */
+  def describe(df: DataFrame, cols: Seq[String] = Nil,
+               exactQuantiles: Boolean = true): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else numericCols(df)
+    val entries = targets.map { name =>
+      val c = col(name).cast(DoubleType)
+      val n = count(c).cast(DoubleType)
+      def q(p: Double): Column =
+        if (exactQuantiles) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(100000))
+      val g1 = skewness(c)
+      val g2 = kurtosis(c)
+      val sampleSkew = g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))
+      val sampleKurt = ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
+        ((n + lit(1.0)) * g2 + lit(6.0))
+      struct(
+        lit(name).as("column_name"),
+        count(c).cast(LongType).as("n"),
+        round(avg(c), 4).as("mean"),
+        round(stddev_samp(c), 4).as("stddev"),
+        round(min(c), 4).as("min"),
+        round(q(0.25), 4).as("q1"),
+        round(q(0.5), 4).as("median"),
+        round(q(0.75), 4).as("q3"),
+        round(max(c), 4).as("max"),
+        round(sampleSkew, 4).as("skew"),
+        round(sampleKurt, 4).as("kurtosis"))
+    }
+    df.agg(array(entries.toIndexedSeq: _*).as("m"))
+      .select(explode(col("m")).as("e"))
+      .select("e.*")
+      .orderBy("column_name")
+  }
+
+  /** High-cardinality string columns (data_diag.py:85-92): string columns
+    * whose distinct count exceeds `threshold`, highest first. */
+  def highCardinality(df: DataFrame, threshold: Long = 10, exact: Boolean = false): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    schemaProfile(df.select(stringCols.toIndexedSeq.map(col): _*), exact)
+      .filter(col("distinct_count") > threshold)
+      .select("column_name", "distinct_count")
+      .orderBy(col("distinct_count").desc, col("column_name"))
+  }
+
+  /** Duplicate-row summary (data_diag.py:94-102): number of rows belonging
+    * to a duplicate group over `subset` (all columns if empty), as count and
+    * percent — pandas `df.duplicated(keep=False).sum()` semantics.
+    * One groupBy shuffle of (key, count) partial aggregates; no raw-row
+    * shuffle beyond the keyed reduction.
+    */
+  def duplicateSummary(df: DataFrame, subset: Seq[String] = Nil): DataFrame = {
+    val keys = if (subset.nonEmpty) subset else df.columns.toSeq
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).cast(LongType).as("total_rows"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).cast(LongType)
+          .as("duplicate_rows"),
+        coalesce(sum(when(col("cnt") > 1, 1L)), lit(0L)).cast(LongType)
+          .as("duplicate_groups"))
+      .select(
+        col("duplicate_rows"),
+        col("duplicate_groups"),
+        round(col("duplicate_rows").cast(DoubleType) / col("total_rows") * 100, 2)
+          .as("duplicate_pct"))
+  }
+
+  /** Categorical distribution — pandas `value_counts()` used throughout the
+    * reference's displays (e.g. validate_data.py:33-35). Deterministic
+    * ordering: count desc, then value asc. */
+  def valueCounts(df: DataFrame, column: String): DataFrame =
+    df.groupBy(col(column)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(column))
+}

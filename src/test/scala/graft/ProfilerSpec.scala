@@ -1,0 +1,55 @@
+package graft
+
+import graft.profile.Profiler
+import org.apache.spark.sql.Row
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schemaProfile counts nulls and distincts per column") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), None), (None, Some("a")), (Some(2), Some("b"))
+    ).toDF("x", "s")
+    val p = Profiler.schemaProfile(df, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("x").getLong(2) == 3) // non_null
+    assert(p("x").getLong(3) == 1) // null_count
+    assert(p("x").getLong(5) == 2) // distinct
+    assert(p("s").getLong(5) == 2)
+    assert(p("s").getDouble(4) == 25.0) // missing_pct
+  }
+
+  test("describe matches hand-computed stats") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val r = Profiler.describe(df, Seq("v")).collect()(0)
+    assert(r.getAs[Long]("n") == 5)
+    assert(r.getAs[Double]("mean") == 22.0)
+    assert(r.getAs[Double]("median") == 3.0)
+    assert(r.getAs[Double]("q1") == 2.0)
+    assert(r.getAs[Double]("q3") == 4.0)
+    // pandas-style (bias-corrected) sample skew: g1=1.49753 -> G1=2.23243
+    assert(math.abs(r.getAs[Double]("skew") - 2.2324) < 0.001)
+  }
+
+  test("duplicateSummary flags keep=False style duplicate rows") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4), ("a", 5))
+      .toDF("k", "v")
+    val r = Profiler.duplicateSummary(df, Seq("k")).collect()(0)
+    assert(r.getAs[Long]("duplicate_rows") == 3)
+    assert(r.getAs[Long]("duplicate_groups") == 1)
+    assert(r.getAs[Double]("duplicate_pct") == 60.0)
+  }
+
+  test("valueCounts orders by count desc then value") {
+    val df = Seq("b", "a", "b", "c", "a", "b").toDF("v")
+    val rows = Profiler.valueCounts(df, "v").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+  }
+
+  test("highCardinality finds wide string columns") {
+    val df = (1 to 30).map(i => (s"id$i", "const")).toDF("wide", "narrow")
+    val rows = Profiler.highCardinality(df, 10, exact = true).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("wide"))
+  }
+}

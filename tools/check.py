@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracles in oracle_sql.json and diff.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        # normalize int flavors
+        if str(df[c].dtype) in ("int32", "uint32", "int16", "Int64", "object"):
+            try:
+                if str(df[c].dtype) != "object":
+                    df[c] = df[c].astype("int64")
+            except Exception:
+                pass
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_df = norm(pd.concat([pd.read_parquet(f) for f in files]))
+            duck_df = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                af = a.astype(float).to_numpy()
+                bf = b.astype(float).to_numpy()
+                ok = (np.isnan(af) & np.isnan(bf)) | (af == bf)
+                if not ok.all():
+                    i = int(np.argmin(ok))
+                    bad.append(f"{c}[{i}]: {af[i]!r} vs {bf[i]!r}")
+            else:
+                eq = (a.astype(str).to_numpy() == b.astype(str).to_numpy())
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}[{i}]: {a.iloc[i]!r} vs {b.iloc[i]!r}")
+        if bad:
+            print(f"FAIL {name}: value mismatch {bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    # queries without oracles: just check rows exist
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d not in oracles:
+            files = glob.glob(f"{p}/*.parquet")
+            rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            print(f"ROWS {d}: {rows}")
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
