@@ -1,0 +1,137 @@
+package graft.normalize
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Fuzzy-correction spec for one column: correct values not in `masterList`
+  * to their best master match when the similarity score clears `cutoff`
+  * (reference normalize_data.py:72-103, thefuzz-based). The public-analog
+  * score used here is `100 * (1 - levenshtein/max(len))`. */
+final case class FuzzySpec(masterList: Seq[String], cutoff: Double = 90.0)
+
+/** Config for a normalization pass — the typed form of the reference's
+  * `normalization` YAML block (normalize_data.py:20-282), applied in the
+  * same fail-safe order: rename → standardize text → map values → fuzzy →
+  * parse datetimes → coerce dtypes. */
+final case class NormalizeConfig(
+    renameColumns: Map[String, String] = Map.empty,
+    standardizeTextColumns: Seq[String] = Nil,
+    /** Per column: exact value -> replacement; key "null" maps SQL NULLs
+      * (reference's `np.nan` sentinel, normalize_data.py:61-63). */
+    valueMappings: Map[String, Map[String, String]] = Map.empty,
+    fuzzyMatching: Map[String, FuzzySpec] = Map.empty,
+    /** Per column: datetime formats tried in order (Spark patterns);
+      * empty list = engine inference. Unparsable -> NULL ('coerce'). */
+    parseDatetimes: Map[String, Seq[String]] = Map.empty,
+    /** Per column: target Spark type; failed coercion -> NULL (try_cast),
+      * mirroring the reference's pd.to_numeric fail-safe. */
+    coerceTypes: Map[String, String] = Map.empty)
+
+/** Spark-native counterpart of `m03_normalization/normalize_data.py`.
+  *
+  * All steps are pure column expressions (codegen'd, zero shuffles) except
+  * fuzzy correction, which reduces to: distinct values (keyed reduction) ×
+  * broadcast master list → best match per value (window over the tiny
+  * distinct set) → broadcast-joined back. At 100 TB the data never
+  * shuffles; only the distinct value set does.
+  */
+object Normalizer {
+
+  /** Apply all configured steps in the reference's order; returns the
+    * normalized frame and a changelog DataFrame (step, column, detail). */
+  def apply(df: DataFrame, config: NormalizeConfig): (DataFrame, DataFrame) = {
+    val log = Seq.newBuilder[(String, String, String)]
+
+    var out = df
+    if (config.renameColumns.nonEmpty) {
+      val valid = config.renameColumns.filter { case (from, _) => out.columns.contains(from) }
+      out = out.withColumnsRenamed(valid)
+      valid.foreach { case (f, t) => log += (("rename_columns", f, s"-> $t")) }
+    }
+
+    config.standardizeTextColumns.filter(out.columns.contains).foreach { c =>
+      out = out.withColumn(c, standardizeText(col(c)))
+      log += (("standardize_text", c, "trim+lower"))
+    }
+
+    config.valueMappings.foreach { case (c, mapping) =>
+      if (out.columns.contains(c)) {
+        out = out.withColumn(c, mapValuesExpr(col(c), mapping))
+        log += (("map_values", c, s"${mapping.size} mappings"))
+      }
+    }
+
+    config.fuzzyMatching.foreach { case (c, spec) =>
+      if (out.columns.contains(c)) {
+        out = fuzzyCorrect(out, c, spec)
+        log += (("fuzzy_match", c, s"master=${spec.masterList.size} cutoff=${spec.cutoff}"))
+      }
+    }
+
+    config.parseDatetimes.foreach { case (c, formats) =>
+      if (out.columns.contains(c)) {
+        out = out.withColumn(c, parseDatetimeExpr(col(c), formats))
+        log += (("parse_datetimes", c, if (formats.isEmpty) "infer" else formats.mkString("|")))
+      }
+    }
+
+    config.coerceTypes.foreach { case (c, t) =>
+      if (out.columns.contains(c)) {
+        out = out.withColumn(c, out.col(c).try_cast(t))
+        log += (("coerce_dtypes", c, s"-> $t"))
+      }
+    }
+
+    val changelog = df.sparkSession
+      .createDataFrame(log.result()).toDF("step", "column_name", "detail")
+    (out, changelog)
+  }
+
+  /** Trim + lowercase, null-preserving (normalize_data.py:15-18). */
+  def standardizeText(c: Column): Column = lower(trim(c))
+
+  /** Exact-value replacement incl. the "null" sentinel
+    * (normalize_data.py:55-69). Unmapped values pass through. */
+  def mapValuesExpr(c: Column, mapping: Map[String, String]): Column = {
+    val base: Column = mapping.get("null") match {
+      case Some(v) => when(c.isNull, lit(v))
+      case None    => when(lit(false), lit(null))
+    }
+    val chained = mapping.view.filterKeys(_ != "null").foldLeft(base) {
+      case (acc, (from, to)) => acc.when(c === lit(from), lit(to))
+    }
+    chained.otherwise(c)
+  }
+
+  /** Multi-format datetime parse with 'coerce' semantics: first format that
+    * parses wins, unparsable -> NULL (normalize_data.py:105-230). */
+  def parseDatetimeExpr(c: Column, formats: Seq[String]): Column =
+    if (formats.isEmpty) try_to_timestamp(c)
+    else coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+
+  /** Correct off-list values to their closest master entry. See class doc
+    * for the distributed shape. Deterministic best match: highest score,
+    * then lexicographic master value. */
+  def fuzzyCorrect(df: DataFrame, column: String, spec: FuzzySpec): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val master = spec.masterList.toDF("_gf_master")
+    val values = df.select(col(column).as("_gf_val")).distinct()
+      .filter(col("_gf_val").isNotNull && !col("_gf_val").isin(spec.masterList: _*))
+    val score = lit(100.0) * (lit(1.0) -
+      levenshtein(col("_gf_val"), col("_gf_master")).cast(DoubleType) /
+        greatest(length(col("_gf_val")), length(col("_gf_master"))).cast(DoubleType))
+    val w = Window.partitionBy("_gf_val")
+      .orderBy(col("_gf_score").desc, col("_gf_master"))
+    val best = values.crossJoin(broadcast(master))
+      .withColumn("_gf_score", score)
+      .withColumn("_gf_rn", row_number().over(w))
+      .filter(col("_gf_rn") === 1 && col("_gf_score") >= spec.cutoff)
+      .select("_gf_val", "_gf_master")
+    df.join(broadcast(best), df(column) === best("_gf_val"), "left")
+      .withColumn(column, coalesce(col("_gf_master"), col(column)))
+      .drop("_gf_val", "_gf_master")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import graft.normalize._
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries for SURVEY §2.1 rows 13-18 (normalization).
+  * Typos / dirty strings are synthesized deterministically from the clean
+  * testdata so the cleaning paths are actually exercised and the DuckDB
+  * oracle can reproduce the same corruption.
+  */
+object NormalizeQueries {
+
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val all: Seq[Q] = Seq(
+    // rename + standardize_text in one config pass.
+    Q("normalize_customer",
+      (s, dir) => {
+        val (out, _) = Normalizer(Tables.customer(s, dir), NormalizeConfig(
+          renameColumns = Map("c_name" -> "customer_name"),
+          standardizeTextColumns = Seq("customer_name", "c_mktsegment")))
+        out.select("c_custkey", "customer_name", "c_mktsegment").orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, lower(trim(c_name)) AS customer_name,
+               lower(trim(c_mktsegment)) AS c_mktsegment
+        FROM customer ORDER BY c_custkey""")),
+
+    // value mapping incl. a null sentinel (nulls synthesized on %13).
+    Q("normalize_mapvalues",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit(null))
+            .otherwise(col("o_orderstatus")))
+        val (out, _) = Normalizer(o, NormalizeConfig(valueMappings = Map(
+          "o_orderstatus" -> Map(
+            "F" -> "FINISHED", "O" -> "OPEN", "P" -> "PENDING",
+            "null" -> "UNKNOWN"))))
+        out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'UNKNOWN'
+                    WHEN o_orderstatus = 'F' THEN 'FINISHED'
+                    WHEN o_orderstatus = 'O' THEN 'OPEN'
+                    WHEN o_orderstatus = 'P' THEN 'PENDING'
+                    ELSE o_orderstatus END AS o_orderstatus
+        FROM orders ORDER BY o_orderkey""")),
+
+    // fuzzy correction: corrupt every 7th segment label, then heal it
+    // against the master list.
+    Q("normalize_fuzzy",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).withColumn("seg",
+          when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("x")))
+            .otherwise(col("c_mktsegment")))
+        Normalizer.fuzzyCorrect(c, "seg", FuzzySpec(segments, cutoff = 80.0))
+          .select("c_custkey", "seg").orderBy("c_custkey")
+      },
+      Some(s"""
+        WITH corrupted AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || 'x'
+                      ELSE c_mktsegment END AS seg
+          FROM customer),
+        master AS (SELECT * FROM (VALUES ${segments.map(v => s"('$v')").mkString(",")}) m(_gf_master)),
+        vals AS (
+          SELECT DISTINCT seg FROM corrupted
+          WHERE seg IS NOT NULL AND seg NOT IN (${segments.map(v => s"'$v'").mkString(",")})),
+        scored AS (
+          SELECT seg, _gf_master,
+                 100.0 * (1.0 - CAST(levenshtein(seg, _gf_master) AS DOUBLE) /
+                   greatest(length(seg), length(_gf_master))) AS score
+          FROM vals CROSS JOIN master),
+        best AS (
+          SELECT seg, _gf_master FROM (
+            SELECT seg, _gf_master, score,
+                   row_number() OVER (PARTITION BY seg ORDER BY score DESC, _gf_master) AS rn
+            FROM scored)
+          WHERE rn = 1 AND score >= 80.0)
+        SELECT c.c_custkey, coalesce(b._gf_master, c.seg) AS seg
+        FROM corrupted c LEFT JOIN best b USING (seg)
+        ORDER BY c.c_custkey""")),
+
+    // multi-format datetime parsing with coerce-to-null fallback.
+    Q("normalize_datetime",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).withColumn("date_str",
+          when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy/MM/dd"))
+            .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "MM-dd-yyyy"))
+            .otherwise(lit("not a date")))
+        val (out, _) = Normalizer(o, NormalizeConfig(
+          parseDatetimes = Map("date_str" -> Seq("yyyy/MM/dd", "MM-dd-yyyy"))))
+        out.select(col("o_orderkey"), col("date_str").as("parsed"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               coalesce(try_strptime(date_str, '%Y/%m/%d'),
+                        try_strptime(date_str, '%m-%d-%Y')) AS parsed
+        FROM (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+                      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m-%d-%Y')
+                      ELSE 'not a date' END AS date_str
+          FROM orders)
+        ORDER BY o_orderkey""")),
+
+    // dtype coercion with try_cast (failed -> NULL).
+    Q("normalize_cast",
+      (s, dir) => {
+        val e = Tables.events(s, dir).withColumn("uid_str",
+          when(col("event_id") % 5 === 0, lit("bad"))
+            .otherwise(col("user_id").cast("string")))
+        val (out, _) = Normalizer(e, NormalizeConfig(
+          coerceTypes = Map("uid_str" -> "bigint")))
+        out.select(col("event_id"), col("uid_str").as("uid"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               TRY_CAST(CASE WHEN event_id % 5 = 0 THEN 'bad'
+                             ELSE CAST(user_id AS VARCHAR) END AS BIGINT) AS uid
+        FROM events ORDER BY event_id"""))
+  )
+}
