@@ -1,0 +1,155 @@
+package graft.outliers
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Detection method per column (detect_outliers.py:16-29). */
+sealed trait DetectMethod { def name: String }
+final case class Iqr(multiplier: Double = 1.5) extends DetectMethod { val name = "iqr" }
+final case class ZScore(threshold: Double = 3.0) extends DetectMethod { val name = "zscore" }
+
+/** Handling strategy per column (outlier_handler.py:96-110). */
+sealed trait HandleStrategy
+case object Clip extends HandleStrategy
+case object ReplaceMean extends HandleStrategy
+case object ReplaceMedian extends HandleStrategy
+final case class ReplaceConstant(value: Double) extends HandleStrategy
+/** Global: remove any row with any outlier flag (outlier_handler.py:59-76). */
+case object DropRows extends HandleStrategy
+
+/** Detection output: `bounds` is a ONE-ROW frame of per-column lower/upper
+  * bounds (broadcast-joined wherever needed — bounds never round-trip
+  * through the driver), `flagged` adds `<col>_<method>_outlier` booleans +
+  * `any_outlier`. */
+final case class Detection(
+    specs: Map[String, DetectMethod],
+    bounds: DataFrame,
+    flagged: DataFrame)
+
+/** Outlier detection + handling — Spark-native counterpart of the
+  * reference's m05/m06 modules.
+  *
+  * Scale design: bounds for every configured column come from ONE
+  * aggregation pass (exact `percentile` by default for oracle parity;
+  * `exact=false` switches to `percentile_approx` — at 100 TB exact
+  * quantiles hold a full column partition in memory, approx holds a fixed
+  * sketch). The bounds row is then broadcast back across the data — the
+  * fact table itself never shuffles.
+  */
+object Outliers {
+
+  private def lowerName(c: String) = s"_gf_${c}_lo"
+  private def upperName(c: String) = s"_gf_${c}_hi"
+  def flagName(c: String, m: DetectMethod): String = s"${c}_${m.name}_outlier"
+
+  /** One-row bounds frame for all configured columns in a single pass. */
+  private def boundsFrame(df: DataFrame, specs: Map[String, DetectMethod],
+                          exact: Boolean): DataFrame = {
+    val aggs = specs.toSeq.sortBy(_._1).flatMap { case (c0, m) =>
+      val c = col(c0).cast(DoubleType)
+      m match {
+        case Iqr(k) =>
+          def q(p: Double) =
+            if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(100000))
+          val q1 = q(0.25); val q3 = q(0.75)
+          Seq((q1 - lit(k) * (q3 - q1)).as(lowerName(c0)),
+              (q3 + lit(k) * (q3 - q1)).as(upperName(c0)))
+        case ZScore(t) =>
+          Seq((avg(c) - lit(t) * stddev_samp(c)).as(lowerName(c0)),
+              (avg(c) + lit(t) * stddev_samp(c)).as(upperName(c0)))
+      }
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Flag outliers per configured column (detect_outliers.py:32-90).
+    * Nulls are never outliers (reference dropna semantics). */
+  def detect(df: DataFrame, specs: Map[String, DetectMethod],
+             exact: Boolean = true): Detection = {
+    val bounds = boundsFrame(df, specs, exact)
+    var flagged = df.crossJoin(broadcast(bounds))
+    val flagCols = specs.toSeq.sortBy(_._1).map { case (c0, m) =>
+      val f = flagName(c0, m)
+      flagged = flagged.withColumn(f,
+        coalesce(col(c0) < col(lowerName(c0)) || col(c0) > col(upperName(c0)),
+          lit(false)))
+      f
+    }
+    flagged = flagged.withColumn("any_outlier",
+      flagCols.map(col).reduceOption(_ || _).getOrElse(lit(false)))
+    Detection(specs, bounds, flagged)
+  }
+
+  /** Bounds + outlier counts per column — the reference's `outlier_log`
+    * (detect_outliers.py:62-74). Second pass over the flagged frame. */
+  def log(det: Detection): DataFrame = {
+    val entries = det.specs.toSeq.sortBy(_._1).map { case (c0, m) =>
+      struct(
+        lit(c0).as("column_name"),
+        lit(m.name).as("method"),
+        coalesce(sum(when(col(flagName(c0, m)), 1L)), lit(0L)).as("outlier_count"),
+        round(first(col(lowerName(c0))), 4).as("lower_bound"),
+        round(first(col(upperName(c0))), 4).as("upper_bound"))
+    }
+    det.flagged.agg(array(entries.toIndexedSeq: _*).as("m"))
+      .select(explode(col("m")).as("e")).select("e.*")
+      .orderBy("column_name")
+  }
+
+  /** Rows containing at least one outlier (reference `outlier_rows`). */
+  def outlierRows(det: Detection): DataFrame =
+    det.flagged.filter(col("any_outlier")).select(
+      det.flagged.columns.filterNot(_.startsWith("_gf_")).toIndexedSeq.map(col): _*)
+
+  /** Apply per-column handling strategies (outlier_handler.py:39-110).
+    * Replacement means/medians are whole-column statistics computed in one
+    * extra pass and broadcast back (the reference computes the same scalars
+    * driver-side). Returns the cleaned frame with flag/bound columns
+    * dropped. */
+  def handle(det: Detection, strategies: Map[String, HandleStrategy],
+             exact: Boolean = true): DataFrame = {
+    val base = det.flagged
+    if (strategies.valuesIterator.contains(DropRows)) {
+      return base.filter(!col("any_outlier"))
+        .select(cleanCols(base).map(col): _*)
+    }
+    // Stats row for mean/median replacements, one pass, broadcast.
+    val statAggs = strategies.toSeq.sortBy(_._1).flatMap {
+      case (c0, ReplaceMean) =>
+        Some(avg(col(c0).cast(DoubleType)).as(s"_gf_${c0}_mean"))
+      case (c0, ReplaceMedian) =>
+        val c = col(c0).cast(DoubleType)
+        Some((if (exact) percentile(c, lit(0.5))
+              else percentile_approx(c, lit(0.5), lit(100000))).as(s"_gf_${c0}_med"))
+      case _ => None
+    }
+    var out =
+      if (statAggs.isEmpty) base
+      else base.crossJoin(broadcast(base.agg(statAggs.head, statAggs.tail: _*)))
+    strategies.toSeq.sortBy(_._1).foreach { case (c0, strat) =>
+      val m = det.specs(c0)
+      val isOut = col(flagName(c0, m))
+      strat match {
+        case Clip =>
+          out = out.withColumn(c0, when(isOut,
+              least(greatest(col(c0), col(lowerName(c0))), col(upperName(c0))))
+            .otherwise(col(c0)))
+        case ReplaceMean =>
+          out = out.withColumn(c0,
+            when(isOut, col(s"_gf_${c0}_mean")).otherwise(col(c0)))
+        case ReplaceMedian =>
+          out = out.withColumn(c0,
+            when(isOut, col(s"_gf_${c0}_med")).otherwise(col(c0)))
+        case ReplaceConstant(v) =>
+          out = out.withColumn(c0, when(isOut, lit(v)).otherwise(col(c0)))
+        case DropRows => // handled above
+      }
+    }
+    out.select(cleanCols(base).map(col): _*)
+  }
+
+  private def cleanCols(flagged: DataFrame): IndexedSeq[String] =
+    flagged.columns.filterNot(c =>
+      c.startsWith("_gf_") || c.endsWith("_outlier") || c == "any_outlier").toIndexedSeq
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Duplicates
+import graft.outliers._
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries for SURVEY §2.1 rows 19-27 (duplicates +
+  * outlier detect/handle). */
+object DedupOutlierQueries {
+
+  private val subset = Seq("o_custkey", "o_orderstatus")
+
+  val all: Seq[Q] = Seq(
+    Q("dupes_flag",
+      (s, dir) => Duplicates.flag(Tables.orders(s, dir), subset)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "is_duplicate")
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               count(*) OVER (PARTITION BY o_custkey, o_orderstatus) > 1 AS is_duplicate
+        FROM orders ORDER BY o_orderkey""")),
+
+    Q("dupes_clusters",
+      (s, dir) => Duplicates.clusters(Tables.orders(s, dir), subset)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_custkey", "o_orderstatus", "o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 count(*) OVER (PARTITION BY o_custkey, o_orderstatus) AS cnt
+          FROM orders)
+        WHERE cnt > 1
+        ORDER BY o_custkey, o_orderstatus, o_orderkey""")),
+
+    Q("dupes_drop_first",
+      (s, dir) => Duplicates.drop(Tables.orders(s, dir), subset,
+          Duplicates.KeepFirst, Seq(col("o_orderkey")))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                   ORDER BY o_orderkey) AS rn
+          FROM orders)
+        WHERE rn = 1 ORDER BY o_orderkey""")),
+
+    Q("dupes_drop_none",
+      (s, dir) => Duplicates.drop(Tables.orders(s, dir), subset,
+          Duplicates.KeepNone, Nil)
+        .select("o_orderkey").orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey FROM (
+          SELECT o_orderkey,
+                 count(*) OVER (PARTITION BY o_custkey, o_orderstatus) AS cnt
+          FROM orders)
+        WHERE cnt = 1 ORDER BY o_orderkey""")),
+
+    Q("outliers_iqr",
+      (s, dir) => {
+        val det = Outliers.detect(Tables.lineitem(s, dir),
+          Map("l_extendedprice" -> Iqr(1.5)))
+        Outliers.outlierRows(det)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        WITH b AS (
+          SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+                 quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem, b
+        WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+           OR l_extendedprice > q3 + 1.5 * (q3 - q1)
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("outliers_zscore",
+      (s, dir) => {
+        val det = Outliers.detect(Tables.events(s, dir),
+          Map("value" -> ZScore(2.5)))
+        Outliers.outlierRows(det)
+          .select("event_id", "value").orderBy("event_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT avg(CAST(value AS DOUBLE)) AS mu,
+                 stddev_samp(CAST(value AS DOUBLE)) AS sd
+          FROM events)
+        SELECT event_id, value FROM events, b
+        WHERE value < mu - 2.5 * sd OR value > mu + 2.5 * sd
+        ORDER BY event_id""")),
+
+    Q("outliers_log",
+      (s, dir) => {
+        val det = Outliers.detect(Tables.lineitem(s, dir),
+          Map("l_extendedprice" -> Iqr(1.5), "l_quantity" -> ZScore(3.0)))
+        Outliers.log(det)
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'l_extendedprice' AS column_name, 'iqr' AS method,
+                 CAST(coalesce(sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
+                   OR l_extendedprice > q3 + 1.5*(q3-q1) THEN 1 END), 0) AS BIGINT) AS outlier_count,
+                 round(any_value(q1 - 1.5*(q3-q1)), 4) AS lower_bound,
+                 round(any_value(q3 + 1.5*(q3-q1)), 4) AS upper_bound
+          FROM lineitem, (
+            SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+                   quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+            FROM lineitem)
+          UNION ALL
+          SELECT 'l_quantity', 'zscore',
+                 CAST(coalesce(sum(CASE WHEN l_quantity < mu - 3.0*sd
+                   OR l_quantity > mu + 3.0*sd THEN 1 END), 0) AS BIGINT),
+                 round(any_value(mu - 3.0*sd), 4),
+                 round(any_value(mu + 3.0*sd), 4)
+          FROM lineitem, (
+            SELECT avg(CAST(l_quantity AS DOUBLE)) AS mu,
+                   stddev_samp(CAST(l_quantity AS DOUBLE)) AS sd
+            FROM lineitem)
+        ) ORDER BY column_name""")),
+
+    Q("outliers_clip",
+      (s, dir) => {
+        val det = Outliers.detect(Tables.lineitem(s, dir),
+          Map("l_extendedprice" -> Iqr(1.5)))
+        Outliers.handle(det, Map("l_extendedprice" -> Clip))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        WITH b AS (
+          SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+                 quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+               round(CASE
+                 WHEN l_extendedprice < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
+                 WHEN l_extendedprice > q3 + 1.5*(q3-q1) THEN q3 + 1.5*(q3-q1)
+                 ELSE l_extendedprice END, 2) AS price
+        FROM lineitem, b
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("outliers_replace_median",
+      (s, dir) => {
+        val det = Outliers.detect(Tables.events(s, dir),
+          Map("value" -> ZScore(2.5)))
+        Outliers.handle(det, Map("value" -> ReplaceMedian))
+          .select(col("event_id"), round(col("value"), 2).as("value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT avg(CAST(value AS DOUBLE)) AS mu,
+                 stddev_samp(CAST(value AS DOUBLE)) AS sd,
+                 quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+          FROM events)
+        SELECT event_id,
+               round(CASE WHEN value < mu - 2.5*sd OR value > mu + 2.5*sd
+                 THEN med ELSE value END, 2) AS value
+        FROM events, b
+        ORDER BY event_id""")),
+
+    Q("outliers_drop",
+      (s, dir) => {
+        val det = Outliers.detect(Tables.lineitem(s, dir),
+          Map("l_extendedprice" -> Iqr(1.5), "l_quantity" -> ZScore(3.0)))
+        Outliers.handle(det, Map("l_extendedprice" -> DropRows))
+          .agg(count(lit(1)).as("remaining"))
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS remaining
+        FROM lineitem,
+          (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+           FROM lineitem),
+          (SELECT avg(CAST(l_quantity AS DOUBLE)) AS mu,
+                  stddev_samp(CAST(l_quantity AS DOUBLE)) AS sd
+           FROM lineitem)
+        WHERE NOT (l_extendedprice < q1 - 1.5*(q3-q1) OR l_extendedprice > q3 + 1.5*(q3-q1))
+          AND NOT (l_quantity < mu - 3.0*sd OR l_quantity > mu + 3.0*sd)"""))
+  )
+}

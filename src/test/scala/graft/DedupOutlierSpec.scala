@@ -1,0 +1,64 @@
+package graft
+
+import graft.dedup.Duplicates
+import graft.outliers._
+import org.apache.spark.sql.functions._
+
+class DedupOutlierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dupDf = Seq(
+    (1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "a")
+  ).toDF("id", "k")
+
+  test("flag marks keep=False duplicates") {
+    val flagged = Duplicates.flag(dupDf, Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(2)).toMap
+    assert(flagged(1) && flagged(2) && flagged(5))
+    assert(!flagged(3) && !flagged(4))
+  }
+
+  test("drop keep first/last/none with explicit tiebreak") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getInt(0)).toSet
+    assert(ids(Duplicates.drop(dupDf, Seq("k"), Duplicates.KeepFirst, Seq(col("id"))))
+      == Set(1, 3, 4))
+    assert(ids(Duplicates.drop(dupDf, Seq("k"), Duplicates.KeepLast, Seq(col("id"))))
+      == Set(5, 3, 4))
+    assert(ids(Duplicates.drop(dupDf, Seq("k"), Duplicates.KeepNone, Nil))
+      == Set(3, 4))
+  }
+
+  private def numDf = (Seq.fill(20)(10.0) ++ Seq(1000.0)).toDF("v")
+
+  test("iqr detect flags the spike and log reports bounds") {
+    val det = Outliers.detect(numDf, Map("v" -> Iqr(1.5)))
+    assert(Outliers.outlierRows(det).count() == 1)
+    val log = Outliers.log(det).collect()(0)
+    assert(log.getAs[String]("method") == "iqr")
+    assert(log.getAs[Long]("outlier_count") == 1)
+  }
+
+  test("zscore detect respects threshold and skips nulls") {
+    val df = (Seq.fill(20)(Some(10.0)) ++ Seq(Some(1000.0), None)).toDF("v")
+    val det = Outliers.detect(df, Map("v" -> ZScore(2.0)))
+    assert(Outliers.outlierRows(det).count() == 1)
+  }
+
+  test("handle clip / constant / drop") {
+    val det = Outliers.detect(numDf, Map("v" -> Iqr(1.5)))
+    val clipped = Outliers.handle(det, Map("v" -> Clip))
+      .agg(max("v")).collect()(0).getDouble(0)
+    assert(clipped == 10.0) // iqr=0 -> bounds collapse to 10
+    val const = Outliers.handle(det, Map("v" -> ReplaceConstant(-1)))
+      .filter(col("v") === -1).count()
+    assert(const == 1)
+    assert(Outliers.handle(det, Map("v" -> DropRows)).count() == 20)
+  }
+
+  test("handle replace median") {
+    val det = Outliers.detect(numDf, Map("v" -> Iqr(1.5)))
+    val out = Outliers.handle(det, Map("v" -> ReplaceMedian))
+    assert(out.filter(col("v") === 10.0).count() == 21)
+  }
+}
