@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables
+import graft.audit._
+import graft.dict.DataDictionary
+import graft.drift.Drift
+import graft.impute._
+import graft.outliers.{Outliers, ZScore}
+import graft.quality.{InRange, InSet, NotNull}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries for SURVEY §2.1 rows 28-34 (imputation, final
+  * audit, health score, drift, data dictionary). Nulls are synthesized
+  * deterministically (testdata is clean). */
+object AuditQueries {
+
+  /** events with value nulled on every 10th event_id. */
+  private def eventsWithNulls(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("value",
+      when(col("event_id") % 10 === 0, lit(null)).otherwise(col("value")))
+
+  private val eventsNullSql =
+    "SELECT event_id, event_type, CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value FROM events"
+
+  val all: Seq[Q] = Seq(
+    Q("impute_mean",
+      (s, dir) => Imputer.impute(eventsWithNulls(s, dir), Map("value" -> Mean))
+        .select(col("event_id"), round(col("value"), 2).as("value"))
+        .orderBy("event_id"),
+      Some(s"""
+        WITH d AS ($eventsNullSql),
+        st AS (SELECT CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS fill FROM d)
+        SELECT event_id, round(coalesce(value, fill), 2) AS value
+        FROM d, st ORDER BY event_id""")),
+
+    Q("impute_median",
+      (s, dir) => Imputer.impute(eventsWithNulls(s, dir), Map("value" -> Median))
+        .select(col("event_id"), round(col("value"), 2).as("value"))
+        .orderBy("event_id"),
+      Some(s"""
+        WITH d AS ($eventsNullSql),
+        st AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS fill FROM d)
+        SELECT event_id, round(coalesce(value, fill), 2) AS value
+        FROM d, st ORDER BY event_id""")),
+
+    Q("impute_mode",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_orderpriority")))
+        Imputer.impute(o, Map("o_orderpriority" -> Mode))
+          .select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+      },
+      Some("""
+        WITH d AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+          FROM orders),
+        st AS (
+          SELECT o_orderpriority AS fill FROM (
+            SELECT o_orderpriority, count(*) AS c FROM d
+            WHERE o_orderpriority IS NOT NULL
+            GROUP BY 1 ORDER BY c DESC, o_orderpriority LIMIT 1))
+        SELECT o_orderkey, coalesce(d.o_orderpriority, st.fill) AS o_orderpriority
+        FROM d, st ORDER BY o_orderkey""")),
+
+    Q("impute_constant",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).withColumn("c_mktsegment",
+          when(col("c_custkey") % 9 === 0, lit(null)).otherwise(col("c_mktsegment")))
+        Imputer.impute(c, Map("c_mktsegment" -> Constant("UNKNOWN")))
+          .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 9 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer ORDER BY c_custkey""")),
+
+    Q("impute_changelog",
+      (s, dir) => {
+        val e = eventsWithNulls(s, dir).withColumn("event_type",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("event_type")))
+        Imputer.changelog(e, Map("value" -> Mean, "event_type" -> Mode))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+                 CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value
+          FROM events),
+        mode_et AS (
+          SELECT event_type AS fill FROM (
+            SELECT event_type, count(*) AS c FROM d WHERE event_type IS NOT NULL
+            GROUP BY 1 ORDER BY c DESC, event_type LIMIT 1)),
+        mean_v AS (
+          SELECT CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS fill FROM d)
+        SELECT * FROM (
+          SELECT 'event_type' AS column_name, 'mode' AS strategy,
+                 (SELECT fill FROM mode_et) AS fill_value,
+                 CAST((SELECT count(*) - count(event_type) FROM d) AS BIGINT) AS nulls_filled
+          UNION ALL
+          SELECT 'value', 'mean',
+                 CAST(round((SELECT fill FROM mean_v), 4) AS VARCHAR),
+                 CAST((SELECT count(*) - count(value) FROM d) AS BIGINT)
+        ) ORDER BY column_name""")),
+
+    Q("audit_final",
+      (s, dir) => {
+        val (edited, _) = FinalAudit.applyEdits(Tables.customer(s, dir),
+          FinalEditsConfig(
+            dropColumns = Seq("c_nationkey"),
+            renameColumns = Map("c_name" -> "name"),
+            coerceTypes = Map("c_custkey" -> "string")))
+        FinalAudit.certify(edited, Seq(
+          NotNull("name"),
+          InSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+            "HOUSEHOLD", "MACHINERY")),
+          InRange("c_acctbal", -1000.0, 10000.0)))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'not_null' AS rule, 'name' AS column_name,
+                 CAST(coalesce(sum(CASE WHEN c_name IS NULL THEN 1 END), 0) AS BIGINT) AS violation_count,
+                 coalesce(sum(CASE WHEN c_name IS NULL THEN 1 END), 0) = 0 AS passed
+          FROM customer
+          UNION ALL
+          SELECT 'categorical_values', 'c_mktsegment',
+                 CAST(coalesce(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                   ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 END), 0) AS BIGINT),
+                 coalesce(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                   ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 END), 0) = 0
+          FROM customer
+          UNION ALL
+          SELECT 'numeric_range', 'c_acctbal',
+                 CAST(coalesce(sum(CASE WHEN c_acctbal IS NOT NULL
+                   AND NOT (c_acctbal BETWEEN -1000.0 AND 10000.0) THEN 1 END), 0) AS BIGINT),
+                 coalesce(sum(CASE WHEN c_acctbal IS NOT NULL
+                   AND NOT (c_acctbal BETWEEN -1000.0 AND 10000.0) THEN 1 END), 0) = 0
+          FROM customer
+        ) ORDER BY rule, column_name""")),
+
+    Q("health_score",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).withColumn("o_totalprice",
+          when(col("o_orderkey") % 17 === 0, lit(null)).otherwise(col("o_totalprice")))
+        val rules = Seq(
+          InSet("o_orderstatus", Seq("F", "O")),
+          InRange("o_totalprice", 0.0, 300000.0))
+        val det = Outliers.detect(o, Map("o_totalprice" -> ZScore(3.0)))
+        HealthScore.compute(o, Seq("o_totalprice", "o_custkey"), rules,
+          Seq("o_custkey", "o_orderstatus"), det.flagged)
+      },
+      Some("""
+        WITH d AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice
+          FROM orders),
+        nr AS (
+          SELECT ((count(*) - count(o_totalprice)) + (count(*) - count(o_custkey)))
+                 / (count(*) * 2.0) AS null_rate FROM d),
+        cov AS (
+          SELECT (count(*) - coalesce(sum(CASE WHEN
+              (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
+              OR (o_totalprice IS NOT NULL AND NOT (o_totalprice BETWEEN 0.0 AND 300000.0))
+              THEN 1 END), 0)) * 1.0 / count(*) AS pass_rate FROM d),
+        dup AS (
+          SELECT round(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) * 100.0 / sum(cnt), 2) / 100.0 AS dup_ratio
+          FROM (SELECT o_custkey, o_orderstatus, count(*) AS cnt FROM d GROUP BY 1, 2)),
+        ob AS (
+          SELECT avg(CAST(o_totalprice AS DOUBLE)) AS mu,
+                 stddev_samp(CAST(o_totalprice AS DOUBLE)) AS sd FROM d),
+        outl AS (
+          SELECT coalesce(sum(CASE WHEN o_totalprice < mu - 3.0*sd
+              OR o_totalprice > mu + 3.0*sd THEN 1 END), 0) * 1.0 / count(*) AS outlier_ratio
+          FROM d, ob)
+        SELECT round((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
+                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15, 1) AS overall_score,
+               CASE WHEN round((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
+                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15, 1) < 70 THEN 'red'
+                    WHEN round((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
+                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15, 1) < 90 THEN 'yellow'
+                    ELSE 'green' END AS status,
+               round((1.0 - null_rate)*100, 1) AS completeness,
+               round(pass_rate*100, 1) AS validity,
+               round((1.0 - dup_ratio)*100, 1) AS uniqueness,
+               round((1.0 - outlier_ratio)*100, 1) AS consistency
+        FROM nr, cov, dup, outl""")),
+
+    Q("drift_schema",
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+        val target = base.drop("c_acctbal")
+          .withColumn("c_nationkey", col("c_nationkey").cast("bigint"))
+          .withColumn("new_flag", lit(1))
+        Drift.schemaDrift(base, target)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('added_column', 'new_flag', CAST(NULL AS VARCHAR), 'int'),
+          ('dtype_change', 'c_nationkey', 'int', 'bigint'),
+          ('removed_column', 'c_acctbal', 'double', CAST(NULL AS VARCHAR))
+        ) t(change, column_name, base_dtype, target_dtype)
+        ORDER BY change, column_name""")),
+
+    Q("drift_numeric",
+      (s, dir) => {
+        val base = Tables.lineitem(s, dir)
+        Drift.numericDrift(base, base.filter(col("l_quantity") > 25))
+      },
+      Some {
+        val cols = Seq("l_discount", "l_extendedprice", "l_linenumber",
+          "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS column_name,
+                round((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem), 4) AS base_mean,
+                round((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem WHERE l_quantity > 25), 4) AS target_mean,
+                round(abs((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem WHERE l_quantity > 25)
+                    - (SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem))
+                  / (abs((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem)) + 1e-9), 4) AS diff_pct"""
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+      }),
+
+    Q("data_dictionary",
+      (s, dir) => DataDictionary.build(Tables.customer(s, dir), exact = true),
+      Some {
+        val cols = Seq(
+          ("c_acctbal", "double", "'numeric'"),
+          ("c_custkey", "bigint", "'identifier'"),
+          ("c_mktsegment", "string",
+            "CASE WHEN count(DISTINCT c_mktsegment) <= least(20.0, greatest(5.0, floor(count(c_mktsegment)/2.0))) THEN 'categorical' ELSE 'text' END"),
+          ("c_name", "string",
+            "CASE WHEN count(DISTINCT c_name) <= least(20.0, greatest(5.0, floor(count(c_name)/2.0))) THEN 'categorical' ELSE 'text' END"),
+          ("c_nationkey", "int", "'identifier'"))
+        cols.map { case (c, dt, sem) =>
+          s"""SELECT '$c' AS column_name, $sem AS semantic_type, '$dt' AS dtype,
+                CAST(count(DISTINCT $c) AS BIGINT) AS distinct_count,
+                CAST(count(*) - count($c) AS BIGINT) AS null_count,
+                CAST(min($c) AS VARCHAR) AS example_min,
+                CAST(max($c) AS VARCHAR) AS example_max
+              FROM customer"""
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+      })
+  )
+}
