@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text analysis for large-scale training-data pipelines (SURVEY §2.3 rows
+  * 52-55): language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is pure `org.apache.spark.sql.functions` composition —
+  * codegen'd, no UDFs, no shuffles; each operator is a scalar Column
+  * usable inside any plan. (The reference repo has no text module; these
+  * extend its QA surface to LLM-corpus preprocessing.)
+  */
+object TextAnalysis {
+
+  /** Signature stopwords per language for the n-gram/stopword-hit
+    * heuristic language classifier. Deliberately tiny and deterministic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "une", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Lowercased whitespace tokens. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Whitespace token count; empty/blank strings count 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** BPE-ish regex token count: letter runs, single digits, or single
+    * non-alphanumeric glyphs — the classic pre-tokenizer shape. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def regexTokenCount(c: Column): Column = regexp_count(c, lit(bpeTokenPattern))
+
+  /** Stopword hits for one language's list. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(words.toArray), t)))
+
+  /** Heuristic language ID: language with the most stopword hits; ties
+    * resolve in the fixed order of [[stopwords]] ("und" beats "unknown").
+    * Returns "unknown" when no list scores a hit. */
+  def languageId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val best = greatest(scores.map(_._2): _*)
+    val chain = scores.foldLeft(when(best <= 0, lit("unknown"))) {
+      case (acc, (lang, s)) => acc.when(s === best, lit(lang))
+    }
+    chain.otherwise(lit("unknown"))
+  }
+
+  /** Composite quality score in [0,1] (length, punctuation noise, stopword
+    * density, repetition), in the spirit of the reference's weighted data
+    * health score (scoring.py:20-26):
+    *   0.3·min(1, tokens/50) + 0.3·(1-punct_ratio) + 0.2·min(1, 5·stop_ratio)
+    *   + 0.2·distinct_token_ratio, rounded to 4dp. */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks).cast(DoubleType)
+    val punct = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast(DoubleType)
+    val chars = greatest(length(c).cast(DoubleType), lit(1.0))
+    val stopHits = stopwordHits(toks, stopwords.toMap.apply("en")).cast(DoubleType)
+    val distinctRatio = size(array_distinct(toks)).cast(DoubleType) / greatest(nTok, lit(1.0))
+    val lenScore = least(lit(1.0), nTok / lit(50.0))
+    val punctScore = lit(1.0) - least(lit(1.0), punct / chars)
+    val stopScore = least(lit(1.0), stopHits / greatest(nTok, lit(1.0)) * 5.0)
+    round(lit(0.3) * lenScore + lit(0.3) * punctScore +
+      lit(0.2) * stopScore + lit(0.2) * distinctRatio, 4)
+  }
+
+  /** Canonical content form: lowercase, strip everything but letters/
+    * digits/whitespace (Unicode classes — CJK and accented text must NOT
+    * collapse to the empty string, or a multilingual corpus dedups into one
+    * giant false cluster), collapse whitespace. */
+  def normalizeContent(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+
+  /** Portable 128-bit content fingerprint (md5 hex — identical in any
+    * engine); use [[fingerprint64]] for the cheap in-engine variant. */
+  def fingerprint(c: Column): Column = md5(normalizeContent(c).cast("binary"))
+
+  /** 64-bit xxhash fingerprint — faster join key at 100 TB scale. */
+  def fingerprint64(c: Column): Column = xxhash64(normalizeContent(c))
+}
