@@ -1,0 +1,87 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** MinHash + LSH near-duplicate detection (SURVEY §2.3 row 46) — the
+  * standard shingle → K-minhash → band → bucket-join pipeline, built
+  * entirely from codegen'd higher-order array functions (no UDFs, no MLlib).
+  *
+  * Scale shape: per document the signature is O(K·shingles) cheap hash ops
+  * computed in the projection (no shuffle); candidate generation explodes
+  * only (band_id, band_hash, id) tuples — `bands` rows of 20 bytes per doc,
+  * NOT the document text — and equi-joins on the band hash. The O(n²)
+  * all-pairs comparison never materializes; only same-bucket pairs are
+  * re-scored. This is exactly the plan that survives 100 TB: the heavy text
+  * column is dropped before the only shuffle.
+  */
+object MinHash {
+
+  /** Word n-gram shingles; documents shorter than `n` tokens contribute a
+    * single whole-document shingle. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(c)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** K-element MinHash signature. One xxhash64 pass over the shingles,
+    * then K cheap (hash, seed) re-hashes — the classic "K permutations"
+    * approximated by seeded re-hashing. */
+  def signature(shingleCol: Column, k: Int = 64): Column = {
+    val hashes = transform(shingleCol, s => xxhash64(s))
+    array((0 until k).map(i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(i))))): _*)
+  }
+
+  /** Band hashes for LSH bucketing: `bands` buckets of `k/bands` signature
+    * rows each. Two docs with Jaccard ~s collide in ≥1 band with
+    * probability 1-(1-s^r)^b. */
+  def bandHashes(sigCol: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map(j =>
+      xxhash64(lit(j), slice(sigCol, j * r + 1, r))): _*)
+  }
+
+  /** Estimated Jaccard = fraction of matching signature positions. */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast(DoubleType) / k
+
+  /** Candidate near-duplicate pairs (idA < idB, est_jaccard >= threshold).
+    * Returns (id_a, id_b, est_jaccard). */
+  def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, k: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7): DataFrame = {
+    val sigs = df.select(col(idCol).as("_gf_id"),
+        signature(shingles(col(textCol), n), k).as("_gf_sig"))
+      .withColumn("_gf_bands", bandHashes(col("_gf_sig"), k, bands))
+    val buckets = sigs.select(col("_gf_id"), col("_gf_sig"),
+        posexplode(col("_gf_bands")).as(Seq("_gf_band", "_gf_bh")))
+    val a = buckets.select(col("_gf_band"), col("_gf_bh"),
+      col("_gf_id").as("id_a"), col("_gf_sig").as("_gf_sig_a"))
+    val b = buckets.select(col("_gf_band"), col("_gf_bh"),
+      col("_gf_id").as("id_b"), col("_gf_sig").as("_gf_sig_b"))
+    a.join(b, Seq("_gf_band", "_gf_bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("_gf_sig_a"), col("_gf_sig_b"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Greedy near-dedup: drop any doc that near-matches a smaller-id doc
+    * (single pass over the pair list — the standard corpus-dedup policy;
+    * full connected components would need iteration). */
+  def dedup(df: DataFrame, textCol: String, idCol: String,
+            n: Int = 3, k: Int = 64, bands: Int = 16,
+            threshold: Double = 0.7): DataFrame = {
+    val losers = nearDuplicatePairs(df, textCol, idCol, n, k, bands, threshold)
+      .select(col("id_b").as("_gf_loser")).distinct()
+    df.join(losers, df(idCol) === col("_gf_loser"), "left_anti")
+  }
+}

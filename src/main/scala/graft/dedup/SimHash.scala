@@ -1,0 +1,61 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection (SURVEY §2.3 row 47): 64-bit
+  * sign-aggregated token-hash fingerprints; near-dups = small Hamming
+  * distance. Candidate generation uses the pigeonhole block trick: the 64
+  * bits split into `blocks` exact-match segments — any pair within Hamming
+  * distance < blocks shares at least one identical block, so an equi-join
+  * on (block_id, block_value) finds all such pairs without O(n²). All
+  * expressions are native (xxhash64 / shifts / bit_count) — codegen'd.
+  */
+object SimHash {
+
+  /** 64-bit SimHash of the token stream. For each bit b: sum +1/-1 over
+    * token hashes; bit set iff the sum is positive. Variable bit positions
+    * are addressed through a literal bitmask array (element_at) because
+    * shift functions take only static shift amounts. */
+  def simhash(c: Column): Column = {
+    val powers = lit((0 until 64).map(1L << _).toArray)
+    val hashes = transform(TextAnalysis.tokens(c), t => xxhash64(t))
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
+      acc + when(
+        aggregate(hashes, lit(0L), (s, h) =>
+          s + when(h.bitwiseAND(element_at(powers, b + 1)) =!= 0L, 1L)
+            .otherwise(-1L)) > 0,
+        element_at(powers, b + 1)).otherwise(0L))
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit block values used as LSH keys. */
+  def blockValue(sim: Column, blockId: Int, blocks: Int = 4): Column = {
+    val width = 64 / blocks
+    shiftrightunsigned(sim, blockId * width)
+      .bitwiseAND((1L << width) - 1)
+  }
+
+  /** Candidate pairs within `maxDist` Hamming bits (idA < idB).
+    * Complete for maxDist < blocks (pigeonhole). */
+  def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
+                         maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+    val sims = df.select(col(idCol).as("_gf_id"), simhash(col(textCol)).as("_gf_sim"))
+    val buckets = sims.select(col("_gf_id"), col("_gf_sim"),
+      posexplode(array((0 until blocks).map(i =>
+        blockValue(col("_gf_sim"), i, blocks)): _*)).as(Seq("_gf_block", "_gf_bv")))
+    val a = buckets.select(col("_gf_block"), col("_gf_bv"),
+      col("_gf_id").as("id_a"), col("_gf_sim").as("_gf_sim_a"))
+    val b = buckets.select(col("_gf_block"), col("_gf_bv"),
+      col("_gf_id").as("id_b"), col("_gf_sim").as("_gf_sim_b"))
+    a.join(b, Seq("_gf_block", "_gf_bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("_gf_sim_a"), col("_gf_sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{MinHash, NgramJaccard, SimHash}
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries for SURVEY §2.3 rows 46-51 (near-dup detection +
+  * similarity search). Near-duplicates are planted deterministically:
+  * LSH pipelines are not ANSI-SQL-expressible, so most are rows-only —
+  * their correctness gates live in NearDupSpec; `ann_cosine_pairs` is the
+  * oracle-checked exact-cosine baseline.
+  */
+object NearDupQueries {
+
+  /** documents ∪ truncated clones (every 10th doc loses its last ~20% of
+    * words; clone id = doc_id + 2000000). */
+  private def truncatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val toks = split(col("text"), "\\s+")
+    val clones = d.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 2000000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        greatest((size(toks) * 4) / 5, lit(1)))).as("text"))
+    d.unionByName(clones)
+  }
+
+  /** embeddings ∪ scaled clones (same direction => cosine 1). */
+  private def perturbedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val clones = e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+    e.unionByName(clones)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_minhash",
+      (s, dir) => MinHash.nearDuplicatePairs(truncatedCorpus(s, dir),
+          "text", "doc_id", n = 3, k = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("dedup_simhash",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        // one-word substitution => tiny Hamming distance
+        val clones = d.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "zzzz").as("text"))
+        SimHash.nearDuplicatePairs(d.unionByName(clones), "text", "doc_id",
+          maxDist = 7, blocks = 8)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    Q("dedup_jaccard",
+      (s, dir) => NgramJaccard.pairs(truncatedCorpus(s, dir),
+          "text", "doc_id", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("dedup_embedding",
+      (s, dir) => Similarity.nearDuplicatePairs(perturbedEmbeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.999, nPlanes = 8)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("ann_bruteforce",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // Oracle-checked exact-cosine baseline: high-similarity pairs among the
+    // first 200 vectors, thresholded on the ROUNDED value so both engines
+    // make the same cut.
+    Q("ann_cosine_pairs",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+          .filter(col("cosine") >= 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 200)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    Q("ann_lsh",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.lshTopK(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, nPlanes = 8)
+          .orderBy("query_id", "rank")
+      },
+      None)
+  )
+}

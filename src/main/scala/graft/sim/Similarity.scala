@@ -1,0 +1,112 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Embedding similarity search + near-dup (SURVEY §2.3 rows 49-51):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucket path as the 100 TB scale route. Vector math
+  * is `zip_with`/`aggregate` over array columns — codegen'd, no UDFs, no
+  * MLlib.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours for each query vector. `queries` must be small
+    * (it is broadcast); the corpus streams once through the crossJoin —
+    * O(|corpus|·|queries|) dot products, embarrassingly parallel, no
+    * shuffle of the corpus. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int = 10): DataFrame = {
+    val joined = corpus.crossJoin(
+      broadcast(queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"))))
+    val w = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col(corpusId))
+    joined
+      .withColumn("_gf_cos", cosine(col(corpusVec), col("_gf_qv")))
+      .withColumn("_gf_rank", row_number().over(w))
+      .filter(col("_gf_rank") <= k)
+      .select(col("_gf_qid").as("query_id"), col(corpusId).as("neighbor_id"),
+        col("_gf_rank").as("rank"), round(col("_gf_cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane components via a
+    * splitmix64-style integer mix (no RNG state, reproducible across
+    * runs/partitions). Returns `planes` arrays of `dim` doubles in [-1,1].
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] =
+    (0 until planes).map { p =>
+      Array.tabulate(dim) { d =>
+        var z = seed + (p.toLong * dim + d + 1) * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        // map to [-1, 1]
+        (z.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+
+  /** LSH bucket id: sign bits of the vector against `planes` hyperplanes
+    * packed into a long. Vectors with high cosine land in the same bucket
+    * with high probability. */
+  def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, lit(p)) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Near-duplicate embedding pairs (cosine >= threshold, idA < idB) via
+    * LSH buckets + exact rerank. With `nPlanes` sign bits the candidate
+    * set is the per-bucket self-join — at scale this is the whole point:
+    * the shuffle key is an 8-byte bucket id and only same-bucket pairs pay
+    * a dot product. Pairs split across buckets are missed (recall<1), the
+    * standard LSH trade; raise recall by lowering nPlanes or repeating
+    * with a different seed. */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.99, nPlanes: Int = 8,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val withBucket = df.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"),
+      bucketId(col(vecCol), planes).as("_gf_bucket"))
+    val a = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_a"),
+      col("_gf_v").as("_gf_va"))
+    val b = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_b"),
+      col("_gf_v").as("_gf_vb"))
+    a.join(b, Seq("_gf_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** ANN via LSH: bucket the corpus once, probe each query's bucket, exact
+    * rerank inside it. Same recall trade as [[nearDuplicatePairs]]. */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int = 10, nPlanes: Int = 8, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(corpusId).as("_gf_cid"), col(corpusVec).as("_gf_cv"),
+      bucketId(col(corpusVec), planes).as("_gf_bucket"))
+    val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"),
+      bucketId(col(queryVec), planes).as("_gf_bucket"))
+    val w = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_cid"))
+    c.join(broadcast(q), Seq("_gf_bucket"))
+      .withColumn("_gf_cos", cosine(col("_gf_cv"), col("_gf_qv")))
+      .withColumn("_gf_rank", row_number().over(w))
+      .filter(col("_gf_rank") <= k)
+      .select(col("_gf_qid").as("query_id"), col("_gf_cid").as("neighbor_id"),
+        col("_gf_rank").as("rank"), round(col("_gf_cos"), 6).as("cosine"))
+  }
+}

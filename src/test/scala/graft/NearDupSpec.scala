@@ -1,0 +1,86 @@
+package graft
+
+import graft.dedup.{MinHash, NgramJaccard, SimHash}
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseText = (1 to 60).map(i => s"word$i").mkString(" ")
+  private val nearText = (1 to 48).map(i => s"word$i").mkString(" ") // 80% prefix
+  private val otherText = (100 to 160).map(i => s"tok$i").mkString(" ")
+
+  test("minhash finds planted near-dup, skips unrelated") {
+    val df = Seq((1L, baseText), (2L, nearText), (3L, otherText))
+      .toDF("doc_id", "text")
+    val pairs = MinHash.nearDuplicatePairs(df, "text", "doc_id",
+      threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs(0).getDouble(2) > 0.5)
+  }
+
+  test("minhash dedup drops the larger-id near-dup") {
+    val df = Seq((1L, baseText), (2L, nearText), (3L, otherText))
+      .toDF("doc_id", "text")
+    val kept = MinHash.dedup(df, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("simhash: identical docs distance 0; one-word change small; unrelated far") {
+    val df = Seq((1L, baseText), (2L, baseText),
+      (3L, baseText.replaceFirst("word1 ", "zzzz ")), (4L, otherText))
+      .toDF("doc_id", "text")
+    val pairs = SimHash.nearDuplicatePairs(df, "text", "doc_id",
+      maxDist = 7, blocks = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
+    assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("ngram jaccard reranks candidates exactly") {
+    val df = Seq((1L, baseText), (2L, nearText), (3L, otherText))
+      .toDF("doc_id", "text")
+    val pairs = NgramJaccard.pairs(df, "text", "doc_id", threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    val j = pairs(0).getDouble(2)
+    // 46 shared 3-gram shingles / 58 total = 0.7931
+    assert(math.abs(j - 0.7931) < 0.01)
+  }
+
+  test("cosine math and brute-force topk ranking") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 2).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    assert(top(0).getAs[Double]("cosine") == 1.0)
+  }
+
+  test("lsh embedding near-dup finds scaled clone") {
+    val vecs = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat))
+    }
+    val clones = Seq((100L, vecs(0)._2.map(x => x * 1.01f)))
+    val df = (vecs ++ clones).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDuplicatePairs(df, "vec_id", "embedding",
+      threshold = 0.999, nPlanes = 6, dim = 8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 100L)))
+  }
+
+  test("lsh topk returns the query itself as rank 1") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 17 + d).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(df, "vec_id", "embedding",
+      df.filter(col("vec_id") === 3L), "vec_id", "embedding",
+      k = 3, nPlanes = 4, dim = 8).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 3L)
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+  }
+}
