@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.dedup.Duplicates
+import graft.impute.{ImputeStrategy, Imputer}
+import graft.normalize.{NormalizeConfig, Normalizer}
+import graft.outliers.{DetectMethod, HandleStrategy, Outliers}
+import graft.quality.{Rule, Validator}
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** One pipeline stage — the typed counterpart of a reference module
+  * invocation in `run_toolkit_pipeline.py` (each m0X module consumes the
+  * previous module's frame and a config block). */
+sealed trait Stage { def name: String }
+final case class NormalizeStage(cfg: NormalizeConfig) extends Stage { val name = "normalize" }
+final case class ImputeStage(strategies: Map[String, ImputeStrategy]) extends Stage { val name = "impute" }
+final case class DedupStage(subset: Seq[String], keep: Duplicates.Keep,
+                            tiebreak: Seq[Column]) extends Stage { val name = "dedup" }
+final case class OutlierStage(specs: Map[String, DetectMethod],
+                              strategies: Map[String, HandleStrategy]) extends Stage { val name = "outliers" }
+/** Non-destructive: contributes a report, passes the frame through. */
+final case class ValidateStage(rules: Seq[Rule]) extends Stage { val name = "validate" }
+
+/** Config-driven module chain — Spark-native counterpart of the
+  * reference's `run_toolkit_pipeline.py`. Each stage is lazy plan
+  * composition: the whole pipeline stays ONE Catalyst plan (Spark fuses
+  * the narrow stages into the same whole-stage-codegen spans), executed
+  * only when the result is consumed.
+  */
+object Pipeline {
+
+  final case class Result(df: DataFrame, reports: Map[String, DataFrame])
+
+  def run(df: DataFrame, stages: Seq[Stage]): Result = {
+    val reports = Map.newBuilder[String, DataFrame]
+    val out = stages.zipWithIndex.foldLeft(df) { case (acc, (stage, i)) =>
+      stage match {
+        case NormalizeStage(cfg) =>
+          val (next, log) = Normalizer(acc, cfg)
+          reports += s"$i:normalize" -> log
+          next
+        case ImputeStage(strategies) =>
+          reports += s"$i:impute" -> Imputer.changelog(acc, strategies)
+          Imputer.impute(acc, strategies)
+        case DedupStage(subset, keep, tiebreak) =>
+          Duplicates.drop(acc, subset, keep, tiebreak)
+        case OutlierStage(specs, strategies) =>
+          val det = Outliers.detect(acc, specs)
+          reports += s"$i:outliers" -> Outliers.log(det)
+          Outliers.handle(det, strategies)
+        case ValidateStage(rules) =>
+          reports += s"$i:validate" -> Validator.summary(acc, rules)
+          acc
+      }
+    }
+    Result(out, reports.result())
+  }
+}

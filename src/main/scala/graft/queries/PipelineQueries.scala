@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Duplicates
+import graft.impute.Median
+import graft.multimodal.Multimodal
+import graft.normalize.NormalizeConfig
+import graft.outliers.{Clip, Iqr}
+import graft.pipeline._
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries for SURVEY rows 35 (pipeline), 42 (sessionize),
+  * 56 (multimodal plumbing) + JSON extraction over events.props. */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+    // Full module chain: normalize -> impute -> dedup -> outlier-clip,
+    // exactly the reference's run_toolkit_pipeline composition.
+    Q("pipeline_chain",
+      (s, dir) => {
+        val dirty = Tables.orders(s, dir)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_orderstatus")))
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 17 === 0, lit(null)).otherwise(col("o_totalprice")))
+        val result = Pipeline.run(dirty, Seq(
+          NormalizeStage(NormalizeConfig(valueMappings = Map("o_orderstatus" -> Map(
+            "F" -> "FINISHED", "O" -> "OPEN", "P" -> "PENDING", "null" -> "UNKNOWN")))),
+          ImputeStage(Map("o_totalprice" -> Median)),
+          DedupStage(Seq("o_custkey", "o_orderstatus"), Duplicates.KeepFirst,
+            Seq(col("o_orderkey"))),
+          OutlierStage(Map("o_totalprice" -> Iqr(3.0)),
+            Map("o_totalprice" -> Clip))))
+        result.df.select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH d0 AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS st,
+                 CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_totalprice END AS tp
+          FROM orders),
+        d1 AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN st IS NULL THEN 'UNKNOWN' WHEN st = 'F' THEN 'FINISHED'
+                      WHEN st = 'O' THEN 'OPEN' WHEN st = 'P' THEN 'PENDING'
+                      ELSE st END AS st, tp
+          FROM d0),
+        med AS (SELECT quantile_cont(CAST(tp AS DOUBLE), 0.5) AS m FROM d1),
+        d2 AS (SELECT o_orderkey, o_custkey, st, coalesce(tp, m) AS tp FROM d1, med),
+        d3 AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey, st ORDER BY o_orderkey) AS rn
+            FROM d2) WHERE rn = 1),
+        b AS (SELECT quantile_cont(CAST(tp AS DOUBLE), 0.25) AS q1,
+                     quantile_cont(CAST(tp AS DOUBLE), 0.75) AS q3 FROM d3),
+        d4 AS (
+          SELECT o_orderkey, st,
+                 CASE WHEN tp < q1 - 3.0*(q3-q1) THEN q1 - 3.0*(q3-q1)
+                      WHEN tp > q3 + 3.0*(q3-q1) THEN q3 + 3.0*(q3-q1)
+                      ELSE tp END AS tp
+          FROM d3, b)
+        SELECT o_orderkey, st AS o_orderstatus, round(tp, 2) AS o_totalprice
+        FROM d4 ORDER BY o_orderkey""")),
+
+    // Multimodal plumbing: documents' text bytes stand in for image blobs;
+    // mapPartitions batch decode (stubbed deterministically) + resize plan.
+    Q("multimodal_meta",
+      (s, dir) => {
+        val assets = Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("asset"))
+        val meta = Multimodal.decodeMeta(assets, "doc_id", "asset")
+        Multimodal.resizePlan(meta, maxDim = 512)
+          .select("asset_id", "n_bytes", "width", "height", "format",
+            "target_width", "target_height")
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS asset_id,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 CAST(64 + octet_length(encode(text)) % 1856 AS INT) AS width,
+                 CAST(64 + (octet_length(encode(text)) * 7 +
+                   CASE WHEN length(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END) % 1016 AS INT) AS height,
+                 CASE octet_length(encode(text)) % 3
+                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+          FROM documents)
+        SELECT asset_id, n_bytes, width, height, format,
+               CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS INT) AS target_width,
+               CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS INT) AS target_height
+        FROM m ORDER BY asset_id""")),
+
+    // Gap-based sessionization (session_window) — the same plan Structured
+    // Streaming runs with a watermark.
+    Q("events_sessionize",
+      (s, dir) => StreamOps.sessionize(Tables.events(s, dir), gap = "30 minutes")
+        .select(col("user_id"),
+          date_trunc("second", col("session_start")).as("session_start"),
+          date_trunc("second", col("session_end")).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+        SELECT user_id,
+               date_trunc('second', min(ts)) AS session_start,
+               date_trunc('second', max(ts)) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
+    // Semi-structured extraction from the events.props JSON column.
+    Q("events_json_extract",
+      (s, dir) => Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events ORDER BY event_id"""))
+  )
+}

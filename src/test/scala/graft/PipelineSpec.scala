@@ -1,0 +1,82 @@
+package graft
+
+import graft.dedup.Duplicates
+import graft.impute.Constant
+import graft.multimodal.Multimodal
+import graft.normalize.NormalizeConfig
+import graft.outliers.{Iqr, ReplaceConstant}
+import graft.pipeline._
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipeline chains stages in order and collects reports") {
+    val df = Seq(
+      (1, "a", Some(10.0)), (2, "a", Some(11.0)), (3, "b", None),
+      (4, "B", Some(10000.0))
+    ).toDF("id", "k", "v")
+    val res = Pipeline.run(df, Seq(
+      NormalizeStage(NormalizeConfig(standardizeTextColumns = Seq("k"))),
+      ImputeStage(Map("v" -> Constant("0"))),
+      DedupStage(Seq("k"), Duplicates.KeepFirst, Seq(col("id"))),
+      OutlierStage(Map("v" -> Iqr(1.5)), Map("v" -> ReplaceConstant(-1.0)))))
+    val rows = res.df.orderBy("id").collect()
+    // dedup on normalized k keeps ids 1 (a), 3 (b); id 4 ("B"->"b") dropped
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3))
+    assert(rows(1).getDouble(2) == 0.0) // null imputed before outlier step
+    assert(res.reports.keySet ==
+      Set("0:normalize", "1:impute", "3:outliers"))
+  }
+
+  test("multimodal decodeMeta runs batch-wise and resize plan fits box") {
+    val df = Seq((1L, "x".getBytes("UTF-8")), (2L, ("y" * 3000).getBytes("UTF-8")))
+      .toDF("id", "bin")
+    val meta = Multimodal.decodeMeta(df, "id", "bin")
+    val planned = Multimodal.resizePlan(meta, 512).orderBy("asset_id").collect()
+    assert(planned.length == 2)
+    planned.foreach { r =>
+      assert(r.getAs[Int]("target_width") <= 512 && r.getAs[Int]("target_height") <= 512)
+    }
+    assert(planned(1).getAs[Long]("n_bytes") == 3000L)
+  }
+
+  test("frame sample plan emits stride offsets") {
+    val meta = Seq((1L, 100L)).toDF("asset_id", "n_bytes")
+    val out = Multimodal.frameSamplePlan(meta, frameBytes = 20, stride = 2).collect()(0)
+    assert(out.getAs[scala.collection.Seq[Long]]("frame_offsets").toSeq == Seq(0L, 40L, 80L))
+  }
+
+  test("sessionize splits on gap in batch mode") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(50)),  // gap 40 -> two sessions
+      (2L, ts(5))
+    ).toDF("user_id", "ts")
+    val rows = StreamOps.sessionize(df, gap = "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("n_events") == 2)
+  }
+
+  test("windowedAgg works on a real stream (MemoryStream + watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedAgg(events, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((new Timestamp(0L), "click", 1.0),
+        (new Timestamp(60000L), "click", 2.0),
+        (new Timestamp(601000L), "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("agg_out").collect()
+      assert(out.length == 2)
+      assert(out.map(_.getAs[Long]("n")).sum == 3)
+    } finally q.stop()
+  }
+}
