@@ -16,7 +16,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    autoParallel(spark, spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Spread under-partitioned scans across the cluster. Small/compressed
+    * single-row-group parquet is unsplittable, so a scan can come back as
+    * ONE task and serialize every downstream CPU-bound operator on one
+    * core. At real (100 TB) scale inputs arrive in thousands of splits and
+    * this is a no-op; it only kicks in when the scan has less than half the
+    * available parallelism. */
+  def autoParallel(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

@@ -51,13 +51,31 @@ object MinHash {
     aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast(DoubleType) / k
 
+  /** Per-id MinHash signature frame `(id, _gf_sig)` computed RELATIONALLY:
+    * shingles explode to rows, each shingle hashes once, and the K lanes
+    * are K codegen'd `min(xxhash64(h, seed))` aggregates with map-side
+    * partial combine. The equivalent nested higher-order-function
+    * formulation is interpreted per element and re-evaluates the whole
+    * tokenize->shingle->hash chain in every lane after Project collapsing
+    * (measured ~40 ms/row vs <0.1 ms/row here). */
+  def signatures(df: DataFrame, textCol: String, idCol: String,
+                 n: Int, k: Int): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("_gf_id"), explode(shingles(col(textCol), n)).as("_gf_s"))
+      .select(col("_gf_id"), xxhash64(col("_gf_s")).as("_gf_hh"))
+    hashed.groupBy("_gf_id")
+      .agg(min(xxhash64(col("_gf_hh"), lit(0))).as("_gf_m0"),
+        (1 until k).map(i => min(xxhash64(col("_gf_hh"), lit(i))).as(s"_gf_m$i")): _*)
+      .select(col("_gf_id"),
+        array((0 until k).map(i => col(s"_gf_m$i")): _*).as("_gf_sig"))
+  }
+
   /** Candidate near-duplicate pairs (idA < idB, est_jaccard >= threshold).
     * Returns (id_a, id_b, est_jaccard). */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, k: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7): DataFrame = {
-    val sigs = df.select(col(idCol).as("_gf_id"),
-        signature(shingles(col(textCol), n), k).as("_gf_sig"))
+    val sigs = signatures(df, textCol, idCol, n, k)
       .withColumn("_gf_bands", bandHashes(col("_gf_sig"), k, bands))
     val buckets = sigs.select(col("_gf_id"), col("_gf_sig"),
         posexplode(col("_gf_bands")).as(Seq("_gf_band", "_gf_bh")))

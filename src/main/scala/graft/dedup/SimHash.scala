@@ -18,9 +18,14 @@ object SimHash {
     * token hashes; bit set iff the sum is positive. Variable bit positions
     * are addressed through a literal bitmask array (element_at) because
     * shift functions take only static shift amounts. */
-  def simhash(c: Column): Column = {
+  def simhash(c: Column): Column =
+    simhashOfHashes(transform(TextAnalysis.tokens(c), t => xxhash64(t)))
+
+  /** Bit fold over an already-materialized token-hash array column —
+    * callers should project the hash array into its own column first so
+    * tokenization+hashing runs once, not once per bit. */
+  def simhashOfHashes(hashes: Column): Column = {
     val powers = lit((0 until 64).map(1L << _).toArray)
-    val hashes = transform(TextAnalysis.tokens(c), t => xxhash64(t))
     aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
       acc + when(
         aggregate(hashes, lit(0L), (s, h) =>
@@ -39,11 +44,32 @@ object SimHash {
       .bitwiseAND((1L << width) - 1)
   }
 
+  /** Per-id simhash frame `(id, _gf_sim)` computed RELATIONALLY: tokens
+    * explode to rows, and the 64 bit-sums are codegen'd conditional `sum`
+    * aggregates (map-side combine). The nested higher-order-function fold
+    * is interpreted per element per bit — orders of magnitude slower (see
+    * MinHash.signatures for the same lesson). */
+  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("_gf_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_gf_t"))
+      .select(col("_gf_id"), xxhash64(col("_gf_t")).as("_gf_hh"))
+    val bitSum = (b: Int) =>
+      sum(when(col("_gf_hh").bitwiseAND(1L << b) =!= 0L, 1L).otherwise(-1L))
+    val sums = hashed.groupBy("_gf_id")
+      .agg(bitSum(0).as("_gf_b0"),
+        (1 until 64).map(b => bitSum(b).as(s"_gf_b$b")): _*)
+    sums.select(col("_gf_id"),
+      (0 until 64).map(b =>
+        when(col(s"_gf_b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+        .as("_gf_sim"))
+  }
+
   /** Candidate pairs within `maxDist` Hamming bits (idA < idB).
     * Complete for maxDist < blocks (pigeonhole). */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          maxDist: Int = 3, blocks: Int = 4): DataFrame = {
-    val sims = df.select(col(idCol).as("_gf_id"), simhash(col(textCol)).as("_gf_sim"))
+    val sims = simhashes(df, textCol, idCol)
     val buckets = sims.select(col("_gf_id"), col("_gf_sim"),
       posexplode(array((0 until blocks).map(i =>
         blockValue(col("_gf_sim"), i, blocks)): _*)).as(Seq("_gf_block", "_gf_bv")))

@@ -38,7 +38,7 @@ object NearDupQueries {
   val all: Seq[Q] = Seq(
     Q("dedup_minhash",
       (s, dir) => MinHash.nearDuplicatePairs(truncatedCorpus(s, dir),
-          "text", "doc_id", n = 3, k = 64, bands = 16, threshold = 0.5)
+          "text", "doc_id", n = 5, k = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       None),
 
@@ -57,7 +57,7 @@ object NearDupQueries {
 
     Q("dedup_jaccard",
       (s, dir) => NgramJaccard.pairs(truncatedCorpus(s, dir),
-          "text", "doc_id", n = 3, threshold = 0.5)
+          "text", "doc_id", n = 5, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       None),
 
