@@ -15,8 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    autoParallel(spark, spark.read.parquet(s"$dir/$name.parquet"))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Tiny (dimension-sized) files skip the parallelism fix-up: they are
+    // broadcast-join fodder and a repartition Exchange under a
+    // BroadcastExchange is pure overhead.
+    if (new java.io.File(s"$dir/$name.parquet").length() < 2 * 1024 * 1024) df
+    else autoParallel(spark, df)
+  }
 
   /** Spread under-partitioned scans across the cluster. Small/compressed
     * single-row-group parquet is unsplittable, so a scan can come back as

@@ -14,6 +14,11 @@ import org.apache.spark.sql.types._
   */
 object Drift {
 
+  /** Full comparison — (schema drift, numeric drift), the reference's
+    * toolkit_drift_detection response split into two frames. */
+  def compare(base: DataFrame, target: DataFrame): (DataFrame, DataFrame) =
+    (schemaDrift(base, target), numericDrift(base, target))
+
   /** Added/removed columns + dtype changes (drift.py:39-56). */
   def schemaDrift(base: DataFrame, target: DataFrame): DataFrame = {
     val b = base.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
