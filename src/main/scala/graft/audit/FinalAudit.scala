@@ -83,14 +83,15 @@ object HealthScore {
     val consist = (lit(1.0) - outlierRatio) * 100
     val total = comp * weights("completeness") + valid * weights("validity") +
       unique * weights("uniqueness") + consist * weights("consistency")
+    val r1 = (c: Column) => graft.Num.dround(c, 1)
     Seq(
-      round(total, 1).as("overall_score"),
-      when(round(total, 1) < 70, "red").when(round(total, 1) < 90, "yellow")
+      r1(total).as("overall_score"),
+      when(r1(total) < 70, "red").when(r1(total) < 90, "yellow")
         .otherwise("green").as("status"),
-      round(comp, 1).as("completeness"),
-      round(valid, 1).as("validity"),
-      round(unique, 1).as("uniqueness"),
-      round(consist, 1).as("consistency"))
+      r1(comp).as("completeness"),
+      r1(valid).as("validity"),
+      r1(unique).as("uniqueness"),
+      r1(consist).as("consistency"))
   }
 
   /** End-to-end score for a frame: null rate over the given columns,
@@ -105,7 +106,8 @@ object HealthScore {
     val nullRate = df.agg(
       (cells / (count(lit(1)) * nullCols.size)).as("null_rate"))
     val coverage = Validator.rowCoverage(df, rules)
-      .select((col("coverage_pct") / 100.0).as("pass_rate"))
+      .select(((col("total_rows") - col("failing_rows")).cast(DoubleType) /
+        col("total_rows")).as("pass_rate"))
     val dup = graft.profile.Profiler.duplicateSummary(df, dupSubset)
       .select((col("duplicate_pct") / 100.0).as("dup_ratio"))
     val outliers = outlierFlagged.agg(

@@ -31,7 +31,7 @@ object NgramJaccard {
       .join(sh.select(col("_gf_sid").as("id_a"), col("_gf_sh").as("_gf_sh_a")), Seq("id_a"))
       .join(sh.select(col("_gf_sid").as("id_b"), col("_gf_sh").as("_gf_sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("_gf_sh_a"), col("_gf_sh_b")), 4).as("jaccard"))
+        graft.Num.dround(jaccard(col("_gf_sh_a"), col("_gf_sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

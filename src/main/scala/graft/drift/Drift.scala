@@ -59,9 +59,9 @@ object Drift {
     val entries = shared.map { c =>
       struct(
         lit(c).as("column_name"),
-        round(col(s"b_$c"), 4).as("base_mean"),
-        round(col(s"t_$c"), 4).as("target_mean"),
-        round(abs(col(s"t_$c") - col(s"b_$c")) / (abs(col(s"b_$c")) + lit(1e-9)), 4)
+        graft.Num.dround(col(s"b_$c"), 4).as("base_mean"),
+        graft.Num.dround(col(s"t_$c"), 4).as("target_mean"),
+        graft.Num.dround(abs(col(s"t_$c") - col(s"b_$c")) / (abs(col(s"b_$c")) + lit(1e-9)), 4)
           .as("diff_pct"))
     }
     joined.select(explode(array(entries.toIndexedSeq: _*)).as("e")).select("e.*")

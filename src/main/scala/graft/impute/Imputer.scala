@@ -104,7 +104,7 @@ object Imputer {
       }
       val fill: Column = s match {
         case Constant(v) => lit(v)
-        case Mean | Median => round(col(statName(c)), 4).cast("string")
+        case Mean | Median => graft.Num.dround(col(statName(c)), 4).cast("string")
         case Mode => col(statName(c)).cast("string")
       }
       struct(

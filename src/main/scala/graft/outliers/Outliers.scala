@@ -89,8 +89,8 @@ object Outliers {
         lit(c0).as("column_name"),
         lit(m.name).as("method"),
         coalesce(sum(when(col(flagName(c0, m)), 1L)), lit(0L)).as("outlier_count"),
-        round(first(col(lowerName(c0))), 4).as("lower_bound"),
-        round(first(col(upperName(c0))), 4).as("upper_bound"))
+        graft.Num.dround(first(col(lowerName(c0))), 4).as("lower_bound"),
+        graft.Num.dround(first(col(upperName(c0))), 4).as("upper_bound"))
     }
     det.flagged.agg(array(entries.toIndexedSeq: _*).as("m"))
       .select(explode(col("m")).as("e")).select("e.*")

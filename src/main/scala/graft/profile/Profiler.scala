@@ -37,7 +37,7 @@ object Profiler {
         lit(f.dataType.simpleString).as("dtype"),
         count(c).cast(LongType).as("non_null"),
         (total - count(c)).cast(LongType).as("null_count"),
-        round((total - count(c)).cast(DoubleType) / total * 100, 2).as("missing_pct"),
+        graft.Num.dround((total - count(c)).cast(DoubleType) / total * 100, 2).as("missing_pct"),
         distinct.cast(LongType).as("distinct_count"))
     }
     df.agg(array(entries.toIndexedSeq: _*).as("m"))
@@ -73,15 +73,15 @@ object Profiler {
       struct(
         lit(name).as("column_name"),
         count(c).cast(LongType).as("n"),
-        round(avg(c), 4).as("mean"),
-        round(stddev_samp(c), 4).as("stddev"),
-        round(min(c), 4).as("min"),
-        round(q(0.25), 4).as("q1"),
-        round(q(0.5), 4).as("median"),
-        round(q(0.75), 4).as("q3"),
-        round(max(c), 4).as("max"),
-        round(sampleSkew, 4).as("skew"),
-        round(sampleKurt, 4).as("kurtosis"))
+        graft.Num.dround(avg(c), 4).as("mean"),
+        graft.Num.dround(stddev_samp(c), 4).as("stddev"),
+        graft.Num.dround(min(c), 4).as("min"),
+        graft.Num.dround(q(0.25), 4).as("q1"),
+        graft.Num.dround(q(0.5), 4).as("median"),
+        graft.Num.dround(q(0.75), 4).as("q3"),
+        graft.Num.dround(max(c), 4).as("max"),
+        graft.Num.dround(sampleSkew, 4).as("skew"),
+        graft.Num.dround(sampleKurt, 4).as("kurtosis"))
     }
     df.agg(array(entries.toIndexedSeq: _*).as("m"))
       .select(explode(col("m")).as("e"))
@@ -117,7 +117,7 @@ object Profiler {
       .select(
         col("duplicate_rows"),
         col("duplicate_groups"),
-        round(col("duplicate_rows").cast(DoubleType) / col("total_rows") * 100, 2)
+        graft.Num.dround(col("duplicate_rows").cast(DoubleType) / col("total_rows") * 100, 2)
           .as("duplicate_pct"))
   }
 

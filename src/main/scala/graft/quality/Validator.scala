@@ -98,7 +98,7 @@ object Validator {
       count(lit(1)).as("total_rows"),
       coalesce(sum(when(anyViolation(rowRules), 1L)), lit(0L)).as("failing_rows"))
       .select(col("total_rows"), col("failing_rows"),
-        round((col("total_rows") - col("failing_rows")).cast(DoubleType) /
+        graft.Num.dround((col("total_rows") - col("failing_rows")).cast(DoubleType) /
           col("total_rows") * 100, 2).as("coverage_pct"))
   }
 

@@ -26,22 +26,22 @@ object AuditQueries {
   val all: Seq[Q] = Seq(
     Q("impute_mean",
       (s, dir) => Imputer.impute(eventsWithNulls(s, dir), Map("value" -> Mean))
-        .select(col("event_id"), round(col("value"), 2).as("value"))
+        .select(col("event_id"), graft.Num.dround(col("value"), 2).as("value"))
         .orderBy("event_id"),
       Some(s"""
         WITH d AS ($eventsNullSql),
         st AS (SELECT CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS fill FROM d)
-        SELECT event_id, round(coalesce(value, fill), 2) AS value
+        SELECT event_id, floor((coalesce(value, fill)) * 1e2 + 0.5) / 1e2 AS value
         FROM d, st ORDER BY event_id""")),
 
     Q("impute_median",
       (s, dir) => Imputer.impute(eventsWithNulls(s, dir), Map("value" -> Median))
-        .select(col("event_id"), round(col("value"), 2).as("value"))
+        .select(col("event_id"), graft.Num.dround(col("value"), 2).as("value"))
         .orderBy("event_id"),
       Some(s"""
         WITH d AS ($eventsNullSql),
         st AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS fill FROM d)
-        SELECT event_id, round(coalesce(value, fill), 2) AS value
+        SELECT event_id, floor((coalesce(value, fill)) * 1e2 + 0.5) / 1e2 AS value
         FROM d, st ORDER BY event_id""")),
 
     Q("impute_mode",
@@ -101,7 +101,7 @@ object AuditQueries {
                  CAST((SELECT count(*) - count(event_type) FROM d) AS BIGINT) AS nulls_filled
           UNION ALL
           SELECT 'value', 'mean',
-                 CAST(round((SELECT fill FROM mean_v), 4) AS VARCHAR),
+                 CAST(floor(((SELECT fill FROM mean_v)) * 1e4 + 0.5) / 1e4 AS VARCHAR),
                  CAST((SELECT count(*) - count(value) FROM d) AS BIGINT)
         ) ORDER BY column_name""")),
 
@@ -165,7 +165,7 @@ object AuditQueries {
               OR (o_totalprice IS NOT NULL AND NOT (o_totalprice BETWEEN 0.0 AND 300000.0))
               THEN 1 END), 0)) * 1.0 / count(*) AS pass_rate FROM d),
         dup AS (
-          SELECT round(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) * 100.0 / sum(cnt), 2) / 100.0 AS dup_ratio
+          SELECT floor((coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) * 100.0 / sum(cnt)) * 1e2 + 0.5) / 1e2 / 100.0 AS dup_ratio
           FROM (SELECT o_custkey, o_orderstatus, count(*) AS cnt FROM d GROUP BY 1, 2)),
         ob AS (
           SELECT avg(CAST(o_totalprice AS DOUBLE)) AS mu,
@@ -174,17 +174,17 @@ object AuditQueries {
           SELECT coalesce(sum(CASE WHEN o_totalprice < mu - 3.0*sd
               OR o_totalprice > mu + 3.0*sd THEN 1 END), 0) * 1.0 / count(*) AS outlier_ratio
           FROM d, ob)
-        SELECT round((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
-                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15, 1) AS overall_score,
-               CASE WHEN round((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
-                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15, 1) < 70 THEN 'red'
-                    WHEN round((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
-                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15, 1) < 90 THEN 'yellow'
+        SELECT floor(((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
+                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15) * 1e1 + 0.5) / 1e1 AS overall_score,
+               CASE WHEN floor(((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
+                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15) * 1e1 + 0.5) / 1e1 < 70 THEN 'red'
+                    WHEN floor(((1.0 - null_rate)*100*0.40 + pass_rate*100*0.30
+                 + (1.0 - dup_ratio)*100*0.15 + (1.0 - outlier_ratio)*100*0.15) * 1e1 + 0.5) / 1e1 < 90 THEN 'yellow'
                     ELSE 'green' END AS status,
-               round((1.0 - null_rate)*100, 1) AS completeness,
-               round(pass_rate*100, 1) AS validity,
-               round((1.0 - dup_ratio)*100, 1) AS uniqueness,
-               round((1.0 - outlier_ratio)*100, 1) AS consistency
+               floor(((1.0 - null_rate)*100) * 1e1 + 0.5) / 1e1 AS completeness,
+               floor((pass_rate*100) * 1e1 + 0.5) / 1e1 AS validity,
+               floor(((1.0 - dup_ratio)*100) * 1e1 + 0.5) / 1e1 AS uniqueness,
+               floor(((1.0 - outlier_ratio)*100) * 1e1 + 0.5) / 1e1 AS consistency
         FROM nr, cov, dup, outl""")),
 
     Q("drift_schema",
@@ -213,11 +213,11 @@ object AuditQueries {
           "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
         cols.map { c =>
           s"""SELECT '$c' AS column_name,
-                round((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem), 4) AS base_mean,
-                round((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem WHERE l_quantity > 25), 4) AS target_mean,
-                round(abs((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem WHERE l_quantity > 25)
+                floor(((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem)) * 1e4 + 0.5) / 1e4 AS base_mean,
+                floor(((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem WHERE l_quantity > 25)) * 1e4 + 0.5) / 1e4 AS target_mean,
+                floor((abs((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem WHERE l_quantity > 25)
                     - (SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem))
-                  / (abs((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem)) + 1e-9), 4) AS diff_pct"""
+                  / (abs((SELECT CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE)/count($c) FROM lineitem)) + 1e-9)) * 1e4 + 0.5) / 1e4 AS diff_pct"""
         }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
       }),
 

@@ -103,8 +103,8 @@ object DedupOutlierQueries {
           SELECT 'l_extendedprice' AS column_name, 'iqr' AS method,
                  CAST(coalesce(sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
                    OR l_extendedprice > q3 + 1.5*(q3-q1) THEN 1 END), 0) AS BIGINT) AS outlier_count,
-                 round(any_value(q1 - 1.5*(q3-q1)), 4) AS lower_bound,
-                 round(any_value(q3 + 1.5*(q3-q1)), 4) AS upper_bound
+                 floor((any_value(q1 - 1.5*(q3-q1))) * 1e4 + 0.5) / 1e4 AS lower_bound,
+                 floor((any_value(q3 + 1.5*(q3-q1))) * 1e4 + 0.5) / 1e4 AS upper_bound
           FROM lineitem, (
             SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
                    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
@@ -113,8 +113,8 @@ object DedupOutlierQueries {
           SELECT 'l_quantity', 'zscore',
                  CAST(coalesce(sum(CASE WHEN l_quantity < mu - 3.0*sd
                    OR l_quantity > mu + 3.0*sd THEN 1 END), 0) AS BIGINT),
-                 round(any_value(mu - 3.0*sd), 4),
-                 round(any_value(mu + 3.0*sd), 4)
+                 floor((any_value(mu - 3.0*sd)) * 1e4 + 0.5) / 1e4,
+                 floor((any_value(mu + 3.0*sd)) * 1e4 + 0.5) / 1e4
           FROM lineitem, (
             SELECT avg(CAST(l_quantity AS DOUBLE)) AS mu,
                    stddev_samp(CAST(l_quantity AS DOUBLE)) AS sd
@@ -127,7 +127,7 @@ object DedupOutlierQueries {
           Map("l_extendedprice" -> Iqr(1.5)))
         Outliers.handle(det, Map("l_extendedprice" -> Clip))
           .select(col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice"), 2).as("price"))
+            graft.Num.dround(col("l_extendedprice"), 2).as("price"))
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""
@@ -136,10 +136,10 @@ object DedupOutlierQueries {
                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
           FROM lineitem)
         SELECT l_orderkey, l_linenumber,
-               round(CASE
+               floor((CASE
                  WHEN l_extendedprice < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
                  WHEN l_extendedprice > q3 + 1.5*(q3-q1) THEN q3 + 1.5*(q3-q1)
-                 ELSE l_extendedprice END, 2) AS price
+                 ELSE l_extendedprice END) * 1e2 + 0.5) / 1e2 AS price
         FROM lineitem, b
         ORDER BY l_orderkey, l_linenumber""")),
 
@@ -148,7 +148,7 @@ object DedupOutlierQueries {
         val det = Outliers.detect(Tables.events(s, dir),
           Map("value" -> ZScore(2.5)))
         Outliers.handle(det, Map("value" -> ReplaceMedian))
-          .select(col("event_id"), round(col("value"), 2).as("value"))
+          .select(col("event_id"), graft.Num.dround(col("value"), 2).as("value"))
           .orderBy("event_id")
       },
       Some("""
@@ -158,8 +158,8 @@ object DedupOutlierQueries {
                  quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
           FROM events)
         SELECT event_id,
-               round(CASE WHEN value < mu - 2.5*sd OR value > mu + 2.5*sd
-                 THEN med ELSE value END, 2) AS value
+               floor((CASE WHEN value < mu - 2.5*sd OR value > mu + 2.5*sd
+                 THEN med ELSE value END) * 1e2 + 0.5) / 1e2 AS value
         FROM events, b
         ORDER BY event_id""")),
 

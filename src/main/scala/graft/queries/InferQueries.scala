@@ -55,7 +55,7 @@ object InferQueries {
         val det = Outliers.detect(imputed, cfg.outlierSpecs)
         Outliers.handle(det, cfg.outlierSpecs.keys.map(_ -> (Clip: graft.outliers.HandleStrategy)).toMap)
           .select(col("o_orderkey"), col("o_orderstatus"),
-            round(col("o_totalprice"), 2).as("o_totalprice"))
+            graft.Num.dround(col("o_totalprice"), 2).as("o_totalprice"))
           .orderBy("o_orderkey")
       },
       Some("""
@@ -73,9 +73,9 @@ object InferQueries {
         b AS (SELECT quantile_cont(CAST(tp AS DOUBLE), 0.25) AS q1,
                      quantile_cont(CAST(tp AS DOUBLE), 0.75) AS q3 FROM d2)
         SELECT o_orderkey, st AS o_orderstatus,
-               round(CASE WHEN tp < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
+               floor((CASE WHEN tp < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
                           WHEN tp > q3 + 1.5*(q3-q1) THEN q3 + 1.5*(q3-q1)
-                          ELSE tp END, 2) AS o_totalprice
+                          ELSE tp END) * 1e2 + 0.5) / 1e2 AS o_totalprice
         FROM d2, b ORDER BY o_orderkey"""))
   )
 }

@@ -86,7 +86,7 @@ object NearDupQueries {
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            round(Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+            graft.Num.dround(Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
           .filter(col("cosine") >= 0.8)
           .orderBy("id_a", "id_b")
       },
@@ -95,12 +95,12 @@ object NearDupQueries {
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE vec_id < 200)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+               floor((list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e4 + 0.5) / 1e4 AS cosine
         FROM e a, e b
         WHERE a.vec_id < b.vec_id
-          AND round(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.8
+          AND floor((list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e4 + 0.5) / 1e4 >= 0.8
         ORDER BY id_a, id_b""")),
 
     Q("ann_lsh",

@@ -33,7 +33,7 @@ object PipelineQueries {
           OutlierStage(Map("o_totalprice" -> Iqr(3.0)),
             Map("o_totalprice" -> Clip))))
         result.df.select(col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice"), 2).as("o_totalprice"))
+          graft.Num.dround(col("o_totalprice"), 2).as("o_totalprice"))
           .orderBy("o_orderkey")
       },
       Some("""
@@ -62,7 +62,7 @@ object PipelineQueries {
                       WHEN tp > q3 + 3.0*(q3-q1) THEN q3 + 3.0*(q3-q1)
                       ELSE tp END AS tp
           FROM d3, b)
-        SELECT o_orderkey, st AS o_orderstatus, round(tp, 2) AS o_totalprice
+        SELECT o_orderkey, st AS o_orderstatus, floor((tp) * 1e2 + 0.5) / 1e2 AS o_totalprice
         FROM d4 ORDER BY o_orderkey""")),
 
     // Multimodal plumbing: documents' text bytes stand in for image blobs;

@@ -21,7 +21,7 @@ object ProfileQueries {
       s"""SELECT '$c' AS column_name, '$t' AS dtype,
             CAST(count($c) AS BIGINT) AS non_null,
             CAST(count(*) - count($c) AS BIGINT) AS null_count,
-            round((count(*) - count($c)) * 100.0 / count(*), 2) AS missing_pct,
+            floor(((count(*) - count($c)) * 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS missing_pct,
             CAST(count(DISTINCT $c) AS BIGINT) AS distinct_count
           FROM $table"""
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
@@ -35,15 +35,15 @@ object ProfileQueries {
       val x = s"CAST($c AS DOUBLE)"
       s"""SELECT '$c' AS column_name,
             CAST(count($x) AS BIGINT) AS n,
-            round(avg($x), 4) AS mean,
-            round(stddev_samp($x), 4) AS stddev,
-            round(min($x), 4) AS min,
-            round(quantile_cont($x, 0.25), 4) AS q1,
-            round(quantile_cont($x, 0.5), 4) AS median,
-            round(quantile_cont($x, 0.75), 4) AS q3,
-            round(max($x), 4) AS max,
-            round(skewness($x), 4) AS skew,
-            round(kurtosis($x), 4) AS kurtosis
+            floor((avg($x)) * 1e4 + 0.5) / 1e4 AS mean,
+            floor((stddev_samp($x)) * 1e4 + 0.5) / 1e4 AS stddev,
+            floor((min($x)) * 1e4 + 0.5) / 1e4 AS min,
+            floor((quantile_cont($x, 0.25)) * 1e4 + 0.5) / 1e4 AS q1,
+            floor((quantile_cont($x, 0.5)) * 1e4 + 0.5) / 1e4 AS median,
+            floor((quantile_cont($x, 0.75)) * 1e4 + 0.5) / 1e4 AS q3,
+            floor((max($x)) * 1e4 + 0.5) / 1e4 AS max,
+            floor((skewness($x)) * 1e4 + 0.5) / 1e4 AS skew,
+            floor((kurtosis($x)) * 1e4 + 0.5) / 1e4 AS kurtosis
           FROM $table"""
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
 
@@ -74,7 +74,7 @@ object ProfileQueries {
       Some("""
         SELECT CAST(duplicate_rows AS BIGINT) AS duplicate_rows,
                CAST(duplicate_groups AS BIGINT) AS duplicate_groups,
-               round(duplicate_rows * 100.0 / total_rows, 2) AS duplicate_pct
+               floor((duplicate_rows * 100.0 / total_rows) * 1e2 + 0.5) / 1e2 AS duplicate_pct
         FROM (
           SELECT coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS duplicate_rows,
                  coalesce(sum(CASE WHEN cnt > 1 THEN 1 END), 0) AS duplicate_groups,

@@ -33,9 +33,22 @@ object Q {
   def decSum(c: Column): Column =
     round(sum(c), 2).cast(DoubleType)
 
+  /** Cross-engine-deterministic rounding of a computed DOUBLE:
+    * `floor(x·10ⁿ + 0.5)/10ⁿ` — every step is a single IEEE op that both
+    * engines execute identically. Plain `round(double, n)` is NOT portable:
+    * Spark rounds the exact binary value (BigDecimal HALF_UP) while DuckDB
+    * multiplies first, and the multiply can manufacture an exact .5 tie —
+    * observed 1-ulp mismatches at sf0.1. Exact-decimal values (dsum/decSum)
+    * may keep using round(). */
+  def dround(c: Column, n: Int): Column = graft.Num.dround(c, n)
+
+  /** SQL fragment mirroring [[dround]]. */
+  def sqlDround(e: String, n: Int): String =
+    s"floor(($e) * 1e$n + 0.5) / 1e$n"
+
   /** Deterministic mean built on the exact-decimal sum. */
   def davg(c: Column): Column =
-    round(dsum(c) / count(c), 4)
+    dround(dsum(c) / count(c), 4)
 
   /** Money/rate factors as exact decimals. The source doubles carry <= 4
     * decimal digits semantically, so the decimal cast is unambiguous (no
@@ -61,5 +74,5 @@ object Q {
 
   /** SQL fragment mirroring [[davg]]. */
   def sqlDavg(e: String): String =
-    s"round(${sqlDsum(e)} / count($e), 4)"
+    sqlDround(s"${sqlDsum(e)} / count($e)", 4)
 }

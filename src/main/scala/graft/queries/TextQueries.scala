@@ -67,10 +67,10 @@ object TextQueries {
                  CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_distinct
           FROM documents)
         SELECT doc_id,
-               round(0.3 * least(1.0, n_tok / 50.0)
+               floor((0.3 * least(1.0, n_tok / 50.0)
                    + 0.3 * (1.0 - least(1.0, punct / chars))
                    + 0.2 * least(1.0, stop_hits / greatest(n_tok, 1.0) * 5.0)
-                   + 0.2 * (n_distinct / greatest(n_tok, 1.0)), 4) AS quality
+                   + 0.2 * (n_distinct / greatest(n_tok, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
         FROM t ORDER BY doc_id"""
       }),
 

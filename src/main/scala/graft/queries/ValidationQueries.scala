@@ -83,11 +83,11 @@ object ValidationQueries {
                  OR (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
                  OR o_custkey IS NULL
                  THEN 1 END), 0) AS BIGINT) AS failing_rows,
-               round((count(*) - coalesce(sum(CASE WHEN
+               floor(((count(*) - coalesce(sum(CASE WHEN
                  (o_totalprice IS NOT NULL AND NOT (o_totalprice BETWEEN 0.0 AND 300000.0))
                  OR (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
                  OR o_custkey IS NULL
-                 THEN 1 END), 0)) * 100.0 / count(*), 2) AS coverage_pct
+                 THEN 1 END), 0)) * 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS coverage_pct
         FROM orders""")),
 
     // Null audit over a frame with deterministic synthesized nulls (the

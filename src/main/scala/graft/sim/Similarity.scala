@@ -38,7 +38,7 @@ object Similarity {
       .withColumn("_gf_rank", row_number().over(w))
       .filter(col("_gf_rank") <= k)
       .select(col("_gf_qid").as("query_id"), col(corpusId).as("neighbor_id"),
-        col("_gf_rank").as("rank"), round(col("_gf_cos"), 6).as("cosine"))
+        col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
   }
 
   /** Deterministic pseudo-random unit-ish hyperplane components via a
@@ -85,7 +85,7 @@ object Similarity {
     a.join(b, Seq("_gf_bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
+        graft.Num.dround(cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -107,6 +107,6 @@ object Similarity {
       .withColumn("_gf_rank", row_number().over(w))
       .filter(col("_gf_rank") <= k)
       .select(col("_gf_qid").as("query_id"), col("_gf_cid").as("neighbor_id"),
-        col("_gf_rank").as("rank"), round(col("_gf_cos"), 6).as("cosine"))
+        col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
   }
 }

@@ -67,7 +67,7 @@ object TextAnalysis {
     val lenScore = least(lit(1.0), nTok / lit(50.0))
     val punctScore = lit(1.0) - least(lit(1.0), punct / chars)
     val stopScore = least(lit(1.0), stopHits / greatest(nTok, lit(1.0)) * 5.0)
-    round(lit(0.3) * lenScore + lit(0.3) * punctScore +
+    graft.Num.dround(lit(0.3) * lenScore + lit(0.3) * punctScore +
       lit(0.2) * stopScore + lit(0.2) * distinctRatio, 4)
   }
 

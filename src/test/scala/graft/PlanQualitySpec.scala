@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-quality regressions: the properties that make these operators
+  * survive a 100 TB scale-up, asserted against the optimized physical
+  * plans so a refactor can't silently lose them. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+
+  test("q3_join broadcasts every dimension (no sort-merge join)") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q3_join prunes lineitem scan to the 3 needed columns") {
+    val p = plan("q3_join")
+    val readSchema = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("l_orderkey")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"))
+  }
+
+  test("validate_range pushes the scan down to 2 columns") {
+    val p = plan("validate_range")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_orderdate"))
+  }
+
+  test("fuzzy correction broadcasts the correction map (no fact shuffle join)") {
+    val p = plan("normalize_fuzzy")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("outlier detection broadcasts the 1-row bounds (nested-loop on 1 row, no fact shuffle)") {
+    val p = plan("outliers_iqr")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q1_agg aggregates map-side before the shuffle (partial + final HashAggregate)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    // raw rows never shuffle: the only row Exchanges are the tiny grouped
+    // state and the final ordering
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"))
+  }
+}
