@@ -132,6 +132,20 @@ object CoreQueries {
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         ORDER BY c_custkey""")),
 
+    // Semi join: customers that DO have orders (dedup'd probe side).
+    Q("q_semijoin",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).select("o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey""")),
+
     // Pivot: average order price per status x priority matrix.
     Q("q_pivot",
       (s, dir) => {
