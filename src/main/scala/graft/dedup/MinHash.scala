@@ -28,9 +28,10 @@ object MinHash {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** K-element MinHash signature. One xxhash64 pass over the shingles,
-    * then K cheap (hash, seed) re-hashes — the classic "K permutations"
-    * approximated by seeded re-hashing. */
+  /** K-element MinHash signature as a single Column — for one-off use on
+    * small data ONLY. The nested higher-order functions are interpreted
+    * and re-evaluated per lane; for datasets use [[signatures]] (the
+    * relational formulation) instead. */
   def signature(shingleCol: Column, k: Int = 64): Column = {
     val hashes = transform(shingleCol, s => xxhash64(s))
     array((0 until k).map(i =>

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (SURVEY §5). AQE's skew-join split
+  * handles sort-merge skew automatically; this explicit salt is for the
+  * cases AQE can't re-plan (broadcast-ineligible dimension joined on a
+  * power-law key, or deterministic plans where runtime re-optimization is
+  * disabled).
+  *
+  * Shape: the FACT side gets a deterministic salt in [0, factor) derived
+  * by hashing stable columns (never `rand()` — results must be
+  * reproducible across retries/partitions); the DIM side is exploded
+  * `factor`× with every salt value. The join key becomes (key, salt), so
+  * one hot key spreads over `factor` reducers at the cost of duplicating
+  * only the small side.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, factor) from `seedCols` (use stable id
+    * columns of the fact row). */
+  def saltColumn(factor: Int, seedCols: Seq[Column]): Column =
+    pmod(xxhash64(seedCols: _*), lit(factor.toLong)).cast("int")
+
+  /** Equi-join `fact` with (small) `dim` on `key`, salted `factor` ways.
+    * `seedCols` must be stable fact columns. Output columns = fact ++ dim
+    * (minus dim's join key). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 factor: Int, seedCols: Seq[Column]): DataFrame = {
+    val saltedFact = fact.withColumn("_gf_salt", saltColumn(factor, seedCols))
+    val saltedDim = dim
+      .withColumn("_gf_salt", explode(lit((0 until factor).toArray)))
+    saltedFact.join(saltedDim,
+        saltedFact(key) === saltedDim(key) &&
+          saltedFact("_gf_salt") === saltedDim("_gf_salt"))
+      .drop(saltedDim(key)).drop(saltedDim("_gf_salt")).drop("_gf_salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: aggregate on
+    * (key, salt) first (spreads a hot key over `factor` reducers), then
+    * merge the partials per key. `partialAggs` must be re-aggregatable
+    * (sum/count/min/max...): pass the partial expression and the merge
+    * expression by name. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                factor: Int, seedCols: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_gf_salt", saltColumn(factor, seedCols))
+    salted.groupBy((keys.map(col) :+ col("_gf_salt")): _*)
+      .agg(sum(col(valueCol)).as("_gf_partial"), count(lit(1)).as("_gf_n"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_gf_partial")).as(s"sum_$valueCol"),
+        sum(col("_gf_n")).as("n_rows"))
+  }
+}
