@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected-component labelling over a near-duplicate pair list, and the
+  * keep-one-per-component dedup policy built on it (the standard corpus
+  * policy: a chain A~B~C with A≁C is still ONE component, so greedy
+  * pair-based dropping — MinHash.dedup — can keep two of its docs).
+  *
+  * Algorithm: iterative min-label propagation over the edge list. Each
+  * round every node takes the minimum label among itself and its
+  * neighbours; convergence needs O(component diameter) rounds. Everything
+  * is joins + groupBy on (id, label) longs — no driver-side graph, no
+  * vertex set collected — so it scales to corpus-sized pair lists. Lineage
+  * is truncated per round with localCheckpoint (iterative plans otherwise
+  * grow exponentially and re-execute prior rounds).
+  *
+  * Near-dup chains in a real corpus are shallow (near-dup similarity is
+  * near-transitive), so the default round cap of 20 covers diameters no
+  * real pair list reaches; the loop exits early as soon as a round changes
+  * nothing.
+  */
+object Components {
+
+  /** Component label per node id appearing in `pairs` (id_a, id_b):
+    * (id, component) where component = min node id reachable through the
+    * pair graph. Nodes not present in any pair are not returned (their
+    * component is trivially themselves). */
+  def componentLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Undirected edge list: both directions, deduped.
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
+    val edges = fwd.union(rev).distinct().localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // Propose each neighbour's current label to src, keep the minimum.
+      val proposals = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(proposals)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "_gf_old"), "id")
+        .filter(col("label") =!= col("_gf_old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Keep exactly one document (the min-id representative) per connected
+    * component of the near-dup pair graph; docs in no pair are kept. */
+  def dedupByComponent(df: DataFrame, idCol: String,
+                       pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val losers = componentLabels(pairs, maxIter)
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as("_gf_loser"))
+    df.join(losers, df(idCol) === col("_gf_loser"), "left_anti")
+  }
+}

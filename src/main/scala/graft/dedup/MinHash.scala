@@ -42,6 +42,8 @@ object MinHash {
     * rows each. Two docs with Jaccard ~s collide in ≥1 band with
     * probability 1-(1-s^r)^b. */
   def bandHashes(sigCol: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands — integer truncation would silently drop the trailing ${k % bands} signature lanes")
     val r = k / bands
     array((0 until bands).map(j =>
       xxhash64(lit(j), slice(sigCol, j * r + 1, r))): _*)
@@ -76,6 +78,7 @@ object MinHash {
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, k: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val sigs = signatures(df, textCol, idCol, n, k)
       .withColumn("_gf_bands", bandHashes(col("_gf_sig"), k, bands))
     val buckets = sigs.select(col("_gf_id"), col("_gf_sig"),

@@ -56,32 +56,79 @@ object Profiler {
     *   G2 = ((n-1)/((n-2)(n-3))) * ((n+1) g2 + 6).
     * `exactQuantiles=false` switches to `percentile_approx` for the 100 TB
     * path (exact percentile holds all values of a partition in memory).
-    */
+    *
+    * `exactMoments=true` (default) computes mean/std/skew/kurtosis from
+    * EXACT-DECIMAL power sums (Σx, Σx², Σx³, Σx⁴ accumulated as DECIMAL of
+    * per-row deterministically-quantized powers) instead of plain double
+    * `avg`/`skewness`: double reductions are order-dependent in the last
+    * ulps, and the reduction order varies with `defaultParallelism`, so a
+    * double-moment gate can flip red on a different core count when a value
+    * lands on a rounding boundary. The decimal sums are order-independent,
+    * making the emitted 4dp stats a pure function of the data, not of the
+    * partitioning.
+    *
+    * Each x^k is quantized to 10^(k·E−14) absolute (E = per-column decimal
+    * magnitude from `magExp`, i.e. |x| ≤ 10^E) so every per-row quantized
+    * value stays an integer < 2^53: such doubles cast to DECIMAL
+    * identically in every engine (above 2^53, Spark's shortest-string cast
+    * and DuckDB's exact-binary cast can disagree). Relative quantization is
+    * ≤ 1e-14 of column magnitude — invisible at the emitted 4dp. */
   def describe(df: DataFrame, cols: Seq[String] = Nil,
-               exactQuantiles: Boolean = true): DataFrame = {
+               exactQuantiles: Boolean = true,
+               exactMoments: Boolean = true,
+               magExp: Map[String, Int] = Map.empty): DataFrame = {
     val targets = if (cols.nonEmpty) cols else numericCols(df)
     val entries = targets.map { name =>
       val c = col(name).cast(DoubleType)
       val n = count(c).cast(DoubleType)
       def q(p: Double): Column =
         if (exactQuantiles) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(100000))
-      val g1 = skewness(c)
-      val g2 = kurtosis(c)
-      val sampleSkew = g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))
-      val sampleKurt = ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
-        ((n + lit(1.0)) * g2 + lit(6.0))
+      val (meanC, stdC, skewC, kurtC) =
+        if (exactMoments) {
+          // Quantize x^k (deterministic IEEE ops, identical both engines),
+          // accumulate exactly in DECIMAL(38,0), recompose the double sum.
+          val e = magExp.getOrElse(name, 6)
+          def powSum(k: Int): Column = {
+            // String-parsed literal == SQL-parsed literal (math.pow is not
+            // guaranteed correctly rounded for negative exponents).
+            val m = lit(s"1e${14 - k * e}".toDouble)
+            val xk = Seq.fill(k)(c).reduce(_ * _)
+            sum(floor(xk * m + lit(0.5)).cast(DecimalType(38, 0))).cast(DoubleType) / m
+          }
+          val s1 = powSum(1); val s2 = powSum(2)
+          val s3 = powSum(3); val s4 = powSum(4)
+          val mean = s1 / n
+          val m2 = s2 / n - mean * mean
+          val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+          val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+            lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
+          val varSamp = (s2 - s1 * s1 / n) / (n - lit(1.0))
+          val g1 = m3 / sqrt(m2 * m2 * m2)
+          val g2 = m4 / (m2 * m2) - lit(3.0)
+          (mean, sqrt(varSamp),
+            g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)),
+            ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
+              ((n + lit(1.0)) * g2 + lit(6.0)))
+        } else {
+          val g1 = skewness(c)
+          val g2 = kurtosis(c)
+          (avg(c), stddev_samp(c),
+            g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)),
+            ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
+              ((n + lit(1.0)) * g2 + lit(6.0)))
+        }
       struct(
         lit(name).as("column_name"),
         count(c).cast(LongType).as("n"),
-        graft.Num.dround(avg(c), 4).as("mean"),
-        graft.Num.dround(stddev_samp(c), 4).as("stddev"),
+        graft.Num.dround(meanC, 4).as("mean"),
+        graft.Num.dround(stdC, 4).as("stddev"),
         graft.Num.dround(min(c), 4).as("min"),
         graft.Num.dround(q(0.25), 4).as("q1"),
         graft.Num.dround(q(0.5), 4).as("median"),
         graft.Num.dround(q(0.75), 4).as("q3"),
         graft.Num.dround(max(c), 4).as("max"),
-        graft.Num.dround(sampleSkew, 4).as("skew"),
-        graft.Num.dround(sampleKurt, 4).as("kurtosis"))
+        graft.Num.dround(skewC, 4).as("skew"),
+        graft.Num.dround(kurtC, 4).as("kurtosis"))
     }
     df.agg(array(entries.toIndexedSeq: _*).as("m"))
       .select(explode(col("m")).as("e"))

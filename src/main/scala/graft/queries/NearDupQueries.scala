@@ -67,6 +67,18 @@ object NearDupQueries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // Keep-one-per-connected-component policy over the MinHash pair graph
+    // (greedy pair dropping can keep 2 docs of a chain A~B~C).
+    Q("dedup_components",
+      (s, dir) => {
+        val corpus = truncatedCorpus(s, dir)
+        val pairs = MinHash.nearDuplicatePairs(corpus, "text", "doc_id",
+          n = 5, k = 64, bands = 16, threshold = 0.5)
+        graft.dedup.Components.dedupByComponent(corpus, "doc_id", pairs)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
     Q("ann_bruteforce",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)

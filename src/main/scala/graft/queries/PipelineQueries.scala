@@ -82,8 +82,12 @@ object PipelineQueries {
           SELECT doc_id AS asset_id,
                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                  CAST(64 + octet_length(encode(text)) % 1856 AS INT) AS width,
+                 -- first UTF-8 BYTE (mirrors decodeStub's bytes(0) & 0xff,
+                 -- NOT the first codepoint — they differ on non-ASCII docs)
                  CAST(64 + (octet_length(encode(text)) * 7 +
-                   CASE WHEN length(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END) % 1016 AS INT) AS height,
+                   CASE WHEN octet_length(encode(text)) > 0
+                        THEN CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT)
+                        ELSE 0 END) % 1016 AS INT) AS height,
                  CASE octet_length(encode(text)) % 3
                    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
           FROM documents)
@@ -120,6 +124,31 @@ object PipelineQueries {
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start""")),
+
+    // Microsecond-granularity gap query: min inter-event gap in µs per
+    // user. Exists to pin the events ns→µs INTEGER truncation in
+    // Tables.events — with double division (the old bug) ~6% of rows are
+    // off by 1µs and this hash-mismatches vs DuckDB's truncated-µs read.
+    Q("events_min_gap_us",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us")
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("gap", col("us") - lag("us", 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy("user_id")
+          .agg(min("gap").as("min_gap_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH x AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        g AS (SELECT user_id,
+                     us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+              FROM x)
+        SELECT user_id, min(gap) AS min_gap_us
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
 
     // Semi-structured extraction from the events.props JSON column.
     Q("events_json_extract",

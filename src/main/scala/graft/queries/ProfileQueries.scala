@@ -26,25 +26,60 @@ object ProfileQueries {
           FROM $table"""
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
 
+  /** (column, decimal magnitude exponent E with |x| ≤ 10^E) — drives the
+    * power-sum quantization in Profiler.describe; must be identical on
+    * both engines. */
   private val lineitemNumeric = Seq(
-    "l_discount", "l_extendedprice", "l_linenumber", "l_orderkey",
-    "l_partkey", "l_quantity", "l_suppkey", "l_tax")
+    "l_discount" -> 0, "l_extendedprice" -> 6, "l_linenumber" -> 1,
+    "l_orderkey" -> 7, "l_partkey" -> 6, "l_quantity" -> 2,
+    "l_suppkey" -> 5, "l_tax" -> 0)
 
-  private def describeSql(table: String, cols: Seq[String]): String =
-    cols.map { c =>
+  /** Mirrors Profiler.describe's exactMoments path: the SAME decimal power
+    * sums and the SAME double expression tree (IEEE ops are deterministic
+    * but not associative — grouping must match the Spark plan exactly). */
+  private def describeSql(table: String, cols: Seq[(String, Int)]): String =
+    cols.map { case (c, e) =>
       val x = s"CAST($c AS DOUBLE)"
+      def mul(k: Int) = s"1e${14 - k * e}"
+      def powSum(k: Int) = {
+        val xk = Seq.fill(k)(x).mkString(" * ")
+        s"CAST(sum(CAST(floor(($xk) * ${mul(k)} + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / ${mul(k)}"
+      }
       s"""SELECT '$c' AS column_name,
-            CAST(count($x) AS BIGINT) AS n,
-            floor((avg($x)) * 1e4 + 0.5) / 1e4 AS mean,
-            floor((stddev_samp($x)) * 1e4 + 0.5) / 1e4 AS stddev,
-            floor((min($x)) * 1e4 + 0.5) / 1e4 AS min,
-            floor((quantile_cont($x, 0.25)) * 1e4 + 0.5) / 1e4 AS q1,
-            floor((quantile_cont($x, 0.5)) * 1e4 + 0.5) / 1e4 AS median,
-            floor((quantile_cont($x, 0.75)) * 1e4 + 0.5) / 1e4 AS q3,
-            floor((max($x)) * 1e4 + 0.5) / 1e4 AS max,
-            floor((skewness($x)) * 1e4 + 0.5) / 1e4 AS skew,
-            floor((kurtosis($x)) * 1e4 + 0.5) / 1e4 AS kurtosis
-          FROM $table"""
+            CAST(cnt AS BIGINT) AS n,
+            floor((mean) * 1e4 + 0.5) / 1e4 AS mean,
+            floor((sqrt(vs)) * 1e4 + 0.5) / 1e4 AS stddev,
+            floor((mn) * 1e4 + 0.5) / 1e4 AS min,
+            floor((qa) * 1e4 + 0.5) / 1e4 AS q1,
+            floor((qb) * 1e4 + 0.5) / 1e4 AS median,
+            floor((qc) * 1e4 + 0.5) / 1e4 AS q3,
+            floor((mx) * 1e4 + 0.5) / 1e4 AS max,
+            floor((g1 * sqrt(n * (n - 1.0)) / (n - 2.0)) * 1e4 + 0.5) / 1e4 AS skew,
+            floor((((n - 1.0) / ((n - 2.0) * (n - 3.0))) * ((n + 1.0) * g2 + 6.0)) * 1e4 + 0.5) / 1e4 AS kurtosis
+          FROM (
+            SELECT *,
+                   m3 / sqrt(m2 * m2 * m2) AS g1,
+                   m4 / (m2 * m2) - 3.0 AS g2
+            FROM (
+              SELECT *,
+                     s2 / n - mean * mean AS m2,
+                     s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3,
+                     s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n) - 3.0 * mean * mean * mean * mean AS m4,
+                     (s2 - s1 * s1 / n) / (n - 1.0) AS vs
+              FROM (
+                SELECT *, s1 / n AS mean
+                FROM (
+                  SELECT count($x) AS cnt,
+                         CAST(count($x) AS DOUBLE) AS n,
+                         ${powSum(1)} AS s1,
+                         ${powSum(2)} AS s2,
+                         ${powSum(3)} AS s3,
+                         ${powSum(4)} AS s4,
+                         min($x) AS mn, max($x) AS mx,
+                         quantile_cont($x, 0.25) AS qa,
+                         quantile_cont($x, 0.5) AS qb,
+                         quantile_cont($x, 0.75) AS qc
+                  FROM $table))))"""
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
 
   val all: Seq[Q] = Seq(
@@ -54,7 +89,8 @@ object ProfileQueries {
 
     Q("profile_describe",
       (s, dir) => Profiler.describe(
-        Tables.lineitem(s, dir), lineitemNumeric, exactQuantiles = true),
+        Tables.lineitem(s, dir), lineitemNumeric.map(_._1), exactQuantiles = true,
+        exactMoments = true, magExp = lineitemNumeric.toMap),
       Some(describeSql("lineitem", lineitemNumeric))),
 
     Q("profile_high_cardinality",

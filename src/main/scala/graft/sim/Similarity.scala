@@ -59,11 +59,39 @@ object Similarity {
 
   /** LSH bucket id: sign bits of the vector against `planes` hyperplanes
     * packed into a long. Vectors with high cosine land in the same bucket
-    * with high probability. */
+    * with high probability.
+    *
+    * Fails fast on a dimension mismatch: if the embedding length differs
+    * from the plane length, `zip_with` null-pads and the dot product comes
+    * back NULL — the silent version of that bug put every vector in bucket
+    * 0 and degenerated the bucket self-join to O(n²). */
   def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, lit(p)) >= 0, lit(1L << i)).otherwise(0L)
+      val d = coalesce(dot(vec, lit(p)),
+        raise_error(concat(lit(s"graft.sim: plane dot is NULL — embedding length "),
+          size(vec).cast("string"), lit(s" != plane dim ${p.length}")))
+          .cast(DoubleType))
+      when(d >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Plane dimension taken from the data itself (length of the first
+    * vector) — a 1-row action, so the `dim` parameter can never silently
+    * disagree with the corpus. */
+  def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("_gf_d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft.sim: cannot infer embedding dim — no rows in $vecCol"))
+
+  /** Bucket-count sizing for the 100 TB path: enough sign bits that the
+    * expected bucket holds ~`targetBucket` vectors, clamped to [4, 24]
+    * bits (16 .. 16M buckets). Per-bucket self-join cost is then
+    * O(n·targetBucket) instead of O((n/256)²) with a fixed 8 planes. */
+  def adaptivePlanes(n: Long, targetBucket: Long = 1024L): Int = {
+    val bits = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+      math.log(2.0)).toInt
+    math.max(4, math.min(24, bits))
+  }
 
   /** Near-duplicate embedding pairs (cosine >= threshold, idA < idB) via
     * LSH buckets + exact rerank. With `nPlanes` sign bits the candidate
@@ -73,9 +101,11 @@ object Similarity {
     * standard LSH trade; raise recall by lowering nPlanes or repeating
     * with a different seed. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double = 0.99, nPlanes: Int = 8,
-                         dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+                         threshold: Double = 0.99, nPlanes: Int = -1,
+                         dim: Int = -1, seed: Long = 42L): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val p = if (nPlanes > 0) nPlanes else adaptivePlanes(df.count())
+    val planes = hyperplanes(p, d, seed)
     val withBucket = df.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"),
       bucketId(col(vecCol), planes).as("_gf_bucket"))
     val a = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_a"),
@@ -93,9 +123,10 @@ object Similarity {
     * rerank inside it. Same recall trade as [[nearDuplicatePairs]]. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int = 10, nPlanes: Int = 8, dim: Int = 64,
+              k: Int = 10, nPlanes: Int = 8, dim: Int = -1,
               seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val d = if (dim > 0) dim else inferDim(corpus, corpusVec)
+    val planes = hyperplanes(nPlanes, d, seed)
     val c = corpus.select(col(corpusId).as("_gf_cid"), col(corpusVec).as("_gf_cv"),
       bucketId(col(corpusVec), planes).as("_gf_bucket"))
     val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.{MinHash, NgramJaccard, SimHash}
+import graft.dedup.{Components, MinHash, NgramJaccard, SimHash}
 import graft.sim.Similarity
 import org.apache.spark.sql.functions._
 
@@ -82,5 +82,58 @@ class NearDupSpec extends SparkSpec {
       k = 3, nPlanes = 4, dim = 8).collect()
     assert(top.head.getAs[Long]("neighbor_id") == 3L)
     assert(top.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("lsh dim mismatch fails fast instead of silently un-bucketing") {
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.nearDuplicatePairs(df, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 4, dim = 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("plane dim")))
+  }
+
+  test("lsh infers plane dim from the data when not given") {
+    val vecs = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat))
+    }
+    val clones = Seq((100L, vecs(0)._2.map(x => x * 1.01f)))
+    val df = (vecs ++ clones).toDF("vec_id", "embedding")
+    assert(Similarity.inferDim(df, "embedding") == 8)
+    val pairs = Similarity.nearDuplicatePairs(df, "vec_id", "embedding",
+      threshold = 0.999, nPlanes = 6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 100L)))
+  }
+
+  test("minhash rejects k not divisible by bands") {
+    val df = Seq((1L, baseText)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      MinHash.nearDuplicatePairs(df, "text", "doc_id", k = 64, bands = 10)
+    }
+  }
+
+  test("component dedup keeps one doc per connected chain A~B~C") {
+    // planted 3-chain: 1~2 and 2~3 near-match, 1≁3 directly; 4 unrelated.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Components.componentLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val kept = Components.dedupByComponent(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("component labels converge on a long chain (diameter > 2)") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Components.componentLabels(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == (1L to 9L).toSet)
   }
 }
