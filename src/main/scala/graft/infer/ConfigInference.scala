@@ -35,12 +35,20 @@ object ConfigInference {
     * scalars; (2) sorted whitelists collected ONLY for the columns pass 1
     * proved low-cardinality. Never `collect_set` on an unbounded column
     * (a high-cardinality string column would haul its whole domain into
-    * the aggregation state at 100 TB). */
+    * the aggregation state at 100 TB).
+    *
+    * Distinct counts use HLL `approx_count_distinct`: exact multi-column
+    * `count_distinct` in one agg compiles to an Expand that multiplies
+    * scanned rows by ~2×#columns and shuffles whole-column distinct state —
+    * pointless when the count only gates a "≤ catThreshold" decision. The
+    * HLL sketch is EXACT at these cardinalities (sparse mode holds the
+    * distinct set itself until far past any sane catThreshold), so the
+    * decision — and therefore the output — is unchanged. */
   def infer(df: DataFrame, catThreshold: Int = 20): InferredConfig = {
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>
       Seq((count(lit(1)) - count(col(f.name))).cast(LongType).as(s"__n_${f.name}"),
-        count_distinct(col(f.name)).as(s"__d_${f.name}"))
+        approx_count_distinct(col(f.name), 0.01).as(s"__d_${f.name}"))
     }
     val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
 

@@ -8,8 +8,12 @@ import org.apache.spark.sql.types.DoubleType
 /** Fuzzy-correction spec for one column: correct values not in `masterList`
   * to their best master match when the similarity score clears `cutoff`
   * (reference normalize_data.py:72-103, thefuzz-based). The public-analog
-  * score used here is `100 * (1 - levenshtein/max(len))`. */
-final case class FuzzySpec(masterList: Seq[String], cutoff: Double = 90.0)
+  * score used here is `100 * (1 - levenshtein/max(len))`, taken as the max
+  * of the raw strings and their token-sorted forms (`tokenSort=true`,
+  * default) — thefuzz's WRatio is token-aware, so "smith john" must match
+  * "john smith"; plain Levenshtein scores that reordering near 0. */
+final case class FuzzySpec(masterList: Seq[String], cutoff: Double = 90.0,
+                           tokenSort: Boolean = true)
 
 /** Config for a normalization pass — the typed form of the reference's
   * `normalization` YAML block (normalize_data.py:20-282), applied in the
@@ -114,15 +118,25 @@ object Normalizer {
   /** Correct off-list values to their closest master entry. See class doc
     * for the distributed shape. Deterministic best match: highest score,
     * then lexicographic master value. */
+  /** Tokens sorted lexicographically and re-joined — makes the score
+    * invariant to word order. */
+  def tokenSorted(c: Column): Column =
+    concat_ws(" ", sort_array(split(trim(c), "\\s+")))
+
   def fuzzyCorrect(df: DataFrame, column: String, spec: FuzzySpec): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val master = spec.masterList.toDF("_gf_master")
     val values = df.select(col(column).as("_gf_val")).distinct()
       .filter(col("_gf_val").isNotNull && !col("_gf_val").isin(spec.masterList: _*))
-    val score = lit(100.0) * (lit(1.0) -
-      levenshtein(col("_gf_val"), col("_gf_master")).cast(DoubleType) /
-        greatest(length(col("_gf_val")), length(col("_gf_master"))).cast(DoubleType))
+    def rawScore(a: Column, b: Column): Column = lit(100.0) * (lit(1.0) -
+      levenshtein(a, b).cast(DoubleType) /
+        greatest(length(a), length(b)).cast(DoubleType))
+    val plain = rawScore(col("_gf_val"), col("_gf_master"))
+    val score =
+      if (spec.tokenSort)
+        greatest(plain, rawScore(tokenSorted(col("_gf_val")), tokenSorted(col("_gf_master"))))
+      else plain
     val w = Window.partitionBy("_gf_val")
       .orderBy(col("_gf_score").desc, col("_gf_master"))
     val best = values.crossJoin(broadcast(master))

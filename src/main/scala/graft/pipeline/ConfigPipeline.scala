@@ -1,0 +1,273 @@
+package graft.pipeline
+
+import graft.dedup.Duplicates
+import graft.impute.{Constant, ImputeStrategy, Mean, Median, Mode}
+import graft.normalize.{FuzzySpec, NormalizeConfig}
+import graft.outliers._
+import graft.quality._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+
+import scala.jdk.CollectionConverters._
+
+/** Config-artifact-driven pipeline runner — the counterpart of the
+  * reference's YAML entry point (`run_toolkit_pipeline.py:62-208` +
+  * `m00_utils/config_loader.py:11-25` + `pipeline_config_validation.py`):
+  * parse a YAML (or JSON — YAML superset) document, validate it strictly,
+  * and produce the same typed `Seq[Stage]` a hand-built pipeline uses, so
+  * `Pipeline.run` stays the single execution path.
+  *
+  * Config shape (own design, not the reference's schema — the reference
+  * splits per-module files; here one document holds the ordered chain,
+  * which is the natural Spark shape since the whole chain is one lazy
+  * Catalyst plan):
+  *
+  * {{{
+  * run_id: demo
+  * stages:
+  *   - module: normalize
+  *     rename_columns: {old: new}
+  *     standardize_text: [c]
+  *     value_mappings: {c: {F: FINISHED, "null": UNKNOWN}}
+  *     fuzzy: {c: {master_list: [a, b], cutoff: 90.0}}
+  *     parse_datetimes: {c: ["yyyy-MM-dd"]}
+  *     coerce_types: {c: double}
+  *   - module: impute
+  *     strategies: {c: median}          # mean|median|mode|constant:<v>
+  *   - module: dedup
+  *     subset: [a, b]
+  *     keep: first                      # first|last|none
+  *     tiebreak: [a]
+  *   - module: outliers
+  *     detect: {c: {method: iqr, multiplier: 3.0}}   # or zscore+threshold
+  *     handle: {c: clip}                # clip|mean|median|drop|constant:<v>
+  *   - module: validate
+  *     rules:
+  *       - {rule: not_null, column: c}
+  *       - {rule: in_range, column: c, min: 0, max: 10}
+  * }}}
+  *
+  * Validation is strict: unknown modules, unknown keys inside a stage,
+  * unknown strategy/rule names, and missing required keys all throw
+  * [[ConfigError]] with the offending path — a config typo must fail the
+  * run, not silently no-op (the failure mode of permissive dict lookups).
+  */
+object ConfigPipeline {
+
+  final class ConfigError(path: String, msg: String)
+      extends IllegalArgumentException(s"pipeline config: $path: $msg")
+
+  final case class PipelineSpec(runId: String, stages: Seq[Stage])
+
+  def load(path: String): PipelineSpec = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parse(src.mkString) finally src.close()
+  }
+
+  def run(df: DataFrame, yamlText: String): Pipeline.Result =
+    Pipeline.run(df, parse(yamlText).stages)
+
+  def parse(yamlText: String): PipelineSpec = {
+    val yaml = new Yaml(new SafeConstructor(new LoaderOptions()))
+    val root = asMap(yaml.load[Any](yamlText), "<root>")
+    requireKeys(root, "<root>", required = Set("run_id", "stages"), optional = Set.empty)
+    val runId = asString(root("run_id"), "run_id")
+    val stages = asList(root("stages"), "stages").zipWithIndex.map { case (raw, i) =>
+      parseStage(asMap(raw, s"stages[$i]"), s"stages[$i]")
+    }
+    if (stages.isEmpty) fail("stages", "at least one stage required")
+    PipelineSpec(runId, stages)
+  }
+
+  private def parseStage(m: Map[String, Any], path: String): Stage = {
+    val module = asString(
+      m.getOrElse("module", fail(path, "missing required key 'module'")), s"$path.module")
+    module match {
+      case "normalize" =>
+        requireKeys(m, path, required = Set("module"),
+          optional = Set("rename_columns", "standardize_text", "value_mappings",
+            "fuzzy", "parse_datetimes", "coerce_types"))
+        NormalizeStage(NormalizeConfig(
+          renameColumns = optStrMap(m, "rename_columns", path),
+          standardizeTextColumns = optStrList(m, "standardize_text", path),
+          valueMappings = m.get("value_mappings").map(v =>
+            asMap(v, s"$path.value_mappings").map { case (c, mm) =>
+              c -> asMap(mm, s"$path.value_mappings.$c").map { case (k, vv) =>
+                k -> asString(vv, s"$path.value_mappings.$c.$k") }
+            }).getOrElse(Map.empty),
+          fuzzyMatching = m.get("fuzzy").map(v =>
+            asMap(v, s"$path.fuzzy").map { case (c, raw) =>
+              val fm = asMap(raw, s"$path.fuzzy.$c")
+              requireKeys(fm, s"$path.fuzzy.$c",
+                required = Set("master_list"), optional = Set("cutoff"))
+              c -> FuzzySpec(
+                asList(fm("master_list"), s"$path.fuzzy.$c.master_list")
+                  .map(asString(_, s"$path.fuzzy.$c.master_list")),
+                fm.get("cutoff").map(asDouble(_, s"$path.fuzzy.$c.cutoff")).getOrElse(90.0))
+            }).getOrElse(Map.empty),
+          parseDatetimes = m.get("parse_datetimes").map(v =>
+            asMap(v, s"$path.parse_datetimes").map { case (c, fmts) =>
+              c -> asList(fmts, s"$path.parse_datetimes.$c")
+                .map(asString(_, s"$path.parse_datetimes.$c")) }).getOrElse(Map.empty),
+          coerceTypes = optStrMap(m, "coerce_types", path)))
+
+      case "impute" =>
+        requireKeys(m, path, required = Set("module", "strategies"), optional = Set.empty)
+        ImputeStage(asMap(m("strategies"), s"$path.strategies").map { case (c, s) =>
+          c -> imputeStrategy(asString(s, s"$path.strategies.$c"), s"$path.strategies.$c")
+        })
+
+      case "dedup" =>
+        requireKeys(m, path, required = Set("module", "subset", "keep"),
+          optional = Set("tiebreak"))
+        val keep = asString(m("keep"), s"$path.keep") match {
+          case "first" => Duplicates.KeepFirst
+          case "last"  => Duplicates.KeepLast
+          case "none"  => Duplicates.KeepNone
+          case other   => fail(s"$path.keep", s"unknown keep '$other' (first|last|none)")
+        }
+        DedupStage(optStrList(m, "subset", path), keep,
+          optStrList(m, "tiebreak", path).map(col))
+
+      case "outliers" =>
+        requireKeys(m, path, required = Set("module", "detect", "handle"),
+          optional = Set.empty)
+        val detect = asMap(m("detect"), s"$path.detect").map { case (c, raw) =>
+          val dm = asMap(raw, s"$path.detect.$c")
+          val method = asString(
+            dm.getOrElse("method", fail(s"$path.detect.$c", "missing 'method'")),
+            s"$path.detect.$c.method")
+          c -> (method match {
+            case "iqr" =>
+              requireKeys(dm, s"$path.detect.$c", required = Set("method"),
+                optional = Set("multiplier"))
+              Iqr(dm.get("multiplier").map(asDouble(_, s"$path.detect.$c.multiplier"))
+                .getOrElse(1.5))
+            case "zscore" =>
+              requireKeys(dm, s"$path.detect.$c", required = Set("method"),
+                optional = Set("threshold"))
+              ZScore(dm.get("threshold").map(asDouble(_, s"$path.detect.$c.threshold"))
+                .getOrElse(3.0))
+            case other => fail(s"$path.detect.$c.method", s"unknown method '$other' (iqr|zscore)")
+          })
+        }
+        val handle = asMap(m("handle"), s"$path.handle").map { case (c, s) =>
+          c -> handleStrategy(asString(s, s"$path.handle.$c"), s"$path.handle.$c")
+        }
+        OutlierStage(detect, handle)
+
+      case "validate" =>
+        requireKeys(m, path, required = Set("module", "rules"), optional = Set.empty)
+        ValidateStage(asList(m("rules"), s"$path.rules").zipWithIndex.map {
+          case (raw, i) => parseRule(asMap(raw, s"$path.rules[$i]"), s"$path.rules[$i]")
+        })
+
+      case other =>
+        fail(s"$path.module",
+          s"unknown module '$other' (normalize|impute|dedup|outliers|validate)")
+    }
+  }
+
+  private def imputeStrategy(s: String, path: String): ImputeStrategy = s match {
+    case "mean"   => Mean
+    case "median" => Median
+    case "mode"   => Mode
+    case c if c.startsWith("constant:") => Constant(c.stripPrefix("constant:"))
+    case other => fail(path, s"unknown strategy '$other' (mean|median|mode|constant:<v>)")
+  }
+
+  private def handleStrategy(s: String, path: String): HandleStrategy = s match {
+    case "clip"   => Clip
+    case "mean"   => ReplaceMean
+    case "median" => ReplaceMedian
+    case "drop"   => DropRows
+    case c if c.startsWith("constant:") =>
+      ReplaceConstant(try c.stripPrefix("constant:").toDouble
+      catch { case _: NumberFormatException => fail(path, s"non-numeric constant in '$c'") })
+    case other => fail(path, s"unknown strategy '$other' (clip|mean|median|drop|constant:<v>)")
+  }
+
+  private def parseRule(m: Map[String, Any], path: String): Rule = {
+    val rule = asString(
+      m.getOrElse("rule", fail(path, "missing required key 'rule'")), s"$path.rule")
+    def str(k: String) = asString(
+      m.getOrElse(k, fail(path, s"missing required key '$k'")), s"$path.$k")
+    def dbl(k: String) = asDouble(
+      m.getOrElse(k, fail(path, s"missing required key '$k'")), s"$path.$k")
+    def strs(k: String) = asList(
+      m.getOrElse(k, fail(path, s"missing required key '$k'")), s"$path.$k")
+      .map(asString(_, s"$path.$k"))
+    rule match {
+      case "not_null" =>
+        requireKeys(m, path, Set("rule", "column"), Set.empty); NotNull(str("column"))
+      case "in_range" =>
+        requireKeys(m, path, Set("rule", "column", "min", "max"), Set.empty)
+        InRange(str("column"), dbl("min"), dbl("max"))
+      case "in_set" =>
+        requireKeys(m, path, Set("rule", "column", "allowed"), Set.empty)
+        InSet(str("column"), strs("allowed"))
+      case "matches_regex" =>
+        requireKeys(m, path, Set("rule", "column", "pattern"), Set.empty)
+        MatchesRegex(str("column"), str("pattern"))
+      case "expected_columns" =>
+        requireKeys(m, path, Set("rule", "columns"), Set.empty)
+        ExpectedColumns(strs("columns"))
+      case "expected_type" =>
+        requireKeys(m, path, Set("rule", "column", "dtype"), Set.empty)
+        ExpectedType(str("column"), str("dtype"))
+      case "unique_key" =>
+        requireKeys(m, path, Set("rule", "columns"), Set.empty)
+        UniqueKey(strs("columns"))
+      case other => fail(s"$path.rule", s"unknown rule '$other'")
+    }
+  }
+
+  // ---- YAML shape helpers (snakeyaml SafeConstructor yields java types) ----
+
+  private def fail(path: String, msg: String): Nothing = throw new ConfigError(path, msg)
+
+  private def requireKeys(m: Map[String, Any], path: String,
+                          required: Set[String], optional: Set[String]): Unit = {
+    val missing = required -- m.keySet
+    if (missing.nonEmpty) fail(path, s"missing required key(s): ${missing.toSeq.sorted.mkString(", ")}")
+    val unknown = m.keySet -- required -- optional
+    if (unknown.nonEmpty)
+      fail(path, s"unknown key(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(allowed: ${(required ++ optional).toSeq.sorted.mkString(", ")})")
+  }
+
+  private def asMap(v: Any, path: String): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => String.valueOf(k) -> (vv: Any) }.toMap
+    case null  => fail(path, "expected a mapping, got null")
+    case other => fail(path, s"expected a mapping, got ${other.getClass.getSimpleName}")
+  }
+
+  private def asList(v: Any, path: String): Seq[Any] = v match {
+    case l: java.util.List[_] => l.asScala.toSeq
+    case null  => fail(path, "expected a list, got null")
+    case other => fail(path, s"expected a list, got ${other.getClass.getSimpleName}")
+  }
+
+  private def asString(v: Any, path: String): String = v match {
+    case s: String => s
+    case n: java.lang.Number => n.toString
+    case b: java.lang.Boolean => b.toString
+    case null  => fail(path, "expected a string, got null")
+    case other => fail(path, s"expected a string, got ${other.getClass.getSimpleName}")
+  }
+
+  private def asDouble(v: Any, path: String): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case other => fail(path, s"expected a number, got ${String.valueOf(other)}")
+  }
+
+  private def optStrMap(m: Map[String, Any], k: String, path: String): Map[String, String] =
+    m.get(k).map(v => asMap(v, s"$path.$k").map { case (kk, vv) =>
+      kk -> asString(vv, s"$path.$k.$kk") }).getOrElse(Map.empty)
+
+  private def optStrList(m: Map[String, Any], k: String, path: String): Seq[String] =
+    m.get(k).map(v => asList(v, s"$path.$k").map(asString(_, s"$path.$k"))).getOrElse(Nil)
+}

@@ -69,9 +69,18 @@ object NormalizeQueries {
           SELECT DISTINCT seg FROM corrupted
           WHERE seg IS NOT NULL AND seg NOT IN (${segments.map(v => s"'$v'").mkString(",")})),
         scored AS (
+          -- mirrors fuzzyCorrect: max(plain, token-sorted) similarity
           SELECT seg, _gf_master,
-                 100.0 * (1.0 - CAST(levenshtein(seg, _gf_master) AS DOUBLE) /
-                   greatest(length(seg), length(_gf_master))) AS score
+                 greatest(
+                   100.0 * (1.0 - CAST(levenshtein(seg, _gf_master) AS DOUBLE) /
+                     greatest(length(seg), length(_gf_master))),
+                   100.0 * (1.0 - CAST(levenshtein(
+                       array_to_string(list_sort(string_split_regex(trim(seg), '\\s+')), ' '),
+                       array_to_string(list_sort(string_split_regex(trim(_gf_master), '\\s+')), ' ')) AS DOUBLE) /
+                     greatest(
+                       length(array_to_string(list_sort(string_split_regex(trim(seg), '\\s+')), ' ')),
+                       length(array_to_string(list_sort(string_split_regex(trim(_gf_master), '\\s+')), ' '))))
+                 ) AS score
           FROM vals CROSS JOIN master),
         best AS (
           SELECT seg, _gf_master FROM (

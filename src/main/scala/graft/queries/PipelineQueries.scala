@@ -14,29 +14,39 @@ import org.apache.spark.sql.functions._
   * 56 (multimodal plumbing) + JSON extraction over events.props. */
 object PipelineQueries {
 
-  val all: Seq[Q] = Seq(
-    // Full module chain: normalize -> impute -> dedup -> outlier-clip,
-    // exactly the reference's run_toolkit_pipeline composition.
-    Q("pipeline_chain",
-      (s, dir) => {
-        val dirty = Tables.orders(s, dir)
-          .withColumn("o_orderstatus",
-            when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_orderstatus")))
-          .withColumn("o_totalprice",
-            when(col("o_orderkey") % 17 === 0, lit(null)).otherwise(col("o_totalprice")))
-        val result = Pipeline.run(dirty, Seq(
-          NormalizeStage(NormalizeConfig(valueMappings = Map("o_orderstatus" -> Map(
-            "F" -> "FINISHED", "O" -> "OPEN", "P" -> "PENDING", "null" -> "UNKNOWN")))),
-          ImputeStage(Map("o_totalprice" -> Median)),
-          DedupStage(Seq("o_custkey", "o_orderstatus"), Duplicates.KeepFirst,
-            Seq(col("o_orderkey"))),
-          OutlierStage(Map("o_totalprice" -> Iqr(3.0)),
-            Map("o_totalprice" -> Clip))))
-        result.df.select(col("o_orderkey"), col("o_orderstatus"),
-          graft.Num.dround(col("o_totalprice"), 2).as("o_totalprice"))
-          .orderBy("o_orderkey")
-      },
-      Some("""
+  private def dirtyOrders(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 17 === 0, lit(null)).otherwise(col("o_totalprice")))
+
+  private def chainResult(r: Pipeline.Result) =
+    r.df.select(col("o_orderkey"), col("o_orderstatus"),
+      graft.Num.dround(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** The YAML form of pipeline_chain's hand-built stages — the
+    * config-driven entry point must hash-match the typed one. */
+  private val chainYaml = """
+    |run_id: pipeline_from_config
+    |stages:
+    |  - module: normalize
+    |    value_mappings:
+    |      o_orderstatus: {F: FINISHED, O: OPEN, P: PENDING, "null": UNKNOWN}
+    |  - module: impute
+    |    strategies: {o_totalprice: median}
+    |  - module: dedup
+    |    subset: [o_custkey, o_orderstatus]
+    |    keep: first
+    |    tiebreak: [o_orderkey]
+    |  - module: outliers
+    |    detect:
+    |      o_totalprice: {method: iqr, multiplier: 3.0}
+    |    handle: {o_totalprice: clip}
+    |""".stripMargin
+
+  private val chainOracle = """
         WITH d0 AS (
           SELECT o_orderkey, o_custkey,
                  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS st,
@@ -63,7 +73,30 @@ object PipelineQueries {
                       ELSE tp END AS tp
           FROM d3, b)
         SELECT o_orderkey, st AS o_orderstatus, floor((tp) * 1e2 + 0.5) / 1e2 AS o_totalprice
-        FROM d4 ORDER BY o_orderkey""")),
+        FROM d4 ORDER BY o_orderkey"""
+
+  val all: Seq[Q] = Seq(
+    // Full module chain: normalize -> impute -> dedup -> outlier-clip,
+    // exactly the reference's run_toolkit_pipeline composition.
+    Q("pipeline_chain",
+      (s, dir) => {
+        val result = Pipeline.run(dirtyOrders(s, dir), Seq(
+          NormalizeStage(NormalizeConfig(valueMappings = Map("o_orderstatus" -> Map(
+            "F" -> "FINISHED", "O" -> "OPEN", "P" -> "PENDING", "null" -> "UNKNOWN")))),
+          ImputeStage(Map("o_totalprice" -> Median)),
+          DedupStage(Seq("o_custkey", "o_orderstatus"), Duplicates.KeepFirst,
+            Seq(col("o_orderkey"))),
+          OutlierStage(Map("o_totalprice" -> Iqr(3.0)),
+            Map("o_totalprice" -> Clip))))
+        chainResult(result)
+      },
+      Some(chainOracle)),
+
+    // Same chain driven from a YAML config artifact (run_toolkit_pipeline
+    // semantics): must hash-match pipeline_chain via the shared oracle.
+    Q("pipeline_from_config",
+      (s, dir) => chainResult(ConfigPipeline.run(dirtyOrders(s, dir), chainYaml)),
+      Some(chainOracle)),
 
     // Multimodal plumbing: documents' text bytes stand in for image blobs;
     // mapPartitions batch decode (stubbed deterministically) + resize plan.

@@ -1,0 +1,105 @@
+package graft
+
+import graft.dedup.Duplicates
+import graft.impute.{Constant, Median, Mode}
+import graft.outliers.{Clip, Iqr, ZScore}
+import graft.pipeline._
+import graft.quality.{InRange, NotNull}
+import org.apache.spark.sql.functions._
+
+class ConfigPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fullYaml = """
+    |run_id: demo
+    |stages:
+    |  - module: normalize
+    |    rename_columns: {old_name: new_name}
+    |    standardize_text: [city]
+    |    value_mappings:
+    |      status: {F: FINISHED, "null": UNKNOWN}
+    |  - module: impute
+    |    strategies: {price: median, city: mode, note: "constant:n/a"}
+    |  - module: dedup
+    |    subset: [city, status]
+    |    keep: last
+    |    tiebreak: [id]
+    |  - module: outliers
+    |    detect:
+    |      price: {method: iqr, multiplier: 3.0}
+    |      qty: {method: zscore, threshold: 2.5}
+    |    handle: {price: clip, qty: "constant:0"}
+    |  - module: validate
+    |    rules:
+    |      - {rule: not_null, column: city}
+    |      - {rule: in_range, column: price, min: 0, max: 100}
+    |""".stripMargin
+
+  test("parses a full config into the expected typed stages") {
+    val spec = ConfigPipeline.parse(fullYaml)
+    assert(spec.runId == "demo")
+    assert(spec.stages.map(_.name) ==
+      Seq("normalize", "impute", "dedup", "outliers", "validate"))
+    val norm = spec.stages(0).asInstanceOf[NormalizeStage].cfg
+    assert(norm.renameColumns == Map("old_name" -> "new_name"))
+    assert(norm.standardizeTextColumns == Seq("city"))
+    assert(norm.valueMappings("status")("null") == "UNKNOWN")
+    val imp = spec.stages(1).asInstanceOf[ImputeStage].strategies
+    assert(imp == Map("price" -> Median, "city" -> Mode, "note" -> Constant("n/a")))
+    val ded = spec.stages(2).asInstanceOf[DedupStage]
+    assert(ded.subset == Seq("city", "status") && ded.keep == Duplicates.KeepLast)
+    val out = spec.stages(3).asInstanceOf[OutlierStage]
+    assert(out.specs == Map("price" -> Iqr(3.0), "qty" -> ZScore(2.5)))
+    assert(out.strategies("price") == Clip)
+    val rules = spec.stages(4).asInstanceOf[ValidateStage].rules
+    assert(rules == Seq(NotNull("city"), InRange("price", 0, 100)))
+  }
+
+  test("config-driven run matches the equivalent hand-built pipeline") {
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", None), (3L, "b", Some(500.0)),
+      (4L, "a", Some(12.0)), (5L, "b", Some(14.0))
+    ).toDF("id", "grp", "price")
+    val yaml = """
+      |run_id: t
+      |stages:
+      |  - module: impute
+      |    strategies: {price: median}
+      |  - module: dedup
+      |    subset: [grp]
+      |    keep: first
+      |    tiebreak: [id]
+      |""".stripMargin
+    val viaConfig = ConfigPipeline.run(df, yaml).df.orderBy("id").collect()
+    val viaTyped = Pipeline.run(df, Seq(
+      ImputeStage(Map("price" -> Median)),
+      DedupStage(Seq("grp"), Duplicates.KeepFirst, Seq(col("id")))
+    )).df.orderBy("id").collect()
+    assert(viaConfig.toSeq == viaTyped.toSeq)
+  }
+
+  private def configError(yaml: String): String =
+    intercept[ConfigPipeline.ConfigError](ConfigPipeline.parse(yaml)).getMessage
+
+  test("rejects invalid configs with the offending path") {
+    assert(configError("run_id: x\nstages:\n  - module: frobnicate\n")
+      .contains("unknown module 'frobnicate'"))
+    assert(configError("stages: []\n").contains("missing required key(s): run_id"))
+    assert(configError("run_id: x\nstages: []\n").contains("at least one stage required"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: impute\n    strategies: {c: sometimes}\n")
+      .contains("unknown strategy 'sometimes'"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: dedup\n    keep: first\n")
+      .contains("missing required key(s): subset"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: normalize\n    renmae_columns: {a: b}\n")
+      .contains("unknown key(s): renmae_columns"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: outliers\n    detect: {c: {method: mad}}\n    handle: {}\n")
+      .contains("unknown method 'mad'"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: validate\n    rules:\n      - {rule: in_range, column: c}\n")
+      .contains("missing required key"))
+  }
+}

@@ -37,6 +37,19 @@ class NormalizerSpec extends SparkSpec {
       Set("BUILDING", "AUTOMOBILE", "zzz"))
   }
 
+  test("fuzzyCorrect is token-order-aware: 'smith john' heals to 'john smith'") {
+    val df = Seq("smith john", "smith jon", "totally different").toDF("name")
+    val out = Normalizer.fuzzyCorrect(df, "name",
+      FuzzySpec(Seq("john smith"), cutoff = 85.0))
+    assert(out.collect().map(_.getString(0)).toSet ==
+      Set("john smith", "totally different"))
+    // plain Levenshtein alone scores the reordering below cutoff
+    val plain = Normalizer.fuzzyCorrect(df, "name",
+      FuzzySpec(Seq("john smith"), cutoff = 85.0, tokenSort = false))
+    assert(plain.collect().map(_.getString(0)).toSet ==
+      Set("smith john", "smith jon", "totally different"))
+  }
+
   test("parseDatetime falls back across formats and coerces failures") {
     val df = Seq("2020/01/02", "03-04-2021", "junk").toDF("d")
     val (out, _) = Normalizer(df, NormalizeConfig(
