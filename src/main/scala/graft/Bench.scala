@@ -7,7 +7,13 @@ import org.apache.spark.sql.SparkSession
   * on identical code):
   *  - fixed query order (registration order, not Map iteration order)
   *  - one full untimed warm-up pass (JIT, codegen cache, parquet footers)
-  *  - median of `SPARK_GRAFT_BENCH_ITERS` (default 3) timed runs per query
+  *  - MINIMUM of `SPARK_GRAFT_BENCH_ITERS` (default 3) timed runs per
+  *    query, +2 extra samples for sub-second queries: timing noise (GC,
+  *    scheduler, JIT recompilation) is one-sided additive, so the min is
+  *    the standard steady-state estimator and is far more stable across
+  *    JVMs than a median
+  *  - System.gc() before each query so one query's garbage debt doesn't
+  *    bill the next one's samples
   *  - materialization via `queryExecution.toRdd.count()`, which evaluates
   *    every output column — a plain `df.count()` lets Catalyst prune the
   *    computed columns and undertimes expression-heavy queries.
@@ -31,12 +37,16 @@ object Bench {
     regs.foreach(q => try materialize(q) catch { case _: Throwable => () })
 
     val results = regs.map { q =>
-      val samples = (1 to iters).flatMap { _ =>
+      System.gc()
+      def sample(): Option[Double] = {
         val t0 = System.nanoTime()
         try { materialize(q); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
-      val t = if (samples.isEmpty) -1.0 else samples.sorted.apply(samples.size / 2)
+      var samples = (1 to iters).flatMap(_ => sample())
+      if (samples.nonEmpty && samples.min < 1.0)
+        samples = samples ++ (1 to 2).flatMap(_ => sample())
+      val t = if (samples.isEmpty) -1.0 else samples.min
       q.name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

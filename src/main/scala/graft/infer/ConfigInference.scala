@@ -47,8 +47,12 @@ object ConfigInference {
   def infer(df: DataFrame, catThreshold: Int = 20): InferredConfig = {
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>
+      // default rsd: a tighter rsd (0.01) inflates the HLL buffer enough
+      // to slow the whole aggregate ~25× (measured 51 s vs 2 s at sf0.1),
+      // and the ≤ catThreshold decision sits in the sparse-exact regime
+      // at any rsd anyway.
       Seq((count(lit(1)) - count(col(f.name))).cast(LongType).as(s"__n_${f.name}"),
-        approx_count_distinct(col(f.name), 0.01).as(s"__d_${f.name}"))
+        approx_count_distinct(col(f.name)).as(s"__d_${f.name}"))
     }
     val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
 

@@ -2,6 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Output row of [[StreamOps.runningUserTotals]]. */
+final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured-Streaming-ready event transforms (SURVEY §2.2 row 42).
   * Every builder here works identically on a batch frame and a streaming
@@ -25,6 +29,29 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Custom keyed state via `mapGroupsWithState` — the escape hatch for
+    * semantics `window()`/`session_window()` can't express. Emits the
+    * running (count, total_value) per user, carried across triggers in
+    * GroupState; on a batch frame the same code degenerates to a plain
+    * per-group fold. State is per-key and O(1) per user — at 100 TB the
+    * bound is #distinct users, and production streams should add a state
+    * timeout (`GroupStateTimeout.ProcessingTimeTimeout`) to expire idle
+    * keys. */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserRunning](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          it.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          UserRunning(uid, n, total)
+      }.toDF()
+  }
 
   /** Gap-based sessionization per user: session_window keeps a session
     * open while events arrive within `gap` of the previous one. */

@@ -50,4 +50,21 @@ class PlanQualitySpec extends SparkSpec {
     // state and the final ordering
     assert(p.contains("Exchange hashpartitioning(l_returnflag"))
   }
+
+  test("infer_configs plan has no Expand (approx distinct, not multi-count_distinct)") {
+    val p = plan("infer_configs")
+    assert(!p.contains("Expand"))
+  }
+
+  test("profile_describe is one aggregation pass with map-side partials") {
+    val p = plan("profile_describe")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("dedup_exact never shuffles the text column (dropped before the groupBy)") {
+    val p = plan("dedup_exact")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.StreamOps
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Proves the StreamOps builders run as REAL Structured Streaming queries
+  * (readStream source, watermark, stateful window aggregation, memory
+  * sink) and produce the same results as the identical batch plan — the
+  * "works identically on batch and stream" claim, executed, not asserted.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    (ts(0), "click", 1.0, 1L), (ts(5), "click", 2.0, 1L),
+    (ts(10), "view", 3.0, 2L), (ts(59), "click", 4.0, 2L))
+
+  test("windowedAgg runs as a streaming query and matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+    assert(streamDf.isStreaming)
+
+    val q = StreamOps.windowedAgg(streamDf, "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_agg")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = StreamOps.windowedAgg(
+      rows.toDF("ts", "event_type", "value", "user_id"), "30 minutes", "1 hour")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.map(_.getAs[Long]("n")).sum == 4)
+  }
+
+  test("sessionize runs as a streaming query with watermarked session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+
+    val q = StreamOps.sessionize(streamDf, gap = "15 minutes", delay = "1 hour")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess").orderBy("user_id", "session_start").collect()
+    // user 1: minutes 0,5 within gap -> one session of 2 events;
+    // user 2: minutes 10 and 59 are > 15 min apart -> two sessions.
+    assert(sessions.length == 3)
+    assert(sessions.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq
+      == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("runningUserTotals carries custom GroupState across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+
+    val q = StreamOps.runningUserTotals(streamDf)
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    mem.addData(rows.take(2): _*) // user 1: two events, values 1+2
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*) // user 2 arrives; user 1 unchanged
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode emits one row per touched key per trigger; the LAST row
+    // per user is the accumulated state across both triggers.
+    val last = spark.table("running").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.last }
+    assert(last(1L).getAs[Long]("n_events") == 2 &&
+      last(1L).getAs[Double]("total_value") == 3.0)
+    assert(last(2L).getAs[Long]("n_events") == 2 &&
+      last(2L).getAs[Double]("total_value") == 7.0)
+  }
+}
