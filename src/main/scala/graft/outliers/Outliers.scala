@@ -50,9 +50,12 @@ object Outliers {
       val c = col(c0).cast(DoubleType)
       m match {
         case Iqr(k) =>
-          def q(p: Double) =
-            if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(100000))
-          val q1 = q(0.25); val q3 = q(0.75)
+          // one percentile aggregate with both percentages — two separate
+          // percentile() calls each buffer + sort the column independently
+          val qs =
+            if (exact) percentile(c, array(lit(0.25), lit(0.75)))
+            else percentile_approx(c, array(lit(0.25), lit(0.75)), lit(100000))
+          val q1 = element_at(qs, 1); val q3 = element_at(qs, 2)
           Seq((q1 - lit(k) * (q3 - q1)).as(lowerName(c0)),
               (q3 + lit(k) * (q3 - q1)).as(upperName(c0)))
         case ZScore(t) =>
