@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two same-typed float/double
+  * array columns — the hot inner op of ANN rerank and embedding dedup.
+  *
+  * The composable form (`zip_with` + `aggregate`, Similarity.dot) walks
+  * the arrays once per sum with interpreted lambda dispatch per element;
+  * this expression fuses dot(a,b), |a|² and |b|² into ONE generated Java
+  * loop inside whole-stage codegen. Numerics are bit-identical to the
+  * composable form: each accumulator sums in index order, and the final
+  * combination `dot / (sqrt(na) * sqrt(nb))` is the same IEEE expression
+  * tree — so oracle-checked results do not move.
+  *
+  * Null semantics (match the zip_with formulation): NULL array → NULL,
+  * any NULL element → NULL, length mismatch → NULL.
+  */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "vec_cosine"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elementType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(l, _), ArrayType(r, _))
+        if l == r && (l == FloatType || l == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two arrays with the same float/double element type, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val isFloat = elementType == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (elementType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = (double) $a.$getter($i);
+         |    final double $y = (double) $b.$getter($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  /** Column API for [[VecCosine]], no registration needed. */
+  def vecCosine(a: Column, b: Column): Column =
+    ColumnGlue.column(
+      VecCosine(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  /** Register `vec_cosine` for SQL use in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (children: Seq[Expression]) => VecCosine(children.head, children(1)))
+}
+
+/** `SparkSessionExtensions` hook — enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (children: Seq[Expression]) => VecCosine(children.head, children(1))))
+}

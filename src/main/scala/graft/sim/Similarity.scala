@@ -13,14 +13,20 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double (deterministic order). */
+  /** Sequential-fold dot product in double (deterministic order). Handles
+    * mixed element types (float vec × double plane); for the same-typed
+    * cosine hot path use [[cosine]] (native codegen'd expression). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity via [[graft.functions.VecCosine]] — one generated
+    * loop for all three sums instead of three interpreted `zip_with` +
+    * `aggregate` folds; bit-identical results (same accumulation order). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vecCosine(a, b)
 
   /** Exact top-k neighbours for each query vector. `queries` must be small
     * (it is broadcast); the corpus streams once through the crossJoin —
