@@ -115,6 +115,17 @@ object NearDupQueries {
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e4 + 0.5) / 1e4 >= 0.8
         ORDER BY id_a, id_b""")),
 
+    // IVF coarse-quantizer ANN: train on the corpus, probe 2 of 8 cells.
+    Q("ann_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val index = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        graft.sim.Ivf.topK(index, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     Q("ann_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
