@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling — the curation counterpart of
+  * `df.sample()` for training-data pipelines, where a sample must be (a)
+  * stable across reruns/retries (no RNG state per task), (b) a pure
+  * per-row predicate (no shuffle, no sort, survives any partitioning),
+  * and (c) derivable from a KEY so the same entities are kept across
+  * tables/snapshots.
+  *
+  * The hash is Knuth multiplicative hashing on the key modulo a bucket
+  * count — deliberately simple arithmetic (`(key * 2654435761) % 1e6`)
+  * kept within BIGINT range so an external SQL engine reproduces the
+  * exact sample (xxhash64 would be Spark-only). For adversarial key
+  * distributions swap in `xxhash64(key, seed)` — same shape, not
+  * SQL-oracle-portable.
+  */
+object Sampling {
+
+  val Buckets = 1000000L
+  private val Knuth = 2654435761L
+
+  /** Bucket in [0, Buckets) from a non-negative integral key; keys must
+    * stay below ~3.4e9 to avoid BIGINT overflow in external engines (Spark
+    * itself would wrap silently). */
+  def bucket(key: Column, seed: Long = 0L): Column =
+    pmod((key.cast("long") + lit(seed)) * lit(Knuth), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 seed: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    df.filter(bucket(col(keyCol), seed) < lit((fraction * Buckets).toLong))
+  }
+
+  /** Per-stratum fractions (e.g. downsample the majority class); strata
+    * not in the map are dropped — matching pandas-style
+    * `groupby().sample(frac=...)` curation semantics. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       seed: Long = 0L): DataFrame = {
+    require(fractions.nonEmpty, "at least one stratum fraction required")
+    val b = bucket(col(keyCol), seed)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(strataCol) === lit(stratum) && b < lit((f * Buckets).toLong))
+    }
+    df.filter(keep)
+  }
+
+  /** SQL fragment mirroring [[bucket]] for a DuckDB oracle. */
+  def sqlBucket(key: String, seed: Long = 0L): String =
+    s"((CAST($key AS BIGINT) + $seed) * $Knuth) % $Buckets"
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{Components, LlmDedup, MinHash}
+import graft.ops.Sampling
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + the end-to-end corpus-curation chain —
+  * training-data pipeline operators over the benchmark tables. */
+object SamplingQueries {
+
+  val all: Seq[Q] = Seq(
+    // keep ~10% of orders, reproducibly, as a pure scan predicate.
+    Q("sample_hash",
+      (s, dir) => Sampling.hashSample(Tables.orders(s, dir), "o_orderkey", 0.10)
+        .select("o_orderkey").orderBy("o_orderkey"),
+      Some(s"""
+        SELECT o_orderkey FROM orders
+        WHERE ${Sampling.sqlBucket("o_orderkey")} < ${(0.10 * Sampling.Buckets).toLong}
+        ORDER BY o_orderkey""")),
+
+    // class rebalance: keep all of 'R', 30% of 'A', drop 'N'.
+    Q("sample_stratified",
+      (s, dir) => Sampling.stratifiedSample(Tables.lineitem(s, dir),
+          "l_orderkey", "l_returnflag", Map("R" -> 1.0, "A" -> 0.30))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some(s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE (l_returnflag = 'R' AND ${Sampling.sqlBucket("l_orderkey")} < ${Sampling.Buckets})
+           OR (l_returnflag = 'A' AND ${Sampling.sqlBucket("l_orderkey")} < ${(0.30 * Sampling.Buckets).toLong})
+        GROUP BY 1 ORDER BY 1""")),
+
+    // The whole curation story in one lazy plan: quality gate -> language
+    // gate -> exact dedup -> near-dup connected-component dedup ->
+    // deterministic subsample. Each step is an operator gated elsewhere;
+    // this query pins their composition (rows-only — LSH inside).
+    Q("llm_curation_chain",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val scored = docs
+          .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+          .withColumn("lang", TextAnalysis.languageId(col("text")))
+        val gated = scored
+          .filter(col("quality") >= 0.3 && col("lang") === "en")
+          .select("doc_id", "text")
+        val exact = LlmDedup.exact(gated, "text", "doc_id")
+        val pairs = MinHash.nearDuplicatePairs(exact, "text", "doc_id",
+          n = 5, k = 64, bands = 16, threshold = 0.6)
+        val deduped = Components.dedupByComponent(exact, "doc_id", pairs)
+        Sampling.hashSample(deduped, "doc_id", 0.8)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None)
+  )
+}

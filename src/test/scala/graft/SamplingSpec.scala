@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (1L to 10000L).toDF("id")
+    .withColumn("cls", when(col("id") % 10 === 0, "minority").otherwise("majority"))
+
+  test("hashSample is reproducible and close to the requested fraction") {
+    val a = Sampling.hashSample(ids, "id", 0.2).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids, "id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size / 10000.0 - 0.2) < 0.03)
+    // a different seed draws a different (but still reproducible) sample
+    val c = Sampling.hashSample(ids, "id", 0.2, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("smaller fraction is a subset of a larger one (same seed)") {
+    val small = Sampling.hashSample(ids, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(ids, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratifiedSample applies per-class fractions and drops unlisted strata") {
+    val out = Sampling.stratifiedSample(ids, "id", "cls",
+      Map("minority" -> 1.0, "majority" -> 0.1))
+    val counts = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("minority") == 1000)
+    assert(math.abs(counts("majority") / 9000.0 - 0.1) < 0.03)
+    val none = Sampling.stratifiedSample(ids, "id", "cls", Map("other" -> 1.0))
+    assert(none.count() == 0)
+  }
+}
