@@ -1,0 +1,54 @@
+package graft
+
+import graft.dedup.{Components, Duplicates, LlmDedup, MinHash}
+import graft.impute.{Imputer, Mean, Median, Mode}
+import graft.infer.ConfigInference
+import graft.normalize.{NormalizeConfig, Normalizer}
+import graft.outliers.{Clip, Iqr, Outliers, ZScore}
+import graft.profile.Profiler
+import graft.quality.{InRange, NotNull, Validator}
+import org.apache.spark.sql.functions._
+
+/** Every operator must tolerate an EMPTY input frame (the reference pins
+  * this via test_empty_dataframe_handling): 0-row partitions are routine
+  * at scale — an empty filter result, an empty partition of a source —
+  * and an operator that throws on them kills the whole job. */
+class EmptyFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def empty = Seq.empty[(Long, String, Option[Double])]
+    .toDF("id", "name", "price")
+
+  test("profiler tolerates empty frames") {
+    assert(Profiler.schemaProfile(empty).count() == 3) // one row per column
+    assert(Profiler.describe(empty, Seq("price")).count() == 1)
+    assert(Profiler.duplicateSummary(empty).count() == 1)
+    assert(Profiler.valueCounts(empty, "name").count() == 0)
+  }
+
+  test("cleaning operators tolerate empty frames") {
+    val (norm, _) = Normalizer(empty, NormalizeConfig(
+      standardizeTextColumns = Seq("name"), coerceTypes = Map("price" -> "double")))
+    assert(norm.count() == 0)
+    assert(Imputer.impute(empty,
+      Map("price" -> Median, "name" -> Mode, "id" -> Mean)).count() == 0)
+    assert(Duplicates.drop(empty, Seq("name"), Duplicates.KeepFirst,
+      Seq(col("id"))).count() == 0)
+    val det = Outliers.detect(empty, Map("price" -> Iqr(1.5), "id" -> ZScore(3.0)))
+    assert(Outliers.handle(det, Map("price" -> Clip)).count() == 0)
+    assert(Outliers.log(det).count() == 2) // one log row per configured column
+  }
+
+  test("validation, inference, dedup tolerate empty frames") {
+    assert(Validator.summary(empty, Seq(NotNull("name"),
+      InRange("price", 0, 10))).count() == 2)
+    val cfg = ConfigInference.infer(empty)
+    assert(cfg.imputation.isEmpty) // no nulls observed in 0 rows
+    assert(cfg.categoricalWhitelists.keySet == Set("name")) // 0 distinct <= threshold
+    assert(LlmDedup.exact(empty, "name", "id").count() == 0)
+    assert(MinHash.nearDuplicatePairs(empty, "name", "id").count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.componentLabels(noPairs).count() == 0)
+    assert(Components.dedupByComponent(empty, "id", noPairs).count() == 0)
+  }
+}

@@ -19,5 +19,10 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // keep metastore/warehouse artifacts out of the repo tree
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .config("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=${java.nio.file.Files.createTempDirectory("graft-metastore")}/db;create=true")
     .getOrCreate()
 }
