@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Truncate lineage between rounds: a RELIABLE checkpoint when the
+    * session has a checkpoint dir (survives executor loss — required on a
+    * real cluster), else an eager localCheckpoint (fine on local[n],
+    * where executor loss means the app is gone anyway). */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Component label per node id appearing in `pairs` (id_a, id_b):
     * (id, component) where component = min node id reachable through the
     * pair graph. Nodes not present in any pair are not returned (their
@@ -31,20 +39,18 @@ object Components {
     // Undirected edge list: both directions, deduped.
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
-    val edges = fwd.union(rev).distinct().localCheckpoint(true)
+    val edges = truncate(fwd.union(rev).distinct())
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // Propose each neighbour's current label to src, keep the minimum.
       val proposals = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.union(proposals)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = truncate(labels.union(proposals)
+        .groupBy("id").agg(min("label").as("label")))
       changed = next.join(labels.withColumnRenamed("label", "_gf_old"), "id")
         .filter(col("label") =!= col("_gf_old")).count()
       labels = next

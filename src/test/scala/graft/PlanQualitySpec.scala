@@ -67,4 +67,16 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchanges.contains("text"))
   }
+
+  test("hash sampling is a pure scan predicate (no shuffle before the filter)") {
+    val p = plan("sample_hash")
+    // only the final orderBy may exchange; the sample itself is a Filter
+    assert(p.contains("Filter"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("curation chain has no cartesian product anywhere") {
+    val p = plan("llm_curation_chain")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

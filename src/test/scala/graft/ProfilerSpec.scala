@@ -52,4 +52,18 @@ class ProfilerSpec extends SparkSpec {
     val rows = Profiler.highCardinality(df, 10, exact = true).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("wide"))
   }
+
+  test("approx (100 TB) path tracks the exact path closely") {
+    val df = (1 to 5000).map(i => i.toDouble + (i % 7) * 0.1).toDF("x")
+    def stats(exact: Boolean) = Profiler
+      .describe(df, Seq("x"), exactQuantiles = exact, exactMoments = exact,
+        magExp = Map("x" -> 4))
+      .collect().head
+    val e = stats(true); val a = stats(false)
+    for (f <- Seq("mean", "stddev", "q1", "median", "q3", "skew")) {
+      val (ev, av) = (e.getAs[Double](f), a.getAs[Double](f))
+      assert(math.abs(ev - av) <= math.max(1e-2, math.abs(ev) * 1e-2),
+        s"$f: exact=$ev approx=$av")
+    }
+  }
 }
