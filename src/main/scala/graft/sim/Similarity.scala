@@ -105,7 +105,10 @@ object Similarity {
     * the shuffle key is an 8-byte bucket id and only same-bucket pairs pay
     * a dot product. Pairs split across buckets are missed (recall<1), the
     * standard LSH trade; raise recall by lowering nPlanes or repeating
-    * with a different seed. */
+    * with a different seed. Defaults: `dim` ≤ 0 infers the plane length
+    * from the data (a mismatch raises instead of silently un-bucketing);
+    * `nPlanes` ≤ 0 sizes the bucket count from the corpus
+    * ([[adaptivePlanes]], one extra count job). */
   def nearDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.99, nPlanes: Int = -1,
                          dim: Int = -1, seed: Long = 42L): DataFrame = {

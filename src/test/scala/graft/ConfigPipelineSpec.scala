@@ -78,6 +78,13 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(viaConfig.toSeq == viaTyped.toSeq)
   }
 
+  test("load() reads a config artifact from disk") {
+    val p = java.nio.file.Files.createTempFile("graft-pipeline", ".yaml")
+    java.nio.file.Files.writeString(p, fullYaml)
+    val spec = ConfigPipeline.load(p.toString)
+    assert(spec.runId == "demo" && spec.stages.size == 5)
+  }
+
   private def configError(yaml: String): String =
     intercept[ConfigPipeline.ConfigError](ConfigPipeline.parse(yaml)).getMessage
 
