@@ -35,7 +35,19 @@ object Components {
     * (id, component) where component = min node id reachable through the
     * pair graph. Nodes not present in any pair are not returned (their
     * component is trivially themselves). */
-  def componentLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Best-effort removal of an intermediate frame's RELIABLE checkpoint
+    * files once nothing downstream can reference them (the successor
+    * round is already materialized into its own checkpoint). Without
+    * this, every round leaks a full copy of the node set to the
+    * checkpoint dir (`spark.cleaner...cleanCheckpoints` defaults off). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.toRdd.getCheckpointFile.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(path, true): Unit
+    } catch { case _: Throwable => () }
+
+  def componentLabels(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Undirected edge list: both directions, deduped.
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
@@ -53,16 +65,23 @@ object Components {
         .groupBy("id").agg(min("label").as("label")))
       changed = next.join(labels.withColumnRenamed("label", "_gf_old"), "id")
         .filter(col("label") =!= col("_gf_old")).count()
+      dropCheckpoint(labels)
       labels = next
       iter += 1
     }
+    dropCheckpoint(edges)
+    // Silent partial labels would let duplicates survive the
+    // keep-one-per-component policy — refuse instead.
+    if (changed > 0) throw new IllegalStateException(
+      s"componentLabels did not converge in $maxIter rounds ($changed labels still changing) — " +
+        "the pair graph has a component with diameter > maxIter; raise maxIter")
     labels.select(col("id"), col("label").as("component"))
   }
 
   /** Keep exactly one document (the min-id representative) per connected
     * component of the near-dup pair graph; docs in no pair are kept. */
   def dedupByComponent(df: DataFrame, idCol: String,
-                       pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+                       pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val losers = componentLabels(pairs, maxIter)
       .filter(col("component") =!= col("id"))
       .select(col("id").as("_gf_loser"))

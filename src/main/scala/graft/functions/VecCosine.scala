@@ -22,6 +22,11 @@ import org.apache.spark.sql.types._
   *
   * Null semantics (match the zip_with formulation): NULL array → NULL,
   * any NULL element → NULL, length mismatch → NULL.
+  *
+  * Input typing: each side may independently be an array of
+  * float/double/int/long — elements widen to double in the loop itself
+  * (the same coercions the zip_with formulation performed), so a float
+  * corpus against a double query vector needs no array conversion.
   */
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,17 +35,27 @@ case class VecCosine(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  private def elementType: DataType =
-    left.dataType.asInstanceOf[ArrayType].elementType
+  private val supported: Set[DataType] =
+    Set(FloatType, DoubleType, IntegerType, LongType)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(l, _), ArrayType(r, _))
-        if l == r && (l == FloatType || l == DoubleType) =>
+        if supported.contains(l) && supported.contains(r) =>
       TypeCheckResult.TypeCheckSuccess
     case _ =>
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs two arrays with the same float/double element type, " +
+        s"$prettyName needs two float/double/int/long arrays, " +
           s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def reader(t: DataType): (ArrayData, Int) => Double = t match {
+    case FloatType   => (a, i) => a.getFloat(i).toDouble
+    case DoubleType  => (a, i) => a.getDouble(i)
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType    => (a, i) => a.getLong(i).toDouble
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -48,21 +63,26 @@ case class VecCosine(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (b.numElements() != n) return null
-    val isFloat = elementType == FloatType
+    val readA = reader(elemType(left)); val readB = reader(elemType(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = readA(a, i); val y = readB(b, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private def getterName(t: DataType): String = t match {
+    case FloatType => "getFloat"; case DoubleType => "getDouble"
+    case IntegerType => "getInt"; case LongType => "getLong"
+  }
+
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getter = if (elementType == FloatType) "getFloat" else "getDouble"
+    val getterA = getterName(elemType(left))
+    val getterB = getterName(elemType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
@@ -76,8 +96,8 @@ case class VecCosine(left: Expression, right: Expression)
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $x = (double) $a.$getter($i);
-         |    final double $y = (double) $b.$getter($i);
+         |    final double $x = (double) $a.$getterA($i);
+         |    final double $y = (double) $b.$getterB($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {

@@ -39,11 +39,13 @@ object ConfigInference {
     *
     * Distinct counts use HLL `approx_count_distinct`: exact multi-column
     * `count_distinct` in one agg compiles to an Expand that multiplies
-    * scanned rows by ~2×#columns and shuffles whole-column distinct state —
-    * pointless when the count only gates a "≤ catThreshold" decision. The
-    * HLL sketch is EXACT at these cardinalities (sparse mode holds the
-    * distinct set itself until far past any sane catThreshold), so the
-    * decision — and therefore the output — is unchanged. */
+    * scanned rows by ~2×#columns and shuffles whole-column distinct state.
+    * The sketch only SCREENS candidates, with 2× headroom (Spark's HLL is
+    * dense; near-threshold estimates can be off by a few percent — never
+    * by 2×) — the categorical DECISION is exact: pass 2 collects the
+    * candidate columns' value sets (bounded ≤ ~2×catThreshold by the
+    * screen) and whitelists only those with ≤ catThreshold exact values,
+    * so the output matches exact-count semantics on every input. */
   def infer(df: DataFrame, catThreshold: Int = 20): InferredConfig = {
     val fields = df.schema.fields
     val aggs = fields.flatMap { f =>
@@ -71,16 +73,17 @@ object ConfigInference {
         f.name -> (Iqr(1.5): DetectMethod)
     }.toMap
 
-    val catCols = fields.collect {
+    val catCandidates = fields.collect {
       case f if f.dataType == StringType &&
-        row.getAs[Long](s"__d_${f.name}") <= catThreshold => f.name
+        row.getAs[Long](s"__d_${f.name}") <= catThreshold * 2L => f.name
     }
     val whitelists: Map[String, Seq[String]] =
-      if (catCols.isEmpty) Map.empty
+      if (catCandidates.isEmpty) Map.empty
       else {
-        val wAggs = catCols.map(c => sort_array(collect_set(col(c))).as(s"__w_$c"))
+        val wAggs = catCandidates.map(c => sort_array(collect_set(col(c))).as(s"__w_$c"))
         val wRow = df.agg(wAggs.head, wAggs.tail.toIndexedSeq: _*).collect()(0)
-        catCols.map(c => c -> wRow.getSeq[String](wRow.fieldIndex(s"__w_$c")).toSeq).toMap
+        catCandidates.map(c => c -> wRow.getSeq[String](wRow.fieldIndex(s"__w_$c")).toSeq)
+          .filter(_._2.size <= catThreshold).toMap
       }
 
     val types = fields.map(f => f.name -> f.dataType.simpleString).toMap

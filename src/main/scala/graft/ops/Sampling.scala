@@ -42,6 +42,9 @@ object Sampling {
                        fractions: Map[String, Double],
                        seed: Long = 0L): DataFrame = {
     require(fractions.nonEmpty, "at least one stratum fraction required")
+    fractions.foreach { case (s, f) =>
+      require(f >= 0 && f <= 1, s"fraction $f for stratum '$s' not in [0,1]")
+    }
     val b = bucket(col(keyCol), seed)
     val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
       acc || (col(strataCol) === lit(stratum) && b < lit((f * Buckets).toLong))

@@ -68,16 +68,36 @@ object Profiler {
     * partitioning.
     *
     * Each x^k is quantized to 10^(k·E−14) absolute (E = per-column decimal
-    * magnitude from `magExp`, i.e. |x| ≤ 10^E) so every per-row quantized
-    * value stays an integer < 2^53: such doubles cast to DECIMAL
-    * identically in every engine (above 2^53, Spark's shortest-string cast
-    * and DuckDB's exact-binary cast can disagree). Relative quantization is
-    * ≤ 1e-14 of column magnitude — invisible at the emitted 4dp. */
+    * magnitude with |x| ≤ 10^E) so every per-row quantized value stays an
+    * integer < 2^53: such doubles cast to DECIMAL identically in every
+    * engine (above 2^53, Spark's shortest-string cast and DuckDB's
+    * exact-binary cast can disagree). Relative quantization is ≤ 1e-14 of
+    * column magnitude — invisible at the emitted 4dp.
+    *
+    * E comes from `magExp` when provided (needed for an external-engine
+    * oracle, which must quantize identically); a WRONG hint is fatal, not
+    * silent — if the data exceeds 10^E the column's stats raise (an E too
+    * small zeroes the higher power sums and would emit garbage moments).
+    * Unhinted columns derive E from the data (one extra column-pruned
+    * max(abs) pass), so the default path is always correctly scaled. */
   def describe(df: DataFrame, cols: Seq[String] = Nil,
                exactQuantiles: Boolean = true,
                exactMoments: Boolean = true,
                magExp: Map[String, Int] = Map.empty): DataFrame = {
     val targets = if (cols.nonEmpty) cols else numericCols(df)
+    val derivedExp: Map[String, Int] = {
+      val need = if (exactMoments) targets.filterNot(magExp.contains) else Nil
+      if (need.isEmpty) Map.empty
+      else {
+        val aggs = need.map(nm => max(abs(col(nm).cast(DoubleType))).as(nm))
+        val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+        need.map { nm =>
+          val m = Option(r.getAs[Any](nm)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+          nm -> (if (m <= 0 || m.isNaN || m.isInfinite) 0
+                 else math.max(0, math.ceil(math.log10(m) - 1e-9).toInt))
+        }.toMap
+      }
+    }
     val entries = targets.map { name =>
       val c = col(name).cast(DoubleType)
       val n = count(c).cast(DoubleType)
@@ -92,7 +112,7 @@ object Profiler {
         if (exactMoments) {
           // Quantize x^k (deterministic IEEE ops, identical both engines),
           // accumulate exactly in DECIMAL(38,0), recompose the double sum.
-          val e = magExp.getOrElse(name, 6)
+          val e = magExp.getOrElse(name, derivedExp.getOrElse(name, 0))
           def powSum(k: Int): Column = {
             // String-parsed literal == SQL-parsed literal (math.pow is not
             // guaranteed correctly rounded for negative exponents).
@@ -100,6 +120,14 @@ object Profiler {
             val xk = Seq.fill(k)(c).reduce(_ * _)
             sum(floor(xk * m + lit(0.5)).cast(DecimalType(38, 0))).cast(DoubleType) / m
           }
+          // A magExp hint the data violates must fail, not silently emit
+          // mis-scaled moments (the guard never fires on valid data, so
+          // an external oracle needs no mirror of it).
+          val badHint = coalesce(max(abs(c)) > lit(s"1e$e".toDouble), lit(false))
+          def guarded(stat: Column): Column =
+            when(badHint, raise_error(lit(
+              s"describe: |$name| exceeds 10^$e — fix its magExp hint"))
+              .cast(DoubleType)).otherwise(stat)
           val s1 = powSum(1); val s2 = powSum(2)
           val s3 = powSum(3); val s4 = powSum(4)
           val mean = s1 / n
@@ -110,7 +138,7 @@ object Profiler {
           val varSamp = (s2 - s1 * s1 / n) / (n - lit(1.0))
           val g1 = m3 / sqrt(m2 * m2 * m2)
           val g2 = m4 / (m2 * m2) - lit(3.0)
-          (mean, sqrt(varSamp),
+          (guarded(mean), sqrt(varSamp),
             g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)),
             ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
               ((n + lit(1.0)) * g2 + lit(6.0)))

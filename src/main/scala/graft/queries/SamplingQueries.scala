@@ -46,11 +46,11 @@ object SamplingQueries {
         val gated = scored
           .filter(col("quality") >= 0.3 && col("lang") === "en")
           .select("doc_id", "text")
-        // consumed twice (pair generation + the anti-join base) — persist
-        // so the quality/lang gates + exact dedup window run once; at real
-        // scale this is the intermediate you would checkpoint to storage.
+        // Consumed twice (pair generation + the anti-join base): at real
+        // scale you checkpoint this intermediate to storage. No in-query
+        // persist here — a registered query must stay side-effect-free
+        // (a leaked cache entry would distort every later bench sample).
         val exact = LlmDedup.exact(gated, "text", "doc_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = MinHash.nearDuplicatePairs(exact, "text", "doc_id",
           n = 5, k = 64, bands = 16, threshold = 0.6)
         val deduped = Components.dedupByComponent(exact, "doc_id", pairs)

@@ -48,6 +48,12 @@ object Ivf {
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 2, seed: Long = 42L): IvfIndex = {
     require(k > 0, s"k=$k clusters must be positive")
+    corpus.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"Ivf.train expects $vecCol: array<float>, got ${other.simpleString} — " +
+          "cast the embedding column first")
+    }
     val base = corpus.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"))
 
     // deterministic seed sample: top-K by hash — uniform, reproducible

@@ -135,7 +135,8 @@ object Similarity {
               k: Int = 10, nPlanes: Int = 8, dim: Int = -1,
               seed: Long = 42L): DataFrame = {
     val d = if (dim > 0) dim else inferDim(corpus, corpusVec)
-    val planes = hyperplanes(nPlanes, d, seed)
+    val p = if (nPlanes > 0) nPlanes else adaptivePlanes(corpus.count())
+    val planes = hyperplanes(p, d, seed)
     val c = corpus.select(col(corpusId).as("_gf_cid"), col(corpusVec).as("_gf_cv"),
       bucketId(col(corpusVec), planes).as("_gf_bucket"))
     val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"),

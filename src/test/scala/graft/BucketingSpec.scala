@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * write-side cost. Asserted against the physical plan. */
 class BucketingSpec extends SparkSpec {
 
-  test("groupBy and self-join on the bucket key plan without a shuffle") {
-    spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
-    Tables.orders(spark, sfDir).write
-      .bucketBy(4, "o_custkey").sortBy("o_custkey")
-      .format("parquet").saveAsTable("graft_bucketed_orders")
+  private def bucketedOrders() = {
+    if (!spark.catalog.tableExists("graft_bucketed_orders")) {
+      Tables.orders(spark, sfDir).write
+        .bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable("graft_bucketed_orders")
+    }
+    spark.table("graft_bucketed_orders")
+  }
 
-    val t = spark.table("graft_bucketed_orders")
+  test("groupBy and self-join on the bucket key plan without a shuffle") {
+    val t = bucketedOrders()
 
     val agg = t.groupBy("o_custkey").agg(sum("o_totalprice").as("total"))
     val aggPlan = agg.queryExecution.executedPlan.toString
@@ -31,7 +35,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("non-bucket-key aggregation still shuffles (sanity: the pin is real)") {
-    val t = spark.table("graft_bucketed_orders")
+    val t = bucketedOrders()
     val agg = t.groupBy("o_orderpriority").agg(count(lit(1)))
     assert(agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }

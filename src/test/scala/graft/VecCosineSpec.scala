@@ -49,8 +49,17 @@ class VecCosineSpec extends SparkSpec {
     assert(withNullElem.head.isNullAt(0))
   }
 
-  test("rejects mismatched element types at analysis") {
-    val df = Seq((Array(1.0f), Array(1.0))).toDF("a", "b")
+  test("mixed float/double and integer arrays coerce like the zip_with form did") {
+    val mixed = Seq((Array(3.0f, 4.0f), Array(3.0, 4.0))).toDF("a", "b")
+    assert(mixed.select(GraftFunctions.vecCosine(col("a"), col("b")))
+      .collect().head.getDouble(0) == 1.0)
+    val ints = Seq((Array(1, 0), Array(0, 1))).toDF("a", "b")
+    assert(ints.select(GraftFunctions.vecCosine(col("a"), col("b")))
+      .collect().head.getDouble(0) == 0.0)
+  }
+
+  test("rejects non-numeric arrays at analysis") {
+    val df = Seq((Array("x"), Array("y"))).toDF("a", "b")
     val ex = intercept[Exception] {
       df.select(GraftFunctions.vecCosine(col("a"), col("b"))).collect()
     }
