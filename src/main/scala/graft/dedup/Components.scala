@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * grow exponentially and re-execute prior rounds).
   *
   * Near-dup chains in a real corpus are shallow (near-dup similarity is
-  * near-transitive), so the default round cap of 20 covers diameters no
+  * near-transitive), so the default round cap of 50 covers diameters no
   * real pair list reaches; the loop exits early as soon as a round changes
   * nothing.
   */
@@ -39,13 +39,23 @@ object Components {
     * files once nothing downstream can reference them (the successor
     * round is already materialized into its own checkpoint). Without
     * this, every round leaks a full copy of the node set to the
-    * checkpoint dir (`spark.cleaner...cleanCheckpoints` defaults off). */
+    * checkpoint dir (`spark.cleaner...cleanCheckpoints` defaults off).
+    *
+    * The checkpointed RDD must be taken from the `LogicalRDD` leaf that
+    * `df.checkpoint(true)` produced — `queryExecution.toRdd` returns a
+    * fresh projection RDD *derived* from it, whose `getCheckpointFile`
+    * is always None (so deleting via toRdd would silently never fire). */
   private def dropCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.toRdd.getCheckpointFile.foreach { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        .delete(path, true): Unit
-    } catch { case _: Throwable => () }
+    try {
+      val files = df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+      }.flatten
+      files.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(path, true): Unit
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def componentLabels(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Undirected edge list: both directions, deduped.

@@ -52,7 +52,10 @@ object Sampling {
     df.filter(keep)
   }
 
-  /** SQL fragment mirroring [[bucket]] for a DuckDB oracle. */
+  /** SQL fragment mirroring [[bucket]] for a DuckDB oracle. Spark's
+    * `pmod` is always non-negative while ANSI `%` is sign-preserving, so
+    * the mirror must wrap the remainder back into [0, Buckets) or the two
+    * engines silently pick different rows for negative keys. */
   def sqlBucket(key: String, seed: Long = 0L): String =
-    s"((CAST($key AS BIGINT) + $seed) * $Knuth) % $Buckets"
+    s"((((CAST($key AS BIGINT) + $seed) * $Knuth) % $Buckets + $Buckets) % $Buckets)"
 }

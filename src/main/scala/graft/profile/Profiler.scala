@@ -135,10 +135,13 @@ object Profiler {
           val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
           val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
             lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
+          // Quantized s2 and s1² round independently, so varSamp can land
+          // a few ulps below 0 for (near-)constant columns — clamp so the
+          // emitted stddev is 0, not NaN (oracle SQL mirrors the clamp).
           val varSamp = (s2 - s1 * s1 / n) / (n - lit(1.0))
           val g1 = m3 / sqrt(m2 * m2 * m2)
           val g2 = m4 / (m2 * m2) - lit(3.0)
-          (guarded(mean), sqrt(varSamp),
+          (guarded(mean), sqrt(greatest(varSamp, lit(0.0))),
             g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)),
             ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
               ((n + lit(1.0)) * g2 + lit(6.0)))

@@ -48,7 +48,7 @@ object ProfileQueries {
       s"""SELECT '$c' AS column_name,
             CAST(cnt AS BIGINT) AS n,
             floor((mean) * 1e4 + 0.5) / 1e4 AS mean,
-            floor((sqrt(vs)) * 1e4 + 0.5) / 1e4 AS stddev,
+            floor((sqrt(greatest(vs, 0.0))) * 1e4 + 0.5) / 1e4 AS stddev,
             floor((mn) * 1e4 + 0.5) / 1e4 AS min,
             floor((qa) * 1e4 + 0.5) / 1e4 AS q1,
             floor((qb) * 1e4 + 0.5) / 1e4 AS median,

@@ -41,7 +41,11 @@ object StreamOps {
   def runningUserTotals(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // Event streams routinely carry null user_id/value rows; the (Long,
+    // Double) tuple encoder would throw on them. Policy: an event with no
+    // user or no value contributes to no user's running total — drop it.
     events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .na.drop(Seq("user_id", "value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), UserRunning](GroupStateTimeout.NoTimeout) {

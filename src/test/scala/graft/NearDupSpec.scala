@@ -136,4 +136,24 @@ class NearDupSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L))
     assert(labels.keySet == (1L to 9L).toSet)
   }
+
+  test("reliable-checkpoint file count stays bounded across rounds") {
+    // A chain of diameter 8 needs several propagation rounds; each round
+    // reliably checkpoints a new label frame when a checkpoint dir is set.
+    // Without per-round cleanup every round leaks a full node-set copy.
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptRoot)
+    try {
+      val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = Components.componentLabels(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.values.toSet == Set(1L))
+      // All intermediates (edges + per-round label frames) must be deleted;
+      // only the returned frame's own checkpoint may remain.
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptRoot))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs <= 2, s"checkpoint dir leaked $rddDirs rdd-* entries")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }

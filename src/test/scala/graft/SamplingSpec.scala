@@ -36,4 +36,18 @@ class SamplingSpec extends SparkSpec {
     val none = Sampling.stratifiedSample(ids, "id", "cls", Map("other" -> 1.0))
     assert(none.count() == 0)
   }
+
+  test("sqlBucket agrees with bucket for negative keys") {
+    // Spark pmod is non-negative; ANSI % (DuckDB, and Spark SQL's own %)
+    // is sign-preserving. Evaluating the oracle fragment through Spark's
+    // sign-preserving % pins that both expressions land in the same
+    // bucket on all signs.
+    val keys = (-5000L to 5000L by 37L).toDF("id")
+    val mismatches = keys
+      .withColumn("spark_b", Sampling.bucket(col("id"), seed = 3L))
+      .withColumn("sql_b", expr(Sampling.sqlBucket("id", seed = 3L)))
+      .filter(col("spark_b") =!= col("sql_b") || col("spark_b") < 0)
+      .count()
+    assert(mismatches == 0)
+  }
 }

@@ -86,4 +86,16 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L).getAs[Long]("n_events") == 2 &&
       last(2L).getAs[Double]("total_value") == 7.0)
   }
+
+  test("runningUserTotals skips null user_id / null value rows") {
+    // Nullable event rows are routine; the tuple encoder would otherwise
+    // throw "null value in non-nullable field" at runtime.
+    val events = Seq[(Option[Long], Option[Double])](
+      (Some(1L), Some(2.0)), (None, Some(9.0)), (Some(1L), None), (Some(2L), Some(5.0)))
+      .toDF("user_id", "value")
+    val out = StreamOps.runningUserTotals(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(out == Map(1L -> (1L, 2.0), 2L -> (1L, 5.0)))
+  }
 }
