@@ -1,0 +1,134 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distribution artifacts behind the reference's visual modules — the DATA
+  * the plots render, as DataFrames (SURVEY §1 scope rule: renderers are
+  * out, every rendered artifact is in):
+  *  - equi-width histograms (m08_visuals/distributions.py:29-33,
+  *    `series.plot(kind="hist", bins=30)`),
+  *  - the numeric Pearson correlation matrix
+  *    (m08_visuals/summary_plots.py:60, `numeric_df.corr()`).
+  *
+  * Both are single-pass distributed aggregations: the histogram is one
+  * bounds pass + one groupBy on (column, bin) — only #cols·#bins
+  * aggregate rows cross the shuffle; the correlation matrix is ONE
+  * aggregation computing all k + k + k(k−1)/2 power/cross sums map-side
+  * (a 100 TB table is scanned once; pandas `.corr()` is k² passes over
+  * memory it couldn't hold).
+  */
+object Distributions {
+
+  /** Equi-width histogram per numeric column: (column_name, bin, bin_lo,
+    * bin_hi, n). Bin width = (max−min)/bins from a broadcast 1-row bounds
+    * frame; values AT max are clamped into the last bin (pandas/matplotlib
+    * right-closed last bin). Constant columns collapse into bin 0. Nulls
+    * are excluded. Bin edges are emitted at 4dp via the deterministic
+    * floor-rounding so an external oracle mirroring the same IEEE
+    * expression tree hashes identically. */
+  def histogram(df: DataFrame, cols: Seq[String] = Nil, bins: Int = 30): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val targets = if (cols.nonEmpty) cols else Profiler.numericColumns(df)
+    require(targets.nonEmpty, "histogram needs at least one numeric column")
+    val bounds = df.agg(
+      min(col(targets.head).cast(DoubleType)).as(s"_gf_mn_${targets.head}"),
+      targets.tail.flatMap(c => Seq(
+        min(col(c).cast(DoubleType)).as(s"_gf_mn_$c"),
+        max(col(c).cast(DoubleType)).as(s"_gf_mx_$c"))) :+
+        max(col(targets.head).cast(DoubleType)).as(s"_gf_mx_${targets.head}"): _*)
+    val entries = targets.map { name =>
+      val x = col(name).cast(DoubleType)
+      val mn = col(s"_gf_mn_$name"); val mx = col(s"_gf_mx_$name")
+      val width = (mx - mn) / lit(bins.toDouble)
+      val bin = when(x.isNull, lit(null).cast(IntegerType))
+        .when(mx === mn, lit(0))
+        .otherwise(least(lit(bins - 1), floor((x - mn) / width).cast(IntegerType)))
+      struct(lit(name).as("column_name"), bin.as("bin"),
+        mn.as("_gf_mn"), width.as("_gf_w"))
+    }
+    df.crossJoin(broadcast(bounds))
+      .select(explode(array(entries.toIndexedSeq: _*)).as("e"))
+      .select("e.*")
+      .filter(col("bin").isNotNull)
+      .groupBy("column_name", "bin")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        // identical IEEE scalars in every row of the group — min is just
+        // a deterministic pick, mirrored verbatim in the oracle SQL
+        graft.Num.dround(min(col("_gf_mn") + col("bin").cast(DoubleType) * col("_gf_w")), 4).as("bin_lo"),
+        graft.Num.dround(min(col("_gf_mn") + (col("bin") + lit(1)).cast(DoubleType) * col("_gf_w")), 4).as("bin_hi"))
+      .select("column_name", "bin", "bin_lo", "bin_hi", "n")
+      .orderBy("column_name", "bin")
+  }
+
+  /** Pearson correlation matrix over numeric columns (upper triangle,
+    * col_x < col_y): (col_x, col_y, corr) at 4dp.
+    *
+    * `exact=true` (the oracle-parity default) computes every sum from
+    * per-row deterministically-quantized DECIMAL accumulators — the same
+    * partition-order-independence discipline as [[Profiler.describe]]:
+    * x, x², and x·y are quantized at 10^(E−14) of their magnitude bound
+    * so each per-row value is an integer < 2^53. `magExp` supplies the
+    * per-column decimal magnitude E (|x| ≤ 10^E); unhinted columns derive
+    * it from the data in one column-pruned max(abs) prepass.
+    * `exact=false` is the plain `corr()` built-in — the 100 TB default
+    * when no cross-engine hash comparison is needed. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String] = Nil,
+                        exact: Boolean = true,
+                        magExp: Map[String, Int] = Map.empty): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else Profiler.numericColumns(df)
+    require(targets.size >= 2, "correlation needs at least two numeric columns")
+    val pairs = for {
+      (a, i) <- targets.zipWithIndex; b <- targets.drop(i + 1)
+    } yield (a, b)
+
+    val entries: Seq[Column] =
+      if (!exact) pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          graft.Num.dround(corr(col(a).cast(DoubleType), col(b).cast(DoubleType)), 4).as("corr"))
+      } else {
+        val exp: Map[String, Int] = {
+          val need = targets.filterNot(magExp.contains)
+          if (need.isEmpty) magExp
+          else {
+            val aggs = need.map(nm => max(abs(col(nm).cast(DoubleType))).as(nm))
+            val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+            magExp ++ need.map { nm =>
+              val m = Option(r.getAs[Any](nm)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+              nm -> (if (m <= 0 || m.isNaN || m.isInfinite) 0
+                     else math.max(0, math.ceil(math.log10(m) - 1e-9).toInt))
+            }
+          }
+        }
+        // Quantize a product of magnitude ≤ 10^e at 10^(e-14), accumulate
+        // exactly in DECIMAL(38,0), recompose the double total.
+        def decSum(prod: Column, e: Int): Column = {
+          val m = lit(s"1e${14 - e}".toDouble)
+          sum(floor(prod * m + lit(0.5)).cast(DecimalType(38, 0))).cast(DoubleType) / m
+        }
+        def x(c: String): Column = col(c).cast(DoubleType)
+        pairs.map { case (a, b) =>
+          val (ea, eb) = (exp(a), exp(b))
+          // pairwise-complete n (pandas .corr() semantics): rows where
+          // either side is null drop out of BOTH sums for this pair
+          val bothPresent = x(a).isNotNull && x(b).isNotNull
+          def pres(c: Column): Column = when(bothPresent, c)
+          val n = count(pres(lit(1))).cast(DoubleType)
+          val sa = decSum(pres(x(a)), ea); val sb = decSum(pres(x(b)), eb)
+          val saa = decSum(pres(x(a) * x(a)), 2 * ea)
+          val sbb = decSum(pres(x(b) * x(b)), 2 * eb)
+          val sab = decSum(pres(x(a) * x(b)), ea + eb)
+          val num = n * sab - sa * sb
+          val den = sqrt(greatest(n * saa - sa * sa, lit(0.0))) *
+            sqrt(greatest(n * sbb - sb * sb, lit(0.0)))
+          struct(lit(a).as("col_x"), lit(b).as("col_y"),
+            graft.Num.dround(num / den, 4).as("corr"))
+        }
+      }
+    df.agg(array(entries.toIndexedSeq: _*).as("m"))
+      .select(explode(col("m")).as("e"))
+      .select("e.*")
+      .orderBy("col_x", "col_y")
+  }
+}

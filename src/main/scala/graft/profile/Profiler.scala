@@ -17,6 +17,8 @@ import org.apache.spark.sql.types._
   */
 object Profiler {
 
+  private[graft] def numericColumns(df: DataFrame): Seq[String] = numericCols(df)
+
   private def numericCols(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
 

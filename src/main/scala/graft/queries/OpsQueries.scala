@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{AsofJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries for the time-series/operator additions
+  * (as-of join; SURVEY §2.2). The DuckDB oracle uses its native
+  * `ASOF LEFT JOIN`, so the single-shuffle window formulation in
+  * [[graft.ops.AsofJoin]] is checked against a real independent as-of
+  * implementation, not a mirror of itself. */
+object OpsQueries {
+
+  val all: Seq[Q] = Seq(
+    // Each click matched to the user's most recent purchase at-or-before
+    // the click. Right side pre-aggregated to one row per (user, ts) so
+    // "the" as-of match is well-defined in both engines.
+    Q("events_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("pval"))
+        AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts", "ts",
+            valueCols = Seq("pval"), suffix = "_p")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("ts_p").as("purchase_ts"), col("pval_p").as("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        purch AS (
+          SELECT user_id, ts, max(value) AS pval
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS purchase_ts, p.pval AS purchase_value
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.event_id""")),
+
+    // Interval join: clicks landing inside [purchase, purchase + 1h) per
+    // user, counted per purchase (zero-click purchases kept). The bucket
+    // width equals the interval span, so each interval explodes to ≤ 2
+    // bucket rows. The DuckDB oracle is a plain inequality join — an
+    // independent implementation, not a mirror.
+    Q("events_range_join",
+      (s, dir) => {
+        val hourUs = 3600L * 1000000L
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("pus"))
+          .withColumn("end_us", col("pus") + lit(hourUs))
+        val matched = RangeJoin.intervalJoin(clicks, "cus",
+          purchases, "pus", "end_us", Seq("user_id"), bucketWidth = hourUs)
+        val counts = matched.groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_clicks"))
+        purchases.select("purchase_id")
+          .join(counts, Seq("purchase_id"), "left")
+          .select(col("purchase_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy("purchase_id")
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+        purch AS (
+          SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+          FROM events WHERE event_type = 'purchase')
+        SELECT p.purchase_id, CAST(count(c.cus) AS BIGINT) AS n_clicks
+        FROM purch p LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.cus >= p.pus AND c.cus < p.pus + 3600000000
+        GROUP BY p.purchase_id ORDER BY p.purchase_id"""))
+  )
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.profile.Profiler
+import graft.profile.{Distributions, Profiler}
 import org.apache.spark.sql.functions._
 
 /** Driver-checked queries for SURVEY §2.1 rows 1-5 (profiling). The DuckDB
@@ -122,6 +122,68 @@ object ProfileQueries {
       Some("""
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
         FROM orders GROUP BY 1
-        ORDER BY cnt DESC, o_orderpriority"""))
+        ORDER BY cnt DESC, o_orderpriority""")),
+
+    // The data behind the reference's histogram plots
+    // (m08_visuals/distributions.py:29-33, bins=30).
+    Q("profile_histogram",
+      (s, dir) => Distributions.histogram(
+        Tables.lineitem(s, dir), Seq("l_quantity", "l_extendedprice", "l_discount"), 30),
+      Some(histogramSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 30))),
+
+    // The data behind the reference's correlation heatmap
+    // (m08_visuals/summary_plots.py:60, numeric_df.corr()).
+    Q("profile_correlation",
+      (s, dir) => Distributions.correlationMatrix(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        exact = true, magExp = lineitemNumeric.toMap),
+      Some(corrSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(c => c -> lineitemNumeric.toMap.apply(c)))))
   )
+
+  /** Mirrors Distributions.histogram: same bounds, same IEEE bin/edge
+    * expression trees (the bin width and edges must be computed with the
+    * exact grouping Spark uses, or last-ulp drift flips a 4dp edge). */
+  private def histogramSql(table: String, cols: Seq[String], bins: Int): String =
+    cols.map { c =>
+      val x = s"CAST($c AS DOUBLE)"
+      s"""SELECT '$c' AS column_name, bin,
+            floor((mn + bin * w) * 1e4 + 0.5) / 1e4 AS bin_lo,
+            floor((mn + (bin + 1) * w) * 1e4 + 0.5) / 1e4 AS bin_hi,
+            CAST(count(*) AS BIGINT) AS n
+          FROM (
+            SELECT CASE WHEN mx = mn THEN 0
+                        ELSE CAST(least(${bins - 1}, floor((x - mn) / w)) AS INT) END AS bin,
+                   mn, w
+            FROM (SELECT $x AS x FROM $table WHERE $c IS NOT NULL),
+                 (SELECT min($x) AS mn, max($x) AS mx,
+                         (max($x) - min($x)) / $bins.0 AS w FROM $table))
+          GROUP BY bin, mn, w"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name, bin")
+
+  /** Mirrors Distributions.correlationMatrix's exact path: identical
+    * decimal-quantized sums, identical double recomposition tree. */
+  private def corrSql(table: String, cols: Seq[(String, Int)]): String = {
+    val pairs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1) } yield (a, b)
+    pairs.map { case ((a, ea), (b, eb)) =>
+      def m(e: Int) = s"1e${14 - e}"
+      def dsum(expr: String, e: Int) =
+        s"CAST(sum(CAST(floor(($expr) * ${m(e)} + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / ${m(e)}"
+      val xa = s"CAST($a AS DOUBLE)"; val xb = s"CAST($b AS DOUBLE)"
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+            floor(((n * sab - sa * sb) /
+              (sqrt(greatest(n * saa - sa * sa, 0.0)) *
+               sqrt(greatest(n * sbb - sb * sb, 0.0)))) * 1e4 + 0.5) / 1e4 AS corr
+          FROM (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   ${dsum(xa, ea)} AS sa, ${dsum(xb, eb)} AS sb,
+                   ${dsum(s"$xa * $xa", 2 * ea)} AS saa,
+                   ${dsum(s"$xb * $xb", 2 * eb)} AS sbb,
+                   ${dsum(s"$xa * $xb", ea + eb)} AS sab
+            FROM $table WHERE $a IS NOT NULL AND $b IS NOT NULL)"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_x, col_y")
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.profile.Distributions
+
+class DistributionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram bins uniformly, clamps max into last bin, skips nulls") {
+    val df = ((1 to 10).map(i => Some(i.toDouble)) :+ None).toDF("x")
+    val h = Distributions.histogram(df, Seq("x"), bins = 3).collect()
+    // width = 3: bins [1,4) [4,7) [7,10], value 10 clamped into bin 2
+    assert(h.map(r => r.getInt(1) -> r.getLong(4)).toMap == Map(0 -> 3, 1 -> 3, 2 -> 4))
+    assert(h.map(_.getLong(4)).sum == 10) // null excluded
+    val first = h.find(_.getInt(1) == 0).get
+    assert(first.getDouble(2) == 1.0 && first.getDouble(3) == 4.0)
+  }
+
+  test("histogram collapses a constant column into bin 0") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("x")
+    val h = Distributions.histogram(df, Seq("x"), bins = 4).collect()
+    assert(h.length == 1 && h.head.getInt(1) == 0 && h.head.getLong(4) == 3)
+  }
+
+  test("correlationMatrix: exact path recovers known correlations") {
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 1.0, -3.0 * i, 7.0))
+      .toDF("a", "b", "c", "d")
+    val m = Distributions.correlationMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", "b")) == 1.0)
+    assert(m(("a", "c")) == -1.0)
+    assert(m(("b", "c")) == -1.0)
+  }
+
+  test("correlationMatrix: exact and approx paths agree at 4dp on real data") {
+    val df = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_tax")
+    val ex = Distributions.correlationMatrix(df, cols, exact = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val ap = Distributions.correlationMatrix(df, cols, exact = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(ex.keySet == ap.keySet)
+    ex.foreach { case (k, v) => assert(math.abs(v - ap(k)) <= 2e-4, s"$k: $v vs ${ap(k)}") }
+  }
+
+  test("correlationMatrix uses pairwise-complete rows (pandas semantics)") {
+    // b's null row must drop that row from the (a,b) pair only
+    val df = Seq((1.0, Some(2.0), 1.0), (2.0, None, 2.0), (3.0, Some(1.0), 5.0))
+      .toDF("a", "b", "c")
+    val m = Distributions.correlationMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", "b")) == -1.0) // two complete rows: (1,2),(3,1) → perfectly anti
+    assert(m(("a", "c")) > 0.9)   // all three rows
+  }
+}
