@@ -1,4 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep sbt's "[success] Total time ..." epilogue off stdout so the ONE
+// JSON line printed by graft.Bench / graft.Verify stays the LAST line —
+// the bench harness parses it from a bounded tail of stdout.
+Global / showSuccess := false
 ThisBuild / version := "0.1.0"
 name := "analyst_toolkitspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
@@ -11,6 +15,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger — no "[info] " prefix on the bench/verify JSON
+// contract lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

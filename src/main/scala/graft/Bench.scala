@@ -49,10 +49,40 @@ object Bench {
       val t = if (samples.isEmpty) -1.0 else samples.min
       q.name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness that reads this output keeps only the TAIL of stdout
+    // (observed: last 2000 chars) and parses the JSON line out of that
+    // window — a long line whose head falls outside the window is
+    // unparseable. So: (1) full-precision detail on its own line first
+    // (for humans; its head may be cut, which is fine), then (2) a
+    // compact 3-decimal line LAST, hard-capped at 1900 chars by keeping
+    // the slowest queries if the full map ever outgrows the budget
+    // (JSON maps are order-insensitive). build.sbt sets showSuccess :=
+    // false so this really is the final line of stdout.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+    val full = line(results)
+    val out =
+      if (full.length <= 1900) full
+      else {
+        val slowestFirst = results.sortBy(-_._2)
+        var budget = 1900 - line(Nil).length
+        val kept = slowestFirst.takeWhile { case (k, v) =>
+          val cost = k.length + fmt(v).length + 4
+          val ok = budget - cost >= 0
+          if (ok) budget -= cost
+          ok
+        }.map(_._1).toSet
+        line(results.filter(r => kept(r._1)))
+      }
+    println(out)
     spark.stop()
   }
 }

@@ -85,7 +85,8 @@ object Profiler {
   def describe(df: DataFrame, cols: Seq[String] = Nil,
                exactQuantiles: Boolean = true,
                exactMoments: Boolean = true,
-               magExp: Map[String, Int] = Map.empty): DataFrame = {
+               magExp: Map[String, Int] = Map.empty,
+               groupCols: Seq[String] = Nil): DataFrame = {
     val targets = if (cols.nonEmpty) cols else numericCols(df)
     val derivedExp: Map[String, Int] = {
       val need = if (exactMoments) targets.filterNot(magExp.contains) else Nil
@@ -140,20 +141,28 @@ object Profiler {
           // Quantized s2 and s1² round independently, so varSamp can land
           // a few ulps below 0 for (near-)constant columns — clamp so the
           // emitted stddev is 0, not NaN (oracle SQL mirrors the clamp).
-          val varSamp = (s2 - s1 * s1 / n) / (n - lit(1.0))
+          // Sample skew needs n>2, sample kurtosis n>3, both need nonzero
+          // variance; outside that domain the ANSI divides would throw —
+          // emit null (pandas emits NaN there). In the oracle-compared
+          // queries every group is far inside the domain, so the guards
+          // never bind and need no SQL mirror.
+          val varSamp = when(n > 1, (s2 - s1 * s1 / n) / (n - lit(1.0)))
           val g1 = m3 / sqrt(m2 * m2 * m2)
           val g2 = m4 / (m2 * m2) - lit(3.0)
           (guarded(mean), sqrt(greatest(varSamp, lit(0.0))),
-            g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)),
-            ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
-              ((n + lit(1.0)) * g2 + lit(6.0)))
+            when(n > 2 && m2 > 0,
+              g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))),
+            when(n > 3 && m2 > 0,
+              ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
+                ((n + lit(1.0)) * g2 + lit(6.0))))
         } else {
           val g1 = skewness(c)
           val g2 = kurtosis(c)
           (avg(c), stddev_samp(c),
-            g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0)),
-            ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
-              ((n + lit(1.0)) * g2 + lit(6.0)))
+            when(n > 2, g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))),
+            when(n > 3,
+              ((n - lit(1.0)) / ((n - lit(2.0)) * (n - lit(3.0)))) *
+                ((n + lit(1.0)) * g2 + lit(6.0))))
         }
       struct(
         lit(name).as("column_name"),
@@ -168,10 +177,25 @@ object Profiler {
         graft.Num.dround(skewC, 4).as("skew"),
         graft.Num.dround(kurtC, 4).as("kurtosis"))
     }
-    df.agg(array(entries.toIndexedSeq: _*).as("m"))
-      .select(explode(col("m")).as("e"))
-      .select("e.*")
-      .orderBy("column_name")
+    val agged =
+      if (groupCols.isEmpty) df.agg(array(entries.toIndexedSeq: _*).as("m"))
+      else df.groupBy(groupCols.map(col): _*).agg(array(entries.toIndexedSeq: _*).as("m"))
+    agged
+      .select(groupCols.map(col) :+ explode(col("m")).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.*"): _*)
+      .orderBy((groupCols :+ "column_name").map(col): _*)
+  }
+
+  /** Per-group descriptive statistics — pandas `groupby().describe()`.
+    * One grouped aggregation pass: same exact-decimal moment discipline as
+    * [[describe]] (the magnitude exponent is derived GLOBALLY, so it bounds
+    * every group), only (group, column)-level aggregate rows shuffle. */
+  def describeBy(df: DataFrame, groupCols: Seq[String], cols: Seq[String] = Nil,
+                 exactQuantiles: Boolean = true,
+                 exactMoments: Boolean = true,
+                 magExp: Map[String, Int] = Map.empty): DataFrame = {
+    require(groupCols.nonEmpty, "describeBy needs at least one group column")
+    describe(df, cols, exactQuantiles, exactMoments, magExp, groupCols)
   }
 
   /** High-cardinality string columns (data_diag.py:85-92): string columns

@@ -37,7 +37,8 @@ object ProfileQueries {
   /** Mirrors Profiler.describe's exactMoments path: the SAME decimal power
     * sums and the SAME double expression tree (IEEE ops are deterministic
     * but not associative — grouping must match the Spark plan exactly). */
-  private def describeSql(table: String, cols: Seq[(String, Int)]): String =
+  private def describeSql(table: String, cols: Seq[(String, Int)],
+                          groupCol: Option[String] = None): String =
     cols.map { case (c, e) =>
       val x = s"CAST($c AS DOUBLE)"
       def mul(k: Int) = s"1e${14 - k * e}"
@@ -45,7 +46,9 @@ object ProfileQueries {
         val xk = Seq.fill(k)(x).mkString(" * ")
         s"CAST(sum(CAST(floor(($xk) * ${mul(k)} + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / ${mul(k)}"
       }
-      s"""SELECT '$c' AS column_name,
+      val gSel = groupCol.map(g => s"$g, ").getOrElse("")
+      val gGroup = groupCol.map(g => s" GROUP BY $g").getOrElse("")
+      s"""SELECT $gSel'$c' AS column_name,
             CAST(cnt AS BIGINT) AS n,
             floor((mean) * 1e4 + 0.5) / 1e4 AS mean,
             floor((sqrt(greatest(vs, 0.0))) * 1e4 + 0.5) / 1e4 AS stddev,
@@ -69,7 +72,7 @@ object ProfileQueries {
               FROM (
                 SELECT *, s1 / n AS mean
                 FROM (
-                  SELECT count($x) AS cnt,
+                  SELECT ${gSel}count($x) AS cnt,
                          CAST(count($x) AS DOUBLE) AS n,
                          ${powSum(1)} AS s1,
                          ${powSum(2)} AS s2,
@@ -79,8 +82,9 @@ object ProfileQueries {
                          quantile_cont($x, 0.25) AS qa,
                          quantile_cont($x, 0.5) AS qb,
                          quantile_cont($x, 0.75) AS qc
-                  FROM $table))))"""
-    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+                  FROM $table$gGroup))))"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      s"\n) ORDER BY ${groupCol.map(g => s"$g, ").getOrElse("")}column_name")
 
   val all: Seq[Q] = Seq(
     Q("profile_schema",
@@ -123,6 +127,19 @@ object ProfileQueries {
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
         FROM orders GROUP BY 1
         ORDER BY cnt DESC, o_orderpriority""")),
+
+    // pandas groupby().describe() — per-group descriptive stats in one
+    // grouped aggregation pass.
+    Q("profile_describe_by",
+      (s, dir) => Profiler.describeBy(
+        Tables.lineitem(s, dir), Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exactQuantiles = true, exactMoments = true,
+        magExp = lineitemNumeric.toMap),
+      Some(describeSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount")
+          .map(c => c -> lineitemNumeric.toMap.apply(c)),
+        groupCol = Some("l_returnflag")))),
 
     // The data behind the reference's histogram plots
     // (m08_visuals/distributions.py:29-33, bins=30).

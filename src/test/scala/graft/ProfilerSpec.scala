@@ -31,6 +31,18 @@ class ProfilerSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("skew") - 2.2324) < 0.001)
   }
 
+  test("describeBy groups stats per key and matches per-group describe") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 10.0), ("b", 20.0))
+      .toDF("g", "v")
+    val by = Profiler.describeBy(df, Seq("g"), Seq("v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(by("a").getAs[Long]("n") == 3 && by("a").getAs[Double]("mean") == 3.0)
+    assert(by("b").getAs[Double]("mean") == 15.0 && by("b").getAs[Double]("median") == 15.0)
+    // grouped output must agree with running describe on the slice
+    val solo = Profiler.describe(df.filter($"g" === "a"), Seq("v")).collect()(0)
+    assert(by("a").getAs[Double]("stddev") == solo.getAs[Double]("stddev"))
+  }
+
   test("duplicateSummary flags keep=False style duplicate rows") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4), ("a", 5))
       .toDF("k", "v")
