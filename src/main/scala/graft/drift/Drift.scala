@@ -1,6 +1,6 @@
 package graft.drift
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,5 +66,101 @@ object Drift {
     }
     joined.select(explode(array(entries.toIndexedSeq: _*)).as("e")).select("e.*")
       .orderBy("column_name")
+  }
+
+  /** Population Stability Index over fixed-width bins derived from the BASE
+    * distribution — the standard production drift score (PSI < 0.1 stable,
+    * 0.1-0.25 moderate, > 0.25 major shift). Extends the reference's
+    * mean-only numeric drift (drift.py:58-75) with a distribution-shape test.
+    *
+    * Output: one row per bin (bin_id, base_pct, target_pct, psi_term) plus
+    * the total in every row (psi_total) so a single-row consumer can slice.
+    *
+    * Scale: bounds pass is a 1-row aggregate on base; each side then
+    * aggregates to at most `bins` rows (map-side partial combine) — nothing
+    * larger than `bins` rows ever shuffles, so this runs at 100 TB as two
+    * scans. Proportions are clamped at 1e-6 before the log ratio (the
+    * standard PSI epsilon for empty bins). */
+  def psi(base: DataFrame, target: DataFrame, column: String,
+          bins: Int = 10): DataFrame = {
+    require(bins > 0, s"psi needs bins > 0, got $bins")
+    val x = col(column).cast(DoubleType)
+    val bounds = base.agg(
+      min(x).as("_gf_lo"), max(x).as("_gf_hi"), count(x).as("_gf_nb"))
+    val tgtN = target.agg(count(x).as("_gf_nt"))
+
+    // bin_id in [0, bins): fixed width over [lo, hi], top edge closed.
+    val binId: Column = {
+      val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
+      least(lit(bins - 1),
+        greatest(lit(0), floor((x - col("_gf_lo")) / width).cast("int")))
+    }
+    def binCounts(df: DataFrame, out: String): DataFrame =
+      df.filter(x.isNotNull).crossJoin(broadcast(bounds.select("_gf_lo", "_gf_hi")))
+        .groupBy(binId.as("bin_id")).agg(count(lit(1)).as(out))
+
+    val b = binCounts(base, "base_cnt")
+    val t = binCounts(target, "target_cnt")
+    val allBins = base.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin_id"))
+    val eps = lit(1e-6)
+    val joined = allBins
+      .join(b, Seq("bin_id"), "left").join(t, Seq("bin_id"), "left")
+      .crossJoin(broadcast(bounds.select("_gf_nb")))
+      .crossJoin(broadcast(tgtN))
+      .withColumn("base_pct",
+        coalesce(col("base_cnt"), lit(0L)).cast(DoubleType) / col("_gf_nb"))
+      .withColumn("target_pct",
+        coalesce(col("target_cnt"), lit(0L)).cast(DoubleType) / col("_gf_nt"))
+      .withColumn("pb", greatest(col("base_pct"), eps))
+      .withColumn("pt", greatest(col("target_pct"), eps))
+      // Terms are rounded BEFORE totaling and the total is an exact
+      // decimal sum of the rounded terms — a plain double sum is
+      // reduction-order-dependent (the Q.dsum discipline).
+      .withColumn("psi_term",
+        graft.Num.dround((col("pt") - col("pb")) * log(col("pt") / col("pb")), 6))
+    joined
+      .withColumn("psi_total",
+        sum(col("psi_term").cast(DecimalType(38, 6)))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
+          .cast(DoubleType))
+      .select(
+        col("bin_id"),
+        graft.Num.dround(col("base_pct"), 6).as("base_pct"),
+        graft.Num.dround(col("target_pct"), 6).as("target_pct"),
+        col("psi_term"),
+        col("psi_total"))
+      .orderBy("bin_id")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic: max |F_base(x) - F_target(x)|
+    * over the pooled support. Nonparametric companion to [[psi]] — no
+    * binning choice, sensitive to any distributional difference.
+    *
+    * Shape: each side pre-aggregates to (value, count) — the only row-level
+    * shuffle is on the value key with map-side combine — then one cumulative
+    * window over the DISTINCT pooled values computes both CDFs. The window
+    * is single-partition over distinct values: exact KS is inherently a
+    * sorted scan of the support, so for 100 TB columns with unbounded
+    * cardinality quantize the input first (e.g. `round(x, 4)` caps the
+    * support at 10^4 per unit range and bounds the final scan) — counts
+    * stay exact, the CDF moves by at most the quantization width. */
+  def ks(base: DataFrame, target: DataFrame, column: String): DataFrame = {
+    val x = col(column).cast(DoubleType)
+    val b = base.filter(x.isNotNull).groupBy(x.as("v")).agg(count(lit(1)).as("bc"))
+    val t = target.filter(x.isNotNull).groupBy(x.as("v")).agg(count(lit(1)).as("tc"))
+    val merged = b.join(t, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("bc"), lit(0L)).as("bc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    merged
+      .withColumn("cb", sum("bc").over(w).cast(DoubleType) / sum("bc").over(tot))
+      .withColumn("ct", sum("tc").over(w).cast(DoubleType) / sum("tc").over(tot))
+      .agg(max(abs(col("cb") - col("ct"))).as("d"))
+      .select(lit(column).as("column_name"),
+        graft.Num.dround(col("d"), 6).as("ks_stat"))
   }
 }

@@ -236,4 +236,85 @@ object Profiler {
   def valueCounts(df: DataFrame, column: String): DataFrame =
     df.groupBy(col(column)).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(column))
+
+  /** Distribution-shape profile per column: Shannon entropy (bits),
+    * normalized entropy (entropy / log2(distinct); 0 for single-valued),
+    * and the modal share. Complements the reference's cardinality checks
+    * (data_diag.py:85-92) with a concentration measure — near-0 normalized
+    * entropy on a supposedly-informative column, or a modal share near 1,
+    * is the classic silent-data-bug signal.
+    *
+    * ONE shuffle total for all requested columns: rows explode to
+    * (column_name, value) pairs, aggregate to value frequencies, then to
+    * per-column entropies — only (column, value, count) partial-aggregate
+    * state crosses the wire, never raw rows. Nulls are excluded (pandas
+    * `value_counts(dropna=True)` convention). */
+  def entropyProfile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else df.columns.toSeq
+    val pairs = df.select(explode(array(targets.map(c =>
+      struct(lit(c).as("column_name"), col(c).cast(StringType).as("value"))): _*)).as("p"))
+      .select("p.*")
+      .filter(col("value").isNotNull)
+    val ln2 = log(lit(2.0))
+    val freqs = pairs.groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
+    // Σ c·ln(c) as an exact decimal sum of per-value quantized terms (1e-4
+    // grid): a plain double sum is reduction-order-dependent, and the
+    // quantized definition is mirrored verbatim in the SQL oracle. cnt=1
+    // terms are exactly 0, so unique-valued columns contribute none; the
+    // grid keeps quantization error ≤ 5e-5·#values (invisible at the
+    // emitted 4dp for any n ≳ #values) while the gap between a term's
+    // cross-engine ln ulp (~1e-10 at c·ln(c) ~ 1e6) and the grid keeps
+    // boundary flips out of reach. The decimal→double cast of the total
+    // stays exact below a ~1e9-row·column profile; beyond that the stat
+    // drifts last-ulp only.
+    val clnc = floor(col("cnt") * log(col("cnt").cast(DoubleType)) * lit(1e4) + lit(0.5))
+      .cast(DecimalType(38, 0))
+    freqs.groupBy("column_name")
+      .agg(
+        sum("cnt").cast(LongType).as("n"),
+        count(lit(1)).cast(LongType).as("distinct_vals"),
+        max("cnt").cast(LongType).as("top_cnt"),
+        (sum(clnc).cast(DoubleType) / lit(1e4)).as("sum_clnc"))
+      .select(
+        col("column_name"), col("n"), col("distinct_vals"),
+        // H = log2(n) - (1/n)·Σ c·ln(c)/ln(2): one pass, no per-value p=c/n
+        graft.Num.dround(
+          (log(col("n").cast(DoubleType)) - col("sum_clnc") / col("n")) / ln2, 4)
+          .as("entropy_bits"),
+        graft.Num.dround(
+          when(col("distinct_vals") === 1, lit(0.0)).otherwise(
+            (log(col("n").cast(DoubleType)) - col("sum_clnc") / col("n")) /
+              log(col("distinct_vals").cast(DoubleType))), 4)
+          .as("entropy_norm"),
+        graft.Num.dround(col("top_cnt").cast(DoubleType) / col("n"), 4)
+          .as("top_ratio"))
+      .orderBy("column_name")
+  }
+
+  /** Benford first-digit profile of a positive numeric column: observed vs
+    * expected leading-digit shares — the classic fabricated-amount /
+    * unit-mix-bug detector for financial columns. The leading digit is
+    * taken from the value in exact cents (floor(100·x + 0.5) as a LONG,
+    * then first decimal digit) — string-free of double formatting, so the
+    * digit is engine-portable. Zero/negative/null values are excluded.
+    * One aggregation pass; at most 9 rows of aggregate state shuffle. */
+  def benford(df: DataFrame, column: String): DataFrame = {
+    val cents = floor(col(column).cast(DoubleType) * 100 + lit(0.5)).cast(LongType)
+    val digit = substring(cents.cast(StringType), 1, 1).cast(IntegerType)
+    val counted = df
+      .filter(col(column).isNotNull && col(column) > 0)
+      .select(cents.as("cents"), digit.as("digit"))
+      .filter(col("cents") > 0)
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    counted
+      .withColumn("pct", col("cnt").cast(DoubleType) / sum("cnt").over(tot))
+      .select(
+        col("digit"), col("cnt"),
+        graft.Num.dround(col("pct"), 4).as("pct"),
+        graft.Num.dround(
+          log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) / log(lit(10.0)), 4)
+          .as("benford_pct"))
+      .orderBy("digit")
+  }
 }

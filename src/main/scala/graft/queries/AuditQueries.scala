@@ -221,6 +221,68 @@ object AuditQueries {
         }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
       }),
 
+    // PSI over o_totalprice: base = pre-1998 orders, target = the rest.
+    Q("drift_psi",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        Drift.psi(
+          o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          "o_totalprice", bins = 10)
+      },
+      Some("""
+        WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+        tgt AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+        bounds AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS DOUBLE) AS nb FROM base),
+        nt AS (SELECT CAST(count(x) AS DOUBLE) AS n FROM tgt),
+        bb AS (SELECT least(9, greatest(0, CAST(floor((x - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin_id,
+                      count(*) AS c FROM base, bounds GROUP BY 1),
+        tb AS (SELECT least(9, greatest(0, CAST(floor((x - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin_id,
+                      count(*) AS c FROM tgt, bounds GROUP BY 1),
+        bins AS (SELECT CAST(g AS INT) AS bin_id FROM generate_series(0, 9) t(g)),
+        j AS (SELECT b.bin_id,
+                     CAST(coalesce(bb.c, 0) AS DOUBLE) / nb AS bp,
+                     CAST(coalesce(tb.c, 0) AS DOUBLE) / n AS tp
+              FROM bins b LEFT JOIN bb USING (bin_id) LEFT JOIN tb USING (bin_id), bounds, nt),
+        terms AS (SELECT bin_id, bp, tp,
+                         floor((greatest(tp, 1e-6) - greatest(bp, 1e-6))
+                             * ln(greatest(tp, 1e-6) / greatest(bp, 1e-6)) * 1e6 + 0.5) / 1e6 AS psi_term
+                  FROM j)
+        SELECT bin_id,
+               floor(bp * 1e6 + 0.5) / 1e6 AS base_pct,
+               floor(tp * 1e6 + 0.5) / 1e6 AS target_pct,
+               psi_term,
+               CAST((SELECT sum(CAST(psi_term AS DECIMAL(38,6))) FROM terms) AS DOUBLE) AS psi_total
+        FROM terms ORDER BY bin_id""")),
+
+    // Two-sample KS statistic on the same era split.
+    Q("drift_ks",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        Drift.ks(
+          o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          "o_totalprice")
+      },
+      Some("""
+        WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS bc FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        t AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS tc FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        m AS (SELECT coalesce(b.v, t.v) AS v, coalesce(bc, 0) AS bc, coalesce(tc, 0) AS tc
+              FROM b FULL OUTER JOIN t ON b.v = t.v),
+        c AS (SELECT v,
+                     CAST(sum(bc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / (SELECT CAST(sum(bc) AS DOUBLE) FROM m) AS cb,
+                     CAST(sum(tc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / (SELECT CAST(sum(tc) AS DOUBLE) FROM m) AS ct
+              FROM m)
+        SELECT 'o_totalprice' AS column_name,
+               floor(max(abs(cb - ct)) * 1e6 + 0.5) / 1e6 AS ks_stat
+        FROM c""")),
+
     Q("data_dictionary",
       (s, dir) => DataDictionary.build(Tables.customer(s, dir), exact = true),
       Some {

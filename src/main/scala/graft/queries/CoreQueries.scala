@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Core analytics substrate queries (SURVEY §2.2) — the group-by / join /
   * window / rollup engine every QA operator rides on. Plans are declarative
@@ -199,6 +199,40 @@ object CoreQueries {
         e.agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).cast(LongType).as("n_events"))
       },
-      None)
+      None),
+
+    // Rolling window-frame aggregates per user: 5-row moving average and
+    // running total over the event stream, ordered on the µs timestamp with
+    // event_id as the deterministic tiebreak. Decimal-accumulated frames
+    // (plain double window sums are frame-order-dependent cross-engine).
+    Q("events_rolling",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Seq(unix_micros(col("ts")), col("event_id"))
+        val w5 = Window.partitionBy("user_id").orderBy(ord: _*).rowsBetween(-4, 0)
+        val wc = Window.partitionBy("user_id").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(
+            col("user_id"), col("event_id"),
+            graft.Num.dround(
+              sum(col("value").cast(DecimalType(30, 6))).over(w5).cast(DoubleType)
+                / count(col("value")).over(w5), 4).as("mov_avg"),
+            round(sum(col("value").cast(DecimalType(30, 6))).over(wc), 2)
+              .cast(DoubleType).as("cum_sum"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id,
+               floor((CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w5 AS DOUBLE)
+                   / count(value) OVER w5) * 1e4 + 0.5) / 1e4 AS mov_avg,
+               CAST(round(sum(CAST(value AS DECIMAL(30,6))) OVER wc, 2) AS DOUBLE) AS cum_sum
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        WINDOW w5 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               wc AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id"""))
   )
 }

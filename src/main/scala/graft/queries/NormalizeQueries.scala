@@ -131,6 +131,44 @@ object NormalizeQueries {
         SELECT event_id,
                TRY_CAST(CASE WHEN event_id % 5 = 0 THEN 'bad'
                              ELSE CAST(user_id AS VARCHAR) END AS BIGINT) AS uid
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // Jaro-Winkler best-master scoring (native JaroWinklerSim expression),
+    // pinned cross-engine against DuckDB's jaro_winkler_similarity.
+    Q("normalize_jw",
+      (s, dir) => {
+        import graft.functions.JaroWinkler.jaroWinkler
+        val dirty = Tables.customer(s, dir)
+          .withColumn("seg",
+            when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("x")))
+              .otherwise(col("c_mktsegment")))
+          .filter(!col("seg").isin(segments: _*))
+          .select("seg").distinct()
+        val master = s.createDataFrame(segments.map(Tuple1(_))).toDF("master")
+        val scored = dirty.crossJoin(broadcast(master))
+          .withColumn("score", jaroWinkler(col("seg"), col("master")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("seg").orderBy(col("score").desc, col("master"))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+          .select(col("seg"), col("master").as("corrected"),
+            graft.Num.dround(col("score"), 4).as("score"))
+          .orderBy("seg")
+      },
+      Some(s"""
+        WITH dirty AS (
+          SELECT DISTINCT CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || 'x'
+                               ELSE c_mktsegment END AS seg
+          FROM customer),
+        unknown AS (SELECT seg FROM dirty
+                    WHERE seg NOT IN (${segments.map(v => s"'$v'").mkString(",")})),
+        master AS (SELECT * FROM (VALUES ${segments.map(v => s"('$v')").mkString(",")}) m(master)),
+        scored AS (
+          SELECT seg, master, jaro_winkler_similarity(seg, master) AS score,
+                 row_number() OVER (PARTITION BY seg
+                   ORDER BY jaro_winkler_similarity(seg, master) DESC, master) AS rnk
+          FROM unknown, master)
+        SELECT seg, master AS corrected,
+               floor(score * 1e4 + 0.5) / 1e4 AS score
+        FROM scored WHERE rnk = 1 ORDER BY seg"""))
   )
 }

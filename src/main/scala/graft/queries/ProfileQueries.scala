@@ -158,7 +158,41 @@ object ProfileQueries {
         exact = true, magExp = lineitemNumeric.toMap),
       Some(corrSql("lineitem",
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-          .map(c => c -> lineitemNumeric.toMap.apply(c)))))
+          .map(c => c -> lineitemNumeric.toMap.apply(c))))),
+
+    // Value-concentration profile: Shannon entropy + modal share per column.
+    Q("profile_entropy",
+      (s, dir) => Profiler.entropyProfile(
+        Tables.customer(s, dir), Seq("c_custkey", "c_mktsegment", "c_nationkey")),
+      Some(Seq("c_custkey", "c_mktsegment", "c_nationkey").map { c =>
+        s"""SELECT '$c' AS column_name, CAST(n AS BIGINT) AS n,
+              CAST(k AS BIGINT) AS distinct_vals,
+              floor(((ln(nd) - s / nd) / ln(2.0)) * 1e4 + 0.5) / 1e4 AS entropy_bits,
+              floor((CASE WHEN k = 1 THEN 0.0
+                          ELSE (ln(nd) - s / nd) / ln(CAST(k AS DOUBLE)) END) * 1e4 + 0.5) / 1e4 AS entropy_norm,
+              floor((CAST(top AS DOUBLE) / nd) * 1e4 + 0.5) / 1e4 AS top_ratio
+            FROM (
+              SELECT sum(cnt) AS n, CAST(sum(cnt) AS DOUBLE) AS nd,
+                     count(*) AS k, max(cnt) AS top,
+                     CAST(sum(CAST(floor(cnt * ln(CAST(cnt AS DOUBLE)) * 1e4 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS s
+              FROM (SELECT count(*) AS cnt FROM customer WHERE $c IS NOT NULL GROUP BY $c))"""
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"))),
+
+    // Benford leading-digit audit of a financial column.
+    Q("profile_benford",
+      (s, dir) => Profiler.benford(Tables.lineitem(s, dir), "l_extendedprice"),
+      Some("""
+        WITH c AS (
+          SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+              FROM c WHERE cents > 0),
+        g AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM g)
+        SELECT digit, cnt,
+               floor((CAST(cnt AS DOUBLE) / tot) * 1e4 + 0.5) / 1e4 AS pct,
+               floor((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1e4 + 0.5) / 1e4 AS benford_pct
+        FROM g, t ORDER BY digit"""))
   )
 
   /** Mirrors Distributions.histogram: same bounds, same IEEE bin/edge

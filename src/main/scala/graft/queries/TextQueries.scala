@@ -106,6 +106,43 @@ object TextQueries {
                  trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
                    '\s+', ' ', 'g')) AS norm
           FROM u)
-        SELECT min(doc_id) AS doc_id FROM n GROUP BY norm ORDER BY doc_id"""))
+        SELECT min(doc_id) AS doc_id FROM n GROUP BY norm ORDER BY doc_id""")),
+
+    // Per-document top-3 TF-IDF terms.
+    Q("text_tfidf",
+      (s, dir) => TextAnalysis.tfIdfTopTerms(
+        Tables.documents(s, dir), "doc_id", "text", k = 3),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE length(term) > 0 GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+                 CAST(tf.tf AS DOUBLE) * ln(nd / CAST(dfq.df_docs AS DOUBLE)) AS tfidf
+          FROM tf JOIN dfq USING (term), n),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+        SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, df_docs,
+               floor(tfidf * 1e4 + 0.5) / 1e4 AS tfidf
+        FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // Corpus-wide top-20 word bigrams.
+    Q("text_ngrams",
+      (s, dir) => TextAnalysis.topNgrams(Tables.documents(s, dir), "text", n = 2, k = 20),
+      Some("""
+        WITH toks AS (
+          SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l FROM documents),
+        grams AS (
+          SELECT unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+                             ELSE list_transform(generate_series(1, len(l) - 1),
+                                                 i -> l[i] || ' ' || l[i + 1]) END) AS ngram
+          FROM toks)
+        SELECT ngram, count(*) AS cnt FROM grams WHERE length(ngram) > 0
+        GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -84,4 +84,63 @@ object TextAnalysis {
 
   /** 64-bit xxhash fingerprint — faster join key at 100 TB scale. */
   def fingerprint64(c: Column): Column = xxhash64(normalizeContent(c))
+
+  /** Word n-grams as space-joined strings (n >= 1); fewer than n tokens →
+    * empty array. Single linear pass per row (one transform over an index
+    * sequence — no nested HOF re-evaluation: the token array is bound once
+    * per lambda scope). */
+  def ngrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"ngrams needs n >= 1, got $n")
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+  }
+
+  /** Corpus-wide top-k n-gram counts — the quick corpus-statistics pass of
+    * an LLM data pipeline (boilerplate detection, template spotting).
+    * Shape at 100 TB: explode → one keyed count with map-side combine (only
+    * (ngram, partial count) shuffles, never documents) → global top-k via
+    * sort-limit (Spark plans a per-partition TakeOrdered before the single
+    * final merge). Ties break on the n-gram string. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
+      .filter(length(col("ngram")) > 0)
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+
+  /** Per-document top-k terms by TF-IDF (idf = ln(N/df), raw tf) — the
+    * standard keyword/topic fingerprint of a corpus. All-relational:
+    * explode tokens → (doc, term) counts → per-term document frequency →
+    * join back → per-doc window top-k. At 100 TB both aggregations carry
+    * only keyed partial counts; the df side is a term dictionary, joined on
+    * the term key (sort-merge when it outgrows broadcast). Rank ties break
+    * on the term string, so the ordering is engine-portable wherever two
+    * terms' (tf, df) pairs differ (a tfidf tie across DIFFERENT (tf, df)
+    * pairs would need ln-ratio coincidences that integer inputs don't
+    * produce). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("_gf_n"))
+    val scored = tf.join(dfTerm, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) *
+          log(col("_gf_n").cast(DoubleType) / col("df_docs").cast(DoubleType)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df_docs"),
+        graft.Num.dround(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col(idCol), col("rank"))
+  }
 }

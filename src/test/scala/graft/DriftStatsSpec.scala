@@ -1,0 +1,41 @@
+package graft
+
+import graft.drift.Drift
+import org.apache.spark.sql.functions._
+
+class DriftStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi is ~0 for identical distributions and positive under shift") {
+    val base = (1 to 1000).map(_.toDouble).toDF("x")
+    val same = Drift.psi(base, base, "x", bins = 10).collect()
+    assert(same.length == 10)
+    same.foreach(r => assert(math.abs(r.getAs[Double]("psi_term")) < 1e-9))
+    assert(math.abs(same.head.getAs[Double]("psi_total")) < 1e-6)
+
+    val shifted = (1 to 1000).map(i => i.toDouble + 500).toDF("x")
+    val moved = Drift.psi(base, shifted, "x", bins = 10).collect()
+    assert(moved.head.getAs[Double]("psi_total") > 0.25, "major shift flagged")
+  }
+
+  test("psi bins: every bin id present, empty bins hit the epsilon clamp") {
+    val base = (1 to 100).map(_.toDouble).toDF("x")
+    val narrow = Seq.fill(50)(1.0).toDF("x") // all target mass in bin 0
+    val rows = Drift.psi(base, narrow, "x", bins = 5).collect()
+    assert(rows.map(_.getAs[Int]("bin_id")).toSeq == (0 until 5))
+    val bin0 = rows.head
+    assert(bin0.getAs[Double]("target_pct") == 1.0)
+    assert(rows.last.getAs[Double]("target_pct") == 0.0)
+    assert(rows.last.getAs[Double]("psi_term") > 0.0, "emptied bin contributes")
+  }
+
+  test("ks is 0 for identical, 1 for disjoint, in between for overlap") {
+    val a = (1 to 500).map(_.toDouble).toDF("x")
+    val b = (501 to 1000).map(_.toDouble).toDF("x")
+    assert(Drift.ks(a, a, "x").collect().head.getAs[Double]("ks_stat") == 0.0)
+    assert(Drift.ks(a, b, "x").collect().head.getAs[Double]("ks_stat") == 1.0)
+    val mixed = ((1 to 250) ++ (501 to 750)).map(_.toDouble).toDF("x")
+    val d = Drift.ks(a, mixed, "x").collect().head.getAs[Double]("ks_stat")
+    assert(d > 0.0 && d < 1.0)
+  }
+}

@@ -43,6 +43,39 @@ class ProfilerSpec extends SparkSpec {
     assert(by("a").getAs[Double]("stddev") == solo.getAs[Double]("stddev"))
   }
 
+  test("entropyProfile: uniform, constant and unique columns") {
+    val df = Seq(
+      ("a", "k", 1), ("b", "k", 2), ("c", "k", 3), ("d", "k", 4),
+      ("a", "k", 5), ("b", "k", 6), ("c", "k", 7), ("d", "k", 8))
+      .toDF("uniform4", "const", "uniq")
+    val by = Profiler.entropyProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(by("uniform4").getAs[Double]("entropy_bits") == 2.0)
+    assert(by("uniform4").getAs[Double]("entropy_norm") == 1.0)
+    assert(by("uniform4").getAs[Double]("top_ratio") == 0.25)
+    assert(by("const").getAs[Double]("entropy_bits") == 0.0)
+    assert(by("const").getAs[Double]("entropy_norm") == 0.0)
+    assert(by("const").getAs[Long]("distinct_vals") == 1)
+    assert(by("uniq").getAs[Double]("entropy_bits") == 3.0) // log2(8)
+    assert(by("uniq").getAs[Double]("top_ratio") == 0.125)
+  }
+
+  test("entropyProfile excludes nulls") {
+    val df = Seq(Some("x"), Some("x"), None, Some("y")).toDF("c")
+    val r = Profiler.entropyProfile(df, Seq("c")).collect()(0)
+    assert(r.getAs[Long]("n") == 3 && r.getAs[Long]("distinct_vals") == 2)
+  }
+
+  test("benford counts leading digits of exact cents") {
+    val df = Seq(1.0, 1.5, 19.99, 2.5, 900.0, 0.0, -5.0).toDF("amt")
+    val rows = Profiler.benford(df, "amt").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("cnt")).toMap
+    // 1.0→100, 1.5→150, 19.99→1999 lead 1; 2.5→250 lead 2; 900.0→90000 lead 9
+    assert(rows == Map(1 -> 3L, 2 -> 1L, 9 -> 1L))
+    val d1 = Profiler.benford(df, "amt").collect().head
+    assert(d1.getAs[Double]("benford_pct") == 0.3010) // log10(2)
+  }
+
   test("duplicateSummary flags keep=False style duplicate rows") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4), ("a", 5))
       .toDF("k", "v")

@@ -43,6 +43,39 @@ class TextSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("ngrams: bigrams, short docs, and blank docs") {
+    val df = Seq("a b c d", "single", "", "x y").toDF("t")
+    val out = df.select(TextAnalysis.ngrams(col("t"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b", "b c", "c d"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+    assert(out(3) == Seq("x y"))
+  }
+
+  test("topNgrams counts corpus-wide with deterministic tie-break") {
+    val df = Seq((1L, "to be or not to be"), (2L, "to be is to do")).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(df, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == ("to be", 3L))
+    assert(top.length == 3)
+  }
+
+  test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "cherry common banana"),
+      (3L, "durian common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(df, "doc_id", "text", k = 2).collect()
+    val top1 = out.filter(_.getLong(0) == 1L).minBy(_.getInt(1))
+    assert(top1.getAs[String]("term") == "apple") // tf=2, df=1: most distinctive
+    // 'common' appears in every doc: idf = ln(1) = 0 everywhere
+    assert(out.filter(_.getAs[String]("term") == "common")
+      .forall(_.getAs[Double]("tfidf") == 0.0))
+    // every doc gets exactly k (or fewer) rows, rank is 1-based dense
+    assert(out.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length) })
+  }
+
   test("exact dedup keeps smallest id per content group") {
     val df = Seq((1L, "Hello World"), (2L, "hello  world"), (3L, "unique"))
       .toDF("doc_id", "text")
