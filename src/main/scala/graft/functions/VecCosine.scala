@@ -120,20 +120,31 @@ object GraftFunctions {
     ColumnGlue.column(
       VecCosine(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
-  /** Register `vec_cosine` for SQL use in an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register `vec_cosine` + `jaro_winkler` for SQL use in an existing
+    * session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (children: Seq[Expression]) => VecCosine(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinklerSim(children.head, children(1)))
+  }
 }
 
 /** `SparkSessionExtensions` hook — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (children: Seq[Expression]) => VecCosine(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinklerSim(children.head, children(1))))
+  }
 }

@@ -57,6 +57,21 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Streaming dedup: drop repeats of `keys` arriving within the watermark
+    * delay of the first occurrence — the streaming twin of exact corpus
+    * dedup (LlmDedup.exact) for at-least-once sources, where replays and
+    * producer retries duplicate events. State is one entry per distinct
+    * key, EXPIRED once the event-time watermark passes it
+    * (`dropDuplicatesWithinWatermark`), so unlike a plain
+    * `dropDuplicates` on a stream the state store does not grow without
+    * bound. On a batch frame it degenerates to plain dropDuplicates. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           tsCol: String = "ts",
+                           delay: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** Gap-based sessionization per user: session_window keeps a session
     * open while events arrive within `gap` of the previous one. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",

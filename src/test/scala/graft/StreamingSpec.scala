@@ -42,6 +42,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getAs[Long]("n")).sum == 4)
   }
 
+  test("dedupWithinWatermark drops in-watermark replays as a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+      .withColumn("event_key", concat_ws(":", col("user_id"), col("event_type"), col("value")))
+
+    val q = StreamOps.dedupWithinWatermark(streamDf, Seq("event_key"), "ts", "2 hours")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    // first batch, then a replay batch duplicating two of the events
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_stream").collect()
+    assert(out.length == rows.length, "replayed keys suppressed by state")
+    // batch degeneration: same helper on a batch frame = dropDuplicates
+    val batch = StreamOps.dedupWithinWatermark(
+      (rows ++ rows.take(2)).toDF("ts", "event_type", "value", "user_id")
+        .withColumn("event_key", concat_ws(":", col("user_id"), col("event_type"), col("value"))),
+      Seq("event_key"))
+    assert(batch.count() == rows.length)
+  }
+
   test("sessionize runs as a streaming query with watermarked session windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
