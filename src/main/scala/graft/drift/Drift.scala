@@ -85,33 +85,40 @@ object Drift {
           bins: Int = 10): DataFrame = {
     require(bins > 0, s"psi needs bins > 0, got $bins")
     val x = col(column).cast(DoubleType)
-    val bounds = base.agg(
-      min(x).as("_gf_lo"), max(x).as("_gf_hi"), count(x).as("_gf_nb"))
-    val tgtN = target.agg(count(x).as("_gf_nt"))
+    val bounds = base.agg(min(x).as("_gf_lo"), max(x).as("_gf_hi"))
 
     // bin_id in [0, bins): fixed width over [lo, hi], top edge closed.
-    val binId: Column = {
+    // Constant base (hi == lo) → everything in bin 0: without the guard the
+    // zero width makes floor(0/0) NaN and the ANSI int cast throws.
+    def binId(v: Column): Column = {
       val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
-      least(lit(bins - 1),
-        greatest(lit(0), floor((x - col("_gf_lo")) / width).cast("int")))
+      when(col("_gf_hi") === col("_gf_lo"), lit(0)).otherwise(
+        least(lit(bins - 1),
+          greatest(lit(0), floor((v - col("_gf_lo")) / width).cast("int"))))
     }
-    def binCounts(df: DataFrame, out: String): DataFrame =
-      df.filter(x.isNotNull).crossJoin(broadcast(bounds.select("_gf_lo", "_gf_hi")))
-        .groupBy(binId.as("bin_id")).agg(count(lit(1)).as(out))
-
-    val b = binCounts(base, "base_cnt")
-    val t = binCounts(target, "target_cnt")
+    // ONE side-tagged counting pass for both frames (each side scanned
+    // once, plus the base-only bounds pass) instead of a per-side
+    // aggregate + join chain. Every non-null row lands in exactly one bin,
+    // so the side totals are recovered from the ≤bins aggregate rows by a
+    // free window sum — same integers, no extra count scans.
+    val tagged = base.filter(x.isNotNull).select(x.as("_gf_x"), lit(0).as("_gf_side"))
+      .unionByName(target.filter(x.isNotNull).select(x.as("_gf_x"), lit(1).as("_gf_side")))
+    val counts = tagged.crossJoin(broadcast(bounds))
+      .groupBy(binId(col("_gf_x")).as("bin_id")).agg(
+        count(when(col("_gf_side") === 0, 1)).as("base_cnt"),
+        count(when(col("_gf_side") === 1, 1)).as("target_cnt"))
     val allBins = base.sparkSession.range(bins.toLong)
       .select(col("id").cast("int").as("bin_id"))
     val eps = lit(1e-6)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val joined = allBins
-      .join(b, Seq("bin_id"), "left").join(t, Seq("bin_id"), "left")
-      .crossJoin(broadcast(bounds.select("_gf_nb")))
-      .crossJoin(broadcast(tgtN))
+      .join(counts, Seq("bin_id"), "left")
+      .withColumn("base_cnt", coalesce(col("base_cnt"), lit(0L)))
+      .withColumn("target_cnt", coalesce(col("target_cnt"), lit(0L)))
       .withColumn("base_pct",
-        coalesce(col("base_cnt"), lit(0L)).cast(DoubleType) / col("_gf_nb"))
+        col("base_cnt").cast(DoubleType) / sum("base_cnt").over(tot).cast(DoubleType))
       .withColumn("target_pct",
-        coalesce(col("target_cnt"), lit(0L)).cast(DoubleType) / col("_gf_nt"))
+        col("target_cnt").cast(DoubleType) / sum("target_cnt").over(tot).cast(DoubleType))
       .withColumn("pb", greatest(col("base_pct"), eps))
       .withColumn("pt", greatest(col("target_pct"), eps))
       // Terms are rounded BEFORE totaling and the total is an exact

@@ -29,6 +29,15 @@ class DriftStatsSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("psi_term") > 0.0, "emptied bin contributes")
   }
 
+  test("psi survives a constant base column (zero bin width)") {
+    val const = Seq.fill(20)(7.0).toDF("x")
+    val spread = (1 to 20).map(_.toDouble).toDF("x")
+    val rows = Drift.psi(const, spread, "x", bins = 4).collect()
+    assert(rows.length == 4)
+    assert(rows.head.getAs[Double]("base_pct") == 1.0)
+    assert(rows.head.getAs[Double]("target_pct") == 1.0) // all target in bin 0 too
+  }
+
   test("ks is 0 for identical, 1 for disjoint, in between for overlap") {
     val a = (1 to 500).map(_.toDouble).toDF("x")
     val b = (501 to 1000).map(_.toDouble).toDF("x")
