@@ -79,4 +79,41 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("llm_curation_chain")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("profile_entropy profiles every column through ONE row-level shuffle") {
+    val p = plan("profile_entropy")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    // exchanges: (column,value) aggregate state, per-column rollup, final
+    // sort — the first is the only one carrying value-level rows, and the
+    // partial HashAggregate sits before it
+    assert(p.contains("Exchange hashpartitioning(column_name"))
+  }
+
+  test("events_rolling computes all three frames over ONE window shuffle+sort") {
+    val p = plan("events_rolling")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, "frames share one Window node")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("drift_psi: three pruned scans, broadcast bounds, no row-level join") {
+    val p = plan("drift_psi")
+    assert("Scan parquet".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"))
+  }
+
+  test("text_tfidf: term aggregations are partial'd map-side before shuffling") {
+    val p = plan("text_tfidf")
+    assert("Scan parquet".r.findAllIn(p).size <= 3) // tf, df, corpus-N passes
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Exchange hashpartitioning(doc_id"))
+  }
+
+  test("normalize_jw scores only DISTINCT values against a broadcast master") {
+    val p = plan("normalize_jw")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("jaro_winkler") || p.contains("jarowinkler"),
+      "native expression present in plan")
+  }
 }
