@@ -131,4 +131,66 @@ object Distributions {
       .select("e.*")
       .orderBy("col_x", "col_y")
   }
+
+  /** Spearman rank correlation matrix (pandas `.corr(method="spearman")`),
+    * upper triangle: (col_x, col_y, rho) at 4dp, average ranks for ties,
+    * pairwise-complete rows.
+    *
+    * All-relational, no per-row ranking shuffle: each column's AVERAGE
+    * rank is computed at the VALUE level (groupBy value → cumulative count
+    * over the distinct support → rank = #smaller + (cnt+1)/2), the pair
+    * distribution is one (va, vb) keyed count, and ranks join back on the
+    * value keys — so raw rows shuffle once per pair (the pair count) and
+    * everything downstream is distinct-value-sized. Rank moments
+    * accumulate as exact DECIMALs (ranks are ½-multiples, products
+    * ¼-multiples — scales 1 and 2 are exact), making ρ
+    * reduction-order-independent and oracle-comparable. The cumulative
+    * rank window is single-partition over DISTINCT values (same scale
+    * caveat as Drift.ks: quantize unbounded-cardinality columns first).
+    * Constant columns (zero rank variance) emit null, as pandas NaN. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targets = if (cols.nonEmpty) cols else Profiler.numericColumns(df)
+    require(targets.size >= 2, "spearman needs at least two numeric columns")
+    val pairs = for {
+      (a, i) <- targets.zipWithIndex; b <- targets.drop(i + 1)
+    } yield (a, b)
+
+    val perPair = pairs.map { case (a, b) =>
+      val present = df
+        .filter(col(a).isNotNull && col(b).isNotNull)
+        .select(col(a).cast(DoubleType).as("va"), col(b).cast(DoubleType).as("vb"))
+      def ranks(vc: String, out: String): DataFrame = {
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        present.groupBy(col(vc).as("v")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(w))
+          .select(col("v").as(s"_$vc"),
+            ((col("cum") - col("cnt")).cast(DoubleType) +
+              (col("cnt").cast(DoubleType) + lit(1.0)) / lit(2.0)).as(out))
+      }
+      val pc = present.groupBy("va", "vb").agg(count(lit(1)).as("cnt"))
+      val j = pc
+        .join(ranks("va", "ra"), col("va") === col("_va"))
+        .join(ranks("vb", "rb"), col("vb") === col("_vb"))
+      def dsum(c: Column, scale: Int): Column =
+        sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+      j.agg(
+        sum("cnt").cast(DoubleType).as("n"),
+        dsum(col("cnt") * col("ra"), 1).as("sa"),
+        dsum(col("cnt") * col("rb"), 1).as("sb"),
+        dsum(col("cnt") * col("ra") * col("ra"), 2).as("saa"),
+        dsum(col("cnt") * col("rb") * col("rb"), 2).as("sbb"),
+        dsum(col("cnt") * col("ra") * col("rb"), 2).as("sab"))
+        .select(
+          lit(a).as("col_x"), lit(b).as("col_y"),
+          {
+            val num = col("n") * col("sab") - col("sa") * col("sb")
+            val va = col("n") * col("saa") - col("sa") * col("sa")
+            val vb = col("n") * col("sbb") - col("sb") * col("sb")
+            graft.Num.dround(
+              when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb))), 4).as("rho")
+          })
+    }
+    perPair.reduce(_.unionByName(_)).orderBy("col_x", "col_y")
+  }
 }

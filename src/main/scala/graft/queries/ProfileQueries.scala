@@ -160,6 +160,41 @@ object ProfileQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(c => c -> lineitemNumeric.toMap.apply(c))))),
 
+    // Spearman rank correlation (pandas .corr(method='spearman')).
+    Q("profile_spearman",
+      (s, dir) => Distributions.spearmanMatrix(
+        Tables.lineitem(s, dir), Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val pairs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1) } yield (a, b)
+        pairs.map { case (a, b) =>
+          def rankSub(c: String) =
+            s"""(SELECT v, (cum - cnt) + (cnt + 1.0) / 2.0 AS r FROM (
+                  SELECT CAST($c AS DOUBLE) AS v, count(*) AS cnt,
+                         sum(count(*)) OVER (ORDER BY CAST($c AS DOUBLE)
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1))"""
+          s"""SELECT '$a' AS col_x, '$b' AS col_y,
+                CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+                     THEN floor(((n * sab - sa * sb)
+                       / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))) * 1e4 + 0.5) / 1e4
+                     ELSE NULL END AS rho
+              FROM (
+                SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+                       CAST(sum(CAST(cnt * ra AS DECIMAL(38,1))) AS DOUBLE) AS sa,
+                       CAST(sum(CAST(cnt * rb AS DECIMAL(38,1))) AS DOUBLE) AS sb,
+                       CAST(sum(CAST(cnt * ra * ra AS DECIMAL(38,2))) AS DOUBLE) AS saa,
+                       CAST(sum(CAST(cnt * rb * rb AS DECIMAL(38,2))) AS DOUBLE) AS sbb,
+                       CAST(sum(CAST(cnt * ra * rb AS DECIMAL(38,2))) AS DOUBLE) AS sab
+                FROM (
+                  SELECT pc.cnt, ra.r AS ra, rb.r AS rb FROM
+                    (SELECT CAST($a AS DOUBLE) AS va, CAST($b AS DOUBLE) AS vb, count(*) AS cnt
+                     FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2) pc
+                    JOIN ${rankSub(a)} ra ON pc.va = ra.v
+                    JOIN ${rankSub(b)} rb ON pc.vb = rb.v))"""
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_x, col_y")
+      }),
+
     // Value-concentration profile: Shannon entropy + modal share per column.
     Q("profile_entropy",
       (s, dir) => Profiler.entropyProfile(

@@ -51,4 +51,25 @@ class DistributionsSpec extends SparkSpec {
     assert(m(("a", "b")) == -1.0) // two complete rows: (1,2),(3,1) → perfectly anti
     assert(m(("a", "c")) > 0.9)   // all three rows
   }
+
+  test("spearmanMatrix: monotone ±1, tie averaging, constant → null") {
+    // x vs exp(x): nonlinear but perfectly monotone → Spearman exactly 1
+    // (Pearson would be < 1); inverse ordering → exactly −1.
+    val df = Seq.tabulate(20)(i =>
+      (i.toDouble, math.exp(i / 3.0), -i.toDouble, 5.0))
+      .toDF("x", "expx", "neg", "const")
+    val m = Distributions.spearmanMatrix(df, Seq("x", "expx", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(m(("x", "expx")).contains(1.0))
+    assert(m(("x", "neg")).contains(-1.0))
+    assert(m(("x", "const")).isEmpty, "zero rank variance → null")
+
+    // tie averaging: [1,1,2] vs [3,5,9]: ranks a = (1.5, 1.5, 3),
+    // b = (1,2,3) → rho = (2·1.5+9·3 … ) = 0.866 at 4dp
+    val ties = Seq((1.0, 3.0), (1.0, 5.0), (2.0, 9.0)).toDF("a", "b")
+    val rho = Distributions.spearmanMatrix(ties, Seq("a", "b"))
+      .collect()(0).getDouble(2)
+    assert(math.abs(rho - 0.8660) < 1e-9)
+  }
 }
