@@ -291,6 +291,44 @@ object Profiler {
       .orderBy("column_name")
   }
 
+  /** Mutual information (bits) between categorical column pairs — the
+    * dependence detector value_counts can't see: MI ≈ 0 means knowing one
+    * column tells you nothing about the other, MI near min(H) means one
+    * determines the other (redundant column / leaked label).
+    *
+    * One row-level shuffle per pair (the joint (a,b) count); marginals and
+    * totals re-aggregate the joint frame, so everything past the first
+    * groupBy is distinct-pair-sized. Terms quantize to a 1e-4 grid and sum
+    * as exact decimals (the entropyProfile discipline) for cross-engine
+    * reduction-order independence. Null on either side drops the row
+    * (pairwise-complete). */
+  def mutualInformation(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "mutualInformation needs at least one column pair")
+    val ln2 = log(lit(2.0))
+    val perPair = pairs.map { case (a, b) =>
+      val joint = df
+        .filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).cast(StringType).as("va"), col(b).cast(StringType).as("vb"))
+        .agg(count(lit(1)).as("cnt"))
+      val ma = joint.groupBy("va").agg(sum("cnt").as("ca"))
+      val mb = joint.groupBy("vb").agg(sum("cnt").as("cb"))
+      val nRow = joint.agg(sum("cnt").as("_gf_n"))
+      // term = c·(ln(c·n) − ln(ca·cb)); both products ≤ n², exact doubles
+      val term = col("cnt") * (
+        log(col("cnt").cast(DoubleType) * col("_gf_n").cast(DoubleType)) -
+          log(col("ca").cast(DoubleType) * col("cb").cast(DoubleType)))
+      joint.join(ma, "va").join(mb, "vb").crossJoin(broadcast(nRow))
+        .agg(
+          max(col("_gf_n")).cast(LongType).as("n"),
+          (sum(floor(term * lit(1e4) + lit(0.5)).cast(DecimalType(38, 0)))
+            .cast(DoubleType) / lit(1e4)).as("s"))
+        .select(
+          lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+          graft.Num.dround(col("s") / col("n") / ln2, 4).as("mi_bits"))
+    }
+    perPair.reduce(_.unionByName(_)).orderBy("col_x", "col_y")
+  }
+
   /** Benford first-digit profile of a positive numeric column: observed vs
     * expected leading-digit shares — the classic fabricated-amount /
     * unit-mix-bug detector for financial columns. The leading digit is

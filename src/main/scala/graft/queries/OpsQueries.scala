@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, RangeJoin}
+import graft.ops.{AsofJoin, Binning, RangeJoin}
 import org.apache.spark.sql.functions._
 
 /** Driver-checked queries for the time-series/operator additions
@@ -74,6 +74,19 @@ object OpsQueries {
         SELECT p.purchase_id, CAST(count(c.cus) AS BIGINT) AS n_clicks
         FROM purch p LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.cus >= p.pus AND c.cus < p.pus + 3600000000
-        GROUP BY p.purchase_id ORDER BY p.purchase_id"""))
+        GROUP BY p.purchase_id ORDER BY p.purchase_id""")),
+
+    // pandas qcut: quartile membership of every order by total price.
+    // Exact path = ANSI ntile over the (value, key) total order, so any
+    // SQL engine reproduces it bit-for-bit.
+    Q("q_qcut",
+      (s, dir) => Binning.equalFrequency(
+        Tables.orders(s, dir), "o_totalprice", q = 4,
+        tiebreak = Seq("o_orderkey"), exact = true)
+        .select("o_orderkey", "bin").orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL
+        ORDER BY o_orderkey"""))
   )
 }

@@ -213,6 +213,35 @@ object ProfileQueries {
               FROM (SELECT count(*) AS cnt FROM customer WHERE $c IS NOT NULL GROUP BY $c))"""
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"))),
 
+    // Mutual information between categorical columns (dependence audit).
+    Q("profile_mi",
+      (s, dir) => Profiler.mutualInformation(
+        Tables.customer(s, dir),
+        Seq(("c_mktsegment", "c_nationkey"))),
+      Some("""
+        SELECT 'c_mktsegment' AS col_x, 'c_nationkey' AS col_y,
+               CAST(n AS BIGINT) AS n,
+               floor((s / n / ln(2.0)) * 1e4 + 0.5) / 1e4 AS mi_bits
+        FROM (
+          SELECT max(n) AS n,
+                 CAST(sum(CAST(floor(cnt * (ln(CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE))
+                     - ln(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1e4 + 0.5)
+                   AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS s
+          FROM (
+            SELECT j.cnt, ma.ca, mb.cb, t.n FROM
+              (SELECT CAST(c_mktsegment AS VARCHAR) AS va, CAST(c_nationkey AS VARCHAR) AS vb,
+                      count(*) AS cnt
+               FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+               GROUP BY 1, 2) j
+              JOIN (SELECT CAST(c_mktsegment AS VARCHAR) AS va, count(*) AS ca
+                    FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+                    GROUP BY 1) ma ON j.va = ma.va
+              JOIN (SELECT CAST(c_nationkey AS VARCHAR) AS vb, count(*) AS cb
+                    FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+                    GROUP BY 1) mb ON j.vb = mb.vb,
+              (SELECT count(*) AS n FROM customer
+               WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL) t))""")),
+
     // Benford leading-digit audit of a financial column.
     Q("profile_benford",
       (s, dir) => Profiler.benford(Tables.lineitem(s, dir), "l_extendedprice"),

@@ -66,6 +66,17 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 3 && r.getAs[Long]("distinct_vals") == 2)
   }
 
+  test("mutualInformation: determinism gives H bits, independence gives 0") {
+    val dep = Seq(("x", "X"), ("x", "X"), ("y", "Y"), ("y", "Y")).toDF("a", "b")
+    val m1 = Profiler.mutualInformation(dep, Seq(("a", "b"))).collect()(0)
+    assert(m1.getAs[Double]("mi_bits") == 1.0) // b determined by a, H(b)=1 bit
+
+    val indep = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")).toDF("a", "b")
+    val m2 = Profiler.mutualInformation(indep, Seq(("a", "b"))).collect()(0)
+    assert(m2.getAs[Double]("mi_bits") == 0.0)
+    assert(m2.getAs[Long]("n") == 4)
+  }
+
   test("benford counts leading digits of exact cents") {
     val df = Seq(1.0, 1.5, 19.99, 2.5, 900.0, 0.0, -5.0).toDF("amt")
     val rows = Profiler.benford(df, "amt").collect()
