@@ -291,19 +291,25 @@ object Profiler {
       .orderBy("column_name")
   }
 
-  /** Mutual information (bits) between categorical column pairs — the
-    * dependence detector value_counts can't see: MI ≈ 0 means knowing one
-    * column tells you nothing about the other, MI near min(H) means one
-    * determines the other (redundant column / leaked label).
+  /** Categorical association audit per column pair: mutual information
+    * (bits), the chi-squared statistic, its degrees of freedom, and
+    * Cramér's V — the dependence detectors value_counts can't see.
+    * MI ≈ 0 / V ≈ 0 means knowing one column tells you nothing about the
+    * other; MI near min(H) / V near 1 means one determines the other
+    * (redundant column / leaked label).
     *
     * One row-level shuffle per pair (the joint (a,b) count); marginals and
     * totals re-aggregate the joint frame, so everything past the first
-    * groupBy is distinct-pair-sized. Terms quantize to a 1e-4 grid and sum
-    * as exact decimals (the entropyProfile discipline) for cross-engine
-    * reduction-order independence. Null on either side drops the row
-    * (pairwise-complete). */
-  def mutualInformation(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
-    require(pairs.nonEmpty, "mutualInformation needs at least one column pair")
+    * groupBy is distinct-pair-sized. Chi-squared uses the zero-cell-free
+    * identity Σ obs²·n/(ca·cb) − n (absent joint cells contribute only
+    * through the −n term), so the sparse joint frame is sufficient and no
+    * expected-count cross join materializes. MI terms quantize to a 1e-4
+    * grid and sum as exact decimals (the entropyProfile discipline) for
+    * cross-engine reduction-order independence; chi-squared terms are
+    * pure rational arithmetic on counts, same quantized-sum treatment.
+    * Null on either side drops the row (pairwise-complete). */
+  def association(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "association needs at least one column pair")
     val ln2 = log(lit(2.0))
     val perPair = pairs.map { case (a, b) =>
       val joint = df
@@ -313,18 +319,38 @@ object Profiler {
       val ma = joint.groupBy("va").agg(sum("cnt").as("ca"))
       val mb = joint.groupBy("vb").agg(sum("cnt").as("cb"))
       val nRow = joint.agg(sum("cnt").as("_gf_n"))
-      // term = c·(ln(c·n) − ln(ca·cb)); both products ≤ n², exact doubles
-      val term = col("cnt") * (
+      val ka = ma.agg(count(lit(1)).as("_gf_ka"))
+      val kb = mb.agg(count(lit(1)).as("_gf_kb"))
+      // miTerm = c·(ln(c·n) − ln(ca·cb)); both products ≤ n², exact doubles
+      val miTerm = col("cnt") * (
         log(col("cnt").cast(DoubleType) * col("_gf_n").cast(DoubleType)) -
           log(col("ca").cast(DoubleType) * col("cb").cast(DoubleType)))
-      joint.join(ma, "va").join(mb, "vb").crossJoin(broadcast(nRow))
+      // chiTerm = obs²·n/(ca·cb); Σ − n is the full chi-squared
+      val chiTerm = col("cnt").cast(DoubleType) * col("cnt").cast(DoubleType) *
+        col("_gf_n").cast(DoubleType) /
+        (col("ca").cast(DoubleType) * col("cb").cast(DoubleType))
+      def qsum(c: Column): Column =
+        sum(floor(c * lit(1e4) + lit(0.5)).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / lit(1e4)
+      joint.join(ma, "va").join(mb, "vb")
+        .crossJoin(broadcast(nRow))
+        .crossJoin(broadcast(ka)).crossJoin(broadcast(kb))
         .agg(
           max(col("_gf_n")).cast(LongType).as("n"),
-          (sum(floor(term * lit(1e4) + lit(0.5)).cast(DecimalType(38, 0)))
-            .cast(DoubleType) / lit(1e4)).as("s"))
+          max(col("_gf_ka")).cast(LongType).as("ka"),
+          max(col("_gf_kb")).cast(LongType).as("kb"),
+          qsum(miTerm).as("s"),
+          qsum(chiTerm).as("schi"))
         .select(
           lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
-          graft.Num.dround(col("s") / col("n") / ln2, 4).as("mi_bits"))
+          graft.Num.dround(col("s") / col("n") / ln2, 4).as("mi_bits"),
+          graft.Num.dround(col("schi") - col("n"), 4).as("chi2"),
+          ((col("ka") - 1) * (col("kb") - 1)).cast(LongType).as("dof"),
+          graft.Num.dround(
+            when(col("ka") > 1 && col("kb") > 1, sqrt(
+              greatest(col("schi") - col("n"), lit(0.0)) /
+                (col("n") * least(col("ka") - 1, col("kb") - 1)))), 4)
+            .as("cramers_v"))
     }
     perPair.reduce(_.unionByName(_)).orderBy("col_x", "col_y")
   }

@@ -213,22 +213,31 @@ object ProfileQueries {
               FROM (SELECT count(*) AS cnt FROM customer WHERE $c IS NOT NULL GROUP BY $c))"""
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"))),
 
-    // Mutual information between categorical columns (dependence audit).
-    Q("profile_mi",
-      (s, dir) => Profiler.mutualInformation(
+    // Categorical association audit: MI + chi-squared + Cramér's V.
+    Q("profile_assoc",
+      (s, dir) => Profiler.association(
         Tables.customer(s, dir),
         Seq(("c_mktsegment", "c_nationkey"))),
       Some("""
         SELECT 'c_mktsegment' AS col_x, 'c_nationkey' AS col_y,
                CAST(n AS BIGINT) AS n,
-               floor((s / n / ln(2.0)) * 1e4 + 0.5) / 1e4 AS mi_bits
+               floor((s / n / ln(2.0)) * 1e4 + 0.5) / 1e4 AS mi_bits,
+               floor((schi - n) * 1e4 + 0.5) / 1e4 AS chi2,
+               CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+               CASE WHEN ka > 1 AND kb > 1
+                    THEN floor(sqrt(greatest(schi - n, 0.0)
+                        / (n * least(ka - 1, kb - 1))) * 1e4 + 0.5) / 1e4
+                    ELSE NULL END AS cramers_v
         FROM (
-          SELECT max(n) AS n,
+          SELECT max(n) AS n, max(ka) AS ka, max(kb) AS kb,
                  CAST(sum(CAST(floor(cnt * (ln(CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE))
                      - ln(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1e4 + 0.5)
-                   AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS s
+                   AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS s,
+                 CAST(sum(CAST(floor(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE)
+                     / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) * 1e4 + 0.5)
+                   AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS schi
           FROM (
-            SELECT j.cnt, ma.ca, mb.cb, t.n FROM
+            SELECT j.cnt, ma.ca, mb.cb, t.n, ka.ka, kb.kb FROM
               (SELECT CAST(c_mktsegment AS VARCHAR) AS va, CAST(c_nationkey AS VARCHAR) AS vb,
                       count(*) AS cnt
                FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
@@ -240,7 +249,11 @@ object ProfileQueries {
                     FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
                     GROUP BY 1) mb ON j.vb = mb.vb,
               (SELECT count(*) AS n FROM customer
-               WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL) t))""")),
+               WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL) t,
+              (SELECT count(DISTINCT c_mktsegment) AS ka FROM customer
+               WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL) ka,
+              (SELECT count(DISTINCT c_nationkey) AS kb FROM customer
+               WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL) kb))""")),
 
     // Benford leading-digit audit of a financial column.
     Q("profile_benford",

@@ -66,14 +66,19 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 3 && r.getAs[Long]("distinct_vals") == 2)
   }
 
-  test("mutualInformation: determinism gives H bits, independence gives 0") {
+  test("association: determinism gives H bits and V=1, independence gives 0") {
     val dep = Seq(("x", "X"), ("x", "X"), ("y", "Y"), ("y", "Y")).toDF("a", "b")
-    val m1 = Profiler.mutualInformation(dep, Seq(("a", "b"))).collect()(0)
+    val m1 = Profiler.association(dep, Seq(("a", "b"))).collect()(0)
     assert(m1.getAs[Double]("mi_bits") == 1.0) // b determined by a, H(b)=1 bit
+    assert(m1.getAs[Double]("chi2") == 4.0)    // 2x2 fully dependent, n=4
+    assert(m1.getAs[Long]("dof") == 1)
+    assert(m1.getAs[Double]("cramers_v") == 1.0)
 
     val indep = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")).toDF("a", "b")
-    val m2 = Profiler.mutualInformation(indep, Seq(("a", "b"))).collect()(0)
+    val m2 = Profiler.association(indep, Seq(("a", "b"))).collect()(0)
     assert(m2.getAs[Double]("mi_bits") == 0.0)
+    assert(m2.getAs[Double]("chi2") == 0.0)
+    assert(m2.getAs[Double]("cramers_v") == 0.0)
     assert(m2.getAs[Long]("n") == 4)
   }
 
