@@ -115,10 +115,16 @@ object Drift {
       .join(counts, Seq("bin_id"), "left")
       .withColumn("base_cnt", coalesce(col("base_cnt"), lit(0L)))
       .withColumn("target_cnt", coalesce(col("target_cnt"), lit(0L)))
+      // The >0 guards never bind on non-empty sides (so the oracle SQL
+      // needs no mirror); on an EMPTY side they turn a 0/0 NaN — which the
+      // ANSI decimal cast below would reject — into null, which greatest()
+      // then treats as the epsilon-clamped empty bin.
       .withColumn("base_pct",
-        col("base_cnt").cast(DoubleType) / sum("base_cnt").over(tot).cast(DoubleType))
+        when(sum("base_cnt").over(tot) > 0,
+          col("base_cnt").cast(DoubleType) / sum("base_cnt").over(tot).cast(DoubleType)))
       .withColumn("target_pct",
-        col("target_cnt").cast(DoubleType) / sum("target_cnt").over(tot).cast(DoubleType))
+        when(sum("target_cnt").over(tot) > 0,
+          col("target_cnt").cast(DoubleType) / sum("target_cnt").over(tot).cast(DoubleType)))
       .withColumn("pb", greatest(col("base_pct"), eps))
       .withColumn("pt", greatest(col("target_pct"), eps))
       // Terms are rounded BEFORE totaling and the total is an exact

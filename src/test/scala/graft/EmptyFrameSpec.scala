@@ -1,12 +1,15 @@
 package graft
 
 import graft.dedup.{Components, Duplicates, LlmDedup, MinHash}
+import graft.drift.Drift
 import graft.impute.{Imputer, Mean, Median, Mode}
 import graft.infer.ConfigInference
 import graft.normalize.{NormalizeConfig, Normalizer}
+import graft.ops.Binning
 import graft.outliers.{Clip, Iqr, Outliers, ZScore}
-import graft.profile.Profiler
+import graft.profile.{Distributions, Profiler}
 import graft.quality.{InRange, NotNull, Validator}
+import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
 
 /** Every operator must tolerate an EMPTY input frame (the reference pins
@@ -50,5 +53,23 @@ class EmptyFrameSpec extends SparkSpec {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Components.componentLabels(noPairs).count() == 0)
     assert(Components.dedupByComponent(empty, "id", noPairs).count() == 0)
+  }
+
+  test("round-4 statistics tolerate empty frames without throwing") {
+    // None of these may THROW on 0 rows; they emit empty/null-stat frames.
+    assert(Drift.ks(empty, empty, "price").collect()(0).isNullAt(1))
+    val psi = Drift.psi(empty, empty, "price", bins = 4).collect()
+    assert(psi.length == 4) // bins materialize; stats are NaN/null-safe rows
+    assert(Profiler.entropyProfile(empty, Seq("name", "price")).count() == 0)
+    assert(Profiler.benford(empty, "price").count() == 0)
+    assert(Profiler.association(empty, Seq(("name", "price")))
+      .collect()(0).isNullAt(3))
+    val rho = Distributions.spearmanMatrix(empty, Seq("id", "price")).collect()
+    assert(rho.length == 1 && rho(0).isNullAt(2))
+    assert(Binning.equalFrequency(empty, "price", 4, Seq("id")).count() == 0)
+    assert(TextAnalysis.tfIdfTopTerms(empty.withColumnRenamed("name", "text"),
+      "id", "text").count() == 0)
+    assert(TextAnalysis.topNgrams(empty.withColumnRenamed("name", "text"),
+      "text", 2, 5).count() == 0)
   }
 }
