@@ -59,7 +59,11 @@ object Bench {
     // the slowest queries if the full map ever outgrows the budget
     // (JSON maps are order-insensitive). build.sbt sets showSuccess :=
     // false so this really is the final line of stdout.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+    // emit 0,123 and break the JSON contract.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

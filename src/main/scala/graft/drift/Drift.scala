@@ -90,11 +90,14 @@ object Drift {
     // bin_id in [0, bins): fixed width over [lo, hi], top edge closed.
     // Constant base (hi == lo) → everything in bin 0: without the guard the
     // zero width makes floor(0/0) NaN and the ANSI int cast throws.
+    // Clamp in DOUBLE space BEFORE the int cast: a target outlier far
+    // outside the base range (the exact thing PSI detects) would overflow
+    // an unclamped ANSI int cast and kill the job.
     def binId(v: Column): Column = {
       val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
       when(col("_gf_hi") === col("_gf_lo"), lit(0)).otherwise(
-        least(lit(bins - 1),
-          greatest(lit(0), floor((v - col("_gf_lo")) / width).cast("int"))))
+        least(lit((bins - 1).toDouble),
+          greatest(lit(0.0), floor((v - col("_gf_lo")) / width))).cast("int"))
     }
     // ONE side-tagged counting pass for both frames (each side scanned
     // once, plus the base-only bounds pass) instead of a per-side
@@ -133,10 +136,14 @@ object Drift {
       .withColumn("psi_term",
         graft.Num.dround((col("pt") - col("pb")) * log(col("pt") / col("pb")), 6))
     joined
+      // An empty/all-null SIDE must not read as "no drift": psi_total
+      // nulls out unless both sides contributed rows (never binds on
+      // real data, so the oracle needs no mirror).
       .withColumn("psi_total",
-        sum(col("psi_term").cast(DecimalType(38, 6)))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
-          .cast(DoubleType))
+        when(sum("base_cnt").over(tot) > 0 && sum("target_cnt").over(tot) > 0,
+          sum(col("psi_term").cast(DecimalType(38, 6)))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
+            .cast(DoubleType)))
       .select(
         col("bin_id"),
         graft.Num.dround(col("base_pct"), 6).as("base_pct"),
@@ -170,8 +177,15 @@ object Drift {
       .orderBy("v").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     merged
-      .withColumn("cb", sum("bc").over(w).cast(DoubleType) / sum("bc").over(tot))
-      .withColumn("ct", sum("tc").over(w).cast(DoubleType) / sum("tc").over(tot))
+      // One-sided-empty guard: 0/0 would make the CDF NaN, and NaN flows
+      // through max/dround into a silent never-true comparison downstream.
+      // Null instead (never binds on non-empty sides; no oracle mirror).
+      .withColumn("cb",
+        when(sum("bc").over(tot) > 0,
+          sum("bc").over(w).cast(DoubleType) / sum("bc").over(tot)))
+      .withColumn("ct",
+        when(sum("tc").over(tot) > 0,
+          sum("tc").over(w).cast(DoubleType) / sum("tc").over(tot)))
       .agg(max(abs(col("cb") - col("ct"))).as("d"))
       .select(lit(column).as("column_name"),
         graft.Num.dround(col("d"), 6).as("ks_stat"))

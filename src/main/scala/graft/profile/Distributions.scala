@@ -160,15 +160,20 @@ object Distributions {
       val present = df
         .filter(col(a).isNotNull && col(b).isNotNull)
         .select(col(a).cast(DoubleType).as("va"), col(b).cast(DoubleType).as("vb"))
+      val pc = present.groupBy("va", "vb").agg(count(lit(1)).as("cnt"))
+      // Marginal value counts re-aggregate the PAIR-COUNT frame, not the
+      // raw rows: identical integers, but the raw table is scanned and
+      // shuffled once per pair instead of three times — and because all
+      // three aggregations share the pc subplan, Spark's exchange reuse
+      // can serve them from one shuffle.
       def ranks(vc: String, out: String): DataFrame = {
         val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        present.groupBy(col(vc).as("v")).agg(count(lit(1)).as("cnt"))
+        pc.groupBy(col(vc).as("v")).agg(sum("cnt").as("cnt"))
           .withColumn("cum", sum("cnt").over(w))
           .select(col("v").as(s"_$vc"),
             ((col("cum") - col("cnt")).cast(DoubleType) +
               (col("cnt").cast(DoubleType) + lit(1.0)) / lit(2.0)).as(out))
       }
-      val pc = present.groupBy("va", "vb").agg(count(lit(1)).as("cnt"))
       val j = pc
         .join(ranks("va", "ra"), col("va") === col("_va"))
         .join(ranks("vb", "rb"), col("vb") === col("_vb"))

@@ -87,7 +87,11 @@ object Profiler {
                exactMoments: Boolean = true,
                magExp: Map[String, Int] = Map.empty,
                groupCols: Seq[String] = Nil): DataFrame = {
-    val targets = if (cols.nonEmpty) cols else numericCols(df)
+    // Default targets exclude the grouping keys — pandas groupby()
+    // .describe() never profiles the keys themselves.
+    val targets =
+      if (cols.nonEmpty) cols
+      else numericCols(df).filterNot(groupCols.contains)
     val derivedExp: Map[String, Int] = {
       val need = if (exactMoments) targets.filterNot(magExp.contains) else Nil
       if (need.isEmpty) Map.empty
@@ -149,7 +153,10 @@ object Profiler {
           val varSamp = when(n > 1, (s2 - s1 * s1 / n) / (n - lit(1.0)))
           val g1 = m3 / sqrt(m2 * m2 * m2)
           val g2 = m4 / (m2 * m2) - lit(3.0)
-          (guarded(mean), sqrt(greatest(varSamp, lit(0.0))),
+          // The n>1 guard must wrap the clamp: greatest() SKIPS nulls, so
+          // greatest(null, 0.0) would turn a one-row group's undefined
+          // stddev into a confident 0.0.
+          (guarded(mean), when(n > 1, sqrt(greatest(varSamp, lit(0.0)))),
             when(n > 2 && m2 > 0,
               g1 * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))),
             when(n > 3 && m2 > 0,
@@ -343,8 +350,14 @@ object Profiler {
           qsum(chiTerm).as("schi"))
         .select(
           lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
-          graft.Num.dround(col("s") / col("n") / ln2, 4).as("mi_bits"),
-          graft.Num.dround(col("schi") - col("n"), 4).as("chi2"),
+          // greatest-clamps: term quantization can push the sums a hair
+          // below their 0 lower bound; MI and chi2 are non-negative by
+          // definition (mirrored in the oracle SQL).
+          graft.Num.dround(greatest(col("s"), lit(0.0)) / col("n") / ln2, 4)
+            .as("mi_bits"),
+          graft.Num.dround(
+            when(col("schi").isNotNull, greatest(col("schi") - col("n"), lit(0.0))), 4)
+            .as("chi2"),
           ((col("ka") - 1) * (col("kb") - 1)).cast(LongType).as("dof"),
           graft.Num.dround(
             when(col("ka") > 1 && col("kb") > 1, sqrt(

@@ -237,9 +237,9 @@ object AuditQueries {
                 WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
         bounds AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS DOUBLE) AS nb FROM base),
         nt AS (SELECT CAST(count(x) AS DOUBLE) AS n FROM tgt),
-        bb AS (SELECT least(9, greatest(0, CAST(floor((x - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin_id,
+        bb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
                       count(*) AS c FROM base, bounds GROUP BY 1),
-        tb AS (SELECT least(9, greatest(0, CAST(floor((x - lo) / ((hi - lo) / 10.0)) AS INT))) AS bin_id,
+        tb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
                       count(*) AS c FROM tgt, bounds GROUP BY 1),
         bins AS (SELECT CAST(g AS INT) AS bin_id FROM generate_series(0, 9) t(g)),
         j AS (SELECT b.bin_id,

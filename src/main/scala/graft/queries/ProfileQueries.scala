@@ -221,8 +221,8 @@ object ProfileQueries {
       Some("""
         SELECT 'c_mktsegment' AS col_x, 'c_nationkey' AS col_y,
                CAST(n AS BIGINT) AS n,
-               floor((s / n / ln(2.0)) * 1e4 + 0.5) / 1e4 AS mi_bits,
-               floor((schi - n) * 1e4 + 0.5) / 1e4 AS chi2,
+               floor((greatest(s, 0.0) / n / ln(2.0)) * 1e4 + 0.5) / 1e4 AS mi_bits,
+               floor(greatest(schi - n, 0.0) * 1e4 + 0.5) / 1e4 AS chi2,
                CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
                CASE WHEN ka > 1 AND kb > 1
                     THEN floor(sqrt(greatest(schi - n, 0.0)

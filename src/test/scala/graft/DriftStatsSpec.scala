@@ -38,6 +38,24 @@ class DriftStatsSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("target_pct") == 1.0) // all target in bin 0 too
   }
 
+  test("psi survives target outliers far outside the base range (no ANSI overflow)") {
+    val base = (1 to 100).map(_ / 100.0).toDF("x") // width 0.099/10 per bin
+    val wild = Seq(1e18, -1e18, 0.5).toDF("x")     // unclamped floor ≫ Int.MaxValue
+    val rows = Drift.psi(base, wild, "x", bins = 10).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Double]("target_pct") > 0.3)  // -1e18 clamped to bin 0
+    assert(rows.last.getAs[Double]("target_pct") > 0.3)  // 1e18 clamped to bin 9
+  }
+
+  test("one-sided-empty drift signals null, not 0/NaN") {
+    val a = (1 to 50).map(_.toDouble).toDF("x")
+    val none = Seq.empty[Double].toDF("x")
+    val psiRows = Drift.psi(none, a, "x", bins = 4).collect()
+    assert(psiRows.forall(_.isNullAt(4)), "psi_total null when base empty")
+    assert(Drift.ks(a, none, "x").collect()(0).isNullAt(1))
+    assert(Drift.ks(none, a, "x").collect()(0).isNullAt(1))
+  }
+
   test("ks is 0 for identical, 1 for disjoint, in between for overlap") {
     val a = (1 to 500).map(_.toDouble).toDF("x")
     val b = (501 to 1000).map(_.toDouble).toDF("x")

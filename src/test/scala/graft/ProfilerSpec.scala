@@ -2,6 +2,7 @@ package graft
 
 import graft.profile.Profiler
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.when
 
 class ProfilerSpec extends SparkSpec {
   import spark.implicits._
@@ -41,6 +42,20 @@ class ProfilerSpec extends SparkSpec {
     // grouped output must agree with running describe on the slice
     val solo = Profiler.describe(df.filter($"g" === "a"), Seq("v")).collect()(0)
     assert(by("a").getAs[Double]("stddev") == solo.getAs[Double]("stddev"))
+  }
+
+  test("describeBy: one-row group emits null stddev, keys excluded by default") {
+    val df = Seq(("a", 1.0, 10.0), ("a", 3.0, 20.0), ("b", 9.0, 30.0))
+      .toDF("g", "v", "w").withColumn("gnum", when($"g" === "a", 1.0).otherwise(2.0))
+    val out = Profiler.describeBy(df, Seq("gnum")) // default cols
+    assert(!out.columns.contains("gnum") ||
+      out.select("column_name").distinct().collect().map(_.getString(0)).toSet == Set("v", "w"),
+      "grouping key must not be profiled")
+    val b = Profiler.describeBy(df, Seq("g"), Seq("v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(b("b").getAs[Long]("n") == 1 && b("b").isNullAt(b("b").fieldIndex("stddev")),
+      "single-row group: stddev undefined, not 0.0")
+    assert(b("a").getAs[Double]("stddev") > 0.0)
   }
 
   test("entropyProfile: uniform, constant and unique columns") {
