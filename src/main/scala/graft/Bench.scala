@@ -28,7 +28,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: expected per-query WARNs (e.g. single-partition
+    // window notes on distinct-value CDF scans) would otherwise flood the
+    // bounded stdout tail the harness parses the JSON line from.
+    spark.sparkContext.setLogLevel("ERROR")
 
     val regs = SparkEntry.registry
     def materialize(q: graft.queries.Q): Unit =

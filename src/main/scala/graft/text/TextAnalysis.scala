@@ -86,15 +86,20 @@ object TextAnalysis {
   def fingerprint64(c: Column): Column = xxhash64(normalizeContent(c))
 
   /** Word n-grams as space-joined strings (n >= 1); fewer than n tokens →
-    * empty array. Single linear pass per row (one transform over an index
-    * sequence — no nested HOF re-evaluation: the token array is bound once
-    * per lambda scope). */
+    * empty array.
+    *
+    * Implementation note: zip_with over n shifted SLICES, not
+    * transform(sequence)(i => element_at(toks, i+o)) — a lambda that
+    * re-references the token array per element re-evaluates the split
+    * under it per element after project collapsing (O(len²) per row; the
+    * MinHash lesson, SURVEY §8). Each slice evaluates the split once, so
+    * the whole n-gram column is n linear passes. */
   def ngrams(c: Column, n: Int): Column = {
     require(n >= 1, s"ngrams needs n >= 1, got $n")
     val toks = tokens(c)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+    val len = greatest(size(toks) - lit(n - 1), lit(0))
+    val parts = (0 until n).map(i => slice(toks, lit(i + 1), len))
+    parts.reduce((acc, p) => zip_with(acc, p, (x, y) => concat_ws(" ", x, y)))
   }
 
   /** Corpus-wide top-k n-gram counts — the quick corpus-statistics pass of
