@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Sequential event analytics over an (user, ts, type) stream — funnel
+  * conversion and cohort retention, the two queries every product/events
+  * warehouse runs daily (SURVEY §2.2 family, alongside sessionize).
+  *
+  * Both operators work on the µs-integer timestamp (`unix_micros`) so the
+  * ordering matches any external engine reading the same data at µs
+  * granularity, and both reduce to per-user aggregates joined on the user
+  * key — each stage shuffles only (user, ts) pairs or smaller, co-keyed on
+  * the same column, so a 100 TB event log flows through S user-keyed
+  * aggregations for an S-step funnel with no row-level cross join and
+  * no global sort. */
+object EventAnalytics {
+
+  private def us(tsCol: String): Column = unix_micros(col(tsCol))
+
+  /** Ordered funnel: for each step i, a user qualifies if they performed
+    * `steps(i)` STRICTLY AFTER their qualifying time for step i-1 (classic
+    * first-touch funnel). Emits one row per step:
+    * (step_idx, step, n_users, pct_of_first) — pct at 4dp. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), us(tsCol).as("t"), col(typeCol).as("ty"))
+    // stage frames: (u, t_i) = earliest qualifying time per user
+    val stages = steps.zipWithIndex.tail.scanLeft(
+      e.filter(col("ty") === steps.head).groupBy("u").agg(min("t").as("t"))
+    ) { case (prev, (step, _)) =>
+      e.filter(col("ty") === step)
+        .join(prev.select(col("u"), col("t").as("tp")), "u")
+        .filter(col("t") > col("tp"))
+        .groupBy("u").agg(min("t").as("t"))
+    }
+    val counts = stages.zip(steps.zipWithIndex).map { case (df, (step, i)) =>
+      df.agg(count(lit(1)).cast(LongType).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }
+    val w = Window.orderBy("step_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts.reduce(_.unionByName(_))
+      .withColumn("pct_of_first",
+        graft.Num.dround(
+          when(first("n_users").over(w) > 0,
+            col("n_users").cast(DoubleType) /
+              first("n_users").over(w).cast(DoubleType)), 4))
+      .orderBy("step_idx")
+  }
+
+  /** Cohort retention at day granularity: users grouped by the epoch-day
+    * of their FIRST event, counted distinct on each later active day.
+    * (cohort_day, day_offset, n_users, retention_pct) — pct relative to
+    * the cohort's day-0 count. Day index = trunc(µs / 86 400 000 000):
+    * the double quotient of a µs integer sits ≥3 ulps away from the next
+    * whole day unless it IS an exact midnight (which divides exactly), so
+    * the truncation agrees with integer division in any engine. */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val e = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"),
+        (us(tsCol) / lit(86400000000L)).cast(LongType).as("d"))
+    val active = e.distinct()
+    val firstDay = active.groupBy("u").agg(min("d").as("cohort_day"))
+    val counts = active.join(firstDay, "u")
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).cast(LongType).as("n_users")) // distinct by construction
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("retention_pct",
+        graft.Num.dround(
+          when(col("day_offset") === 0, lit(1.0)).otherwise(
+            col("n_users").cast(DoubleType) /
+              first("n_users").over(w).cast(DoubleType)), 4))
+      .orderBy("cohort_day", "day_offset")
+  }
+}

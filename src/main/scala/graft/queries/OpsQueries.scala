@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Binning, RangeJoin}
+import graft.ops.{AsofJoin, Binning, EventAnalytics, RangeJoin}
 import org.apache.spark.sql.functions._
 
 /** Driver-checked queries for the time-series/operator additions
@@ -87,6 +87,53 @@ object OpsQueries {
       Some("""
         SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bin
         FROM orders WHERE o_totalprice IS NOT NULL
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // Ordered first-touch funnel view → click → purchase.
+    Q("events_funnel",
+      (s, dir) => EventAnalytics.funnel(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")),
+      Some("""
+        WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                    WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+               JOIN s0 USING (user_id)
+               WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+               JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t GROUP BY 1),
+        c AS (
+          SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM s0) AS n_users
+          UNION ALL
+          SELECT 1, 'click', (SELECT count(*) FROM s1)
+          UNION ALL
+          SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+        SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+               floor((CAST(n_users AS DOUBLE)
+                   / CAST(first_value(n_users) OVER (ORDER BY step_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4 AS pct_of_first
+        FROM c ORDER BY step_idx""")),
+
+    // Day-granularity cohort retention over the event log.
+    Q("events_retention",
+      (s, dir) => EventAnalytics.retention(Tables.events(s, dir), "user_id", "ts"),
+      Some("""
+        WITH active AS (
+          SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        fd AS (SELECT u, min(d) AS cohort_day FROM active GROUP BY 1),
+        c AS (
+          SELECT cohort_day, d - cohort_day AS day_offset, count(*) AS n_users
+          FROM active JOIN fd USING (u) GROUP BY 1, 2)
+        SELECT cohort_day, day_offset, CAST(n_users AS BIGINT) AS n_users,
+               CASE WHEN day_offset = 0 THEN 1.0
+                    ELSE floor((CAST(n_users AS DOUBLE)
+                        / CAST(first_value(n_users) OVER (PARTITION BY cohort_day
+                            ORDER BY day_offset
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE))
+                      * 1e4 + 0.5) / 1e4 END AS retention_pct
+        FROM c ORDER BY cohort_day, day_offset"""))
   )
 }
