@@ -368,6 +368,25 @@ object Profiler {
     perPair.reduce(_.unionByName(_)).orderBy("col_x", "col_y")
   }
 
+  /** Format-mask profile of a string column: uppercase→A, lowercase→a,
+    * digit→9 (punctuation/whitespace kept verbatim), then the top-k masks
+    * by frequency — the data-dictionary view that catches mixed formats
+    * (IDs with two shapes, stray whitespace, locale-formatted numbers)
+    * that dtype and range checks can't see. One keyed count; ties break on
+    * the mask string. */
+  def formatMasks(df: DataFrame, column: String, k: Int = 10): DataFrame = {
+    val mask = regexp_replace(regexp_replace(regexp_replace(
+      col(column), "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9")
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.filter(col(column).isNotNull)
+      .select(mask.as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .withColumn("pct",
+        graft.Num.dround(col("cnt").cast(DoubleType) / sum("cnt").over(tot), 4))
+      .orderBy(col("cnt").desc, col("mask"))
+      .limit(k)
+  }
+
   /** Benford first-digit profile of a positive numeric column: observed vs
     * expected leading-digit shares — the classic fabricated-amount /
     * unit-mix-bug detector for financial columns. The leading digit is

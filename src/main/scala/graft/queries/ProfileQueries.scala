@@ -255,6 +255,20 @@ object ProfileQueries {
               (SELECT count(DISTINCT c_nationkey) AS kb FROM customer
                WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL) kb))""")),
 
+    // Format-mask profile: top value shapes of the events JSON props.
+    Q("profile_masks",
+      (s, dir) => Profiler.formatMasks(Tables.events(s, dir), "props", k = 10),
+      Some("""
+        WITH m AS (
+          SELECT regexp_replace(regexp_replace(regexp_replace(
+                   props, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g') AS mask
+          FROM events WHERE props IS NOT NULL),
+        g AS (SELECT mask, count(*) AS cnt FROM m GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM g)
+        SELECT mask, cnt,
+               floor((CAST(cnt AS DOUBLE) / tot) * 1e4 + 0.5) / 1e4 AS pct
+        FROM g, t ORDER BY cnt DESC, mask LIMIT 10""")),
+
     // Benford leading-digit audit of a financial column.
     Q("profile_benford",
       (s, dir) => Profiler.benford(Tables.lineitem(s, dir), "l_extendedprice"),

@@ -97,6 +97,16 @@ class ProfilerSpec extends SparkSpec {
     assert(m2.getAs[Long]("n") == 4)
   }
 
+  test("formatMasks classifies value shapes and ranks by frequency") {
+    val df = Seq("AB-12", "CD-34", "xy 9", null, "AB-127").toDF("v")
+    val out = Profiler.formatMasks(df, "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.head == ("AA-99", 2L))
+    assert(out.toMap == Map("AA-99" -> 2L, "AA-999" -> 1L, "aa 9" -> 1L))
+    val pctTop = Profiler.formatMasks(df, "v").collect().head.getAs[Double]("pct")
+    assert(pctTop == 0.5) // 2 of 4 non-null values
+  }
+
   test("benford counts leading digits of exact cents") {
     val df = Seq(1.0, 1.5, 19.99, 2.5, 900.0, 0.0, -5.0).toDF("amt")
     val rows = Profiler.benford(df, "amt").collect()
