@@ -115,6 +115,38 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Per-document repetition signals in the spirit of the Gopher/C4
+    * quality rules: duplicate-word fraction, duplicate-bigram fraction,
+    * and mean word length. High duplicate-n-gram fractions are the
+    * canonical boilerplate/spam detector for LLM corpus filtering.
+    *
+    * Pure per-row array arithmetic — no shuffle at any size: distinct
+    * counts come from array_distinct over the token/bigram arrays (each
+    * evaluated once per row; no per-element lambda re-references an outer
+    * array), so a 100 TB corpus is one scan. Ratios are integer/integer —
+    * engine-exact. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val bgs = ngrams(c, 2)
+    val nTok = size(toks).cast(DoubleType)
+    val nBg = size(bgs).cast(DoubleType)
+    docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      graft.Num.dround(
+        (nTok - size(array_distinct(toks)).cast(DoubleType)) / nTok, 4)
+        .as("dup_word_frac"),
+      graft.Num.dround(
+        when(size(bgs) === 0, lit(0.0)).otherwise(
+          (nBg - size(array_distinct(bgs)).cast(DoubleType)) / nBg), 4)
+        .as("dup_bigram_frac"),
+      graft.Num.dround(
+        length(regexp_replace(trim(c), "\\s", "")).cast(DoubleType) / nTok, 4)
+        .as("mean_word_len"))
+      .orderBy(idCol)
+  }
+
   /** Per-document top-k terms by TF-IDF (idf = ln(N/df), raw tf) — the
     * standard keyword/topic fingerprint of a corpus. All-relational:
     * explode tokens → (doc, term) counts → per-term document frequency →

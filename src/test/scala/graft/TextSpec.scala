@@ -60,6 +60,22 @@ class TextSpec extends SparkSpec {
     assert(top.length == 3)
   }
 
+  test("repetitionSignals flags repeated words and bigrams") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),   // 1 distinct word, 1 distinct bigram
+      (2L, "all words are unique"),
+      (3L, "one")                    // no bigrams
+    ).toDF("doc_id", "text")
+    val by = TextAnalysis.repetitionSignals(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(by(1L).getAs[Double]("dup_word_frac") == 0.75)   // (4-1)/4
+    assert(by(1L).getAs[Double]("dup_bigram_frac") > 0.6)   // (3-1)/3
+    assert(by(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(by(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(by(3L).getAs[Double]("dup_bigram_frac") == 0.0)  // guarded empty
+    assert(by(3L).getAs[Double]("mean_word_len") == 3.0)
+  }
+
   test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {
     val df = Seq(
       (1L, "apple apple banana common"),
