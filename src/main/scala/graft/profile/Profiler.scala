@@ -377,12 +377,18 @@ object Profiler {
   def formatMasks(df: DataFrame, column: String, k: Int = 10): DataFrame = {
     val mask = regexp_replace(regexp_replace(regexp_replace(
       col(column), "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9")
-    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    df.filter(col(column).isNotNull)
+    val grouped = df.filter(col(column).isNotNull)
       .select(mask.as("mask"))
       .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    // Broadcast 1-row total, NOT a single-partition window: mask
+    // cardinality is unbounded (free text keeps punctuation verbatim), and
+    // a lit(1)-partitioned window would funnel every mask row through one
+    // task at scale.
+    val tot = grouped.agg(sum("cnt").as("_gf_tot"))
+    grouped.crossJoin(broadcast(tot))
       .withColumn("pct",
-        graft.Num.dround(col("cnt").cast(DoubleType) / sum("cnt").over(tot), 4))
+        graft.Num.dround(col("cnt").cast(DoubleType) / col("_gf_tot"), 4))
+      .drop("_gf_tot")
       .orderBy(col("cnt").desc, col("mask"))
       .limit(k)
   }

@@ -96,7 +96,8 @@ object OpsQueries {
         Seq("view", "click", "purchase")),
       Some("""
         WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
-                    WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+                    WHERE event_type = 'view' AND user_id IS NOT NULL
+                      AND ts IS NOT NULL GROUP BY 1),
         s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
                JOIN s0 USING (user_id)
                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t GROUP BY 1),

@@ -111,27 +111,30 @@ object TextQueries {
     // Gopher/C4-style per-doc repetition quality signals.
     Q("text_repetition",
       (s, dir) => TextAnalysis.repetitionSignals(
-        Tables.documents(s, dir), "doc_id", "text"),
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
       Some("""
         WITH t AS (
           SELECT doc_id,
                  regexp_split_to_array(lower(trim(text)), '\s+') AS l,
-                 length(regexp_replace(trim(text), '\s', '', 'g')) AS nsp
+                 length(regexp_replace(trim(text), '\s', '', 'g')) AS nsp,
+                 length(trim(text)) = 0 AS blank
           FROM documents),
         b AS (
-          SELECT doc_id, l, nsp,
+          SELECT doc_id, l, nsp, blank,
                  CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
                       ELSE list_transform(generate_series(1, len(l) - 1),
                                           i -> l[i] || ' ' || l[i + 1]) END AS bg
           FROM t)
         SELECT doc_id,
-               CAST(len(l) AS INT) AS n_tokens,
-               floor(((CAST(len(l) AS DOUBLE) - CAST(len(list_distinct(l)) AS DOUBLE))
-                   / CAST(len(l) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dup_word_frac,
-               CASE WHEN len(bg) = 0 THEN 0.0
+               CAST(CASE WHEN blank THEN 0 ELSE len(l) END AS INT) AS n_tokens,
+               CASE WHEN blank THEN 0.0
+                    ELSE floor(((CAST(len(l) AS DOUBLE) - CAST(len(list_distinct(l)) AS DOUBLE))
+                        / CAST(len(l) AS DOUBLE)) * 1e4 + 0.5) / 1e4 END AS dup_word_frac,
+               CASE WHEN blank OR len(bg) = 0 THEN 0.0
                     ELSE floor(((CAST(len(bg) AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE))
                         / CAST(len(bg) AS DOUBLE)) * 1e4 + 0.5) / 1e4 END AS dup_bigram_frac,
-               floor((CAST(nsp AS DOUBLE) / CAST(len(l) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS mean_word_len
+               CASE WHEN blank THEN 0.0
+                    ELSE floor((CAST(nsp AS DOUBLE) / CAST(len(l) AS DOUBLE)) * 1e4 + 0.5) / 1e4 END AS mean_word_len
         FROM b ORDER BY doc_id""")),
 
     // Per-document top-3 TF-IDF terms.

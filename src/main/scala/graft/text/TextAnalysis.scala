@@ -120,31 +120,35 @@ object TextAnalysis {
     * and mean word length. High duplicate-n-gram fractions are the
     * canonical boilerplate/spam detector for LLM corpus filtering.
     *
-    * Pure per-row array arithmetic — no shuffle at any size: distinct
-    * counts come from array_distinct over the token/bigram arrays (each
-    * evaluated once per row; no per-element lambda re-references an outer
-    * array), so a 100 TB corpus is one scan. Ratios are integer/integer —
-    * engine-exact. */
+    * Pure per-row array arithmetic — no shuffle at any size (callers add
+    * their own presentation sort if they want one): distinct counts come
+    * from array_distinct over the token/bigram arrays (each evaluated
+    * once per row; no per-element lambda re-references an outer array),
+    * so a 100 TB corpus is one scan. Ratios are integer/integer —
+    * engine-exact. Blank documents follow [[tokenCount]]: 0 tokens, all
+    * signals 0. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
     val toks = tokens(c)
     val bgs = ngrams(c, 2)
     val nTok = size(toks).cast(DoubleType)
     val nBg = size(bgs).cast(DoubleType)
+    val blank = length(trim(c)) === 0
     docs.select(
       col(idCol),
-      size(toks).as("n_tokens"),
+      when(blank, lit(0)).otherwise(size(toks)).as("n_tokens"),
       graft.Num.dround(
-        (nTok - size(array_distinct(toks)).cast(DoubleType)) / nTok, 4)
+        when(blank, lit(0.0)).otherwise(
+          (nTok - size(array_distinct(toks)).cast(DoubleType)) / nTok), 4)
         .as("dup_word_frac"),
       graft.Num.dround(
-        when(size(bgs) === 0, lit(0.0)).otherwise(
+        when(blank || size(bgs) === 0, lit(0.0)).otherwise(
           (nBg - size(array_distinct(bgs)).cast(DoubleType)) / nBg), 4)
         .as("dup_bigram_frac"),
       graft.Num.dround(
-        length(regexp_replace(trim(c), "\\s", "")).cast(DoubleType) / nTok, 4)
+        when(blank, lit(0.0)).otherwise(
+          length(regexp_replace(trim(c), "\\s", "")).cast(DoubleType) / nTok), 4)
         .as("mean_word_len"))
-      .orderBy(idCol)
   }
 
   /** Per-document top-k terms by TF-IDF (idf = ln(N/df), raw tf) — the
