@@ -3,6 +3,7 @@ ThisBuild / scalaVersion := "2.13.17"
 // JSON line printed by graft.Bench / graft.Verify stays the LAST line —
 // the bench harness parses it from a bounded tail of stdout.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 ThisBuild / version := "0.1.0"
 name := "analyst_toolkitspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
