@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AuditQueries, CoreQueries, DedupOutlierQueries, InferQueries, NearDupQueries, NormalizeQueries, OpsQueries, PipelineQueries, ProfileQueries, Q, SamplingQueries, TextQueries, ValidationQueries}
+import graft.queries.{AuditQueries, CoreQueries, CorpusQueries, DedupOutlierQueries, InferQueries, MixtureQueries, NearDupQueries, NormalizeQueries, OpsQueries, PipelineQueries, ProfileQueries, Q, SamplingQueries, TextQueries, ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
     CoreQueries.all ++ ProfileQueries.all ++ ValidationQueries.all ++
       NormalizeQueries.all ++ DedupOutlierQueries.all ++ AuditQueries.all ++
       TextQueries.all ++ NearDupQueries.all ++ PipelineQueries.all ++
-      InferQueries.all ++ SamplingQueries.all ++ OpsQueries.all
+      InferQueries.all ++ SamplingQueries.all ++ OpsQueries.all ++
+      CorpusQueries.all ++ MixtureQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -52,6 +52,23 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Quality-weighted deterministic sampling — keep each row with
+    * probability `weight` (its own column, clamped to [0,1]; NULL weights
+    * drop the row), decided by the same key hash as [[hashSample]] so the
+    * decision is reproducible per entity and shuffle-free at any scale.
+    * The standard curation move: weight = quality score, so low-quality
+    * documents are downsampled instead of hard-dropped (importance
+    * resampling, à la the DoReMi/quality-weighted corpus recipes). */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     seed: Long = 0L): DataFrame = {
+    val w = least(lit(1.0), greatest(lit(0.0), weight))
+    df.filter(bucket(col(keyCol), seed) < floor(w * lit(Buckets.toDouble)).cast("long"))
+  }
+
+  /** SQL fragment mirroring [[weightedSample]]'s keep predicate. */
+  def sqlWeightedKeep(key: String, weightExpr: String, seed: Long = 0L): String =
+    s"${sqlBucket(key, seed)} < CAST(floor(least(1.0, greatest(0.0, $weightExpr)) * $Buckets) AS BIGINT)"
+
   /** SQL fragment mirroring [[bucket]] for a DuckDB oracle. Spark's
     * `pmod` is always non-negative while ANSI `%` is sign-preserving, so
     * the mirror must wrap the remainder back into [0, Buckets) or the two

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Quota, Sampling}
+import graft.sim.SemDedup
+import graft.text.CorpusOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Driver-checked queries for the corpus-curation operators (segment-level
+  * dedup, benchmark decontamination, PII scan, semantic dedup, weighted
+  * sampling). Duplicates/contamination/PII are planted deterministically in
+  * the query so the semantics are exercised on any testdata snapshot.
+  */
+object CorpusQueries {
+
+  /** documents ∪ exact clones (doc_id + 1000000) — every clone's segments
+    * all duplicate the original's. */
+  private def clonedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** DuckDB fragment: word `n`-grams of token array `l` as space-joined
+    * strings (mirrors [[graft.text.TextAnalysis.ngrams]]). */
+  private def sqlNgrams(l: String, n: Int): String = {
+    val joined = (0 until n).map(i => s"$l[i + $i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($l) < $n THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(generate_series(1, len($l) - ${n - 1}), i -> $joined) END"""
+  }
+
+  private val sqlToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  val all: Seq[Q] = Seq(
+    // C4-style duplicate-span removal over 10-token segments; clones are
+    // planted so every 5th doc's segments recur and the clone keeps none.
+    Q("dedup_segments",
+      (s, dir) => CorpusOps.segmentDedup(clonedDocs(s, dir), "doc_id", "text",
+        window = 10).orderBy("doc_id"),
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        t AS (SELECT doc_id, $sqlToks AS l FROM u),
+        e AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS p, l FROM t),
+        tk AS (SELECT doc_id, p - 1 AS pos, l[p] AS tok FROM e WHERE length(l[p]) > 0),
+        segs AS (
+          SELECT doc_id, CAST(floor(pos / 10.0) AS INT) AS seg_id,
+                 string_agg(tok, ' ' ORDER BY pos) AS segment
+          FROM tk GROUP BY 1, 2),
+        stats AS (
+          SELECT segment, count(*) AS cnt,
+                 min(doc_id * ${CorpusOps.SegRank} + seg_id) AS first_rank
+          FROM segs GROUP BY 1),
+        j AS (
+          SELECT s.doc_id, s.seg_id, s.segment,
+                 (st.cnt = 1 OR s.doc_id * ${CorpusOps.SegRank} + s.seg_id = st.first_rank) AS keep
+          FROM segs s JOIN stats st USING (segment))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(segment, ' ' ORDER BY seg_id) FILTER (WHERE keep), '')) AS kept_hash
+        FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Benchmark decontamination: docs ≡ 0 (mod 17) form the benchmark;
+    // corpus docs ≡ 1 (mod 17) get the preceding benchmark doc's text
+    // appended, so they must surface with ≥ (tokens-7) overlapping 8-grams.
+    Q("decontaminate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val bench = d.filter(col("doc_id") % 17 === 0)
+        val tainted = bench.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("_gf_btext"))
+        val corpus = d.filter(col("doc_id") % 17 =!= 0)
+          .join(tainted, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            concat(col("text"),
+              when(col("_gf_btext").isNotNull, concat(lit(" "), col("_gf_btext")))
+                .otherwise(lit(""))).as("text"))
+        CorpusOps.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+        corpus AS (
+          SELECT c.doc_id,
+                 c.text || CASE WHEN b.text IS NOT NULL THEN ' ' || b.text ELSE '' END AS text
+          FROM documents c LEFT JOIN bench b ON b.doc_id + 1 = c.doc_id
+          WHERE c.doc_id % 17 <> 0),
+        bg AS (
+          SELECT DISTINCT gram FROM (
+            SELECT unnest(${sqlNgrams("l", 8)}) AS gram
+            FROM (SELECT $sqlToks AS l FROM bench))
+          WHERE length(gram) > 0),
+        cg AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(${sqlNgrams("l", 8)}) AS gram
+            FROM (SELECT doc_id, $sqlToks AS l FROM corpus))
+          WHERE length(gram) > 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM cg JOIN bg USING (gram)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII scan/redaction: every 7th doc gets a synthetic email + IPv4 + SSN
+    // appended; counts and the redacted-text hash must match per row.
+    Q("text_pii",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@mail.example.com from 192.168."),
+                (col("doc_id") % 256).cast("string"),
+                lit(".17 ssn 123-45-6789"))).otherwise(lit(""))).as("text"))
+        CorpusOps.piiSignals(d, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                        '@mail.example.com from 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
+                        '.17 ssn 123-45-6789'
+                   ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')) AS redacted_hash
+        FROM t ORDER BY doc_id""")),
+
+    // SemDedup: scaled clones (same direction => cosine 1) of every 10th
+    // vector quantize into the same IVF cell and must be dropped; the
+    // survivor set is exactly the original corpus. Rows-only (LSH-style
+    // pipelines are not ANSI-SQL-expressible); gate in SemDedupSpec.
+    Q("dedup_semantic",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val clones = e.filter(col("vec_id") % 10 === 0).select(
+          (col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+        SemDedup.dedup(e.unionByName(clones), "vec_id", "embedding",
+            k = 16, threshold = 0.999)
+          .select("vec_id").orderBy("vec_id")
+      },
+      None),
+
+    // The modern curation pipeline in ONE lazy plan, composing this round's
+    // operators end-to-end: PII redaction -> quality + language gates ->
+    // exact dedup -> benchmark decontamination (anti-join) -> per-source
+    // quota cap -> quality-weighted subsample. Every stage is gated
+    // individually elsewhere; this pins their composition. Rows-only
+    // (decontamination + redaction chain is exercised against planted
+    // inputs in its own oracle queries).
+    Q("llm_curation_full",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+        val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text", graft.text.CorpusOps.redact(col("text")))
+        val gated = corpus
+          .filter(graft.text.TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+            graft.text.TextAnalysis.languageId(col("text")) === "en")
+        val exact = graft.dedup.LlmDedup.exact(gated, "text", "doc_id")
+        val contaminated = CorpusOps.decontaminate(exact, bench, "doc_id", "text", n = 8)
+        val clean = exact.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+        val capped = Quota.capPerGroup(clean, "source", "doc_id", n = 20)
+        Sampling.weightedSample(capped, "doc_id",
+            least(lit(1.0),
+              graft.text.TextAnalysis.tokenCount(col("text")).cast(DoubleType) / lit(60.0)))
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
+    // Quality-weighted deterministic sampling: keep probability scales with
+    // document length (min(1, n_chars/1000)).
+    Q("sample_weighted",
+      (s, dir) => Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+          least(lit(1.0), col("n_chars").cast(DoubleType) / lit(1000.0)))
+        .select("doc_id", "n_chars").orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE ${Sampling.sqlWeightedKeep("doc_id", "least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)")}
+        ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Packing, Quota}
+import graft.text.{Mixture, TextAnalysis, Vocab}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries for the corpus-composition operators: per-source
+  * quota caps, mixture planning, sequence packing, vocabulary coverage. */
+object MixtureQueries {
+
+  /** DuckDB token count matching [[TextAnalysis.tokenCount]]. */
+  private val sqlTok =
+    """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)"""
+
+  val all: Seq[Q] = Seq(
+    // Anti-domination quota: at most 10 docs per source, hash-selected.
+    Q("sample_quota",
+      (s, dir) => Quota.capPerGroup(Tables.documents(s, dir),
+          "source", "doc_id", n = 10)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, source FROM documents
+        QUALIFY ${Quota.sqlQualify("source", "doc_id", 10)}
+        ORDER BY doc_id""")),
+
+    // Mixture plan: per-source composition + uniform-weight sampling rates
+    // toward half the corpus tokens.
+    Q("corpus_mixture",
+      (s, dir) => Mixture.plan(Tables.documents(s, dir), "source", "text",
+          budgetFrac = 0.5)
+        .orderBy("source"),
+      Some(s"""
+        WITH per_source AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 sum($sqlTok) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_tokens) AS total, CAST(count(*) AS BIGINT) AS nsrc
+                FROM per_source)
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               floor((CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS token_share,
+               floor(least(1.0, (0.5 * CAST(total AS DOUBLE) / CAST(nsrc AS DOUBLE))
+                 / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS sample_rate
+        FROM per_source, tot ORDER BY source""")),
+
+    // Sequence packing into 512-token bins, sharded by source.
+    Q("pack_sequences",
+      (s, dir) => Packing.packStats(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.tokenCount(col("text")).as("n_tok")),
+          "source", "doc_id", "n_tok", budget = 512)
+        .orderBy("source", "bin"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id, n_tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d),
+        b AS (SELECT source, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+                     n_tok
+              FROM c)
+        SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               floor((CAST(sum(n_tok) AS DOUBLE) / 512.0) * 1e4 + 0.5) / 1e4 AS fill_frac
+        FROM b GROUP BY source, bin ORDER BY source, bin""")),
+
+    // Vocabulary coverage: top-50 terms + cumulative corpus-token share.
+    Q("vocab_coverage",
+      (s, dir) => Vocab.coverage(Tables.documents(s, dir), "text", k = 50)
+        .orderBy("rank"),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        counts AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+          WHERE length(term) > 0 GROUP BY term),
+        tot AS (SELECT sum(cnt) AS total FROM counts),
+        top AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 50)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
+               term, cnt,
+               floor((CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cum_share
+        FROM top, tot ORDER BY rank"""))
+  )
+}

@@ -1,0 +1,50 @@
+package graft.sim
+
+import graft.dedup.Components
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDedup-style semantic deduplication: cluster embeddings with the IVF
+  * coarse quantizer, find within-cluster pairs above a cosine threshold,
+  * and keep one representative (min id) per connected component of the
+  * pair graph — the embedding-space analogue of MinHash+components for
+  * text (see Abbas et al., "SemDeDup", 2023, for the published recipe this
+  * follows: k-means cells + within-cell cosine pruning).
+  *
+  * Scale shape: the candidate set is the per-cluster self-join, so the
+  * shuffle key is the cluster id and only same-cell pairs pay a cosine.
+  * Cost is O(n · cellSize) when `k` is sized so cells hold a bounded
+  * number of vectors — size `k ≈ n / targetCell` exactly like
+  * [[Similarity.adaptivePlanes]] sizes sign bits; a fixed small `k` at
+  * growing n degenerates quadratically. Pairs whose members quantize into
+  * different cells are missed (recall < 1) — the standard trade; raise
+  * recall with more Lloyd iterations or a multi-probe variant.
+  */
+object SemDedup {
+
+  /** Within-cell candidate pairs with exact cosine >= threshold
+    * (id_a < id_b), over a trained [[Ivf.IvfIndex]]. */
+  def pairs(index: Ivf.IvfIndex, threshold: Double): DataFrame = {
+    val a = index.indexed.select(col("_gf_cid"), col("_gf_id").as("id_a"),
+      col("_gf_v").as("_gf_va"))
+    val b = index.indexed.select(col("_gf_cid"), col("_gf_id").as("id_b"),
+      col("_gf_v").as("_gf_vb"))
+    a.join(b, Seq("_gf_cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.Num.dround(Similarity.cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Keep one representative per semantic-duplicate component: train a
+    * `k`-cell index, collect within-cell pairs above `threshold`, label
+    * components, drop every non-min-id member. Vectors with no
+    * near-duplicate are kept untouched. */
+  def dedup(corpus: DataFrame, idCol: String, vecCol: String,
+            k: Int, threshold: Double = 0.95, iters: Int = 2,
+            seed: Long = 42L): DataFrame = {
+    val index = Ivf.train(corpus, idCol, vecCol, k, iters, seed)
+    Components.dedupByComponent(corpus, idCol,
+      pairs(index, threshold).select("id_a", "id_b"))
+  }
+}

@@ -72,6 +72,17 @@ object StreamOps {
       events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Stream-static enrichment: equi-join each micro-batch against a static
+    * dimension frame (the classic "decorate events with account/geo
+    * attributes" step). The static side is marked broadcast — it is
+    * re-resolved per micro-batch and never becomes stream state, so there
+    * is no watermark requirement and no state store growth; left join
+    * keeps events whose key has no dimension row yet (emitting null
+    * attributes) rather than silently dropping them. On a batch frame it
+    * is the same broadcast join. */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Gap-based sessionization per user: session_window keeps a session
     * open while events arrive within `gap` of the previous one. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",

@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-level curation operators for LLM training-data pipelines, beyond
+  * the per-document signals in [[TextAnalysis]]: duplicate-span removal
+  * (C4-style), benchmark decontamination (n-gram overlap), and PII
+  * scanning/redaction.
+  *
+  * All three are pure DataFrame compositions: the only shuffles are keyed
+  * aggregations/joins on span or n-gram keys (map-side combined), never on
+  * document text, so each scales to corpus-sized inputs. (The reference
+  * repo has no corpus module; these extend its QA surface the way its
+  * duplicate/validation modules treat tabular rows.)
+  */
+object CorpusOps {
+
+  /** C4-style duplicate-span removal, expressed over non-overlapping
+    * windows of `window` consecutive tokens ("segments"): any segment whose
+    * exact token sequence occurs elsewhere in the corpus is removed unless
+    * this occurrence is the globally first one (min (doc, segment-index)).
+    *
+    * Returns one row per non-blank document:
+    * (id, n_segments, n_kept, kept_hash) where kept_hash is the md5 of the
+    * surviving segments re-joined in order — callers wanting the cleaned
+    * text itself re-join the same frame without the hash.
+    *
+    * Scale shape: posexplode(tokens) → one (doc, segment) aggregation →
+    * one keyed count over segment text → equi-join back → one per-doc
+    * aggregation. Segment frequency and first-occurrence rank ride a
+    * single groupBy with map-side partial aggregation; documents are never
+    * replicated, and nothing is collected to the driver.
+    *
+    * The first-occurrence rank is `id * SegRank + segment-index`, which
+    * requires ids below ~9e12 and fewer than [[SegRank]] segments per doc
+    * (enforced) so external SQL engines reproduce the exact BIGINT.
+    */
+  val SegRank = 1000000L
+
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 10): DataFrame = {
+    require(window >= 1, s"segment window must be >= 1, got $window")
+    val toks = docs
+      .select(col(idCol).as("_gf_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_gf_pos", "_gf_tok")))
+      .filter(length(col("_gf_tok")) > 0)
+    val segs = toks
+      .groupBy(col("_gf_id"),
+        floor(col("_gf_pos") / lit(window)).cast("int").as("_gf_seg"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_gf_pos"), col("_gf_tok")))),
+          s => s.getField("_gf_tok")), " ").as("_gf_segment"))
+    // Rank preconditions are enforced, not assumed: a doc with >= SegRank
+    // segments or an id outside [0, Long.Max/SegRank] would silently
+    // corrupt the packed rank (range collision / Long overflow) and elect
+    // the wrong "first" occurrence — fail loudly instead.
+    val maxId = Long.MaxValue / SegRank
+    val idL = col("_gf_id").cast(LongType)
+    val rank = when(col("_gf_seg") >= lit(SegRank) || idL < 0 || idL > lit(maxId),
+        raise_error(concat(lit("graft: segmentDedup rank precondition violated (id "),
+          idL.cast("string"), lit(", segment "), col("_gf_seg").cast("string"),
+          lit(s") — need 0 <= id <= $maxId and < $SegRank segments/doc"))).cast(LongType))
+      .otherwise(idL * lit(SegRank) + col("_gf_seg"))
+    // Frequency keyed on the 64-bit segment hash, not the segment text: the
+    // count shuffle then carries 8-byte keys instead of window-sized
+    // strings. (Standard 64-bit-fingerprint trade: a collision merges two
+    // distinct segments — ~n²/2⁶⁵, negligible at corpus scale.)
+    val withHash = segs.withColumn("_gf_h", xxhash64(col("_gf_segment")))
+    val stats = withHash
+      .groupBy("_gf_h")
+      .agg(count(lit(1)).as("_gf_cnt"), min(rank).as("_gf_first"))
+    val keep = col("_gf_cnt") === 1 || rank === col("_gf_first")
+    withHash.join(stats, "_gf_h")
+      .groupBy(col("_gf_id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("_gf_seg"), col("_gf_segment"))))),
+            s => s.getField("_gf_segment")), " ").cast("binary")).as("kept_hash"))
+  }
+
+  /** Benchmark decontamination: for each corpus document, the number of
+    * distinct word `n`-grams it shares with the benchmark set — the
+    * standard held-out-eval overlap check (GPT-2/GPT-3-style n-gram
+    * decontamination). Returns (id, n_overlap) for documents with at least
+    * one shared n-gram; callers anti-join this against the corpus to drop
+    * or quarantine contaminated documents.
+    *
+    * Scale shape: both sides explode to distinct n-grams (map-side
+    * combined dedup), then one equi-join on the gram key and one per-doc
+    * count. The benchmark side is a gram dictionary — Catalyst broadcasts
+    * it while it fits and falls back to a sort-merge join beyond that; the
+    * corpus text itself never rides a shuffle. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
+      .filter(length(col("_gf_gram")) > 0)
+      .distinct()
+    corpus
+      .select(col(idCol).as("_gf_id"),
+        explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
+      .filter(length(col("_gf_gram")) > 0)
+      .distinct()
+      .join(benchGrams, "_gf_gram")
+      .groupBy(col("_gf_id").as(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** PII patterns deliberately restricted to the regex subset Java and
+    * RE2-family engines interpret identically (char classes, bounded
+    * repetition, \b word boundaries — no lookaround, no backrefs). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val SsnPattern   = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Redaction order is part of the contract: emails first (an address can
+    * contain digit runs an IP/SSN pattern would otherwise bite into), then
+    * IPs, then SSNs. */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      SsnPattern, "<SSN>")
+
+  /** Per-document PII scan: match counts per category plus the md5 of the
+    * redacted text (the artifact a pipeline persists; the raw redacted
+    * text is [[redact]] applied directly). Pure per-row regex projection —
+    * codegen'd, no shuffle at any scale. */
+  def piiSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_count(c, lit(EmailPattern)).as("n_email"),
+      regexp_count(c, lit(Ipv4Pattern)).as("n_ip"),
+      regexp_count(c, lit(SsnPattern)).as("n_ssn"),
+      md5(redact(c).cast("binary")).as("redacted_hash"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Training-mixture planning: per-source corpus composition and the
+  * deterministic sampling rates that hit a target token budget under given
+  * mixture weights — the "data recipe" step of an LLM pipeline (cf. the
+  * published DoReMi / Pile / RefinedWeb mixture tables).
+  *
+  * One aggregation pass over (source → doc/token counts); everything after
+  * is arithmetic on one row per source (dimension-sized, broadcastable).
+  * The rates feed [[graft.ops.Sampling.weightedSample]] keyed per document
+  * for the actual draw, keeping the whole path shuffle-free and
+  * reproducible.
+  */
+object Mixture {
+
+  /** Per-source mixture plan: document/token counts, the source's current
+    * share of corpus tokens, and the sampling rate `min(1, budget·w /
+    * tokens)` toward `budgetFrac` of total corpus tokens under uniform
+    * weights (pass explicit weights by joining your own weight column —
+    * rates compose multiplicatively).
+    */
+  def plan(docs: DataFrame, sourceCol: String, textCol: String,
+           budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac $budgetFrac not in (0,1]")
+    val perSource = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("_gf_total"),
+      count(lit(1)).as("_gf_nsrc"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        graft.Num.dround(
+          col("n_tokens").cast(DoubleType) / col("_gf_total").cast(DoubleType), 6)
+          .as("token_share"),
+        graft.Num.dround(
+          least(lit(1.0),
+            (lit(budgetFrac) * col("_gf_total").cast(DoubleType) /
+              col("_gf_nsrc").cast(DoubleType)) / col("n_tokens").cast(DoubleType)), 6)
+          .as("sample_rate"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.Sampling
+import graft.sim.SemDedup
+import graft.text.CorpusOps
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("segmentDedup removes recurring segments, keeps first occurrence") {
+    // doc 1: 20 tokens (segments s0 s1); doc 2 repeats doc 1's first
+    // segment then adds 10 unique tokens; doc 3 is fully unique.
+    val seg = (c: Char) => (0 until 10).map(i => s"$c$i").mkString(" ")
+    val docs = Seq(
+      (1L, seg('a') + " " + seg('b')),
+      (2L, seg('a') + " " + seg('c')),
+      (3L, seg('d'))).toDF("doc_id", "text")
+    val out = CorpusOps.segmentDedup(docs, "doc_id", "text", window = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    // doc 2's kept content is exactly its unique second segment
+    val hashC = CorpusOps.segmentDedup(Seq((9L, seg('c'))).toDF("doc_id", "text"),
+      "doc_id", "text", window = 10).select("kept_hash").as[String].head()
+    assert(out(1).getString(3) === hashC)
+  }
+
+  test("segmentDedup keeps a partial trailing segment and skips blank docs") {
+    val docs = Seq((1L, "x0 x1 x2"), (2L, "   ")).toDF("doc_id", "text")
+    val out = CorpusOps.segmentDedup(docs, "doc_id", "text", window = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length === 1) // blank doc has no tokens, so no row
+    assert((out(0).getLong(1), out(0).getLong(2)) === ((2L, 2L)))
+  }
+
+  test("segmentDedup fails loudly when the rank precondition is violated") {
+    // id beyond Long.MaxValue/SegRank would overflow the packed rank
+    val docs = Seq((Long.MaxValue / 100L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      CorpusOps.segmentDedup(docs, "doc_id", "text", window = 2).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("precondition")),
+      s"expected precondition failure, got: $msgs")
+  }
+
+  test("decontaminate counts distinct shared n-grams per corpus doc") {
+    val bench = Seq((100L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx one two three four five six seven eight nine yy"), // 2 shared 8-grams
+      (2L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
+  test("piiSignals counts and redacts email, ip, ssn") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d-e@f.org ip 10.0.0.1 ssn 123-45-6789"),
+      (2L, "clean text, no pii 1234 5.5")).toDF("doc_id", "text")
+    val out = CorpusOps.piiSignals(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) === ((2, 1, 1)))
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) === ((0, 0, 0)))
+    val red = docs.select(CorpusOps.redact(col("text")).as("r"))
+      .orderBy("r").as[String].collect()
+    assert(red.contains("mail <EMAIL> and <EMAIL> ip <IP> ssn <SSN>"))
+  }
+
+  test("semantic dedup drops scaled clones, keeps originals") {
+    // 20 well-separated random-ish vectors + scaled clones of 5 of them
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 20).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val clones = base.take(5).map { case (id, v) => (id + 1000L, v.map(_ * 2.0f)) }
+    val df = (base ++ clones).toDF("vec_id", "embedding")
+    val kept = SemDedup.dedup(df, "vec_id", "embedding", k = 4, threshold = 0.999)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq === (0L until 20L))
+  }
+
+  test("weightedSample keeps everything at weight 1, nothing at 0 or null") {
+    val df = (0L until 100L).map(i => (i, if (i < 50) 1.0 else 0.0))
+      .toDF("id", "w")
+    assert(Sampling.weightedSample(df, "id", col("w")).count() === 50)
+    assert(Sampling.weightedSample(df, "id", lit(1.0)).count() === 100)
+    assert(Sampling.weightedSample(df, "id", lit(null).cast("double")).count() === 0)
+    // out-of-range weights clamp instead of misbehaving
+    assert(Sampling.weightedSample(df, "id", lit(7.5)).count() === 100)
+    assert(Sampling.weightedSample(df, "id", lit(-3.0)).count() === 0)
+  }
+
+  test("weightedSample at 0.3 keeps roughly 30% deterministically") {
+    val df = (0L until 1000L).toDF("id")
+    val n1 = Sampling.weightedSample(df, "id", lit(0.3)).count()
+    val n2 = Sampling.weightedSample(df, "id", lit(0.3)).count()
+    assert(n1 === n2)
+    assert(n1 > 200 && n1 < 400, s"kept $n1 of 1000 at weight 0.3")
+  }
+}

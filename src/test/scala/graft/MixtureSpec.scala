@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.{Packing, Quota}
+import graft.text.{Mixture, Vocab}
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capPerGroup keeps at most n per group, deterministically") {
+    val df = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val a = Quota.capPerGroup(df, "grp", "id", n = 5).select("id").as[Long].collect().sorted
+    val b = Quota.capPerGroup(df, "grp", "id", n = 5).select("id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+    val byGrp = Quota.capPerGroup(df, "grp", "id", n = 5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp.values.forall(_ === 5L) && byGrp.size === 4)
+    // groups smaller than the quota survive whole
+    val small = Quota.capPerGroup(df.filter(col("id") < 3), "grp", "id", n = 5)
+    assert(small.count() === 3)
+  }
+
+  test("packStats bins follow the cumulative token stream per shard") {
+    val df = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 300L), // cum 300,600,900
+      ("s2", 4L, 1200L), ("s2", 5L, 10L)
+    ).toDF("shard", "id", "tok")
+    val out = Packing.packStats(df, "shard", "id", "tok", budget = 512)
+      .orderBy("shard", "bin")
+      .select("shard", "bin", "n_docs", "n_tokens").as[(String, Long, Long, Long)]
+      .collect().toSeq
+    // s1: doc1 starts at 0 (bin 0), doc2 at 300 (bin 0), doc3 at 600 (bin 1)
+    // s2: doc4 starts at 0 (bin 0), doc5 at 1200 (bin 2)
+    assert(out === Seq(("s1", 0L, 2L, 600L), ("s1", 1L, 1L, 300L),
+      ("s2", 0L, 1L, 1200L), ("s2", 2L, 1L, 10L)))
+  }
+
+  test("mixture plan shares sum to 1 and rates cap at 1") {
+    val docs = Seq(
+      ("a", "one two three four"), ("a", "five six"),
+      ("b", "seven eight")).toDF("source", "text")
+    val out = Mixture.plan(docs, "source", "text", budgetFrac = 0.5)
+      .orderBy("source").collect()
+    val shares = out.map(_.getAs[Double]("token_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-6)
+    // a: 6 tokens of 8; b: 2 of 8. budget/src = 0.5*8/2 = 2 tokens.
+    assert(math.abs(out(0).getAs[Double]("sample_rate") - 2.0 / 6.0) < 1e-6)
+    assert(out(1).getAs[Double]("sample_rate") === 1.0) // capped
+  }
+
+  test("vocab coverage is ranked, cumulative, and ends below or at 1") {
+    val docs = Seq("a a a b b c", "a b d").map(Tuple1(_)).toDF("text")
+    val out = Vocab.coverage(docs, "text", k = 3).orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("term")).toSeq === Seq("a", "b", "c"))
+    assert(out.map(_.getAs[Long]("cnt")).toSeq === Seq(4L, 3L, 1L))
+    val cums = out.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.drop(1)).forall { case (x, y) => x <= y })
+    assert(math.abs(cums(0) - 4.0 / 9.0) < 1e-6)
+    assert(cums.last <= 1.0)
+  }
+}

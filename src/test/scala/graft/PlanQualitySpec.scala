@@ -110,6 +110,62 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(doc_id"))
   }
 
+  test("dedup_segments: frequency shuffle keyed on the 64-bit hash, not segment text") {
+    val p = plan("dedup_segments")
+    // the count aggregation exchanges on _gf_h (8-byte key); segment text
+    // rides only the per-doc reassembly exchange
+    assert(p.contains("Exchange hashpartitioning(_gf_h"))
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial aggregation present")
+  }
+
+  test("decontaminate: no cartesian product; gram join is equi (broadcast or SMJ)") {
+    val p = plan("decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_pii is a pure projection: no shuffle except the final sort") {
+    val p = plan("text_pii")
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("sample_weighted is a pure scan predicate (no shuffle before the filter)") {
+    val p = plan("sample_weighted")
+    assert(p.contains("Filter"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("sample_quota: one row-level shuffle (on the group key) feeds the window") {
+    val p = plan("sample_quota")
+    assert(p.contains("Exchange hashpartitioning(source"))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1)
+  }
+
+  test("pack_sequences: per-shard window (no global ordering before the cumsum)") {
+    val p = plan("pack_sequences")
+    assert(p.contains("Exchange hashpartitioning(source"))
+    // the only global sort is the final presentation orderBy
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1)
+  }
+
+  test("vocab_coverage: term counts partial-aggregate map-side; top-k via sort-limit") {
+    val p = plan("vocab_coverage")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("corpus_mixture: totals ride a broadcast, never a row-level join") {
+    val p = plan("corpus_mixture")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("llm_curation_full composes with no cartesian product anywhere") {
+    val p = plan("llm_curation_full")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("normalize_jw scores only DISTINCT values against a broadcast master") {
     val p = plan("normalize_jw")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))

@@ -124,4 +124,29 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
     assert(out == Map(1L -> (1L, 2.0), 2L -> (1L, 5.0)))
   }
+
+  test("enrich joins a static dimension into a live stream without state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "tier")
+
+    val q = StreamOps.enrich(streamDf, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    mem.addData((ts(20), "click", 9.0, 99L)) // key missing from the dimension
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("enriched").collect()
+    assert(out.length == rows.length + 1, "left join keeps unmatched events")
+    val tiers = out.map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+    assert(tiers(1L) == "gold" && tiers(2L) == "trial" && tiers(99L) == null)
+    // batch degeneration: identical join, broadcast (no shuffle of events)
+    val batchPlan = StreamOps.enrich(
+      rows.toDF("ts", "event_type", "value", "user_id"), dim, Seq("user_id"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(batchPlan.contains("BroadcastHashJoin"))
+  }
 }
