@@ -24,6 +24,22 @@ object LlmDedup {
       .drop("_gf_fp", "_gf_rn")
   }
 
+  /** Incremental exact dedup: the production shape where a corpus snapshot
+    * already exists and only a NEW BATCH arrives. The batch is deduped
+    * within itself ([[exact]]), then anti-joined against the index's
+    * fingerprint set — so the index side contributes only 8-byte hashes to
+    * the join (at 100 TB you persist those fingerprints once and append
+    * the survivors' hashes per batch, never re-reading index text). */
+  def incremental(batch: DataFrame, index: DataFrame,
+                  textCol: String, idCol: String): DataFrame = {
+    val indexFp = index
+      .select(TextAnalysis.fingerprint64(col(textCol)).as("_gf_fp")).distinct()
+    exact(batch, textCol, idCol)
+      .withColumn("_gf_fp", TextAnalysis.fingerprint64(col(textCol)))
+      .join(indexFp, Seq("_gf_fp"), "left_anti")
+      .drop("_gf_fp")
+  }
+
   /** Groups of exact duplicates (fingerprint, ids, count) — the audit
     * artifact of [[exact]]. */
   def exactClusters(df: DataFrame, textCol: String, idCol: String): DataFrame =

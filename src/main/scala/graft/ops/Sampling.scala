@@ -65,6 +65,39 @@ object Sampling {
     df.filter(bucket(col(keyCol), seed) < floor(w * lit(Buckets.toDouble)).cast("long"))
   }
 
+  /** Deterministic train/validation/test split: each row lands in exactly
+    * one named bucket by its key hash, with the given fractions (must sum
+    * to 1 within 1e-9 — silent remainder rows would vanish from every
+    * split). Entity-keyed, so the same document lands in the same split
+    * across reruns and across derived tables keyed by the same id — the
+    * leakage-safety property a random split lacks. Pure per-row
+    * projection; no shuffle. */
+  def split(df: DataFrame, keyCol: String,
+            fractions: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val b = bucket(col(keyCol), seed)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // CASE WHEN b < cut1 THEN name1 WHEN b < cut2 THEN name2 ... ELSE last
+    val head = when(b < lit((cuts.head * Buckets).toLong), lit(fractions.head._1))
+    val chained = fractions.zip(cuts).drop(1).dropRight(1).foldLeft(head) {
+      case (acc, ((name, _), cut)) =>
+        acc.when(b < lit((cut * Buckets).toLong), lit(name))
+    }
+    df.withColumn("split", chained.otherwise(lit(fractions.last._1)))
+  }
+
+  /** SQL fragment mirroring [[split]]'s CASE for a DuckDB oracle. */
+  def sqlSplit(key: String, fractions: Seq[(String, Double)],
+               seed: Long = 0L): String = {
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val whens = fractions.zip(cuts).dropRight(1).map { case ((name, _), cut) =>
+      s"WHEN ${sqlBucket(key, seed)} < ${(cut * Buckets).toLong} THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${fractions.last._1}' END"
+  }
+
   /** SQL fragment mirroring [[weightedSample]]'s keep predicate. */
   def sqlWeightedKeep(key: String, weightExpr: String, seed: Long = 0L): String =
     s"${sqlBucket(key, seed)} < CAST(floor(least(1.0, greatest(0.0, $weightExpr)) * $Buckets) AS BIGINT)"

@@ -37,6 +37,23 @@ object Skew {
       .drop(saltedDim(key)).drop(saltedDim("_gf_salt")).drop("_gf_salt")
   }
 
+  /** Heavy-hitter diagnostic: the top-`k` values of a prospective join/
+    * group key with their row share — the measurement that decides whether
+    * a join needs [[saltedJoin]] (one key holding >1-2% of a 100 TB fact
+    * table means one reducer owns that share). One keyed count with
+    * map-side combine + sort-limit top-k; the total rides a broadcast
+    * 1-row frame, so nothing but (key, count) pairs ever shuffles. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_gf_total"))
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(k)
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        graft.Num.dround(col("cnt").cast("double") / col("_gf_total").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Two-phase aggregation for skewed group keys: aggregate on
     * (key, salt) first (spreads a hot key over `factor` reducers), then
     * merge the partials per key. `partialAggs` must be re-aggregatable

@@ -23,13 +23,7 @@ object CorpusQueries {
       (col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  /** DuckDB fragment: word `n`-grams of token array `l` as space-joined
-    * strings (mirrors [[graft.text.TextAnalysis.ngrams]]). */
-  private def sqlNgrams(l: String, n: Int): String = {
-    val joined = (0 until n).map(i => s"$l[i + $i]").mkString(" || ' ' || ")
-    s"""CASE WHEN len($l) < $n THEN CAST([] AS VARCHAR[])
-        ELSE list_transform(generate_series(1, len($l) - ${n - 1}), i -> $joined) END"""
-  }
+  private def sqlNgrams(l: String, n: Int): String = Q.sqlNgrams(l, n)
 
   private val sqlToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
@@ -151,6 +145,44 @@ object CorpusQueries {
           .select("vec_id").orderBy("vec_id")
       },
       None),
+
+    // Incremental exact dedup: the existing corpus is the fingerprint
+    // index; a new batch arrives with noisy clones of every 3rd doc
+    // (duplicates — must be dropped) and genuinely-new texts derived from
+    // every (3k+1)th doc (must survive).
+    Q("dedup_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val batch = d.filter(col("doc_id") % 3 === 0).select(
+            (col("doc_id") + 3000000).as("doc_id"),
+            upper(concat(col("text"), lit("  "))).as("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 1).select(
+            (col("doc_id") + 4000000).as("doc_id"),
+            concat(col("text"), lit(" fresh"), col("doc_id").cast("string")).as("text")))
+        graft.dedup.LlmDedup.incremental(batch, d, "text", "doc_id")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+                   '\s+', ' ', 'g')) AS n
+          FROM documents),
+        batch AS (
+          SELECT doc_id + 3000000 AS doc_id,
+                 trim(regexp_replace(regexp_replace(lower(upper(text) || '  '), '[^\p{L}\p{N}\s]', '', 'g'),
+                   '\s+', ' ', 'g')) AS n
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 4000000 AS doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text || ' fresh' || CAST(doc_id AS VARCHAR)), '[^\p{L}\p{N}\s]', '', 'g'),
+                   '\s+', ' ', 'g')) AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        dedup AS (
+          SELECT min(doc_id) AS doc_id, n FROM batch GROUP BY n)
+        SELECT doc_id FROM dedup
+        WHERE n NOT IN (SELECT n FROM norm)
+        ORDER BY doc_id""")),
 
     // The modern curation pipeline in ONE lazy plan, composing this round's
     // operators end-to-end: PII redaction -> quality + language gates ->

@@ -135,6 +135,45 @@ object OpsQueries {
                             ORDER BY day_offset
                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE))
                       * 1e4 + 0.5) / 1e4 END AS retention_pct
-        FROM c ORDER BY cohort_day, day_offset"""))
+        FROM c ORDER BY cohort_day, day_offset""")),
+
+    // Join-key heavy-hitter diagnostic: decides whether a join needs the
+    // salted path (Skew.saltedJoin).
+    Q("profile_heavy_hitters",
+      (s, dir) => graft.ops.Skew.heavyHitters(
+          Tables.lineitem(s, dir), "l_orderkey", k = 10)
+        .orderBy(col("cnt").desc, col("l_orderkey")),
+      Some("""
+        WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+                   FROM lineitem GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM c),
+        top AS (SELECT l_orderkey, cnt FROM c ORDER BY cnt DESC, l_orderkey LIMIT 10)
+        SELECT l_orderkey, cnt,
+               floor((CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS share
+        FROM top, t ORDER BY cnt DESC, l_orderkey""")),
+
+    // Latest record per entity (SCD-style current snapshot): one window
+    // shuffle on the entity key; ties on ts break on event_id so the
+    // survivor is deterministic.
+    Q("events_latest",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .withColumn("_gf_rn", row_number().over(w))
+          .filter(col("_gf_rn") === 1)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_type"), col("value"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        ORDER BY user_id"""))
   )
 }

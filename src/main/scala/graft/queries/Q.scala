@@ -75,4 +75,12 @@ object Q {
   /** SQL fragment mirroring [[davg]]. */
   def sqlDavg(e: String): String =
     sqlDround(s"${sqlDsum(e)} / count($e)", 4)
+
+  /** DuckDB fragment: word `n`-grams of token array `l` as space-joined
+    * strings (mirrors `graft.text.TextAnalysis.ngrams`). */
+  def sqlNgrams(l: String, n: Int): String = {
+    val joined = (0 until n).map(i => s"$l[i + $i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($l) < $n THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(generate_series(1, len($l) - ${n - 1}), i -> $joined) END"""
+  }
 }

@@ -33,6 +33,19 @@ object SamplingQueries {
            OR (l_returnflag = 'A' AND ${Sampling.sqlBucket("l_orderkey")} < ${(0.30 * Sampling.Buckets).toLong})
         GROUP BY 1 ORDER BY 1""")),
 
+    // Entity-keyed train/val/test split: deterministic, leakage-safe (same
+    // key -> same split across reruns and derived tables).
+    Q("sample_split",
+      (s, dir) => Sampling.split(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split"),
+      Some(s"""
+        SELECT ${Sampling.sqlSplit("doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
     // The whole curation story in one lazy plan: quality gate -> language
     // gate -> exact dedup -> near-dup connected-component dedup ->
     // deterministic subsample. Each step is an operator gated elsewhere;

@@ -160,6 +160,40 @@ object TextQueries {
                floor(tfidf * 1e4 + 0.5) / 1e4 AS tfidf
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
 
+    // Gopher's remaining repetition rule: per-doc character coverage of
+    // the single most frequent 2-/3-/4-gram.
+    Q("text_topgram",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Seq(2, 3, 4)
+          .map(n => TextAnalysis.topNgramCharFraction(d, "doc_id", "text", n))
+          .reduce(_.join(_, Seq("doc_id")))
+          .orderBy("doc_id")
+      },
+      Some {
+        def per(n: Int): String =
+          s"""g$n AS (SELECT doc_id, unnest(${Q.sqlNgrams("l", n)}) AS gram FROM t),
+              c$n AS (SELECT doc_id, gram, count(*) AS cnt FROM g$n
+                      WHERE length(gram) > 0 GROUP BY 1, 2),
+              m$n AS (SELECT doc_id, max(cnt) AS mcnt FROM c$n GROUP BY 1),
+              p$n AS (SELECT c.doc_id, min(c.gram) AS g, max(c.cnt) AS n
+                      FROM c$n c JOIN m$n m ON c.doc_id = m.doc_id AND c.cnt = m.mcnt
+                      GROUP BY 1)"""
+        def frac(n: Int): String =
+          s"floor(coalesce(p$n.n * CAST(length(p$n.g) AS DOUBLE) / t.chars, 0.0) * 1e4 + 0.5) / 1e4 AS top${n}gram_char_frac"
+        s"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l,
+                 greatest(CAST(length(trim(text)) AS DOUBLE), 1.0) AS chars
+          FROM documents),
+        ${per(2)}, ${per(3)}, ${per(4)}
+        SELECT t.doc_id, ${frac(2)}, ${frac(3)}, ${frac(4)}
+        FROM t LEFT JOIN p2 ON t.doc_id = p2.doc_id
+               LEFT JOIN p3 ON t.doc_id = p3.doc_id
+               LEFT JOIN p4 ON t.doc_id = p4.doc_id
+        ORDER BY t.doc_id"""
+      }),
+
     // Corpus-wide top-20 word bigrams.
     Q("text_ngrams",
       (s, dir) => TextAnalysis.topNgrams(Tables.documents(s, dir), "text", n = 2, k = 20),

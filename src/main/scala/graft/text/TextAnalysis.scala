@@ -151,6 +151,39 @@ object TextAnalysis {
         .as("mean_word_len"))
   }
 
+  /** Fraction of a document's characters covered by its single most
+    * frequent word `n`-gram — the remaining Gopher repetition rule next to
+    * [[repetitionSignals]]'s duplicate-n-gram fractions (high values mark
+    * boilerplate/template spam). Coverage = top-gram occurrences × gram
+    * length (spaces included) / trimmed document length, tie-broken to the
+    * lexicographically smallest gram so the statistic is engine-portable.
+    *
+    * Relational shape (no per-row quadratic lambda): explode n-grams →
+    * keyed (doc, gram) count → per-doc max count → equi-join back for the
+    * tie-break → one final per-doc row. All aggregations partial map-side;
+    * documents are never replicated beyond their own grams. Blank/short
+    * docs (no n-gram) report 0. */
+  def topNgramCharFraction(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("_gf_gram"))
+      .filter(length(col("_gf_gram")) > 0)
+    val cnts = grams.groupBy(col(idCol), col("_gf_gram"))
+      .agg(count(lit(1)).as("_gf_cnt"))
+    val mx = cnts.groupBy(idCol).agg(max("_gf_cnt").as("_gf_mcnt"))
+    val pick = cnts.join(mx, Seq(idCol))
+      .filter(col("_gf_cnt") === col("_gf_mcnt"))
+      .groupBy(idCol)
+      .agg(min("_gf_gram").as("_gf_g"), max("_gf_cnt").as("_gf_n"))
+    docs.select(col(idCol),
+        greatest(length(trim(col(textCol))).cast(DoubleType), lit(1.0)).as("_gf_chars"))
+      .join(pick, Seq(idCol), "left")
+      .select(col(idCol),
+        graft.Num.dround(
+          coalesce(col("_gf_n") * length(col("_gf_g")).cast(DoubleType) / col("_gf_chars"),
+            lit(0.0)), 4).as(s"top${n}gram_char_frac"))
+  }
+
   /** Per-document top-k terms by TF-IDF (idf = ln(N/df), raw tf) — the
     * standard keyword/topic fingerprint of a corpus. All-relational:
     * explode tokens → (doc, term) counts → per-term document frequency →

@@ -37,6 +37,38 @@ class SamplingSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("split partitions every row into exactly one named bucket, reproducibly") {
+    val df = (0L until 10000L).toDF("id")
+    val out = Sampling.split(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L, "no row dropped or duplicated")
+    assert(math.abs(counts("train") / 10000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 10000.0 - 0.1) < 0.02)
+    assert(math.abs(counts("test") / 10000.0 - 0.1) < 0.02)
+    // same key -> same split on a rerun
+    val again = Sampling.split(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.select("id", "split").except(again.select("id", "split")).count() == 0)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("incremental dedup keeps only batch docs unseen in the index") {
+    import graft.dedup.LlmDedup
+    val index = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA beta gamma  "), // noisy clone of doc 1 -> dropped
+      (11L, "brand new words"),    // genuinely new -> kept
+      (12L, "same fresh text"),    // in-batch dup pair -> min id kept
+      (13L, "same fresh text")
+    ).toDF("doc_id", "text")
+    val kept = LlmDedup.incremental(batch, index, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 12L))
+  }
+
   test("sqlBucket agrees with bucket for negative keys") {
     // Spark pmod is non-negative; ANSI % (DuckDB, and Spark SQL's own %)
     // is sign-preserving. Evaluating the oracle fragment through Spark's

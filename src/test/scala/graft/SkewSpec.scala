@@ -34,4 +34,15 @@ class SkewSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(a.distinct.length > 1) // actually spreads
   }
+
+  test("heavyHitters surfaces the hot key with its row share") {
+    val rows = (1L to 900L).map(i => ("cold" + (i % 90), i)) ++
+      (1L to 100L).map(i => ("hot", i))
+    val df = rows.toDF("k", "v")
+    val out = graft.ops.Skew.heavyHitters(df, "k", k = 3)
+      .orderBy(col("cnt").desc, col("k")).collect()
+    assert(out(0).getString(0) == "hot" && out(0).getLong(1) == 100L)
+    assert(out(0).getDouble(2) == 0.1) // 100 of 1000 rows
+    assert(out.length == 3)
+  }
 }

@@ -101,4 +101,18 @@ class TextSpec extends SparkSpec {
     val clusters = LlmDedup.exactClusters(df, "text", "doc_id").collect()
     assert(clusters.length == 1 && clusters(0).getAs[Long]("n_docs") == 2)
   }
+
+  test("topNgramCharFraction measures the dominant bigram's char coverage") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham"), // "spam ham" x3, len 8, chars 26
+      (2L, "all words unique here"),      // every bigram once
+      (3L, "   ")                         // blank -> 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramCharFraction(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    // 3 occurrences x 8 chars / 26 chars = 0.92307... -> 4dp 0.9231
+    assert(out(0).getDouble(1) === 0.9231)
+    assert(out(1).getDouble(1) < 0.6) // a single occurrence covers < 60%
+    assert(out(2).getDouble(1) === 0.0)
+  }
 }
