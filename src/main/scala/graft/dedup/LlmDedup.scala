@@ -34,8 +34,14 @@ object LlmDedup {
                   textCol: String, idCol: String): DataFrame = {
     val indexFp = index
       .select(TextAnalysis.fingerprint64(col(textCol)).as("_gf_fp")).distinct()
-    exact(batch, textCol, idCol)
-      .withColumn("_gf_fp", TextAnalysis.fingerprint64(col(textCol)))
+    // Inline [[exact]]'s window so the batch fingerprint (two regex
+    // rewrites + hash over the document body) is computed ONCE and reused
+    // by the anti-join, instead of dropped and recomputed per row.
+    val w = Window.partitionBy(col("_gf_fp")).orderBy(col(idCol))
+    batch.withColumn("_gf_fp", TextAnalysis.fingerprint64(col(textCol)))
+      .withColumn("_gf_rn", row_number().over(w))
+      .filter(col("_gf_rn") === 1)
+      .drop("_gf_rn")
       .join(indexFp, Seq("_gf_fp"), "left_anti")
       .drop("_gf_fp")
   }

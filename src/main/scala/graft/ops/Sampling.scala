@@ -75,27 +75,39 @@ object Sampling {
   def split(df: DataFrame, keyCol: String,
             fractions: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
     require(fractions.nonEmpty, "at least one split required")
+    fractions.foreach { case (n, f) =>
+      require(f >= 0 && f <= 1, s"fraction $f for split '$n' not in [0,1]")
+    }
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val b = bucket(col(keyCol), seed)
-    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // round, not truncate: a float cumsum like 0.7+0.2 = 0.8999... would
+    // otherwise shift boundary buckets into the wrong split
+    val cuts = splitCuts(fractions)
     // CASE WHEN b < cut1 THEN name1 WHEN b < cut2 THEN name2 ... ELSE last
-    val head = when(b < lit((cuts.head * Buckets).toLong), lit(fractions.head._1))
+    val head = when(b < lit(cuts.head), lit(fractions.head._1))
     val chained = fractions.zip(cuts).drop(1).dropRight(1).foldLeft(head) {
-      case (acc, ((name, _), cut)) =>
-        acc.when(b < lit((cut * Buckets).toLong), lit(name))
+      case (acc, ((name, _), cut)) => acc.when(b < lit(cut), lit(name))
     }
     df.withColumn("split", chained.otherwise(lit(fractions.last._1)))
   }
 
-  /** SQL fragment mirroring [[split]]'s CASE for a DuckDB oracle. */
+  /** Cumulative bucket cuts shared by [[split]] and [[sqlSplit]]. */
+  private def splitCuts(fractions: Seq[(String, Double)]): Seq[Long] =
+    fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.round(c * Buckets))
+
+  /** SQL fragment mirroring [[split]]'s CASE for a DuckDB oracle. A
+    * single-fraction split has no WHEN branch — emit the bare name (a
+    * branchless CASE is a syntax error in ANSI engines). */
   def sqlSplit(key: String, fractions: Seq[(String, Double)],
                seed: Long = 0L): String = {
-    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val whens = fractions.zip(cuts).dropRight(1).map { case ((name, _), cut) =>
-      s"WHEN ${sqlBucket(key, seed)} < ${(cut * Buckets).toLong} THEN '$name'"
-    }.mkString(" ")
-    s"CASE $whens ELSE '${fractions.last._1}' END"
+    val whens = fractions.zip(splitCuts(fractions)).dropRight(1)
+      .map { case ((name, _), cut) =>
+        s"WHEN ${sqlBucket(key, seed)} < $cut THEN '$name'"
+      }.mkString(" ")
+    if (whens.isEmpty) s"'${fractions.last._1}'"
+    else s"CASE $whens ELSE '${fractions.last._1}' END"
   }
 
   /** SQL fragment mirroring [[weightedSample]]'s keep predicate. */

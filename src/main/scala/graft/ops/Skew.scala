@@ -40,13 +40,18 @@ object Skew {
   /** Heavy-hitter diagnostic: the top-`k` values of a prospective join/
     * group key with their row share — the measurement that decides whether
     * a join needs [[saltedJoin]] (one key holding >1-2% of a 100 TB fact
-    * table means one reducer owns that share). One keyed count with
-    * map-side combine + sort-limit top-k; the total rides a broadcast
-    * 1-row frame, so nothing but (key, count) pairs ever shuffles. */
+    * table means one reducer owns that share). Nothing but (key, count)
+    * pairs ever shuffles: a keyed count with map-side combine feeds the
+    * sort-limit top-k, and the total is a plain count (partial counts →
+    * one merged row, broadcast). The source is scanned twice — when
+    * diagnosing many keys of the same (expensive) input, persist it first
+    * and pass the cached frame. */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("_gf_total"))
+    // plain count, not counts.agg(sum): same value, but skips a second
+    // keyed shuffle — the cheap flavor of the unavoidable second pass
+    val total = df.agg(count(lit(1)).as("_gf_total"))
     counts.orderBy(col("cnt").desc, col(keyCol)).limit(k)
       .crossJoin(broadcast(total))
       .select(col(keyCol), col("cnt"),

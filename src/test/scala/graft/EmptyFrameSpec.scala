@@ -72,4 +72,22 @@ class EmptyFrameSpec extends SparkSpec {
     assert(TextAnalysis.topNgrams(empty.withColumnRenamed("name", "text"),
       "text", 2, 5).count() == 0)
   }
+
+  test("corpus-curation operators tolerate empty frames") {
+    import graft.ops.{Packing, Quota, Sampling, Skew}
+    import graft.text.{CorpusOps, Mixture, Vocab}
+    val docs = empty.withColumnRenamed("name", "text")
+    assert(CorpusOps.segmentDedup(docs, "id", "text").count() == 0)
+    assert(CorpusOps.decontaminate(docs, docs, "id", "text").count() == 0)
+    assert(CorpusOps.piiSignals(docs, "id", "text").count() == 0)
+    assert(TextAnalysis.topNgramCharFraction(docs, "id", "text", 2).count() == 0)
+    assert(Sampling.weightedSample(empty, "id", lit(1.0)).count() == 0)
+    assert(Sampling.split(empty, "id", Seq("a" -> 0.5, "b" -> 0.5)).count() == 0)
+    assert(Quota.capPerGroup(docs, "text", "id", 3).count() == 0)
+    assert(Packing.packStats(empty, "name", "id", "price", 512).count() == 0)
+    assert(Mixture.plan(docs, "text", "text").count() == 0)
+    assert(Vocab.coverage(docs, "text").count() == 0)
+    assert(Skew.heavyHitters(empty, "name").count() == 0)
+    assert(LlmDedup.incremental(docs, docs, "text", "id").count() == 0)
+  }
 }

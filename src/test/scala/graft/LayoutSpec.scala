@@ -7,8 +7,15 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   test("writeRangeSorted produces disjoint key bands that prune point reads") {
-    val dir = Files.createTempDirectory("graft-layout").toFile.getAbsolutePath
+    val dirFile = Files.createTempDirectory("graft-layout").toFile
+    val dir = dirFile.getAbsolutePath
+    try {
     val df = (0L until 20000L).map(i => (i, s"p$i")).toDF("k", "payload")
     Layout.writeRangeSorted(df, "k", dir, numFiles = 8)
 
@@ -28,5 +35,6 @@ class LayoutSpec extends SparkSpec {
     val scan = hit.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters") && scan.contains("EqualTo(k,12345)"),
       "key predicate pushed to the parquet scan")
+    } finally deleteRecursively(dirFile)
   }
 }

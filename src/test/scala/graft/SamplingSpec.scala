@@ -49,10 +49,22 @@ class SamplingSpec extends SparkSpec {
     // same key -> same split on a rerun
     val again = Sampling.split(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     assert(out.select("id", "split").except(again.select("id", "split")).count() == 0)
-    // fractions must sum to 1
+    // fractions must sum to 1, and each must be in [0,1]
     intercept[IllegalArgumentException] {
       Sampling.split(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, "id", Seq("a" -> 1.5, "b" -> -0.5))
+    }
+    // degenerate single split: everything in one named bucket, and the SQL
+    // mirror is a bare literal (a branchless CASE would be a syntax error)
+    assert(Sampling.split(df, "id", Seq("all" -> 1.0))
+      .filter(col("split") === "all").count() == 10000L)
+    assert(Sampling.sqlSplit("id", Seq("all" -> 1.0)) == "'all'")
+    // float cumsum boundaries round instead of truncating: 0.7+0.2 =
+    // 0.8999999999999999 must still cut at exactly 900000
+    assert(Sampling.sqlSplit("id", Seq("a" -> 0.7, "b" -> 0.2, "c" -> 0.1))
+      .contains("< 900000 THEN 'b'"))
   }
 
   test("incremental dedup keeps only batch docs unseen in the index") {
