@@ -47,6 +47,23 @@ import scala.jdk.CollectionConverters._
   *     rules:
   *       - {rule: not_null, column: c}
   *       - {rule: in_range, column: c, min: 0, max: 10}
+  *   # corpus-curation stages (LLM-pipeline operators, same chain):
+  *   - module: text_filter
+  *     text_column: text
+  *     min_quality: 0.3                 # optional, default 0
+  *     languages: [en]                  # optional, default any
+  *   - module: pii_redact
+  *     text_column: text
+  *   - module: exact_dedup
+  *     text_column: text
+  *     id_column: doc_id
+  *   - module: quota
+  *     group_column: source
+  *     key_column: doc_id
+  *     n: 20
+  *   - module: sample
+  *     key_column: doc_id
+  *     fraction: 0.8                    # optional seed: <long>
   * }}}
   *
   * Validation is strict: unknown modules, unknown keys inside a stage,
@@ -164,9 +181,48 @@ object ConfigPipeline {
           case (raw, i) => parseRule(asMap(raw, s"$path.rules[$i]"), s"$path.rules[$i]")
         })
 
+      case "text_filter" =>
+        requireKeys(m, path, required = Set("module", "text_column"),
+          optional = Set("min_quality", "languages"))
+        TextFilterStage(
+          asString(m("text_column"), s"$path.text_column"),
+          m.get("min_quality").map(asDouble(_, s"$path.min_quality")).getOrElse(0.0),
+          optStrList(m, "languages", path))
+
+      case "pii_redact" =>
+        requireKeys(m, path, required = Set("module", "text_column"), optional = Set.empty)
+        PiiRedactStage(asString(m("text_column"), s"$path.text_column"))
+
+      case "exact_dedup" =>
+        requireKeys(m, path, required = Set("module", "text_column", "id_column"),
+          optional = Set.empty)
+        ExactDedupStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"))
+
+      case "sample" =>
+        requireKeys(m, path, required = Set("module", "key_column", "fraction"),
+          optional = Set("seed"))
+        val fraction = asDouble(m("fraction"), s"$path.fraction")
+        if (fraction < 0 || fraction > 1)
+          fail(s"$path.fraction", s"fraction $fraction not in [0,1]")
+        SampleStage(
+          asString(m("key_column"), s"$path.key_column"), fraction,
+          m.get("seed").map(asLong(_, s"$path.seed")).getOrElse(0L))
+
+      case "quota" =>
+        requireKeys(m, path, required = Set("module", "group_column", "key_column", "n"),
+          optional = Set.empty)
+        val n = asLong(m("n"), s"$path.n")
+        if (n < 1) fail(s"$path.n", s"quota must be >= 1, got $n")
+        QuotaStage(
+          asString(m("group_column"), s"$path.group_column"),
+          asString(m("key_column"), s"$path.key_column"), n.toInt)
+
       case other =>
         fail(s"$path.module",
-          s"unknown module '$other' (normalize|impute|dedup|outliers|validate)")
+          s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
+            "text_filter|pii_redact|exact_dedup|sample|quota)")
     }
   }
 
@@ -262,6 +318,11 @@ object ConfigPipeline {
   private def asDouble(v: Any, path: String): Double = v match {
     case n: java.lang.Number => n.doubleValue()
     case other => fail(path, s"expected a number, got ${String.valueOf(other)}")
+  }
+
+  private def asLong(v: Any, path: String): Long = v match {
+    case n: java.lang.Number if n.doubleValue() == n.longValue() => n.longValue()
+    case other => fail(path, s"expected an integer, got ${String.valueOf(other)}")
   }
 
   private def optStrMap(m: Map[String, Any], k: String, path: String): Map[String, String] =

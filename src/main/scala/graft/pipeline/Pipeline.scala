@@ -1,11 +1,14 @@
 package graft.pipeline
 
-import graft.dedup.Duplicates
+import graft.dedup.{Duplicates, LlmDedup}
 import graft.impute.{ImputeStrategy, Imputer}
 import graft.normalize.{NormalizeConfig, Normalizer}
+import graft.ops.{Quota, Sampling}
 import graft.outliers.{DetectMethod, HandleStrategy, Outliers}
 import graft.quality.{Rule, Validator}
+import graft.text.{CorpusOps, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** One pipeline stage — the typed counterpart of a reference module
   * invocation in `run_toolkit_pipeline.py` (each m0X module consumes the
@@ -19,6 +22,16 @@ final case class OutlierStage(specs: Map[String, DetectMethod],
                               strategies: Map[String, HandleStrategy]) extends Stage { val name = "outliers" }
 /** Non-destructive: contributes a report, passes the frame through. */
 final case class ValidateStage(rules: Seq[Rule]) extends Stage { val name = "validate" }
+// Corpus-curation stages (SURVEY §2.3): the LLM-pipeline operators behind
+// the same config-driven chain the reference modules use.
+final case class TextFilterStage(textCol: String, minQuality: Double,
+                                 langs: Seq[String]) extends Stage { val name = "text_filter" }
+final case class PiiRedactStage(textCol: String) extends Stage { val name = "pii_redact" }
+final case class ExactDedupStage(textCol: String, idCol: String) extends Stage { val name = "exact_dedup" }
+final case class SampleStage(keyCol: String, fraction: Double,
+                             seed: Long) extends Stage { val name = "sample" }
+final case class QuotaStage(groupCol: String, keyCol: String,
+                            quota: Int) extends Stage { val name = "quota" }
 
 /** Config-driven module chain — Spark-native counterpart of the
   * reference's `run_toolkit_pipeline.py`. Each stage is lazy plan
@@ -50,6 +63,19 @@ object Pipeline {
         case ValidateStage(rules) =>
           reports += s"$i:validate" -> Validator.summary(acc, rules)
           acc
+        case TextFilterStage(textCol, minQ, langs) =>
+          val langOk =
+            if (langs.isEmpty) lit(true)
+            else TextAnalysis.languageId(col(textCol)).isin(langs: _*)
+          acc.filter(TextAnalysis.qualityScore(col(textCol)) >= minQ && langOk)
+        case PiiRedactStage(textCol) =>
+          acc.withColumn(textCol, CorpusOps.redact(col(textCol)))
+        case ExactDedupStage(textCol, idCol) =>
+          LlmDedup.exact(acc, textCol, idCol)
+        case SampleStage(keyCol, fraction, seed) =>
+          Sampling.hashSample(acc, keyCol, fraction, seed)
+        case QuotaStage(groupCol, keyCol, quota) =>
+          Quota.capPerGroup(acc, groupCol, keyCol, quota)
       }
     }
     Result(out, reports.result())

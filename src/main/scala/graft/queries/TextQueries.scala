@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * and exact dedup over the `documents` table). */
 object TextQueries {
 
-  private def inList(words: Seq[String]): String =
+  private[queries] def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** DuckDB: per-language stopword hit count over whitespace tokens. */
-  private def hitsSql(words: Seq[String]): String =
+  private[queries] def hitsSql(words: Seq[String]): String =
     s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ${inList(words)}))"
 
   val all: Seq[Q] = Seq(

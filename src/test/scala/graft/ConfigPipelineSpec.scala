@@ -108,5 +108,64 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(configError(
       "run_id: x\nstages:\n  - module: validate\n    rules:\n      - {rule: in_range, column: c}\n")
       .contains("missing required key"))
+    // curation stages validate too
+    assert(configError(
+      "run_id: x\nstages:\n  - module: sample\n    key_column: id\n    fraction: 1.5\n")
+      .contains("not in [0,1]"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: quota\n    group_column: g\n    key_column: id\n    n: 0\n")
+      .contains("quota must be >= 1"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: quota\n    group_column: g\n    key_column: id\n    n: 2.5\n")
+      .contains("expected an integer"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: pii_redact\n")
+      .contains("missing required key(s): text_column"))
+  }
+
+  test("curation stages from config hash-match the hand-built chain") {
+    val docs = Seq(
+      (1L, "s1", "the cat and the dog sat on the mat in the sun"),
+      (2L, "s1", "THE CAT and the dog sat on the mat in the sun  "), // dup of 1
+      (3L, "s1", "the quick brown fox is one of the animals that jump over dogs"),
+      (4L, "s2", "zz"), // fails min_quality / language gate
+      (5L, "s2", "write to a@b.co about the plan and the offer that is in the mail")
+    ).toDF("doc_id", "source", "text")
+    val yaml = """
+      |run_id: cur
+      |stages:
+      |  - module: text_filter
+      |    text_column: text
+      |    min_quality: 0.2
+      |    languages: [en]
+      |  - module: pii_redact
+      |    text_column: text
+      |  - module: exact_dedup
+      |    text_column: text
+      |    id_column: doc_id
+      |  - module: quota
+      |    group_column: source
+      |    key_column: doc_id
+      |    n: 5
+      |  - module: sample
+      |    key_column: doc_id
+      |    fraction: 1.0
+      |""".stripMargin
+    val viaConfig = ConfigPipeline.run(docs, yaml).df
+    val byHand = Pipeline.run(docs, Seq(
+      TextFilterStage("text", 0.2, Seq("en")),
+      PiiRedactStage("text"),
+      ExactDedupStage("text", "doc_id"),
+      QuotaStage("source", "doc_id", 5),
+      SampleStage("doc_id", 1.0, 0L))).df
+    assert(viaConfig.collect().toSet == byHand.collect().toSet)
+    val kept = viaConfig.select("doc_id").as[Long].collect().sorted
+    assert(!kept.contains(2L), "exact duplicate dropped")
+    assert(!kept.contains(4L), "low-quality doc gated")
+    assert(kept.contains(1L) && kept.contains(3L))
+    // redaction flowed through the chain: doc 5's email is masked
+    val texts = viaConfig.filter(col("doc_id") === 5L)
+      .select("text").as[String].collect()
+    assert(texts.length == 1 && texts(0).contains("<EMAIL>") && !texts(0).contains("a@b.co"))
   }
 }
