@@ -184,10 +184,16 @@ object ConfigPipeline {
       case "text_filter" =>
         requireKeys(m, path, required = Set("module", "text_column"),
           optional = Set("min_quality", "languages"))
-        TextFilterStage(
-          asString(m("text_column"), s"$path.text_column"),
-          m.get("min_quality").map(asDouble(_, s"$path.min_quality")).getOrElse(0.0),
-          optStrList(m, "languages", path))
+        val minQ = m.get("min_quality").map(asDouble(_, s"$path.min_quality")).getOrElse(0.0)
+        // negated form so NaN fails too; scores are always 0-1, so a
+        // percent-scale typo (30) would otherwise silently empty the corpus
+        if (!(minQ >= 0 && minQ <= 1))
+          fail(s"$path.min_quality", s"min_quality $minQ not in [0,1] (quality scores are 0-1)")
+        val langs = optStrList(m, "languages", path)
+        val known = graft.text.TextAnalysis.stopwords.map(_._1).toSet + "unknown"
+        langs.filterNot(known).foreach(l => fail(s"$path.languages",
+          s"unknown language '$l' (classifier emits: ${known.toSeq.sorted.mkString(", ")})"))
+        TextFilterStage(asString(m("text_column"), s"$path.text_column"), minQ, langs)
 
       case "pii_redact" =>
         requireKeys(m, path, required = Set("module", "text_column"), optional = Set.empty)
@@ -204,7 +210,9 @@ object ConfigPipeline {
         requireKeys(m, path, required = Set("module", "key_column", "fraction"),
           optional = Set("seed"))
         val fraction = asDouble(m("fraction"), s"$path.fraction")
-        if (fraction < 0 || fraction > 1)
+        // negated form: `.nan` in YAML passes `< 0 || > 1` and would only
+        // blow up later without the config path
+        if (!(fraction >= 0 && fraction <= 1))
           fail(s"$path.fraction", s"fraction $fraction not in [0,1]")
         SampleStage(
           asString(m("key_column"), s"$path.key_column"), fraction,
@@ -214,7 +222,10 @@ object ConfigPipeline {
         requireKeys(m, path, required = Set("module", "group_column", "key_column", "n"),
           optional = Set.empty)
         val n = asLong(m("n"), s"$path.n")
-        if (n < 1) fail(s"$path.n", s"quota must be >= 1, got $n")
+        // upper bound too: a Long beyond Int range would .toInt-wrap to an
+        // arbitrary (possibly tiny or negative) cap
+        if (n < 1 || n > Int.MaxValue)
+          fail(s"$path.n", s"quota must be in [1, ${Int.MaxValue}], got $n")
         QuotaStage(
           asString(m("group_column"), s"$path.group_column"),
           asString(m("key_column"), s"$path.key_column"), n.toInt)

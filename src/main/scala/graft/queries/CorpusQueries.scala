@@ -25,6 +25,26 @@ object CorpusQueries {
 
   private def sqlNgrams(l: String, n: Int): String = Q.sqlNgrams(l, n)
 
+  /** Deterministic PII planting (every 7th doc gets an email + IPv4 + SSN
+    * appended) — shared by text_pii and the curation-pipeline query so the
+    * fixture cannot drift between them. */
+  private[queries] def plantPii(df: DataFrame): DataFrame =
+    df.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 192.168."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".17 ssn 123-45-6789"))).otherwise(lit(""))))
+
+  /** DuckDB mirror of [[plantPii]]'s text expression (over `documents`). */
+  private[queries] val sqlPiiText: String =
+    """text || CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+              '@mail.example.com from 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
+              '.17 ssn 123-45-6789'
+         ELSE '' END"""
+
   private val sqlToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
   val all: Seq[Q] = Seq(
@@ -101,33 +121,18 @@ object CorpusQueries {
     // PII scan/redaction: every 7th doc gets a synthetic email + IPv4 + SSN
     // appended; counts and the redacted-text hash must match per row.
     Q("text_pii",
-      (s, dir) => {
-        val d = Tables.documents(s, dir).select(col("doc_id"),
-          concat(col("text"),
-            when(col("doc_id") % 7 === 0,
-              concat(lit(" contact user"), col("doc_id").cast("string"),
-                lit("@mail.example.com from 192.168."),
-                (col("doc_id") % 256).cast("string"),
-                lit(".17 ssn 123-45-6789"))).otherwise(lit(""))).as("text"))
-        CorpusOps.piiSignals(d, "doc_id", "text").orderBy("doc_id")
-      },
-      Some("""
+      (s, dir) => CorpusOps.piiSignals(
+        plantPii(Tables.documents(s, dir).select("doc_id", "text")),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""
         WITH t AS (
-          SELECT doc_id,
-                 text || CASE WHEN doc_id % 7 = 0
-                   THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
-                        '@mail.example.com from 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
-                        '.17 ssn 123-45-6789'
-                   ELSE '' END AS text
+          SELECT doc_id, $sqlPiiText AS text
           FROM documents)
         SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-               CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
-               CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
-               md5(regexp_replace(regexp_replace(regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')) AS redacted_hash
+               CAST(len(regexp_extract_all(text, '${CorpusOps.EmailPattern}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '${CorpusOps.Ipv4Pattern}')) AS INT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '${CorpusOps.SsnPattern}')) AS INT) AS n_ssn,
+               md5(${CorpusOps.sqlRedact("text")}) AS redacted_hash
         FROM t ORDER BY doc_id""")),
 
     // SemDedup: scaled clones (same direction => cosine 1) of every 10th

@@ -50,55 +50,37 @@ object PipelineQueries {
     |""".stripMargin
 
   private val curationOracle: String = {
-    val en = TextQueries.inList(graft.text.TextAnalysis.stopwords.toMap.apply("en"))
     val scores = graft.text.TextAnalysis.stopwords
       .map { case (l, ws) => s"${TextQueries.hitsSql(ws)} AS s_$l" }.mkString(",\n  ")
     val langs = graft.text.TextAnalysis.stopwords.map(_._1)
     val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
     val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    // Every reused semantic comes from its owning fragment (PII fixture,
+    // quality formula, redaction patterns, quota window, sample bucket) so
+    // a tune on the Spark side cannot silently diverge this oracle.
     s"""
     WITH inp AS (
-      SELECT doc_id, source,
-             text || CASE WHEN doc_id % 7 = 0
-               THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
-                    '@mail.example.com from 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
-                    '.17 ssn 123-45-6789'
-               ELSE '' END AS text
+      SELECT doc_id, source, ${CorpusQueries.sqlPiiText} AS text
       FROM documents),
     t AS (
-      SELECT doc_id, source, text,
-             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS n_tok,
-             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
-             greatest(CAST(length(text) AS DOUBLE), 1.0) AS chars,
-             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-               x -> x IN $en)) AS DOUBLE) AS stop_hits,
-             CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_distinct,
+      SELECT doc_id, source, text, ${TextQueries.qualityColsSql},
              $scores
       FROM inp),
     scored AS (
       SELECT doc_id, source, text,
-             floor((0.3 * least(1.0, n_tok / 50.0)
-                 + 0.3 * (1.0 - least(1.0, punct / chars))
-                 + 0.2 * least(1.0, stop_hits / greatest(n_tok, 1.0) * 5.0)
-                 + 0.2 * (n_distinct / greatest(n_tok, 1.0))) * 1e4 + 0.5) / 1e4 AS q,
+             ${TextQueries.qualityScoreSql} AS q,
              CASE WHEN $best <= 0 THEN 'unknown' $chain ELSE 'unknown' END AS lang
       FROM t),
     red AS (
-      SELECT doc_id, source,
-             regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
-               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS text
+      SELECT doc_id, source, ${graft.text.CorpusOps.sqlRedact("text")} AS text
       FROM scored WHERE q >= 0.3 AND lang = 'en'),
     ded AS (
-      SELECT doc_id, source,
-             trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
-               '\\s+', ' ', 'g')) AS n
-      FROM red
-      QUALIFY row_number() OVER (PARTITION BY
-        trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
-          '\\s+', ' ', 'g'))
-        ORDER BY doc_id) = 1),
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
+                 '\\s+', ' ', 'g')) AS n
+        FROM red)
+      QUALIFY row_number() OVER (PARTITION BY n ORDER BY doc_id) = 1),
     quot AS (
       SELECT doc_id FROM ded
       QUALIFY ${graft.ops.Quota.sqlQualify("source", "doc_id", 20)})
@@ -183,17 +165,11 @@ object PipelineQueries {
     // quality/language gate -> PII redaction -> exact dedup -> per-source
     // quota -> deterministic subsample, all as ONE config artifact.
     Q("pipeline_curation_config",
-      (s, dir) => {
-        val inp = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-          concat(col("text"),
-            when(col("doc_id") % 7 === 0,
-              concat(lit(" contact user"), col("doc_id").cast("string"),
-                lit("@mail.example.com from 192.168."),
-                (col("doc_id") % 256).cast("string"),
-                lit(".17 ssn 123-45-6789"))).otherwise(lit(""))).as("text"))
-        ConfigPipeline.run(inp, curationYaml).df
-          .select("doc_id").orderBy("doc_id")
-      },
+      (s, dir) => ConfigPipeline.run(
+          CorpusQueries.plantPii(
+            Tables.documents(s, dir).select("doc_id", "source", "text")),
+          curationYaml).df
+        .select("doc_id").orderBy("doc_id"),
       Some(curationOracle)),
 
     // Multimodal plumbing: documents' text bytes stand in for image blobs;

@@ -16,6 +16,26 @@ object TextQueries {
   private[queries] def hitsSql(words: Seq[String]): String =
     s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ${inList(words)}))"
 
+  /** DuckDB feature columns of [[TextAnalysis.qualityScore]] over a
+    * relation exposing `text` — shared by text_quality and the curation
+    * pipeline oracle so the formulas cannot drift apart. */
+  private[queries] def qualityColsSql: String = {
+    val en = inList(TextAnalysis.stopwords.toMap.apply("en"))
+    s"""CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS n_tok,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
+       greatest(CAST(length(text) AS DOUBLE), 1.0) AS chars,
+       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         x -> x IN $en)) AS DOUBLE) AS stop_hits,
+       CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_distinct"""
+  }
+
+  /** DuckDB score formula over [[qualityColsSql]]'s columns. */
+  private[queries] val qualityScoreSql: String =
+    """floor((0.3 * least(1.0, n_tok / 50.0)
+        + 0.3 * (1.0 - least(1.0, punct / chars))
+        + 0.2 * least(1.0, stop_hits / greatest(n_tok, 1.0) * 5.0)
+        + 0.2 * (n_distinct / greatest(n_tok, 1.0))) * 1e4 + 0.5) / 1e4"""
+
   val all: Seq[Q] = Seq(
     Q("text_tokens",
       (s, dir) => Tables.documents(s, dir).select(
@@ -54,25 +74,12 @@ object TextQueries {
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"),
-      Some {
-        val en = inList(TextAnalysis.stopwords.toMap.apply("en"))
-        s"""
+      Some(s"""
         WITH t AS (
-          SELECT doc_id,
-                 CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS n_tok,
-                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct,
-                 greatest(CAST(length(text) AS DOUBLE), 1.0) AS chars,
-                 CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                   x -> x IN $en)) AS DOUBLE) AS stop_hits,
-                 CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_distinct
+          SELECT doc_id, $qualityColsSql
           FROM documents)
-        SELECT doc_id,
-               floor((0.3 * least(1.0, n_tok / 50.0)
-                   + 0.3 * (1.0 - least(1.0, punct / chars))
-                   + 0.2 * least(1.0, stop_hits / greatest(n_tok, 1.0) * 5.0)
-                   + 0.2 * (n_distinct / greatest(n_tok, 1.0))) * 1e4 + 0.5) / 1e4 AS quality
-        FROM t ORDER BY doc_id"""
-      }),
+        SELECT doc_id, $qualityScoreSql AS quality
+        FROM t ORDER BY doc_id""")),
 
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir).select(

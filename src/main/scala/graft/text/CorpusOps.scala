@@ -128,6 +128,14 @@ object CorpusOps {
         Ipv4Pattern, "<IP>"),
       SsnPattern, "<SSN>")
 
+  /** DuckDB mirror of [[redact]] — built from the SAME pattern constants so
+    * a pattern tune can never silently diverge the oracle. */
+  def sqlRedact(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'$EmailPattern', '<EMAIL>', 'g'), " +
+      s"'$Ipv4Pattern', '<IP>', 'g'), " +
+      s"'$SsnPattern', '<SSN>', 'g')"
+
   /** Per-document PII scan: match counts per category plus the md5 of the
     * redacted text (the artifact a pipeline persists; the raw redacted
     * text is [[redact]] applied directly). Pure per-row regex projection —

@@ -114,13 +114,26 @@ class ConfigPipelineSpec extends SparkSpec {
       .contains("not in [0,1]"))
     assert(configError(
       "run_id: x\nstages:\n  - module: quota\n    group_column: g\n    key_column: id\n    n: 0\n")
-      .contains("quota must be >= 1"))
+      .contains("quota must be in"))
     assert(configError(
       "run_id: x\nstages:\n  - module: quota\n    group_column: g\n    key_column: id\n    n: 2.5\n")
       .contains("expected an integer"))
     assert(configError(
       "run_id: x\nstages:\n  - module: pii_redact\n")
       .contains("missing required key(s): text_column"))
+    // silent-empty-corpus typos fail at parse time
+    assert(configError(
+      "run_id: x\nstages:\n  - module: text_filter\n    text_column: text\n    min_quality: 30\n")
+      .contains("not in [0,1]"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: text_filter\n    text_column: text\n    languages: [EN]\n")
+      .contains("unknown language 'EN'"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: sample\n    key_column: id\n    fraction: .nan\n")
+      .contains("not in [0,1]"))
+    assert(configError(
+      "run_id: x\nstages:\n  - module: quota\n    group_column: g\n    key_column: id\n    n: 4294967297\n")
+      .contains("quota must be in"))
   }
 
   test("curation stages from config hash-match the hand-built chain") {
