@@ -81,6 +81,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.toSeq === (0L until 20L))
   }
 
+  test("dedup_semantic benchmark query removes every planted clone") {
+    // The registered query plants scaled clones (vec_id + 100000, same
+    // direction). Cosine IVF assignment is scale-invariant, so a clone
+    // always lands in its original's cell and must always be dropped.
+    val kept = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+      .as[Long].collect()
+    assert(kept.forall(_ < 100000L), "no clone id may survive")
+    val orig = Tables.embeddings(spark, sfDir).count()
+    assert(kept.length == orig,
+      s"kept ${kept.length} of $orig originals — an original was wrongly dropped")
+  }
+
   test("weightedSample keeps everything at weight 1, nothing at 0 or null") {
     val df = (0L until 100L).map(i => (i, if (i < 50) 1.0 else 0.0))
       .toDF("id", "w")
