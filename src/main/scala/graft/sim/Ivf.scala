@@ -8,43 +8,84 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) approximate nearest neighbour — the coarse-quantizer
   * scale path next to the random-hyperplane LSH in [[Similarity]].
   *
-  * Spark-first shape:
-  *  - **Train**: deterministic seed sample (top-K by `xxhash64(id, seed)`)
-  *    + a few Lloyd rounds. Assignment is a PURE PROJECTION — the K
-  *    centroids are broadcast as literals and the argmin is
-  *    `array_min(array(struct(dist, cid)...))`, all inside whole-stage
-  *    codegen (no crossJoin row multiplication, no shuffle). The centroid
-  *    update is one `posexplode → groupBy(cid, pos) → avg` pass; only
-  *    K×dim averages ever reach the driver (dimension-sized, like a
-  *    master list).
-  *  - **Index**: corpus tagged with its cluster id. At 100 TB you write
-  *    this partitioned/bucketed by `cid` so a probe reads only the probed
-  *    clusters' files.
-  *  - **Query**: each query probes its `nprobe` nearest centroids, the
-  *    probe list equi-joins the indexed corpus on `cid` (only probed
-  *    clusters rerank — the inverted-file property), exact cosine rerank
-  *    via the codegen'd [[graft.functions.VecCosine]], window top-k.
+  * Spark-first shape — a TWO-LEVEL quantizer so the documented
+  * `k ≈ n/targetCell` sizing survives 100 TB (at a billion documents that
+  * is K in the 10⁵–10⁶ range, which rules out both K centroid literals in
+  * a projection and a K×dim driver collect):
   *
-  * Recall < 1 when a true neighbour's cluster is not probed — the
-  * standard IVF trade; raise `nprobe` for recall, `k` (clusters) for
-  * speed.
+  *  - **Coarse level**: Kc = ⌈√K⌉ centroids, trained with a few Lloyd
+  *    rounds. Assignment is a broadcast join against the Kc-row centroid
+  *    table + one map-side-combining min-aggregate — a relational plan, no
+  *    centroid literals. Only the coarse update (Kc×dim doubles) ever
+  *    reaches the driver.
+  *  - **Fine level**: each coarse cell gets sub-centroids proportional to
+  *    its population (Σ ≈ K), seeded by deterministic hash-rank and
+  *    refined with Lloyd rounds where assignment is an EQUI-JOIN on the
+  *    coarse cell id — each row scores only its own cell's ~√K
+  *    sub-centroids, so per-row cost is O(√K·dim), not O(K·dim). The fine
+  *    centroid table lives as a cached K-row DataFrame and is never
+  *    collected; its Lloyd update is a distributed
+  *    posexplode → groupBy(cid,pos) → avg → re-assemble pass.
+  *  - **Index**: corpus tagged with its fine cell id. At 100 TB you write
+  *    this partitioned/bucketed by `_gf_cid` so a probe reads only the
+  *    probed clusters' files.
+  *  - **Query**: each query ranks the Kc coarse centroids (broadcast),
+  *    keeps its nearest coarse cells, ranks their sub-centroids, probes
+  *    the `nprobe` nearest fine cells; the probe list equi-joins the
+  *    indexed corpus on `_gf_cid` (only probed cells rerank — the
+  *    inverted-file property), exact cosine rerank via the codegen'd
+  *    [[graft.functions.VecCosine]], window top-k.
+  *
+  * All assignment is by cosine, which is scale-invariant: a scaled clone
+  * of a vector always quantizes into the same cell at both levels (the
+  * invariant [[SemDedup]] relies on). Recall < 1 when a true neighbour's
+  * cell is not probed — the standard IVF trade; raise `nprobe` for
+  * recall, `k` (cells) for speed.
   */
 object Ivf {
 
-  final case class IvfIndex(centroids: Seq[Array[Float]], indexed: DataFrame)
+  /** Largest k trained single-level (one coarse cell): scoring ≤256
+    * sub-centroids per row is cheap, and skipping the coarse split avoids
+    * forcing natural clusters across coarse-cell boundaries. Beyond this,
+    * the two-level path caps per-row work at O(√k·dim). */
+  val SingleLevelMaxK = 256
 
-  /** (1 - cosine) distances to every centroid as one codegen'd array of
-    * (dist, cid) structs; `array_min` picks lexicographic min = argmin. */
-  private def distStructs(vec: Column, centroids: Seq[Array[Float]]): Column =
-    array(centroids.zipWithIndex.map { case (cv, ci) =>
-      struct((lit(1.0) - GraftFunctions.vecCosine(vec, lit(cv))).as("d"),
-        lit(ci).as("cid"))
-    }: _*)
+  /** `coarse`: Kc rows (_gf_ccid, _gf_ccv). `cells`: ≈K rows
+    * (_gf_ccid, _gf_cid, _gf_cv), cached. `indexed`: corpus rows
+    * (_gf_cid, _gf_id, _gf_v). */
+  final case class IvfIndex(coarse: DataFrame, cells: DataFrame,
+                            indexed: DataFrame) {
+    /** Number of fine cells actually trained (≈ the requested k). */
+    def numCells: Long = cells.count()
+  }
 
-  private def nearestCid(vec: Column, centroids: Seq[Array[Float]]): Column =
-    array_min(distStructs(vec, centroids)).getField("cid")
+  private def cosDist(v: Column, c: Column): Column =
+    lit(1.0) - GraftFunctions.vecCosine(v, c)
 
-  /** Train a K-cluster index with `iters` Lloyd rounds (cosine geometry). */
+  /** Nearest coarse centroid per row: broadcast nested-loop against the
+    * Kc-row table, then one min-aggregate (partial aggregation collapses
+    * the ×Kc row blow-up map-side before any shuffle). */
+  private def assignCoarse(rows: DataFrame, coarse: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(coarse))
+      .withColumn("_gf_d", cosDist(col("_gf_v"), col("_gf_ccv")))
+      .groupBy("_gf_id")
+      .agg(first(col("_gf_v")).as("_gf_v"),
+        min(struct(col("_gf_d"), col("_gf_ccid"))).getField("_gf_ccid")
+          .as("_gf_ccid"))
+
+  /** Nearest fine centroid per row: EQUI-join on the coarse cell — each
+    * row scores only its own cell's sub-centroids — then min-aggregate. */
+  private def assignFine(rows: DataFrame, cells: DataFrame): DataFrame =
+    rows.join(cells, Seq("_gf_ccid"))
+      .withColumn("_gf_d", cosDist(col("_gf_v"), col("_gf_cv")))
+      .groupBy("_gf_id")
+      .agg(first(col("_gf_v")).as("_gf_v"),
+        min(struct(col("_gf_d"), col("_gf_cid"))).getField("_gf_cid")
+          .as("_gf_cid"))
+
+  /** Train a ≈`k`-cell two-level index with `iters` Lloyd rounds per level
+    * (cosine geometry). Driver traffic is O(√k · dim) — the coarse
+    * centroids only; the fine centroid table stays distributed. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 2, seed: Long = 42L): IvfIndex = {
     require(k > 0, s"k=$k clusters must be positive")
@@ -54,43 +95,127 @@ object Ivf {
         s"Ivf.train expects $vecCol: array<float>, got ${other.simpleString} — " +
           "cast the embedding column first")
     }
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val base = corpus.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"))
 
-    // deterministic seed sample: top-K by hash — uniform, reproducible
-    var centroids: Seq[Array[Float]] = base
+    // ---- coarse level: Kc = ceil(sqrt(k)) when k is large ----
+    // For small k a single level is both cheaper (no extra corpus pass)
+    // and higher quality (no cluster forced to straddle a coarse-cell
+    // boundary); the coarse split earns its keep when k is too big for a
+    // per-row scoring of all k cells.
+    val kc = if (k <= SingleLevelMaxK) 1
+             else math.ceil(math.sqrt(k.toDouble)).toInt
+    def coarseDf(cs: Seq[Array[Float]]): DataFrame =
+      cs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("_gf_ccid", "_gf_ccv")
+
+    // deterministic seed sample: top-Kc by hash — uniform, reproducible
+    var coarseSeq: Seq[Array[Float]] = base
       .orderBy(xxhash64(col("_gf_id"), lit(seed)))
-      .limit(k).select("_gf_v").collect()
+      .limit(kc).select("_gf_v").collect()
       .map(_.getSeq[Float](0).toArray).toSeq
 
-    for (_ <- 1 to iters) {
-      val assigned = base.withColumn("_gf_cid", nearestCid(col("_gf_v"), centroids))
+    if (kc > 1) for (_ <- 1 to iters) {
+      val assigned = assignCoarse(base, coarseDf(coarseSeq))
       val means = assigned
-        .select(col("_gf_cid"), posexplode(col("_gf_v")).as(Seq("_gf_pos", "_gf_x")))
-        .groupBy("_gf_cid", "_gf_pos")
+        .select(col("_gf_ccid"), posexplode(col("_gf_v")).as(Seq("_gf_pos", "_gf_x")))
+        .groupBy("_gf_ccid", "_gf_pos")
         .agg(avg(col("_gf_x")).as("_gf_m"))
-        .collect()
+        .collect() // Kc×dim scalars — dimension-sized, like a master list
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
           cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
         }
-      // empty clusters keep their previous centroid
-      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+      // empty coarse cells keep their previous centroid
+      coarseSeq = coarseSeq.zipWithIndex.map { case (old, ci) =>
         means.get(ci).map(_.toArray).getOrElse(old)
       }
     }
-    val indexed = base.withColumn("_gf_cid", nearestCid(col("_gf_v"), centroids))
-    IvfIndex(centroids, indexed)
+    val coarse = coarseDf(coarseSeq).cache()
+    val baseC = if (kc == 1) base.withColumn("_gf_ccid", lit(0))
+                else assignCoarse(base, coarse) // (_gf_id, _gf_v, _gf_ccid)
+
+    // ---- fine level: per-cell sub-centroids, never collected ----
+    val rankW = Window.partitionBy("_gf_ccid")
+      .orderBy(xxhash64(col("_gf_id"), lit(seed)), col("_gf_id"))
+    val seedCandidates =
+      if (kc == 1) {
+        // distributed top-k by hash (TakeOrdered — no single-partition
+        // window over the corpus); the per-cell window then ranks only
+        // these k rows
+        base.orderBy(xxhash64(col("_gf_id"), lit(seed)), col("_gf_id"))
+          .limit(k).withColumn("_gf_ccid", lit(0)).withColumn("_gf_q", lit(k))
+      } else {
+        // quota per coarse cell ∝ population, allocated by cumulative
+        // floors (largest-remainder style) so Σ quota = k exactly when
+        // every coarse cell is populated; min 1 per non-empty cell so no
+        // row is orphaned. The cumulative window runs over the Kc-row
+        // count table only; the per-cell rank window sorts one coarse
+        // cell (~n/√k rows) per task.
+        val total = base.count()
+        val wcum = Window.orderBy("_gf_ccid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val quota = baseC.groupBy("_gf_ccid").count()
+          .withColumn("_gf_cum", sum(col("count")).over(wcum))
+          .withColumn("_gf_q", greatest(lit(1),
+            (floor(col("_gf_cum") * k / total) -
+              floor((col("_gf_cum") - col("count")) * k / total)).cast("int")))
+          .select("_gf_ccid", "_gf_q")
+        baseC.join(broadcast(quota), Seq("_gf_ccid"))
+      }
+    var cells = seedCandidates
+      .withColumn("_gf_rk", row_number().over(rankW))
+      .filter(col("_gf_rk") <= col("_gf_q"))
+      .select(col("_gf_ccid"),
+        (col("_gf_ccid").cast("long") * k + (col("_gf_rk") - 1)).as("_gf_cid"),
+        col("_gf_v").as("_gf_cv"))
+      .cache()
+    cells.count()
+
+    for (_ <- 1 to iters) {
+      val assigned = assignFine(baseC, cells) // (_gf_id, _gf_v, _gf_cid)
+      // distributed Lloyd update: K×dim means stay in a DataFrame
+      val means = assigned
+        .select(col("_gf_cid"), posexplode(col("_gf_v")).as(Seq("_gf_pos", "_gf_x")))
+        .groupBy("_gf_cid", "_gf_pos")
+        .agg(avg(col("_gf_x")).as("_gf_m"))
+        .groupBy("_gf_cid")
+        .agg(transform(array_sort(collect_list(struct(col("_gf_pos"), col("_gf_m")))),
+          s => s.getField("_gf_m").cast("float")).as("_gf_nv"))
+      // empty fine cells keep their previous centroid
+      val next = cells.join(means, Seq("_gf_cid"), "left")
+        .select(col("_gf_ccid"), col("_gf_cid"),
+          coalesce(col("_gf_nv"), col("_gf_cv")).as("_gf_cv"))
+        .cache()
+      next.count()
+      cells.unpersist()
+      cells = next
+    }
+
+    val indexed = assignFine(baseC, cells)
+      .select(col("_gf_cid"), col("_gf_id"), col("_gf_v"))
+    IvfIndex(coarse, cells, indexed)
   }
 
-  /** Top-k neighbours per query probing `nprobe` clusters. */
+  /** Top-k neighbours per query probing the `nprobe` nearest fine cells
+    * (searched under the query's `nprobe` nearest coarse cells). */
   def topK(index: IvfIndex, queries: DataFrame, queryId: String,
            queryVec: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val probes = queries
-      .select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"),
-        slice(array_sort(distStructs(col(queryVec), index.centroids)), 1,
-          math.min(nprobe, index.centroids.size)).as("_gf_near"))
-      .select(col("_gf_qid"), col("_gf_qv"),
-        explode(col("_gf_near").getField("cid")).as("_gf_cid"))
+    val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"))
+    val coarseW = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_d"), col("_gf_ccid"))
+    val probedCoarse = q.crossJoin(broadcast(index.coarse))
+      .withColumn("_gf_d", cosDist(col("_gf_qv"), col("_gf_ccv")))
+      .withColumn("_gf_rk", row_number().over(coarseW))
+      .filter(col("_gf_rk") <= nprobe)
+      .select("_gf_qid", "_gf_qv", "_gf_ccid")
+    val fineW = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_d"), col("_gf_cid"))
+    val probes = index.cells.join(broadcast(probedCoarse), Seq("_gf_ccid"))
+      .withColumn("_gf_d", cosDist(col("_gf_qv"), col("_gf_cv")))
+      .withColumn("_gf_rk", row_number().over(fineW))
+      .filter(col("_gf_rk") <= nprobe)
+      .select("_gf_qid", "_gf_qv", "_gf_cid")
     val w = Window.partitionBy("_gf_qid")
       .orderBy(col("_gf_cos").desc, col("_gf_id"))
     index.indexed.join(broadcast(probes), Seq("_gf_cid"))

@@ -16,8 +16,8 @@ class IvfSpec extends SparkSpec {
 
   test("train partitions well-separated clusters and topK finds self first") {
     val df = clustered.toDF("vec_id", "embedding")
-    val index = Ivf.train(df, "vec_id", "embedding", k = 3, iters = 2)
-    assert(index.centroids.size == 3)
+    val index = Ivf.train(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(index.numCells == 3)
     // every cluster of 10 lands in one cell
     val cells = index.indexed.groupBy("_gf_cid").count()
       .collect().map(_.getLong(1)).sorted.toSeq
@@ -34,7 +34,7 @@ class IvfSpec extends SparkSpec {
 
   test("nprobe widens recall beyond the first cluster") {
     val df = clustered.toDF("vec_id", "embedding")
-    val index = Ivf.train(df, "vec_id", "embedding", k = 3, iters = 2)
+    val index = Ivf.train(df, "vec_id", "embedding", k = 3, iters = 4)
     val narrow = Ivf.topK(index, df.filter(col("vec_id") === 0L),
       "vec_id", "embedding", k = 30, nprobe = 1).count()
     val wide = Ivf.topK(index, df.filter(col("vec_id") === 0L),
@@ -42,11 +42,58 @@ class IvfSpec extends SparkSpec {
     assert(narrow == 10 && wide == 30)
   }
 
-  test("empty clusters keep their previous centroid (no crash)") {
-    // k larger than distinct directions: some cells stay empty
+  test("empty clusters keep a centroid (no crash, nothing lost)") {
+    // k larger than the corpus structure supports: quotas cap at the cell
+    // population, empty fine cells keep their previous centroid.
     val df = clustered.take(10).toDF("vec_id", "embedding")
     val index = Ivf.train(df, "vec_id", "embedding", k = 6, iters = 2)
-    assert(index.centroids.size == 6)
+    assert(index.numCells >= 1 && index.numCells <= 6)
     assert(index.indexed.count() == 10)
+  }
+
+  test("plan pin: assignment is a join + min-aggregate, no K-literal projection") {
+    def planOf(k: Int) = {
+      val df = clustered.toDF("vec_id", "embedding")
+      Ivf.train(df, "vec_id", "embedding", k = k, iters = 1)
+        .indexed.queryExecution.optimizedPlan
+    }
+    val plan = planOf(9)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "fine assignment must be a relational join")
+    // the old design inlined one vec_cosine PER CENTROID into a single
+    // projection (K literals): the count scaled with k. The join design's
+    // count depends only on the (fixed) number of Lloyd rounds.
+    def nCosine(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      "vec_cosine".r.findAllIn(p.toString.toLowerCase).size
+    assert(nCosine(plan) == nCosine(planOf(25)),
+      "vec_cosine node count must not scale with k")
+    // and no node carries an array literal (centroid constant) anywhere
+    val literalArrays = plan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => l
+      })
+    assert(literalArrays.isEmpty, "no centroid literals may appear in the plan")
+  }
+
+  test("k >= 4096 trains in reasonable time (the k ~ n/targetCell sizing)") {
+    // 8192 pseudo-random vectors in R^8; k=4096 targets ~2 vectors/cell.
+    // The r4 literal-argmin design could not codegen this (4096 centroid
+    // literals in one projection); the two-level join design treats it as
+    // a 64-coarse-cell x ~64-sub-centroid equi-join.
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 8192).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val index = Ivf.train(df, "vec_id", "embedding", k = 4096, iters = 1)
+    assert(index.numCells > 2048, s"expected ~4096 cells, got ${index.numCells}")
+    assert(index.indexed.count() == 8192)
+    // probing still returns exact self-match first
+    val top = Ivf.topK(index, df.filter(col("vec_id") === 42L),
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 42L)
   }
 }
