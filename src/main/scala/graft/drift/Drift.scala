@@ -162,13 +162,32 @@ object Drift {
     * window over the DISTINCT pooled values computes both CDFs. The window
     * is single-partition over distinct values: exact KS is inherently a
     * sorted scan of the support, so for 100 TB columns with unbounded
-    * cardinality quantize the input first (e.g. `round(x, 4)` caps the
-    * support at 10^4 per unit range and bounds the final scan) — counts
-    * stay exact, the CDF moves by at most the quantization width. */
-  def ks(base: DataFrame, target: DataFrame, column: String): DataFrame = {
+    * cardinality pass `quantize > 0` — both sides bucket into `quantize`
+    * equal-width bins over the POOLED range (one extra 1-row bounds pass
+    * per side) before counting, bounding the window's input to `quantize`
+    * rows. Counts stay exact; the CDF — and so the KS statistic — moves by
+    * at most one bucket's probability mass. `quantize = 0` (default) is
+    * the exact oracle path. */
+  def ks(base: DataFrame, target: DataFrame, column: String,
+         quantize: Int = 0): DataFrame = {
     val x = col(column).cast(DoubleType)
-    val b = base.filter(x.isNotNull).groupBy(x.as("v")).agg(count(lit(1)).as("bc"))
-    val t = target.filter(x.isNotNull).groupBy(x.as("v")).agg(count(lit(1)).as("tc"))
+    def side(df: DataFrame): DataFrame =
+      if (quantize <= 0) df.filter(x.isNotNull).select(x.as("v"))
+      else {
+        // pooled bounds so both sides share bin edges (least/greatest skip
+        // a side that is empty/all-null)
+        val bounds = broadcast(
+          base.filter(x.isNotNull).agg(min(x).as("_gf_l1"), max(x).as("_gf_h1"))
+            .crossJoin(target.filter(x.isNotNull)
+              .agg(min(x).as("_gf_l2"), max(x).as("_gf_h2")))
+            .select(least(col("_gf_l1"), col("_gf_l2")).as("_gf_lo"),
+              greatest(col("_gf_h1"), col("_gf_h2")).as("_gf_hi")))
+        df.filter(x.isNotNull).crossJoin(bounds)
+          .select(graft.profile.Distributions
+            .quantizeExpr(x, col("_gf_lo"), col("_gf_hi"), quantize).as("v"))
+      }
+    val b = side(base).groupBy("v").agg(count(lit(1)).as("bc"))
+    val t = side(target).groupBy("v").agg(count(lit(1)).as("tc"))
     val merged = b.join(t, Seq("v"), "full_outer")
       .select(col("v"),
         coalesce(col("bc"), lit(0L)).as("bc"),

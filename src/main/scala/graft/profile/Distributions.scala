@@ -21,6 +21,22 @@ import org.apache.spark.sql.types._
   */
 object Distributions {
 
+  /** Equal-width bucket index for quantize-first rank statistics: maps `v`
+    * into [0, buckets) over [lo, hi]. Shared by [[spearmanMatrix]] and
+    * [[graft.drift.Drift.ks]] — both otherwise sort the full DISTINCT
+    * support through one cumulative-window task, so bucketing first bounds
+    * that task's input to `buckets` rows regardless of column cardinality
+    * (the standard scale treatment for rank statistics: counts stay exact,
+    * the rank/CDF moves by at most one bucket width). Constant support
+    * (hi == lo) collapses to bucket 0; the clamp keeps ANSI-safe bounds. */
+  def quantizeExpr(v: Column, lo: Column, hi: Column, buckets: Int): Column = {
+    require(buckets > 0, s"quantize buckets must be positive, got $buckets")
+    val width = (hi - lo) / lit(buckets.toDouble)
+    when(hi === lo, lit(0.0)).otherwise(
+      least(lit((buckets - 1).toDouble),
+        greatest(lit(0.0), floor((v - lo) / width))))
+  }
+
   /** Equi-width histogram per numeric column: (column_name, bin, bin_lo,
     * bin_hi, n). Bin width = (max−min)/bins from a broadcast 1-row bounds
     * frame; values AT max are clamped into the last bin (pandas/matplotlib
@@ -145,10 +161,17 @@ object Distributions {
     * accumulate as exact DECIMALs (ranks are ½-multiples, products
     * ¼-multiples — scales 1 and 2 are exact), making ρ
     * reduction-order-independent and oracle-comparable. The cumulative
-    * rank window is single-partition over DISTINCT values (same scale
-    * caveat as Drift.ks: quantize unbounded-cardinality columns first).
-    * Constant columns (zero rank variance) emit null, as pandas NaN. */
-  def spearmanMatrix(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    * rank window is single-partition over DISTINCT values — exact rank
+    * statistics are inherently a sorted scan of the support, so for
+    * unbounded-cardinality columns (prices, floats) pass `quantize > 0`:
+    * values bucket into `quantize` equal-width bins (one extra bounds
+    * pass) BEFORE the rank window, bounding its input to `quantize` rows
+    * per column. ρ then measures the binned ranks — the standard
+    * quantize-first treatment; `quantize = 0` (default) is the exact
+    * oracle path. Constant columns (zero rank variance) emit null, as
+    * pandas NaN. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String] = Nil,
+                     quantize: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val targets = if (cols.nonEmpty) cols else Profiler.numericColumns(df)
     require(targets.size >= 2, "spearman needs at least two numeric columns")
@@ -156,10 +179,26 @@ object Distributions {
       (a, i) <- targets.zipWithIndex; b <- targets.drop(i + 1)
     } yield (a, b)
 
+    // one shared bounds row for every column when quantizing
+    val boundsOpt = if (quantize <= 0) None else Some(broadcast(df.agg(
+      min(col(targets.head).cast(DoubleType)).as(s"_gf_lo_${targets.head}"),
+      targets.tail.flatMap(c => Seq(
+        min(col(c).cast(DoubleType)).as(s"_gf_lo_$c"),
+        max(col(c).cast(DoubleType)).as(s"_gf_hi_$c"))) :+
+        max(col(targets.head).cast(DoubleType)).as(s"_gf_hi_${targets.head}"): _*)))
+
     val perPair = pairs.map { case (a, b) =>
-      val present = df
+      val raw = df
         .filter(col(a).isNotNull && col(b).isNotNull)
         .select(col(a).cast(DoubleType).as("va"), col(b).cast(DoubleType).as("vb"))
+      val present = boundsOpt match {
+        case None => raw
+        case Some(bounds) =>
+          def q(v: Column, c: String): Column =
+            quantizeExpr(v, col(s"_gf_lo_$c"), col(s"_gf_hi_$c"), quantize)
+          raw.crossJoin(bounds)
+            .select(q(col("va"), a).as("va"), q(col("vb"), b).as("vb"))
+      }
       val pc = present.groupBy("va", "vb").agg(count(lit(1)).as("cnt"))
       // Marginal value counts re-aggregate the PAIR-COUNT frame, not the
       // raw rows: identical integers, but the raw table is scanned and

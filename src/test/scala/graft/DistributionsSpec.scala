@@ -1,6 +1,7 @@
 package graft
 
 import graft.profile.Distributions
+import org.apache.spark.sql.functions.{col, max, min}
 
 class DistributionsSpec extends SparkSpec {
   import spark.implicits._
@@ -71,5 +72,26 @@ class DistributionsSpec extends SparkSpec {
     val rho = Distributions.spearmanMatrix(ties, Seq("a", "b"))
       .collect()(0).getDouble(2)
     assert(math.abs(rho - 0.8660) < 1e-9)
+  }
+
+  test("spearmanMatrix quantize-first: rank-window input bounded, rho tracks exact") {
+    // 2000 distinct doubles per column — the exact path's cumulative rank
+    // window sorts all 2000; quantize=64 must cap it at 64 buckets while
+    // keeping the statistic close on a monotone pair.
+    val df = Seq.tabulate(2000)(i => (i * 0.37, i * 0.74 + 1.0)).toDF("a", "b")
+    val exact = Distributions.spearmanMatrix(df, Seq("a", "b"))
+      .collect()(0).getDouble(2)
+    val approx = Distributions.spearmanMatrix(df, Seq("a", "b"), quantize = 64)
+      .collect()(0).getDouble(2)
+    assert(exact == 1.0)
+    assert(approx > 0.999, s"quantized rho $approx strayed from exact 1.0")
+    // the bound the scale path relies on: the quantize expression collapses
+    // the full support into <= q distinct buckets — that set IS the
+    // cumulative rank window's input
+    val bounds = df.agg(min(col("a")).as("lo"), max(col("a")).as("hi"))
+    val support = df.crossJoin(bounds)
+      .select(Distributions.quantizeExpr(col("a"), col("lo"), col("hi"), 64).as("v"))
+      .distinct().count()
+    assert(support <= 64)
   }
 }

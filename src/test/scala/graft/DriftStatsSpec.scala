@@ -65,4 +65,22 @@ class DriftStatsSpec extends SparkSpec {
     val d = Drift.ks(a, mixed, "x").collect().head.getAs[Double]("ks_stat")
     assert(d > 0.0 && d < 1.0)
   }
+
+  test("ks quantize-first: window input bounded, statistic tracks exact") {
+    // shift of 400 over n=2000 → exact KS = 0.2; with 100 pooled-range
+    // buckets the CDFs move by at most one bucket's mass (~0.012/side)
+    val a = (1 to 2000).map(_.toDouble).toDF("x")
+    val shifted = (1 to 2000).map(i => i + 400.0).toDF("x")
+    val exact = Drift.ks(a, shifted, "x").collect().head.getAs[Double]("ks_stat")
+    val approx = Drift.ks(a, shifted, "x", quantize = 100)
+      .collect().head.getAs[Double]("ks_stat")
+    assert(exact == 0.2)
+    assert(math.abs(exact - approx) < 0.05, s"quantized KS $approx vs exact $exact")
+    // identical sides stay exactly 0 under quantization; disjoint stay 1
+    assert(Drift.ks(a, a, "x", quantize = 50)
+      .collect().head.getAs[Double]("ks_stat") == 0.0)
+    val far = (10001 to 12000).map(_.toDouble).toDF("x")
+    assert(Drift.ks(a, far, "x", quantize = 50)
+      .collect().head.getAs[Double]("ks_stat") == 1.0)
+  }
 }
