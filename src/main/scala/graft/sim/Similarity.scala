@@ -103,29 +103,62 @@ object Similarity {
     * LSH buckets + exact rerank. With `nPlanes` sign bits the candidate
     * set is the per-bucket self-join — at scale this is the whole point:
     * the shuffle key is an 8-byte bucket id and only same-bucket pairs pay
-    * a dot product. Pairs split across buckets are missed (recall<1), the
-    * standard LSH trade; raise recall by lowering nPlanes or repeating
-    * with a different seed. Defaults: `dim` ≤ 0 infers the plane length
-    * from the data (a mismatch raises instead of silently un-bucketing);
-    * `nPlanes` ≤ 0 sizes the bucket count from the corpus
+    * a dot product. Pairs split across one table's buckets are missed
+    * (recall < 1), the standard LSH trade — `tables > 1` is the
+    * OR-amplification fix (the embedding analogue of MinHash bands): R
+    * independent seed-varied plane sets each bucket the corpus, candidate
+    * id pairs union, distinct-dedup, and ONE exact rerank scores each
+    * surviving pair — a pair is found if ANY table co-buckets it, so miss
+    * probability decays exponentially in R while each vector still only
+    * ever shuffles by 8-byte bucket keys. Defaults: `dim` ≤ 0 infers the
+    * plane length from the data (a mismatch raises instead of silently
+    * un-bucketing); `nPlanes` ≤ 0 sizes the bucket count from the corpus
     * ([[adaptivePlanes]], one extra count job). */
   def nearDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.99, nPlanes: Int = -1,
-                         dim: Int = -1, seed: Long = 42L): DataFrame = {
+                         dim: Int = -1, seed: Long = 42L,
+                         tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables=$tables must be >= 1")
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val p = if (nPlanes > 0) nPlanes else adaptivePlanes(df.count())
-    val planes = hyperplanes(p, d, seed)
-    val withBucket = df.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"),
-      bucketId(col(vecCol), planes).as("_gf_bucket"))
-    val a = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_a"),
-      col("_gf_v").as("_gf_va"))
-    val b = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_b"),
-      col("_gf_v").as("_gf_vb"))
-    a.join(b, Seq("_gf_bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.Num.dround(cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val withId = df.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"))
+    if (tables == 1) {
+      // single table: vectors ride the bucket join, no join-back
+      val planes = hyperplanes(p, d, seed)
+      val withBucket = withId.select(col("_gf_id"), col("_gf_v"),
+        bucketId(col("_gf_v"), planes).as("_gf_bucket"))
+      val a = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_a"),
+        col("_gf_v").as("_gf_va"))
+      val b = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_b"),
+        col("_gf_v").as("_gf_vb"))
+      a.join(b, Seq("_gf_bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.Num.dround(cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      // OR-amplified: id-only candidates per table, distinct union, one
+      // exact rerank per surviving pair (vectors join back by id)
+      val candidates = (0 until tables).map { t =>
+        // golden-ratio stride decorrelates table seeds deterministically
+        val planes = hyperplanes(p, d, seed + t * 0x9e3779b97f4a7c15L)
+        val withBucket = withId.select(col("_gf_id"),
+          bucketId(col("_gf_v"), planes).as("_gf_bucket"))
+        val a = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_a"))
+        val b = withBucket.select(col("_gf_bucket"), col("_gf_id").as("id_b"))
+        a.join(b, Seq("_gf_bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      }.reduce(_.unionByName(_)).distinct()
+      candidates
+        .join(withId.select(col("_gf_id").as("id_a"), col("_gf_v").as("_gf_va")),
+          Seq("id_a"))
+        .join(withId.select(col("_gf_id").as("id_b"), col("_gf_v").as("_gf_vb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.Num.dround(cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 
   /** ANN via LSH: bucket the corpus once, probe each query's bucket, exact

@@ -110,6 +110,54 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 100L)))
   }
 
+  test("OR-amplified tables recover a pair table 0's planes provably split") {
+    // Deterministically construct a true near-pair that table 0 assigns to
+    // DIFFERENT buckets (single-table LSH misses it by construction) while
+    // some later seed-varied table co-buckets it — the exact miss class
+    // OR-amplification exists for.
+    def bucketOf(v: Array[Float], planes: Seq[Array[Double]]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        var dot = 0.0
+        var d = 0
+        while (d < p.length) { dot += v(d).toDouble * p(d); d += 1 }
+        if (dot >= 0) 1L << i else 0L
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i)).sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val nTables = 4
+    val tablePlanes = (0 until nTables).map(t =>
+      Similarity.hyperplanes(8, 8, 42L + t * 0x9e3779b97f4a7c15L))
+    val found = (0 until 5000).iterator.map { i =>
+      val rnd = new scala.util.Random(i)
+      val v = Array.fill(8)(rnd.nextFloat() - 0.5f)
+      val w = v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+      (v, w)
+    }.find { case (v, w) =>
+      cos(v, w) >= 0.995 &&
+        bucketOf(v, tablePlanes.head) != bucketOf(w, tablePlanes.head) &&
+        (1 until nTables).exists(t =>
+          bucketOf(v, tablePlanes(t)) == bucketOf(w, tablePlanes(t)))
+    }
+    assert(found.nonEmpty, "search space exhausted without a planted split pair")
+    val (v, w) = found.get
+    val filler = (0 until 20).map { i =>
+      val rnd = new scala.util.Random(100000 + i)
+      (10L + i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }
+    val df = (Seq((1L, v), (2L, w)) ++ filler).toDF("vec_id", "embedding")
+    def pairsWith(tables: Int) =
+      Similarity.nearDuplicatePairs(df, "vec_id", "embedding",
+        threshold = 0.99, nPlanes = 8, dim = 8, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairsWith(1).contains((1L, 2L)),
+      "single table should miss the constructed split pair")
+    assert(pairsWith(nTables).contains((1L, 2L)),
+      "OR-amplified tables must recover it")
+  }
+
   test("minhash rejects k not divisible by bands") {
     val df = Seq((1L, baseText)).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
