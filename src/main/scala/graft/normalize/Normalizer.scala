@@ -11,9 +11,15 @@ import org.apache.spark.sql.types.DoubleType
   * score used here is `100 * (1 - levenshtein/max(len))`, taken as the max
   * of the raw strings and their token-sorted forms (`tokenSort=true`,
   * default) — thefuzz's WRatio is token-aware, so "smith john" must match
-  * "john smith"; plain Levenshtein scores that reordering near 0. */
+  * "john smith"; plain Levenshtein scores that reordering near 0.
+  * `partialRatio=true` adds WRatio's substring tier: when the lengths
+  * differ by ≥1.5× the max also considers 0.9 × the best window ratio
+  * ([[Normalizer.partialScore]]), so "acme corp" matches
+  * "acme corporation ltd" — substring containment that both the plain and
+  * token-sorted forms score far below cutoff. */
 final case class FuzzySpec(masterList: Seq[String], cutoff: Double = 90.0,
-                           tokenSort: Boolean = true)
+                           tokenSort: Boolean = true,
+                           partialRatio: Boolean = false)
 
 /** Config for a normalization pass — the typed form of the reference's
   * `normalization` YAML block (normalize_data.py:20-282), applied in the
@@ -123,6 +129,22 @@ object Normalizer {
   def tokenSorted(c: Column): Column =
     concat_ws(" ", sort_array(split(trim(c), "\\s+")))
 
+  /** thefuzz partial_ratio analogue (normalize_data.py:93, WRatio's
+    * substring tier): the best plain ratio of the SHORTER string against
+    * every same-length substring window of the longer. Runs only over the
+    * distinct-values × master-list frame, so the window scan cost never
+    * touches raw rows. */
+  def partialScore(a: Column, b: Column): Column = {
+    val s = when(length(a) <= length(b), a).otherwise(b)
+    val l = when(length(a) <= length(b), b).otherwise(a)
+    val m = length(s)
+    when(m === 0, lit(0.0)).otherwise(
+      array_max(transform(
+        sequence(lit(1), length(l) - m + lit(1)),
+        i => lit(100.0) * (lit(1.0) -
+          levenshtein(s, l.substr(i, m)).cast(DoubleType) / m.cast(DoubleType)))))
+  }
+
   def fuzzyCorrect(df: DataFrame, column: String, spec: FuzzySpec): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -133,10 +155,22 @@ object Normalizer {
       levenshtein(a, b).cast(DoubleType) /
         greatest(length(a), length(b)).cast(DoubleType))
     val plain = rawScore(col("_gf_val"), col("_gf_master"))
-    val score =
+    val base =
       if (spec.tokenSort)
         greatest(plain, rawScore(tokenSorted(col("_gf_val")), tokenSorted(col("_gf_master"))))
       else plain
+    val score =
+      if (spec.partialRatio) {
+        // WRatio applies the substring tier only to length-mismatched
+        // pairs (≥1.5× — multiplication form avoids a 0-length division)
+        // and weights it by 0.9
+        val la = length(col("_gf_val")).cast(DoubleType)
+        val lb = length(col("_gf_master")).cast(DoubleType)
+        val gate = greatest(la, lb) >= lit(1.5) * least(la, lb)
+        greatest(base, when(gate,
+          lit(0.9) * partialScore(col("_gf_val"), col("_gf_master")))
+          .otherwise(lit(0.0)))
+      } else base
     val w = Window.partitionBy("_gf_val")
       .orderBy(col("_gf_score").desc, col("_gf_master"))
     val best = values.crossJoin(broadcast(master))

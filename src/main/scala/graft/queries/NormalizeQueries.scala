@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
 object NormalizeQueries {
 
   private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val segmentsExt = segments.map(_ + " DIVISION GROUP")
 
   val all: Seq[Q] = Seq(
     // rename + standardize_text in one config pass.
@@ -90,6 +91,61 @@ object NormalizeQueries {
           WHERE rn = 1 AND score >= 80.0)
         SELECT c.c_custkey, coalesce(b._gf_master, c.seg) AS seg
         FROM corrupted c LEFT JOIN best b USING (seg)
+        ORDER BY c.c_custkey""")),
+
+    // WRatio substring tier: every segment label is a strict prefix of its
+    // master entry — plain and token-sorted scores sit at ~40, only the
+    // 0.9 × best-window partial ratio clears the cutoff.
+    Q("normalize_fuzzy_partial",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).withColumn("seg", col("c_mktsegment"))
+        Normalizer.fuzzyCorrect(c, "seg",
+            FuzzySpec(segmentsExt, cutoff = 85.0, partialRatio = true))
+          .select("c_custkey", "seg").orderBy("c_custkey")
+      },
+      Some(s"""
+        WITH src AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
+        master AS (SELECT * FROM (VALUES ${segmentsExt.map(v => s"('$v')").mkString(",")}) m(_gf_master)),
+        vals AS (
+          SELECT DISTINCT seg FROM src
+          WHERE seg IS NOT NULL AND seg NOT IN (${segmentsExt.map(v => s"'$v'").mkString(",")})),
+        sides AS (
+          SELECT seg, _gf_master,
+                 CASE WHEN length(seg) <= length(_gf_master) THEN seg ELSE _gf_master END AS s,
+                 CASE WHEN length(seg) <= length(_gf_master) THEN _gf_master ELSE seg END AS l
+          FROM vals CROSS JOIN master),
+        terms AS (
+          SELECT seg, _gf_master,
+                 100.0 * (1.0 - CAST(levenshtein(seg, _gf_master) AS DOUBLE) /
+                   greatest(length(seg), length(_gf_master))) AS plain,
+                 100.0 * (1.0 - CAST(levenshtein(
+                     array_to_string(list_sort(string_split_regex(trim(seg), '\\s+')), ' '),
+                     array_to_string(list_sort(string_split_regex(trim(_gf_master), '\\s+')), ' ')) AS DOUBLE) /
+                   greatest(
+                     length(array_to_string(list_sort(string_split_regex(trim(seg), '\\s+')), ' ')),
+                     length(array_to_string(list_sort(string_split_regex(trim(_gf_master), '\\s+')), ' ')))) AS tsort,
+                 CASE WHEN length(s) = 0 THEN 0.0
+                      ELSE list_aggregate(list_transform(
+                        generate_series(1, length(l) - length(s) + 1),
+                        i -> 100.0 * (1.0 - CAST(levenshtein(s, substr(l, i, length(s))) AS DOUBLE) /
+                          length(s))), 'max')
+                 END AS partial
+          FROM sides),
+        scored AS (
+          SELECT seg, _gf_master,
+                 greatest(plain, tsort,
+                   CASE WHEN greatest(length(seg), length(_gf_master)) >=
+                             1.5 * least(length(seg), length(_gf_master))
+                        THEN 0.9 * partial ELSE 0.0 END) AS score
+          FROM terms),
+        best AS (
+          SELECT seg, _gf_master FROM (
+            SELECT seg, _gf_master, score,
+                   row_number() OVER (PARTITION BY seg ORDER BY score DESC, _gf_master) AS rn
+            FROM scored)
+          WHERE rn = 1 AND score >= 85.0)
+        SELECT c.c_custkey, coalesce(b._gf_master, c.seg) AS seg
+        FROM src c LEFT JOIN best b USING (seg)
         ORDER BY c.c_custkey""")),
 
     // multi-format datetime parsing with coerce-to-null fallback.

@@ -50,6 +50,23 @@ class NormalizerSpec extends SparkSpec {
       Set("smith john", "smith jon", "totally different"))
   }
 
+  test("fuzzyCorrect partial-ratio heals substring containment (WRatio tier)") {
+    // "acme corp" vs "acme corporation ltd": plain = 45, token-sorted = 45,
+    // but the best 9-char window of the master IS "acme corp" →
+    // 0.9 × 100 = 90 ≥ cutoff. Without partialRatio the value must survive
+    // uncorrected, and an unrelated master must not claim it.
+    val df = Seq("acme corp", "something else entirely").toDF("name")
+    val master = Seq("acme corporation ltd", "zenith industrial co")
+    val healed = Normalizer.fuzzyCorrect(df, "name",
+      FuzzySpec(master, cutoff = 85.0, partialRatio = true))
+    assert(healed.collect().map(_.getString(0)).toSet ==
+      Set("acme corporation ltd", "something else entirely"))
+    val without = Normalizer.fuzzyCorrect(df, "name",
+      FuzzySpec(master, cutoff = 85.0))
+    assert(without.collect().map(_.getString(0)).toSet ==
+      Set("acme corp", "something else entirely"))
+  }
+
   test("parseDatetime falls back across formats and coerces failures") {
     val df = Seq("2020/01/02", "03-04-2021", "junk").toDF("d")
     val (out, _) = Normalizer(df, NormalizeConfig(
