@@ -12,17 +12,20 @@ final case class AssetMeta(asset_id: Long, n_bytes: Long, width: Int,
   * batches.
   *
   * The Spark-side shape is real — binary schema, `mapPartitions` batch
-  * iterator with a typed Encoder, metadata struct joins — while the codec
-  * call itself is a clearly-marked deterministic STUB (image/audio
-  * libraries are not in this container): the "decode" derives metadata
-  * from byte length/content so the whole pipeline stays testable and
-  * oracle-checkable. Swap [[decodeStub]] for a JNI/javacv call and nothing
-  * else changes.
+  * iterator with a typed Encoder, metadata struct joins — and [[decode]]
+  * now parses REAL PNG IHDR / JPEG SOFn headers (pure byte arithmetic, no
+  * codec library). Bytes that are neither fall back to the
+  * clearly-marked deterministic [[decodeStub]] (image/audio pixel codecs
+  * are not in this container); swap the stub for a JNI/javacv call and
+  * nothing else changes.
   */
 object Multimodal {
 
   /** STUB decode — deterministic fake standing in for a real image codec.
-    * Real implementation would parse the container header here. */
+    * Used by [[decode]] for bytes that are neither PNG nor JPEG (a real
+    * pipeline would route those to the right codec; this container has
+    * none, so the fake keeps non-image bytes flowing, loudly, never null).
+    */
   def decodeStub(assetId: Long, bytes: Array[Byte]): AssetMeta = {
     val n = bytes.length.toLong
     val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
@@ -34,6 +37,57 @@ object Multimodal {
       format = (n % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
   }
 
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** REAL container-header metadata for the two formats whose headers are
+    * pure byte arithmetic — no codec library needed:
+    *  - PNG: 8-byte signature, then the IHDR chunk (always first, W3C PNG
+    *    §11.2.2): width/height are big-endian u32 at offsets 16/20.
+    *  - JPEG: SOI then a marker scan (ITU T.81 §B): each segment is
+    *    0xFF<marker><u16 len includes itself>; the first SOFn frame header
+    *    (0xC0-0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC) carries
+    *    [len][precision][height u16][width u16].
+    * Anything else — including truncated/malformed image bytes — falls
+    * back to [[decodeStub]] rather than throwing, so a corrupt asset in a
+    * 100 TB scan degrades to fake metadata instead of killing the stage.
+    */
+  def decode(assetId: Long, bytes: Array[Byte]): AssetMeta = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+
+    def png: Option[AssetMeta] =
+      if (bytes.length >= 24 && PngSig.indices.forall(i => u8(i) == PngSig(i)) &&
+          u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+        Some(AssetMeta(assetId, bytes.length.toLong,
+          u32(16).toInt, u32(20).toInt, "png"))
+      else None
+
+    def jpeg: Option[AssetMeta] = {
+      if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < bytes.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone marker
+        else {
+          val len = u16(i + 2)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            return if (i + 8 < bytes.length)
+              Some(AssetMeta(assetId, bytes.length.toLong,
+                u16(i + 7), u16(i + 5), "jpeg"))
+            else None // truncated SOF
+          }
+          if (len < 2) return None // malformed length
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    png.orElse(jpeg).getOrElse(decodeStub(assetId, bytes))
+  }
+
   /** Batch metadata extraction: (id, binary) -> AssetMeta via
     * mapPartitions — one iterator per partition, the batch shape a real
     * codec wants (amortized init, sequential IO). No shuffle. */
@@ -43,7 +97,7 @@ object Multimodal {
     pair.mapPartitions { it =>
       // Real codecs initialize once per partition here (the expensive part
       // a per-row UDF cannot amortize).
-      it.map { case (id, bytes) => decodeStub(id, bytes) }
+      it.map { case (id, bytes) => decode(id, bytes) }
     }(Encoders.product[AssetMeta]).toDF()
   }
 

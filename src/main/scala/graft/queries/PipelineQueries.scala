@@ -8,6 +8,7 @@ import graft.normalize.NormalizeConfig
 import graft.outliers.{Clip, Iqr}
 import graft.pipeline._
 import graft.streaming.StreamOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Driver-checked queries for SURVEY rows 35 (pipeline), 42 (sessionize),
@@ -172,12 +173,29 @@ object PipelineQueries {
         .select("doc_id").orderBy("doc_id"),
       Some(curationOracle)),
 
-    // Multimodal plumbing: documents' text bytes stand in for image blobs;
-    // mapPartitions batch decode (stubbed deterministically) + resize plan.
+    // Multimodal plumbing: every 3rd doc gets a REAL PNG header (IHDR),
+    // every 3rd+1 a REAL JPEG header (APP0 + SOF0, exercising the marker
+    // scan), the rest raw text bytes (stub fallback). decodeMeta parses
+    // the headers byte-for-byte; the oracle re-builds the same blobs and
+    // extracts the same header bytes from their hex — a byte-level mirror,
+    // not a formula shortcut.
     Q("multimodal_meta",
       (s, dir) => {
-        val assets = Tables.documents(s, dir)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("asset"))
+        val payload = encode(col("text"), "UTF-8")
+        val w = lit(100) + col("doc_id") % 1820
+        val h = lit(80) + col("doc_id") % 940
+        def hexN(c: Column, n: Int) = lpad(hex(c), n, "0")
+        val pngBytes = concat(unhex(concat(
+          lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+          hexN(w, 8), hexN(h, 8), lit("0806000000"))), payload)
+        val jpegBytes = concat(unhex(concat(
+          lit("FFD8" + "FFE00010" + "4A4649460001010000010001" + "0000" +
+            "FFC0" + "0011" + "08"),
+          hexN(h, 4), hexN(w, 4), lit("03011100021101031101"))), payload)
+        val assets = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, pngBytes)
+            .when(col("doc_id") % 3 === 1, jpegBytes)
+            .otherwise(payload).as("asset"))
         val meta = Multimodal.decodeMeta(assets, "doc_id", "asset")
         Multimodal.resizePlan(meta, maxDim = 512)
           .select("asset_id", "n_bytes", "width", "height", "format",
@@ -185,19 +203,40 @@ object PipelineQueries {
           .orderBy("asset_id")
       },
       Some("""
-        WITH m AS (
+        WITH src AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        built AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 3 = 0 THEN unhex('89504E470D0A1A0A0000000D49484452' ||
+                     lpad(hex(100 + doc_id % 1820), 8, '0') ||
+                     lpad(hex(80 + doc_id % 940), 8, '0') || '0806000000') || payload
+                   WHEN doc_id % 3 = 1 THEN unhex('FFD8FFE000104A46494600010100000100010000FFC0001108' ||
+                     lpad(hex(80 + doc_id % 940), 4, '0') ||
+                     lpad(hex(100 + doc_id % 1820), 4, '0') || '03011100021101031101') || payload
+                   ELSE payload END AS asset
+          FROM src),
+        m AS (
           SELECT doc_id AS asset_id,
-                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                 CAST(64 + octet_length(encode(text)) % 1856 AS INT) AS width,
-                 -- first UTF-8 BYTE (mirrors decodeStub's bytes(0) & 0xff,
-                 -- NOT the first codepoint — they differ on non-ASCII docs)
-                 CAST(64 + (octet_length(encode(text)) * 7 +
-                   CASE WHEN octet_length(encode(text)) > 0
-                        THEN CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT)
-                        ELSE 0 END) % 1016 AS INT) AS height,
-                 CASE octet_length(encode(text)) % 3
-                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-          FROM documents)
+                 CAST(octet_length(asset) AS BIGINT) AS n_bytes,
+                 -- PNG width = BE u32 at byte 16 (hex chars 33-40); JPEG
+                 -- width = BE u16 at byte 27 (chars 55-58); stub otherwise
+                 CASE WHEN doc_id % 3 = 0 THEN CAST(('0x' || substr(hex(asset), 33, 8)) AS INT)
+                      WHEN doc_id % 3 = 1 THEN CAST(('0x' || substr(hex(asset), 55, 4)) AS INT)
+                      ELSE CAST(64 + octet_length(asset) % 1856 AS INT) END AS width,
+                 -- PNG height = BE u32 at byte 20; JPEG height = BE u16 at
+                 -- byte 25; stub uses first UTF-8 BYTE (bytes(0) & 0xff)
+                 CASE WHEN doc_id % 3 = 0 THEN CAST(('0x' || substr(hex(asset), 41, 8)) AS INT)
+                      WHEN doc_id % 3 = 1 THEN CAST(('0x' || substr(hex(asset), 51, 4)) AS INT)
+                      ELSE CAST(64 + (octet_length(asset) * 7 +
+                        CASE WHEN octet_length(asset) > 0
+                             THEN CAST(('0x' || substr(hex(asset), 1, 2)) AS INT)
+                             ELSE 0 END) % 1016 AS INT) END AS height,
+                 CASE WHEN doc_id % 3 = 0 THEN 'png'
+                      WHEN doc_id % 3 = 1 THEN 'jpeg'
+                      ELSE CASE octet_length(asset) % 3
+                        WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END
+                 END AS format
+          FROM built)
         SELECT asset_id, n_bytes, width, height, format,
                CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS INT) AS target_width,
                CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS INT) AS target_height

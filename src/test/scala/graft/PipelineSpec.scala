@@ -2,7 +2,7 @@ package graft
 
 import graft.dedup.Duplicates
 import graft.impute.Constant
-import graft.multimodal.Multimodal
+import graft.multimodal.{AssetMeta, Multimodal}
 import graft.normalize.NormalizeConfig
 import graft.outliers.{Iqr, ReplaceConstant}
 import graft.pipeline._
@@ -42,6 +42,31 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Int]("target_width") <= 512 && r.getAs[Int]("target_height") <= 512)
     }
     assert(planned(1).getAs[Long]("n_bytes") == 3000L)
+  }
+
+  test("decode parses hand-built PNG IHDR and JPEG SOFn headers; stubs the rest") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    // PNG: signature + IHDR length + "IHDR" + width 320 + height 240 + tail
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000140" + "000000F0" + "0806000000")
+    assert(Multimodal.decode(7L, png) ==
+      AssetMeta(7L, png.length.toLong, 320, 240, "png"))
+    // JPEG: SOI, APP0 (skipped by the marker scan), COM (also skipped),
+    // then SOF0 with height 240 / width 320
+    val jpeg = hexBytes("FFD8" +
+      "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000" +
+      "FFFE" + "0004" + "4869" + // COM segment "Hi"
+      "FFC0" + "0011" + "08" + "00F0" + "0140" + "03" + "011100" + "021101" + "031101")
+    val j = Multimodal.decode(8L, jpeg)
+    assert((j.width, j.height, j.format) == ((320, 240, "jpeg")))
+    // non-image bytes and truncated image bytes fall back to the stub
+    val txt = "hello world".getBytes("UTF-8")
+    assert(Multimodal.decode(9L, txt) == Multimodal.decodeStub(9L, txt))
+    val soiOnly = hexBytes("FFD8FFC0")
+    assert(Multimodal.decode(10L, soiOnly) == Multimodal.decodeStub(10L, soiOnly))
+    val badPng = hexBytes("89504E470D0A1A0A" + "0000000D" + "49480000")
+    assert(Multimodal.decode(11L, badPng) == Multimodal.decodeStub(11L, badPng))
   }
 
   test("frame sample plan emits stride offsets") {
