@@ -25,8 +25,9 @@ object Quota {
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   n: Int, seed: Long = 0L): DataFrame = {
     require(n >= 1, s"quota must be >= 1, got $n")
+    Sampling.requireIntegralKey(df, keyCol)
     val w = Window.partitionBy(groupCol)
-      .orderBy(Sampling.bucket(col(keyCol), seed), col(keyCol))
+      .orderBy(Sampling.bucket(col(keyCol), seed, Sampling.QuotaPrime), col(keyCol))
     df.withColumn("_gf_rn", row_number().over(w))
       .filter(col("_gf_rn") <= n)
       .drop("_gf_rn")
@@ -35,5 +36,6 @@ object Quota {
   /** SQL mirror of [[capPerGroup]]'s predicate for a DuckDB oracle (as a
     * QUALIFY clause body). */
   def sqlQualify(groupCol: String, keyCol: String, n: Int, seed: Long = 0L): String =
-    s"row_number() OVER (PARTITION BY $groupCol ORDER BY ${Sampling.sqlBucket(keyCol, seed)}, $keyCol) <= $n"
+    s"row_number() OVER (PARTITION BY $groupCol ORDER BY " +
+      s"${Sampling.sqlBucket(keyCol, seed, Sampling.QuotaPrime)}, $keyCol) <= $n"
 }

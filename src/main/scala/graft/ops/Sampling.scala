@@ -16,23 +16,74 @@ import org.apache.spark.sql.functions._
   * exact sample (xxhash64 would be Spark-only). For adversarial key
   * distributions swap in `xxhash64(key, seed)` — same shape, not
   * SQL-oracle-portable.
+  *
+  * COMPOSITION (r4 ADVICE): every selector here filters/ranks on a bucket
+  * of the same key, and ALL pure mod-Buckets arithmetic over one product
+  * is affinely related — so two composed selectors sharing a raw hash are
+  * perfectly correlated (quota-then-sample kept ~100% instead of the
+  * fraction). Each operator therefore folds the 63-bit product modulo its
+  * OWN large prime before the bucket reduction: residues modulo distinct
+  * primes are CRT-independent as the product ranges, restoring the
+  * fraction contract across different modules on the same key. Composing
+  * the SAME module twice on one key still needs distinct `seed`s — the
+  * seed varies the MULTIPLIER (an additive seed would only translate
+  * buckets, which interval predicates survive).
   */
 object Sampling {
 
   val Buckets = 1000000L
   private val Knuth = 2654435761L
 
+  /** Seeds must stay below this so `(key + seed) * (Knuth + 2·seed)` fits
+    * BIGINT at the documented key bound. */
+  val MaxSeed = 1000000L
+
+  // Per-operator fold primes (all verified prime; ~1e9 keeps the second
+  // multiply-free reduction in BIGINT range for any SQL engine).
+  private[graft] val SamplePrime     = 999999937L
+  private[graft] val StratifiedPrime = 999999893L
+  private[graft] val WeightedPrime   = 999999883L
+  private[graft] val SplitPrime      = 999999797L
+  private[graft] val QuotaPrime      = 999999761L
+
   /** Bucket in [0, Buckets) from a non-negative integral key; keys must
     * stay below ~3.4e9 to avoid BIGINT overflow in external engines (Spark
-    * itself would wrap silently). */
-  def bucket(key: Column, seed: Long = 0L): Column =
-    pmod((key.cast("long") + lit(seed)) * lit(Knuth), lit(Buckets))
+    * itself would wrap silently). `prime > 0` applies the per-operator
+    * fold (see object doc) plus a second multiplicative round whose
+    * multiplier varies with `seed`: the multiplier acts on the ~prime-range
+    * residue (not the raw key), so even a small seed delta wraps the
+    * bucket modulus thousands of times — genuinely independent draws —
+    * while every intermediate stays BIGINT-safe (residue < 1e9 × multiplier
+    * < 2.7e9). `prime = 0` is the legacy single-fold path. */
+  def bucket(key: Column, seed: Long = 0L, prime: Long = 0L): Column = {
+    require(seed >= 0 && seed < MaxSeed, s"seed must be in [0, $MaxSeed), got $seed")
+    val t = (key.cast("long") + lit(seed)) * lit(Knuth)
+    if (prime > 0)
+      pmod(pmod(pmod(t, lit(prime)) * lit(Knuth + 2 * seed), lit(prime)), lit(Buckets))
+    else pmod(t, lit(Buckets))
+  }
+
+  /** Fail fast when the sampling key is not an integral column: a string
+    * or decimal key would cast to NULL buckets and silently drop every
+    * row — the exact "silently empty corpus" failure the config
+    * validation elsewhere exists to prevent. */
+  private[graft] def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"sampling key '$keyCol' must be an integral column, got " +
+          s"${other.simpleString} — cast or derive an integral id first " +
+          "(a non-numeric key hashes to NULL and empties the output)")
+    }
+  }
 
   /** Keep ~`fraction` of rows, deterministically by key. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
                  seed: Long = 0L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
-    df.filter(bucket(col(keyCol), seed) < lit((fraction * Buckets).toLong))
+    requireIntegralKey(df, keyCol)
+    df.filter(bucket(col(keyCol), seed, SamplePrime) < lit((fraction * Buckets).toLong))
   }
 
   /** Per-stratum fractions (e.g. downsample the majority class); strata
@@ -45,7 +96,8 @@ object Sampling {
     fractions.foreach { case (s, f) =>
       require(f >= 0 && f <= 1, s"fraction $f for stratum '$s' not in [0,1]")
     }
-    val b = bucket(col(keyCol), seed)
+    requireIntegralKey(df, keyCol)
+    val b = bucket(col(keyCol), seed, StratifiedPrime)
     val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
       acc || (col(strataCol) === lit(stratum) && b < lit((f * Buckets).toLong))
     }
@@ -61,8 +113,10 @@ object Sampling {
     * resampling, à la the DoReMi/quality-weighted corpus recipes). */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
                      seed: Long = 0L): DataFrame = {
+    requireIntegralKey(df, keyCol)
     val w = least(lit(1.0), greatest(lit(0.0), weight))
-    df.filter(bucket(col(keyCol), seed) < floor(w * lit(Buckets.toDouble)).cast("long"))
+    df.filter(bucket(col(keyCol), seed, WeightedPrime) <
+      floor(w * lit(Buckets.toDouble)).cast("long"))
   }
 
   /** Deterministic train/validation/test split: each row lands in exactly
@@ -80,7 +134,8 @@ object Sampling {
     }
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val b = bucket(col(keyCol), seed)
+    requireIntegralKey(df, keyCol)
+    val b = bucket(col(keyCol), seed, SplitPrime)
     // round, not truncate: a float cumsum like 0.7+0.2 = 0.8999... would
     // otherwise shift boundary buckets into the wrong split
     val cuts = splitCuts(fractions)
@@ -104,20 +159,33 @@ object Sampling {
                seed: Long = 0L): String = {
     val whens = fractions.zip(splitCuts(fractions)).dropRight(1)
       .map { case ((name, _), cut) =>
-        s"WHEN ${sqlBucket(key, seed)} < $cut THEN '$name'"
+        s"WHEN ${sqlBucket(key, seed, SplitPrime)} < $cut THEN '$name'"
       }.mkString(" ")
     if (whens.isEmpty) s"'${fractions.last._1}'"
     else s"CASE $whens ELSE '${fractions.last._1}' END"
   }
 
+  /** SQL fragment mirroring [[hashSample]]'s keep predicate. */
+  def sqlHashKeep(key: String, fraction: Double, seed: Long = 0L): String =
+    s"${sqlBucket(key, seed, SamplePrime)} < ${(fraction * Buckets).toLong}"
+
+  /** SQL fragment mirroring [[stratifiedSample]]'s per-stratum bucket. */
+  def sqlStratifiedBucket(key: String, seed: Long = 0L): String =
+    sqlBucket(key, seed, StratifiedPrime)
+
   /** SQL fragment mirroring [[weightedSample]]'s keep predicate. */
   def sqlWeightedKeep(key: String, weightExpr: String, seed: Long = 0L): String =
-    s"${sqlBucket(key, seed)} < CAST(floor(least(1.0, greatest(0.0, $weightExpr)) * $Buckets) AS BIGINT)"
+    s"${sqlBucket(key, seed, WeightedPrime)} < CAST(floor(least(1.0, greatest(0.0, $weightExpr)) * $Buckets) AS BIGINT)"
 
   /** SQL fragment mirroring [[bucket]] for a DuckDB oracle. Spark's
     * `pmod` is always non-negative while ANSI `%` is sign-preserving, so
     * the mirror must wrap the remainder back into [0, Buckets) or the two
     * engines silently pick different rows for negative keys. */
-  def sqlBucket(key: String, seed: Long = 0L): String =
-    s"((((CAST($key AS BIGINT) + $seed) * $Knuth) % $Buckets + $Buckets) % $Buckets)"
+  def sqlBucket(key: String, seed: Long = 0L, prime: Long = 0L): String = {
+    require(seed >= 0 && seed < MaxSeed, s"seed must be in [0, $MaxSeed), got $seed")
+    val t = s"((CAST($key AS BIGINT) + $seed) * $Knuth)"
+    if (prime > 0)
+      s"((((($t % $prime) + $prime) % $prime) * ${Knuth + 2 * seed}) % $prime % $Buckets)"
+    else s"((($t % $Buckets) + $Buckets) % $Buckets)"
+  }
 }

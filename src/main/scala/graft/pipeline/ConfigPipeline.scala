@@ -220,7 +220,7 @@ object ConfigPipeline {
 
       case "quota" =>
         requireKeys(m, path, required = Set("module", "group_column", "key_column", "n"),
-          optional = Set.empty)
+          optional = Set("seed"))
         val n = asLong(m("n"), s"$path.n")
         // upper bound too: a Long beyond Int range would .toInt-wrap to an
         // arbitrary (possibly tiny or negative) cap
@@ -228,7 +228,8 @@ object ConfigPipeline {
           fail(s"$path.n", s"quota must be in [1, ${Int.MaxValue}], got $n")
         QuotaStage(
           asString(m("group_column"), s"$path.group_column"),
-          asString(m("key_column"), s"$path.key_column"), n.toInt)
+          asString(m("key_column"), s"$path.key_column"), n.toInt,
+          m.get("seed").map(asLong(_, s"$path.seed")).getOrElse(0L))
 
       case other =>
         fail(s"$path.module",

@@ -31,7 +31,7 @@ final case class ExactDedupStage(textCol: String, idCol: String) extends Stage {
 final case class SampleStage(keyCol: String, fraction: Double,
                              seed: Long) extends Stage { val name = "sample" }
 final case class QuotaStage(groupCol: String, keyCol: String,
-                            quota: Int) extends Stage { val name = "quota" }
+                            quota: Int, seed: Long = 0L) extends Stage { val name = "quota" }
 
 /** Config-driven module chain — Spark-native counterpart of the
   * reference's `run_toolkit_pipeline.py`. Each stage is lazy plan
@@ -74,8 +74,8 @@ object Pipeline {
           LlmDedup.exact(acc, textCol, idCol)
         case SampleStage(keyCol, fraction, seed) =>
           Sampling.hashSample(acc, keyCol, fraction, seed)
-        case QuotaStage(groupCol, keyCol, quota) =>
-          Quota.capPerGroup(acc, groupCol, keyCol, quota)
+        case QuotaStage(groupCol, keyCol, quota, seed) =>
+          Quota.capPerGroup(acc, groupCol, keyCol, quota, seed)
       }
     }
     Result(out, reports.result())

@@ -86,7 +86,7 @@ object PipelineQueries {
       SELECT doc_id FROM ded
       QUALIFY ${graft.ops.Quota.sqlQualify("source", "doc_id", 20)})
     SELECT doc_id FROM quot
-    WHERE ${graft.ops.Sampling.sqlBucket("doc_id")} < ${(0.8 * graft.ops.Sampling.Buckets).toLong}
+    WHERE ${graft.ops.Sampling.sqlHashKeep("doc_id", 0.8)}
     ORDER BY doc_id"""
   }
 

@@ -17,7 +17,7 @@ object SamplingQueries {
         .select("o_orderkey").orderBy("o_orderkey"),
       Some(s"""
         SELECT o_orderkey FROM orders
-        WHERE ${Sampling.sqlBucket("o_orderkey")} < ${(0.10 * Sampling.Buckets).toLong}
+        WHERE ${Sampling.sqlHashKeep("o_orderkey", 0.10)}
         ORDER BY o_orderkey""")),
 
     // class rebalance: keep all of 'R', 30% of 'A', drop 'N'.
@@ -29,8 +29,8 @@ object SamplingQueries {
       Some(s"""
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
         FROM lineitem
-        WHERE (l_returnflag = 'R' AND ${Sampling.sqlBucket("l_orderkey")} < ${Sampling.Buckets})
-           OR (l_returnflag = 'A' AND ${Sampling.sqlBucket("l_orderkey")} < ${(0.30 * Sampling.Buckets).toLong})
+        WHERE (l_returnflag = 'R' AND ${Sampling.sqlStratifiedBucket("l_orderkey")} < ${Sampling.Buckets})
+           OR (l_returnflag = 'A' AND ${Sampling.sqlStratifiedBucket("l_orderkey")} < ${(0.30 * Sampling.Buckets).toLong})
         GROUP BY 1 ORDER BY 1""")),
 
     // Entity-keyed train/val/test split: deterministic, leakage-safe (same

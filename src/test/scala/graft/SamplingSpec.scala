@@ -67,6 +67,53 @@ class SamplingSpec extends SparkSpec {
       .contains("< 900000 THEN 'b'"))
   }
 
+  test("composed selectors are decorrelated: quota-then-sample keeps ~fraction") {
+    // r4 ADVICE: with one shared hash, quota kept the n LOWEST buckets per
+    // group, which a following sample(0.8) then kept at ~100% instead of
+    // 80%. Per-operator fold primes must restore the fraction contract.
+    import graft.ops.Quota
+    val df = (1L to 20000L).toDF("id").withColumn("grp", col("id") % 20)
+    val quota = Quota.capPerGroup(df, "grp", "id", n = 200)
+    val qn = quota.count().toDouble // 20 groups x 200
+    val frac = Sampling.hashSample(quota, "id", 0.5).count() / qn
+    assert(math.abs(frac - 0.5) < 0.05, s"sample after quota kept $frac, expected ~0.5")
+    // split after a sample must fill every bucket, not drain val/test
+    val splits = Sampling.split(Sampling.hashSample(df, "id", 0.5), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(math.abs(splits("val") / (20000 * 0.5 * 0.1) - 1.0) < 0.3)
+    // weighted sampling after a hash sample keeps ~weight of the survivors
+    val ws = Sampling.weightedSample(
+      Sampling.hashSample(df, "id", 0.5), "id", lit(0.4)).count()
+    assert(math.abs(ws / (20000 * 0.5 * 0.4) - 1.0) < 0.15)
+  }
+
+  test("same module composed twice: same seed nests, distinct seeds multiply") {
+    val df = (1L to 20000L).toDF("id")
+    // same seed: identical predicate — nested subset, second pass a no-op
+    val sameSeed = Sampling.hashSample(
+      Sampling.hashSample(df, "id", 0.5), "id", 0.5).count()
+    assert(sameSeed == Sampling.hashSample(df, "id", 0.5).count())
+    // distinct seeds vary the MULTIPLIER: draws compose ~independently
+    val twoSeeds = Sampling.hashSample(
+      Sampling.hashSample(df, "id", 0.5), "id", 0.5, seed = 7L).count()
+    assert(math.abs(twoSeeds / (20000 * 0.25) - 1.0) < 0.15,
+      s"expected ~5000 survivors of two independent halvings, got $twoSeeds")
+  }
+
+  test("non-integral sampling key fails loudly instead of emptying the output") {
+    val df = Seq(("a1", 1.0), ("b2", 2.0)).toDF("sid", "x")
+    intercept[IllegalArgumentException] { Sampling.hashSample(df, "sid", 0.5) }
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, "sid", Seq("a" -> 0.5, "b" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Quota.capPerGroup(df.withColumn("g", lit(1)), "g", "sid", 1)
+    }
+  }
+
   test("incremental dedup keeps only batch docs unseen in the index") {
     import graft.dedup.LlmDedup
     val index = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
@@ -93,5 +140,13 @@ class SamplingSpec extends SparkSpec {
       .filter(col("spark_b") =!= col("sql_b") || col("spark_b") < 0)
       .count()
     assert(mismatches == 0)
+    // same parity for the per-operator prime fold (the path every
+    // selector actually uses)
+    val primeMismatches = keys
+      .withColumn("spark_b", Sampling.bucket(col("id"), 3L, 999999937L))
+      .withColumn("sql_b", expr(Sampling.sqlBucket("id", 3L, 999999937L)))
+      .filter(col("spark_b") =!= col("sql_b") || col("spark_b") < 0)
+      .count()
+    assert(primeMismatches == 0)
   }
 }
