@@ -39,9 +39,11 @@ object MixtureQueries {
         tot AS (SELECT sum(n_tokens) AS total, CAST(count(*) AS BIGINT) AS nsrc
                 FROM per_source)
         SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-               floor((CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS token_share,
-               floor(least(1.0, (0.5 * CAST(total AS DOUBLE) / CAST(nsrc AS DOUBLE))
-                 / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS sample_rate
+               floor((CASE WHEN total = 0 THEN 0.0
+                 ELSE CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS token_share,
+               floor((CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE least(1.0, (0.5 * CAST(total AS DOUBLE) / CAST(nsrc AS DOUBLE))
+                   / CAST(n_tokens AS DOUBLE)) END) * 1e6 + 0.5) / 1e6 AS sample_rate
         FROM per_source, tot ORDER BY source""")),
 
     // Sequence packing into 512-token bins, sharded by source.

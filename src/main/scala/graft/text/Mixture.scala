@@ -34,16 +34,21 @@ object Mixture {
     val totals = perSource.agg(
       sum(col("n_tokens")).as("_gf_total"),
       count(lit(1)).as("_gf_nsrc"))
+    // zero guards: a source whose documents are all blank (n_tokens = 0)
+    // must surface as rate 0, not as Infinity silently reported as 1.0 by
+    // least(); likewise an all-blank corpus must give share 0, not NaN
     perSource.crossJoin(broadcast(totals))
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
         graft.Num.dround(
-          col("n_tokens").cast(DoubleType) / col("_gf_total").cast(DoubleType), 6)
+          when(col("_gf_total") === 0, lit(0.0)).otherwise(
+            col("n_tokens").cast(DoubleType) / col("_gf_total").cast(DoubleType)), 6)
           .as("token_share"),
         graft.Num.dround(
-          least(lit(1.0),
-            (lit(budgetFrac) * col("_gf_total").cast(DoubleType) /
-              col("_gf_nsrc").cast(DoubleType)) / col("n_tokens").cast(DoubleType)), 6)
+          when(col("n_tokens") === 0, lit(0.0)).otherwise(
+            least(lit(1.0),
+              (lit(budgetFrac) * col("_gf_total").cast(DoubleType) /
+                col("_gf_nsrc").cast(DoubleType)) / col("n_tokens").cast(DoubleType))), 6)
           .as("sample_rate"))
   }
 }

@@ -48,6 +48,18 @@ class MixtureSpec extends SparkSpec {
     assert(out(1).getAs[Double]("sample_rate") === 1.0) // capped
   }
 
+  test("mixture plan reports 0 for an all-blank source, not Infinity-as-1.0") {
+    val docs = Seq(
+      ("a", "hello world tokens here"), ("b", "   "), ("b", "")
+    ).toDF("source", "text")
+    val out = Mixture.plan(docs, "source", "text", budgetFrac = 0.5)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("token_share"), r.getAs[Double]("sample_rate")))).toMap
+    assert(out("b") == ((0.0, 0.0)), "degenerate source must surface as 0, not 1.0")
+    assert(out("a")._1 == 1.0)
+  }
+
   test("vocab coverage is ranked, cumulative, and ends below or at 1") {
     val docs = Seq("a a a b b c", "a b d").map(Tuple1(_)).toDF("text")
     val out = Vocab.coverage(docs, "text", k = 3).orderBy("rank").collect()
