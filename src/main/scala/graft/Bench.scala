@@ -74,7 +74,20 @@ object Bench {
     }
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+    val detailLine =
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+    println(detailLine)
+    // Also persist the COMPLETE per-query map as a file artifact: the
+    // capped stdout line below drops the fastest queries once the
+    // registry outgrows its 1900-char budget, which silently loses
+    // round-over-round diff coverage for the dropped entries.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detailLine) finally w.close()
+    } catch {
+      case e: Exception => System.err.println(s"[bench] detail artifact write failed: $e")
+    }
     val full = line(results)
     val out =
       if (full.length <= 1900) full

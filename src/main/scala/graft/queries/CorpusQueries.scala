@@ -47,6 +47,48 @@ object CorpusQueries {
 
   private val sqlToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** DuckDB mirror of the SQL-expressible curation prefix (see
+    * `llm_curation_sql_prefix`). Every semantic comes from its owning
+    * fragment (redaction patterns, quality formula, language chain, quota
+    * window, weighted-sample bucket) so a tune on the Spark side cannot
+    * silently diverge this oracle. */
+  private def curationPrefixOracle: String = {
+    val scores = graft.text.TextAnalysis.stopwords
+      .map { case (l, ws) => s"${TextQueries.hitsSql(ws)} AS s_$l" }.mkString(",\n  ")
+    val langs = graft.text.TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
+    val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    val tokens = "CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    s"""
+    WITH red AS (
+      SELECT doc_id, source, ${graft.text.CorpusOps.sqlRedact("text")} AS text
+      FROM documents),
+    t AS (
+      SELECT doc_id, source, text, ${TextQueries.qualityColsSql},
+             $scores
+      FROM red),
+    scored AS (
+      SELECT doc_id, source, text,
+             ${TextQueries.qualityScoreSql} AS q,
+             CASE WHEN $best <= 0 THEN 'unknown' $chain ELSE 'unknown' END AS lang
+      FROM t),
+    ded AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
+                 '\\s+', ' ', 'g')) AS n
+        FROM scored WHERE q >= 0.3 AND lang = 'en')
+      QUALIFY row_number() OVER (PARTITION BY n ORDER BY doc_id) = 1),
+    quot AS (
+      SELECT doc_id, text FROM ded
+      QUALIFY ${Quota.sqlQualify("source", "doc_id", 20)})
+    SELECT doc_id FROM quot
+    WHERE ${Sampling.sqlWeightedKeep("doc_id",
+        s"least(1.0, CAST($tokens AS DOUBLE) / 60.0)")}
+    ORDER BY doc_id"""
+  }
+
   val all: Seq[Q] = Seq(
     // C4-style duplicate-span removal over 10-token segments; clones are
     // planted so every 5th doc's segments recur and the clone keeps none.
@@ -215,6 +257,29 @@ object CorpusQueries {
           .select("doc_id").orderBy("doc_id")
       },
       None),
+
+    // Oracle-checked SQL prefix of the curation chain: redact -> quality +
+    // language gates -> exact dedup -> per-source quota -> quality-weighted
+    // sample — llm_curation_full minus only the steps no ANSI engine can
+    // express (the decontamination fixture join is oracle'd separately;
+    // the LSH component step has no SQL form). A drift in any gate now
+    // surfaces as a hash mismatch instead of a silent row-count change in
+    // the rows-only chains.
+    Q("llm_curation_sql_prefix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val corpus = docs.withColumn("text", CorpusOps.redact(col("text")))
+        val gated = corpus
+          .filter(graft.text.TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+            graft.text.TextAnalysis.languageId(col("text")) === "en")
+        val exact = graft.dedup.LlmDedup.exact(gated, "text", "doc_id")
+        val capped = Quota.capPerGroup(exact, "source", "doc_id", n = 20)
+        Sampling.weightedSample(capped, "doc_id",
+            least(lit(1.0),
+              graft.text.TextAnalysis.tokenCount(col("text")).cast(DoubleType) / lit(60.0)))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(curationPrefixOracle)),
 
     // Quality-weighted deterministic sampling: keep probability scales with
     // document length (min(1, n_chars/1000)).
