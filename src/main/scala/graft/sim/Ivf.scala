@@ -83,11 +83,27 @@ object Ivf {
         min(struct(col("_gf_d"), col("_gf_cid"))).getField("_gf_cid")
           .as("_gf_cid"))
 
+  /** Default target cell population for auto-sized `k` (see [[train]]). */
+  val TargetCell = 1024L
+
   /** Train a ≈`k`-cell two-level index with `iters` Lloyd rounds per level
     * (cosine geometry). Driver traffic is O(√k · dim) — the coarse
-    * centroids only; the fine centroid table stays distributed. */
+    * centroids only; the fine centroid table stays distributed.
+    * `k <= 0` auto-sizes to ⌈n / targetCell⌉ (one extra count job) — the
+    * `k ≈ n/targetCell` rule that bounds every within-cell self-join to
+    * O(n · targetCell), applied for you instead of left as a footnote. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-            k: Int, iters: Int = 2, seed: Long = 42L): IvfIndex = {
+            k: Int, iters: Int = 2, seed: Long = 42L,
+            targetCell: Long = TargetCell): IvfIndex = {
+    val kEff =
+      if (k > 0) k
+      else math.max(1L, math.min(Int.MaxValue.toLong,
+        (corpus.count() + targetCell - 1) / targetCell)).toInt
+    trainSized(corpus, idCol, vecCol, kEff, iters, seed)
+  }
+
+  private def trainSized(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int, seed: Long): IvfIndex = {
     require(k > 0, s"k=$k clusters must be positive")
     corpus.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => ()
@@ -195,6 +211,27 @@ object Ivf {
     val indexed = assignFine(baseC, cells)
       .select(col("_gf_cid"), col("_gf_id"), col("_gf_v"))
     IvfIndex(coarse, cells, indexed)
+  }
+
+  /** Multi-probe assignment: each corpus row tagged with its `p` nearest
+    * fine cells (within its coarse cell) instead of 1 — the standard IVF
+    * recall lever for pair generation: a near-pair split across a cell
+    * boundary is recovered when either member's probe set reaches the
+    * other's cell. Output has up to `p` rows per id; candidate volume
+    * downstream multiplies by ~p², so keep p small (2-4). */
+  def assignProbes(index: IvfIndex, p: Int): DataFrame = {
+    require(p >= 1, s"probes=$p must be >= 1")
+    val rows = index.indexed
+      .join(index.cells.select("_gf_cid", "_gf_ccid"), Seq("_gf_cid"))
+      .select(col("_gf_id"), col("_gf_v"), col("_gf_ccid"))
+    rows.join(index.cells, Seq("_gf_ccid"))
+      .withColumn("_gf_d", cosDist(col("_gf_v"), col("_gf_cv")))
+      .groupBy("_gf_id")
+      .agg(first(col("_gf_v")).as("_gf_v"),
+        slice(array_sort(collect_list(struct(col("_gf_d"), col("_gf_cid")))),
+          1, p).as("_gf_top"))
+      .select(col("_gf_id"), col("_gf_v"),
+        explode(col("_gf_top").getField("_gf_cid")).as("_gf_cid"))
   }
 
   /** Top-k neighbours per query probing the `nprobe` nearest fine cells

@@ -23,28 +23,41 @@ import org.apache.spark.sql.functions._
 object SemDedup {
 
   /** Within-cell candidate pairs with exact cosine >= threshold
-    * (id_a < id_b), over a trained [[Ivf.IvfIndex]]. */
-  def pairs(index: Ivf.IvfIndex, threshold: Double): DataFrame = {
-    val a = index.indexed.select(col("_gf_cid"), col("_gf_id").as("id_a"),
+    * (id_a < id_b), over a trained [[Ivf.IvfIndex]]. `probes > 1` tags
+    * each vector with its `probes` nearest cells before the self-join —
+    * the multi-probe recall lever for pairs that quantize across a cell
+    * boundary (candidate volume multiplies by ~probes², each surviving
+    * pair still pays exactly one cosine). */
+  def pairs(index: Ivf.IvfIndex, threshold: Double,
+            probes: Int = 1): DataFrame = {
+    val tagged =
+      if (probes <= 1) index.indexed
+      else Ivf.assignProbes(index, probes)
+    val a = tagged.select(col("_gf_cid"), col("_gf_id").as("id_a"),
       col("_gf_v").as("_gf_va"))
-    val b = index.indexed.select(col("_gf_cid"), col("_gf_id").as("id_b"),
+    val b = tagged.select(col("_gf_cid"), col("_gf_id").as("id_b"),
       col("_gf_v").as("_gf_vb"))
-    a.join(b, Seq("_gf_cid"))
+    val cand = a.join(b, Seq("_gf_cid"))
       .filter(col("id_a") < col("id_b"))
+    // multi-probe can surface one pair from several shared cells — dedup
+    // BEFORE the cosine so each pair is scored once
+    val once = if (probes <= 1) cand else cand.dropDuplicates("id_a", "id_b")
+    once
       .select(col("id_a"), col("id_b"),
         graft.Num.dround(Similarity.cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
   /** Keep one representative per semantic-duplicate component: train a
-    * `k`-cell index, collect within-cell pairs above `threshold`, label
-    * components, drop every non-min-id member. Vectors with no
+    * `k`-cell index (`k <= 0` auto-sizes to n/targetCell — the documented
+    * SemDedup cell rule), collect within-cell pairs above `threshold`,
+    * label components, drop every non-min-id member. Vectors with no
     * near-duplicate are kept untouched. */
   def dedup(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, threshold: Double = 0.95, iters: Int = 2,
-            seed: Long = 42L): DataFrame = {
+            seed: Long = 42L, probes: Int = 1): DataFrame = {
     val index = Ivf.train(corpus, idCol, vecCol, k, iters, seed)
     Components.dedupByComponent(corpus, idCol,
-      pairs(index, threshold).select("id_a", "id_b"))
+      pairs(index, threshold, probes).select("id_a", "id_b"))
   }
 }

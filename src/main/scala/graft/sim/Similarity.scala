@@ -161,22 +161,33 @@ object Similarity {
     }
   }
 
-  /** ANN via LSH: bucket the corpus once, probe each query's bucket, exact
-    * rerank inside it. Same recall trade as [[nearDuplicatePairs]]. */
+  /** ANN via LSH: bucket the corpus, probe each query's bucket, exact
+    * rerank inside it. Same recall trade as [[nearDuplicatePairs]], with
+    * the same OR-amplification fix: `tables > 1` probes R seed-varied
+    * plane tables, unions the candidates, dedups per (query, neighbour),
+    * and reranks once — each table is one more pass over the corpus
+    * (bucket-keyed, never all-pairs). */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int = 10, nPlanes: Int = 8, dim: Int = -1,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables=$tables must be >= 1")
     val d = if (dim > 0) dim else inferDim(corpus, corpusVec)
     val p = if (nPlanes > 0) nPlanes else adaptivePlanes(corpus.count())
-    val planes = hyperplanes(p, d, seed)
-    val c = corpus.select(col(corpusId).as("_gf_cid"), col(corpusVec).as("_gf_cv"),
-      bucketId(col(corpusVec), planes).as("_gf_bucket"))
-    val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"),
-      bucketId(col(queryVec), planes).as("_gf_bucket"))
+    val candidates = (0 until tables).map { t =>
+      val planes = hyperplanes(p, d, seed + t * 0x9e3779b97f4a7c15L)
+      val c = corpus.select(col(corpusId).as("_gf_cid"), col(corpusVec).as("_gf_cv"),
+        bucketId(col(corpusVec), planes).as("_gf_bucket"))
+      val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"),
+        bucketId(col(queryVec), planes).as("_gf_bucket"))
+      c.join(broadcast(q), Seq("_gf_bucket"))
+        .select("_gf_qid", "_gf_qv", "_gf_cid", "_gf_cv")
+    }.reduce(_.unionByName(_))
+    val once = if (tables == 1) candidates
+               else candidates.dropDuplicates("_gf_qid", "_gf_cid")
     val w = Window.partitionBy("_gf_qid")
       .orderBy(col("_gf_cos").desc, col("_gf_cid"))
-    c.join(broadcast(q), Seq("_gf_bucket"))
+    once
       .withColumn("_gf_cos", cosine(col("_gf_cv"), col("_gf_qv")))
       .withColumn("_gf_rank", row_number().over(w))
       .filter(col("_gf_rank") <= k)

@@ -81,6 +81,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.toSeq === (0L until 20L))
   }
 
+  test("multi-probe pairs recover a near-pair split across a cell boundary") {
+    // Two ADJACENT direction clusters A (ids 0-9) and B (10-19), cosine
+    // ~0.98 apart, plus a far cluster C (20-29). With k=3 the quantizer
+    // separates A and B, so probes=1 can never emit an A-B pair; probes=2
+    // reaches the neighbouring cell and must recover them. Each pair is
+    // scored exactly once (dedup before the cosine).
+    def cluster(ids: Range, dir: Array[Float]) = ids.map { i =>
+      (i.toLong, dir.zipWithIndex.map { case (x, d) =>
+        x + math.sin(i * 8 + d).toFloat * 0.05f })
+    }
+    val a = cluster(0 until 10, Array(10f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f))
+    val b = cluster(10 until 20, Array(10f, 2.0f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f))
+    val c = cluster(20 until 30, Array(0.1f, 0.1f, 10f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f))
+    val df = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val index = graft.sim.Ivf.train(df, "vec_id", "embedding", k = 3, iters = 4)
+    // premise: A and B landed in different cells (else the test is vacuous)
+    val cellsAB = index.indexed.filter(col("_gf_id") < 20)
+      .select("_gf_cid", "_gf_id").collect()
+      .groupBy(_.getLong(1) < 10).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert((cellsAB(true) intersect cellsAB(false)).isEmpty,
+      s"fixture must quantize A and B apart, got $cellsAB")
+    def crossPairs(p: Int) = SemDedup.pairs(index, threshold = 0.97, probes = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (x, y) => x < 10 && y >= 10 && y < 20 }
+    assert(crossPairs(1).isEmpty, "single-probe cannot see across the boundary")
+    val recovered = crossPairs(2)
+    assert(recovered.nonEmpty, "probes=2 must recover cross-boundary pairs")
+    assert(recovered.length == recovered.distinct.length, "each pair scored once")
+  }
+
   test("dedup_semantic benchmark query removes every planted clone") {
     // The registered query plants scaled clones (vec_id + 100000, same
     // direction). Cosine IVF assignment is scale-invariant, so a clone

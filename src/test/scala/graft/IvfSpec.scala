@@ -78,6 +78,14 @@ class IvfSpec extends SparkSpec {
     assert(literalArrays.isEmpty, "no centroid literals may appear in the plan")
   }
 
+  test("k <= 0 auto-sizes cells from n/targetCell") {
+    val df = clustered.toDF("vec_id", "embedding") // 30 rows
+    val index = Ivf.train(df, "vec_id", "embedding", k = 0, iters = 1,
+      targetCell = 10L)
+    assert(index.numCells == 3, "ceil(30/10) = 3 cells")
+    assert(index.indexed.count() == 30)
+  }
+
   test("k >= 4096 trains in reasonable time (the k ~ n/targetCell sizing)") {
     // 8192 pseudo-random vectors in R^8; k=4096 targets ~2 vectors/cell.
     // The r4 literal-argmin design could not codegen this (4096 centroid

@@ -110,11 +110,11 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 100L)))
   }
 
-  test("OR-amplified tables recover a pair table 0's planes provably split") {
-    // Deterministically construct a true near-pair that table 0 assigns to
-    // DIFFERENT buckets (single-table LSH misses it by construction) while
-    // some later seed-varied table co-buckets it — the exact miss class
-    // OR-amplification exists for.
+  /** Deterministically construct a true near-pair that table 0 assigns to
+    * DIFFERENT buckets (single-table LSH misses it by construction) while
+    * some later seed-varied table co-buckets it — the exact miss class
+    * OR-amplification exists for. */
+  private def findSplitPair(nTables: Int): (Array[Float], Array[Float]) = {
     def bucketOf(v: Array[Float], planes: Seq[Array[Double]]): Long =
       planes.zipWithIndex.map { case (p, i) =>
         var dot = 0.0
@@ -127,7 +127,6 @@ class NearDupSpec extends SparkSpec {
       dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
         math.sqrt(b.map(x => x.toDouble * x).sum))
     }
-    val nTables = 4
     val tablePlanes = (0 until nTables).map(t =>
       Similarity.hyperplanes(8, 8, 42L + t * 0x9e3779b97f4a7c15L))
     val found = (0 until 5000).iterator.map { i =>
@@ -142,12 +141,18 @@ class NearDupSpec extends SparkSpec {
           bucketOf(v, tablePlanes(t)) == bucketOf(w, tablePlanes(t)))
     }
     assert(found.nonEmpty, "search space exhausted without a planted split pair")
-    val (v, w) = found.get
-    val filler = (0 until 20).map { i =>
-      val rnd = new scala.util.Random(100000 + i)
-      (10L + i, Array.fill(8)(rnd.nextFloat() - 0.5f))
-    }
-    val df = (Seq((1L, v), (2L, w)) ++ filler).toDF("vec_id", "embedding")
+    found.get
+  }
+
+  private def fillerVecs: Seq[(Long, Array[Float])] = (0 until 20).map { i =>
+    val rnd = new scala.util.Random(100000 + i)
+    (10L + i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+  }
+
+  test("OR-amplified tables recover a pair table 0's planes provably split") {
+    val nTables = 4
+    val (v, w) = findSplitPair(nTables)
+    val df = (Seq((1L, v), (2L, w)) ++ fillerVecs).toDF("vec_id", "embedding")
     def pairsWith(tables: Int) =
       Similarity.nearDuplicatePairs(df, "vec_id", "embedding",
         threshold = 0.99, nPlanes = 8, dim = 8, tables = tables)
@@ -156,6 +161,22 @@ class NearDupSpec extends SparkSpec {
       "single table should miss the constructed split pair")
     assert(pairsWith(nTables).contains((1L, 2L)),
       "OR-amplified tables must recover it")
+  }
+
+  test("OR-amplified lshTopK recovers the split pair for the query path too") {
+    val nTables = 4
+    val (v, w) = findSplitPair(nTables)
+    val corpus = (Seq((2L, w)) ++ fillerVecs).toDF("vec_id", "embedding")
+    val query = Seq((1L, v)).toDF("vec_id", "embedding")
+    def neighbours(tables: Int) =
+      Similarity.lshTopK(corpus, "vec_id", "embedding",
+        query, "vec_id", "embedding", k = 5, nPlanes = 8, dim = 8,
+        tables = tables)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!neighbours(1).contains(2L),
+      "single table should miss the true neighbour")
+    assert(neighbours(nTables).contains(2L),
+      "OR-amplified probing must recover it")
   }
 
   test("minhash rejects k not divisible by bands") {
