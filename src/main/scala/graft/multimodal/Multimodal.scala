@@ -59,10 +59,14 @@ object Multimodal {
 
     def png: Option[AssetMeta] =
       if (bytes.length >= 24 && PngSig.indices.forall(i => u8(i) == PngSig(i)) &&
-          u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
-        Some(AssetMeta(assetId, bytes.length.toLong,
-          u32(16).toInt, u32(20).toInt, "png"))
-      else None
+          u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+        val (w, h) = (u32(16), u32(20))
+        // spec caps dims at 2^31-1 and forbids 0 — a crafted IHDR outside
+        // that range must degrade to the stub, not emit negative metadata
+        if (w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue)
+          Some(AssetMeta(assetId, bytes.length.toLong, w.toInt, h.toInt, "png"))
+        else None
+      } else None
 
     def jpeg: Option[AssetMeta] = {
       if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
@@ -73,10 +77,12 @@ object Multimodal {
         else {
           val len = u16(i + 2)
           if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-            return if (i + 8 < bytes.length)
+            // height 0 is legal-but-deferred (DNL marker) — treat like a
+            // malformed frame and stub rather than emit a 0-dim asset
+            return if (i + 8 < bytes.length && u16(i + 5) > 0 && u16(i + 7) > 0)
               Some(AssetMeta(assetId, bytes.length.toLong,
                 u16(i + 7), u16(i + 5), "jpeg"))
-            else None // truncated SOF
+            else None // truncated or dimension-less SOF
           }
           if (len < 2) return None // malformed length
           i += 2 + len

@@ -63,18 +63,24 @@ object Sampling {
     else pmod(t, lit(Buckets))
   }
 
-  /** Fail fast when the sampling key is not an integral column: a string
-    * or decimal key would cast to NULL buckets and silently drop every
-    * row — the exact "silently empty corpus" failure the config
-    * validation elsewhere exists to prevent. */
+  /** Fail fast when the sampling key cannot hash: a non-numeric key casts
+    * to NULL buckets, which silently empties a filtering sampler's output
+    * and silently degrades quota's selection from hash-uniform to
+    * key-ordered — the "silently wrong corpus" failure class the config
+    * validation elsewhere exists to prevent. Scale-0 decimals that fit a
+    * BIGINT (the usual shape of JDBC/parquet decimal ids) cast losslessly
+    * and are accepted. */
   private[graft] def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
     import org.apache.spark.sql.types._
     df.schema(keyCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => ()
       case other => throw new IllegalArgumentException(
-        s"sampling key '$keyCol' must be an integral column, got " +
-          s"${other.simpleString} — cast or derive an integral id first " +
-          "(a non-numeric key hashes to NULL and empties the output)")
+        s"sampling key '$keyCol' must be an integral (or scale-0 decimal ≤ 18 " +
+          s"digits) column, got ${other.simpleString} — cast or derive an " +
+          "integral id first (a non-numeric key hashes to NULL: filtering " +
+          "samplers silently emit nothing, quota selection silently stops " +
+          "being hash-uniform)")
     }
   }
 

@@ -63,7 +63,7 @@ import scala.jdk.CollectionConverters._
   *     n: 20
   *   - module: sample
   *     key_column: doc_id
-  *     fraction: 0.8                    # optional seed: <long>
+  *     fraction: 0.8                    # optional seed: 0 <= long < 1000000
   * }}}
   *
   * Validation is strict: unknown modules, unknown keys inside a stage,
@@ -216,7 +216,7 @@ object ConfigPipeline {
           fail(s"$path.fraction", s"fraction $fraction not in [0,1]")
         SampleStage(
           asString(m("key_column"), s"$path.key_column"), fraction,
-          m.get("seed").map(asLong(_, s"$path.seed")).getOrElse(0L))
+          parseSeed(m, path))
 
       case "quota" =>
         requireKeys(m, path, required = Set("module", "group_column", "key_column", "n"),
@@ -229,13 +229,24 @@ object ConfigPipeline {
         QuotaStage(
           asString(m("group_column"), s"$path.group_column"),
           asString(m("key_column"), s"$path.key_column"), n.toInt,
-          m.get("seed").map(asLong(_, s"$path.seed")).getOrElse(0L))
+          parseSeed(m, path))
 
       case other =>
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
             "text_filter|pii_redact|exact_dedup|sample|quota)")
     }
+  }
+
+  /** Optional `seed` key, validated at CONFIG time against the hash's own
+    * bound — otherwise a previously-fine large seed surfaces later as a
+    * bare require() inside stage execution with no `$path` context. */
+  private def parseSeed(m: Map[String, Any], path: String): Long = {
+    val seed = m.get("seed").map(asLong(_, s"$path.seed")).getOrElse(0L)
+    if (seed < 0 || seed >= graft.ops.Sampling.MaxSeed)
+      fail(s"$path.seed",
+        s"seed must be in [0, ${graft.ops.Sampling.MaxSeed}), got $seed")
+    seed
   }
 
   private def imputeStrategy(s: String, path: String): ImputeStrategy = s match {

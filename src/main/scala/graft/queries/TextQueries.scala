@@ -16,6 +16,35 @@ object TextQueries {
   private[queries] def hitsSql(words: Seq[String]): String =
     s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN ${inList(words)}))"
 
+  /** `s_<lang>` stopword-score SELECT-list — the columns [[langCaseSql]]
+    * reads. Single owner for every language-ID oracle. */
+  private[queries] def langScoresSql: String =
+    TextAnalysis.stopwords
+      .map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }.mkString(",\n  ")
+
+  /** CASE over [[langScoresSql]]'s columns mirroring
+    * `TextAnalysis.languageId`'s zero-hit fallback and tie-break order. */
+  private[queries] def langCaseSql: String = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
+    val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"CASE WHEN $best <= 0 THEN 'unknown' $chain ELSE 'unknown' END"
+  }
+
+  /** Whitespace token count mirroring `TextAnalysis.tokenCount` (blank →
+    * 0). Single owner — also reused by the mixture/packing/curation
+    * oracles. */
+  private[queries] def sqlTokenCount(textExpr: String = "text"): String =
+    s"CASE WHEN length(trim($textExpr)) = 0 THEN 0 " +
+      s"ELSE len(regexp_split_to_array(trim($textExpr), '\\s+')) END"
+
+  /** Canonical text normalization mirroring `LlmDedup`/`fingerprint`
+    * (lowercase, strip non-alnum, collapse whitespace, trim). Single
+    * owner for every exact-dedup oracle. */
+  private[queries] def sqlNormText(textExpr: String = "text"): String =
+    s"trim(regexp_replace(regexp_replace(lower($textExpr), " +
+      s"'[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
   /** DuckDB feature columns of [[TextAnalysis.qualityScore]] over a
     * relation exposing `text` — shared by text_quality and the curation
     * pipeline oracle so the formulas cannot drift apart. */

@@ -95,6 +95,7 @@ object Ivf {
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 2, seed: Long = 42L,
             targetCell: Long = TargetCell): IvfIndex = {
+    require(targetCell > 0, s"targetCell=$targetCell must be positive")
     val kEff =
       if (k > 0) k
       else math.max(1L, math.min(Int.MaxValue.toLong,
@@ -148,8 +149,15 @@ object Ivf {
       }
     }
     val coarse = coarseDf(coarseSeq).cache()
+    // Training touches the coarse assignment for the quota count, the seed
+    // materialization, every fine Lloyd round, and the final assignment —
+    // persist it for the duration (MEMORY_AND_DISK: corpus-sized, so it
+    // spills instead of OOMing; at extreme scale checkpoint to storage
+    // instead) and release it before returning. The kc == 1 path is a
+    // constant column over the input — nothing to save.
     val baseC = if (kc == 1) base.withColumn("_gf_ccid", lit(0))
                 else assignCoarse(base, coarse) // (_gf_id, _gf_v, _gf_ccid)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- fine level: per-cell sub-centroids, never collected ----
     val rankW = Window.partitionBy("_gf_ccid")
@@ -210,6 +218,9 @@ object Ivf {
 
     val indexed = assignFine(baseC, cells)
       .select(col("_gf_cid"), col("_gf_id"), col("_gf_v"))
+    // training is done with baseC; consumers of the (lazy) indexed plan
+    // recompute the coarse assignment once per action, as before
+    if (kc > 1) baseC.unpersist(false)
     IvfIndex(coarse, cells, indexed)
   }
 

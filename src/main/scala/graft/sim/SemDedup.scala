@@ -30,22 +30,38 @@ object SemDedup {
     * pair still pays exactly one cosine). */
   def pairs(index: Ivf.IvfIndex, threshold: Double,
             probes: Int = 1): DataFrame = {
-    val tagged =
-      if (probes <= 1) index.indexed
-      else Ivf.assignProbes(index, probes)
-    val a = tagged.select(col("_gf_cid"), col("_gf_id").as("id_a"),
-      col("_gf_v").as("_gf_va"))
-    val b = tagged.select(col("_gf_cid"), col("_gf_id").as("id_b"),
-      col("_gf_v").as("_gf_vb"))
-    val cand = a.join(b, Seq("_gf_cid"))
-      .filter(col("id_a") < col("id_b"))
-    // multi-probe can surface one pair from several shared cells — dedup
-    // BEFORE the cosine so each pair is scored once
-    val once = if (probes <= 1) cand else cand.dropDuplicates("id_a", "id_b")
-    once
-      .select(col("id_a"), col("id_b"),
-        graft.Num.dround(Similarity.cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    if (probes <= 1) {
+      // single-probe: vectors ride the cell self-join, each pair seen once
+      val a = index.indexed.select(col("_gf_cid"), col("_gf_id").as("id_a"),
+        col("_gf_v").as("_gf_va"))
+      val b = index.indexed.select(col("_gf_cid"), col("_gf_id").as("id_b"),
+        col("_gf_v").as("_gf_vb"))
+      a.join(b, Seq("_gf_cid"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.Num.dround(Similarity.cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      // multi-probe surfaces one pair from several shared cells: dedup
+      // ID-ONLY candidates (an 8-byte pair key, not two dim-length vector
+      // copies, through the shuffle) and join the vectors back by id for
+      // exactly one cosine per surviving pair
+      val ids = Ivf.assignProbes(index, probes).select("_gf_cid", "_gf_id")
+      val candIds = ids.select(col("_gf_cid"), col("_gf_id").as("id_a"))
+        .join(ids.select(col("_gf_cid"), col("_gf_id").as("id_b")), Seq("_gf_cid"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+      val vecs = index.indexed.select(col("_gf_id"), col("_gf_v"))
+      candIds
+        .join(vecs.select(col("_gf_id").as("id_a"), col("_gf_v").as("_gf_va")),
+          Seq("id_a"))
+        .join(vecs.select(col("_gf_id").as("id_b"), col("_gf_v").as("_gf_vb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.Num.dround(Similarity.cosine(col("_gf_va"), col("_gf_vb")), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 
   /** Keep one representative per semantic-duplicate component: train a

@@ -174,17 +174,29 @@ object Similarity {
     require(tables >= 1, s"tables=$tables must be >= 1")
     val d = if (dim > 0) dim else inferDim(corpus, corpusVec)
     val p = if (nPlanes > 0) nPlanes else adaptivePlanes(corpus.count())
-    val candidates = (0 until tables).map { t =>
-      val planes = hyperplanes(p, d, seed + t * 0x9e3779b97f4a7c15L)
-      val c = corpus.select(col(corpusId).as("_gf_cid"), col(corpusVec).as("_gf_cv"),
-        bucketId(col(corpusVec), planes).as("_gf_bucket"))
-      val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"),
-        bucketId(col(queryVec), planes).as("_gf_bucket"))
-      c.join(broadcast(q), Seq("_gf_bucket"))
-        .select("_gf_qid", "_gf_qv", "_gf_cid", "_gf_cv")
-    }.reduce(_.unionByName(_))
-    val once = if (tables == 1) candidates
-               else candidates.dropDuplicates("_gf_qid", "_gf_cid")
+    val cv = corpus.select(col(corpusId).as("_gf_cid"), col(corpusVec).as("_gf_cv"))
+    val qv = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"))
+    val once =
+      if (tables == 1) {
+        val planes = hyperplanes(p, d, seed)
+        cv.withColumn("_gf_bucket", bucketId(col("_gf_cv"), planes))
+          .join(broadcast(qv.withColumn("_gf_bucket",
+            bucketId(col("_gf_qv"), planes))), Seq("_gf_bucket"))
+          .select("_gf_qid", "_gf_qv", "_gf_cid", "_gf_cv")
+      } else {
+        // dedup ID-ONLY candidates across tables (vectors would otherwise
+        // shuffle up to R redundant copies per surviving pair), then join
+        // the vectors back for one rerank per (query, neighbour)
+        val candIds = (0 until tables).map { t =>
+          val planes = hyperplanes(p, d, seed + t * 0x9e3779b97f4a7c15L)
+          val c = corpus.select(col(corpusId).as("_gf_cid"),
+            bucketId(col(corpusVec), planes).as("_gf_bucket"))
+          val q = queries.select(col(queryId).as("_gf_qid"),
+            bucketId(col(queryVec), planes).as("_gf_bucket"))
+          c.join(broadcast(q), Seq("_gf_bucket")).select("_gf_qid", "_gf_cid")
+        }.reduce(_.unionByName(_)).dropDuplicates("_gf_qid", "_gf_cid")
+        candIds.join(cv, Seq("_gf_cid")).join(broadcast(qv), Seq("_gf_qid"))
+      }
     val w = Window.partitionBy("_gf_qid")
       .orderBy(col("_gf_cos").desc, col("_gf_cid"))
     once
