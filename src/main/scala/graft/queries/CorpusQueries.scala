@@ -53,31 +53,24 @@ object CorpusQueries {
     * window, weighted-sample bucket) so a tune on the Spark side cannot
     * silently diverge this oracle. */
   private def curationPrefixOracle: String = {
-    val scores = graft.text.TextAnalysis.stopwords
-      .map { case (l, ws) => s"${TextQueries.hitsSql(ws)} AS s_$l" }.mkString(",\n  ")
-    val langs = graft.text.TextAnalysis.stopwords.map(_._1)
-    val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
-    val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
-    val tokens = "CASE WHEN length(trim(text)) = 0 THEN 0 " +
-      "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    val tokens = TextQueries.sqlTokenCount()
     s"""
     WITH red AS (
       SELECT doc_id, source, ${graft.text.CorpusOps.sqlRedact("text")} AS text
       FROM documents),
     t AS (
       SELECT doc_id, source, text, ${TextQueries.qualityColsSql},
-             $scores
+             ${TextQueries.langScoresSql}
       FROM red),
     scored AS (
       SELECT doc_id, source, text,
              ${TextQueries.qualityScoreSql} AS q,
-             CASE WHEN $best <= 0 THEN 'unknown' $chain ELSE 'unknown' END AS lang
+             ${TextQueries.langCaseSql} AS lang
       FROM t),
     ded AS (
       SELECT doc_id, source, text FROM (
         SELECT doc_id, source, text,
-               trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
-                 '\\s+', ' ', 'g')) AS n
+               ${TextQueries.sqlNormText()} AS n
         FROM scored WHERE q >= 0.3 AND lang = 'en')
       QUALIFY row_number() OVER (PARTITION BY n ORDER BY doc_id) = 1),
     quot AS (

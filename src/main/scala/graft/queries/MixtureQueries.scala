@@ -10,9 +10,7 @@ import org.apache.spark.sql.functions._
 object MixtureQueries {
 
   /** DuckDB token count matching [[TextAnalysis.tokenCount]]. */
-  private val sqlTok =
-    """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)"""
+  private val sqlTok = s"CAST(${TextQueries.sqlTokenCount()} AS BIGINT)"
 
   val all: Seq[Q] = Seq(
     // Anti-domination quota: at most 10 docs per source, hash-selected.
@@ -54,11 +52,9 @@ object MixtureQueries {
               TextAnalysis.tokenCount(col("text")).as("n_tok")),
           "source", "doc_id", "n_tok", budget = 512)
         .orderBy("source", "bin"),
-      Some("""
+      Some(s"""
         WITH d AS (
-          SELECT doc_id, source,
-                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+          SELECT doc_id, source, $sqlTok AS n_tok
           FROM documents),
         c AS (
           SELECT doc_id, source, n_tok,

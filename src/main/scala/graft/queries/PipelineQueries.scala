@@ -51,35 +51,29 @@ object PipelineQueries {
     |""".stripMargin
 
   private val curationOracle: String = {
-    val scores = graft.text.TextAnalysis.stopwords
-      .map { case (l, ws) => s"${TextQueries.hitsSql(ws)} AS s_$l" }.mkString(",\n  ")
-    val langs = graft.text.TextAnalysis.stopwords.map(_._1)
-    val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
-    val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
     // Every reused semantic comes from its owning fragment (PII fixture,
-    // quality formula, redaction patterns, quota window, sample bucket) so
-    // a tune on the Spark side cannot silently diverge this oracle.
+    // quality formula, redaction patterns, language chain, quota window,
+    // sample bucket) so a tune on the Spark side cannot silently diverge
+    // this oracle.
     s"""
     WITH inp AS (
       SELECT doc_id, source, ${CorpusQueries.sqlPiiText} AS text
       FROM documents),
     t AS (
       SELECT doc_id, source, text, ${TextQueries.qualityColsSql},
-             $scores
+             ${TextQueries.langScoresSql}
       FROM inp),
     scored AS (
       SELECT doc_id, source, text,
              ${TextQueries.qualityScoreSql} AS q,
-             CASE WHEN $best <= 0 THEN 'unknown' $chain ELSE 'unknown' END AS lang
+             ${TextQueries.langCaseSql} AS lang
       FROM t),
     red AS (
       SELECT doc_id, source, ${graft.text.CorpusOps.sqlRedact("text")} AS text
       FROM scored WHERE q >= 0.3 AND lang = 'en'),
     ded AS (
       SELECT doc_id, source FROM (
-        SELECT doc_id, source,
-               trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
-                 '\\s+', ' ', 'g')) AS n
+        SELECT doc_id, source, ${TextQueries.sqlNormText()} AS n
         FROM red)
       QUALIFY row_number() OVER (PARTITION BY n ORDER BY doc_id) = 1),
     quot AS (

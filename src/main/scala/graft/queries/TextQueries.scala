@@ -72,11 +72,10 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.regexTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id"),
-      Some("""
+      Some(s"""
         SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS ws_tokens,
-               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+               CAST(${sqlTokenCount()} AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
     Q("text_langid",
@@ -84,19 +83,10 @@ object TextQueries {
         col("doc_id"), col("lang"),
         TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      Some {
-        val scores = TextAnalysis.stopwords
-          .map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }.mkString(",\n  ")
-        val langs = TextAnalysis.stopwords.map(_._1)
-        val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
-        val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
-        s"""
-        SELECT doc_id, lang,
-               CASE WHEN $best <= 0 THEN 'unknown' $chain
-                    ELSE 'unknown' END AS lang_pred
-        FROM (SELECT doc_id, lang, $scores FROM documents)
-        ORDER BY doc_id"""
-      }),
+      Some(s"""
+        SELECT doc_id, lang, $langCaseSql AS lang_pred
+        FROM (SELECT doc_id, lang, $langScoresSql FROM documents)
+        ORDER BY doc_id""")),
 
     Q("text_quality",
       (s, dir) => Tables.documents(s, dir).select(
