@@ -47,6 +47,47 @@ object CorpusQueries {
 
   private val sqlToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** Contamination fixture shared by the exact and Bloom decontamination
+    * queries: docs ≡ 0 (mod 17) are the benchmark; corpus docs ≡ 1
+    * (mod 17) get the preceding benchmark doc's text appended. Returns
+    * (corpus, bench). */
+  private def contaminationFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val bench = d.filter(col("doc_id") % 17 === 0)
+    val tainted = bench.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("_gf_btext"))
+    val corpus = d.filter(col("doc_id") % 17 =!= 0)
+      .join(tainted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("_gf_btext").isNotNull, concat(lit(" "), col("_gf_btext")))
+            .otherwise(lit(""))).as("text"))
+    (corpus, bench)
+  }
+
+  /** One oracle for both decontamination paths — the Bloom variant's
+    * whole contract is that its result is value-identical to exact. */
+  private def decontaminateOracle: String = s"""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+        corpus AS (
+          SELECT c.doc_id,
+                 c.text || CASE WHEN b.text IS NOT NULL THEN ' ' || b.text ELSE '' END AS text
+          FROM documents c LEFT JOIN bench b ON b.doc_id + 1 = c.doc_id
+          WHERE c.doc_id % 17 <> 0),
+        bg AS (
+          SELECT DISTINCT gram FROM (
+            SELECT unnest(${sqlNgrams("l", 8)}) AS gram
+            FROM (SELECT $sqlToks AS l FROM bench))
+          WHERE length(gram) > 0),
+        cg AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(${sqlNgrams("l", 8)}) AS gram
+            FROM (SELECT doc_id, $sqlToks AS l FROM corpus))
+          WHERE length(gram) > 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM cg JOIN bg USING (gram)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   /** DuckDB mirror of the SQL-expressible curation prefix (see
     * `llm_curation_sql_prefix`). Every semantic comes from its owning
     * fragment (redaction patterns, quality formula, language chain, quota
@@ -119,39 +160,24 @@ object CorpusQueries {
     // appended, so they must surface with ≥ (tokens-7) overlapping 8-grams.
     Q("decontaminate",
       (s, dir) => {
-        val d = Tables.documents(s, dir).select("doc_id", "text")
-        val bench = d.filter(col("doc_id") % 17 === 0)
-        val tainted = bench.select((col("doc_id") + 1).as("doc_id"),
-          col("text").as("_gf_btext"))
-        val corpus = d.filter(col("doc_id") % 17 =!= 0)
-          .join(tainted, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            concat(col("text"),
-              when(col("_gf_btext").isNotNull, concat(lit(" "), col("_gf_btext")))
-                .otherwise(lit(""))).as("text"))
+        val (corpus, bench) = contaminationFixture(s, dir)
         CorpusOps.decontaminate(corpus, bench, "doc_id", "text", n = 8)
           .orderBy("doc_id")
       },
-      Some(s"""
-        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
-        corpus AS (
-          SELECT c.doc_id,
-                 c.text || CASE WHEN b.text IS NOT NULL THEN ' ' || b.text ELSE '' END AS text
-          FROM documents c LEFT JOIN bench b ON b.doc_id + 1 = c.doc_id
-          WHERE c.doc_id % 17 <> 0),
-        bg AS (
-          SELECT DISTINCT gram FROM (
-            SELECT unnest(${sqlNgrams("l", 8)}) AS gram
-            FROM (SELECT $sqlToks AS l FROM bench))
-          WHERE length(gram) > 0),
-        cg AS (
-          SELECT DISTINCT doc_id, gram FROM (
-            SELECT doc_id, unnest(${sqlNgrams("l", 8)}) AS gram
-            FROM (SELECT doc_id, $sqlToks AS l FROM corpus))
-          WHERE length(gram) > 0)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        FROM cg JOIN bg USING (gram)
-        GROUP BY doc_id ORDER BY doc_id""")),
+      Some(decontaminateOracle)),
+
+    // Bloom-runtime-filter variant: must be value-identical to the exact
+    // path (same oracle) — the filter only prunes the shuffle, never the
+    // result. fpp is deliberately coarse (0.05) to exercise the
+    // false-positive-then-exact-join path, not just the happy case.
+    Q("decontaminate_bloom",
+      (s, dir) => {
+        val (corpus, bench) = contaminationFixture(s, dir)
+        CorpusOps.decontaminateBloom(corpus, bench, "doc_id", "text",
+            n = 8, fpp = 0.05)
+          .orderBy("doc_id")
+      },
+      Some(decontaminateOracle)),
 
     // PII scan/redaction: every 7th doc gets a synthetic email + IPv4 + SSN
     // appended; counts and the redacted-text hash must match per row.

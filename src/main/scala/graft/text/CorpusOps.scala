@@ -111,6 +111,50 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** [[decontaminate]] with a broadcast Bloom runtime filter on the corpus
+    * side — same exact result, a fraction of the shuffle.
+    *
+    * The plain path's dominant cost at 100 TB is the corpus gram
+    * `distinct()`: every (doc, gram) pair rides that exchange even though
+    * almost none match a benchmark gram. Here the benchmark grams (the
+    * small side — an eval suite, not the corpus) are folded into a Bloom
+    * filter over `xxhash64(gram)` and broadcast; corpus grams are probed
+    * BEFORE the distinct, so only matching grams — plus an `fpp` fraction
+    * of false positives — reach the exchange and the exact string join.
+    *
+    * Exactness is independent of `fpp`: Bloom filters have no false
+    * negatives (a pruned gram provably isn't in the benchmark) and false
+    * positives are eliminated by the exact gram equi-join that follows,
+    * so `fpp` tunes only the shuffle-reduction factor. Filter size is
+    * ~1.2 bytes/gram at the default 1% — a 10⁸-gram benchmark suite
+    * broadcasts ~120 MB, which is why the benchmark must be the small
+    * side (the corpus never is). */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0,1)")
+    val benchGrams = bench
+      .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
+      .filter(length(col("_gf_gram")) > 0)
+      .distinct()
+    val hashes = benchGrams.select(xxhash64(col("_gf_gram")).as("_gf_h"))
+    // expectedNumItems needs one count of the (small) build side; the
+    // gram plan is then reused for the exact join — one extra bench scan
+    val bf = hashes.stat.bloomFilter("_gf_h",
+      math.max(1L, hashes.count()), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    corpus
+      .select(col(idCol).as("_gf_id"),
+        explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
+      .filter(length(col("_gf_gram")) > 0)
+      .filter(graft.functions.BloomMightContain(
+        xxhash64(col("_gf_gram")), bc))
+      .distinct()
+      .join(benchGrams, "_gf_gram")
+      .groupBy(col("_gf_id").as(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** PII patterns deliberately restricted to the regex subset Java and
     * RE2-family engines interpret identically (char classes, bounded
     * repetition, \b word boundaries — no lookaround, no backrefs). */

@@ -58,6 +58,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("decontaminateBloom is value-identical to exact at any fpp") {
+    // 60 docs, every 6th contaminated with a shared 9-token span
+    val span = (0 until 9).map(i => s"s$i").mkString(" ")
+    val corpus = (1L to 60L).map { i =>
+      val base = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      (i, if (i % 6 == 0) s"$base $span" else base)
+    }.toDF("doc_id", "text")
+    val bench = Seq((1000L, span)).toDF("doc_id", "text")
+    val exact = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect().toSeq
+    // fpp only tunes shuffle reduction — a coarse 0.5 and a tight 1e-6
+    // must both reproduce the exact result bit-for-bit
+    for (fpp <- Seq(0.5, 1e-6)) {
+      val bloom = CorpusOps.decontaminateBloom(corpus, bench, "doc_id", "text",
+        n = 8, fpp = fpp).orderBy("doc_id").collect().toSeq
+      assert(bloom === exact, s"fpp=$fpp diverged from exact")
+    }
+    assert(exact.map(_.getLong(0)) === (6L to 60L by 6L))
+    assert(exact.forall(_.getLong(1) === 2L)) // 9 tokens → two distinct 8-grams
+  }
+
+  test("decontaminateBloom probes before the gram shuffle (plan pin)") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val corpus = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val bench = Seq((2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = CorpusOps.decontaminateBloom(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan // unwrap AQE
+        case p => p
+      }
+    // the probe filter must survive optimization, sitting BELOW every
+    // exchange (its subtree shuffle-free) — that's the whole point: only
+    // might-contain grams reach the distinct's exchange
+    val probes = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(probes.nonEmpty, s"no bloom probe filter in:\n$plan")
+    val shuffleBelow = probes.exists(_.collect { case e: Exchange => e }.nonEmpty)
+    assert(!shuffleBelow, s"bloom probe sits above an exchange:\n$plan")
+  }
+
   test("piiSignals counts and redacts email, ip, ssn") {
     val docs = Seq(
       (1L, "mail a@b.co and c.d-e@f.org ip 10.0.0.1 ssn 123-45-6789"),
