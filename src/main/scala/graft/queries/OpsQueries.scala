@@ -174,6 +174,24 @@ object OpsQueries {
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
         QUALIFY row_number() OVER (PARTITION BY user_id
           ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // Z-order (Morton) layout value over two part columns — the write-side
+    // clustering key for multi-predicate file pruning. The oracle rebuilds
+    // the same min-max buckets and bit interleave from Layout's own SQL
+    // fragments, so the quantization cannot drift between engines.
+    Q("layout_zorder",
+      (s, dir) => graft.ops.Layout.zorderBy(
+          Tables.part(s, dir).select("p_partkey", "p_size", "p_retailprice"),
+          Seq("p_size", "p_retailprice"), bits = 8)
+        .select("p_partkey", "zval").orderBy("p_partkey"),
+      Some {
+        val (bounds, z) = graft.ops.Layout.sqlZValue(
+          "part", Seq("p_size", "p_retailprice"), bits = 8)
+        s"""
+        SELECT p_partkey, CAST($z AS BIGINT) AS zval
+        FROM part, ($bounds) b
+        ORDER BY p_partkey"""
+      })
   )
 }
