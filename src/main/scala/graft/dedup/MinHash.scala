@@ -74,26 +74,77 @@ object MinHash {
   }
 
   /** Candidate near-duplicate pairs (idA < idB, est_jaccard >= threshold).
-    * Returns (id_a, id_b, est_jaccard). */
+    * Returns (id_a, id_b, est_jaccard).
+    *
+    * The band join is ID-ONLY: each doc sends `bands` (band, hash, id)
+    * tuples — ~20 bytes — through the exchange, and the K-long signature
+    * (512 bytes at k=64) is joined back only for the pairs that survive
+    * the bucket match and dedup, so each surviving pair pays exactly one
+    * estimator. Shipping signatures with the band rows instead would
+    * multiply the shuffle by bands × sigBytes/20 (~400× at defaults). */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, k: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val sigs = signatures(df, textCol, idCol, n, k)
-      .withColumn("_gf_bands", bandHashes(col("_gf_sig"), k, bands))
-    val buckets = sigs.select(col("_gf_id"), col("_gf_sig"),
-        posexplode(col("_gf_bands")).as(Seq("_gf_band", "_gf_bh")))
-    val a = buckets.select(col("_gf_band"), col("_gf_bh"),
-      col("_gf_id").as("id_a"), col("_gf_sig").as("_gf_sig_a"))
-    val b = buckets.select(col("_gf_band"), col("_gf_bh"),
-      col("_gf_id").as("id_b"), col("_gf_sig").as("_gf_sig_b"))
-    a.join(b, Seq("_gf_band", "_gf_bh"))
+    val buckets = sigs
+      .select(col("_gf_id"),
+        posexplode(bandHashes(col("_gf_sig"), k, bands)).as(Seq("_gf_band", "_gf_bh")))
+    val a = buckets.select(col("_gf_band"), col("_gf_bh"), col("_gf_id").as("id_a"))
+    val b = buckets.select(col("_gf_band"), col("_gf_bh"), col("_gf_id").as("id_b"))
+    val cand = a.join(b, Seq("_gf_band", "_gf_bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(sigs.select(col("_gf_id").as("id_a"), col("_gf_sig").as("_gf_sig_a")), Seq("id_a"))
+      .join(sigs.select(col("_gf_id").as("id_b"), col("_gf_sig").as("_gf_sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("_gf_sig_a"), col("_gf_sig_b"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Cross-corpus near-duplicate pairs: for each left doc, the right docs
+    * whose MinHash estimate clears `threshold` — near-dup DECONTAMINATION
+    * (a paraphrased benchmark item still matches) and cross-source overlap
+    * audits. Same id-only band join as [[nearDuplicatePairs]]; when
+    * `right` is benchmark-sized, Catalyst broadcasts its signature side.
+    * Returns (id_l, id_r, est_jaccard). */
+  def crossNearDuplicatePairs(left: DataFrame, right: DataFrame,
+                              textCol: String, idCol: String,
+                              n: Int = 3, k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    def sides(df: DataFrame, tag: String) = {
+      val sigs = signatures(df, textCol, idCol, n, k)
+      (sigs.select(col("_gf_id").as(s"id_$tag"), col("_gf_sig").as(s"_gf_sig_$tag")),
+        sigs.select(col("_gf_id").as(s"id_$tag"),
+          posexplode(bandHashes(col("_gf_sig"), k, bands)).as(Seq("_gf_band", "_gf_bh"))))
+    }
+    val (lSigs, lBuckets) = sides(left, "l")
+    val (rSigs, rBuckets) = sides(right, "r")
+    lBuckets.join(rBuckets, Seq("_gf_band", "_gf_bh"))
+      .select("id_l", "id_r")
+      .distinct()
+      .join(lSigs, Seq("id_l"))
+      .join(rSigs, Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        estJaccard(col("_gf_sig_l"), col("_gf_sig_r"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Near-dup decontamination: drop every left doc whose MinHash estimate
+    * against ANY right (benchmark) doc clears `threshold` — the fuzzy
+    * complement of exact n-gram decontamination, catching paraphrased or
+    * lightly-edited benchmark items that share no exact 8-gram. */
+  def decontaminateNear(corpus: DataFrame, bench: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 3, k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.7): DataFrame = {
+    val hit = crossNearDuplicatePairs(corpus, bench, textCol, idCol,
+        n, k, bands, threshold)
+      .select(col("id_l").as("_gf_hit")).distinct()
+    corpus.join(hit, corpus(idCol) === col("_gf_hit"), "left_anti")
   }
 
   /** Greedy near-dedup: drop any doc that near-matches a smaller-id doc

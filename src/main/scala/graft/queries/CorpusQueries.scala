@@ -179,6 +179,27 @@ object CorpusQueries {
       },
       Some(decontaminateOracle)),
 
+    // Near-dup decontamination (rows-only: MinHash signatures are not
+    // mirrorable in the oracle engine; NearDupSpec pins the semantics on
+    // planted fixtures): corpus docs ≡ 1 (mod 17) are REPLACED by a
+    // light edit of the preceding benchmark doc — no guaranteed exact
+    // 8-gram overlap, but high shingle Jaccard — and must be dropped.
+    Q("decontaminate_near",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val bench = d.filter(col("doc_id") % 17 === 0)
+        val paraphrased = bench.select((col("doc_id") + 1).as("doc_id"),
+          concat(lit("edited intro "), col("text")).as("_gf_btext"))
+        val corpus = d.filter(col("doc_id") % 17 =!= 0)
+          .join(paraphrased, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_gf_btext"), col("text")).as("text"))
+        graft.dedup.MinHash.decontaminateNear(corpus, bench, "text", "doc_id",
+            threshold = 0.5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
     // PII scan/redaction: every 7th doc gets a synthetic email + IPv4 + SSN
     // appended; counts and the redacted-text hash must match per row.
     Q("text_pii",

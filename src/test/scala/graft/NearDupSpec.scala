@@ -179,6 +179,52 @@ class NearDupSpec extends SparkSpec {
       "OR-amplified probing must recover it")
   }
 
+  test("minhash band join is id-only and reuses the signature exchange") {
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    // pin the scale-shaped plan: no AQE rewrites, no broadcast shortcut
+    val conf = spark.conf
+    val (aqe, bcast) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Seq((1L, baseText), (2L, nearText), (3L, otherText))
+        .toDF("doc_id", "text")
+      val plan = MinHash.nearDuplicatePairs(df, "text", "doc_id", threshold = 0.5)
+        .queryExecution.executedPlan
+      // the signature subtree feeds three consumers (band buckets + two
+      // rejoin sides); its exchange must be computed once and reused, or
+      // the id-only refactor would triple the shingle-hash map stage
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"signature exchange not reused:\n$plan")
+      // the band-bucket exchanges must not carry the 512-byte signature
+      val bandEx = plan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "_gf_band") => e
+      }
+      assert(bandEx.nonEmpty, s"no band exchange found:\n$plan")
+      assert(!bandEx.exists(_.output.exists(_.name.startsWith("_gf_sig"))),
+        s"signature rides the band shuffle:\n$plan")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
+  test("cross-corpus minhash pairs and near-decontamination") {
+    val corpus = Seq((1L, baseText), (2L, otherText),
+      (3L, (200 to 260).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    // benchmark doc 10 paraphrases doc 1 (80% shingle overlap), doc 11 is
+    // unrelated; ids overlap corpus ids deliberately — sides are distinct
+    val bench = Seq((10L, nearText), (11L, (300 to 360).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = MinHash.crossNearDuplicatePairs(corpus, bench, "text", "doc_id",
+      threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 10L)))
+    val kept = MinHash.decontaminateNear(corpus, bench, "text", "doc_id",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("minhash rejects k not divisible by bands") {
     val df = Seq((1L, baseText)).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
