@@ -83,6 +83,35 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Stream-stream interval join: each left event matched to right events
+    * for the same `keys` whose timestamp falls in
+    * `[leftTs - before, leftTs + after]` — impression↔click attribution,
+    * request↔response pairing, sensor correlation.
+    *
+    * Both sides MUST be watermarked and the join condition MUST bound the
+    * two event-time columns against each other — that pair of constraints
+    * is what lets Spark expire buffered rows: each side's state store
+    * holds only rows inside `watermark + interval`, so state is bounded
+    * by rate × window, not by stream length. An unbounded stream-stream
+    * equi-join (no time bound) would buffer both streams forever; this
+    * builder makes the bounded form the only expressible one. Inner join:
+    * unmatched rows drop (outer variants need both watermarks anyway and
+    * emit on watermark expiry). On batch frames the same predicate runs
+    * as an ordinary range join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String = "ts", rightTs: String = "ts",
+                   before: String = "10 minutes", after: String = "10 minutes",
+                   delay: String = "2 hours"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one equi-key")
+    val l = withWatermark(left, leftTs, delay).alias("l")
+    val r = withWatermark(right, rightTs, delay).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond =
+      col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after")
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
   /** Gap-based sessionization per user: session_window keeps a session
     * open while events arrive within `gap` of the previous one. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",

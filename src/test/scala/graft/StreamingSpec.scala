@@ -149,4 +149,46 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(batchPlan.contains("BroadcastHashJoin"))
   }
+
+  test("intervalJoin pairs two live streams within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val imps = impressions.toDF.toDF("ts", "user_id", "imp_id")
+    val clks = clicks.toDF.toDF("ts", "user_id", "click_id")
+    assert(imps.isStreaming && clks.isStreaming)
+
+    // click attributed to an impression of the same user within 10 min
+    // AFTER the impression (before=0): i1@10:00/u1 matches c1@10:05;
+    // c2@10:30 is outside i1's window; u2's click has no impression
+    val joined = StreamOps.intervalJoin(imps, clks, Seq("user_id"),
+        before = "0 minutes", after = "10 minutes", delay = "1 hour")
+      .select(col("imp_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    impressions.addData((ts(0), 1L, "i1"), (ts(25), 1L, "i2"))
+    clicks.addData((ts(5), 1L, "c1"), (ts(30), 1L, "c2"), (ts(7), 2L, "c3"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attributed").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("i1", "c1"), ("i2", "c2")))
+
+    // state boundedness is structural: the streaming plan carries
+    // watermarks on BOTH sides feeding the stream-stream join
+    val planned = joined.queryExecution.analyzed.toString
+    assert("EventTimeWatermark".r.findAllIn(planned).size === 2, planned)
+
+    // batch degeneration: same builder on batch frames = plain range join
+    val bImps = Seq((ts(0), 1L, "i1"), (ts(25), 1L, "i2"))
+      .toDF("ts", "user_id", "imp_id")
+    val bClks = Seq((ts(5), 1L, "c1"), (ts(30), 1L, "c2"), (ts(7), 2L, "c3"))
+      .toDF("ts", "user_id", "click_id")
+    val batch = StreamOps.intervalJoin(bImps, bClks, Seq("user_id"),
+        before = "0 minutes", after = "10 minutes")
+      .select("imp_id", "click_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batch === out)
+  }
 }
