@@ -57,6 +57,10 @@ import scala.jdk.CollectionConverters._
   *   - module: exact_dedup
   *     text_column: text
   *     id_column: doc_id
+  *   - module: decontaminate
+  *     text_column: text
+  *     id_column: doc_id
+  *     bench_path: /data/benchmarks.parquet   # optional ngram: 8, fpp: 0.01
   *   - module: quota
   *     group_column: source
   *     key_column: doc_id
@@ -206,6 +210,20 @@ object ConfigPipeline {
           asString(m("text_column"), s"$path.text_column"),
           asString(m("id_column"), s"$path.id_column"))
 
+      case "decontaminate" =>
+        requireKeys(m, path,
+          required = Set("module", "text_column", "id_column", "bench_path"),
+          optional = Set("ngram", "fpp"))
+        val n = m.get("ngram").map(asLong(_, s"$path.ngram")).getOrElse(8L)
+        if (n < 1 || n > 64) fail(s"$path.ngram", s"ngram must be in [1,64], got $n")
+        val fpp = m.get("fpp").map(asDouble(_, s"$path.fpp")).getOrElse(0.01)
+        // negated form catches .nan, same as the sample fraction check
+        if (!(fpp > 0 && fpp < 1)) fail(s"$path.fpp", s"fpp $fpp not in (0,1)")
+        DecontaminateStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"),
+          asString(m("bench_path"), s"$path.bench_path"), n.toInt, fpp)
+
       case "sample" =>
         requireKeys(m, path, required = Set("module", "key_column", "fraction"),
           optional = Set("seed"))
@@ -234,7 +252,7 @@ object ConfigPipeline {
       case other =>
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
-            "text_filter|pii_redact|exact_dedup|sample|quota)")
+            "text_filter|pii_redact|exact_dedup|decontaminate|sample|quota)")
     }
   }
 

@@ -28,6 +28,8 @@ final case class TextFilterStage(textCol: String, minQuality: Double,
                                  langs: Seq[String]) extends Stage { val name = "text_filter" }
 final case class PiiRedactStage(textCol: String) extends Stage { val name = "pii_redact" }
 final case class ExactDedupStage(textCol: String, idCol: String) extends Stage { val name = "exact_dedup" }
+final case class DecontaminateStage(textCol: String, idCol: String,
+    benchPath: String, n: Int, fpp: Double) extends Stage { val name = "decontaminate" }
 final case class SampleStage(keyCol: String, fraction: Double,
                              seed: Long) extends Stage { val name = "sample" }
 final case class QuotaStage(groupCol: String, keyCol: String,
@@ -72,6 +74,13 @@ object Pipeline {
           acc.withColumn(textCol, CorpusOps.redact(col(textCol)))
         case ExactDedupStage(textCol, idCol) =>
           LlmDedup.exact(acc, textCol, idCol)
+        case DecontaminateStage(textCol, idCol, benchPath, n, fpp) =>
+          // benchmark suite read per the reference's path-driven configs;
+          // the Bloom path is value-identical to exact decontamination
+          val bench = acc.sparkSession.read.parquet(benchPath)
+          val hits = CorpusOps.decontaminateBloom(acc, bench, idCol, textCol, n, fpp)
+          reports += s"$i:decontaminate" -> hits
+          acc.join(hits.select(idCol), Seq(idCol), "left_anti")
         case SampleStage(keyCol, fraction, seed) =>
           Sampling.hashSample(acc, keyCol, fraction, seed)
         case QuotaStage(groupCol, keyCol, quota, seed) =>
