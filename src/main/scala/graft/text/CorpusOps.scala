@@ -139,9 +139,13 @@ object CorpusOps {
       .distinct()
     val hashes = benchGrams.select(xxhash64(col("_gf_gram")).as("_gf_h"))
     // expectedNumItems needs one count of the (small) build side; the
-    // gram plan is then reused for the exact join — one extra bench scan
-    val bf = hashes.stat.bloomFilter("_gf_h",
-      math.max(1L, hashes.count()), fpp)
+    // gram plan is then reused for the exact join — one extra bench scan.
+    // Empty benchmark: nothing can overlap (and stat.bloomFilter NPEs on
+    // an empty frame) — return the empty result with the right schema.
+    val nGrams = hashes.count()
+    if (nGrams == 0)
+      return corpus.select(col(idCol)).limit(0).withColumn("n_overlap", lit(0L))
+    val bf = hashes.stat.bloomFilter("_gf_h", nGrams, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
     corpus
       .select(col(idCol).as("_gf_id"),

@@ -90,4 +90,33 @@ class EmptyFrameSpec extends SparkSpec {
     assert(Skew.heavyHitters(empty, "name").count() == 0)
     assert(LlmDedup.incremental(docs, docs, "text", "id").count() == 0)
   }
+
+  test("round-5 operators tolerate empty frames") {
+    import graft.dedup.MinHash
+    import graft.ops.Layout
+    import graft.streaming.StreamOps
+    import graft.text.CorpusOps
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = empty.withColumnRenamed("name", "text")
+    val nonEmpty = Seq((1L, "some real document text here")).toDF("id", "text")
+    // empty corpus and/or empty bench: bloom path must not choke on an
+    // expectedNumItems of 0 (clamped to 1) or an empty build side
+    assert(CorpusOps.decontaminateBloom(docs, docs, "id", "text").count() == 0)
+    assert(CorpusOps.decontaminateBloom(docs, nonEmpty, "id", "text").count() == 0)
+    assert(CorpusOps.decontaminateBloom(nonEmpty, docs, "id", "text").count() == 0)
+    // empty bench keeps the whole corpus; empty corpus yields nothing
+    assert(MinHash.crossNearDuplicatePairs(nonEmpty, docs, "text", "id").count() == 0)
+    assert(MinHash.decontaminateNear(nonEmpty, docs, "text", "id").count() == 1)
+    assert(MinHash.decontaminateNear(docs, nonEmpty, "text", "id").count() == 0)
+    // z-order over an empty frame: bounds row is all-null, zero rows out
+    assert(Layout.zorderBy(empty.withColumnRenamed("name", "x"),
+      Seq("x", "price")).count() == 0)
+    // batch interval join with an empty side
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val evs = Seq((ts, 1L)).toDF("ts", "user_id")
+    val noEvs = evs.limit(0)
+    assert(StreamOps.intervalJoin(evs, noEvs, Seq("user_id")).count() == 0)
+    assert(StreamOps.intervalJoin(noEvs, evs, Seq("user_id")).count() == 0)
+  }
 }

@@ -172,4 +172,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("jaro_winkler") || p.contains("jarowinkler"),
       "native expression present in plan")
   }
+
+  test("layout_zorder: bounds ride a broadcast; the fact side never shuffles") {
+    val p = plan("layout_zorder")
+    // 1-row bounds -> broadcast nested loop over the fact scan; a
+    // SortMergeJoin or row-level hash exchange would mean the whole table
+    // shuffles just to pick up two min/max pairs
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 0, s"unexpected row-level exchange:\n$p")
+  }
+
+  test("events_stream_interval_join: equi-key join, never a cartesian expansion") {
+    val p = plan("events_stream_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "time bound must ride the user_id equi-join as a post-filter")
+  }
+
+  test("decontaminate_bloom: probe filter present below the gram aggregation") {
+    val p = plan("decontaminate_bloom")
+    assert(p.contains("bloom_might_contain"))
+  }
 }
