@@ -81,4 +81,47 @@ object EventAnalytics {
               first("n_users").over(w).cast(DoubleType)), 4))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Rolling z-score anomaly detection: each event scored against the
+    * trailing `frame`-row mean/stddev of its OWN key's series — metric
+    * spike detection over sensor/billing/traffic streams.
+    *
+    * Parity shape (see events_rolling): mean and variance derive from
+    * DECIMAL power sums over the frame (sum v, sum v²) so the rolling
+    * reduction is order-independent and bit-identical in any engine;
+    * sample variance via (Σv² − (Σv)²/n)/(n−1), negatives from decimal
+    * round-off clamped at 0. Rows with fewer than 2 trailing points or a
+    * degenerate (constant) frame get z = null, anomaly = false.
+    *
+    * Scale shape: ONE window shuffle on the series key (both frames share
+    * the same (partition, order) spec so Catalyst plans a single Window
+    * node); no joins, no global sort until the caller asks for one. */
+  def rollingAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, orderTiebreak: String,
+                     frame: Int = 20, threshold: Double = 3.0): DataFrame = {
+    require(frame >= 2, s"frame must be >= 2, got $frame")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    import org.apache.spark.sql.types.DecimalType
+    val ord = Seq(us(tsCol), col(orderTiebreak))
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(-(frame - 1), 0)
+    // (30,6) for the linear sum; the square uses (18,6) so the product is
+    // (37,12) — inside the 38-digit cap in BOTH engines (a (30,6) square
+    // would overflow DuckDB and silently rescale in Spark)
+    val dec = col(valueCol).cast(DecimalType(30, 6))
+    val dec18 = col(valueCol).cast(DecimalType(18, 6))
+    val n = count(col(valueCol)).over(w)
+    val s1 = sum(dec).over(w).cast(DoubleType)
+    val s2 = sum(dec18 * dec18).over(w).cast(DoubleType)
+    val mean = s1 / n
+    val variance = greatest(
+      (s2 - s1 * s1 / n) / (n - lit(1)), lit(0.0))
+    val z = (col(valueCol).cast(DoubleType) - mean) / sqrt(variance)
+    events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col(orderTiebreak), col(valueCol),
+        when(n >= 2 && variance > 0, graft.Num.dround(z, 4)).as("zscore"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("zscore")) > threshold, lit(false)))
+  }
 }

@@ -176,6 +176,37 @@ object OpsQueries {
           ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
         ORDER BY user_id""")),
 
+    // Rolling z-score anomaly flags per user series: decimal power sums
+    // over the trailing frame keep the rolling reduction order-free and
+    // engine-identical (same recipe as events_rolling).
+    Q("events_rolling_anomaly",
+      (s, dir) => EventAnalytics.rollingAnomaly(Tables.events(s, dir),
+          "user_id", "ts", "value", orderTiebreak = "event_id",
+          frame = 20, threshold = 3.0)
+        .orderBy("user_id", "event_id"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 count(value) OVER w AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+                 CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        v AS (
+          SELECT user_id, event_id, value, n, s1 / n AS mean,
+                 greatest((s2 - s1 * s1 / n) / (n - 1), 0.0) AS variance
+          FROM e),
+        z AS (
+          SELECT user_id, event_id, value,
+                 CASE WHEN n >= 2 AND variance > 0
+                   THEN floor(((CAST(value AS DOUBLE) - mean) / sqrt(variance)) * 1e4 + 0.5) / 1e4
+                   ELSE NULL END AS zscore
+          FROM v)
+        SELECT user_id, event_id, value, zscore,
+               coalesce(abs(zscore) > 3.0, false) AS is_anomaly
+        FROM z ORDER BY user_id, event_id""")),
+
     // Batch degeneration of the stream-stream interval join (the SAME
     // builder StreamingSpec runs as two live MemoryStream sides): clicks
     // attributed to same-user views within 30 min after the view.

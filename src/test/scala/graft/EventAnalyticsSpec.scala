@@ -48,4 +48,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out((d0, 2L)) == (1L, 0.5))      // user 1 returns two days later
     assert(out((d0 + 2, 0L))._1 == 1L)      // user 3's own cohort
   }
+
+  test("rollingAnomaly flags a planted spike, nulls degenerate frames") {
+    // user 1: stable 10±1 series then a 100 spike; user 2: constant
+    // (zero variance -> null z); user 3: single event (n=1 -> null z)
+    val base = (1 to 10).map(i => (1L, ts(1, i), i.toLong,
+      if (i % 2 == 0) 11.0 else 9.0))
+    val rows = (base :+ (1L, ts(1, 11), 11L, 100.0)) ++
+      Seq((2L, ts(1, 1), 20L, 5.0), (2L, ts(1, 2), 21L, 5.0),
+        (3L, ts(1, 1), 30L, 7.0))
+    val out = EventAnalytics.rollingAnomaly(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", orderTiebreak = "event_id",
+        frame = 20, threshold = 3.0)
+      .collect()
+      .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getBoolean(4))).toMap
+    assert(out(11L)._2, "spike flagged")
+    assert(out(11L)._1.get > 3.0)
+    assert(base.forall { case (_, _, eid, _) => !out(eid)._2 },
+      "stable prefix unflagged")
+    assert(out(1L)._1.isEmpty, "first row of a series has no frame")
+    assert(out(21L)._1.isEmpty && !out(21L)._2, "constant series -> null z")
+    assert(out(30L)._1.isEmpty && !out(30L)._2, "singleton series -> null z")
+  }
 }
