@@ -134,6 +134,30 @@ object NearDupQueries {
             k = 10, nPlanes = 8)
           .orderBy("query_id", "rank")
       },
+      None),
+
+    // Recall@10 of the approximate indexes against the exact brute-force
+    // ground truth, per query — the evaluation loop that decides
+    // k/nprobe/planes in production. Rows-only (the approximate side is
+    // hash-seeded), but deterministic: same seeds → same recall.
+    Q("ann_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10)
+        val index = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        val ivf = graft.sim.Ivf.topK(index, queries, "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, nPlanes = 8)
+        // same planes, 4 OR'd tables: the recall lever made measurable
+        val lshOr = Similarity.lshTopK(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, nPlanes = 8, tables = 4)
+        Similarity.recallAt(exact,
+            Seq("ivf" -> ivf, "lsh" -> lsh, "lsh_or4" -> lshOr))
+          .orderBy("method", "query_id")
+      },
       None)
   )
 }

@@ -206,4 +206,31 @@ object Similarity {
       .select(col("_gf_qid").as("query_id"), col("_gf_cid").as("neighbor_id"),
         col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
   }
+
+  /** Recall@k of approximate top-k results against the exact ground
+    * truth: per (method, query), |approx ∩ exact| / |exact| — the
+    * evaluation loop that tunes k/nprobe/planes before trusting an index
+    * at corpus scale. All frames are (query_id, neighbor_id, rank, ...)
+    * as produced by the topK operators; ground truth defines the
+    * denominator (recall of an empty exact set is vacuous and such
+    * queries are dropped). Semi-join per method on (query, neighbor),
+    * then two tiny keyed counts — nothing heavier than the result lists
+    * themselves ever shuffles. */
+  def recallAt(exact: DataFrame,
+               approx: Seq[(String, DataFrame)]): DataFrame = {
+    require(approx.nonEmpty, "recallAt needs at least one approximate result")
+    val truth = exact.select(col("query_id"), col("neighbor_id"))
+    val truthN = truth.groupBy("query_id").agg(count(lit(1)).as("_gf_n"))
+    approx.map { case (name, df) =>
+      val hits = df.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("_gf_hits"))
+      truthN
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(name).as("method"), col("query_id"),
+          graft.Num.dround(
+            coalesce(col("_gf_hits"), lit(0L)).cast("double")
+              / col("_gf_n").cast("double"), 4).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
 }

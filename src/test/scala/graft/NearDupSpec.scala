@@ -225,6 +225,22 @@ class NearDupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("recallAt scores approximate results against exact ground truth") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approxGood = exact // perfect recall
+    val approxPart = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3),
+      (2L, 77L, 1), (2L, 78L, 2), (2L, 79L, 3))
+      .toDF("query_id", "neighbor_id", "rank") // q1: 2/3, q2: 0/3
+    val out = Similarity.recallAt(exact,
+        Seq("good" -> approxGood, "part" -> approxPart))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("good", 1L)) === 1.0 && out(("good", 2L)) === 1.0)
+    assert(out(("part", 1L)) === 0.6667 && out(("part", 2L)) === 0.0)
+  }
+
   test("minhash rejects k not divisible by bands") {
     val df = Seq((1L, baseText)).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
