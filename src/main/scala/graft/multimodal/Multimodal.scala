@@ -12,12 +12,13 @@ final case class AssetMeta(asset_id: Long, n_bytes: Long, width: Int,
   * batches.
   *
   * The Spark-side shape is real — binary schema, `mapPartitions` batch
-  * iterator with a typed Encoder, metadata struct joins — and [[decode]]
-  * now parses REAL PNG IHDR / JPEG SOFn headers (pure byte arithmetic, no
-  * codec library). Bytes that are neither fall back to the
-  * clearly-marked deterministic [[decodeStub]] (image/audio pixel codecs
-  * are not in this container); swap the stub for a JNI/javacv call and
-  * nothing else changes.
+  * iterator with a typed Encoder, metadata struct joins — and [[decode]] /
+  * [[decodeAudio]] parse REAL container headers (PNG IHDR, JPEG SOFn, GIF
+  * logical screen, WAV/RIFF fmt — pure byte arithmetic, no codec library).
+  * Bytes that match no known container fall back to the clearly-marked
+  * deterministic [[decodeStub]] (image/audio PIXEL/SAMPLE codecs are not
+  * in this container); swap the stub for a JNI/javacv call and nothing
+  * else changes.
   */
 object Multimodal {
 
@@ -91,7 +92,70 @@ object Multimodal {
       None
     }
 
-    png.orElse(jpeg).getOrElse(decodeStub(assetId, bytes))
+    // GIF (GIF87a/GIF89a): logical-screen width/height are LITTLE-endian
+    // u16 at offsets 6/8 (GIF89a spec §18).
+    def gif: Option[AssetMeta] =
+      if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+          u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+        val w = u8(6) | (u8(7) << 8)
+        val h = u8(8) | (u8(9) << 8)
+        if (w > 0 && h > 0)
+          Some(AssetMeta(assetId, bytes.length.toLong, w, h, "gif"))
+        else None
+      } else None
+
+    png.orElse(jpeg).orElse(gif).getOrElse(decodeStub(assetId, bytes))
+  }
+
+  /** Extracted audio metadata row ([[decodeAudio]]). */
+  final case class WavMeta(asset_id: Long, n_bytes: Long, channels: Int,
+                           sample_rate: Int, bits_per_sample: Int,
+                           format: String)
+
+  /** Audio twin of [[decode]]: WAV/RIFF `fmt ` chunk parsing (RIFF spec:
+    * little-endian u16 channels @ chunk+2, u32 sample rate @ chunk+4,
+    * u16 bits/sample @ chunk+14, scanning chunks from offset 12). Non-WAV
+    * or malformed bytes degrade to a deterministic stub row with format
+    * "unknown" — same loud-but-flowing policy as the image stub. */
+  def decodeAudio(assetId: Long, bytes: Array[Byte]): WavMeta = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    val stub = WavMeta(assetId, bytes.length.toLong, 1,
+      8000 + (bytes.length % 8) .toInt * 4000, 16, "unknown")
+    if (bytes.length < 44 ||
+        !(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F') ||
+        !(u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+      return stub
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val size = u32le(i + 4)
+      if (u8(i) == 'f' && u8(i + 1) == 'm' && u8(i + 2) == 't' && u8(i + 3) == ' ') {
+        if (i + 8 + 16 > bytes.length) return stub // truncated fmt chunk
+        val channels = u16le(i + 10)
+        val rate = u32le(i + 12)
+        val bits = u16le(i + 22)
+        return if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0)
+          WavMeta(assetId, bytes.length.toLong, channels, rate.toInt, bits, "wav")
+        else stub
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      if (size < 0 || size > Int.MaxValue) return stub
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    stub
+  }
+
+  /** Batch audio-metadata extraction — same mapPartitions codec shape as
+    * [[decodeMeta]]. */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val pair = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    pair.mapPartitions { it =>
+      it.map { case (id, bytes) => decodeAudio(id, bytes) }
+    }(Encoders.product[WavMeta]).toDF()
   }
 
   /** Batch metadata extraction: (id, binary) -> AssetMeta via

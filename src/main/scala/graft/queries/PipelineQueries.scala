@@ -236,6 +236,74 @@ object PipelineQueries {
                CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS INT) AS target_height
         FROM m ORDER BY asset_id""")),
 
+    // Audio twin: WAV/RIFF headers planted with per-doc channels/rate,
+    // decodeAudio re-reads the little-endian fmt fields; the oracle
+    // re-extracts the same bytes from blob hex (LE pairs re-reversed).
+    // Every 3rd doc is non-audio payload and must take the stub row.
+    Q("multimodal_audio",
+      (s, dir) => {
+        val payload = encode(col("text"), "UTF-8")
+        def hexN(c: Column, n: Int) = lpad(hex(c), n, "0")
+        def le16(c: Column) = {
+          val be = hexN(c, 4)
+          concat(substring(be, 3, 2), substring(be, 1, 2))
+        }
+        def le32(c: Column) = {
+          val be = hexN(c, 8)
+          concat(substring(be, 7, 2), substring(be, 5, 2),
+            substring(be, 3, 2), substring(be, 1, 2))
+        }
+        val channels = lit(1) + col("doc_id") % 2
+        val rate = lit(8000) + (col("doc_id") % 6) * 8000
+        val wavBytes = concat(unhex(concat(
+          lit("52494646" + "24000000" + "57415645" + "666D7420" + "10000000" + "0100"),
+          le16(channels), le32(rate),
+          le32(rate * channels * 2), le16(channels * 2), lit("1000"),
+          lit("64617461" + "00000000"))), payload)
+        val assets = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 3 === 2, payload).otherwise(wavBytes).as("asset"))
+        Multimodal.decodeAudioMeta(assets, "doc_id", "asset")
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH src AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        f AS (
+          SELECT doc_id, payload,
+                 lpad(hex(1 + doc_id % 2), 4, '0') AS ch_be,
+                 lpad(hex(8000 + (doc_id % 6) * 8000), 8, '0') AS rate_be,
+                 lpad(hex((8000 + (doc_id % 6) * 8000) * (1 + doc_id % 2) * 2), 8, '0') AS br_be,
+                 lpad(hex((1 + doc_id % 2) * 2), 4, '0') AS ba_be
+          FROM src),
+        built AS (
+          SELECT doc_id, payload,
+                 CASE WHEN doc_id % 3 = 2 THEN payload
+                   ELSE unhex('5249464624000000' || '57415645' ||
+                     '666D7420' || '10000000' || '0100' ||
+                     substr(ch_be, 3, 2) || substr(ch_be, 1, 2) ||
+                     substr(rate_be, 7, 2) || substr(rate_be, 5, 2) ||
+                       substr(rate_be, 3, 2) || substr(rate_be, 1, 2) ||
+                     substr(br_be, 7, 2) || substr(br_be, 5, 2) ||
+                       substr(br_be, 3, 2) || substr(br_be, 1, 2) ||
+                     substr(ba_be, 3, 2) || substr(ba_be, 1, 2) ||
+                     '1000' || '6461746100000000') || payload
+                 END AS asset
+          FROM f)
+        SELECT doc_id AS asset_id,
+               CAST(octet_length(asset) AS BIGINT) AS n_bytes,
+               CASE WHEN doc_id % 3 = 2 THEN 1
+                 ELSE CAST(('0x' || substr(hex(asset), 47, 2) || substr(hex(asset), 45, 2)) AS INT)
+               END AS channels,
+               CASE WHEN doc_id % 3 = 2
+                 THEN CAST(8000 + (octet_length(asset) % 8) * 4000 AS INT)
+                 ELSE CAST(('0x' || substr(hex(asset), 55, 2) || substr(hex(asset), 53, 2) ||
+                   substr(hex(asset), 51, 2) || substr(hex(asset), 49, 2)) AS INT)
+               END AS sample_rate,
+               CASE WHEN doc_id % 3 = 2 THEN 16
+                 ELSE CAST(('0x' || substr(hex(asset), 71, 2) || substr(hex(asset), 69, 2)) AS INT)
+               END AS bits_per_sample,
+               CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'wav' END AS format
+        FROM built ORDER BY asset_id""")),
+
     // Gap-based sessionization (session_window) — the same plan Structured
     // Streaming runs with a watermark.
     Q("events_sessionize",

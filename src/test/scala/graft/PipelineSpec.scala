@@ -67,6 +67,36 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decode(10L, soiOnly) == Multimodal.decodeStub(10L, soiOnly))
     val badPng = hexBytes("89504E470D0A1A0A" + "0000000D" + "49480000")
     assert(Multimodal.decode(11L, badPng) == Multimodal.decodeStub(11L, badPng))
+    // GIF89a logical screen 320x240 (little-endian u16s)
+    val gif = hexBytes("474946383961" + "4001" + "F000" + "80" + "00" + "00")
+    assert(Multimodal.decode(12L, gif) ==
+      AssetMeta(12L, gif.length.toLong, 320, 240, "gif"))
+    val zeroGif = hexBytes("474946383961" + "0000" + "F000" + "80" + "00" + "00")
+    assert(Multimodal.decode(13L, zeroGif) == Multimodal.decodeStub(13L, zeroGif))
+  }
+
+  test("decodeAudio parses a hand-built WAV fmt chunk; stubs the rest") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    // RIFF/WAVE with a JUNK chunk (odd size -> pad byte) before fmt:
+    // stereo, 44100 Hz, 16-bit PCM
+    val wav = hexBytes("52494646" + "30000000" + "57415645" +
+      "4A554E4B" + "03000000" + "AABBCC" + "00" + // JUNK(3)+pad
+      "666D7420" + "10000000" +                   // "fmt " size 16
+      "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000" +
+      "64617461" + "00000000")
+    val m = Multimodal.decodeAudio(1L, wav)
+    assert((m.channels, m.sample_rate, m.bits_per_sample, m.format) ==
+      ((2, 44100, 16, "wav")))
+    val noise = "not audio at all".getBytes("UTF-8")
+    assert(Multimodal.decodeAudio(2L, noise).format == "unknown")
+    // batch path: mapPartitions with the typed encoder
+    val df = Seq((1L, wav), (2L, noise)).toDF("asset_id", "bytes")
+    val out = Multimodal.decodeAudioMeta(df, "asset_id", "bytes")
+      .orderBy("asset_id").collect()
+    assert(out(0).getAs[String]("format") == "wav" &&
+      out(0).getAs[Int]("sample_rate") == 44100)
+    assert(out(1).getAs[String]("format") == "unknown")
   }
 
   test("frame sample plan emits stride offsets") {
