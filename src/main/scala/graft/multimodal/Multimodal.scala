@@ -52,7 +52,9 @@ object Multimodal {
     * back to [[decodeStub]] rather than throwing, so a corrupt asset in a
     * 100 TB scan degrades to fake metadata instead of killing the stage.
     */
-  def decode(assetId: Long, bytes: Array[Byte]): AssetMeta = {
+  def decode(assetId: Long, rawBytes: Array[Byte]): AssetMeta = {
+    // null blob degrades to the stub like any other undecodable asset
+    val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
     def u8(i: Int): Int = bytes(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def u32(i: Int): Long =
@@ -117,19 +119,24 @@ object Multimodal {
     * u16 bits/sample @ chunk+14, scanning chunks from offset 12). Non-WAV
     * or malformed bytes degrade to a deterministic stub row with format
     * "unknown" — same loud-but-flowing policy as the image stub. */
-  def decodeAudio(assetId: Long, bytes: Array[Byte]): WavMeta = {
-    def u8(i: Int): Int = bytes(i) & 0xff
-    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    def u32le(i: Int): Long =
+  def decodeAudio(assetId: Long, rawBytes: Array[Byte]): WavMeta = {
+    // null blob (missing asset, left-join miss) gets the same
+    // loud-but-flowing stub as malformed bytes, never an NPE
+    val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
+    def u8(i: Long): Int = bytes(i.toInt) & 0xff
+    def u16le(i: Long): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Long): Long =
       u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
         (u8(i + 3).toLong << 24)
     val stub = WavMeta(assetId, bytes.length.toLong, 1,
-      8000 + (bytes.length % 8) .toInt * 4000, 16, "unknown")
+      8000 + (bytes.length % 8).toInt * 4000, 16, "unknown")
     if (bytes.length < 44 ||
         !(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F') ||
         !(u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
       return stub
-    var i = 12
+    // cursor stays Long: a chunk size near 2^31 would overflow an Int
+    // cursor into a negative index (AIOOBE) instead of degrading
+    var i = 12L
     while (i + 8 <= bytes.length) {
       val size = u32le(i + 4)
       if (u8(i) == 'f' && u8(i + 1) == 'm' && u8(i + 2) == 't' && u8(i + 3) == ' ') {
@@ -142,8 +149,7 @@ object Multimodal {
         else stub
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      if (size < 0 || size > Int.MaxValue) return stub
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8 + size + (size & 1)
     }
     stub
   }

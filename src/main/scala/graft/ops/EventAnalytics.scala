@@ -118,7 +118,11 @@ object EventAnalytics {
       (s2 - s1 * s1 / n) / (n - lit(1)), lit(0.0))
     val z = (col(valueCol).cast(DoubleType) - mean) / sqrt(variance)
     events
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      // ts is the frame's ordering key: a null ts would anchor NULLS
+      // FIRST here but NULLS LAST in engines with the other default,
+      // silently shifting every early frame — exclude it like the key
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col(tsCol).isNotNull)
       .select(col(keyCol), col(orderTiebreak), col(valueCol),
         when(n >= 2 && variance > 0, graft.Num.dround(z, 4)).as("zscore"))
       .withColumn("is_anomaly",

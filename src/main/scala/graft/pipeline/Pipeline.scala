@@ -40,6 +40,12 @@ final case class QuotaStage(groupCol: String, keyCol: String,
   * composition: the whole pipeline stays ONE Catalyst plan (Spark fuses
   * the narrow stages into the same whole-stage-codegen spans), executed
   * only when the result is consumed.
+  *
+  * One documented exception: `decontaminate` builds its broadcast Bloom
+  * filter at composition time — two benchmark-SIZED jobs (gram count +
+  * filter aggregation) plus the bench parquet read run inside `run`.
+  * The corpus-side plan stays lazy; only the small build side is eager,
+  * the same way any broadcast build is.
   */
 object Pipeline {
 

@@ -190,7 +190,8 @@ object OpsQueries {
                  count(value) OVER w AS n,
                  CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
                  CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
-          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
         v AS (

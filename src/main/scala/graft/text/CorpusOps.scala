@@ -96,17 +96,32 @@ object CorpusOps {
     * it while it fits and falls back to a sort-merge join beyond that; the
     * corpus text itself never rides a shuffle. */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = bench
+                    textCol: String, n: Int = 8): DataFrame =
+    overlapCounts(corpus, benchGrams(bench, textCol, n), idCol, textCol, n,
+      probe = None)
+
+  /** The distinct-gram dictionary of the benchmark side. */
+  private def benchGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench
       .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
       .filter(length(col("_gf_gram")) > 0)
       .distinct()
-    corpus
+
+  /** Shared overlap pipeline of BOTH decontamination paths — corpus grams
+    * (optionally pre-filtered by `probe`, the Bloom fast path) distinct'd,
+    * equi-joined against the gram dictionary, counted per doc. One
+    * builder, so the Bloom variant's value-identity to the exact path is
+    * structural, not a convention two copies must maintain. */
+  private def overlapCounts(corpus: DataFrame, grams: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            probe: Option[Column]): DataFrame = {
+    val exploded = corpus
       .select(col(idCol).as("_gf_id"),
         explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
       .filter(length(col("_gf_gram")) > 0)
+    probe.fold(exploded)(p => exploded.filter(p))
       .distinct()
-      .join(benchGrams, "_gf_gram")
+      .join(grams, "_gf_gram")
       .groupBy(col("_gf_id").as(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }
@@ -133,30 +148,27 @@ object CorpusOps {
                          textCol: String, n: Int = 8,
                          fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0,1)")
-    val benchGrams = bench
-      .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
-      .filter(length(col("_gf_gram")) > 0)
-      .distinct()
-    val hashes = benchGrams.select(xxhash64(col("_gf_gram")).as("_gf_h"))
-    // expectedNumItems needs one count of the (small) build side; the
-    // gram plan is then reused for the exact join — one extra bench scan.
-    // Empty benchmark: nothing can overlap (and stat.bloomFilter NPEs on
-    // an empty frame) — return the empty result with the right schema.
-    val nGrams = hashes.count()
-    if (nGrams == 0)
-      return corpus.select(col(idCol)).limit(0).withColumn("n_overlap", lit(0L))
-    val bf = hashes.stat.bloomFilter("_gf_h", nGrams, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-    corpus
-      .select(col(idCol).as("_gf_id"),
-        explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
-      .filter(length(col("_gf_gram")) > 0)
-      .filter(graft.functions.BloomMightContain(
-        xxhash64(col("_gf_gram")), bc))
-      .distinct()
-      .join(benchGrams, "_gf_gram")
-      .groupBy(col("_gf_id").as(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
+    val grams = benchGrams(bench, textCol, n)
+    // The Bloom build is EAGER (count for expectedNumItems + the filter
+    // aggregation). Persist the hash frame across those two actions so
+    // the bench tokenize/explode/distinct runs once at build time; the
+    // (lazy) exact join recomputes the gram dictionary once more per
+    // downstream action — one extra bench scan, as a dictionary that
+    // small warrants.
+    val hashes = grams.select(xxhash64(col("_gf_gram")).as("_gf_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Empty benchmark: nothing can overlap (and stat.bloomFilter NPEs
+      // on an empty frame) — return the empty result with the right schema.
+      val nGrams = hashes.count()
+      if (nGrams == 0)
+        return corpus.select(col(idCol)).limit(0).withColumn("n_overlap", lit(0L))
+      val bf = hashes.stat.bloomFilter("_gf_h", nGrams, fpp)
+      val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+      overlapCounts(corpus, grams, idCol, textCol, n,
+        probe = Some(graft.functions.BloomMightContain(
+          xxhash64(col("_gf_gram")), bc)))
+    } finally hashes.unpersist(false)
   }
 
   /** PII patterns deliberately restricted to the regex subset Java and

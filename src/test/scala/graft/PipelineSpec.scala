@@ -90,6 +90,14 @@ class PipelineSpec extends SparkSpec {
       ((2, 44100, 16, "wav")))
     val noise = "not audio at all".getBytes("UTF-8")
     assert(Multimodal.decodeAudio(2L, noise).format == "unknown")
+    // chunk size near 2^31 must degrade (an Int cursor would go negative
+    // and AIOOBE); null blobs stub instead of NPE
+    val hugeChunk = hexBytes("52494646" + "30000000" + "57415645" +
+      "4A554E4B" + "FCFFFF7F") ++ Array.fill[Byte](20)(0)
+    assert(Multimodal.decodeAudio(3L, hugeChunk).format == "unknown")
+    assert(Multimodal.decodeAudio(4L, null).format == "unknown")
+    assert(Multimodal.decode(5L, null) ==
+      Multimodal.decodeStub(5L, Array.emptyByteArray))
     // batch path: mapPartitions with the typed encoder
     val df = Seq((1L, wav), (2L, noise)).toDF("asset_id", "bytes")
     val out = Multimodal.decodeAudioMeta(df, "asset_id", "bytes")
