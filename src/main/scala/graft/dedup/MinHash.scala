@@ -133,6 +133,36 @@ object MinHash {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Incremental near-dedup: drop new-batch docs that near-match the
+    * EXISTING corpus via its precomputed signature index — the continuous
+    * -ingest complement of [[dedup]] (the near-dup twin of
+    * `LlmDedup.incremental`). The index side is the `(id, _gf_sig)` frame
+    * [[signatures]] produces — persist it once when the corpus is built;
+    * this function never re-reads or re-shingles the index text, it only
+    * band-hashes the stored signatures (a projection). Within-batch
+    * near-dups are dropped first (greedy smaller-id-wins), then batch
+    * survivors matching any index doc. */
+  def incrementalNear(batch: DataFrame, indexSigs: DataFrame,
+                      textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val within = dedup(batch, textCol, idCol, n, k, bands, threshold)
+    val batchSigs = signatures(within, textCol, idCol, n, k)
+    def buckets(sigs: DataFrame, tag: String) = sigs.select(
+      col("_gf_id").as(s"id_$tag"),
+      posexplode(bandHashes(col("_gf_sig"), k, bands)).as(Seq("_gf_band", "_gf_bh")))
+    val candIds = buckets(batchSigs, "b")
+      .join(buckets(indexSigs, "i"), Seq("_gf_band", "_gf_bh"))
+      .select("id_b", "id_i").distinct()
+    val losers = candIds
+      .join(batchSigs.select(col("_gf_id").as("id_b"), col("_gf_sig").as("_gf_sig_b")), Seq("id_b"))
+      .join(indexSigs.select(col("_gf_id").as("id_i"), col("_gf_sig").as("_gf_sig_i")), Seq("id_i"))
+      .filter(estJaccard(col("_gf_sig_b"), col("_gf_sig_i"), k) >= threshold)
+      .select(col("id_b").as("_gf_loser")).distinct()
+    within.join(losers, within(idCol) === col("_gf_loser"), "left_anti")
+  }
+
   /** Near-dup decontamination: drop every left doc whose MinHash estimate
     * against ANY right (benchmark) doc clears `threshold` — the fuzzy
     * complement of exact n-gram decontamination, catching paraphrased or

@@ -179,6 +179,29 @@ object CorpusQueries {
       },
       Some(decontaminateOracle)),
 
+    // Incremental near-dedup against a stored signature index (rows-only;
+    // NearDupSpec pins semantics): the index holds every doc outside the
+    // %5==0 band; the batch re-ingests the %5==1 band lightly edited
+    // (must drop — near their originals in the index) plus the %5==0 band
+    // verbatim under new ids (absent from the index — mostly kept).
+    Q("dedup_incremental_near",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val existing = d.filter(col("doc_id") % 5 =!= 0)
+        val indexSigs = graft.dedup.MinHash.signatures(existing, "text", "doc_id",
+          n = 3, k = 64)
+        val edited = d.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("prefix edit "), col("text")).as("text"))
+        val fresh = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        graft.dedup.MinHash.incrementalNear(
+            edited.unionByName(fresh), indexSigs, "text", "doc_id",
+            threshold = 0.5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
     // Near-dup decontamination (rows-only: MinHash signatures are not
     // mirrorable in the oracle engine; NearDupSpec pins the semantics on
     // planted fixtures): corpus docs ≡ 1 (mod 17) are REPLACED by a

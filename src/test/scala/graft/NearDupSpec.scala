@@ -225,6 +225,30 @@ class NearDupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("incrementalNear drops batch docs matching the stored signature index") {
+    // existing corpus: doc 1 (base text), doc 2 (unrelated)
+    val corpus = Seq((1L, baseText), (2L, otherText)).toDF("doc_id", "text")
+    val indexSigs = MinHash.signatures(corpus, "text", "doc_id", n = 3, k = 64)
+    // new batch: 10 near-dups doc 1 (drop via index), 11+12 mutual
+    // near-dups (within-batch: 12 drops), 13 fresh
+    val batch = Seq((10L, nearText), (11L, baseText + " tail"),
+      (12L, baseText + " tail two"), (13L, (500 to 560).map(i => s"n$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // 10/11/12 all near doc 1 (directly or transitively): only 13 survives
+    val kept = MinHash.incrementalNear(batch, indexSigs, "text", "doc_id",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(13L))
+    // a batch against an UNRELATED index keeps its within-batch survivors
+    val freshIndex = MinHash.signatures(
+      Seq((99L, (900 to 960).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text"),
+      "text", "doc_id", n = 3, k = 64)
+    val kept2 = MinHash.incrementalNear(batch, freshIndex, "text", "doc_id",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    // within-batch greedy: 10 near 11 and 11 near 12 (both ≥ 0.5), so
+    // smaller ids win and 11, 12 drop; nothing matches the fresh index
+    assert(kept2 === Set(10L, 13L))
+  }
+
   test("recallAt scores approximate results against exact ground truth") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
       (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
