@@ -106,3 +106,38 @@ object Bench {
     spark.stop()
   }
 }
+
+/** Single-query timing for iteration: `runMain graft.BenchOne <name>...`
+  * — same session config, warm-up, and min-of-iters discipline as
+  * [[Bench]], but only the named queries. Not part of the driver
+  * contract; a dev tool for optimizing one operator without paying the
+  * full-registry run. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <queryName> [more...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    args.foreach { name =>
+      val q = byName.getOrElse(name,
+        sys.error(s"unknown query '$name' (${byName.keys.toSeq.sorted.take(5).mkString(", ")}...)"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).queryExecution.toRdd.count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      System.gc()
+      val best = (1 to iters).map(_ => once()).min
+      println(f"[benchone] $name%-30s $best%8.3f s (min of $iters)")
+    }
+    spark.stop()
+  }
+}

@@ -86,7 +86,14 @@ object MinHash {
                          n: Int = 3, k: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
-    val sigs = signatures(df, textCol, idCol, n, k)
+    sigPairs(signatures(df, textCol, idCol, n, k), k, bands, threshold)
+  }
+
+  /** [[nearDuplicatePairs]] body over an already-computed signature frame
+    * — callers that hold signatures (stored index, multi-use batch) skip
+    * the re-shingling entirely. */
+  private[graft] def sigPairs(sigs: DataFrame, k: Int, bands: Int,
+                              threshold: Double): DataFrame = {
     val buckets = sigs
       .select(col("_gf_id"),
         posexplode(bandHashes(col("_gf_sig"), k, bands)).as(Seq("_gf_band", "_gf_bh")))
@@ -147,20 +154,29 @@ object MinHash {
                       n: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
-    val within = dedup(batch, textCol, idCol, n, k, bands, threshold)
-    val batchSigs = signatures(within, textCol, idCol, n, k)
+    // ONE signature pass over the batch: within-batch losers come from
+    // sigPairs on the same frame (not a nested dedup() that would
+    // re-shingle), survivors' signatures are an anti-join on ids, and
+    // only those survivors probe the index. The signature aggregation's
+    // exchange is reused across all consumers.
+    val batchSigs = signatures(batch, textCol, idCol, n, k)
+    val withinLosers = sigPairs(batchSigs, k, bands, threshold)
+      .select(col("id_b").as("_gf_loser")).distinct()
+    val survivorSigs = batchSigs
+      .join(withinLosers, batchSigs("_gf_id") === col("_gf_loser"), "left_anti")
     def buckets(sigs: DataFrame, tag: String) = sigs.select(
       col("_gf_id").as(s"id_$tag"),
       posexplode(bandHashes(col("_gf_sig"), k, bands)).as(Seq("_gf_band", "_gf_bh")))
-    val candIds = buckets(batchSigs, "b")
+    val candIds = buckets(survivorSigs, "b")
       .join(buckets(indexSigs, "i"), Seq("_gf_band", "_gf_bh"))
       .select("id_b", "id_i").distinct()
-    val losers = candIds
-      .join(batchSigs.select(col("_gf_id").as("id_b"), col("_gf_sig").as("_gf_sig_b")), Seq("id_b"))
+    val indexLosers = candIds
+      .join(survivorSigs.select(col("_gf_id").as("id_b"), col("_gf_sig").as("_gf_sig_b")), Seq("id_b"))
       .join(indexSigs.select(col("_gf_id").as("id_i"), col("_gf_sig").as("_gf_sig_i")), Seq("id_i"))
       .filter(estJaccard(col("_gf_sig_b"), col("_gf_sig_i"), k) >= threshold)
       .select(col("id_b").as("_gf_loser")).distinct()
-    within.join(losers, within(idCol) === col("_gf_loser"), "left_anti")
+    val allLosers = withinLosers.unionByName(indexLosers).distinct()
+    batch.join(allLosers, batch(idCol) === col("_gf_loser"), "left_anti")
   }
 
   /** Near-dup decontamination: drop every left doc whose MinHash estimate
