@@ -176,6 +176,31 @@ object OpsQueries {
           ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
         ORDER BY user_id""")),
 
+    // Batch degeneration of the stateful streaming funnel (same builder
+    // StreamingSpec drives across triggers): one row per user per
+    // first-reached step, strict ordering. The oracle derives each
+    // step's first-reach time as min(ts) strictly after the previous
+    // step's — the closed form of the fold.
+    Q("events_streaming_funnel",
+      (s, dir) => graft.streaming.StreamOps.streamingFunnel(
+          Tables.events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("user_id", "step_idx"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        s0 AS (SELECT user_id, min(us) AS t FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s0 USING (user_id)
+               WHERE event_type = 'click' AND us > s0.t GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'purchase' AND us > s1.t GROUP BY 1)
+        SELECT user_id, CAST(step_idx AS INT) AS step_idx, t AS ts_us FROM (
+          SELECT user_id, 0 AS step_idx, t FROM s0
+          UNION ALL SELECT user_id, 1, t FROM s1
+          UNION ALL SELECT user_id, 2, t FROM s2)
+        ORDER BY user_id, step_idx""")),
+
     // Rolling z-score anomaly flags per user series: decimal power sums
     // over the trailing frame keep the rolling reduction order-free and
     // engine-identical (same recipe as events_rolling).

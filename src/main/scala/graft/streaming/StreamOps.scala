@@ -2,10 +2,14 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Output row of [[StreamOps.runningUserTotals]]. */
 final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** Output row of [[StreamOps.streamingFunnel]]: emitted when a user first
+  * reaches `step_idx` (0-based), with the event time that did it. */
+final case class FunnelAdvance(user_id: Long, step_idx: Int, ts_us: Long)
 
 /** Structured-Streaming-ready event transforms (SURVEY §2.2 row 42).
   * Every builder here works identically on a batch frame and a streaming
@@ -82,6 +86,58 @@ object StreamOps {
     * is the same broadcast join. */
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
+
+  /** Streaming first-touch funnel: per-user state tracks the furthest
+    * step reached (strict ordering — step i counts only STRICTLY AFTER
+    * the time step i-1 was reached, same contract as the batch
+    * `EventAnalytics.funnel`), carried across triggers in GroupState and
+    * emitted as one [[FunnelAdvance]] row per newly-reached step.
+    *
+    * `flatMapGroupsWithState` rather than mapGroups: a single trigger can
+    * advance a user through SEVERAL steps (0..k rows out per group per
+    * trigger), which the 1-row-per-group contract can't express. State is
+    * two numbers per user — (furthest step, its event time) — so the
+    * store is O(#users) regardless of stream length; Append output mode
+    * keeps every sink compatible. Events inside one trigger are sorted by
+    * (ts, then type's step index) before the fold, so replays and intra-
+    * batch disorder converge to the same advances. On a batch frame the
+    * same fold runs per group — identical rows, no state store. */
+  def streamingFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    def advances(uid: Long, sorted: Seq[(Long, Int)],
+                 from: (Int, Long)): (Seq[FunnelAdvance], (Int, Long)) = {
+      var (reached, reachedTs) = from
+      val out = Seq.newBuilder[FunnelAdvance]
+      sorted.foreach { case (us, idx) =>
+        if (idx == reached + 1 && (reached == -1 || us > reachedTs)) {
+          reached = idx; reachedTs = us
+          out += FunnelAdvance(uid, idx, us)
+        }
+      }
+      (out.result(), (reached, reachedTs))
+    }
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .map { case (u, us, t) => (u, us, stepIdx(t)) }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val sorted = it.map { case (_, us, idx) => (us, idx) }.toSeq
+            .sortBy(identity)
+          val (rows, next) =
+            advances(uid, sorted, state.getOption.getOrElse((-1, Long.MinValue)))
+          state.update(next)
+          rows.iterator
+      }.toDF()
+  }
 
   /** Stream-stream interval join: each left event matched to right events
     * for the same `keys` whose timestamp falls in

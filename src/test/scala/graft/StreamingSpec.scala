@@ -150,6 +150,40 @@ class StreamingSpec extends SparkSpec {
     assert(batchPlan.contains("BroadcastHashJoin"))
   }
 
+  test("streamingFunnel advances per-user state across triggers (strict order)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+    val steps = Seq("view", "click", "purchase")
+    val q = StreamOps.streamingFunnel(streamDf, steps)
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode("append").start()
+    // trigger 1: u1 views then clicks; u2 clicks WITHOUT a view (no-op);
+    // one trigger advancing two steps must emit two rows
+    mem.addData((ts(0), "view", 0.0, 1L), (ts(5), "click", 0.0, 1L),
+      (ts(1), "click", 0.0, 2L))
+    q.processAllAvailable()
+    // trigger 2: u1 purchases (state remembered from trigger 1); a REPLAY
+    // of u1's view must not re-emit; u2 finally views (step 0 only —
+    // their earlier click must not count retroactively)
+    mem.addData((ts(20), "purchase", 0.0, 1L), (ts(0), "view", 0.0, 1L),
+      (ts(30), "view", 0.0, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("funnel_adv").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    assert(out((1L, 2)) === ts(20).getTime * 1000)
+    // batch degeneration: same builder, same advances, no state store
+    val batch = Seq(
+      (ts(0), "view", 0.0, 1L), (ts(5), "click", 0.0, 1L),
+      (ts(1), "click", 0.0, 2L), (ts(20), "purchase", 0.0, 1L),
+      (ts(30), "view", 0.0, 2L)).toDF("ts", "event_type", "value", "user_id")
+    val b = StreamOps.streamingFunnel(batch, steps).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(b === out.keySet)
+  }
+
   test("intervalJoin pairs two live streams within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = MemoryStream[(Timestamp, Long, String)]
