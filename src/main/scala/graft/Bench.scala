@@ -135,8 +135,10 @@ object BenchOne {
       }
       once() // warm-up
       System.gc()
-      val best = (1 to iters).map(_ => once()).min
-      println(f"[benchone] $name%-30s $best%8.3f s (min of $iters)")
+      var samples = (1 to iters).map(_ => once())
+      // same sub-second top-up as Bench, so fast-query numbers compare
+      if (samples.min < 1.0) samples = samples ++ (1 to 2).map(_ => once())
+      println(f"[benchone] $name%-30s ${samples.min}%8.3f s (min of ${samples.size})")
     }
     spark.stop()
   }

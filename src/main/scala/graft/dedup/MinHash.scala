@@ -89,16 +89,30 @@ object MinHash {
     sigPairs(signatures(df, textCol, idCol, n, k), k, bands, threshold)
   }
 
+  /** (band, band_hash, id-as-`idAlias`) bucket rows of a signature frame
+    * — THE bucketing projection, shared by every band-join consumer.
+    * Enforces (not assumes) that the stored signature length matches `k`:
+    * an index built with a different k would band-hash wrong slices and
+    * silently stop matching — fail loudly instead. */
+  private def bandBuckets(sigs: DataFrame, k: Int, bands: Int,
+                          idAlias: String): DataFrame = {
+    val checked = when(size(col("_gf_sig")) =!= k,
+        raise_error(concat(lit("graft: signature length "),
+          size(col("_gf_sig")).cast("string"),
+          lit(s" does not match k=$k — index and probe must use the same k")))
+          .cast("array<bigint>"))
+      .otherwise(col("_gf_sig"))
+    sigs.select(col("_gf_id").as(idAlias),
+      posexplode(bandHashes(checked, k, bands)).as(Seq("_gf_band", "_gf_bh")))
+  }
+
   /** [[nearDuplicatePairs]] body over an already-computed signature frame
     * — callers that hold signatures (stored index, multi-use batch) skip
     * the re-shingling entirely. */
   private[graft] def sigPairs(sigs: DataFrame, k: Int, bands: Int,
                               threshold: Double): DataFrame = {
-    val buckets = sigs
-      .select(col("_gf_id"),
-        posexplode(bandHashes(col("_gf_sig"), k, bands)).as(Seq("_gf_band", "_gf_bh")))
-    val a = buckets.select(col("_gf_band"), col("_gf_bh"), col("_gf_id").as("id_a"))
-    val b = buckets.select(col("_gf_band"), col("_gf_bh"), col("_gf_id").as("id_b"))
+    val a = bandBuckets(sigs, k, bands, "id_a")
+    val b = bandBuckets(sigs, k, bands, "id_b")
     val cand = a.join(b, Seq("_gf_band", "_gf_bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -125,8 +139,7 @@ object MinHash {
     def sides(df: DataFrame, tag: String) = {
       val sigs = signatures(df, textCol, idCol, n, k)
       (sigs.select(col("_gf_id").as(s"id_$tag"), col("_gf_sig").as(s"_gf_sig_$tag")),
-        sigs.select(col("_gf_id").as(s"id_$tag"),
-          posexplode(bandHashes(col("_gf_sig"), k, bands)).as(Seq("_gf_band", "_gf_bh"))))
+        bandBuckets(sigs, k, bands, s"id_$tag"))
     }
     val (lSigs, lBuckets) = sides(left, "l")
     val (rSigs, rBuckets) = sides(right, "r")
@@ -160,23 +173,23 @@ object MinHash {
     // only those survivors probe the index. The signature aggregation's
     // exchange is reused across all consumers.
     val batchSigs = signatures(batch, textCol, idCol, n, k)
+    // anti-join build sides are insensitive to duplicate rows, so the
+    // loser frames skip dedup entirely — only candIds dedups (each
+    // surviving pair must pay exactly one estimator)
     val withinLosers = sigPairs(batchSigs, k, bands, threshold)
-      .select(col("id_b").as("_gf_loser")).distinct()
+      .select(col("id_b").as("_gf_loser"))
     val survivorSigs = batchSigs
       .join(withinLosers, batchSigs("_gf_id") === col("_gf_loser"), "left_anti")
-    def buckets(sigs: DataFrame, tag: String) = sigs.select(
-      col("_gf_id").as(s"id_$tag"),
-      posexplode(bandHashes(col("_gf_sig"), k, bands)).as(Seq("_gf_band", "_gf_bh")))
-    val candIds = buckets(survivorSigs, "b")
-      .join(buckets(indexSigs, "i"), Seq("_gf_band", "_gf_bh"))
+    val candIds = bandBuckets(survivorSigs, k, bands, "id_b")
+      .join(bandBuckets(indexSigs, k, bands, "id_i"), Seq("_gf_band", "_gf_bh"))
       .select("id_b", "id_i").distinct()
     val indexLosers = candIds
       .join(survivorSigs.select(col("_gf_id").as("id_b"), col("_gf_sig").as("_gf_sig_b")), Seq("id_b"))
       .join(indexSigs.select(col("_gf_id").as("id_i"), col("_gf_sig").as("_gf_sig_i")), Seq("id_i"))
       .filter(estJaccard(col("_gf_sig_b"), col("_gf_sig_i"), k) >= threshold)
-      .select(col("id_b").as("_gf_loser")).distinct()
-    val allLosers = withinLosers.unionByName(indexLosers).distinct()
-    batch.join(allLosers, batch(idCol) === col("_gf_loser"), "left_anti")
+      .select(col("id_b").as("_gf_loser"))
+    batch.join(withinLosers.unionByName(indexLosers),
+      batch(idCol) === col("_gf_loser"), "left_anti")
   }
 
   /** Near-dup decontamination: drop every left doc whose MinHash estimate

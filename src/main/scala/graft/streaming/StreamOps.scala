@@ -99,11 +99,23 @@ object StreamOps {
     * two numbers per user — (furthest step, its event time) — so the
     * store is O(#users) regardless of stream length; Append output mode
     * keeps every sink compatible. Events inside one trigger are sorted by
-    * (ts, then type's step index) before the fold, so replays and intra-
-    * batch disorder converge to the same advances. On a batch frame the
-    * same fold runs per group — identical rows, no state store. */
+    * (ts, then type's step index) before the fold, so replays and INTRA-
+    * trigger disorder converge to the same advances.
+    *
+    * Honest limit (unlike the stateless builders above, which really are
+    * batch-identical): disorder ACROSS triggers diverges from batch — a
+    * step-i event arriving in a later trigger than a step-i+1 event, or
+    * an earlier-timestamped step-i event arriving after state pinned a
+    * later one, is not retroactively applied (state keeps only the
+    * furthest advance, there is no watermark-bounded reordering buffer).
+    * That is the standard low-state streaming-funnel trade; run the
+    * batch funnel over the archived log where exactness matters. On a
+    * batch frame all events form one group, so the fold IS exact. */
   def streamingFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps — a repeated name would " +
+        "map every occurrence to its last index and make earlier steps unreachable")
     val spark = events.sparkSession
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap

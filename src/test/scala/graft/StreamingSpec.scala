@@ -170,7 +170,11 @@ class StreamingSpec extends SparkSpec {
       (ts(30), "view", 0.0, 2L))
     q.processAllAvailable()
     q.stop()
-    val out = spark.table("funnel_adv").collect()
+    val rawRows = spark.table("funnel_adv").collect()
+    // raw row count FIRST: toMap would silently collapse a re-emitted
+    // advance, letting a replay regression pass the keySet check
+    assert(rawRows.length === 4, rawRows.mkString(", "))
+    val out = rawRows
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(out.keySet === Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
     assert(out((1L, 2)) === ts(20).getTime * 1000)
