@@ -57,6 +57,9 @@ import scala.jdk.CollectionConverters._
   *   - module: exact_dedup
   *     text_column: text
   *     id_column: doc_id
+  *   - module: near_dedup
+  *     text_column: text
+  *     id_column: doc_id                      # optional threshold: 0.7
   *   - module: decontaminate
   *     text_column: text
   *     id_column: doc_id
@@ -210,6 +213,17 @@ object ConfigPipeline {
           asString(m("text_column"), s"$path.text_column"),
           asString(m("id_column"), s"$path.id_column"))
 
+      case "near_dedup" =>
+        requireKeys(m, path, required = Set("module", "text_column", "id_column"),
+          optional = Set("threshold"))
+        val t = m.get("threshold").map(asDouble(_, s"$path.threshold")).getOrElse(0.7)
+        // negated form catches .nan like the other numeric keys
+        if (!(t > 0 && t <= 1))
+          fail(s"$path.threshold", s"threshold $t not in (0,1]")
+        NearDedupStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"), t)
+
       case "decontaminate" =>
         requireKeys(m, path,
           required = Set("module", "text_column", "id_column", "bench_path"),
@@ -252,7 +266,7 @@ object ConfigPipeline {
       case other =>
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
-            "text_filter|pii_redact|exact_dedup|decontaminate|sample|quota)")
+            "text_filter|pii_redact|exact_dedup|near_dedup|decontaminate|sample|quota)")
     }
   }
 

@@ -30,6 +30,8 @@ final case class PiiRedactStage(textCol: String) extends Stage { val name = "pii
 final case class ExactDedupStage(textCol: String, idCol: String) extends Stage { val name = "exact_dedup" }
 final case class DecontaminateStage(textCol: String, idCol: String,
     benchPath: String, n: Int, fpp: Double) extends Stage { val name = "decontaminate" }
+final case class NearDedupStage(textCol: String, idCol: String,
+    threshold: Double) extends Stage { val name = "near_dedup" }
 final case class SampleStage(keyCol: String, fraction: Double,
                              seed: Long) extends Stage { val name = "sample" }
 final case class QuotaStage(groupCol: String, keyCol: String,
@@ -80,6 +82,8 @@ object Pipeline {
           acc.withColumn(textCol, CorpusOps.redact(col(textCol)))
         case ExactDedupStage(textCol, idCol) =>
           LlmDedup.exact(acc, textCol, idCol)
+        case NearDedupStage(textCol, idCol, threshold) =>
+          graft.dedup.MinHash.dedup(acc, textCol, idCol, threshold = threshold)
         case DecontaminateStage(textCol, idCol, benchPath, n, fpp) =>
           // benchmark suite read per the reference's path-driven configs;
           // the Bloom path is value-identical to exact decontamination

@@ -11,6 +11,11 @@ final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
   * reaches `step_idx` (0-based), with the event time that did it. */
 final case class FunnelAdvance(user_id: Long, step_idx: Int, ts_us: Long)
 
+/** Output row of [[StreamOps.streamingAnomaly]] — the streaming twin of
+  * `EventAnalytics.rollingAnomaly`'s row. */
+final case class AnomalyScore(user_id: Long, ts_us: Long, value: Double,
+                              zscore: Option[Double], is_anomaly: Boolean)
+
 /** Structured-Streaming-ready event transforms (SURVEY §2.2 row 42).
   * Every builder here works identically on a batch frame and a streaming
   * frame (`readStream` source): tumbling/session windows are the same
@@ -148,6 +153,55 @@ object StreamOps {
             advances(uid, sorted, state.getOption.getOrElse((-1, Long.MinValue)))
           state.update(next)
           rows.iterator
+      }.toDF()
+  }
+
+  /** Streaming rolling z-score anomaly — the live twin of
+    * `EventAnalytics.rollingAnomaly`: each event scored against the
+    * trailing `frame`-row mean/stddev of its key's series, state being a
+    * ring of the last `frame - 1` values per user (O(frame · #users),
+    * bounded regardless of stream length). Same z policy as the batch
+    * operator: fewer than 2 trailing points or a constant frame → null z,
+    * `is_anomaly` false.
+    *
+    * Intra-trigger events sort by (ts, value) before the fold; the same
+    * cross-trigger-disorder caveat as [[streamingFunnel]] applies (a
+    * late event is scored against the state at arrival, not re-slotted).
+    * On a batch frame each key is one sorted group, so the fold matches
+    * the batch window exactly (up to double-vs-decimal accumulation). */
+  def streamingAnomaly(events: DataFrame, frame: Int = 20,
+                       threshold: Double = 3.0): DataFrame = {
+    require(frame >= 2, s"frame must be >= 2, got $frame")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[Double], AnomalyScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var ring = state.getOption.getOrElse(Vector.empty[Double])
+          val out = it.map { case (_, us, v) => (us, v) }.toSeq.sortBy(identity)
+            .map { case (us, v) =>
+              val win = ring :+ v // trailing frame INCLUDING current
+              val n = win.size
+              val z =
+                if (n < 2) None
+                else {
+                  val mean = win.sum / n
+                  val varS = win.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+                  if (varS > 0) Some((v - mean) / math.sqrt(varS)) else None
+                }
+              ring = win.takeRight(frame - 1)
+              AnomalyScore(uid, us, v, z, z.exists(math.abs(_) > threshold))
+            }
+          state.update(ring)
+          out.iterator
       }.toDF()
   }
 

@@ -214,6 +214,29 @@ class ConfigPipelineSpec extends SparkSpec {
     }
   }
 
+  test("near_dedup stage drops minhash near-duplicates from config") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = (1 to 48).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near),
+      (3L, (100 to 160).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val yaml = """
+      |run_id: nd
+      |stages:
+      |  - module: near_dedup
+      |    text_column: text
+      |    id_column: doc_id
+      |    threshold: 0.5
+      |""".stripMargin
+    val kept = ConfigPipeline.run(docs, yaml).df
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L)) // larger-id near-dup dropped
+    val bad = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("0.5", ".nan"))
+    }
+    assert(bad.getMessage.contains("threshold"))
+  }
+
   test("decontaminate stage validates fpp and ngram at config time") {
     val base = (extra: String) => s"""
       |run_id: bad

@@ -188,6 +188,44 @@ class StreamingSpec extends SparkSpec {
     assert(b === out.keySet)
   }
 
+  test("streamingAnomaly carries the trailing ring across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+    // include-current sample z is bounded by (n-1)/sqrt(n), so the
+    // stable prefix must be long enough for a spike to clear 3.0:
+    // 12 trailing points + spike gives n=13, bound 3.33
+    val q = StreamOps.streamingAnomaly(streamDf, frame = 20, threshold = 3.0)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    // trigger 1: stable alternating series (no flags, first event null z)
+    mem.addData((1 to 12).map(i =>
+      (ts(i), "m", if (i % 2 == 0) 11.0 else 9.0, 1L)): _*)
+    q.processAllAvailable()
+    // trigger 2: the spike is scored against state REMEMBERED from
+    // trigger 1 — a fresh state would see n=1 and emit null z instead
+    mem.addData((ts(20), "m", 100.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anom").orderBy("ts_us").collect()
+    assert(rows.length === 13)
+    assert(rows.head.isNullAt(3), "first event has no trailing frame")
+    val spike = rows.last
+    assert(spike.getDouble(2) === 100.0 && spike.getBoolean(4),
+      s"spike flagged via carried state: $spike")
+    assert(rows.init.forall(!_.getBoolean(4)), "stable prefix unflagged")
+    // batch degeneration agrees with the batch window operator's flags
+    val batchDf = ((1 to 12).map(i =>
+      (ts(i), if (i % 2 == 0) 11.0 else 9.0, 1L, i.toLong)) :+
+      (ts(20), 100.0, 1L, 20L)).toDF("ts", "value", "user_id", "event_id")
+    val streamFlags = StreamOps.streamingAnomaly(batchDf, frame = 20)
+      .orderBy("ts_us").select("is_anomaly").collect().map(_.getBoolean(0)).toSeq
+    val batchFlags = graft.ops.EventAnalytics.rollingAnomaly(batchDf,
+        "user_id", "ts", "value", "event_id", frame = 20)
+      .orderBy("event_id").select("is_anomaly").collect().map(_.getBoolean(0)).toSeq
+    assert(streamFlags === batchFlags && streamFlags.count(identity) === 1)
+  }
+
   test("intervalJoin pairs two live streams within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = MemoryStream[(Timestamp, Long, String)]
