@@ -153,6 +153,67 @@ object Drift {
       .orderBy("bin_id")
   }
 
+  /** PSI time series: one [[psi]]-style total per PERIOD of the target
+    * against a fixed base reference — the "daily drift dashboard" query
+    * every model-monitoring pipeline schedules. `periodCol` must be an
+    * integral target column (e.g. `year*100+month` derived upstream);
+    * bins come from the BASE bounds so every period is scored on the
+    * same grid and totals are comparable across periods.
+    *
+    * Scale: one 1-row bounds pass on base, one ≤bins aggregate on base,
+    * one ≤periods×bins aggregate on target (map-side combined) — nothing
+    * larger ever shuffles. Output: (period, n_target, psi_total), one
+    * row per period present in the target; psi_total is the exact
+    * decimal sum of 6-dp-rounded terms (the [[psi]] discipline) and is
+    * null when the base is empty. */
+  def psiByPeriod(base: DataFrame, target: DataFrame, column: String,
+                  periodCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"psiByPeriod needs bins > 0, got $bins")
+    val x = col(column).cast(DoubleType)
+    val bounds = base.agg(min(x).as("_gf_lo"), max(x).as("_gf_hi"))
+    def binId(v: Column): Column = {
+      val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
+      when(col("_gf_hi") === col("_gf_lo"), lit(0)).otherwise(
+        least(lit((bins - 1).toDouble),
+          greatest(lit(0.0), floor((v - col("_gf_lo")) / width))).cast("int"))
+    }
+    val baseCnt = base.filter(x.isNotNull).crossJoin(broadcast(bounds))
+      .groupBy(binId(x).as("bin_id")).agg(count(lit(1)).as("base_cnt"))
+    val baseTot = base.filter(x.isNotNull).agg(count(lit(1)).as("_gf_nb"))
+    val tgtCnt = target.filter(x.isNotNull && col(periodCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .groupBy(col(periodCol).as("period"), binId(x).as("bin_id"))
+      .agg(count(lit(1)).as("target_cnt"))
+    // every (period, bin) cell, so empty bins contribute their epsilon
+    // term exactly as in psi(); periods frame is ≤periods rows
+    val periods = tgtCnt.select("period").distinct()
+    val allBins = base.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin_id"))
+    val eps = lit(1e-6)
+    val perPeriod = org.apache.spark.sql.expressions.Window.partitionBy("period")
+    val cells = periods.crossJoin(allBins)
+      .join(tgtCnt, Seq("period", "bin_id"), "left")
+      .join(broadcast(baseCnt), Seq("bin_id"), "left")
+      .crossJoin(broadcast(baseTot))
+      .withColumn("base_cnt", coalesce(col("base_cnt"), lit(0L)))
+      .withColumn("target_cnt", coalesce(col("target_cnt"), lit(0L)))
+      .withColumn("bp", when(col("_gf_nb") > 0,
+        col("base_cnt").cast(DoubleType) / col("_gf_nb").cast(DoubleType)))
+      .withColumn("tp",
+        col("target_cnt").cast(DoubleType)
+          / sum("target_cnt").over(perPeriod).cast(DoubleType))
+      .withColumn("psi_term",
+        graft.Num.dround((greatest(col("tp"), eps) - greatest(col("bp"), eps))
+          * log(greatest(col("tp"), eps) / greatest(col("bp"), eps)), 6))
+    cells.groupBy("period")
+      .agg(
+        sum("target_cnt").as("n_target"),
+        when(max(col("_gf_nb")) > 0,
+          sum(col("psi_term").cast(DecimalType(38, 6))).cast(DoubleType))
+          .as("psi_total"))
+      .orderBy("period")
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic: max |F_base(x) - F_target(x)|
     * over the pooled support. Nonparametric companion to [[psi]] — no
     * binning choice, sensitive to any distributional difference.

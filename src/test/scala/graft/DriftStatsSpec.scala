@@ -83,4 +83,21 @@ class DriftStatsSpec extends SparkSpec {
     assert(Drift.ks(a, far, "x", quantize = 50)
       .collect().head.getAs[Double]("ks_stat") == 1.0)
   }
+
+  test("psiByPeriod scores each period on the base grid") {
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    // period 1 mirrors the base; period 2 collapses to the top decile
+    val target = ((1 to 1000).map(i => ((i % 100).toDouble, 1)) ++
+      (1 to 500).map(i => (90.0 + i % 10, 2))).toDF("x", "p")
+    val out = Drift.psiByPeriod(base, target, "x", "p", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getAs[Double]("psi_total"))).toMap
+    assert(out(1)._1 === 1000L && out(2)._1 === 500L)
+    assert(out(1)._2 < 0.01, s"identical period drifted: ${out(1)}")
+    assert(out(2)._2 > 0.25, s"collapsed period not flagged: ${out(2)}")
+    // empty base -> null totals, not zeros
+    val nulls = Drift.psiByPeriod(base.limit(0), target, "x", "p", bins = 10)
+      .collect()
+    assert(nulls.forall(_.isNullAt(2)))
+  }
 }
