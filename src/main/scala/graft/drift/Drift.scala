@@ -153,6 +153,71 @@ object Drift {
       .orderBy("bin_id")
   }
 
+  /** Per-column PSI sweep: one [[psi]]-style total per numeric column —
+    * the full-feature drift dashboard in ONE pass per side. Columns melt
+    * to (column_name, value) rows (a projection, not a shuffle), bounds
+    * for ALL columns come from one 1-row base aggregate, and a single
+    * (column, bin) keyed count covers both sides — ≤ columns×bins rows
+    * ever shuffle. Per-column totals follow the [[psi]] discipline
+    * (decimal sum of rounded terms; null unless both sides contributed
+    * rows to that column). */
+  def psiAll(base: DataFrame, target: DataFrame, columns: Seq[String],
+             bins: Int = 10): DataFrame = {
+    require(columns.nonEmpty, "psiAll needs at least one column")
+    require(bins > 0, s"psiAll needs bins > 0, got $bins")
+    val boundsRow = {
+      val aggs = columns.flatMap { c =>
+        Seq(min(col(c).cast(DoubleType)).as(s"_gf_lo_$c"),
+          max(col(c).cast(DoubleType)).as(s"_gf_hi_$c"))
+      }
+      base.agg(aggs.head, aggs.tail: _*)
+    }
+    val bounds = boundsRow.select(explode(array(columns.map(c =>
+        struct(lit(c).as("column_name"),
+          col(s"_gf_lo_$c").as("_gf_lo"), col(s"_gf_hi_$c").as("_gf_hi"))): _*)).as("b"))
+      .select("b.*")
+    def melt(df: DataFrame, side: Int): DataFrame = df
+      .select(explode(array(columns.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast(DoubleType).as("_gf_x"))): _*)).as("m"))
+      .select("m.*").filter(col("_gf_x").isNotNull)
+      .withColumn("_gf_side", lit(side))
+    def binId(v: Column): Column = {
+      val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
+      when(col("_gf_hi") === col("_gf_lo"), lit(0)).otherwise(
+        least(lit((bins - 1).toDouble),
+          greatest(lit(0.0), floor((v - col("_gf_lo")) / width))).cast("int"))
+    }
+    val counts = melt(base, 0).unionByName(melt(target, 1))
+      .join(broadcast(bounds), Seq("column_name"))
+      .groupBy(col("column_name"), binId(col("_gf_x")).as("bin_id"))
+      .agg(count(when(col("_gf_side") === 0, 1)).as("base_cnt"),
+        count(when(col("_gf_side") === 1, 1)).as("target_cnt"))
+    val cols = bounds.select("column_name")
+    val allBins = base.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin_id"))
+    val eps = lit(1e-6)
+    val perCol = org.apache.spark.sql.expressions.Window.partitionBy("column_name")
+    val cells = cols.crossJoin(allBins)
+      .join(counts, Seq("column_name", "bin_id"), "left")
+      .withColumn("base_cnt", coalesce(col("base_cnt"), lit(0L)))
+      .withColumn("target_cnt", coalesce(col("target_cnt"), lit(0L)))
+      .withColumn("bp", when(sum("base_cnt").over(perCol) > 0,
+        col("base_cnt").cast(DoubleType) / sum("base_cnt").over(perCol).cast(DoubleType)))
+      .withColumn("tp", when(sum("target_cnt").over(perCol) > 0,
+        col("target_cnt").cast(DoubleType) / sum("target_cnt").over(perCol).cast(DoubleType)))
+      .withColumn("psi_term",
+        graft.Num.dround((greatest(col("tp"), eps) - greatest(col("bp"), eps))
+          * log(greatest(col("tp"), eps) / greatest(col("bp"), eps)), 6))
+    cells.groupBy("column_name")
+      .agg(
+        sum("base_cnt").as("n_base"),
+        sum("target_cnt").as("n_target"),
+        when(sum("base_cnt") > 0 && sum("target_cnt") > 0,
+          sum(col("psi_term").cast(DecimalType(38, 6))).cast(DoubleType))
+          .as("psi_total"))
+      .orderBy("column_name")
+  }
+
   /** PSI time series: one [[psi]]-style total per PERIOD of the target
     * against a fixed base reference — the "daily drift dashboard" query
     * every model-monitoring pipeline schedules. `periodCol` must be an

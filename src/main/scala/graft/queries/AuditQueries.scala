@@ -257,6 +257,49 @@ object AuditQueries {
                CAST((SELECT sum(CAST(psi_term AS DECIMAL(38,6))) FROM terms) AS DOUBLE) AS psi_total
         FROM terms ORDER BY bin_id""")),
 
+    // Per-column PSI sweep on the era split — one melted pass scoring
+    // every feature; the oracle runs the single-column chain per column
+    // (generated from one fragment) and unions the totals.
+    Q("drift_psi_all",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        Drift.psiAll(
+          o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          Seq("o_totalprice", "o_custkey"), bins = 10)
+      },
+      Some {
+        def colBlock(c: String): String = s"""
+        (WITH base AS (SELECT CAST($c AS DOUBLE) AS x FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01' AND $c IS NOT NULL),
+        tgt AS (SELECT CAST($c AS DOUBLE) AS x FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND $c IS NOT NULL),
+        bounds AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS DOUBLE) AS nb FROM base),
+        nt AS (SELECT CAST(count(x) AS DOUBLE) AS n FROM tgt),
+        bb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM base, bounds GROUP BY 1),
+        tb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM tgt, bounds GROUP BY 1),
+        bins AS (SELECT CAST(g AS INT) AS bin_id FROM generate_series(0, 9) t(g)),
+        j AS (SELECT b.bin_id,
+                     CAST(coalesce(bb.c, 0) AS BIGINT) AS bc,
+                     CAST(coalesce(tb.c, 0) AS BIGINT) AS tc,
+                     CAST(coalesce(bb.c, 0) AS DOUBLE) / nb AS bp,
+                     CAST(coalesce(tb.c, 0) AS DOUBLE) / n AS tp
+              FROM bins b LEFT JOIN bb USING (bin_id) LEFT JOIN tb USING (bin_id), bounds, nt),
+        terms AS (SELECT bc, tc,
+                         floor((greatest(tp, 1e-6) - greatest(bp, 1e-6))
+                             * ln(greatest(tp, 1e-6) / greatest(bp, 1e-6)) * 1e6 + 0.5) / 1e6 AS psi_term
+                  FROM j)
+        SELECT '$c' AS column_name,
+               CAST(sum(bc) AS BIGINT) AS n_base,
+               CAST(sum(tc) AS BIGINT) AS n_target,
+               CAST(sum(CAST(psi_term AS DECIMAL(38,6))) AS DOUBLE) AS psi_total
+        FROM terms)"""
+        Seq("o_totalprice", "o_custkey").map(colBlock)
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
+      }),
+
     // PSI per month vs a fixed 1996 reference — the drift dashboard's
     // time-series form; same grid for every period so totals compare.
     Q("drift_psi_timeseries",

@@ -100,4 +100,23 @@ class DriftStatsSpec extends SparkSpec {
       .collect()
     assert(nulls.forall(_.isNullAt(2)))
   }
+
+  test("psiAll scores every column in one melted pass") {
+    val base = (1 to 1000).map(i => ((i % 100).toDouble, (i % 50).toDouble))
+      .toDF("a", "b")
+    // column a unchanged; column b collapses to its top values
+    val target = (1 to 1000).map(i => ((i % 100).toDouble, 45.0 + i % 5))
+      .toDF("a", "b")
+    val out = Drift.psiAll(base, target, Seq("a", "b"), bins = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("psi_total"))).toMap
+    assert(out("a")._1 === 1000L && out("a")._2 === 1000L)
+    assert(out("a")._3 < 0.01, s"stable column drifted: ${out("a")}")
+    assert(out("b")._3 > 0.25, s"collapsed column not flagged: ${out("b")}")
+    // a column null on one side reports null psi, not a zero
+    val halfNull = Drift.psiAll(base,
+      target.withColumn("b", lit(null).cast("double")), Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(3)).toMap
+    assert(!halfNull("a") && halfNull("b"))
+  }
 }
