@@ -81,24 +81,39 @@ object Drift {
     * larger than `bins` rows ever shuffles, so this runs at 100 TB as two
     * scans. Proportions are clamped at 1e-6 before the log ratio (the
     * standard PSI epsilon for empty bins). */
+  /** bin_id in [0, bins): fixed width over [_gf_lo, _gf_hi], top edge
+    * closed — THE binning of every PSI flavor (single, per-column sweep,
+    * time series), so clamping semantics cannot de-sync between them.
+    * Constant base (hi == lo) → everything in bin 0: without the guard
+    * the zero width makes floor(0/0) NaN and the ANSI int cast throws.
+    * NULL bounds (empty/all-null base) → bin 0, so target rows still
+    * count into n_target while the psi totals null out via the
+    * empty-base guards. Clamp in DOUBLE space BEFORE the int cast: a
+    * target outlier far outside the base range (the exact thing PSI
+    * detects) would overflow an unclamped ANSI int cast and kill the
+    * job. */
+  private def psiBinId(v: Column, bins: Int): Column = {
+    val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
+    when(col("_gf_lo").isNull || col("_gf_hi") === col("_gf_lo"), lit(0))
+      .otherwise(
+        least(lit((bins - 1).toDouble),
+          greatest(lit(0.0), floor((v - col("_gf_lo")) / width))).cast("int"))
+  }
+
+  /** The epsilon-clamped, 6-dp-rounded PSI term — single owner for every
+    * PSI flavor and the shape the SQL oracles mirror. */
+  private def psiTerm(bp: Column, tp: Column): Column = {
+    val eps = lit(1e-6)
+    graft.Num.dround((greatest(tp, eps) - greatest(bp, eps))
+      * log(greatest(tp, eps) / greatest(bp, eps)), 6)
+  }
+
   def psi(base: DataFrame, target: DataFrame, column: String,
           bins: Int = 10): DataFrame = {
     require(bins > 0, s"psi needs bins > 0, got $bins")
     val x = col(column).cast(DoubleType)
     val bounds = base.agg(min(x).as("_gf_lo"), max(x).as("_gf_hi"))
-
-    // bin_id in [0, bins): fixed width over [lo, hi], top edge closed.
-    // Constant base (hi == lo) → everything in bin 0: without the guard the
-    // zero width makes floor(0/0) NaN and the ANSI int cast throws.
-    // Clamp in DOUBLE space BEFORE the int cast: a target outlier far
-    // outside the base range (the exact thing PSI detects) would overflow
-    // an unclamped ANSI int cast and kill the job.
-    def binId(v: Column): Column = {
-      val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
-      when(col("_gf_hi") === col("_gf_lo"), lit(0)).otherwise(
-        least(lit((bins - 1).toDouble),
-          greatest(lit(0.0), floor((v - col("_gf_lo")) / width))).cast("int"))
-    }
+    def binId(v: Column): Column = psiBinId(v, bins)
     // ONE side-tagged counting pass for both frames (each side scanned
     // once, plus the base-only bounds pass) instead of a per-side
     // aggregate + join chain. Every non-null row lands in exactly one bin,
@@ -112,7 +127,6 @@ object Drift {
         count(when(col("_gf_side") === 1, 1)).as("target_cnt"))
     val allBins = base.sparkSession.range(bins.toLong)
       .select(col("id").cast("int").as("bin_id"))
-    val eps = lit(1e-6)
     val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val joined = allBins
       .join(counts, Seq("bin_id"), "left")
@@ -128,13 +142,10 @@ object Drift {
       .withColumn("target_pct",
         when(sum("target_cnt").over(tot) > 0,
           col("target_cnt").cast(DoubleType) / sum("target_cnt").over(tot).cast(DoubleType)))
-      .withColumn("pb", greatest(col("base_pct"), eps))
-      .withColumn("pt", greatest(col("target_pct"), eps))
       // Terms are rounded BEFORE totaling and the total is an exact
       // decimal sum of the rounded terms — a plain double sum is
       // reduction-order-dependent (the Q.dsum discipline).
-      .withColumn("psi_term",
-        graft.Num.dround((col("pt") - col("pb")) * log(col("pt") / col("pb")), 6))
+      .withColumn("psi_term", psiTerm(col("base_pct"), col("target_pct")))
     joined
       // An empty/all-null SIDE must not read as "no drift": psi_total
       // nulls out unless both sides contributed rows (never binds on
@@ -164,6 +175,11 @@ object Drift {
   def psiAll(base: DataFrame, target: DataFrame, columns: Seq[String],
              bins: Int = 10): DataFrame = {
     require(columns.nonEmpty, "psiAll needs at least one column")
+    require(columns.distinct.size == columns.size,
+      s"psiAll columns must be distinct, got $columns — a duplicate would " +
+        "alias two identical bound aggregates and fail as AMBIGUOUS_REFERENCE")
+    require(columns.forall(!_.contains(".")),
+      s"psiAll needs top-level column names, got $columns")
     require(bins > 0, s"psiAll needs bins > 0, got $bins")
     val boundsRow = {
       val aggs = columns.flatMap { c =>
@@ -181,21 +197,14 @@ object Drift {
         struct(lit(c).as("column_name"), col(c).cast(DoubleType).as("_gf_x"))): _*)).as("m"))
       .select("m.*").filter(col("_gf_x").isNotNull)
       .withColumn("_gf_side", lit(side))
-    def binId(v: Column): Column = {
-      val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
-      when(col("_gf_hi") === col("_gf_lo"), lit(0)).otherwise(
-        least(lit((bins - 1).toDouble),
-          greatest(lit(0.0), floor((v - col("_gf_lo")) / width))).cast("int"))
-    }
     val counts = melt(base, 0).unionByName(melt(target, 1))
       .join(broadcast(bounds), Seq("column_name"))
-      .groupBy(col("column_name"), binId(col("_gf_x")).as("bin_id"))
+      .groupBy(col("column_name"), psiBinId(col("_gf_x"), bins).as("bin_id"))
       .agg(count(when(col("_gf_side") === 0, 1)).as("base_cnt"),
         count(when(col("_gf_side") === 1, 1)).as("target_cnt"))
     val cols = bounds.select("column_name")
     val allBins = base.sparkSession.range(bins.toLong)
       .select(col("id").cast("int").as("bin_id"))
-    val eps = lit(1e-6)
     val perCol = org.apache.spark.sql.expressions.Window.partitionBy("column_name")
     val cells = cols.crossJoin(allBins)
       .join(counts, Seq("column_name", "bin_id"), "left")
@@ -205,9 +214,7 @@ object Drift {
         col("base_cnt").cast(DoubleType) / sum("base_cnt").over(perCol).cast(DoubleType)))
       .withColumn("tp", when(sum("target_cnt").over(perCol) > 0,
         col("target_cnt").cast(DoubleType) / sum("target_cnt").over(perCol).cast(DoubleType)))
-      .withColumn("psi_term",
-        graft.Num.dround((greatest(col("tp"), eps) - greatest(col("bp"), eps))
-          * log(greatest(col("tp"), eps) / greatest(col("bp"), eps)), 6))
+      .withColumn("psi_term", psiTerm(col("bp"), col("tp")))
     cells.groupBy("column_name")
       .agg(
         sum("base_cnt").as("n_base"),
@@ -225,55 +232,50 @@ object Drift {
     * bins come from the BASE bounds so every period is scored on the
     * same grid and totals are comparable across periods.
     *
-    * Scale: one 1-row bounds pass on base, one ≤bins aggregate on base,
-    * one ≤periods×bins aggregate on target (map-side combined) — nothing
-    * larger ever shuffles. Output: (period, n_target, psi_total), one
-    * row per period present in the target; psi_total is the exact
-    * decimal sum of 6-dp-rounded terms (the [[psi]] discipline) and is
-    * null when the base is empty. */
+    * Scale: one 1-row bounds pass on base, one ≤bins aggregate on base
+    * (whose window sum IS the base total — no extra count scan, the
+    * [[psi]] trick), one ≤periods×bins aggregate on target (map-side
+    * combined) — nothing larger ever shuffles. Output:
+    * (period, n_target, psi_total), one row per period present in the
+    * target; psi_total is the exact decimal sum of 6-dp-rounded terms
+    * (the [[psi]] discipline) and is null when the base is empty —
+    * n_target stays the real row count even then (null bounds bin
+    * everything into bin 0 rather than dropping rows). */
   def psiByPeriod(base: DataFrame, target: DataFrame, column: String,
                   periodCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0, s"psiByPeriod needs bins > 0, got $bins")
     val x = col(column).cast(DoubleType)
     val bounds = base.agg(min(x).as("_gf_lo"), max(x).as("_gf_hi"))
-    def binId(v: Column): Column = {
-      val width = (col("_gf_hi") - col("_gf_lo")) / lit(bins.toDouble)
-      when(col("_gf_hi") === col("_gf_lo"), lit(0)).otherwise(
-        least(lit((bins - 1).toDouble),
-          greatest(lit(0.0), floor((v - col("_gf_lo")) / width))).cast("int"))
-    }
     val baseCnt = base.filter(x.isNotNull).crossJoin(broadcast(bounds))
-      .groupBy(binId(x).as("bin_id")).agg(count(lit(1)).as("base_cnt"))
-    val baseTot = base.filter(x.isNotNull).agg(count(lit(1)).as("_gf_nb"))
+      .groupBy(psiBinId(x, bins).as("bin_id")).agg(count(lit(1)).as("base_cnt"))
     val tgtCnt = target.filter(x.isNotNull && col(periodCol).isNotNull)
       .crossJoin(broadcast(bounds))
-      .groupBy(col(periodCol).as("period"), binId(x).as("bin_id"))
+      .groupBy(col(periodCol).as("period"), psiBinId(x, bins).as("bin_id"))
       .agg(count(lit(1)).as("target_cnt"))
     // every (period, bin) cell, so empty bins contribute their epsilon
     // term exactly as in psi(); periods frame is ≤periods rows
     val periods = tgtCnt.select("period").distinct()
     val allBins = base.sparkSession.range(bins.toLong)
       .select(col("id").cast("int").as("bin_id"))
-    val eps = lit(1e-6)
     val perPeriod = org.apache.spark.sql.expressions.Window.partitionBy("period")
     val cells = periods.crossJoin(allBins)
       .join(tgtCnt, Seq("period", "bin_id"), "left")
       .join(broadcast(baseCnt), Seq("bin_id"), "left")
-      .crossJoin(broadcast(baseTot))
       .withColumn("base_cnt", coalesce(col("base_cnt"), lit(0L)))
       .withColumn("target_cnt", coalesce(col("target_cnt"), lit(0L)))
-      .withColumn("bp", when(col("_gf_nb") > 0,
-        col("base_cnt").cast(DoubleType) / col("_gf_nb").cast(DoubleType)))
+      // base total = window sum of the per-bin counts (every non-null
+      // base row lands in exactly one clamped bin) — no third base scan
+      .withColumn("bp", when(sum("base_cnt").over(perPeriod) > 0,
+        col("base_cnt").cast(DoubleType)
+          / sum("base_cnt").over(perPeriod).cast(DoubleType)))
       .withColumn("tp",
         col("target_cnt").cast(DoubleType)
           / sum("target_cnt").over(perPeriod).cast(DoubleType))
-      .withColumn("psi_term",
-        graft.Num.dround((greatest(col("tp"), eps) - greatest(col("bp"), eps))
-          * log(greatest(col("tp"), eps) / greatest(col("bp"), eps)), 6))
+      .withColumn("psi_term", psiTerm(col("bp"), col("tp")))
     cells.groupBy("period")
       .agg(
         sum("target_cnt").as("n_target"),
-        when(max(col("_gf_nb")) > 0,
+        when(sum(col("base_cnt")) > 0,
           sum(col("psi_term").cast(DecimalType(38, 6))).cast(DoubleType))
           .as("psi_total"))
       .orderBy("period")

@@ -164,30 +164,37 @@ object StreamOps {
     * operator: fewer than 2 trailing points or a constant frame → null z,
     * `is_anomaly` false.
     *
-    * Intra-trigger events sort by (ts, value) before the fold; the same
-    * cross-trigger-disorder caveat as [[streamingFunnel]] applies (a
-    * late event is scored against the state at arrival, not re-slotted).
-    * On a batch frame each key is one sorted group, so the fold matches
-    * the batch window exactly (up to double-vs-decimal accumulation). */
+    * Intra-trigger events sort by (ts, tiebreak) before the fold (pass
+    * the batch operator's `orderTiebreak` column via `tiebreakCol` to
+    * reproduce its tie order; without one, same-ts ties break on value);
+    * the same cross-trigger-disorder caveat as [[streamingFunnel]]
+    * applies (a late event is scored against the state at arrival, not
+    * re-slotted). On ordered input the FLAGS and 4-dp z agree with the
+    * batch window up to double-vs-decimal accumulation in the last ulp
+    * (z is rounded to 4 dp before the threshold test, exactly like the
+    * batch operator — an unrounded test would flip boundary flags). */
   def streamingAnomaly(events: DataFrame, frame: Int = 20,
-                       threshold: Double = 3.0): DataFrame = {
+                       threshold: Double = 3.0,
+                       tiebreakCol: Option[String] = None): DataFrame = {
     require(frame >= 2, s"frame must be >= 2, got $frame")
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val spark = events.sparkSession
     import spark.implicits._
+    val tb = tiebreakCol.map(col(_).cast("long")).getOrElse(lit(0L))
     val typed = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("value").isNotNull)
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), tb,
         col("value").cast("double"))
-      .as[(Long, Long, Double)]
+      .as[(Long, Long, Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[Vector[Double], AnomalyScore](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state) =>
           var ring = state.getOption.getOrElse(Vector.empty[Double])
-          val out = it.map { case (_, us, v) => (us, v) }.toSeq.sortBy(identity)
-            .map { case (us, v) =>
+          val out = it.map { case (_, us, t, v) => (us, t, v) }.toSeq
+            .sortBy(identity)
+            .map { case (us, _, v) =>
               val win = ring :+ v // trailing frame INCLUDING current
               val n = win.size
               val z =
@@ -195,7 +202,12 @@ object StreamOps {
                 else {
                   val mean = win.sum / n
                   val varS = win.map(x => (x - mean) * (x - mean)).sum / (n - 1)
-                  if (varS > 0) Some((v - mean) / math.sqrt(varS)) else None
+                  // 4-dp round BEFORE the threshold test — the batch
+                  // operator's dround discipline; raw-z flags would
+                  // disagree at the boundary
+                  if (varS > 0)
+                    Some(math.floor((v - mean) / math.sqrt(varS) * 1e4 + 0.5) / 1e4)
+                  else None
                 }
               ring = win.takeRight(frame - 1)
               AnomalyScore(uid, us, v, z, z.exists(math.abs(_) > threshold))

@@ -95,10 +95,11 @@ class DriftStatsSpec extends SparkSpec {
     assert(out(1)._1 === 1000L && out(2)._1 === 500L)
     assert(out(1)._2 < 0.01, s"identical period drifted: ${out(1)}")
     assert(out(2)._2 > 0.25, s"collapsed period not flagged: ${out(2)}")
-    // empty base -> null totals, not zeros
+    // empty base -> null totals, not zeros — while n_target keeps the
+    // REAL per-period row counts (null bounds bin rows, never drop them)
     val nulls = Drift.psiByPeriod(base.limit(0), target, "x", "p", bins = 10)
-      .collect()
-    assert(nulls.forall(_.isNullAt(2)))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.isNullAt(2))).toMap
+    assert(nulls(1) === ((1000L, true)) && nulls(2) === ((500L, true)))
   }
 
   test("psiAll scores every column in one melted pass") {

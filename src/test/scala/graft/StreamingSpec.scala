@@ -218,7 +218,8 @@ class StreamingSpec extends SparkSpec {
     val batchDf = ((1 to 12).map(i =>
       (ts(i), if (i % 2 == 0) 11.0 else 9.0, 1L, i.toLong)) :+
       (ts(20), 100.0, 1L, 20L)).toDF("ts", "value", "user_id", "event_id")
-    val streamFlags = StreamOps.streamingAnomaly(batchDf, frame = 20)
+    val streamFlags = StreamOps.streamingAnomaly(batchDf, frame = 20,
+        tiebreakCol = Some("event_id"))
       .orderBy("ts_us").select("is_anomaly").collect().map(_.getBoolean(0)).toSeq
     val batchFlags = graft.ops.EventAnalytics.rollingAnomaly(batchDf,
         "user_id", "ts", "value", "event_id", frame = 20)
