@@ -96,7 +96,10 @@ object MinHash {
     * silently stop matching — fail loudly instead. */
   private def bandBuckets(sigs: DataFrame, k: Int, bands: Int,
                           idAlias: String): DataFrame = {
-    val checked = when(size(col("_gf_sig")) =!= k,
+    // isNotNull guard: under legacy (non-ANSI) size(null) = -1 semantics a
+    // null signature row would raise a misleading "length -1" error here
+    // instead of being dropped by posexplode as before
+    val checked = when(col("_gf_sig").isNotNull && size(col("_gf_sig")) =!= k,
         raise_error(concat(lit("graft: signature length "),
           size(col("_gf_sig")).cast("string"),
           lit(s" does not match k=$k — index and probe must use the same k")))

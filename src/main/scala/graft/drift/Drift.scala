@@ -175,9 +175,10 @@ object Drift {
   def psiAll(base: DataFrame, target: DataFrame, columns: Seq[String],
              bins: Int = 10): DataFrame = {
     require(columns.nonEmpty, "psiAll needs at least one column")
-    require(columns.distinct.size == columns.size,
-      s"psiAll columns must be distinct, got $columns — a duplicate would " +
-        "alias two identical bound aggregates and fail as AMBIGUOUS_REFERENCE")
+    require(columns.map(_.toLowerCase).distinct.size == columns.size,
+      s"psiAll columns must be distinct (case-insensitively — Spark's " +
+        s"default resolution), got $columns — a duplicate would alias two " +
+        "identical bound aggregates and fail as AMBIGUOUS_REFERENCE")
     require(columns.forall(!_.contains(".")),
       s"psiAll needs top-level column names, got $columns")
     require(bins > 0, s"psiAll needs bins > 0, got $bins")
@@ -248,10 +249,16 @@ object Drift {
     val bounds = base.agg(min(x).as("_gf_lo"), max(x).as("_gf_hi"))
     val baseCnt = base.filter(x.isNotNull).crossJoin(broadcast(bounds))
       .groupBy(psiBinId(x, bins).as("bin_id")).agg(count(lit(1)).as("base_cnt"))
-    val tgtCnt = target.filter(x.isNotNull && col(periodCol).isNotNull)
+    // null VALUES don't count toward the distribution, but their PERIOD
+    // must still surface (an all-null month is an outage the dashboard
+    // exists to show, as (period, 0, null) — not an omitted row): null x
+    // gets a null bin, which the grid join below ignores while the
+    // period still seeds `periods`.
+    val tgtCnt = target.filter(col(periodCol).isNotNull)
       .crossJoin(broadcast(bounds))
-      .groupBy(col(periodCol).as("period"), psiBinId(x, bins).as("bin_id"))
-      .agg(count(lit(1)).as("target_cnt"))
+      .groupBy(col(periodCol).as("period"),
+        when(x.isNotNull, psiBinId(x, bins)).as("bin_id"))
+      .agg(count(x).as("target_cnt"))
     // every (period, bin) cell, so empty bins contribute their epsilon
     // term exactly as in psi(); periods frame is ≤periods rows
     val periods = tgtCnt.select("period").distinct()
@@ -268,14 +275,16 @@ object Drift {
       .withColumn("bp", when(sum("base_cnt").over(perPeriod) > 0,
         col("base_cnt").cast(DoubleType)
           / sum("base_cnt").over(perPeriod).cast(DoubleType)))
-      .withColumn("tp",
+      // the >0 guard keeps an all-null period's 0/0 as null (an ANSI
+      // decimal cast of the NaN it would otherwise produce throws)
+      .withColumn("tp", when(sum("target_cnt").over(perPeriod) > 0,
         col("target_cnt").cast(DoubleType)
-          / sum("target_cnt").over(perPeriod).cast(DoubleType))
+          / sum("target_cnt").over(perPeriod).cast(DoubleType)))
       .withColumn("psi_term", psiTerm(col("bp"), col("tp")))
     cells.groupBy("period")
       .agg(
         sum("target_cnt").as("n_target"),
-        when(sum(col("base_cnt")) > 0,
+        when(sum(col("base_cnt")) > 0 && sum(col("target_cnt")) > 0,
           sum(col("psi_term").cast(DecimalType(38, 6))).cast(DoubleType))
           .as("psi_total"))
       .orderBy("period")

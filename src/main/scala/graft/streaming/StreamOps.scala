@@ -180,7 +180,11 @@ object StreamOps {
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val spark = events.sparkSession
     import spark.implicits._
-    val tb = tiebreakCol.map(col(_).cast("long")).getOrElse(lit(0L))
+    // null tiebreaks sort first (Spark's ascending NULLS FIRST, like the
+    // batch window) instead of crashing the non-nullable tuple encoder
+    val tb = tiebreakCol
+      .map(c => coalesce(col(c).cast("long"), lit(Long.MinValue)))
+      .getOrElse(lit(0L))
     val typed = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("value").isNotNull)

@@ -86,15 +86,20 @@ class DriftStatsSpec extends SparkSpec {
 
   test("psiByPeriod scores each period on the base grid") {
     val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
-    // period 1 mirrors the base; period 2 collapses to the top decile
-    val target = ((1 to 1000).map(i => ((i % 100).toDouble, 1)) ++
-      (1 to 500).map(i => (90.0 + i % 10, 2))).toDF("x", "p")
+    // period 1 mirrors the base; period 2 collapses to the top decile;
+    // period 3 is an all-null outage month
+    val target = ((1 to 1000).map(i => (Some((i % 100).toDouble), 1)) ++
+      (1 to 500).map(i => (Some(90.0 + i % 10), 2)) ++
+      (1 to 50).map(_ => (Option.empty[Double], 3))).toDF("x", "p")
     val out = Drift.psiByPeriod(base, target, "x", "p", bins = 10)
       .collect().map(r => r.getInt(0) ->
-        (r.getLong(1), r.getAs[Double]("psi_total"))).toMap
+        (r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))).toMap
     assert(out(1)._1 === 1000L && out(2)._1 === 500L)
     assert(out(1)._2 < 0.01, s"identical period drifted: ${out(1)}")
     assert(out(2)._2 > 0.25, s"collapsed period not flagged: ${out(2)}")
+    // the outage month SURFACES as (period, 0, null), never an omitted row
+    assert(out.contains(3) && out(3)._1 === 0L)
     // empty base -> null totals, not zeros — while n_target keeps the
     // REAL per-period row counts (null bounds bin rows, never drop them)
     val nulls = Drift.psiByPeriod(base.limit(0), target, "x", "p", bins = 10)
