@@ -8,18 +8,23 @@ import org.apache.spark.sql.functions._
   * policy: a chain A~B~C with A≁C is still ONE component, so greedy
   * pair-based dropping — MinHash.dedup — can keep two of its docs).
   *
-  * Algorithm: iterative min-label propagation over the edge list. Each
-  * round every node takes the minimum label among itself and its
-  * neighbours; convergence needs O(component diameter) rounds. Everything
-  * is joins + groupBy on (id, label) longs — no driver-side graph, no
-  * vertex set collected — so it scales to corpus-sized pair lists. Lineage
-  * is truncated per round with localCheckpoint (iterative plans otherwise
-  * grow exponentially and re-execute prior rounds).
+  * Algorithm: alternating large-star / small-star contraction (the
+  * standard MapReduce connected-components recipe). Each round rewires
+  * every edge toward the minimum id seen in its neighbourhood:
   *
-  * Near-dup chains in a real corpus are shallow (near-dup similarity is
-  * near-transitive), so the default round cap of 50 covers diameters no
-  * real pair list reaches; the loop exits early as soon as a round changes
-  * nothing.
+  *   - large-star: for each node u, connect every STRICTLY LARGER
+  *     neighbour v to m = min(neighbours(u) ∪ u);
+  *   - small-star: for each node u (edges oriented large→small), connect
+  *     u and all its smaller neighbours to their minimum m.
+  *
+  * Both phases are one groupBy-min plus one join on (long, long) edges —
+  * no driver-side graph, no vertex set collected. The alternation halves
+  * tree heights geometrically, so convergence takes O(log n) rounds
+  * REGARDLESS of component diameter — a 1000-node boilerplate chain (the
+  * adversarial shape real crawl corpora produce) converges in ~2·log₂(n)
+  * rounds where plain min-label propagation needs 1000. Lineage is
+  * truncated per round with checkpoints (iterative plans otherwise grow
+  * exponentially and re-execute prior rounds).
   */
 object Components {
 
@@ -31,14 +36,10 @@ object Components {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
-  /** Component label per node id appearing in `pairs` (id_a, id_b):
-    * (id, component) where component = min node id reachable through the
-    * pair graph. Nodes not present in any pair are not returned (their
-    * component is trivially themselves). */
   /** Best-effort removal of an intermediate frame's RELIABLE checkpoint
     * files once nothing downstream can reference them (the successor
     * round is already materialized into its own checkpoint). Without
-    * this, every round leaks a full copy of the node set to the
+    * this, every round leaks a full copy of the edge set to the
     * checkpoint dir (`spark.cleaner...cleanCheckpoints` defaults off).
     *
     * The checkpointed RDD must be taken from the `LogicalRDD` leaf that
@@ -57,36 +58,91 @@ object Components {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  def componentLabels(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // Undirected edge list: both directions, deduped.
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val rev = pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
-    val edges = truncate(fwd.union(rev).distinct())
+  /** One large-star phase over canonically-oriented edges (src > dst):
+    * every strictly-larger neighbour of u is rewired to
+    * m = min(u ∪ neighbours(u)). Output stays oriented src > dst (the
+    * emitted pair is (v, m) with v > u ≥ m) and self-loop-free. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+    sym.join(mins, sym("src") === mins("u"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
 
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var changed = 1L
+  /** One small-star phase over oriented edges (src > dst): u and all its
+    * smaller neighbours are rewired to m = min(smaller neighbours).
+    * Output stays oriented and self-loop-free. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("src").agg(min("dst").as("m"))
+    val nbr = e.join(mins, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    nbr.union(mins.select(col("src"), col("m").as("dst"))).distinct()
+  }
+
+  /** (count, order-independent hash) of an edge set — one aggregate row.
+    * Equal checksums across a round mean the set reached its fixed point
+    * (the per-component star), which is the convergence certificate. */
+  private def checksum(e: DataFrame): (Long, BigDecimal) = {
+    // Sum the 64-bit hashes as decimal(38,0): a Long sum overflows (loudly,
+    // under ANSI) after a handful of large hash values.
+    val r = e.agg(count(lit(1)),
+      coalesce(sum(xxhash64(col("src"), col("dst"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(BigDecimal(0)))).head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  }
+
+  /** As [[componentLabels]], but also returns the number of contraction
+    * rounds taken — exposed so specs can pin the O(log n) bound. */
+  private[graft] def componentLabelsWithRounds(
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // Every id appearing in any pair (self-pairs count as singletons).
+    val nodes = truncate(
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct())
+    // Canonical large→small orientation; self-loops dropped up front.
+    var edges = truncate(
+      pairs.select(greatest(col("id_a"), col("id_b")).as("src"),
+                   least(col("id_a"), col("id_b")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // Propose each neighbour's current label to src, keep the minimum.
-      val proposals = edges.join(labels, edges("dst") === labels("id"))
-        .select(col("src").as("id"), col("label"))
-      val next = truncate(labels.union(proposals)
-        .groupBy("id").agg(min("label").as("label")))
-      changed = next.join(labels.withColumnRenamed("label", "_gf_old"), "id")
-        .filter(col("label") =!= col("_gf_old")).count()
-      dropCheckpoint(labels)
-      labels = next
+    while (!converged && iter < maxIter) {
+      val next = truncate(smallStar(largeStar(edges)))
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      dropCheckpoint(edges)
+      edges = next
       iter += 1
     }
-    dropCheckpoint(edges)
     // Silent partial labels would let duplicates survive the
     // keep-one-per-component policy — refuse instead.
-    if (changed > 0) throw new IllegalStateException(
-      s"componentLabels did not converge in $maxIter rounds ($changed labels still changing) — " +
-        "the pair graph has a component with diameter > maxIter; raise maxIter")
-    labels.select(col("id"), col("label").as("component"))
+    if (!converged) throw new IllegalStateException(
+      s"componentLabels did not converge in $maxIter contraction rounds — " +
+        "star contraction needs ~2·log2(n) rounds, so this pair graph is " +
+        "astronomically large or maxIter was lowered; raise maxIter")
+    // At the fixed point the edge set is a star per component: every
+    // non-root node carries exactly one edge to the component minimum.
+    val lab = edges.groupBy("src").agg(min("dst").as("_gf_component"))
+      .select(col("src").as("_gf_lid"), col("_gf_component"))
+    val labels = nodes.join(lab, nodes("id") === col("_gf_lid"), "left")
+      .select(nodes("id"),
+        coalesce(col("_gf_component"), nodes("id")).as("component"))
+    (labels, iter)
   }
+
+  /** Component label per node id appearing in `pairs` (id_a, id_b):
+    * (id, component) where component = min node id reachable through the
+    * pair graph. Nodes not present in any pair are not returned (their
+    * component is trivially themselves). */
+  def componentLabels(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    componentLabelsWithRounds(pairs, maxIter)._1
 
   /** Keep exactly one document (the min-id representative) per connected
     * component of the near-dup pair graph; docs in no pair are kept. */

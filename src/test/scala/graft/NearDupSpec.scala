@@ -292,6 +292,20 @@ class NearDupSpec extends SparkSpec {
     assert(labels.keySet == (1L to 9L).toSet)
   }
 
+  test("star contraction labels a 1000-node chain in O(log n) rounds") {
+    // The adversarial shape for label propagation: a pure chain has
+    // diameter 999, so min-label propagation would need ~999 rounds.
+    // Alternating large-star/small-star contraction must finish in
+    // ~2·log2(1000) ≈ 20 rounds (+1 fixed-point confirmation round).
+    val n = 1000L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labelsDf, rounds) = Components.componentLabelsWithRounds(chain, maxIter = 30)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (1L to n).toSet)
+    assert(labels.values.toSet == Set(1L))
+    assert(rounds <= 24, s"contraction took $rounds rounds — not O(log n)")
+  }
+
   test("reliable-checkpoint file count stays bounded across rounds") {
     // A chain of diameter 8 needs several propagation rounds; each round
     // reliably checkpoints a new label frame when a checkpoint dir is set.
