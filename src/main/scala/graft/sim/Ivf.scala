@@ -57,6 +57,18 @@ object Ivf {
                             indexed: DataFrame) {
     /** Number of fine cells actually trained (≈ the requested k). */
     def numCells: Long = cells.count()
+
+    /** Release the cached centroid frames. [[train]] caches `coarse` and
+      * `cells` for the lifetime of the session (every probe re-reads
+      * them); a long-lived driver that trains repeatedly must call this
+      * once the index (or anything derived from its lazy `indexed` plan)
+      * is no longer needed, or cached blocks accumulate per train() call.
+      * Blocking=false: outstanding jobs finish their reads. */
+    def release(): Unit = {
+      coarse.unpersist(false)
+      cells.unpersist(false)
+      ()
+    }
   }
 
   private def cosDist(v: Column, c: Column): Column =
@@ -224,6 +236,36 @@ object Ivf {
     IvfIndex(coarse, cells, indexed)
   }
 
+  /** Persist a trained index: `coarse` and `cells` as plain parquet,
+    * `indexed` PARTITIONED BY the fine cell id — the on-disk layout the
+    * inverted-file property needs: a probe of `nprobe` cells reads only
+    * those cells' files (see [[topK]]'s static cell filter + partition
+    * pruning). The corpus is repartitioned by cell id before the write so
+    * the file count is bounded by the number of cells, not
+    * cells × write-tasks (at 100 TB with K ≈ 10⁵ cells that is the
+    * difference between 10⁵ files and 10⁹). */
+  def writeIndex(index: IvfIndex, path: String): Unit = {
+    index.coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    index.cells.write.mode("overwrite").parquet(s"$path/cells")
+    index.indexed.repartition(col("_gf_cid"))
+      .write.mode("overwrite").partitionBy("_gf_cid").parquet(s"$path/indexed")
+  }
+
+  /** Re-open a persisted index without retraining. The partition column
+    * comes back via directory inference (possibly narrowed to int), so it
+    * is cast back to long and the column order restored. Frames are NOT
+    * cached here — `coarse`/`cells` are Kc- and K-row parquet reads;
+    * cache them via `index.coarse.cache()` if a driver probes in a tight
+    * loop, and release with [[IvfIndex.release]]. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val cells = spark.read.parquet(s"$path/cells")
+    val indexed = spark.read.parquet(s"$path/indexed")
+      .select(col("_gf_cid").cast("long").as("_gf_cid"),
+        col("_gf_id"), col("_gf_v"))
+    IvfIndex(coarse, cells, indexed)
+  }
+
   /** Multi-probe assignment: each corpus row tagged with its `p` nearest
     * fine cells (within its coarse cell) instead of 1 — the standard IVF
     * recall lever for pair generation: a near-pair split across a cell
@@ -246,7 +288,18 @@ object Ivf {
   }
 
   /** Top-k neighbours per query probing the `nprobe` nearest fine cells
-    * (searched under the query's `nprobe` nearest coarse cells). */
+    * (searched under the query's `nprobe` nearest coarse cells).
+    *
+    * CONTRACT: `queries` is a query BATCH — dimension-sized (thousands),
+    * not corpus-sized. The probe list is broadcast and its distinct cell
+    * ids are collected into a static `IN` filter on the indexed corpus,
+    * so driver traffic is O(queries × nprobe). That static filter is what
+    * makes a [[readIndex]]-ed index an actual inverted file: the corpus
+    * is partitioned by `_gf_cid` on disk, so the scan partition-prunes to
+    * the probed cells' files and everything else is never read. For a
+    * corpus-sized query side, use [[assignProbes]] + an equi-join on
+    * `_gf_cid` instead (the [[SemDedup]] shape) — probing all cells means
+    * there is nothing to prune and broadcast would be the bottleneck. */
   def topK(index: IvfIndex, queries: DataFrame, queryId: String,
            queryVec: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"))
@@ -266,7 +319,15 @@ object Ivf {
       .select("_gf_qid", "_gf_qv", "_gf_cid")
     val w = Window.partitionBy("_gf_qid")
       .orderBy(col("_gf_cos").desc, col("_gf_id"))
-    index.indexed.join(broadcast(probes), Seq("_gf_cid"))
+    // Static cell pruning (see contract above): one extra dimension-sized
+    // job computes the probed cell ids; the IN filter partition-prunes a
+    // cid-partitioned on-disk index down to the probed cells' files.
+    val probedCids = probes.select("_gf_cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned =
+      if (probedCids.isEmpty) index.indexed.filter(lit(false))
+      else index.indexed.filter(col("_gf_cid").isin(probedCids: _*))
+    pruned.join(broadcast(probes), Seq("_gf_cid"))
       .withColumn("_gf_cos", GraftFunctions.vecCosine(col("_gf_v"), col("_gf_qv")))
       .withColumn("_gf_rank", row_number().over(w))
       .filter(col("_gf_rank") <= k)

@@ -86,6 +86,51 @@ class IvfSpec extends SparkSpec {
     assert(index.indexed.count() == 30)
   }
 
+  test("writeIndex/readIndex round-trips and a probe reads only probed cells' files") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val trained = Ivf.train(df, "vec_id", "embedding", k = 3, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ivf.writeIndex(trained, dir)
+    val index = Ivf.readIndex(spark, dir)
+    assert(index.numCells == 3)
+    assert(index.indexed.count() == 30)
+
+    val q = df.filter(col("vec_id") === 7L)
+    val res = Ivf.topK(index, q, "vec_id", "embedding", k = 3, nprobe = 1)
+      .orderBy("rank")
+    val rows = res.collect()
+    assert(rows.head.getAs[Long]("neighbor_id") == 7L)
+    // results identical to the in-memory index
+    val mem = Ivf.topK(trained, q, "vec_id", "embedding", k = 3, nprobe = 1)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq == mem)
+
+    // FILE PRUNING: the indexed-corpus scan must carry a partition filter
+    // on _gf_cid and touch only 1 of the 3 cells' files.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE materializes subtrees as QueryStageExec nodes whose inner plans
+    // don't traverse via collect — descend explicitly.
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect {
+          case q: QueryStageExec => allScans(q.plan)
+          case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        }.flatten
+    val scans = allScans(res.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("indexed")))
+    assert(scans.nonEmpty, "indexed corpus must be a file scan after readIndex")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "probe must push a static partition filter on _gf_cid")
+    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "indexed"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(allFiles == 3, s"repartition-by-cid write should leave 1 file/cell, got $allFiles")
+    assert(scan.metrics("numFiles").value == 1,
+      s"nprobe=1 must read exactly 1 cell's file, read ${scan.metrics("numFiles").value} of $allFiles")
+    trained.release()
+  }
+
   test("k >= 4096 trains in reasonable time (the k ~ n/targetCell sizing)") {
     // 8192 pseudo-random vectors in R^8; k=4096 targets ~2 vectors/cell.
     // The r4 literal-argmin design could not codegen this (4096 centroid
