@@ -376,6 +376,51 @@ object AuditQueries {
                floor(max(abs(cb - ct)) * 1e6 + 0.5) / 1e6 AS ks_stat
         FROM c""")),
 
+    // Quantize-first KS — the 100 TB scale path: both sides bucket into 64
+    // equal-width bins over the POOLED range before the CDF window, bounding
+    // the window's input to 64 rows regardless of column cardinality. The
+    // oracle mirrors the identical bucket arithmetic (same IEEE op order).
+    Q("drift_ks_q",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        Drift.ks(
+          o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          "o_totalprice", quantize = 64)
+      },
+      Some("""
+        WITH bb AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS l1,
+                           max(CAST(o_totalprice AS DOUBLE)) AS h1
+                    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                      AND o_totalprice IS NOT NULL),
+        tb AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS l2,
+                      max(CAST(o_totalprice AS DOUBLE)) AS h2
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                 AND o_totalprice IS NOT NULL),
+        bnd AS (SELECT least(l1, l2) AS lo, greatest(h1, h2) AS hi
+                FROM bb CROSS JOIN tb),
+        b AS (SELECT CASE WHEN hi = lo THEN 0.0 ELSE least(63.0, greatest(0.0,
+                       floor((CAST(o_totalprice AS DOUBLE) - lo) / ((hi - lo) / 64.0)))) END AS v,
+                     count(*) AS bc
+              FROM orders CROSS JOIN bnd
+              WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        t AS (SELECT CASE WHEN hi = lo THEN 0.0 ELSE least(63.0, greatest(0.0,
+                       floor((CAST(o_totalprice AS DOUBLE) - lo) / ((hi - lo) / 64.0)))) END AS v,
+                     count(*) AS tc
+              FROM orders CROSS JOIN bnd
+              WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        m AS (SELECT coalesce(b.v, t.v) AS v, coalesce(bc, 0) AS bc, coalesce(tc, 0) AS tc
+              FROM b FULL OUTER JOIN t ON b.v = t.v),
+        c AS (SELECT v,
+                     CAST(sum(bc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / (SELECT CAST(sum(bc) AS DOUBLE) FROM m) AS cb,
+                     CAST(sum(tc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / (SELECT CAST(sum(tc) AS DOUBLE) FROM m) AS ct
+              FROM m)
+        SELECT 'o_totalprice' AS column_name,
+               floor(max(abs(cb - ct)) * 1e6 + 0.5) / 1e6 AS ks_stat
+        FROM c""")),
+
     Q("data_dictionary",
       (s, dir) => DataDictionary.build(Tables.customer(s, dir), exact = true),
       Some {

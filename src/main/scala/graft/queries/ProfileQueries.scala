@@ -195,6 +195,55 @@ object ProfileQueries {
         }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_x, col_y")
       }),
 
+    // Quantize-first Spearman — the 100 TB scale path (values bucket into
+    // 64 equal-width bins BEFORE the rank window, bounding its input to 64
+    // rows per column regardless of cardinality), hash-checked against a
+    // DuckDB mirror of the identical bucket arithmetic.
+    Q("profile_spearman_q",
+      (s, dir) => Distributions.spearmanMatrix(
+        Tables.lineitem(s, dir), Seq("l_quantity", "l_extendedprice", "l_discount"),
+        quantize = 64),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val pairs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1) } yield (a, b)
+        val boundsSel = cols.flatMap(c => Seq(
+          s"min(CAST($c AS DOUBLE)) AS lo_$c", s"max(CAST($c AS DOUBLE)) AS hi_$c"))
+          .mkString(", ")
+        // Mirrors Distributions.quantizeExpr exactly: same IEEE ops in the
+        // same order (width division inside, floor, clamp).
+        def qe(c: String) =
+          s"CASE WHEN hi_$c = lo_$c THEN 0.0 ELSE least(63.0, greatest(0.0, " +
+            s"floor((CAST($c AS DOUBLE) - lo_$c) / ((hi_$c - lo_$c) / 64.0)))) END"
+        pairs.map { case (a, b) =>
+          def rankSub(c: String) =
+            s"""(SELECT v, (cum - cnt) + (cnt + 1.0) / 2.0 AS r FROM (
+                  SELECT ${qe(c)} AS v, count(*) AS cnt,
+                         sum(count(*)) OVER (ORDER BY ${qe(c)}
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM lineitem CROSS JOIN (SELECT $boundsSel FROM lineitem) bounds
+                  WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1))"""
+          s"""SELECT '$a' AS col_x, '$b' AS col_y,
+                CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+                     THEN floor(((n * sab - sa * sb)
+                       / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))) * 1e4 + 0.5) / 1e4
+                     ELSE NULL END AS rho
+              FROM (
+                SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+                       CAST(sum(CAST(cnt * ra AS DECIMAL(38,1))) AS DOUBLE) AS sa,
+                       CAST(sum(CAST(cnt * rb AS DECIMAL(38,1))) AS DOUBLE) AS sb,
+                       CAST(sum(CAST(cnt * ra * ra AS DECIMAL(38,2))) AS DOUBLE) AS saa,
+                       CAST(sum(CAST(cnt * rb * rb AS DECIMAL(38,2))) AS DOUBLE) AS sbb,
+                       CAST(sum(CAST(cnt * ra * rb AS DECIMAL(38,2))) AS DOUBLE) AS sab
+                FROM (
+                  SELECT pc.cnt, ra.r AS ra, rb.r AS rb FROM
+                    (SELECT ${qe(a)} AS va, ${qe(b)} AS vb, count(*) AS cnt
+                     FROM lineitem CROSS JOIN (SELECT $boundsSel FROM lineitem) bounds
+                     WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2) pc
+                    JOIN ${rankSub(a)} ra ON pc.va = ra.v
+                    JOIN ${rankSub(b)} rb ON pc.vb = rb.v))"""
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_x, col_y")
+      }),
+
     // Value-concentration profile: Shannon entropy + modal share per column.
     Q("profile_entropy",
       (s, dir) => Profiler.entropyProfile(
