@@ -258,6 +258,35 @@ object OpsQueries {
           AND c.cus >= v.vus AND c.cus <= v.vus + 1800000000
         ORDER BY view_id, click_id""")),
 
+    // Left-outer variant of the stream-stream interval join: views with NO
+    // click inside their window survive null-padded — the attribution
+    // "impression with no click" row a real pipeline needs. In streaming
+    // the unmatched row is emitted on watermark expiry (StreamingSpec
+    // proves the live two-stream timing); here the batch degeneration is
+    // a plain left range join, oracle-checked.
+    Q("events_stream_interval_join_outer",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("ts"), col("user_id"), col("event_id").as("view_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+        graft.streaming.StreamOps.intervalJoin(views, clicks, Seq("user_id"),
+            before = "0 minutes", after = "30 minutes",
+            joinType = "leftOuter")
+          .select(col("view_id"), col("click_id"))
+          .orderBy("view_id", "click_id")
+      },
+      Some("""
+        WITH v AS (SELECT epoch_us(ts) AS vus, user_id, event_id AS view_id
+                   FROM events WHERE event_type = 'view'),
+        c AS (SELECT epoch_us(ts) AS cus, user_id, event_id AS click_id
+              FROM events WHERE event_type = 'click')
+        SELECT view_id, click_id
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+          AND c.cus >= v.vus AND c.cus <= v.vus + 1800000000
+        ORDER BY view_id, click_id""")),
+
     // Z-order (Morton) layout value over two part columns — the write-side
     // clustering key for multi-predicate file pruning. The oracle rebuilds
     // the same min-max buckets and bit interleave from Layout's own SQL

@@ -39,15 +39,33 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Custom keyed state via `mapGroupsWithState` — the escape hatch for
-    * semantics `window()`/`session_window()` can't express. Emits the
+  /** Timeout conf for the stateful builders below: a defined `idleTimeout`
+    * opts into processing-time expiry of idle keys.
+    *
+    * Engine note: with ProcessingTimeTimeout Spark keeps scheduling
+    * no-data batches to check expiry (`FlatMapGroupsWithStateExec
+    * .shouldRunAnotherBatch` is unconditionally true for that conf), so
+    * (a) pair `idleTimeout` with an explicit processing-time trigger in
+    * production or the micro-batch loop spins back-to-back, and (b)
+    * `StreamingQuery.processAllAvailable()` never observes an idle stream
+    * — await sink contents instead (see StreamingSpec.awaitUntil). */
+  private def timeoutConf(idleTimeout: Option[String]): GroupStateTimeout =
+    if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch
+    * for semantics `window()`/`session_window()` can't express. Emits the
     * running (count, total_value) per user, carried across triggers in
     * GroupState; on a batch frame the same code degenerates to a plain
     * per-group fold. State is per-key and O(1) per user — at 100 TB the
-    * bound is #distinct users, and production streams should add a state
-    * timeout (`GroupStateTimeout.ProcessingTimeTimeout`) to expire idle
-    * keys. */
-  def runningUserTotals(events: DataFrame): DataFrame = {
+    * bound is #distinct users, so on an unbounded user-id space pass
+    * `idleTimeout` (e.g. "30 minutes"): a key idle for that long has its
+    * state EXPIRED (processing-time timeout, checked at each trigger) and
+    * a later event restarts its totals from zero — boundedness traded for
+    * forgetting idle keys, the standard production setting. No timeout
+    * (default) keeps totals exact forever at O(#users) state. */
+  def runningUserTotals(events: DataFrame,
+                        idleTimeout: Option[String] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     // Event streams routinely carry null user_id/value rows; the (Long,
@@ -57,12 +75,17 @@ object StreamOps {
       .na.drop(Seq("user_id", "value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Double), UserRunning](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(Long, Double), UserRunning](
+        OutputMode.Update, timeoutConf(idleTimeout)) {
         case (uid, it, state) =>
-          var (n, total) = state.getOption.getOrElse((0L, 0.0))
-          it.foreach { case (_, v) => n += 1; total += v }
-          state.update((n, total))
-          UserRunning(uid, n, total)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, total) = state.getOption.getOrElse((0L, 0.0))
+            it.foreach { case (_, v) => n += 1; total += v }
+            state.update((n, total))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(UserRunning(uid, n, total))
+          }
       }.toDF()
   }
 
@@ -115,8 +138,11 @@ object StreamOps {
     * furthest advance, there is no watermark-bounded reordering buffer).
     * That is the standard low-state streaming-funnel trade; run the
     * batch funnel over the archived log where exactness matters. On a
-    * batch frame all events form one group, so the fold IS exact. */
-  def streamingFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    * batch frame all events form one group, so the fold IS exact.
+    * `idleTimeout` (processing-time) expires an idle user's progress —
+    * their next event restarts the funnel at step 0. */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+                      idleTimeout: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps — a repeated name would " +
@@ -145,14 +171,20 @@ object StreamOps {
       .map { case (u, us, t) => (u, us, stepIdx(t)) }
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Int, Long), FunnelAdvance](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(idleTimeout)) {
         case (uid, it, state) =>
-          val sorted = it.map { case (_, us, idx) => (us, idx) }.toSeq
-            .sortBy(identity)
-          val (rows, next) =
-            advances(uid, sorted, state.getOption.getOrElse((-1, Long.MinValue)))
-          state.update(next)
-          rows.iterator
+          // An expired funnel forgets its progress: a user idle past
+          // `idleTimeout` restarts at step 0 on their next event.
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.map { case (_, us, idx) => (us, idx) }.toSeq
+              .sortBy(identity)
+            val (rows, next) =
+              advances(uid, sorted, state.getOption.getOrElse((-1, Long.MinValue)))
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            rows.iterator
+          }
       }.toDF()
   }
 
@@ -172,10 +204,13 @@ object StreamOps {
     * re-slotted). On ordered input the FLAGS and 4-dp z agree with the
     * batch window up to double-vs-decimal accumulation in the last ulp
     * (z is rounded to 4 dp before the threshold test, exactly like the
-    * batch operator — an unrounded test would flip boundary flags). */
+    * batch operator — an unrounded test would flip boundary flags).
+    * `idleTimeout` (processing-time) expires an idle key's ring; its next
+    * event restarts cold (null z until the frame refills). */
   def streamingAnomaly(events: DataFrame, frame: Int = 20,
                        threshold: Double = 3.0,
-                       tiebreakCol: Option[String] = None): DataFrame = {
+                       tiebreakCol: Option[String] = None,
+                       idleTimeout: Option[String] = None): DataFrame = {
     require(frame >= 2, s"frame must be >= 2, got $frame")
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val spark = events.sparkSession
@@ -193,8 +228,12 @@ object StreamOps {
       .as[(Long, Long, Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[Vector[Double], AnomalyScore](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(idleTimeout)) {
         case (uid, it, state) =>
+          // An expired ring restarts cold: the next event scores as if the
+          // key's series just began (null z until the frame refills).
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var ring = state.getOption.getOrElse(Vector.empty[Double])
           val out = it.map { case (_, us, t, v) => (us, t, v) }.toSeq
             .sortBy(identity)
@@ -217,7 +256,9 @@ object StreamOps {
               AnomalyScore(uid, us, v, z, z.exists(math.abs(_) > threshold))
             }
           state.update(ring)
+          idleTimeout.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }.toDF()
   }
 
@@ -232,22 +273,44 @@ object StreamOps {
     * holds only rows inside `watermark + interval`, so state is bounded
     * by rate × window, not by stream length. An unbounded stream-stream
     * equi-join (no time bound) would buffer both streams forever; this
-    * builder makes the bounded form the only expressible one. Inner join:
-    * unmatched rows drop (outer variants need both watermarks anyway and
-    * emit on watermark expiry). On batch frames the same predicate runs
-    * as an ordinary range join. */
+    * builder makes the bounded form the only expressible one.
+    *
+    * `joinType`: "inner" (default) drops unmatched rows; "leftOuter"
+    * emits each unmatched LEFT row null-padded once its match window can
+    * no longer fill — i.e. when the watermark passes `leftTs + after` —
+    * the attribution "impression with no click" row. On batch frames the
+    * same predicate runs as an ordinary (left/inner) range join.
+    *
+    * Output naming: left columns keep their names; the right side's join
+    * keys are DROPPED (equal to the left's on matched rows, null on
+    * outer-unmatched ones) and any remaining right column whose name
+    * collides with a left column comes back prefixed `r_` — every output
+    * column is selectable by name, no AMBIGUOUS_REFERENCE. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String = "ts", rightTs: String = "ts",
                    before: String = "10 minutes", after: String = "10 minutes",
-                   delay: String = "2 hours"): DataFrame = {
+                   delay: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "intervalJoin needs at least one equi-key")
+    val jt = joinType match {
+      case "inner" => "inner"
+      case "leftOuter" | "left_outer" | "left" => "left_outer"
+      case other => throw new IllegalArgumentException(
+        s"intervalJoin supports inner and leftOuter, got '$other'")
+    }
     val l = withWatermark(left, leftTs, delay).alias("l")
     val r = withWatermark(right, rightTs, delay).alias("r")
     val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
     val timeCond =
       col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after")
-    l.join(r, keyCond && timeCond, "inner")
+    val joined = l.join(r, keyCond && timeCond, jt)
+    val leftNames = left.columns.toSet
+    val outCols = left.columns.toSeq.map(c => col(s"l.$c")) ++
+      right.columns.toSeq.filterNot(keys.contains).map { c =>
+        if (leftNames.contains(c)) col(s"r.$c").as(s"r_$c") else col(s"r.$c")
+      }
+    joined.select(outCols: _*)
   }
 
   /** Gap-based sessionization per user: session_window keeps a session

@@ -268,4 +268,107 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(batch === out)
   }
+
+  test("leftOuter intervalJoin emits the unmatched row only after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val imps = impressions.toDF.toDF("ts", "user_id", "imp_id")
+    val clks = clicks.toDF.toDF("ts", "user_id", "click_id")
+
+    val joined = StreamOps.intervalJoin(imps, clks, Seq("user_id"),
+        before = "0 minutes", after = "10 minutes", delay = "10 minutes",
+        joinType = "leftOuter")
+      .select(col("imp_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("attributed_outer")
+      .outputMode("append").start()
+
+    // i1@10:00/u1 never gets a click; i2@10:00/u2 matches c2@10:05.
+    impressions.addData((ts(0), 1L, "i1"), (ts(0), 2L, "i2"))
+    clicks.addData((ts(5), 2L, "c2"))
+    q.processAllAvailable()
+    // watermark is still at 10:00-ish — i1's window (ends 10:10) can in
+    // principle still fill, so NO null-padded row may exist yet
+    val early = spark.table("attributed_outer").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(!early.exists(_._2.isEmpty),
+      s"null-padded row leaked before the watermark passed: $early")
+
+    // push BOTH watermarks past 10:10 + delay; the unmatched i1 row is
+    // emitted by the state-eviction pass of a subsequent trigger
+    impressions.addData((ts(45), 9L, "i9"))
+    clicks.addData((ts(45), 9L, "c9"))
+    q.processAllAvailable()
+    impressions.addData((ts(50), 8L, "i8"))
+    clicks.addData((ts(50), 8L, "c8"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attributed_outer").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out.contains(("i1", None)), s"unmatched left row missing: $out")
+    assert(out.contains(("i2", Some("c2"))))
+  }
+
+  /** With ProcessingTimeTimeout, Spark schedules no-data batches forever
+    * (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+    * true for that conf), so `processAllAvailable()` NEVER sees the stream
+    * as idle and blocks indefinitely. TTL tests must await sink contents
+    * instead — the continuous batches guarantee new data and expiry are
+    * picked up without an explicit barrier. */
+  private def awaitUntil(what: String, timeoutMs: Long = 60000L)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond) {
+      if (System.nanoTime() > deadline) fail(s"timed out waiting for $what")
+      Thread.sleep(50)
+    }
+  }
+
+  test("idleTimeout expires runningUserTotals state; a returning key restarts at zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+    val q = StreamOps.runningUserTotals(streamDf, idleTimeout = Some("1 milliseconds"))
+      .writeStream.format("memory").queryName("running_ttl")
+      .outputMode("update").start()
+
+    def u1 = spark.table("running_ttl").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+
+    mem.addData((ts(0), "click", 5.0, 1L))
+    awaitUntil("user 1's first total")(u1.contains((1L, 5.0)))
+    // idle past the 1 ms TTL; the timeout pass of a subsequent no-data
+    // batch (they run continuously under ProcessingTimeTimeout) expires
+    // user 1's state
+    Thread.sleep(300)
+    // user 1 returns: totals restart from (1, 7.0), not (2, 12.0)
+    mem.addData((ts(2), "click", 7.0, 1L))
+    awaitUntil("user 1's post-expiry total")(u1.contains((1L, 7.0)))
+    q.stop()
+    assert(u1 === Set((1L, 5.0), (1L, 7.0)),
+      s"state should have expired between user 1's events, got $u1")
+  }
+
+  test("idleTimeout expires streamingFunnel progress; the user re-enters at step 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+    val q = StreamOps.streamingFunnel(streamDf, Seq("view", "click"),
+        idleTimeout = Some("1 milliseconds"))
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").start()
+
+    def u1Steps = spark.table("funnel_ttl").collect()
+      .filter(_.getLong(0) == 1L).map(_.getInt(1)).toSeq.sorted
+
+    mem.addData((ts(0), "view", 1.0, 1L), (ts(1), "click", 1.0, 1L))
+    awaitUntil("user 1's first funnel pass")(u1Steps == Seq(0, 1))
+    Thread.sleep(300) // idle past the TTL — progress forgotten
+    mem.addData((ts(9), "view", 1.0, 1L)) // user 1 re-enters the funnel
+    // step 0 advances TWICE (before and after expiry) — without the TTL
+    // the stale state (lastIdx=1) could not re-advance step 0
+    awaitUntil("user 1's re-entry at step 0")(u1Steps == Seq(0, 0, 1))
+    q.stop()
+  }
 }
