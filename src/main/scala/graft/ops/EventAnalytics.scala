@@ -93,6 +93,15 @@ object EventAnalytics {
     * round-off clamped at 0. Rows with fewer than 2 trailing points or a
     * degenerate (constant) frame get z = null, anomaly = false.
     *
+    * DOMAIN: |value| < 1e12 — the square's (18,6) operand cap (a wider
+    * operand would push the (37,12) product past the 38-digit decimal
+    * ceiling in both engines). Out-of-range values FAIL LOUDLY: under the
+    * session's default ANSI mode the cast itself throws, and with ANSI
+    * off a guard raises rather than letting the nulled square silently
+    * drop out of Σv² while the row still counts in n and Σv (a quietly
+    * wrong variance — the failure mode requireIntegralKey exists to
+    * prevent elsewhere).
+    *
     * Scale shape: ONE window shuffle on the series key (both frames share
     * the same (partition, order) spec so Catalyst plans a single Window
     * node); no joins, no global sort until the caller asks for one. */
@@ -109,7 +118,14 @@ object EventAnalytics {
     // (37,12) — inside the 38-digit cap in BOTH engines (a (30,6) square
     // would overflow DuckDB and silently rescale in Spark)
     val dec = col(valueCol).cast(DecimalType(30, 6))
-    val dec18 = col(valueCol).cast(DecimalType(18, 6))
+    // ANSI mode throws on the overflowing cast itself; the when-guard
+    // covers ANSI-off sessions, where the cast would null and the square
+    // would silently vanish from s2 while the row still counts in n/s1
+    val dec18 = when(
+      col(valueCol).isNotNull && col(valueCol).cast(DecimalType(18, 6)).isNull,
+      raise_error(concat(lit(s"rollingAnomaly: |$valueCol| >= 1e12 exceeds the " +
+        "decimal(18,6) square operand domain, got "), col(valueCol).cast("string"))))
+      .otherwise(col(valueCol).cast(DecimalType(18, 6)))
     val n = count(col(valueCol)).over(w)
     val s1 = sum(dec).over(w).cast(DoubleType)
     val s2 = sum(dec18 * dec18).over(w).cast(DoubleType)

@@ -16,19 +16,42 @@ import org.apache.spark.sql.functions._
   * Scale shape: one hash-partition shuffle on the group column + a
   * sort-based window (spills, never collects a group in memory). When a
   * single group's row count is astronomically larger than `n` (the 100 TB
-  * skew case: one domain = billions of rows on one reducer), pre-thin with
-  * `Sampling.hashSample(df, keyCol, frac)` at a few×`n`/count first — the
-  * window then ranks the thinned set; same policy, bounded reducer.
+  * skew case: one domain = billions of rows on one reducer), pass
+  * `preThin = true`: a first window over `(group, salt-bucket)` keeps each
+  * sub-bucket's top `n`, splitting the dominant group across
+  * `preThinBuckets` reducers, and only the ≤ `preThinBuckets × n`
+  * per-group survivors reach the final per-group window. The result is
+  * IDENTICAL to the direct path by the pigeonhole argument: any row in a
+  * group's global top `n` under the (hash, key) order is necessarily in
+  * the top `n` of its own sub-bucket, so phase 1 never discards a winner.
   */
 object Quota {
 
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
-                  n: Int, seed: Long = 0L): DataFrame = {
+                  n: Int, seed: Long = 0L, preThin: Boolean = false,
+                  preThinBuckets: Int = 64): DataFrame = {
     require(n >= 1, s"quota must be >= 1, got $n")
+    require(preThinBuckets >= 2,
+      s"preThinBuckets must be >= 2, got $preThinBuckets")
     Sampling.requireIntegralKey(df, keyCol)
-    val w = Window.partitionBy(groupCol)
-      .orderBy(Sampling.bucket(col(keyCol), seed, Sampling.QuotaPrime), col(keyCol))
-    df.withColumn("_gf_rn", row_number().over(w))
+    val rank = Sampling.bucket(col(keyCol), seed, Sampling.QuotaPrime)
+    val base =
+      if (!preThin) df
+      else {
+        // Salt by a hash UNRELATED to the rank hash (xxhash64 vs Knuth
+        // fold) so the sub-buckets split the group evenly; correctness
+        // does not depend on the independence, only the reducer bound
+        // does. The salt is deterministic in the key — retries and
+        // engines agree on the sub-bucket assignment.
+        val salt = pmod(xxhash64(col(keyCol)), lit(preThinBuckets.toLong))
+        val w1 = Window.partitionBy(col(groupCol), salt)
+          .orderBy(rank, col(keyCol))
+        df.withColumn("_gf_prn", row_number().over(w1))
+          .filter(col("_gf_prn") <= n)
+          .drop("_gf_prn")
+      }
+    val w = Window.partitionBy(groupCol).orderBy(rank, col(keyCol))
+    base.withColumn("_gf_rn", row_number().over(w))
       .filter(col("_gf_rn") <= n)
       .drop("_gf_rn")
   }

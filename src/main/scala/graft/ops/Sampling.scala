@@ -56,7 +56,14 @@ object Sampling {
     * while every intermediate stays BIGINT-safe (residue < 1e9 × multiplier
     * < 2.7e9). `prime = 0` is the legacy single-fold path. */
   def bucket(key: Column, seed: Long = 0L, prime: Long = 0L): Column = {
-    require(seed >= 0 && seed < MaxSeed, s"seed must be in [0, $MaxSeed), got $seed")
+    // The [0, MaxSeed) bound exists for the prime-fold path, whose
+    // seed-varied multiplier arithmetic needs it to stay BIGINT-safe; the
+    // legacy prime=0 path keeps accepting any seed (it is purely additive
+    // there) so pre-prime callers don't start throwing. Legacy callers
+    // passing |seed| near 2^63 overflow the product in external SQL
+    // engines — Spark wraps silently, DuckDB errors loudly.
+    if (prime > 0)
+      require(seed >= 0 && seed < MaxSeed, s"seed must be in [0, $MaxSeed), got $seed")
     val t = (key.cast("long") + lit(seed)) * lit(Knuth)
     if (prime > 0)
       pmod(pmod(pmod(t, lit(prime)) * lit(Knuth + 2 * seed), lit(prime)), lit(Buckets))
@@ -188,7 +195,9 @@ object Sampling {
     * the mirror must wrap the remainder back into [0, Buckets) or the two
     * engines silently pick different rows for negative keys. */
   def sqlBucket(key: String, seed: Long = 0L, prime: Long = 0L): String = {
-    require(seed >= 0 && seed < MaxSeed, s"seed must be in [0, $MaxSeed), got $seed")
+    // Mirror bucket(): the seed bound is scoped to the prime-fold path.
+    if (prime > 0)
+      require(seed >= 0 && seed < MaxSeed, s"seed must be in [0, $MaxSeed), got $seed")
     val t = s"((CAST($key AS BIGINT) + $seed) * $Knuth)"
     if (prime > 0)
       s"((((($t % $prime) + $prime) % $prime) * ${Knuth + 2 * seed}) % $prime % $Buckets)"

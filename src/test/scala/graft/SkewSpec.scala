@@ -45,4 +45,30 @@ class SkewSpec extends SparkSpec {
     assert(out(0).getDouble(2) == 0.1) // 100 of 1000 rows
     assert(out.length == 3)
   }
+
+  test("capPerGroup preThin splits the dominant group yet keeps the exact winner set") {
+    // 90%-one-group skew fixture: "hot" dominates with 450 of 500 rows
+    val rows = (1L to 450L).map(i => (i, "hot")) ++
+      (451L to 500L).map(i => (i, s"cold${i % 5}"))
+    val df = rows.toDF("doc_id", "source")
+    def keySet(d: org.apache.spark.sql.DataFrame) = d.select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val direct = graft.ops.Quota.capPerGroup(df, "source", "doc_id", n = 7)
+    val thinned = graft.ops.Quota.capPerGroup(df, "source", "doc_id", n = 7,
+      preThin = true, preThinBuckets = 8)
+    // pigeonhole exactness: phase 1 never discards a global winner
+    assert(keySet(thinned) === keySet(direct))
+
+    // plan pin: the pre-thin pass adds its own (group, salt) exchange —
+    // the dominant group fans out over preThinBuckets reducers before the
+    // final per-group window sees the <= buckets*n survivors
+    val p = thinned.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 2, s"expected pre-thin + final exchange:\n$p")
+    assert(exchanges.exists(l => l.contains("_w")),
+      s"pre-thin exchange should carry the projected salt column:\n$p")
+  }
 }
