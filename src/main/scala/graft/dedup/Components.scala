@@ -61,7 +61,11 @@ object Components {
   /** One large-star phase over canonically-oriented edges (src > dst):
     * every strictly-larger neighbour of u is rewired to
     * m = min(u ∪ neighbours(u)). Output stays oriented src > dst (the
-    * emitted pair is (v, m) with v > u ≥ m) and self-loop-free. */
+    * emitted pair is (v, m) with v > u ≥ m) and self-loop-free. NOT
+    * deduped: the duplicate edges a contraction produces are absorbed by
+    * the consuming small-star's groupBy-min and swept by its final
+    * distinct — a distinct here would add a full extra shuffle per round
+    * for no semantic gain. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val mins = sym.groupBy("src").agg(min("dst").as("mn"))
@@ -69,7 +73,6 @@ object Components {
     sym.join(mins, sym("src") === mins("u"))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** One small-star phase over oriented edges (src > dst): u and all its
@@ -83,43 +86,51 @@ object Components {
     nbr.union(mins.select(col("src"), col("m").as("dst"))).distinct()
   }
 
-  /** (count, order-independent hash) of an edge set — one aggregate row.
-    * Equal checksums across a round mean the set reached its fixed point
-    * (the per-component star), which is the convergence certificate. */
-  private def checksum(e: DataFrame): (Long, BigDecimal) = {
-    // Sum the 64-bit hashes as decimal(38,0): a Long sum overflows (loudly,
-    // under ANSI) after a handful of large hash values.
-    val r = e.agg(count(lit(1)),
-      coalesce(sum(xxhash64(col("src"), col("dst"))
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(BigDecimal(0)))).head()
-    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  /** Convergence certificate: the contraction's fixed points are exactly
+    * the per-component STARS (every non-root node carries one edge to the
+    * component minimum), and star-shape is testable with ONE small
+    * aggregate over the already-materialized edges — no src repeats, and
+    * no node plays both roles. Testing this after each round replaces the
+    * former full confirmation round (a second contraction whose checksum
+    * had to match) with a job over the contracted — hence shrunken —
+    * edge set: on the shallow graphs real near-dup data produces, that
+    * halves the loop's cost. */
+  private def isStar(e: DataFrame): Boolean = {
+    val roles = e.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("d"))
+      .union(e.select(col("dst").as("n"), lit(0L).as("s"), lit(1L).as("d")))
+      .groupBy("n").agg(sum("s").as("ns"), max("d").as("nd"))
+    roles.filter(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0)).isEmpty
   }
 
   /** As [[componentLabels]], but also returns the number of contraction
     * rounds taken — exposed so specs can pin the O(log n) bound. */
   private[graft] def componentLabelsWithRounds(
       pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // Materialize the pair list ONCE before deriving anything: `pairs` is
+    // typically the tail of an expensive pipeline (a MinHash band join),
+    // and building nodes and edges straight from it would re-execute that
+    // pipeline once per union branch per job — 4 executions where one
+    // suffices. Everything below scans the checkpointed copy.
+    val p0 = truncate(pairs.select(col("id_a"), col("id_b")))
     // Every id appearing in any pair (self-pairs count as singletons).
     val nodes = truncate(
-      pairs.select(col("id_a").as("id"))
-        .union(pairs.select(col("id_b").as("id"))).distinct())
+      p0.select(col("id_a").as("id"))
+        .union(p0.select(col("id_b").as("id"))).distinct())
     // Canonical large→small orientation; self-loops dropped up front.
     var edges = truncate(
-      pairs.select(greatest(col("id_a"), col("id_b")).as("src"),
-                   least(col("id_a"), col("id_b")).as("dst"))
+      p0.select(greatest(col("id_a"), col("id_b")).as("src"),
+                least(col("id_a"), col("id_b")).as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
+    dropCheckpoint(p0)
 
-    var prev = checksum(edges)
-    var converged = prev._1 == 0L
+    var converged = isStar(edges)
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = truncate(smallStar(largeStar(edges)))
-      val cur = checksum(next)
-      converged = cur == prev
-      prev = cur
       dropCheckpoint(edges)
       edges = next
       iter += 1
+      converged = isStar(edges)
     }
     // Silent partial labels would let duplicates survive the
     // keep-one-per-component policy — refuse instead.

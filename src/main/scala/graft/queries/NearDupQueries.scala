@@ -16,7 +16,7 @@ object NearDupQueries {
 
   /** documents ∪ truncated clones (every 10th doc loses its last ~20% of
     * words; clone id = doc_id + 2000000). */
-  private def truncatedCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def truncatedCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val toks = split(col("text"), "\\s+")
     val clones = d.filter(col("doc_id") % 10 === 0).select(
