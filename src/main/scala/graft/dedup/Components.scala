@@ -110,24 +110,37 @@ object Components {
     // typically the tail of an expensive pipeline (a MinHash band join),
     // and building nodes and edges straight from it would re-execute that
     // pipeline once per union branch per job — 4 executions where one
-    // suffices. Everything below scans the checkpointed copy.
+    // suffices. Everything below scans the checkpointed copy, and p0's
+    // checkpoint is deliberately kept alive for the whole function (the
+    // returned labels frame reads `nodes` from it lazily) — the same
+    // leaked-until-caller-done contract the final edge checkpoint has.
     val p0 = truncate(pairs.select(col("id_a"), col("id_b")))
     // Every id appearing in any pair (self-pairs count as singletons).
-    val nodes = truncate(
-      p0.select(col("id_a").as("id"))
-        .union(p0.select(col("id_b").as("id"))).distinct())
-    // Canonical large→small orientation; self-loops dropped up front.
-    var edges = truncate(
-      p0.select(greatest(col("id_a"), col("id_b")).as("src"),
-                least(col("id_a"), col("id_b")).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct())
-    dropCheckpoint(p0)
+    // Lazy on purpose: scanned exactly once, inside the final label join —
+    // a standalone materialize would be a whole extra job for one scan.
+    val nodes = p0.select(col("id_a").as("id"))
+      .union(p0.select(col("id_b").as("id"))).distinct()
+    // Canonical large→small orientation; self-loops dropped up front. NOT
+    // deduped and NOT separately materialized: orientation is a narrow map
+    // over the checkpointed p0, and round 1's small-star distinct performs
+    // the dedup at the same shuffle scale an up-front distinct would —
+    // paying that shuffle twice (plus a materialize) bought nothing.
+    var edges = p0
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+              least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
 
-    var converged = isStar(edges)
+    // Always contract at least once: the raw edge list may carry duplicate
+    // pairs, which the star certificate cannot distinguish from genuine
+    // repeated-src violations — after one round the set is deduped and
+    // isStar is exact. An already-star input just pays one cheap round.
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = truncate(smallStar(largeStar(edges)))
-      dropCheckpoint(edges)
+      // Round 1's input is a lazy view over p0 (whose checkpoint must
+      // outlive this function) — only round outputs are dropped here.
+      if (iter > 0) dropCheckpoint(edges)
       edges = next
       iter += 1
       converged = isStar(edges)
