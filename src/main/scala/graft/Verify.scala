@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // The synthetic parquet stamps timestamps isAdjustedToUTC=false;
+      // read them as TIMESTAMP (not TIMESTAMP_NTZ) so µs arithmetic
+      // (unix_micros) and the UTC-pinned DuckDB compare see the same
+      // values as an adjusted-to-UTC file would.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

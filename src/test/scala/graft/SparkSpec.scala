@@ -18,6 +18,8 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // testdata parquet is isAdjustedToUTC=false; read as TIMESTAMP (see Verify)
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     // keep metastore/warehouse artifacts out of the repo tree
     .config("spark.sql.warehouse.dir",
