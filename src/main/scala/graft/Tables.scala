@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish test tables (see TESTDATA.md).
   *
@@ -16,7 +16,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // Timestamp type is enforced at the LOAD layer, not per-session config:
+    // an externally-built session (e.g. the driver's) may run with
+    // `inferTimestampNTZ=true`, under which the NTZ-stamped testdata comes
+    // back TIMESTAMP_NTZ and every unix_micros-based operator fails to
+    // resolve or diverges from the oracle. The cast is the identity of
+    // what an `inferTimestampNTZ=false` read produces (both interpret the
+    // stored local datetime in the session timezone), so results don't
+    // move for sessions already reading TIMESTAMP.
+    val df = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
     // Tiny (dimension-sized) files skip the parallelism fix-up: they are
     // broadcast-join fodder and a repartition Exchange under a
     // BroadcastExchange is pure overhead.

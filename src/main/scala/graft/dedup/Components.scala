@@ -134,16 +134,27 @@ object Components {
     // pairs, which the star certificate cannot distinguish from genuine
     // repeated-src violations — after one round the set is deduped and
     // isStar is exact. An already-star input just pays one cheap round.
+    //
+    // Per-round job budget: on the localCheckpoint path the checkpoint is
+    // LAZY, so the star-certificate aggregate is the round's ONLY job —
+    // it materializes the cached round output as a side effect (lineage
+    // is truncated by the LogicalRDD wrapper either way). The reliable
+    // path keeps the eager checkpoint: there the write must durably
+    // complete before anything downstream trusts it, and cluster rounds
+    // are shuffle-bound, not job-count-bound.
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = truncate(smallStar(largeStar(edges)))
+      val contracted = smallStar(largeStar(edges))
+      val next = if (reliable) contracted.checkpoint(true)
+                 else contracted.localCheckpoint(false)
+      converged = isStar(next)
       // Round 1's input is a lazy view over p0 (whose checkpoint must
       // outlive this function) — only round outputs are dropped here.
       if (iter > 0) dropCheckpoint(edges)
       edges = next
       iter += 1
-      converged = isStar(edges)
     }
     // Silent partial labels would let duplicates survive the
     // keep-one-per-component policy — refuse instead.

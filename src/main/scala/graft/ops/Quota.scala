@@ -56,6 +56,36 @@ object Quota {
       .drop("_gf_rn")
   }
 
+  /** Dominant-group row share above which [[capPerGroupAuto]] takes the
+    * pre-thin route. */
+  val AutoSkewShare = 0.3
+
+  /** [[capPerGroup]] with the skew route picked FOR you. One cheap
+    * pre-check job — a keyed count where only (group, count) pairs
+    * shuffle (map-side combined), folded to (max, total) — decides
+    * whether the dominant group is big enough for pre-thinning to pay:
+    * it must hold at least [[AutoSkewShare]] of all rows AND exceed
+    * 2·buckets·n rows. Below either bar the direct single-window plan
+    * wins — pre-thinning adds a full extra window pass over every row,
+    * which only amortizes when one reducer would otherwise own a
+    * monster group. Callers that already know their skew skip the
+    * pre-check by calling [[capPerGroup]] with `preThin` set explicitly
+    * (the documented override). */
+  def capPerGroupAuto(df: DataFrame, groupCol: String, keyCol: String,
+                      n: Int, seed: Long = 0L,
+                      preThinBuckets: Int = 64): DataFrame = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    val stats = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gf_c"))
+      .agg(max(col("_gf_c")).as("_gf_mx"), sum(col("_gf_c")).as("_gf_tot"))
+      .collect()
+    val skewed = stats.nonEmpty && !stats(0).isNullAt(0) && {
+      val mx = stats(0).getLong(0); val tot = stats(0).getLong(1)
+      mx >= AutoSkewShare * tot && mx >= 2L * preThinBuckets * n
+    }
+    capPerGroup(df, groupCol, keyCol, n, seed,
+      preThin = skewed, preThinBuckets = preThinBuckets)
+  }
+
   /** SQL mirror of [[capPerGroup]]'s predicate for a DuckDB oracle (as a
     * QUALIFY clause body). */
   def sqlQualify(groupCol: String, keyCol: String, n: Int, seed: Long = 0L): String =

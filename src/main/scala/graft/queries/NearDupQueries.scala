@@ -79,6 +79,45 @@ object NearDupQueries {
       },
       None),
 
+    // Connected components HASH-CHECKED against a DuckDB recursive-CTE
+    // oracle. The MinHash pair graph itself is not SQL-mirrorable, so this
+    // twin runs the same star-contraction engine over a DETERMINISTIC pair
+    // graph both engines construct independently from `documents`: chain
+    // edges (d, d+1) for d%10<3 give 4-node path components — the shape
+    // greedy pair-dropping gets wrong — and bridge edges (d, d+10) for
+    // d%50=0 merge two chains into one 8-node component. The oracle labels
+    // nodes via min-reachable-id fixpoint (WITH RECURSIVE breadth
+    // expansion + group-min); components are bounded (≤8 nodes) so the
+    // reachability relation stays linear in the corpus.
+    Q("dedup_components_oracle",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id")
+        val chain = d.filter(col("doc_id") % 10 < 3)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        val bridge = d.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+        graft.dedup.Components.componentLabels(chain.unionByName(bridge))
+          .orderBy("id")
+      },
+      Some("""
+        WITH RECURSIVE
+          pairs AS (
+            SELECT doc_id AS id_a, doc_id + 1 AS id_b
+            FROM documents WHERE doc_id % 10 < 3
+            UNION ALL
+            SELECT doc_id AS id_a, doc_id + 10 AS id_b
+            FROM documents WHERE doc_id % 50 = 0),
+          edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs),
+          walk(u, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN edges e ON w.r = e.u)
+        SELECT u AS id, min(r) AS component FROM walk GROUP BY u
+        ORDER BY id""")),
+
     Q("ann_bruteforce",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -120,6 +159,25 @@ object NearDupQueries {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val index = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        graft.sim.Ivf.topK(index, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // The SAME probe through a PERSISTED index: train, write (partitioned
+    // by cell id), re-open without retraining, probe — exercising
+    // writeIndex/readIndex/manifest-validation/partition-pruning under the
+    // driver gate, not just IvfSpec. Deterministic seeds → identical rows
+    // to `ann_ivf` (the write/read round-trip must not move results).
+    Q("ann_ivf_persisted",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val trained = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+        graft.sim.Ivf.writeIndex(trained, tmp)
+        trained.release()
+        val index = graft.sim.Ivf.readIndex(s, tmp)
         graft.sim.Ivf.topK(index, e.filter(col("vec_id") < 5),
             "vec_id", "embedding", k = 10, nprobe = 2)
           .orderBy("query_id", "rank")

@@ -50,11 +50,24 @@ object Ivf {
     * the two-level path caps per-row work at O(√k·dim). */
   val SingleLevelMaxK = 256
 
+  /** Index metadata, persisted as `manifest.json` by [[writeIndex]] and
+    * validated by [[readIndex]]/[[topK]]. Without it a re-opened index
+    * probed with wrong-dimension vectors fails only via
+    * [[graft.functions.VecCosine]]'s NULL-on-length-mismatch semantics —
+    * i.e. silently, mid-query, with empty-ish results. The manifest turns
+    * that into a plan-time raise, matching the fail-loudly contract the
+    * MinHash stored-index path already has (k-mismatch raises). */
+  final case class IvfMeta(dim: Int, kc: Int, numCells: Long, metric: String,
+                           iters: Int, seed: Long)
+
   /** `coarse`: Kc rows (_gf_ccid, _gf_ccv). `cells`: ≈K rows
     * (_gf_ccid, _gf_cid, _gf_cv), cached. `indexed`: corpus rows
-    * (_gf_cid, _gf_id, _gf_v). */
+    * (_gf_cid, _gf_id, _gf_v). `meta`: train-time parameters — always
+    * present for [[train]]ed and [[readIndex]]-ed indices; None only for
+    * hand-assembled frames (then dim validation is skipped). */
   final case class IvfIndex(coarse: DataFrame, cells: DataFrame,
-                            indexed: DataFrame) {
+                            indexed: DataFrame,
+                            meta: Option[IvfMeta] = None) {
     /** Number of fine cells actually trained (≈ the requested k). */
     def numCells: Long = cells.count()
 
@@ -233,7 +246,9 @@ object Ivf {
     // training is done with baseC; consumers of the (lazy) indexed plan
     // recompute the coarse assignment once per action, as before
     if (kc > 1) baseC.unpersist(false)
-    IvfIndex(coarse, cells, indexed)
+    val dim = coarseSeq.headOption.map(_.length).getOrElse(0)
+    IvfIndex(coarse, cells, indexed,
+      Some(IvfMeta(dim, kc, cells.count(), "cosine", iters, seed)))
   }
 
   /** Persist a trained index: `coarse` and `cells` as plain parquet,
@@ -249,6 +264,25 @@ object Ivf {
     index.cells.write.mode("overwrite").parquet(s"$path/cells")
     index.indexed.repartition(col("_gf_cid"))
       .write.mode("overwrite").partitionBy("_gf_cid").parquet(s"$path/indexed")
+    // Manifest last: its presence marks a complete index. A hand-assembled
+    // index (meta = None) derives dim/Kc/K from the frames; iters/seed are
+    // then unknown (-1).
+    val m = index.meta.getOrElse {
+      val dim = index.cells.select(size(col("_gf_cv"))).limit(1)
+        .collect().headOption.map(_.getInt(0)).getOrElse(0)
+      IvfMeta(dim, index.coarse.count().toInt, index.cells.count(),
+        "cosine", -1, -1L)
+    }
+    val json =
+      s"""{"format": "graft-ivf-v1", "dim": ${m.dim}, "kc": ${m.kc}, """ +
+        s""""num_cells": ${m.numCells}, "metric": "${m.metric}", """ +
+        s""""iters": ${m.iters}, "seed": ${m.seed}}"""
+    val spark = index.coarse.sparkSession
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Re-open a persisted index without retraining. The partition column
@@ -258,12 +292,58 @@ object Ivf {
     * cache them via `index.coarse.cache()` if a driver probes in a tight
     * loop, and release with [[IvfIndex.release]]. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val meta = readManifest(spark, path)
     val coarse = spark.read.parquet(s"$path/coarse")
     val cells = spark.read.parquet(s"$path/cells")
     val indexed = spark.read.parquet(s"$path/indexed")
       .select(col("_gf_cid").cast("long").as("_gf_cid"),
         col("_gf_id"), col("_gf_v"))
-    IvfIndex(coarse, cells, indexed)
+    // one tiny job (limit-1 over the K-row cell table) pins the manifest
+    // to the data it describes — a swapped/mixed index dir fails HERE, at
+    // open time, not as NULL cosines mid-probe
+    cells.select(size(col("_gf_cv"))).limit(1).collect().headOption.foreach { r =>
+      if (r.getInt(0) != meta.dim) throw new IllegalArgumentException(
+        s"IVF index at $path is inconsistent: manifest says dim=${meta.dim} " +
+          s"but cell centroids have dim=${r.getInt(0)} — the manifest does " +
+          "not belong to this data; retrain or restore the matching files")
+    }
+    IvfIndex(coarse, cells, indexed, Some(meta))
+  }
+
+  /** Parse + validate `manifest.json`. Fails loudly on a missing or
+    * corrupt manifest — an index dir without one is not a graft IVF index
+    * (or was written by a pre-manifest version; re-write it with
+    * [[writeIndex]]). */
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                           path: String): IvfMeta = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"$path/manifest.json is missing — not a graft IVF index (or written " +
+        "by a pre-manifest version); re-create it with Ivf.writeIndex")
+    val in = fs.open(mp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m =
+      try {
+        // JSON is valid YAML flow syntax; SnakeYAML is already on the classpath
+        val y = new org.yaml.snakeyaml.Yaml()
+          .load[java.util.Map[String, Object]](txt)
+        def num(k: String): Long = y.get(k) match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"field '$k' is ${if (other == null) "missing" else other.toString}")
+        }
+        IvfMeta(num("dim").toInt, num("kc").toInt, num("num_cells"),
+          String.valueOf(y.get("metric")), num("iters").toInt, num("seed"))
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path/manifest.json is corrupt: ${e.getMessage}", e)
+      }
+    if (m.dim <= 0 || m.numCells <= 0) throw new IllegalArgumentException(
+      s"$path/manifest.json is corrupt: dim=${m.dim}, num_cells=${m.numCells}")
+    m
   }
 
   /** Multi-probe assignment: each corpus row tagged with its `p` nearest
@@ -319,15 +399,37 @@ object Ivf {
       .select("_gf_qid", "_gf_qv", "_gf_cid")
     val w = Window.partitionBy("_gf_qid")
       .orderBy(col("_gf_cos").desc, col("_gf_id"))
-    // Static cell pruning (see contract above): one extra dimension-sized
-    // job computes the probed cell ids; the IN filter partition-prunes a
-    // cid-partitioned on-disk index down to the probed cells' files.
-    val probedCids = probes.select("_gf_cid").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // Static cell pruning (see contract above): the probe subplan
+    // (crossJoin + two windows + a cells join) is executed EXACTLY ONCE —
+    // one dimension-sized collect — and both consumers derive from the
+    // collected rows: the distinct cell ids become the static IN filter
+    // that partition-prunes a cid-partitioned on-disk index down to the
+    // probed cells' files, and the rows themselves become a LocalRelation
+    // broadcast as the rerank join side. (Re-referencing `probes` in the
+    // join would re-execute the whole subplan a second time.)
+    val spark = queries.sparkSession
+    val probeRows = probes.collect()
+    // dim validation rides the collect for free: the probe rows carry the
+    // query vectors, and VecCosine's length-mismatch semantics are
+    // NULL-not-raise — without this check a wrong-dim query batch against
+    // a [[readIndex]]-ed index would return silently wrong results
+    index.meta.foreach { m =>
+      val qvIdx = probes.schema.fieldIndex("_gf_qv")
+      probeRows.headOption.foreach { r =>
+        val qd = r.getSeq[Any](qvIdx).length
+        if (qd != m.dim) throw new IllegalArgumentException(
+          s"query vector dim $qd does not match index dim ${m.dim} " +
+            "(manifest) — wrong index or wrong embedding column")
+      }
+    }
+    val cidIdx = probes.schema.fieldIndex("_gf_cid")
+    val probedCids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val pruned =
       if (probedCids.isEmpty) index.indexed.filter(lit(false))
       else index.indexed.filter(col("_gf_cid").isin(probedCids: _*))
-    pruned.join(broadcast(probes), Seq("_gf_cid"))
+    pruned.join(broadcast(probesLocal), Seq("_gf_cid"))
       .withColumn("_gf_cos", GraftFunctions.vecCosine(col("_gf_v"), col("_gf_qv")))
       .withColumn("_gf_rank", row_number().over(w))
       .filter(col("_gf_rank") <= k)

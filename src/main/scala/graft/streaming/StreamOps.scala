@@ -39,19 +39,63 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Timeout conf for the stateful builders below: a defined `idleTimeout`
-    * opts into processing-time expiry of idle keys.
+  /** How a stateful builder's `idleTimeout` is measured (`ttlMode`):
     *
-    * Engine note: with ProcessingTimeTimeout Spark keeps scheduling
+    *  - `"processing"` — wall clock at the trigger
+    *    (ProcessingTimeTimeout). Right for live traffic; WRONG under
+    *    replay/backfill, where a fast-replayed historical stream covers
+    *    days of event time in seconds of wall time and nothing expires
+    *    (or, with slow replay, everything expires mid-stream).
+    *  - `"event"` — stream time (EventTimeTimeout): a key expires when
+    *    the WATERMARK passes its last event's time + `idleTimeout`. The
+    *    replay-correct variant — expiry is a function of the data, so a
+    *    backfill reproduces exactly the live run's expiry points. The
+    *    input is watermarked on `tsCol` with `delay` (which also drops
+    *    rows later than the watermark, the standard stateful-op
+    *    contract).
+    *
+    * Engine notes: with ProcessingTimeTimeout Spark keeps scheduling
     * no-data batches to check expiry (`FlatMapGroupsWithStateExec
     * .shouldRunAnotherBatch` is unconditionally true for that conf), so
-    * (a) pair `idleTimeout` with an explicit processing-time trigger in
-    * production or the micro-batch loop spins back-to-back, and (b)
+    * (a) pair it with an explicit processing-time trigger in production
+    * or the micro-batch loop spins back-to-back, and (b)
     * `StreamingQuery.processAllAvailable()` never observes an idle stream
-    * — await sink contents instead (see StreamingSpec.awaitUntil). */
-  private def timeoutConf(idleTimeout: Option[String]): GroupStateTimeout =
-    if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-    else GroupStateTimeout.NoTimeout
+    * — await sink contents instead (see StreamingSpec.awaitUntil). With
+    * EventTimeTimeout expiry only fires when the watermark ADVANCES —
+    * i.e. when newer data arrives on some key; a fully idle stream
+    * expires nothing (by design: stream time has not passed). On batch
+    * frames timeouts never fire under either mode; the builders fold each
+    * group exactly once. */
+  val ProcessingTimeTtl = "processing"
+  val EventTimeTtl = "event"
+
+  private def eventMode(ttlMode: String): Boolean = ttlMode match {
+    case ProcessingTimeTtl => false
+    case EventTimeTtl => true
+    case other => throw new IllegalArgumentException(
+      s"ttlMode must be '$ProcessingTimeTtl' or '$EventTimeTtl', got '$other'")
+  }
+
+  private def timeoutConf(idleTimeout: Option[String],
+                          event: Boolean): GroupStateTimeout =
+    if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout
+    else if (event) GroupStateTimeout.EventTimeTimeout
+    else GroupStateTimeout.ProcessingTimeTimeout
+
+  /** Arm the configured TTL after a group's state update. Event-time mode
+    * anchors expiry at the max event time the group saw this trigger,
+    * floored just above the current watermark (Spark rejects a timeout
+    * timestamp at or below it — a group whose latest event is already
+    * behind the watermark still gets a legal, soonest-possible expiry). */
+  private def armTtl(state: org.apache.spark.sql.streaming.GroupState[_],
+                     idleTimeout: Option[String], event: Boolean,
+                     maxEventMs: Long): Unit =
+    idleTimeout.foreach { d =>
+      if (event) {
+        val base = math.max(maxEventMs, state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(base, d)
+      } else state.setTimeoutDuration(d)
+    }
 
   /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch
     * for semantics `window()`/`session_window()` can't express. Emits the
@@ -63,27 +107,53 @@ object StreamOps {
     * state EXPIRED (processing-time timeout, checked at each trigger) and
     * a later event restarts its totals from zero — boundedness traded for
     * forgetting idle keys, the standard production setting. No timeout
-    * (default) keeps totals exact forever at O(#users) state. */
+    * (default) keeps totals exact forever at O(#users) state.
+    * `ttlMode = "event"` measures the idle window in STREAM time (see the
+    * ttlMode doc above) — the replay/backfill-correct variant; it
+    * watermarks `tsCol` with `delay` and anchors each key's expiry at its
+    * last event's time. */
   def runningUserTotals(events: DataFrame,
-                        idleTimeout: Option[String] = None): DataFrame = {
+                        idleTimeout: Option[String] = None,
+                        ttlMode: String = ProcessingTimeTtl,
+                        tsCol: String = "ts",
+                        delay: String = "2 hours"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // Batch frames never time out under either mode; disarming the TTL on
+    // the event-mode batch path also keeps the fold off the (streaming-
+    // only) watermark accessor.
+    val ev = eventMode(ttlMode) && idleTimeout.isDefined && events.isStreaming
+    val ttl = if (eventMode(ttlMode) && !events.isStreaming) None else idleTimeout
+    val src = if (ev) events.withWatermark(tsCol, delay) else events
+    // Event-time TTL: the WATERMARKED COLUMN ITSELF must survive into the
+    // state operator's input (Spark tracks the watermark via attribute
+    // metadata, which any derived expression strips — projecting
+    // `unix_millis(ts)` instead of `ts` fails analysis with "Event-time
+    // timeout not supported without watermark"). So the raw timestamp
+    // rides the tuple; rows without one still count toward the total but
+    // not the TTL anchor.
+    val tsRaw = if (ev) col(tsCol) else lit(null).cast("timestamp")
     // Event streams routinely carry null user_id/value rows; the (Long,
     // Double) tuple encoder would throw on them. Policy: an event with no
     // user or no value contributes to no user's running total — drop it.
-    events.select(col("user_id").cast("long"), col("value").cast("double"))
+    src.select(col("user_id").cast("long"), col("value").cast("double"),
+        tsRaw.as("_gf_ts"))
       .na.drop(Seq("user_id", "value"))
-      .as[(Long, Double)]
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), UserRunning](
-        OutputMode.Update, timeoutConf(idleTimeout)) {
+        OutputMode.Update, timeoutConf(ttl, ev)) {
         case (uid, it, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var (n, total) = state.getOption.getOrElse((0L, 0.0))
-            it.foreach { case (_, v) => n += 1; total += v }
+            var maxMs = Long.MinValue
+            it.foreach { case (_, v, t) =>
+              n += 1; total += v
+              if (t != null && t.getTime > maxMs) maxMs = t.getTime
+            }
             state.update((n, total))
-            idleTimeout.foreach(state.setTimeoutDuration)
+            armTtl(state, ttl, ev, maxMs)
             Iterator(UserRunning(uid, n, total))
           }
       }.toDF()
@@ -139,17 +209,20 @@ object StreamOps {
     * That is the standard low-state streaming-funnel trade; run the
     * batch funnel over the archived log where exactness matters. On a
     * batch frame all events form one group, so the fold IS exact.
-    * `idleTimeout` (processing-time) expires an idle user's progress —
-    * their next event restarts the funnel at step 0. */
+    * `idleTimeout` expires an idle user's progress — their next event
+    * restarts the funnel at step 0; `ttlMode = "event"` measures the idle
+    * window in stream time (watermarked on `ts` with `delay` — the
+    * replay-correct variant, see the ttlMode doc above). */
   def streamingFunnel(events: DataFrame, steps: Seq[String],
-                      idleTimeout: Option[String] = None): DataFrame = {
+                      idleTimeout: Option[String] = None,
+                      ttlMode: String = ProcessingTimeTtl,
+                      delay: String = "2 hours"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps — a repeated name would " +
         "map every occurrence to its last index and make earlier steps unreachable")
     val spark = events.sparkSession
     import spark.implicits._
-    val stepIdx = steps.zipWithIndex.toMap
     def advances(uid: Long, sorted: Seq[(Long, Int)],
                  from: (Int, Long)): (Seq[FunnelAdvance], (Int, Long)) = {
       var (reached, reachedTs) = from
@@ -162,27 +235,36 @@ object StreamOps {
       }
       (out.result(), (reached, reachedTs))
     }
-    val typed = events
+    val ev = eventMode(ttlMode) && idleTimeout.isDefined && events.isStreaming
+    val ttl = if (eventMode(ttlMode) && !events.isStreaming) None else idleTimeout
+    val src = if (ev) events.withWatermark("ts", delay) else events
+    // step name → index as a SQL map literal, not a typed .map: the
+    // object round-trip would strip the watermark metadata the event-time
+    // timeout needs (and cost a ser/deser pass besides); the raw `ts`
+    // column rides the tuple for the same reason (see runningUserTotals).
+    val stepMap = map(steps.zipWithIndex.flatMap {
+      case (s0, i) => Seq(lit(s0), lit(i)) }: _*)
+    val typed = src
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isin(steps: _*))
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
-        col("event_type"))
-      .as[(Long, Long, String)]
-      .map { case (u, us, t) => (u, us, stepIdx(t)) }
+        element_at(stepMap, col("event_type")), col("ts"))
+      .as[(Long, Long, Int, java.sql.Timestamp)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Int, Long), FunnelAdvance](
-        OutputMode.Append, timeoutConf(idleTimeout)) {
+        OutputMode.Append, timeoutConf(ttl, ev)) {
         case (uid, it, state) =>
           // An expired funnel forgets its progress: a user idle past
           // `idleTimeout` restarts at step 0 on their next event.
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = it.map { case (_, us, idx) => (us, idx) }.toSeq
+            val sorted = it.map { case (_, us, idx, _) => (us, idx) }.toSeq
               .sortBy(identity)
             val (rows, next) =
               advances(uid, sorted, state.getOption.getOrElse((-1, Long.MinValue)))
             state.update(next)
-            idleTimeout.foreach(state.setTimeoutDuration)
+            armTtl(state, ttl, ev,
+              if (sorted.isEmpty) Long.MinValue else sorted.last._1 / 1000L)
             rows.iterator
           }
       }.toDF()
@@ -205,12 +287,16 @@ object StreamOps {
     * batch window up to double-vs-decimal accumulation in the last ulp
     * (z is rounded to 4 dp before the threshold test, exactly like the
     * batch operator — an unrounded test would flip boundary flags).
-    * `idleTimeout` (processing-time) expires an idle key's ring; its next
-    * event restarts cold (null z until the frame refills). */
+    * `idleTimeout` expires an idle key's ring; its next event restarts
+    * cold (null z until the frame refills). `ttlMode = "event"` measures
+    * the idle window in stream time (watermarked on `ts` with `delay` —
+    * the replay-correct variant, see the ttlMode doc above). */
   def streamingAnomaly(events: DataFrame, frame: Int = 20,
                        threshold: Double = 3.0,
                        tiebreakCol: Option[String] = None,
-                       idleTimeout: Option[String] = None): DataFrame = {
+                       idleTimeout: Option[String] = None,
+                       ttlMode: String = ProcessingTimeTtl,
+                       delay: String = "2 hours"): DataFrame = {
     require(frame >= 2, s"frame must be >= 2, got $frame")
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val spark = events.sparkSession
@@ -220,23 +306,30 @@ object StreamOps {
     val tb = tiebreakCol
       .map(c => coalesce(col(c).cast("long"), lit(Long.MinValue)))
       .getOrElse(lit(0L))
-    val typed = events
+    val ev = eventMode(ttlMode) && idleTimeout.isDefined && events.isStreaming
+    val ttl = if (eventMode(ttlMode) && !events.isStreaming) None else idleTimeout
+    val src = if (ev) events.withWatermark("ts", delay) else events
+    // raw `ts` rides the tuple: the event-time timeout needs the
+    // watermarked column itself in the state operator's input (see
+    // runningUserTotals)
+    val typed = src
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("value").isNotNull)
       .select(col("user_id").cast("long"), unix_micros(col("ts")), tb,
-        col("value").cast("double"))
-      .as[(Long, Long, Long, Double)]
+        col("value").cast("double"), col("ts"))
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[Vector[Double], AnomalyScore](
-        OutputMode.Append, timeoutConf(idleTimeout)) {
+        OutputMode.Append, timeoutConf(ttl, ev)) {
         case (uid, it, state) =>
           // An expired ring restarts cold: the next event scores as if the
           // key's series just began (null z until the frame refills).
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
           var ring = state.getOption.getOrElse(Vector.empty[Double])
-          val out = it.map { case (_, us, t, v) => (us, t, v) }.toSeq
+          val sorted = it.map { case (_, us, t, v, _) => (us, t, v) }.toSeq
             .sortBy(identity)
+          val out = sorted
             .map { case (us, _, v) =>
               val win = ring :+ v // trailing frame INCLUDING current
               val n = win.size
@@ -256,7 +349,8 @@ object StreamOps {
               AnomalyScore(uid, us, v, z, z.exists(math.abs(_) > threshold))
             }
           state.update(ring)
-          idleTimeout.foreach(state.setTimeoutDuration)
+          armTtl(state, ttl, ev,
+            if (sorted.isEmpty) Long.MinValue else sorted.last._1 / 1000L)
           out.iterator
           }
       }.toDF()

@@ -131,6 +131,74 @@ class IvfSpec extends SparkSpec {
     trained.release()
   }
 
+  test("topK executes the probe subplan ONCE: rerank side is the collected local relation") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val index = Ivf.train(df, "vec_id", "embedding", k = 3, iters = 2)
+    val res = Ivf.topK(index, df.filter(col("vec_id") === 7L),
+      "vec_id", "embedding", k = 3, nprobe = 1)
+    val plan = res.queryExecution.optimizedPlan
+    // the r6 regression shape: `probes` consumed once by the IN-filter
+    // collect and AGAIN as the broadcast join side — two executions of the
+    // crossJoin+windows subplan. The fix collects once; the join side must
+    // therefore be a LocalRelation of the collected rows, with no window
+    // operator left anywhere in the final query.
+    val locals = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(locals.nonEmpty,
+      "rerank side must be the pre-collected probe rows (LocalRelation)")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size <= 1, // the final top-k ranking window only
+      s"probe-subplan windows must not re-execute in the rerank query:\n$plan")
+  }
+
+  test("manifest round-trips, and missing/corrupt/mismatched manifests fail loudly") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val trained = Ivf.train(df, "vec_id", "embedding", k = 3, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-m").toString
+    Ivf.writeIndex(trained, dir)
+
+    val index = Ivf.readIndex(spark, dir)
+    assert(index.meta.exists(m =>
+      m.dim == 8 && m.numCells == 3 && m.metric == "cosine" && m.seed == 42L))
+
+    // wrong-dim query batch: plan-time raise, not VecCosine's silent NULLs
+    val badQ = (0 until 3).map(i => (i.toLong, Array.fill(5)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Ivf.topK(index, badQ, "vec_id", "embedding", k = 3, nprobe = 1).collect()
+    }
+    assert(e1.getMessage.contains("dim"))
+
+    val mp = java.nio.file.Paths.get(dir, "manifest.json")
+    // Hadoop's local FS wrote a .crc sidecar; editing the file behind its
+    // back must drop it or every read fails as a checksum error instead of
+    // exercising the manifest validation under test.
+    val crc = java.nio.file.Paths.get(dir, ".manifest.json.crc")
+    def rewrite(content: String): Unit = {
+      java.nio.file.Files.write(mp, content.getBytes)
+      java.nio.file.Files.deleteIfExists(crc): Unit
+    }
+    // manifest that does not describe this data (dim mismatch) → open fails
+    rewrite("""{"format": "graft-ivf-v1", "dim": 5, "kc": 1, "num_cells": 3,
+        |"metric": "cosine", "iters": 2, "seed": 42}""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] { Ivf.readIndex(spark, dir) }
+    assert(e2.getMessage.contains("inconsistent"))
+
+    // corrupt manifest → open fails
+    rewrite("[1, 2, oops")
+    val e3 = intercept[IllegalArgumentException] { Ivf.readIndex(spark, dir) }
+    assert(e3.getMessage.contains("corrupt"))
+
+    // missing manifest → open fails (pre-manifest dirs are not silently ok)
+    java.nio.file.Files.delete(mp)
+    val e4 = intercept[IllegalArgumentException] { Ivf.readIndex(spark, dir) }
+    assert(e4.getMessage.contains("manifest"))
+    trained.release()
+  }
+
   test("k >= 4096 trains in reasonable time (the k ~ n/targetCell sizing)") {
     // 8192 pseudo-random vectors in R^8; k=4096 targets ~2 vectors/cell.
     // The r4 literal-argmin design could not codegen this (4096 centroid

@@ -71,4 +71,32 @@ class SkewSpec extends SparkSpec {
     assert(exchanges.exists(l => l.contains("_w")),
       s"pre-thin exchange should carry the projected salt column:\n$p")
   }
+
+  test("capPerGroupAuto routes skew to pre-thin and uniform data to the direct plan") {
+    def exchanges(d: org.apache.spark.sql.DataFrame): Int = d.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    def keySet(d: org.apache.spark.sql.DataFrame) = d.select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // the 90%-one-group fixture: auto must pick the pre-thin plan WITHOUT
+    // the caller passing preThin, and the winner set must stay exact
+    val hot = ((1L to 450L).map(i => (i, "hot")) ++
+      (451L to 500L).map(i => (i, s"cold${i % 5}"))).toDF("doc_id", "source")
+    val auto = graft.ops.Quota.capPerGroupAuto(hot, "source", "doc_id",
+      n = 7, preThinBuckets = 8)
+    assert(exchanges(auto) == 2,
+      "skewed fixture must take the two-exchange pre-thin plan unprompted")
+    assert(keySet(auto) ===
+      keySet(graft.ops.Quota.capPerGroup(hot, "source", "doc_id", n = 7)))
+
+    // a uniform fixture must NOT pay the extra pass
+    val uniform = (1L to 500L).map(i => (i, s"g${i % 10}")).toDF("doc_id", "source")
+    val autoU = graft.ops.Quota.capPerGroupAuto(uniform, "source", "doc_id",
+      n = 7, preThinBuckets = 8)
+    assert(exchanges(autoU) == 1,
+      "uniform fixture must keep the single-window direct plan")
+    assert(keySet(autoU) ===
+      keySet(graft.ops.Quota.capPerGroup(uniform, "source", "doc_id", n = 7)))
+  }
 }

@@ -350,6 +350,47 @@ class StreamingSpec extends SparkSpec {
       s"state should have expired between user 1's events, got $u1")
   }
 
+  test("event-time TTL survives a fast replay that would expire by wall clock, then expires by stream time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+    // TTL = 10 STREAM-minutes. The replay below delivers events 5
+    // stream-minutes apart with a 300 ms wall-clock gap — under the
+    // processing-time mode's 1 ms TTL (the existing test above) that gap
+    // expires state; in event mode the stream time elapsed is 5 min < TTL,
+    // so the totals must accumulate — the replay/backfill-correct behavior.
+    val q = StreamOps.runningUserTotals(streamDf,
+        idleTimeout = Some("10 minutes"), ttlMode = StreamOps.EventTimeTtl,
+        delay = "1 minutes")
+      .writeStream.format("memory").queryName("running_evttl")
+      .outputMode("update").start()
+    def u1 = spark.table("running_evttl").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+
+    mem.addData((ts(0), "click", 5.0, 1L))
+    q.processAllAvailable()
+    Thread.sleep(300) // wall-clock idle ≫ stream-time idle
+    mem.addData((ts(5), "click", 7.0, 1L))
+    q.processAllAvailable()
+    assert(u1.contains((2L, 12.0)),
+      s"event-time TTL must not expire mid-replay (5 stream-min < 10): $u1")
+
+    // now stream time DOES pass: user 2's event at minute 30 pushes the
+    // watermark (delay 1 min → 10:29) past user 1's last event + TTL
+    // (10:05 + 10 = 10:15) → user 1's state expires; their return at
+    // minute 35 restarts from zero
+    mem.addData((ts(30), "click", 1.0, 2L))
+    q.processAllAvailable()
+    mem.addData((ts(35), "click", 3.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    assert(u1.contains((1L, 3.0)),
+      s"user 1 should restart after stream-time expiry, got $u1")
+    assert(!u1.contains((3L, 15.0)),
+      s"user 1's pre-expiry totals must not survive, got $u1")
+  }
+
   test("idleTimeout expires streamingFunnel progress; the user re-enters at step 0") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
