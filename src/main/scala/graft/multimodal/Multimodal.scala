@@ -164,6 +164,111 @@ object Multimodal {
     }(Encoders.product[WavMeta]).toDF()
   }
 
+  /** Extracted video-container metadata row ([[decodeVideo]]). */
+  final case class Mp4Meta(asset_id: Long, n_bytes: Long, duration_ms: Long,
+                           timescale: Long, n_tracks: Int, brand: String,
+                           format: String)
+
+  /** Video twin of [[decode]]: MP4 / ISO-BMFF box walking (ISO 14496-12) —
+    * pure byte arithmetic, no codec library. Boxes are
+    * `[u32 size]["4cc" type]`; `size == 1` switches to a u64 largesize at
+    * +8, `size == 0` means to-end-of-file (both §4.2). The top-level walk
+    * reads the `ftyp` major brand, then inside `moov` reads `mvhd`
+    * (version 0: u32 timescale/duration at payload +12/+16; version 1:
+    * 64-bit times, timescale at +20, u64 duration at +24) and counts
+    * `trak` children. `duration_ms = duration · 1000 / timescale` in
+    * integer arithmetic. Anything malformed — truncated box, size < 8,
+    * missing moov/mvhd, zero timescale — degrades to a deterministic stub
+    * row with format "unknown", the same loud-but-flowing policy as the
+    * image/audio stubs: one corrupt asset in a 100 TB scan must not kill
+    * the stage. */
+  def decodeVideo(assetId: Long, rawBytes: Array[Byte]): Mp4Meta = {
+    val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
+    val n = bytes.length.toLong
+    def u8(i: Long): Int = bytes(i.toInt) & 0xff
+    def u32(i: Long): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
+    def cc(i: Long): String =
+      new String(Array(u8(i), u8(i + 1), u8(i + 2), u8(i + 3)).map(_.toByte),
+        java.nio.charset.StandardCharsets.US_ASCII)
+    val first = if (bytes.nonEmpty) u8(0) else 0
+    val stub = Mp4Meta(assetId, n, (n * 13 + first) % 600000L, 90000L,
+      (1 + n % 4).toInt, "none", "unknown")
+
+    // (payload start, box end) of the box headed at `i`, or None when the
+    // header lies about its size (negative, < header, past the buffer)
+    def bounds(i: Long, limit: Long): Option[(Long, Long)] = {
+      if (i + 8 > limit) return None
+      u32(i) match {
+        case 0 => Some((i + 8, limit)) // to end of enclosing scope
+        case 1 =>
+          if (i + 16 > limit) None
+          else {
+            val sz = u64(i + 8)
+            if (sz < 16 || i + sz > limit) None else Some((i + 16, i + sz))
+          }
+        case sz =>
+          if (sz < 8 || i + sz > limit) None else Some((i + 8, i + sz))
+      }
+    }
+
+    var brand = "none"
+    var i = 0L
+    var mvhd: Option[(Long, Long)] = None // (timescale, duration)
+    var tracks = 0
+    var sawMoov = false
+    while (i < n) {
+      bounds(i, n) match {
+        case None => return stub
+        case Some((p, end)) =>
+          cc(i + 4) match {
+            case "ftyp" if p + 4 <= end => brand = cc(p)
+            case "moov" =>
+              sawMoov = true
+              var j = p
+              while (j < end) {
+                bounds(j, end) match {
+                  case None => return stub
+                  case Some((cp, cend)) =>
+                    cc(j + 4) match {
+                      case "mvhd" if cp + 4 <= cend =>
+                        val v = u8(cp)
+                        mvhd =
+                          if (v == 0 && cp + 20 <= cend)
+                            Some((u32(cp + 12), u32(cp + 16)))
+                          else if (v == 1 && cp + 32 <= cend)
+                            Some((u32(cp + 20), u64(cp + 24)))
+                          else return stub // truncated or unknown version
+                      case "trak" => tracks += 1
+                      case _ => ()
+                    }
+                    j = cend
+                }
+              }
+            case _ => ()
+          }
+          i = end
+      }
+    }
+    mvhd match {
+      case Some((ts, dur)) if sawMoov && ts > 0 && dur >= 0 =>
+        Mp4Meta(assetId, n, dur * 1000L / ts, ts, tracks, brand, "mp4")
+      case _ => stub
+    }
+  }
+
+  /** Batch video-metadata extraction — same mapPartitions codec shape as
+    * [[decodeMeta]]; pair with [[frameSamplePlan]] for the sampling plan. */
+  def decodeVideoMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val pair = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    pair.mapPartitions { it =>
+      it.map { case (id, bytes) => decodeVideo(id, bytes) }
+    }(Encoders.product[Mp4Meta]).toDF()
+  }
+
   /** Batch metadata extraction: (id, binary) -> AssetMeta via
     * mapPartitions — one iterator per partition, the batch shape a real
     * codec wants (amortized init, sequential IO). No shuffle. */

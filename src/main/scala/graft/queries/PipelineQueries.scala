@@ -22,6 +22,15 @@ object PipelineQueries {
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 17 === 0, lit(null)).otherwise(col("o_totalprice")))
 
+  /** mvhd payload tail shared by both mvhd versions (ISO 14496-12 §8.2.2):
+    * rate 1.0, volume 1.0, reserved, unity matrix, pre_defined,
+    * next_track_id — 80 bytes, 160 hex chars. Interpolated into BOTH the
+    * Spark blob build and the DuckDB oracle so the two can never drift. */
+  private val Mp4Tail: String =
+    "00010000" + "0100" + "0000" + ("00" * 8) +
+      "00010000" + ("00000000" * 3) + "00010000" + ("00000000" * 3) + "40000000" +
+      ("00" * 24) + "00000002"
+
   private def chainResult(r: Pipeline.Result) =
     r.df.select(col("o_orderkey"), col("o_orderstatus"),
       graft.Num.dround(col("o_totalprice"), 2).as("o_totalprice"))
@@ -302,6 +311,90 @@ object PipelineQueries {
                  ELSE CAST(('0x' || substr(hex(asset), 71, 2) || substr(hex(asset), 69, 2)) AS INT)
                END AS bits_per_sample,
                CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'wav' END AS format
+        FROM built ORDER BY asset_id""")),
+
+    // Video twin: MP4/ISO-BMFF blobs planted with per-doc mvhd
+    // timescale/duration and trak count — every 3rd doc version-0 mvhd,
+    // every 3rd+1 version-1 (64-bit times), the rest raw payload (stub).
+    // decodeVideo walks the box tree byte-for-byte; the oracle re-extracts
+    // the same header bytes from blob hex, deriving the trak count from
+    // the moov/mvhd SIZE fields (not the plant formula).
+    Q("multimodal_video",
+      (s, dir) => {
+        val payload = encode(col("text"), "UTF-8")
+        def hexN(c: Column, n: Int) = lpad(hex(c), n, "0")
+        val ts = lit(600) * (lit(1) + col("doc_id") % 5)
+        val dur = (col("doc_id") % 2977) * 37
+        val ntrak = lit(1) + col("doc_id") % 4
+        val ftyp = lit("00000014" + "66747970" + "69736F6D" + "00000200" + "6D703432")
+        val moovSize = when(col("doc_id") % 3 === 0, lit(116)).otherwise(lit(128)) +
+          ntrak * 8
+        val mvhd = when(col("doc_id") % 3 === 0,
+          concat(lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+            hexN(ts, 8), hexN(dur, 8), lit(Mp4Tail)))
+          .otherwise(
+            concat(lit("00000078" + "6D766864" + "01000000" + ("00" * 8) + ("00" * 8)),
+              hexN(ts, 8), hexN(dur, 16), lit(Mp4Tail)))
+        val traks = lit("000000087472616B" * 4).substr(lit(1), ntrak.cast("int") * 16)
+        val mp4Bytes = concat(unhex(concat(
+          ftyp, hexN(moovSize, 8), lit("6D6F6F76"), mvhd, traks,
+          hexN(length(payload) + 8, 8), lit("6D646174"))), payload)
+        val assets = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 3 === 2, payload).otherwise(mp4Bytes).as("asset"))
+        Multimodal.decodeVideoMeta(assets, "doc_id", "asset")
+          .orderBy("asset_id")
+      },
+      Some(s"""
+        WITH src AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        f AS (
+          SELECT doc_id, payload,
+                 600 * (1 + doc_id % 5) AS ts,
+                 (doc_id % 2977) * 37 AS dur,
+                 1 + doc_id % 4 AS ntrak
+          FROM src),
+        built AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 2 THEN payload
+                 ELSE unhex(
+                   '000000146674797069736F6D000002006D703432' ||
+                   lpad(hex(CASE WHEN doc_id % 3 = 0 THEN 116 ELSE 128 END + 8 * ntrak), 8, '0') ||
+                   '6D6F6F76' ||
+                   CASE WHEN doc_id % 3 = 0
+                     THEN '0000006C6D766864000000000000000000000000' ||
+                          lpad(hex(ts), 8, '0') || lpad(hex(dur), 8, '0')
+                     ELSE '000000786D76686401000000' || repeat('0', 32) ||
+                          lpad(hex(ts), 8, '0') || lpad(hex(dur), 16, '0')
+                   END || '$Mp4Tail' ||
+                   substr(repeat('000000087472616B', 4), 1, CAST(ntrak * 16 AS INT)) ||
+                   lpad(hex(octet_length(payload) + 8), 8, '0') || '6D646174') || payload
+                 END AS asset
+          FROM f)
+        SELECT doc_id AS asset_id,
+               CAST(octet_length(asset) AS BIGINT) AS n_bytes,
+               CASE WHEN doc_id % 3 = 2 THEN
+                   (octet_length(asset) * 13 +
+                    CASE WHEN octet_length(asset) > 0
+                         THEN CAST(('0x' || substr(hex(asset), 1, 2)) AS INT)
+                         ELSE 0 END) % 600000
+                 WHEN doc_id % 3 = 0 THEN
+                   (CAST(('0x' || substr(hex(asset), 105, 8)) AS BIGINT) * 1000) //
+                     CAST(('0x' || substr(hex(asset), 97, 8)) AS BIGINT)
+                 ELSE
+                   (CAST(('0x' || substr(hex(asset), 121, 16)) AS BIGINT) * 1000) //
+                     CAST(('0x' || substr(hex(asset), 113, 8)) AS BIGINT)
+               END AS duration_ms,
+               CASE WHEN doc_id % 3 = 2 THEN CAST(90000 AS BIGINT)
+                 WHEN doc_id % 3 = 0 THEN CAST(('0x' || substr(hex(asset), 97, 8)) AS BIGINT)
+                 ELSE CAST(('0x' || substr(hex(asset), 113, 8)) AS BIGINT)
+               END AS timescale,
+               CASE WHEN doc_id % 3 = 2
+                 THEN CAST(1 + octet_length(asset) % 4 AS INT)
+                 ELSE CAST((CAST(('0x' || substr(hex(asset), 41, 8)) AS INT) - 8 -
+                   CAST(('0x' || substr(hex(asset), 57, 8)) AS INT)) // 8 AS INT)
+               END AS n_tracks,
+               CASE WHEN doc_id % 3 = 2 THEN 'none'
+                 ELSE decode(unhex(substr(hex(asset), 17, 8))) END AS brand,
+               CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'mp4' END AS format
         FROM built ORDER BY asset_id""")),
 
     // Gap-based sessionization (session_window) — the same plan Structured

@@ -107,6 +107,65 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getAs[String]("format") == "unknown")
   }
 
+  test("decodeVideo walks MP4 boxes (mvhd v0/v1, largesize, trak count); stubs the rest") {
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val tail = "00010000" + "0100" + "0000" + ("00" * 8) +
+      "00010000" + ("00000000" * 3) + "00010000" + ("00000000" * 3) + "40000000" +
+      ("00" * 24) + "00000002"
+    val ftyp = "00000014" + "66747970" + "69736F6D" + "00000200" + "6D703432"
+    // v0 mvhd: timescale 600, duration 90000 -> 150000 ms; two traks
+    val v0 = hexBytes(ftyp +
+      "00000084" + "6D6F6F76" + // moov: 8 + 108 + 2*8
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "00000258" + "00015F90" + tail +
+      "00000008" + "7472616B" + "00000008" + "7472616B")
+    assert(Multimodal.decodeVideo(1L, v0) ==
+      Multimodal.Mp4Meta(1L, v0.length.toLong, 150000L, 600L, 2, "isom", "mp4"))
+    // v1 mvhd (64-bit times): timescale 1000, duration 7500 -> 7500 ms,
+    // one trak; mdat uses size==1 + u64 largesize (16-byte header only)
+    val v1 = hexBytes(ftyp +
+      "00000088" + "6D6F6F76" + // moov: 8 + 120 + 8
+      "00000078" + "6D766864" + "01000000" + ("00" * 8) + ("00" * 8) +
+      "000003E8" + ("00" * 4) + "00001D4C" + tail +
+      "00000008" + "7472616B" +
+      "00000001" + "6D646174" + "0000000000000010")
+    assert(Multimodal.decodeVideo(2L, v1) ==
+      Multimodal.Mp4Meta(2L, v1.length.toLong, 7500L, 1000L, 1, "isom", "mp4"))
+    // size==0 final box (extends to EOF) is legal and must not loop/stub
+    val v0free = hexBytes(ftyp +
+      "00000074" + "6D6F6F76" +
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "00000258" + "00015F90" + tail + "00000008" + "7472616B" +
+      "00000000" + "66726565" + "AABB")
+    assert(Multimodal.decodeVideo(3L, v0free).format == "mp4")
+    // non-video, truncated moov, zero timescale, lying box size, null:
+    // all degrade to the deterministic stub
+    val txt = "definitely not a movie".getBytes("UTF-8")
+    assert(Multimodal.decodeVideo(4L, txt) ==
+      Multimodal.Mp4Meta(4L, txt.length.toLong,
+        (txt.length * 13L + (txt(0) & 0xff)) % 600000L,
+        90000L, 1 + txt.length % 4, "none", "unknown"))
+    val truncated = hexBytes(ftyp + "00000070" + "6D6F6F76" + "0000006C")
+    assert(Multimodal.decodeVideo(5L, truncated).format == "unknown")
+    val zeroTs = hexBytes(ftyp +
+      "0000007C" + "6D6F6F76" + // moov: 8 + 108 + 8
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "00000000" + "00015F90" + tail + "00000008" + "7472616B")
+    assert(Multimodal.decodeVideo(6L, zeroTs).format == "unknown")
+    val lyingSize = hexBytes("00000003" + "66747970")
+    assert(Multimodal.decodeVideo(7L, lyingSize).format == "unknown")
+    assert(Multimodal.decodeVideo(8L, null).format == "unknown")
+    // batch path
+    val df = Seq((1L, v0), (2L, txt)).toDF("asset_id", "bytes")
+    val out = Multimodal.decodeVideoMeta(df, "asset_id", "bytes")
+      .orderBy("asset_id").collect()
+    assert(out(0).getAs[String]("format") == "mp4" &&
+      out(0).getAs[Long]("duration_ms") == 150000L &&
+      out(0).getAs[Int]("n_tracks") == 2)
+    assert(out(1).getAs[String]("format") == "unknown")
+  }
+
   test("frame sample plan emits stride offsets") {
     val meta = Seq((1L, 100L)).toDF("asset_id", "n_bytes")
     val out = Multimodal.frameSamplePlan(meta, frameBytes = 20, stride = 2).collect()(0)
