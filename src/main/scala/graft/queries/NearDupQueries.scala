@@ -223,7 +223,13 @@ object NearDupQueries {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val trained = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
-        val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+        // FIXED path per sf dir, not createTempDirectory: bench min-of-3
+        // and repeated driver runs re-invoke this builder, and a fresh dir
+        // per invocation would accumulate corpus-sized index copies in
+        // /tmp without bound. writeIndex overwrites, so the round trip
+        // under test is identical.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-q-" +
+          Integer.toHexString(dir.hashCode)
         graft.sim.Ivf.writeIndex(trained, tmp)
         trained.release()
         val index = graft.sim.Ivf.readIndex(s, tmp)

@@ -26,7 +26,7 @@ object PipelineQueries {
     * rate 1.0, volume 1.0, reserved, unity matrix, pre_defined,
     * next_track_id — 80 bytes, 160 hex chars. Interpolated into BOTH the
     * Spark blob build and the DuckDB oracle so the two can never drift. */
-  private val Mp4Tail: String =
+  private[graft] val Mp4Tail: String =
     "00010000" + "0100" + "0000" + ("00" * 8) +
       "00010000" + ("00000000" * 3) + "00010000" + ("00000000" * 3) + "40000000" +
       ("00" * 24) + "00000002"

@@ -219,7 +219,9 @@ object Ivf {
         (col("_gf_ccid").cast("long") * k + (col("_gf_rk") - 1)).as("_gf_cid"),
         col("_gf_v").as("_gf_cv"))
       .cache()
-    cells.count()
+    // the materializing count doubles as the cell tally for the manifest
+    // (Lloyd's left join preserves the row set, so it never changes)
+    var nCells = cells.count()
 
     for (_ <- 1 to iters) {
       val assigned = assignFine(baseC, cells) // (_gf_id, _gf_v, _gf_cid)
@@ -236,7 +238,7 @@ object Ivf {
         .select(col("_gf_ccid"), col("_gf_cid"),
           coalesce(col("_gf_nv"), col("_gf_cv")).as("_gf_cv"))
         .cache()
-      next.count()
+      nCells = next.count()
       cells.unpersist()
       cells = next
     }
@@ -248,7 +250,7 @@ object Ivf {
     if (kc > 1) baseC.unpersist(false)
     val dim = coarseSeq.headOption.map(_.length).getOrElse(0)
     IvfIndex(coarse, cells, indexed,
-      Some(IvfMeta(dim, kc, cells.count(), "cosine", iters, seed)))
+      Some(IvfMeta(dim, kc, nCells, "cosine", iters, seed)))
   }
 
   /** Persist a trained index: `coarse` and `cells` as plain parquet,
@@ -327,8 +329,14 @@ object Ivf {
       finally in.close()
     val m =
       try {
-        // JSON is valid YAML flow syntax; SnakeYAML is already on the classpath
-        val y = new org.yaml.snakeyaml.Yaml()
+        // JSON is valid YAML flow syntax; SnakeYAML is already on the
+        // classpath. SafeConstructor, NOT the default constructor: a
+        // manifest can arrive from a shared filesystem, and plain
+        // `new Yaml().load` instantiates arbitrary classes from `!!` tags
+        // — an unsafe-deserialization hole at index-open time.
+        val y = new org.yaml.snakeyaml.Yaml(
+            new org.yaml.snakeyaml.constructor.SafeConstructor(
+              new org.yaml.snakeyaml.LoaderOptions()))
           .load[java.util.Map[String, Object]](txt)
         def num(k: String): Long = y.get(k) match {
           case n: Number => n.longValue()
@@ -343,6 +351,13 @@ object Ivf {
       }
     if (m.dim <= 0 || m.numCells <= 0) throw new IllegalArgumentException(
       s"$path/manifest.json is corrupt: dim=${m.dim}, num_cells=${m.numCells}")
+    // topK unconditionally reranks with cosine; opening an index that
+    // declares any other metric (or none) would silently rank with the
+    // wrong distance — the exact divergence class the manifest exists to
+    // turn into a raise.
+    if (m.metric != "cosine") throw new IllegalArgumentException(
+      s"$path/manifest.json declares metric='${m.metric}' but this engine " +
+        "ranks with cosine only — refusing to probe with the wrong distance")
     m
   }
 
@@ -415,12 +430,15 @@ object Ivf {
     // a [[readIndex]]-ed index would return silently wrong results
     index.meta.foreach { m =>
       val qvIdx = probes.schema.fieldIndex("_gf_qv")
-      probeRows.headOption.foreach { r =>
-        val qd = r.getSeq[Any](qvIdx).length
-        if (qd != m.dim) throw new IllegalArgumentException(
-          s"query vector dim $qd does not match index dim ${m.dim} " +
-            "(manifest) — wrong index or wrong embedding column")
-      }
+      // EVERY row, not just the head: a union-built query batch can mix
+      // dims, and a single wrong-dim query would silently get NULL
+      // cosines. The rows are already on the driver — the scan is free.
+      val badDims = probeRows.iterator
+        .map(_.getSeq[Any](qvIdx).length).filter(_ != m.dim).toSet
+      if (badDims.nonEmpty) throw new IllegalArgumentException(
+        s"query vector dims ${badDims.toSeq.sorted.mkString(",")} do not " +
+          s"match index dim ${m.dim} (manifest) — wrong index or wrong " +
+          "embedding column")
     }
     val cidIdx = probes.schema.fieldIndex("_gf_cid")
     val probedCids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq

@@ -171,6 +171,15 @@ class IvfSpec extends SparkSpec {
       Ivf.topK(index, badQ, "vec_id", "embedding", k = 3, nprobe = 1).collect()
     }
     assert(e1.getMessage.contains("dim"))
+    // MIXED batch — correct-dim head row, wrong-dim tail: a head-only
+    // check would pass and the wrong-dim queries would silently get NULL
+    // cosines; every collected probe row must be validated
+    val mixedQ = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(5)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val eMix = intercept[IllegalArgumentException] {
+      Ivf.topK(index, mixedQ, "vec_id", "embedding", k = 3, nprobe = 1).collect()
+    }
+    assert(eMix.getMessage.contains("5"))
 
     val mp = java.nio.file.Paths.get(dir, "manifest.json")
     // Hadoop's local FS wrote a .crc sidecar; editing the file behind its
@@ -186,6 +195,17 @@ class IvfSpec extends SparkSpec {
         |"metric": "cosine", "iters": 2, "seed": 42}""".stripMargin)
     val e2 = intercept[IllegalArgumentException] { Ivf.readIndex(spark, dir) }
     assert(e2.getMessage.contains("inconsistent"))
+
+    // non-cosine metric → open fails (topK would rank with the wrong
+    // distance); a SnakeYAML `!!` class-instantiation tag must ALSO fail
+    // cleanly — SafeConstructor refuses it instead of deserializing
+    rewrite("""{"format": "graft-ivf-v1", "dim": 8, "kc": 1, "num_cells": 3,
+        |"metric": "l2", "iters": 2, "seed": 42}""".stripMargin)
+    val e5 = intercept[IllegalArgumentException] { Ivf.readIndex(spark, dir) }
+    assert(e5.getMessage.contains("metric"))
+    rewrite("""{"dim": !!java.lang.Runtime {}, "kc": 1}""")
+    val e6 = intercept[IllegalArgumentException] { Ivf.readIndex(spark, dir) }
+    assert(e6.getMessage.contains("corrupt"))
 
     // corrupt manifest → open fails
     rewrite("[1, 2, oops")

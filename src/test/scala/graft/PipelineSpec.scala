@@ -110,9 +110,9 @@ class PipelineSpec extends SparkSpec {
   test("decodeVideo walks MP4 boxes (mvhd v0/v1, largesize, trak count); stubs the rest") {
     def hexBytes(s: String): Array[Byte] =
       s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
-    val tail = "00010000" + "0100" + "0000" + ("00" * 8) +
-      "00010000" + ("00000000" * 3) + "00010000" + ("00000000" * 3) + "40000000" +
-      ("00" * 24) + "00000002"
+    // the query builder's constant, not a copy — a tail fix there must
+    // flow into these fixtures or they'd stop testing what ships
+    val tail = graft.queries.PipelineQueries.Mp4Tail
     val ftyp = "00000014" + "66747970" + "69736F6D" + "00000200" + "6D703432"
     // v0 mvhd: timescale 600, duration 90000 -> 150000 ms; two traks
     val v0 = hexBytes(ftyp +
