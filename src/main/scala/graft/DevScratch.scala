@@ -18,22 +18,45 @@ object DevScratch {
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      System.err.println(f"AB $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      System.err.println(f"AB $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
+
+    def relationalSignatures(df: org.apache.spark.sql.DataFrame,
+                             textCol: String, idCol: String,
+                             n: Int, k: Int) = {
+      val hashed = df
+        .select(col(idCol).as("_gf_id"),
+          explode(graft.dedup.MinHash.shingles(col(textCol), n)).as("_gf_s"))
+        .select(col("_gf_id"), xxhash64(col("_gf_s")).as("_gf_hh"))
+      hashed.groupBy("_gf_id")
+        .agg(min(xxhash64(col("_gf_hh"), lit(0))).as("_gf_m0"),
+          (1 until k).map(i => min(xxhash64(col("_gf_hh"), lit(i))).as(s"_gf_m$i")): _*)
+        .select(col("_gf_id"),
+          array((0 until k).map(i => col(s"_gf_m$i")): _*).as("_gf_sig"))
+    }
+
+    val corpus = graft.queries.NearDupQueries.truncatedCorpus(spark, dir)
     for (i <- 1 to 3) {
-      val corpus = graft.queries.NearDupQueries.truncatedCorpus(spark, dir)
-      val pairs = graft.dedup.MinHash.nearDuplicatePairs(corpus, "text", "doc_id",
-        n = 5, k = 64, bands = 16, threshold = 0.5)
-      val p0 = time(s"[$i] pairs materialize") {
-        val t = pairs.localCheckpoint(true); t.count(); t
+      time(s"[$i] kernel sigs") {
+        graft.dedup.MinHash.signatures(corpus, "text", "doc_id", 5, 64)
+          .queryExecution.toRdd.count()
       }
-      val (labels, rounds) = time(s"[$i] CC on materialized") {
-        val lr = graft.dedup.Components.componentLabelsWithRounds(p0)
-        lr._1.queryExecution.toRdd.count()
-        lr
+      time(s"[$i] relational sigs") {
+        relationalSignatures(corpus, "text", "doc_id", 5, 64)
+          .queryExecution.toRdd.count()
       }
-      System.err.println(s"AB [$i] rounds=$rounds")
+      time(s"[$i] shingles only") {
+        corpus.select(graft.dedup.MinHash.shingles(col("text"), 5).as("s"))
+          .queryExecution.toRdd.count()
+      }
+      time(s"[$i] kernel no-repart") {
+        corpus.select(col("doc_id"),
+            graft.functions.GraftFunctions.minhashSig(
+              graft.dedup.MinHash.shingles(col("text"), 5), 64).as("_gf_sig"))
+          .filter(col("_gf_sig").isNotNull)
+          .queryExecution.toRdd.count()
+      }
     }
     spark.stop()
   }

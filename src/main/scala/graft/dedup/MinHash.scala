@@ -28,15 +28,12 @@ object MinHash {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** K-element MinHash signature as a single Column — for one-off use on
-    * small data ONLY. The nested higher-order functions are interpreted
-    * and re-evaluated per lane; for datasets use [[signatures]] (the
-    * relational formulation) instead. */
-  def signature(shingleCol: Column, k: Int = 64): Column = {
-    val hashes = transform(shingleCol, s => xxhash64(s))
-    array((0 until k).map(i =>
-      array_min(transform(hashes, h => xxhash64(h, lit(i))))): _*)
-  }
+  /** K-element MinHash signature as a single Column — the codegen'd
+    * [[graft.functions.MinHashSig]] kernel (one generated loop per row;
+    * lane-exact with the historical relational/HOF formulations, which
+    * MinHashSigSpec pins). NULL/empty shingle arrays yield NULL. */
+  def signature(shingleCol: Column, k: Int = 64): Column =
+    graft.functions.GraftFunctions.minhashSig(shingleCol, k)
 
   /** Band hashes for LSH bucketing: `bands` buckets of `k/bands` signature
     * rows each. Two docs with Jaccard ~s collide in ≥1 band with
@@ -57,10 +54,21 @@ object MinHash {
   /** Per-id MinHash signature frame `(id, _gf_sig)` computed RELATIONALLY:
     * shingles explode to rows, each shingle hashes once, and the K lanes
     * are K codegen'd `min(xxhash64(h, seed))` aggregates with map-side
-    * partial combine. The equivalent nested higher-order-function
+    * partial combine (the exchange carries one combined row per doc, NOT
+    * the exploded shingles). The equivalent nested higher-order-function
     * formulation is interpreted per element and re-evaluates the whole
     * tokenize->shingle->hash chain in every lane after Project collapsing
-    * (measured ~40 ms/row vs <0.1 ms/row here). */
+    * (measured ~40 ms/row vs <0.1 ms/row here).
+    *
+    * Measured note (sf0.1, 32 threads): a per-row codegen'd kernel
+    * ([[graft.functions.MinHashSig]], used by [[signature]] for the
+    * per-row/streaming case) was ALSO tried as this frame's body +
+    * an (id, sig) repartition — it lost by ~1.8× (5.9 s vs 3.3 s for 11k
+    * docs). The partial aggregate already collapses the exchange to one
+    * row per doc, so the kernel saves no shuffle, and the fused
+    * whole-stage HashAggregate evaluates the 64 min-lanes faster than a
+    * per-row loop writing a local array. Shingling itself dominates both
+    * formulations; this one adds almost nothing on top of it. */
   def signatures(df: DataFrame, textCol: String, idCol: String,
                  n: Int, k: Int): DataFrame = {
     val hashed = df
@@ -193,6 +201,49 @@ object MinHash {
       .select(col("id_b").as("_gf_loser"))
     batch.join(withinLosers.unionByName(indexLosers),
       batch(idCol) === col("_gf_loser"), "left_anti")
+  }
+
+  /** Probe a STATIC stored signature index with incoming documents,
+    * emitting every (doc, index-doc) near-match pair — the stateless,
+    * STREAM-COMPATIBLE complement of [[incrementalNear]]: every step is a
+    * projection, an explode, or a stream-static equi-join, so `docs` may
+    * be a Structured Streaming frame (continuous-ingest dedup against
+    * yesterday's corpus) as well as a batch.
+    *
+    * Per incoming doc the signature is the per-row codegen'd
+    * [[graft.functions.MinHashSig]] kernel (no aggregation — a streaming
+    * frame cannot pay a groupBy before a join), band hashes explode, and
+    * candidates come from the equi-join against the index's band buckets;
+    * each candidate pays one exact estimator against the stored signature.
+    * The index side re-derives band buckets from the stored `(id, sig)`
+    * frame — a projection of the index, never a re-read of its text — and
+    * inherits [[bandBuckets]]' k-mismatch raise.
+    *
+    * Returns (id_d, id_i, est_jaccard) with est_jaccard >= threshold. On
+    * a batch frame pairs are distinct. On a STREAMING frame a pair that
+    * collides in several bands is emitted once per colliding band
+    * (deduplicating inside would need unbounded state); follow with
+    * `dropDuplicates` under a watermark when exactly-once pairs matter —
+    * the flag interpretation ("this doc matches the corpus") is
+    * unaffected by duplicates. */
+  def probePairs(docs: DataFrame, indexSigs: DataFrame,
+                 textCol: String, idCol: String,
+                 n: Int = 3, k: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val sigd = docs.select(col(idCol).as("id_d"),
+        signature(shingles(col(textCol), n), k).as("_gf_sig_d"))
+      .filter(col("_gf_sig_d").isNotNull)
+    val banded = sigd.select(col("id_d"), col("_gf_sig_d"),
+      posexplode(bandHashes(col("_gf_sig_d"), k, bands)).as(Seq("_gf_band", "_gf_bh")))
+    val matched = banded
+      .join(bandBuckets(indexSigs, k, bands, "id_i"), Seq("_gf_band", "_gf_bh"))
+      .join(indexSigs.select(col("_gf_id").as("id_i"), col("_gf_sig").as("_gf_sig_i")),
+        Seq("id_i"))
+      .select(col("id_d"), col("id_i"),
+        estJaccard(col("_gf_sig_d"), col("_gf_sig_i"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    if (docs.isStreaming) matched else matched.distinct()
   }
 
   /** Near-dup decontamination: drop every left doc whose MinHash estimate

@@ -120,6 +120,11 @@ object GraftFunctions {
     ColumnGlue.column(
       VecCosine(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
+  /** Column API for [[MinHashSig]]: K-lane MinHash signature of a shingle
+    * array, one generated loop per row. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    ColumnGlue.column(MinHashSig(ColumnGlue.expression(shingles), k))
+
   /** Register `vec_cosine` + `jaro_winkler` for SQL use in an existing
     * session. */
   def register(spark: SparkSession): Unit = {

@@ -202,6 +202,29 @@ object CorpusQueries {
       },
       None),
 
+    // The STREAM-SHAPED probe over the same fixture (per-row MinHashSig
+    // kernel + stateless band join — the plan a Structured Streaming
+    // ingest runs against yesterday's index; StreamingSpec drives it live
+    // on a MemoryStream). Batch degeneration here: distinct match pairs
+    // of the edited re-ingest against the stored index. Rows-only for the
+    // same reason as the rest of the MinHash family.
+    Q("dedup_stream_probe",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val existing = d.filter(col("doc_id") % 5 =!= 0)
+        val indexSigs = graft.dedup.MinHash.signatures(existing, "text", "doc_id",
+          n = 3, k = 64)
+        val edited = d.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("prefix edit "), col("text")).as("text"))
+        graft.dedup.MinHash.probePairs(edited, indexSigs, "text", "doc_id",
+            n = 3, k = 64, threshold = 0.5)
+          .select(col("id_d"), col("id_i"),
+            graft.Num.dround(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("id_d", "id_i")
+      },
+      None),
+
     // Near-dup decontamination (rows-only: MinHash signatures are not
     // mirrorable in the oracle engine; NearDupSpec pins the semantics on
     // planted fixtures): corpus docs ≡ 1 (mod 17) are REPLACED by a

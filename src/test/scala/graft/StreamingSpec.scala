@@ -42,6 +42,51 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getAs[Long]("n")).sum == 4)
   }
 
+  test("probePairs flags streaming near-dups against a static stored signature index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.MinHash
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearText = (1 to 48).map(i => s"tok$i").mkString(" ") // truncated 80%
+    val novelText = (200 to 260).map(i => s"z$i").mkString(" ")
+    // "yesterday's corpus": signatures persisted once, probed without text
+    // (doc 11 is unrelated to every probe — tokenization lowercases, so a
+    // case change would NOT make texts distinct)
+    val otherText = (500 to 560).map(i => s"w$i").mkString(" ")
+    val index = MinHash.signatures(
+      Seq((10L, baseText), (11L, otherText)).toDF("doc_id", "text"),
+      "text", "doc_id", n = 3, k = 64)
+      .localCheckpoint(true) // stands in for the parquet-stored index
+
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF.toDF("doc_id", "text")
+    val q = MinHash.probePairs(streamDf, index, "text", "doc_id",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      .writeStream.format("memory").queryName("probe_pairs")
+      .outputMode("append").start()
+    mem.addData((100L, nearText), (101L, novelText))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("probe_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the truncated clone matches its indexed original (possibly once per
+    // colliding band — the documented streaming duplicate semantics)...
+    val hits = out.filter(p => p._1 == 100L && p._2 == 10L)
+    assert(hits.nonEmpty, s"near-dup not flagged: ${out.toSeq}")
+    assert(hits.forall(_._3 >= 0.5))
+    // ...and the novel doc matches nothing (case differs from doc 11)
+    assert(!out.exists(_._1 == 101L), s"novel doc wrongly flagged: ${out.toSeq}")
+
+    // batch degeneration: same call on a batch frame, distinct exact pairs
+    val batch = MinHash.probePairs(
+      Seq((100L, nearText), (101L, novelText)).toDF("doc_id", "text"),
+      index, "text", "doc_id", n = 3, k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batch.toSeq == Seq((100L, 10L)))
+    // streaming emissions are the batch pair set up to band multiplicity
+    assert(out.map(p => (p._1, p._2)).distinct.toSeq == batch.toSeq)
+  }
+
   test("dedupWithinWatermark drops in-watermark replays as a real stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
