@@ -125,6 +125,11 @@ object GraftFunctions {
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnGlue.column(MinHashSig(ColumnGlue.expression(shingles), k))
 
+  /** Column API for [[WavPcmStats]]: one-pass PCM16 sample statistics
+    * (struct of exact integers) over a WAV blob column. */
+  def wavPcmStats(bin: Column): Column =
+    ColumnGlue.column(WavPcmStats(ColumnGlue.expression(bin)))
+
   /** Register `vec_cosine` + `jaro_winkler` for SQL use in an existing
     * session. */
   def register(spark: SparkSession): Unit = {

@@ -299,4 +299,25 @@ object Multimodal {
       when(col("n_bytes") >= frameBytes,
         sequence(lit(0L), col("n_bytes") - frameBytes, lit(frameBytes.toLong * stride)))
         .otherwise(array().cast("array<bigint>")))
+
+  /** REAL audio decode + feature extraction: one codegen'd pass over each
+    * WAV blob's 16-bit PCM samples via [[graft.functions.WavPcmStats]]
+    * (PCM needs no codec library — "decoding" is byte interpretation).
+    * Emits per asset: container fields (channels, sample_rate), sample
+    * stats exact in integers (n_samples, duration_ms, sum_sq, peak,
+    * zero_crossings) and the derived `rms` (the only float, computed from
+    * the exact integers). Non-PCM16 / non-WAV blobs yield NULL features —
+    * unlike [[decodeAudioMeta]]'s stub row, a feature consumer must be
+    * able to FILTER undecodable assets, not average fake numbers in.
+    * Stays entirely inside whole-stage codegen: no mapPartitions, no UDF,
+    * so a downstream quality predicate fuses with the decode. */
+  def pcmFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val stats = graft.functions.GraftFunctions.wavPcmStats(col(binCol))
+    df.select(col(idCol).cast("long").as("asset_id"),
+        length(col(binCol)).cast("long").as("n_bytes"), stats.as("_gf_pcm"))
+      .select(col("asset_id"), col("n_bytes"), col("_gf_pcm.*"))
+      .withColumn("rms",
+        when(col("n_samples") > 0,
+          sqrt(col("sum_sq").cast("double") / col("n_samples"))))
+  }
 }

@@ -397,6 +397,121 @@ object PipelineQueries {
                CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'mp4' END AS format
         FROM built ORDER BY asset_id""")),
 
+    // REAL audio decode + feature extraction (no stub): WAV blobs planted
+    // with a correct data-chunk size, then ONE codegen'd pass over the
+    // 16-bit PCM samples (WavPcmStats — decode IS byte interpretation for
+    // PCM, no codec library needed). All feature columns are exact
+    // integers (sum of squares, peak, per-channel zero crossings), so the
+    // DuckDB oracle — which re-decodes every sample from blob hex with
+    // sign extension and a per-channel LAG — hash-matches bit-for-bit;
+    // rms is the one derived float, rounded on both sides. Every 3rd doc
+    // is non-audio payload and must yield NULL features (filterable, not
+    // a fake stub average).
+    Q("multimodal_pcm_features",
+      (s, dir) => {
+        val payload = encode(col("text"), "UTF-8")
+        def hexN(c: Column, n: Int) = lpad(hex(c), n, "0")
+        def le16(c: Column) = {
+          val be = hexN(c, 4)
+          concat(substring(be, 3, 2), substring(be, 1, 2))
+        }
+        def le32(c: Column) = {
+          val be = hexN(c, 8)
+          concat(substring(be, 7, 2), substring(be, 5, 2),
+            substring(be, 3, 2), substring(be, 1, 2))
+        }
+        val ch = lit(1) + col("doc_id") % 2
+        val rate = lit(8000) + (col("doc_id") % 6) * 8000
+        val dlen = length(payload) - length(payload) % (ch * 2)
+        val wavBytes = concat(unhex(concat(
+          lit("52494646"), le32(dlen + 36),
+          lit("57415645" + "666D7420" + "10000000" + "0100"),
+          le16(ch), le32(rate), le32(rate * ch * 2), le16(ch * 2), lit("1000"),
+          lit("64617461"), le32(dlen))), payload)
+        val assets = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 3 === 2, payload).otherwise(wavBytes).as("asset"))
+        Multimodal.pcmFeatures(assets, "doc_id", "asset")
+          .withColumn("rms", graft.Num.dround(col("rms"), 4))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH src AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        f AS (
+          SELECT doc_id, payload,
+                 1 + doc_id % 2 AS ch,
+                 8000 + (doc_id % 6) * 8000 AS rate,
+                 octet_length(payload)
+                   - octet_length(payload) % ((1 + doc_id % 2) * 2) AS dlen
+          FROM src),
+        hx AS (
+          SELECT doc_id, ch, rate, dlen, payload,
+                 lpad(hex(ch), 4, '0') AS ch_be,
+                 lpad(hex(rate), 8, '0') AS rate_be,
+                 lpad(hex(rate * ch * 2), 8, '0') AS br_be,
+                 lpad(hex(ch * 2), 4, '0') AS ba_be,
+                 lpad(hex(dlen + 36), 8, '0') AS rs_be,
+                 lpad(hex(dlen), 8, '0') AS dl_be
+          FROM f),
+        built AS (
+          SELECT doc_id, ch, rate, dlen,
+                 CASE WHEN doc_id % 3 = 2 THEN payload
+                   ELSE unhex('52494646' ||
+                     substr(rs_be,7,2)||substr(rs_be,5,2)||substr(rs_be,3,2)||substr(rs_be,1,2) ||
+                     '57415645' || '666D7420' || '10000000' || '0100' ||
+                     substr(ch_be,3,2)||substr(ch_be,1,2) ||
+                     substr(rate_be,7,2)||substr(rate_be,5,2)||substr(rate_be,3,2)||substr(rate_be,1,2) ||
+                     substr(br_be,7,2)||substr(br_be,5,2)||substr(br_be,3,2)||substr(br_be,1,2) ||
+                     substr(ba_be,3,2)||substr(ba_be,1,2) ||
+                     '1000' || '64617461' ||
+                     substr(dl_be,7,2)||substr(dl_be,5,2)||substr(dl_be,3,2)||substr(dl_be,1,2)) || payload
+                 END AS asset
+          FROM hx),
+        samp AS (
+          SELECT doc_id, ch, p,
+                 CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+          FROM (
+            SELECT doc_id, ch, p,
+                   CAST(('0x' || substr(h, CAST(91 + 4*p AS INT), 2)
+                              || substr(h, CAST(89 + 4*p AS INT), 2)) AS INT) AS v
+            FROM (SELECT doc_id, ch, hex(asset) AS h,
+                         unnest(range(dlen // 2)) AS p
+                  FROM built WHERE doc_id % 3 <> 2) b) q),
+        z AS (
+          SELECT doc_id, p, s,
+                 LAG(s) OVER (PARTITION BY doc_id, p % ch ORDER BY p) AS prev
+          FROM samp),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+                 CAST(MAX(ABS(s)) AS INT) AS peak,
+                 CAST(COUNT(*) FILTER (
+                   WHERE prev IS NOT NULL AND (prev >= 0) <> (s >= 0)
+                 ) AS BIGINT) AS zero_crossings
+          FROM z GROUP BY doc_id)
+        SELECT b.doc_id AS asset_id,
+               CAST(octet_length(asset) AS BIGINT) AS n_bytes,
+               CASE WHEN b.doc_id % 3 = 2 THEN NULL
+                    ELSE CAST(ch AS INT) END AS channels,
+               CASE WHEN b.doc_id % 3 = 2 THEN NULL
+                    ELSE CAST(rate AS INT) END AS sample_rate,
+               CASE WHEN b.doc_id % 3 = 2 THEN NULL
+                    ELSE CAST(dlen // 2 AS BIGINT) END AS n_samples,
+               CASE WHEN b.doc_id % 3 = 2 THEN NULL
+                    ELSE CAST(((dlen // 2) // ch) * 1000 // rate AS BIGINT)
+                    END AS duration_ms,
+               CASE WHEN b.doc_id % 3 = 2 THEN NULL
+                    ELSE coalesce(a.sum_sq, 0) END AS sum_sq,
+               CASE WHEN b.doc_id % 3 = 2 THEN NULL
+                    ELSE coalesce(a.peak, 0) END AS peak,
+               CASE WHEN b.doc_id % 3 = 2 THEN NULL
+                    ELSE coalesce(a.zero_crossings, 0) END AS zero_crossings,
+               CASE WHEN b.doc_id % 3 = 2 OR dlen = 0 THEN NULL
+                    ELSE floor(sqrt(CAST(coalesce(a.sum_sq, 0) AS DOUBLE)
+                           / (dlen // 2)) * 10000 + 0.5) / 10000
+                    END AS rms
+        FROM built b LEFT JOIN agg a USING (doc_id)
+        ORDER BY asset_id""")),
+
     // Gap-based sessionization (session_window) — the same plan Structured
     // Streaming runs with a watermark.
     Q("events_sessionize",
