@@ -130,6 +130,27 @@ object GraftFunctions {
   def wavPcmStats(bin: Column): Column =
     ColumnGlue.column(WavPcmStats(ColumnGlue.expression(bin)))
 
+  /** Column API for [[VecL2Sq]]: squared Euclidean distance, one fused
+    * generated loop. */
+  def vecL2Sq(a: Column, b: Column): Column =
+    ColumnGlue.column(
+      VecL2Sq(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  /** Column API for [[VecNormalize]]: unit-L2 array<double>, one
+    * generated two-pass loop. */
+  def vecNormalize(v: Column): Column =
+    ColumnGlue.column(VecNormalize(ColumnGlue.expression(v)))
+
+  /** Column API for [[PackBytes]]: array<int> (0..255) → binary. */
+  def packBytes(codes: Column): Column =
+    ColumnGlue.column(PackBytes(ColumnGlue.expression(codes)))
+
+  /** Column API for [[PqAdcSum]]: Σ_m lut[m·ks + code[m]] over a packed
+    * code word and a flattened per-query lookup table. */
+  def pqAdcSum(code: Column, lut: Column, ks: Int): Column =
+    ColumnGlue.column(
+      PqAdcSum(ColumnGlue.expression(code), ColumnGlue.expression(lut), ks))
+
   /** Register `vec_cosine` + `jaro_winkler` for SQL use in an existing
     * session. */
   def register(spark: SparkSession): Unit = {

@@ -239,6 +239,22 @@ object NearDupQueries {
       },
       None),
 
+    // Product-quantization ANN (Jégou et al., TPAMI 2011): corpus encoded
+    // to m=16 one-byte codes (16 B/vector vs 256 B of floats — the memory
+    // scale path), queries ranked by ADC over per-query lookup tables.
+    // Rows-only (k-means codebooks are engine-specific); PqSpec pins the
+    // ADC algebra exactly on handed codebooks and the recall floor.
+    Q("ann_pq",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val index = graft.sim.Pq.train(e, "vec_id", "embedding",
+          m = 16, ks = 16, iters = 2)
+        graft.sim.Pq.topK(index, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     Q("ann_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -267,8 +283,14 @@ object NearDupQueries {
         // same planes, 4 OR'd tables: the recall lever made measurable
         val lshOr = Similarity.lshTopK(e, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 10, nPlanes = 8, tables = 4)
+        // one Lloyd round: the harness scores a CHEAP pq config against
+        // the expensive ones — each extra round is a driver-synchronous
+        // collect job, and recall moves little on this fixture
+        val pqIndex = graft.sim.Pq.train(e, "vec_id", "embedding",
+          m = 16, ks = 16, iters = 1)
+        val pq = graft.sim.Pq.topK(pqIndex, queries, "vec_id", "embedding", k = 10)
         Similarity.recallAt(exact,
-            Seq("ivf" -> ivf, "lsh" -> lsh, "lsh_or4" -> lshOr))
+            Seq("ivf" -> ivf, "lsh" -> lsh, "lsh_or4" -> lshOr, "pq" -> pq))
           .orderBy("method", "query_id")
       },
       None)

@@ -219,7 +219,17 @@ object Similarity {
   def recallAt(exact: DataFrame,
                approx: Seq[(String, DataFrame)]): DataFrame = {
     require(approx.nonEmpty, "recallAt needs at least one approximate result")
-    val truth = exact.select(col("query_id"), col("neighbor_id"))
+    // The ground truth is queries × k rows — dimension-sized by contract
+    // (it came out of a top-k). Collect it ONCE into a LocalRelation:
+    // referencing the exact frame directly would re-execute the whole
+    // brute-force subplan once per approximate method (plus once for the
+    // per-query totals) inside the final union's single action — the same
+    // repeated-subplan trap Ivf.topK's probe collect closes.
+    val spark = exact.sparkSession
+    val sel = exact.select(col("query_id"), col("neighbor_id"))
+    val truthRows = sel.collect()
+    val truth = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(truthRows: _*), sel.schema))
     val truthN = truth.groupBy("query_id").agg(count(lit(1)).as("_gf_n"))
     approx.map { case (name, df) =>
       val hits = df.select(col("query_id"), col("neighbor_id"))
