@@ -255,6 +255,24 @@ object NearDupQueries {
       },
       None),
 
+    // IVFADC: the IVF × PQ composition — probe 2 of 8 cells, score only
+    // those cells' byte codes by ADC. The billion-vector layout under the
+    // driver gate; rows-only like its two parents. One Lloyd round per
+    // quantizer: the composition is what's under test, not k-means polish
+    // (IvfPqSpec pins full-probe equality with the PQ scan at iters=2).
+    Q("ann_ivfpq",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val ivf = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
+        val pq = graft.sim.Pq.train(e, "vec_id", "embedding",
+          m = 16, ks = 16, iters = 1)
+        val combined = graft.sim.IvfPq.build(ivf, pq)
+        graft.sim.IvfPq.topK(combined, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     Q("ann_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)

@@ -397,6 +397,46 @@ object Ivf {
     * there is nothing to prune and broadcast would be the bottleneck. */
   def topK(index: IvfIndex, queries: DataFrame, queryId: String,
            queryVec: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val (probeRows, probeSchema) =
+      collectProbes(index, queries, queryId, queryVec, nprobe)
+    val cidIdx = probeSchema.fieldIndex("_gf_cid")
+    val probedCids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
+    val pruned =
+      if (probedCids.isEmpty) index.indexed.filter(lit(false))
+      else index.indexed.filter(col("_gf_cid").isin(probedCids: _*))
+    val w = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_id"))
+    pruned.join(broadcast(probesLocal), Seq("_gf_cid"))
+      .withColumn("_gf_cos", GraftFunctions.vecCosine(col("_gf_v"), col("_gf_qv")))
+      .withColumn("_gf_rank", row_number().over(w))
+      .filter(col("_gf_rank") <= k)
+      .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
+        col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
+  }
+
+  /** The probe subplan of [[topK]], executed EXACTLY ONCE into a
+    * driver-side row array (dimension-sized by the query-batch contract:
+    * queries × nprobe rows, each carrying qid, query vector, fine cell
+    * id). Both [[topK]] and the IVFADC composition ([[IvfPq.topK]])
+    * derive everything from this single collect — the distinct cell ids
+    * become the static IN filter that partition-prunes a cid-partitioned
+    * on-disk index, and the rows become a broadcast LocalRelation.
+    * (Re-referencing the probe frame twice would re-execute the whole
+    * crossJoin + two-windows subplan — the round-6 regression this
+    * structure exists to prevent.)
+    *
+    * Dim validation rides the collect for free: the probe rows carry the
+    * query vectors, and VecCosine's length-mismatch semantics are
+    * NULL-not-raise — without this check a wrong-dim query batch against
+    * a [[readIndex]]-ed index would return silently wrong results. EVERY
+    * row is checked, not just the head: a union-built query batch can mix
+    * dims. */
+  private[graft] def collectProbes(index: IvfIndex, queries: DataFrame,
+      queryId: String, queryVec: String, nprobe: Int)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
     val q = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"))
     val coarseW = Window.partitionBy("_gf_qid")
       .orderBy(col("_gf_d"), col("_gf_ccid"))
@@ -412,27 +452,9 @@ object Ivf {
       .withColumn("_gf_rk", row_number().over(fineW))
       .filter(col("_gf_rk") <= nprobe)
       .select("_gf_qid", "_gf_qv", "_gf_cid")
-    val w = Window.partitionBy("_gf_qid")
-      .orderBy(col("_gf_cos").desc, col("_gf_id"))
-    // Static cell pruning (see contract above): the probe subplan
-    // (crossJoin + two windows + a cells join) is executed EXACTLY ONCE —
-    // one dimension-sized collect — and both consumers derive from the
-    // collected rows: the distinct cell ids become the static IN filter
-    // that partition-prunes a cid-partitioned on-disk index down to the
-    // probed cells' files, and the rows themselves become a LocalRelation
-    // broadcast as the rerank join side. (Re-referencing `probes` in the
-    // join would re-execute the whole subplan a second time.)
-    val spark = queries.sparkSession
     val probeRows = probes.collect()
-    // dim validation rides the collect for free: the probe rows carry the
-    // query vectors, and VecCosine's length-mismatch semantics are
-    // NULL-not-raise — without this check a wrong-dim query batch against
-    // a [[readIndex]]-ed index would return silently wrong results
     index.meta.foreach { m =>
       val qvIdx = probes.schema.fieldIndex("_gf_qv")
-      // EVERY row, not just the head: a union-built query batch can mix
-      // dims, and a single wrong-dim query would silently get NULL
-      // cosines. The rows are already on the driver — the scan is free.
       val badDims = probeRows.iterator
         .map(_.getSeq[Any](qvIdx).length).filter(_ != m.dim).toSet
       if (badDims.nonEmpty) throw new IllegalArgumentException(
@@ -440,18 +462,6 @@ object Ivf {
           s"match index dim ${m.dim} (manifest) — wrong index or wrong " +
           "embedding column")
     }
-    val cidIdx = probes.schema.fieldIndex("_gf_cid")
-    val probedCids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq
-    val probesLocal = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probes.schema)
-    val pruned =
-      if (probedCids.isEmpty) index.indexed.filter(lit(false))
-      else index.indexed.filter(col("_gf_cid").isin(probedCids: _*))
-    pruned.join(broadcast(probesLocal), Seq("_gf_cid"))
-      .withColumn("_gf_cos", GraftFunctions.vecCosine(col("_gf_v"), col("_gf_qv")))
-      .withColumn("_gf_rank", row_number().over(w))
-      .filter(col("_gf_rank") <= k)
-      .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
-        col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
+    (probeRows, probes.schema)
   }
 }

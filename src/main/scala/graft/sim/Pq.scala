@@ -211,11 +211,32 @@ object Pq {
     * [[Similarity.recallAt]] against the brute-force truth. */
   def topK(index: PqIndex, queries: DataFrame, queryId: String,
            queryVec: String, k: Int = 10): DataFrame = {
+    val luts = lutFrame(index, queries, queryId, queryVec)
+    val w = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_id"))
+    index.codes.crossJoin(broadcast(luts))
+      .withColumn("_gf_cos",
+        lit(1.0) - GraftFunctions.pqAdcSum(col("_gf_code"), col("_gf_lut"),
+          index.meta.ks) / 2)
+      .withColumn("_gf_rank", row_number().over(w))
+      .filter(col("_gf_rank") <= k)
+      .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
+        col("_gf_rank").as("rank"),
+        graft.Num.dround(col("_gf_cos"), 6).as("adc_cosine"))
+  }
+
+  /** Per-query ADC lookup tables — (_gf_qid, _gf_lut: array<double> of
+    * m×ks squared distances, flattened subspace-major: `array_sort` on
+    * struct(_gf_m, _gf_c, …) orders lexicographically and every (m, c)
+    * pair is present exactly once by construction). Queries-sized; both
+    * [[topK]] and the IVFADC composition ([[IvfPq.topK]]) broadcast it.
+    * Raises at plan time on a wrong-dim query batch, not as a runtime
+    * slice anomaly (the manifest/meta always rides the index). */
+  private[sim] def lutFrame(index: PqIndex, queries: DataFrame,
+                            queryId: String, queryVec: String): DataFrame = {
     validate(queries, queryVec)
-    val m = index.meta.m; val ks = index.meta.ks
+    val m = index.meta.m
     val ds = index.meta.dim / m
-    // fail at plan time on a wrong-dim query batch, not as a runtime
-    // slice anomaly (the manifest/meta always rides the index)
     val qdim = Similarity.inferDim(queries, queryVec)
     if (qdim != index.meta.dim) throw new IllegalArgumentException(
       s"query vector dim $qdim does not match index dim ${index.meta.dim} " +
@@ -225,25 +246,12 @@ object Pq {
     val qsub = qbase.select(col("_gf_qid"), subspaces(col("_gf_qnv"), m, ds).as("_gf_s"))
       .select(col("_gf_qid"), col("_gf_s._gf_m").as("_gf_m"),
         col("_gf_s._gf_sv").as("_gf_qsv"))
-    // per-query LUT: m×ks squared distances, flattened subspace-major
-    // (array_sort on struct(_gf_m, _gf_c, ...) orders lexicographically,
-    // and every (m, c) pair is present exactly once by construction)
-    val luts = qsub.join(broadcast(index.codebooks), Seq("_gf_m"))
+    qsub.join(broadcast(index.codebooks), Seq("_gf_m"))
       .withColumn("_gf_d", GraftFunctions.vecL2Sq(col("_gf_qsv"), col("_gf_cbv")))
       .groupBy("_gf_qid")
       .agg(transform(
         array_sort(collect_list(struct(col("_gf_m"), col("_gf_c"), col("_gf_d")))),
         s => s.getField("_gf_d")).as("_gf_lut"))
-    val w = Window.partitionBy("_gf_qid")
-      .orderBy(col("_gf_cos").desc, col("_gf_id"))
-    index.codes.crossJoin(broadcast(luts))
-      .withColumn("_gf_cos",
-        lit(1.0) - GraftFunctions.pqAdcSum(col("_gf_code"), col("_gf_lut"), ks) / 2)
-      .withColumn("_gf_rank", row_number().over(w))
-      .filter(col("_gf_rank") <= k)
-      .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
-        col("_gf_rank").as("rank"),
-        graft.Num.dround(col("_gf_cos"), 6).as("adc_cosine"))
   }
 
   /** Persist codebooks + codes + manifest (same completeness-marker and

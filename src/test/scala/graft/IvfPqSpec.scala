@@ -1,0 +1,73 @@
+package graft
+
+import graft.sim.{Ivf, IvfPq, Pq, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Pins the IVFADC composition ([[graft.sim.IvfPq]]): full-probe
+  * equivalence with the PQ full scan, genuine candidate pruning, recall
+  * ordering, and the corpus-mismatch raise. */
+class IvfPqSpec extends SparkSpec {
+
+  private def indexes() = {
+    val e = Tables.embeddings(spark, sfDir)
+    val ivf = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+    val pq = Pq.train(e, "vec_id", "embedding", m = 16, ks = 16, iters = 2)
+    (e, ivf, pq)
+  }
+
+  test("probing every cell reproduces the full-scan ADC result exactly") {
+    val (e, ivf, pq) = indexes()
+    val queries = e.filter(col("vec_id") < 5)
+    val combined = IvfPq.build(ivf, pq)
+    // nprobe = numCells (single-level index): nothing is pruned, so the
+    // composition must be VALUE-IDENTICAL to Pq.topK — same ADC algebra,
+    // same (cos desc, id) tie-break
+    val n = combined.ivf.numCells.toInt
+    val full = IvfPq.topK(combined, queries, "vec_id", "embedding",
+        k = 10, nprobe = n)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val scan = Pq.topK(pq, queries, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full == scan)
+  }
+
+  test("nprobe=1 scans only the probed cells' codes") {
+    val (e, ivf, pq) = indexes()
+    val queries = e.filter(col("vec_id") < 5)
+    val combined = IvfPq.build(ivf, pq)
+    val (probeRows, schema) =
+      Ivf.collectProbes(ivf, queries, "vec_id", "embedding", 1)
+    val cidIdx = schema.fieldIndex("_gf_cid")
+    val cids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq
+    assert(cids.nonEmpty && cids.size < combined.ivf.numCells,
+      s"fixture degenerate: ${cids.size} cells probed of ${combined.ivf.numCells}")
+    val scanned = combined.coCodes
+      .filter(col("_gf_cid").isin(cids: _*)).count()
+    val total = combined.coCodes.count()
+    assert(scanned < total,
+      s"pruning did nothing: $scanned of $total rows scanned")
+    // and the pruned probe still returns k rows per query with sane recall
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val pruned = IvfPq.topK(combined, queries, "vec_id", "embedding",
+      k = 10, nprobe = 1)
+    val full = Pq.topK(pq, queries, "vec_id", "embedding", k = 10)
+    val r = Similarity.recallAt(exact, Seq("ivfpq1" -> pruned, "pqfull" -> full))
+      .groupBy("method").agg(avg(col("recall")).as("r"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // pruning can only lose recall vs the full scan
+    assert(r("ivfpq1") <= r("pqfull") + 1e-9)
+    assert(r("ivfpq1") > 0.0) // but the probed cells do contain neighbours
+  }
+
+  test("indexes from different corpora refuse to combine") {
+    val e = Tables.embeddings(spark, sfDir)
+    val ivf = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
+    val pqHalf = Pq.train(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", m = 16, ks = 16, iters = 1)
+    val ex = intercept[IllegalArgumentException] {
+      IvfPq.build(ivf, pqHalf)
+    }
+    assert(ex.getMessage.contains("disagree"))
+  }
+}
