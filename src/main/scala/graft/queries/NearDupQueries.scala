@@ -273,6 +273,25 @@ object NearDupQueries {
       },
       None),
 
+    // IVFADC with exact re-ranking (IVFADC+R): the byte-code scan picks a
+    // 4·k shortlist, the shortlist's ORIGINAL vectors are fetched from the
+    // probed cells only and re-scored with exact cosine — quantization
+    // error bought back at a bounded float cost. Rows-only like its
+    // parents; IvfPqSpec pins that full-probe + full-shortlist IS brute
+    // force and that rerank recall dominates ADC recall on equal probes.
+    Q("ann_ivfpq_rerank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val ivf = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
+        val pq = graft.sim.Pq.train(e, "vec_id", "embedding",
+          m = 16, ks = 16, iters = 1)
+        val combined = graft.sim.IvfPq.build(ivf, pq)
+        graft.sim.IvfPq.topKRerank(combined, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2, shortlist = 40)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     Q("ann_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)

@@ -62,16 +62,16 @@ object IvfPq {
     IvfPqIndex(ivf, pq, coCodes)
   }
 
-  /** Top-k by ADC over the probed cells only. CONTRACT (as [[Ivf.topK]]):
-    * `queries` is a dimension-sized batch. The probe subplan runs once
-    * (collected), the LUT frame is queries-sized (broadcast), and the
-    * scan side is the `coCodes` rows of the probed cells — everything
-    * else is never read. */
-  def topK(index: IvfPqIndex, queries: DataFrame, queryId: String,
-           queryVec: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
-    val (probeRows, probeSchema) =
-      Ivf.collectProbes(index.ivf, queries, queryId, queryVec, nprobe)
+  /** The shared ADC scan: probe subplan collected ONCE upstream, (qid,
+    * cid) pairs and per-query LUTs broadcast, `coCodes` pruned to the
+    * probed cells — returns (_gf_qid, _gf_id, _gf_cos) with the ADC
+    * cosine estimate, un-ranked. Both [[topK]] and [[topKRerank]] consume
+    * it; only what happens AFTER the estimate differs. */
+  private def adcScored(index: IvfPqIndex,
+      probeRows: Array[org.apache.spark.sql.Row],
+      probeSchema: org.apache.spark.sql.types.StructType,
+      luts: DataFrame): DataFrame = {
+    val spark = index.coCodes.sparkSession
     val cidIdx = probeSchema.fieldIndex("_gf_cid")
     val qidIdx = probeSchema.fieldIndex("_gf_qid")
     val probedCids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq
@@ -83,21 +83,98 @@ object IvfPq {
       org.apache.spark.sql.Row(r.get(qidIdx), r.getLong(cidIdx)))
     val pairs = spark.createDataFrame(
       java.util.Arrays.asList(pairRows: _*), pairSchema)
-    val luts = Pq.lutFrame(index.pq, queries, queryId, queryVec)
     val pruned =
       if (probedCids.isEmpty) index.coCodes.filter(lit(false))
       else index.coCodes.filter(col("_gf_cid").isin(probedCids: _*))
-    val w = Window.partitionBy("_gf_qid")
-      .orderBy(col("_gf_cos").desc, col("_gf_id"))
     pruned.join(broadcast(pairs), Seq("_gf_cid"))
       .join(broadcast(luts), Seq("_gf_qid"))
       .withColumn("_gf_cos",
         lit(1.0) - GraftFunctions.pqAdcSum(col("_gf_code"), col("_gf_lut"),
           index.pq.meta.ks) / 2)
+      .select(col("_gf_qid"), col("_gf_id"), col("_gf_cos"))
+  }
+
+  /** Top-k by ADC over the probed cells only. CONTRACT (as [[Ivf.topK]]):
+    * `queries` is a dimension-sized batch. The probe subplan runs once
+    * (collected), the LUT frame is queries-sized (broadcast), and the
+    * scan side is the `coCodes` rows of the probed cells — everything
+    * else is never read. */
+  def topK(index: IvfPqIndex, queries: DataFrame, queryId: String,
+           queryVec: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val (probeRows, probeSchema) =
+      Ivf.collectProbes(index.ivf, queries, queryId, queryVec, nprobe)
+    val luts = Pq.lutFrame(index.pq, queries, queryId, queryVec)
+    val w = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_id"))
+    adcScored(index, probeRows, probeSchema, luts)
       .withColumn("_gf_rank", row_number().over(w))
       .filter(col("_gf_rank") <= k)
       .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
         col("_gf_rank").as("rank"),
         graft.Num.dround(col("_gf_cos"), 6).as("adc_cosine"))
+  }
+
+  /** IVFADC with exact re-ranking (the paper's §VI refinement, a.k.a.
+    * IVFADC+R): the ADC estimate picks a SHORTLIST of `shortlist`
+    * candidates per query (default 4·k), then only those rows' ORIGINAL
+    * vectors are fetched and re-scored with the exact [[graft.functions.VecCosine]],
+    * and the final top-k ranks on the exact value. This buys back the
+    * quantization error at a bounded exact-distance cost — per query,
+    * `shortlist` float walks instead of the whole probed set — and is the
+    * standard production layout: byte codes decide who gets an exact
+    * look, floats decide the answer.
+    *
+    * Scale shape: the exact pass joins the (queries × shortlist)-sized
+    * candidate list (broadcast) against the cid-pruned `indexed` corpus
+    * — the SAME static IN filter as the code scan, so a persisted index
+    * partition-prunes both passes and the unprobed corpus is never read
+    * in either representation. Query vectors re-enter via a second
+    * dimension-sized broadcast derived from the already-collected probe
+    * rows (no re-execution of the probe subplan).
+    *
+    * If the shortlist covers every probed candidate, the result is the
+    * EXACT cosine ranking of the probed set — recall can only improve
+    * over [[topK]]'s ADC ranking of the same set (pinned in IvfPqSpec);
+    * with every cell probed it equals brute force exactly. */
+  def topKRerank(index: IvfPqIndex, queries: DataFrame, queryId: String,
+                 queryVec: String, k: Int = 10, nprobe: Int = 4,
+                 shortlist: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val r = if (shortlist > 0) math.max(shortlist, k) else 4 * k
+    val (probeRows, probeSchema) =
+      Ivf.collectProbes(index.ivf, queries, queryId, queryVec, nprobe)
+    val luts = Pq.lutFrame(index.pq, queries, queryId, queryVec)
+    val shortW = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_id"))
+    val short = adcScored(index, probeRows, probeSchema, luts)
+      .withColumn("_gf_rank", row_number().over(shortW))
+      .filter(col("_gf_rank") <= r)
+      .select(col("_gf_qid"), col("_gf_id"))
+    // exact query vectors from the SAME collected probe rows (one row per
+    // (qid, probed cell) — distinct to one per qid), broadcast
+    val qidIdx = probeSchema.fieldIndex("_gf_qid")
+    val qvIdx = probeSchema.fieldIndex("_gf_qv")
+    val qSchema = org.apache.spark.sql.types.StructType(
+      Seq(probeSchema(qidIdx), probeSchema(qvIdx)))
+    val qRows = probeRows.map(pr => (pr.get(qidIdx), pr.get(qvIdx)))
+      .distinct.map(t => org.apache.spark.sql.Row(t._1, t._2))
+    val qvecs = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
+    val cidIdx = probeSchema.fieldIndex("_gf_cid")
+    val probedCids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq
+    val prunedVecs =
+      if (probedCids.isEmpty) index.ivf.indexed.filter(lit(false))
+      else index.ivf.indexed.filter(col("_gf_cid").isin(probedCids: _*))
+    val w = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_id"))
+    prunedVecs.select(col("_gf_id"), col("_gf_v"))
+      .join(broadcast(short), Seq("_gf_id"))
+      .join(broadcast(qvecs), Seq("_gf_qid"))
+      .withColumn("_gf_cos", GraftFunctions.vecCosine(col("_gf_v"), col("_gf_qv")))
+      .withColumn("_gf_rank", row_number().over(w))
+      .filter(col("_gf_rank") <= k)
+      .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
+        col("_gf_rank").as("rank"),
+        graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
   }
 }

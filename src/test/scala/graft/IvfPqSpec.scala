@@ -60,6 +60,70 @@ class IvfPqSpec extends SparkSpec {
     assert(r("ivfpq1") > 0.0) // but the probed cells do contain neighbours
   }
 
+  test("exact rerank with full probes and full shortlist IS brute force") {
+    val (e, ivf, pq) = indexes()
+    val queries = e.filter(col("vec_id") < 5)
+    val combined = IvfPq.build(ivf, pq)
+    val n = combined.ivf.numCells.toInt
+    val total = e.count().toInt
+    // every cell probed + shortlist covering the whole corpus: the ADC
+    // stage prunes nothing and the exact stage ranks everything — must be
+    // VALUE-IDENTICAL to the brute-force scan, same cosines, same
+    // (cos desc, id) tie-break
+    val rer = IvfPq.topKRerank(combined, queries, "vec_id", "embedding",
+        k = 10, nprobe = n, shortlist = total)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rer == exact)
+  }
+
+  test("rerank recall dominates the ADC ranking of the same probed set") {
+    val (e, ivf, pq) = indexes()
+    val queries = e.filter(col("vec_id") < 5)
+    val combined = IvfPq.build(ivf, pq)
+    val total = e.count().toInt
+    // With the shortlist covering EVERY probed candidate, the rerank is
+    // the exact-cosine ranking of the probed set — and any true top-k
+    // member inside the probed set must appear in its exact top-k (fewer
+    // than k vectors beat it globally, so fewer than k beat it in any
+    // subset). Hence recall(rerank) >= recall(adc) on the same probes:
+    // a theorem, not a fixture property.
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val adc = IvfPq.topK(combined, queries, "vec_id", "embedding",
+      k = 10, nprobe = 1)
+    val rer = IvfPq.topKRerank(combined, queries, "vec_id", "embedding",
+      k = 10, nprobe = 1, shortlist = total)
+    val r = Similarity.recallAt(exact, Seq("adc" -> adc, "rerank" -> rer))
+      .groupBy("method").agg(avg(col("recall")).as("r"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("rerank") >= r("adc") - 1e-9,
+      s"rerank recall ${r("rerank")} < adc recall ${r("adc")}")
+    // and the exact stage really returns exact cosines: spot-check one
+    // row against brute force (both round to 6dp from the same kernel)
+    val rerMap = rer.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    val exMap = exact.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    val shared = rerMap.keySet.intersect(exMap.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(rerMap(k) == exMap(k)))
+  }
+
+  test("a shortlist below k clamps up to k") {
+    val (e, ivf, pq) = indexes()
+    val queries = e.filter(col("vec_id") < 2)
+    val combined = IvfPq.build(ivf, pq)
+    val n = combined.ivf.numCells.toInt
+    val out = IvfPq.topKRerank(combined, queries, "vec_id", "embedding",
+      k = 10, nprobe = n, shortlist = 1)
+    val counts = out.groupBy("query_id").count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(counts.nonEmpty && counts.forall(_ == 10L))
+  }
+
   test("indexes from different corpora refuse to combine") {
     val e = Tables.embeddings(spark, sfDir)
     val ivf = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
