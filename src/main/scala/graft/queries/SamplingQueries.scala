@@ -46,6 +46,18 @@ object SamplingQueries {
                CAST(count(*) AS BIGINT) AS n
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // Cluster-balanced diversity sampling: IVF cells give the semantic
+    // clustering, Quota's auto-skew cap keeps at most n per cell — the
+    // embedding-space twin of the per-source quota. Rows-only (k-means
+    // cells are engine-specific); ClusterBalanceSpec pins exact
+    // min(n, cluster-size) semantics and determinism.
+    Q("sample_cluster_balanced",
+      (s, dir) => graft.sim.ClusterBalance.sample(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          clusters = 8, perCluster = 50, iters = 2)
+        .orderBy("cluster_id", "vec_id"),
+      None),
+
     // The whole curation story in one lazy plan: quality gate -> language
     // gate -> exact dedup -> near-dup connected-component dedup ->
     // deterministic subsample. Each step is an operator gated elsewhere;

@@ -66,6 +66,17 @@ object TextQueries {
         + 0.2 * (n_distinct / greatest(n_tok, 1.0))) * 1e4 + 0.5) / 1e4"""
 
   val all: Seq[Q] = Seq(
+    // Fixed-budget chunking with overlap — 64-token windows striding by
+    // 48, the context-window prep step. Pure per-row projection (no
+    // shuffle at any scale); the oracle mirrors tokenization, the
+    // chunk-count formula, and the slicing in DuckDB SQL.
+    Q("text_chunk",
+      (s, dir) => graft.text.Chunking.chunk(Tables.documents(s, dir),
+          "doc_id", "text", maxTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some(graft.text.Chunking.sqlChunk("documents", "doc_id", "text",
+        maxTokens = 64, overlap = 16) + " ORDER BY doc_id, chunk_id")),
+
     Q("text_tokens",
       (s, dir) => Tables.documents(s, dir).select(
         col("doc_id"),
