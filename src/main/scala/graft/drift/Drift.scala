@@ -290,6 +290,85 @@ object Drift {
       .orderBy("period")
   }
 
+  /** Freeze a PSI reference from a batch baseline: (lo, hi, per-bin
+    * proportions). This is the dimension-sized snapshot a STREAMING drift
+    * monitor carries — the baseline frame itself never rides the stream;
+    * only `bins` doubles do. Raises on an empty/all-null baseline (a
+    * reference that matches nothing is a config error, not "no drift"). */
+  def psiReference(base: DataFrame, column: String,
+                   bins: Int = 10): (Double, Double, Seq[Double]) = {
+    require(bins > 0, s"psiReference needs bins > 0, got $bins")
+    val x = col(column).cast(DoubleType)
+    val bounds = base.agg(min(x).as("_gf_lo"), max(x).as("_gf_hi")).collect()(0)
+    if (bounds.isNullAt(0)) throw new IllegalArgumentException(
+      s"psiReference: baseline has no non-null rows in '$column'")
+    val lo = bounds.getDouble(0); val hi = bounds.getDouble(1)
+    // bin with the SAME literal arithmetic psiByWindow applies to the
+    // stream (not the bounds-frame flavor) so reference and monitor agree
+    // bit-for-bit on edge values
+    val width = (hi - lo) / bins
+    val binId: Column =
+      if (width > 0)
+        least(lit((bins - 1).toDouble),
+          greatest(lit(0.0), floor((x - lit(lo)) / lit(width)))).cast("int")
+      else lit(0)
+    val counts = base.filter(x.isNotNull)
+      .groupBy(binId.as("bin_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    (lo, hi, (0 until bins).map(i => counts.getOrElse(i, 0L).toDouble / total))
+  }
+
+  /** Per-event-time-window PSI against a frozen reference — the live
+    * drift monitor: runs identically on a batch frame and a Structured
+    * Streaming frame (same dual-mode contract as
+    * [[graft.streaming.StreamOps.windowedAgg]] — `window()` + the
+    * watermark hook), emitting one (window, n, psi_total) row per closed
+    * window in Append mode.
+    *
+    * Stream-first shape: the reference is `bins` literal doubles baked
+    * into the plan (from [[psiReference]]) so the stream side needs NO
+    * join at all; the per-window histogram is ONE stateful aggregation
+    * with `bins` conditional counters (state = windows × bins longs,
+    * watermark-expired), and the PSI arithmetic is a stateless projection
+    * over the counter columns — terms 6-dp-rounded then summed as exact
+    * decimals, the [[psi]] discipline, in static bin order (no
+    * reduction-order ambiguity). Null values don't count toward the
+    * distribution, matching [[psi]]; a window only exists once it has a
+    * non-null row, so the per-window total is never zero. */
+  def psiByWindow(events: DataFrame, tsCol: String, column: String,
+                  refLo: Double, refHi: Double, refProps: Seq[Double],
+                  windowDur: String = "1 day",
+                  delay: String = "2 hours"): DataFrame = {
+    val bins = refProps.length
+    require(bins > 0, "psiByWindow needs a non-empty reference")
+    require(refHi >= refLo, s"psiByWindow: hi=$refHi < lo=$refLo")
+    val x = col(column).cast(DoubleType)
+    val width = (refHi - refLo) / bins
+    val binId: Column =
+      if (width > 0)
+        least(lit((bins - 1).toDouble),
+          greatest(lit(0.0), floor((x - lit(refLo)) / lit(width)))).cast("int")
+      else lit(0)
+    val src = graft.streaming.StreamOps.withWatermark(events, tsCol, delay)
+    val counters = (0 until bins).map(i =>
+      count(when(binId === i, 1)).as(s"_gf_c$i"))
+    val agged = src.filter(x.isNotNull)
+      .groupBy(window(col(tsCol), windowDur).as("_gf_w"))
+      .agg(counters.head, counters.tail: _*)
+      .withColumn("_gf_n", (0 until bins).map(i => col(s"_gf_c$i")).reduce(_ + _))
+    val terms = (0 until bins).map { i =>
+      val tp = col(s"_gf_c$i").cast(DoubleType) / col("_gf_n").cast(DoubleType)
+      psiTerm(lit(refProps(i)), tp)
+    }
+    agged.select(
+      col("_gf_w.start").as("window_start"),
+      col("_gf_w.end").as("window_end"),
+      col("_gf_n").as("n"),
+      terms.map(_.cast(DecimalType(38, 6))).reduce(_ + _)
+        .cast(DoubleType).as("psi_total"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic: max |F_base(x) - F_target(x)|
     * over the pooled support. Nonparametric companion to [[psi]] — no
     * binning choice, sensitive to any distributional difference.

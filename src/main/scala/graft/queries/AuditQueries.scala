@@ -257,6 +257,53 @@ object AuditQueries {
                CAST((SELECT sum(CAST(psi_term AS DECIMAL(38,6))) FROM terms) AS DOUBLE) AS psi_total
         FROM terms ORDER BY bin_id""")),
 
+    // Streaming PSI drift monitor, batch-degenerated: the reference is
+    // frozen from the first week (dimension-sized snapshot — bins
+    // literal doubles baked into the plan, NO stream-side join), then
+    // per-day windows of the rest score against it with one stateful
+    // aggregation of conditional bin counters. The identical plan runs
+    // on a readStream source (StreamingSpec drives it live); the oracle
+    // recomputes reference + windows + the psi-term discipline in SQL.
+    Q("events_streaming_psi",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val (lo, hi, props) = Drift.psiReference(
+          e.filter(col("ts") < lit("2024-01-08").cast("timestamp")),
+          "value", bins = 10)
+        Drift.psiByWindow(
+          e.filter(col("ts") >= lit("2024-01-08").cast("timestamp")),
+          "ts", "value", lo, hi, props, windowDur = "1 day")
+          .orderBy("window_start")
+      },
+      Some("""
+        WITH base AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+                      WHERE ts < TIMESTAMP '2024-01-08' AND value IS NOT NULL),
+        bounds AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS DOUBLE) AS nb FROM base),
+        bb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM base, bounds GROUP BY 1),
+        grid AS (SELECT CAST(g AS INT) AS bin_id FROM generate_series(0, 9) t(g)),
+        bprops AS (SELECT grid.bin_id, CAST(coalesce(bb.c, 0) AS DOUBLE) / (SELECT nb FROM bounds) AS bp
+                   FROM grid LEFT JOIN bb USING (bin_id)),
+        tgt AS (SELECT time_bucket(INTERVAL '1 day', ts) AS ws, CAST(value AS DOUBLE) AS x
+                FROM events WHERE ts >= TIMESTAMP '2024-01-08' AND value IS NOT NULL),
+        tb AS (SELECT ws, CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM tgt, bounds GROUP BY 1, 2),
+        wn AS (SELECT ws, CAST(sum(c) AS BIGINT) AS n FROM tb GROUP BY 1),
+        cells AS (SELECT wn.ws, grid.bin_id,
+                         CAST(coalesce(tb.c, 0) AS DOUBLE) / wn.n AS tp, bprops.bp
+                  FROM wn CROSS JOIN grid
+                       LEFT JOIN tb ON tb.ws = wn.ws AND tb.bin_id = grid.bin_id
+                       JOIN bprops ON bprops.bin_id = grid.bin_id),
+        terms AS (SELECT ws, floor((greatest(tp, 1e-6) - greatest(bp, 1e-6))
+                                 * ln(greatest(tp, 1e-6) / greatest(bp, 1e-6)) * 1e6 + 0.5) / 1e6 AS psi_term
+                  FROM cells)
+        SELECT t.ws AS window_start, t.ws + INTERVAL '1 day' AS window_end,
+               wn.n AS n,
+               CAST(sum(CAST(t.psi_term AS DECIMAL(38,6))) AS DOUBLE) AS psi_total
+        FROM terms t JOIN wn ON wn.ws = t.ws
+        GROUP BY t.ws, wn.n
+        ORDER BY window_start""")),
+
     // Per-column PSI sweep on the era split — one melted pass scoring
     // every feature; the oracle runs the single-column chain per column
     // (generated from one fragment) and unions the totals.

@@ -457,4 +457,56 @@ class StreamingSpec extends SparkSpec {
     awaitUntil("user 1's re-entry at step 0")(u1Steps == Seq(0, 0, 1))
     q.stop()
   }
+
+  test("psiByWindow emits per-window drift scores on a live stream, matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.drift.Drift
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value", "user_id")
+    // frozen reference: uniform over [0,10) in 4 bins
+    val refProps = Seq(0.25, 0.25, 0.25, 0.25)
+    val q = Drift.psiByWindow(streamDf, "ts", "value",
+        0.0, 10.0, refProps, windowDur = "30 minutes", delay = "1 hour")
+      .writeStream.format("memory").queryName("psi_win")
+      .outputMode("append").start()
+
+    // window 10:00-10:30 spans three ref bins; 10:30-11:00 is all bin 0
+    val batch1 = Seq(
+      (ts(0), "e", 1.0, 1L), (ts(5), "e", 9.0, 1L), (ts(10), "e", 5.0, 2L),
+      (ts(40), "e", 2.0, 2L))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    assert(spark.table("psi_win").count() == 0) // nothing closed yet
+    // a much later event pushes the watermark past both windows
+    val closer = (Timestamp.valueOf("2024-01-01 13:00:00"), "e", 1.0, 3L)
+    mem.addData(closer)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("psi_win")
+      .orderBy("window_start").collect().map(_.toSeq).toSeq
+    assert(streamed.size == 2, s"expected both windows closed, got $streamed")
+    // the live result is IDENTICAL to the batch degeneration of the same
+    // plan on the same rows (restricted to the closed windows)
+    val batch = Drift.psiByWindow((batch1 :+ closer)
+        .toDF("ts", "event_type", "value", "user_id"),
+        "ts", "value", 0.0, 10.0, refProps, windowDur = "30 minutes")
+      .orderBy("window_start").collect().map(_.toSeq).toSeq
+      .filter(r => streamed.exists(_.head == r.head))
+    assert(streamed == batch)
+    // the all-bin-0 window drifts harder than the spread one
+    val psiBySize = streamed.map(r => r(2).asInstanceOf[Long] -> r(3).asInstanceOf[Double]).toMap
+    assert(psiBySize(1L) > psiBySize(3L))
+  }
+
+  test("psiReference refuses an all-null baseline") {
+    import graft.drift.Drift
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Double]), (2L, None))
+      .toDF("id", "value")
+    val ex = intercept[IllegalArgumentException] {
+      Drift.psiReference(df, "value", bins = 4)
+    }
+    assert(ex.getMessage.contains("no non-null rows"))
+  }
 }
