@@ -182,6 +182,46 @@ object PipelineQueries {
     // the headers byte-for-byte; the oracle re-builds the same blobs and
     // extracts the same header bytes from their hex — a byte-level mirror,
     // not a formula shortcut.
+    // REAL pixel decode, end-to-end through the actual codec: per-doc PNG
+    // blobs are ENCODED (scanline filters cycling 0-4, zlib-deflated,
+    // CRC-signed) then DECODED back (inflate, CRC verify, unfilter) by
+    // graft.multimodal.Png — JDK zlib, no stub — and reduced to exact
+    // integer pixel stats. The oracle never sees a PNG: pixels follow a
+    // closed-form gradient, so DuckDB aggregates the formula directly —
+    // any codec bug (filter math, inflate bounds, CRC) breaks the hash.
+    Q("multimodal_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long")).as[Long]
+        val blobs = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = (16 + id % 16).toInt; val h = (8 + id % 8).toInt
+            (id, graft.multimodal.Png.encode(w, h, 1,
+              (x, y, _) => ((id + y.toLong * w + x) % 256).toInt,
+              y => y % 5))
+          }
+        }.toDF("doc_id", "asset")
+        graft.multimodal.Png.pixelStats(blobs, "doc_id", "asset")
+          .select(col("asset_id"), col("width"), col("height"),
+            col("channels"), col("n_pixels"), col("pix_sum"),
+            col("pix_min"), col("pix_max"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w,
+                          CAST(8 + doc_id % 8 AS INT) AS h FROM documents),
+        g AS (SELECT doc_id, w, h, unnest(range(CAST(w AS BIGINT) * h)) AS i FROM d),
+        v AS (SELECT doc_id, w, h, (doc_id + i) % 256 AS v FROM g)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               CAST(1 AS INT) AS channels,
+               CAST(w AS BIGINT) * h AS n_pixels,
+               CAST(sum(v) AS BIGINT) AS pix_sum,
+               CAST(min(v) AS INT) AS pix_min,
+               CAST(max(v) AS INT) AS pix_max
+        FROM v GROUP BY doc_id, w, h
+        ORDER BY asset_id""")),
+
     Q("multimodal_meta",
       (s, dir) => {
         val payload = encode(col("text"), "UTF-8")

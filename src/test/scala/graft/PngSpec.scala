@@ -1,0 +1,93 @@
+package graft
+
+import graft.multimodal.Png
+import org.apache.spark.sql.functions._
+
+/** Pins the real PNG pixel codec ([[graft.multimodal.Png]]): lossless
+  * round-trips across every scanline filter and both colour types, exact
+  * stats, and loud refusal of everything outside the supported subset. */
+class PngSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grad(x: Int, y: Int, c: Int): Int = (x * 31 + y * 17 + c * 77) % 256
+
+  test("grey round-trip is lossless under every scanline filter") {
+    for (f <- 0 to 4) {
+      val (w, h) = (7, 9)
+      val png = Png.encode(w, h, 1, grad, _ => f)
+      val Some((dw, dh, dc, raw)) = Png.decodeRaw(png)
+      assert((dw, dh, dc) == (w, h, 1), s"filter $f dims")
+      val expect = for (y <- 0 until h; x <- 0 until w) yield grad(x, y, 0)
+      assert(raw.map(_ & 0xff).toSeq == expect, s"filter $f pixels")
+    }
+  }
+
+  test("RGB round-trip is lossless with per-row mixed filters") {
+    val (w, h) = (11, 6)
+    val png = Png.encode(w, h, 3, grad, y => y % 5)
+    val Some((dw, dh, dc, raw)) = Png.decodeRaw(png)
+    assert((dw, dh, dc) == (w, h, 3))
+    val expect =
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield grad(x, y, c)
+    assert(raw.map(_ & 0xff).toSeq == expect)
+  }
+
+  test("decodePixels stats are the exact integer aggregates of the pixels") {
+    val (w, h) = (13, 5)
+    val png = Png.encode(w, h, 1, grad, y => (y + 2) % 5)
+    val s = Png.decodePixels(42L, png)
+    assert(s.ok)
+    val vals = for (y <- 0 until h; x <- 0 until w) yield grad(x, y, 0)
+    assert(s.width.contains(w) && s.height.contains(h) && s.channels.contains(1))
+    assert(s.n_pixels.contains(w.toLong * h))
+    assert(s.pix_sum.contains(vals.map(_.toLong).sum))
+    assert(s.pix_min.contains(vals.min) && s.pix_max.contains(vals.max))
+  }
+
+  /** Patch one byte inside the IHDR data and RE-SIGN the chunk CRC, so
+    * the mutation tests the semantic check, not the checksum. */
+  private def patchIhdr(png: Array[Byte], offsetInData: Int, value: Byte): Array[Byte] = {
+    val out = png.clone()
+    out(16 + offsetInData) = value // IHDR data starts at byte 16
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 12, 4 + 13) // type + data
+    val v = crc.getValue
+    out(29) = ((v >>> 24) & 0xff).toByte; out(30) = ((v >>> 16) & 0xff).toByte
+    out(31) = ((v >>> 8) & 0xff).toByte; out(32) = (v & 0xff).toByte
+    out
+  }
+
+  test("everything outside the subset refuses with null features") {
+    val png = Png.encode(5, 4, 1, grad)
+    assert(Png.decodePixels(1L, png).ok)
+    // corrupt CRC (flip an IDAT byte without re-signing)
+    val bad = png.clone(); bad(png.length - 20) = (bad(png.length - 20) ^ 0x5a).toByte
+    assert(!Png.decodePixels(1L, bad).ok)
+    // truncated file
+    assert(!Png.decodePixels(1L, png.take(png.length - 7)).ok)
+    // 16-bit depth (valid CRC) refuses rather than mis-decoding
+    assert(!Png.decodePixels(1L, patchIhdr(png, 8, 16.toByte)).ok)
+    // palette colour type (valid CRC) refuses
+    assert(!Png.decodePixels(1L, patchIhdr(png, 9, 3.toByte)).ok)
+    // Adam7 interlace flag refuses
+    assert(!Png.decodePixels(1L, patchIhdr(png, 12, 1.toByte)).ok)
+    // non-PNG bytes and null refuse
+    assert(!Png.decodePixels(1L, "not a png at all".getBytes("UTF-8")).ok)
+    assert(!Png.decodePixels(1L, null).ok)
+    val s = Png.decodePixels(1L, null)
+    assert(s.width.isEmpty && s.pix_sum.isEmpty)
+  }
+
+  test("pixelStats decodes a mixed batch, nulling only the bad rows") {
+    val rows = Seq(
+      (1L, Png.encode(4, 3, 1, grad, _ => 4)),
+      (2L, Png.encode(2, 2, 3, grad, _ => 1)),
+      (3L, "garbage".getBytes("UTF-8")))
+    val out = Png.pixelStats(rows.toDF("id", "blob"), "id", "blob")
+      .orderBy("asset_id").collect()
+    assert(out.map(_.getBoolean(2)).toSeq == Seq(true, true, false))
+    assert(out(0).getLong(6) == 12L) // 4x3 grey pixels
+    assert(out(1).getInt(5) == 3)    // RGB channels
+    assert(out(2).isNullAt(6))       // bad row: null features
+  }
+}
