@@ -248,4 +248,62 @@ object Png {
       it.map { case (id, bytes) => decodePixels(id, bytes, inflater) }
     }(Encoders.product[PngPixelStats]).toDF()
   }
+
+  // ------------------------------------------------------------------
+  // Resize (real pixels, not a plan)
+  // ------------------------------------------------------------------
+
+  /** Nearest-neighbour resize THROUGH the codec: decode, sample with the
+    * integer mapping `src = dst·srcDim / dstDim` (floor division — the
+    * standard NN grid), re-encode (filter 0). None for undecodable input
+    * or degenerate targets. Upscaling is allowed (callers wanting the
+    * fit-box rule use [[resizeAssets]], which never upscales — matching
+    * [[Multimodal.resizePlan]]'s contract). */
+  def resize(rawBytes: Array[Byte], targetW: Int, targetH: Int,
+             inflater: Inflater = new Inflater()): Option[Array[Byte]] = {
+    if (targetW <= 0 || targetH <= 0) return None
+    decodeRaw(rawBytes, inflater).map { case (w, h, ch, raw) =>
+      encode(targetW, targetH, ch, (x, y, c) => {
+        val sx = (x.toLong * w / targetW).toInt
+        val sy = (y.toLong * h / targetH).toInt
+        raw(sy * w * ch + sx * ch + c) & 0xff
+      })
+    }
+  }
+
+  /** One resized asset row: `resized` is null when the source refused to
+    * decode — the null-features discipline, binary edition. */
+  final case class PngResizedAsset(asset_id: Long, orig_width: Option[Int],
+      orig_height: Option[Int], resized: Option[Array[Byte]])
+
+  /** Batch fit-box resize — the REAL pixel work behind
+    * [[Multimodal.resizePlan]]'s dimension arithmetic, same scale rule
+    * (`scale = min(1, maxDim / max(w, h))`, floor to target dims, never
+    * upscale, floor clamped to ≥ 1). Same one-Inflater-per-partition
+    * shape as [[pixelStats]]; compose the two to decode-resize-audit in
+    * a single lazy plan. */
+  def resizeAssets(df: DataFrame, idCol: String, binCol: String,
+                   maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim=$maxDim must be >= 1")
+    val pair = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    pair.mapPartitions { it =>
+      val inflater = new Inflater()
+      it.map { case (id, bytes) =>
+        decodeRaw(bytes, inflater) match {
+          case None => PngResizedAsset(id, None, None, None)
+          case Some((w, h, ch, raw)) =>
+            val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+            val tw = math.max(1, math.floor(w * scale).toInt)
+            val th = math.max(1, math.floor(h * scale).toInt)
+            val out = encode(tw, th, ch, (x, y, c) => {
+              val sx = (x.toLong * w / tw).toInt
+              val sy = (y.toLong * h / th).toInt
+              raw(sy * w * ch + sx * ch + c) & 0xff
+            })
+            PngResizedAsset(id, Some(w), Some(h), Some(out))
+        }
+      }
+    }(Encoders.product[PngResizedAsset]).toDF()
+  }
 }

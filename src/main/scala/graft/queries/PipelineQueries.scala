@@ -222,6 +222,52 @@ object PipelineQueries {
         FROM v GROUP BY doc_id, w, h
         ORDER BY asset_id""")),
 
+    // REAL pixel resize through the codec: gradient PNGs are encoded,
+    // fit-box-resized (decode -> NN sample -> re-encode), decoded AGAIN,
+    // and audited — three full codec passes per asset under the gate.
+    // The oracle mirrors the scale rule and the integer NN grid
+    // (src = dst*srcDim // dstDim) on the closed-form gradient, so a bug
+    // in either codec direction or the sampling math breaks the hash.
+    Q("multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long")).as[Long]
+        val blobs = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = (20 + id % 13).toInt; val h = (14 + id % 9).toInt
+            (id, graft.multimodal.Png.encode(w, h, 1,
+              (x, y, _) => ((id + y.toLong * w + x) % 256).toInt,
+              y => y % 5))
+          }
+        }.toDF("doc_id", "asset")
+        val resized = graft.multimodal.Png.resizeAssets(
+          blobs, "doc_id", "asset", maxDim = 8)
+        graft.multimodal.Png.pixelStats(resized, "asset_id", "resized")
+          .select(col("asset_id"), col("width"), col("height"),
+            col("n_pixels"), col("pix_sum"), col("pix_min"), col("pix_max"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, CAST(20 + doc_id % 13 AS INT) AS w,
+                          CAST(14 + doc_id % 9 AS INT) AS h FROM documents),
+        t AS (SELECT doc_id, w, h,
+                     greatest(1, CAST(floor(w * least(1.0, 8.0 / greatest(w, h))) AS INT)) AS tw,
+                     greatest(1, CAST(floor(h * least(1.0, 8.0 / greatest(w, h))) AS INT)) AS th
+              FROM d),
+        g AS (SELECT doc_id, w, h, tw, th,
+                     unnest(range(CAST(tw AS BIGINT) * th)) AS i FROM t),
+        v AS (SELECT doc_id, tw, th,
+                     (doc_id + ((i // tw) * h // th) * w + ((i % tw) * w // tw)) % 256 AS v
+              FROM g)
+        SELECT doc_id AS asset_id, tw AS width, th AS height,
+               CAST(tw AS BIGINT) * th AS n_pixels,
+               CAST(sum(v) AS BIGINT) AS pix_sum,
+               CAST(min(v) AS INT) AS pix_min,
+               CAST(max(v) AS INT) AS pix_max
+        FROM v GROUP BY doc_id, tw, th
+        ORDER BY asset_id""")),
+
     Q("multimodal_meta",
       (s, dir) => {
         val payload = encode(col("text"), "UTF-8")

@@ -78,6 +78,35 @@ class PngSpec extends SparkSpec {
     assert(s.width.isEmpty && s.pix_sum.isEmpty)
   }
 
+  test("nearest-neighbour resize samples the exact NN grid") {
+    val (w, h) = (10, 6)
+    val png = Png.encode(w, h, 1, grad, y => y % 5)
+    val Some(resized) = Png.resize(png, 5, 3)
+    val Some((dw, dh, dc, raw)) = Png.decodeRaw(resized)
+    assert((dw, dh, dc) == (5, 3, 1))
+    val expect = for (y <- 0 until 3; x <- 0 until 5)
+      yield grad((x * w / 5), (y * h / 3), 0)
+    assert(raw.map(_ & 0xff).toSeq == expect)
+  }
+
+  test("resizeAssets applies the fit-box rule and never upscales") {
+    val rows = Seq(
+      (1L, Png.encode(20, 10, 1, grad, _ => 2)), // shrinks to 8x4
+      (2L, Png.encode(4, 3, 3, grad, _ => 3)),   // already fits: untouched dims
+      (3L, "junk".getBytes("UTF-8")))
+    val out = Png.resizeAssets(rows.toDF("id", "blob"), "id", "blob", maxDim = 8)
+      .orderBy("asset_id").collect()
+    val r1 = Png.decodeRaw(out(0).getAs[Array[Byte]]("resized")).get
+    assert((r1._1, r1._2) == (8, 4))
+    // scale capped at 1: same dims AND pixel-identical (NN identity map)
+    val r2 = Png.decodeRaw(out(1).getAs[Array[Byte]]("resized")).get
+    assert((r2._1, r2._2, r2._3) == (4, 3, 3))
+    val orig = for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3) yield grad(x, y, c)
+    assert(r2._4.map(_ & 0xff).toSeq == orig)
+    // undecodable source: null everything, row still flows
+    assert(out(2).isNullAt(1) && out(2).isNullAt(3))
+  }
+
   test("pixelStats decodes a mixed batch, nulling only the bad rows") {
     val rows = Seq(
       (1L, Png.encode(4, 3, 1, grad, _ => 4)),
