@@ -292,6 +292,28 @@ object NearDupQueries {
       },
       None),
 
+    // Per-label centroid + per-dimension variance — prototype vectors and
+    // feature-collapse audit, melted to label x dim rows. Both moments
+    // accumulate as exact decimals of portably-rounded doubles, so the
+    // hash matches DuckDB bit-for-bit despite float inputs.
+    Q("embedding_centroids",
+      (s, dir) => graft.sim.EmbeddingStats.centroids(
+          Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy("label", "pos"),
+      Some("""
+        WITH u0 AS (SELECT label, unnest(embedding) AS xf,
+                           unnest(range(len(embedding))) AS pos
+                    FROM embeddings),
+        u AS (SELECT label, CAST(xf AS DOUBLE) AS x, CAST(pos AS INT) AS pos FROM u0),
+        a AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(floor(x * x * 1e8 + 0.5) / 1e8 AS DECIMAL(38,8))) AS DOUBLE) AS s2
+              FROM u GROUP BY 1, 2)
+        SELECT label, pos, n,
+               floor((s1 / n) * 1e6 + 0.5) / 1e6 AS centroid,
+               floor(greatest(0, s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
+        FROM a ORDER BY label, pos""")),
+
     Q("ann_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
