@@ -239,6 +239,30 @@ object NearDupQueries {
       },
       None),
 
+    // Incremental ingest under the gate: train on the even half, persist,
+    // APPEND the odd half against the frozen centroids (no retrain), then
+    // re-open and probe the combined inverted file. writeIndex overwrites,
+    // so repeated runs are deterministic; rows-only like its parents
+    // (IvfSpec pins argmin-consistency of appended rows and the
+    // id-collision / wrong-dim refusals).
+    Q("ann_ivf_append",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val trained = graft.sim.Ivf.train(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", k = 8, iters = 2)
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-app-q-" +
+          Integer.toHexString(dir.hashCode)
+        graft.sim.Ivf.writeIndex(trained, tmp)
+        trained.release()
+        graft.sim.Ivf.appendToIndex(s, tmp,
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        val index = graft.sim.Ivf.readIndex(s, tmp)
+        graft.sim.Ivf.topK(index, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Product-quantization ANN (Jégou et al., TPAMI 2011): corpus encoded
     // to m=16 one-byte codes (16 B/vector vs 256 B of floats — the memory
     // scale path), queries ranked by ADC over per-query lookup tables.

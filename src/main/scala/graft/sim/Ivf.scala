@@ -312,6 +312,54 @@ object Ivf {
     IvfIndex(coarse, cells, indexed, Some(meta))
   }
 
+  /** Incremental ingest: quantize a NEW batch against a persisted index's
+    * existing centroids and append it to the inverted file — the daily
+    * embedding-ingest path. No retraining: coarse/cells stay frozen (the
+    * standard production trade — periodic re-trains, continuous appends),
+    * so the append touches only the batch (one broadcast-assign pass) and
+    * writes only the batch's cells' partition directories.
+    *
+    * Fails loudly BEFORE writing on (a) a batch whose vector dim does not
+    * match the manifest, and (b) `checkIds = true` (default) on ids that
+    * already exist in the index — an id-collision append would corrupt
+    * every downstream probe with duplicate rows. The id check is one
+    * semi-join over the id COLUMN only (column-pruned scan of the
+    * inverted file; at 100 TB keep it on — the scan reads 8 bytes/row —
+    * or pass false when the caller owns id uniqueness end-to-end).
+    *
+    * Returns the number of rows appended. Re-open with [[readIndex]] (or
+    * keep probing an already-open index: parquet appends are visible to
+    * new jobs, invisible to cached frames). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    checkIds: Boolean = true): Long = {
+    val meta = readManifest(spark, path)
+    val dim = Similarity.inferDim(batch, vecCol)
+    if (dim != meta.dim) throw new IllegalArgumentException(
+      s"append batch has vector dim $dim but the index at $path was " +
+        s"trained at dim ${meta.dim} — wrong embedding column or wrong index")
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val cells = spark.read.parquet(s"$path/cells")
+    val base = batch.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"))
+    if (checkIds) {
+      val existing = spark.read.parquet(s"$path/indexed").select("_gf_id")
+      val clash = base.select("_gf_id").join(existing, Seq("_gf_id"),
+        "left_semi").limit(5).collect()
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"append batch re-uses ids already present in the index at $path " +
+          s"(e.g. ${clash.map(_.get(0)).mkString(", ")}) — appending them " +
+          "would duplicate rows in every probe; dedup the batch or use " +
+          "fresh ids")
+    }
+    val assigned = assignFine(assignCoarse(base, coarse), cells)
+      .select(col("_gf_cid"), col("_gf_id"), col("_gf_v"))
+    val n = assigned.cache().count()
+    assigned.repartition(col("_gf_cid"))
+      .write.mode("append").partitionBy("_gf_cid").parquet(s"$path/indexed")
+    assigned.unpersist(false)
+    n
+  }
+
   /** Parse + validate `manifest.json`. Fails loudly on a missing or
     * corrupt manifest — an index dir without one is not a graft IVF index
     * (or was written by a pre-manifest version; re-write it with

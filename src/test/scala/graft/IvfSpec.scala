@@ -237,4 +237,58 @@ class IvfSpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(top.head.getAs[Long]("neighbor_id") == 42L)
   }
+
+  test("appendToIndex ingests a new batch into a persisted index without retraining") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val old = df.filter(col("vec_id") < 20L)   // clusters 0 and 1
+    val fresh = df.filter(col("vec_id") >= 20L) // cluster 2, unseen ids
+    val trained = Ivf.train(old, "vec_id", "embedding", k = 3, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Ivf.writeIndex(trained, dir)
+    trained.release()
+
+    val appended = Ivf.appendToIndex(spark, dir, fresh, "vec_id", "embedding")
+    assert(appended == 10L)
+    val index = Ivf.readIndex(spark, dir)
+    assert(index.indexed.count() == 30L)
+    // an appended vector finds ITSELF at rank 1 with full probing — the
+    // new rows are really in the inverted file, in probe-reachable cells
+    val top = Ivf.topK(index, df.filter(col("vec_id") === 25L),
+      "vec_id", "embedding", k = 3, nprobe = index.numCells.toInt)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 25L)
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+    // appended rows carry the argmin cell of the FROZEN centroids —
+    // recomputed here independently with plain driver math
+    def toD(s: Seq[Any]): Array[Double] =
+      s.map { case f: Float => f.toDouble; case d: Double => d }.toArray
+    val cellVecs = index.cells.select("_gf_cid", "_gf_cv").collect()
+      .map(r => r.getLong(0) -> toD(r.getSeq[Any](1)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val assignedCids = index.indexed.filter(col("_gf_id") >= 20L)
+      .select("_gf_id", "_gf_cid", "_gf_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), toD(r.getSeq[Any](2))))
+    assert(assignedCids.length == 10)
+    assignedCids.foreach { case (id, cid, v) =>
+      val best = cellVecs.map { case (c, cv) => (1.0 - cos(v, cv), c) }.min._2
+      assert(cid == best, s"appended id $id in cell $cid, argmin is $best")
+    }
+
+    // id collisions refuse BEFORE writing
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(spark, dir, fresh, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("re-uses ids"))
+    assert(index.indexed.count() == 30L) // nothing was written
+    // wrong-dim batch refuses at plan time
+    val bad = Seq((99L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val ex2 = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(spark, dir, bad, "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("dim"))
+  }
 }
