@@ -222,6 +222,44 @@ object PipelineQueries {
         FROM v GROUP BY doc_id, w, h
         ORDER BY asset_id""")),
 
+    // REAL GIF pixel decode through LZW: per-doc GIFs are encoded (real
+    // dictionary-building LZW, width growth, greyscale palette), decoded
+    // back (sub-block walk, variable-width code stream, palette
+    // resolution), and reduced to exact integer stats. Same codec-free
+    // oracle trick as multimodal_pixels: DuckDB aggregates the closed-form
+    // index gradient — each pixel contributes its grey value on R, G and
+    // B, hence the 3x sum — so any LZW/width/palette bug breaks the hash.
+    Q("multimodal_gif_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long")).as[Long]
+        val grey = Array.tabulate(256)(i => (i, i, i))
+        val blobs = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = (11 + id % 13).toInt; val h = (7 + id % 9).toInt
+            (id, graft.multimodal.Gif.encode(w, h, grey,
+              (x, y) => ((id + y.toLong * w + x) % 256).toInt))
+          }
+        }.toDF("doc_id", "asset")
+        graft.multimodal.Gif.pixelStats(blobs, "doc_id", "asset")
+          .select(col("asset_id"), col("width"), col("height"),
+            col("n_pixels"), col("pix_sum"), col("pix_min"), col("pix_max"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, CAST(11 + doc_id % 13 AS INT) AS w,
+                          CAST(7 + doc_id % 9 AS INT) AS h FROM documents),
+        g AS (SELECT doc_id, w, h, unnest(range(CAST(w AS BIGINT) * h)) AS i FROM d),
+        v AS (SELECT doc_id, w, h, (doc_id + i) % 256 AS v FROM g)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               CAST(w AS BIGINT) * h AS n_pixels,
+               CAST(3 * sum(v) AS BIGINT) AS pix_sum,
+               CAST(min(v) AS INT) AS pix_min,
+               CAST(max(v) AS INT) AS pix_max
+        FROM v GROUP BY doc_id, w, h
+        ORDER BY asset_id""")),
+
     // REAL pixel resize through the codec: gradient PNGs are encoded,
     // fit-box-resized (decode -> NN sample -> re-encode), decoded AGAIN,
     // and audited — three full codec passes per asset under the gate.
