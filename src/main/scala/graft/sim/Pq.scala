@@ -289,6 +289,41 @@ object Pq {
     PqIndex(codebooks, codes, meta)
   }
 
+  /** Incremental ingest, the [[Ivf.appendToIndex]] twin: encode a NEW
+    * batch against a persisted index's FROZEN codebooks and append the
+    * byte codes — the daily-ingest path for the compressed corpus.
+    * Same refusal contract: wrong-dim batches raise from the manifest
+    * check before any work, and id collisions raise from a column-pruned
+    * semi-join before any write (a duplicate id would double-count in
+    * every ADC scan). Returns rows appended. */
+  def appendToIndex(spark: SparkSession, path: String, batch: DataFrame,
+                    idCol: String, vecCol: String,
+                    checkIds: Boolean = true): Long = {
+    val meta = readManifest(spark, path)
+    val dim = Similarity.inferDim(batch, vecCol)
+    if (dim != meta.dim) throw new IllegalArgumentException(
+      s"append batch has vector dim $dim but the PQ index at $path was " +
+        s"trained at dim ${meta.dim} — wrong embedding column or wrong index")
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val base = batch.select(col(idCol).as("_gf_id"))
+    if (checkIds) {
+      val existing = spark.read.parquet(s"$path/codes").select("_gf_id")
+      val clash = base.join(existing, Seq("_gf_id"), "left_semi")
+        .limit(5).collect()
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"append batch re-uses ids already present in the PQ index at " +
+          s"$path (e.g. ${clash.map(_.get(0)).mkString(", ")}) — appending " +
+          "them would double-count rows in every ADC scan; dedup the " +
+          "batch or use fresh ids")
+    }
+    val coded = encode(batch, idCol, vecCol, codebooks,
+      meta.m, meta.dim / meta.m).cache()
+    val n = coded.count()
+    coded.write.mode("append").parquet(s"$path/codes")
+    coded.unpersist(false)
+    n
+  }
+
   private def readManifest(spark: SparkSession, path: String): PqMeta = {
     val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())

@@ -159,4 +159,46 @@ class PqSpec extends SparkSpec {
     val ed = intercept[IllegalArgumentException] { Pq.readIndex(spark, tmp) }
     assert(ed.getMessage.contains("inconsistent"))
   }
+
+  test("appendToIndex encodes a new batch against frozen codebooks") {
+    val e = Tables.embeddings(spark, sfDir)
+    val old = e.filter(col("vec_id") % 2 === 0)
+    val fresh = e.filter(col("vec_id") % 2 === 1)
+    val index = Pq.train(old, "vec_id", "embedding", m = 8, ks = 16, iters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    Pq.writeIndex(index, tmp)
+
+    val appended = Pq.appendToIndex(spark, tmp, fresh, "vec_id", "embedding")
+    assert(appended == fresh.count())
+    val re = Pq.readIndex(spark, tmp)
+    assert(re.codes.count() == e.count())
+    // appended codes are EXACTLY what encoding against the frozen
+    // codebooks yields — byte-for-byte
+    val expect = Pq.encode(fresh, "vec_id", "embedding", index.codebooks,
+        8, index.meta.dim / 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val got = re.codes.join(fresh.select(col("vec_id").as("_gf_id")), Seq("_gf_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got == expect)
+    // a probe through the re-opened index can now rank appended rows:
+    // an appended query's own code scores with ADC distance ~0 to itself
+    val q = fresh.filter(col("vec_id") < 10)
+    assert(q.count() > 0)
+    val top = Pq.topK(re, q, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top.nonEmpty)
+    // refusals: id collision and wrong dim, both before writing
+    val ex = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, tmp, fresh, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("re-uses ids"))
+    assert(Pq.readIndex(spark, tmp).codes.count() == e.count())
+    val bad = fresh.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, tmp, bad, "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("dim"))
+    index.release()
+  }
 }
