@@ -248,8 +248,10 @@ object NearDupQueries {
     Q("ann_ivf_append",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+        // iters=1: the append CYCLE is what's under test, not k-means
+        // polish (the bench pays train+write+append+read+probe per run)
         val trained = graft.sim.Ivf.train(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", k = 8, iters = 2)
+          "vec_id", "embedding", k = 8, iters = 1)
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-app-q-" +
           Integer.toHexString(dir.hashCode)
         graft.sim.Ivf.writeIndex(trained, tmp)
