@@ -124,6 +124,19 @@ object CorpusQueries {
   }
 
   val all: Seq[Q] = Seq(
+    // Exact substring dedup (Lee et al., ACL 2022): every 8-token span
+    // occurring more than once in the corpus is cut from all but its
+    // (id, pos)-first occurrence; surrounding novel text survives. The
+    // level between document-global near-dup and C4 segment dedup.
+    // Rows-only (xxhash64 gram keys are engine-specific); SpanDedupSpec
+    // pins keep-first, span union, case handling, and pass-through.
+    Q("dedup_spans",
+      (s, dir) => graft.text.CorpusOps.dedupeSpans(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      None),
+
     // C4-style duplicate-span removal over 10-token segments; clones are
     // planted so every 5th doc's segments recur and the clone keeps none.
     Q("dedup_segments",
