@@ -224,6 +224,15 @@ object ConfigPipeline {
           asString(m("text_column"), s"$path.text_column"),
           asString(m("id_column"), s"$path.id_column"), t)
 
+      case "span_dedup" =>
+        requireKeys(m, path, required = Set("module", "text_column", "id_column"),
+          optional = Set("ngram"))
+        val n = m.get("ngram").map(asLong(_, s"$path.ngram")).getOrElse(16L)
+        if (n < 2 || n > 64) fail(s"$path.ngram", s"ngram must be in [2,64], got $n")
+        SpanDedupStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"), n.toInt)
+
       case "decontaminate" =>
         requireKeys(m, path,
           required = Set("module", "text_column", "id_column", "bench_path"),
@@ -266,7 +275,8 @@ object ConfigPipeline {
       case other =>
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
-            "text_filter|pii_redact|exact_dedup|near_dedup|decontaminate|sample|quota)")
+            "text_filter|pii_redact|exact_dedup|near_dedup|span_dedup|" +
+            "decontaminate|sample|quota)")
     }
   }
 

@@ -32,6 +32,11 @@ final case class DecontaminateStage(textCol: String, idCol: String,
     benchPath: String, n: Int, fpp: Double) extends Stage { val name = "decontaminate" }
 final case class NearDedupStage(textCol: String, idCol: String,
     threshold: Double) extends Stage { val name = "near_dedup" }
+/** Exact substring dedup (SURVEY row 102): duplicated n-token spans are
+  * cut in place; the frame keeps flowing with `textCol` replaced by the
+  * cleaned text (whitespace-normalized) and all other columns intact. */
+final case class SpanDedupStage(textCol: String, idCol: String,
+    n: Int) extends Stage { val name = "span_dedup" }
 final case class SampleStage(keyCol: String, fraction: Double,
                              seed: Long) extends Stage { val name = "sample" }
 final case class QuotaStage(groupCol: String, keyCol: String,
@@ -84,6 +89,15 @@ object Pipeline {
           LlmDedup.exact(acc, textCol, idCol)
         case NearDedupStage(textCol, idCol, threshold) =>
           graft.dedup.MinHash.dedup(acc, textCol, idCol, threshold = threshold)
+        case SpanDedupStage(textCol, idCol, n) =>
+          val cleaned = CorpusOps.dedupeSpans(
+            acc.select(col(idCol), col(textCol)), idCol, textCol, n)
+          reports += s"$i:span_dedup" -> cleaned
+            .filter(col("n_removed_tokens") > 0)
+            .select(col(idCol), col("n_removed_tokens"))
+          acc.drop(textCol).join(
+            cleaned.select(col(idCol), col("clean_text").as(textCol)),
+            Seq(idCol))
         case DecontaminateStage(textCol, idCol, benchPath, n, fpp) =>
           // benchmark suite read per the reference's path-driven configs;
           // the Bloom path is value-identical to exact decontamination

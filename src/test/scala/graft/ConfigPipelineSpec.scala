@@ -237,6 +237,39 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(bad.getMessage.contains("threshold"))
   }
 
+  test("span_dedup stage cuts copied passages in place, frame keeps flowing") {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma", "src1"),
+      (2L, s"one two $passage three", "src2"))
+      .toDF("doc_id", "text", "source")
+    val yaml = """
+      |run_id: sd
+      |stages:
+      |  - module: span_dedup
+      |    text_column: text
+      |    id_column: doc_id
+      |    ngram: 8
+      |""".stripMargin
+    val res = ConfigPipeline.run(docs, yaml)
+    val rows = res.df.orderBy("doc_id").collect()
+    // both docs survive (span dedup cuts text, never drops rows) and
+    // non-text columns ride through
+    assert(rows.map(_.getAs[String]("source")).toSeq == Seq("src1", "src2"))
+    assert(rows(0).getAs[String]("text") == s"alpha beta $passage gamma")
+    assert(rows(1).getAs[String]("text") == "one two three")
+    // the report names the edited doc and the token count
+    val rep = res.reports.collect { case (k, v) if k.endsWith("span_dedup") => v }.head
+    val repRows = rep.collect()
+    assert(repRows.length == 1 && repRows(0).getLong(0) == 2L
+      && repRows(0).getInt(1) == 20)
+    // ngram bound validated at config time
+    val bad = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("ngram: 8", "ngram: 1"))
+    }
+    assert(bad.getMessage.contains("ngram"))
+  }
+
   test("decontaminate stage validates fpp and ngram at config time") {
     val base = (extra: String) => s"""
       |run_id: bad
