@@ -8,6 +8,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 sealed trait DetectMethod { def name: String }
 final case class Iqr(multiplier: Double = 1.5) extends DetectMethod { val name = "iqr" }
 final case class ZScore(threshold: Double = 3.0) extends DetectMethod { val name = "zscore" }
+/** Median absolute deviation: robust where mean/stddev (ZScore) are
+  * dragged by the very outliers being hunted, and tighter than IQR on
+  * heavy-tailed data. Flags |x − median| > threshold · 1.4826 · MAD
+  * (1.4826 makes the MAD consistent with σ under normality, so the
+  * threshold reads in "robust sigmas" — Iglewicz & Hoaglin's modified
+  * z-score with its 3.5 default). */
+final case class Mad(threshold: Double = 3.5) extends DetectMethod { val name = "mad" }
 
 /** Handling strategy per column (outlier_handler.py:96-110). */
 sealed trait HandleStrategy
@@ -43,27 +50,54 @@ object Outliers {
   private def upperName(c: String) = s"_gf_${c}_hi"
   def flagName(c: String, m: DetectMethod): String = s"${c}_${m.name}_outlier"
 
-  /** One-row bounds frame for all configured columns in a single pass. */
+  /** One-row bounds frame for all configured columns — one aggregation
+    * pass, plus a second pass ONLY when MAD columns are configured (the
+    * deviation median needs the median first; no single-pass form
+    * exists). Both passes aggregate to one row; the data never shuffles. */
   private def boundsFrame(df: DataFrame, specs: Map[String, DetectMethod],
                           exact: Boolean): DataFrame = {
-    val aggs = specs.toSeq.sortBy(_._1).flatMap { case (c0, m) =>
+    def pct(c: Column, ps: Column): Column =
+      if (exact) percentile(c, ps) else percentile_approx(c, ps, lit(100000))
+    val sorted = specs.toSeq.sortBy(_._1)
+    val aggs = sorted.flatMap { case (c0, m) =>
       val c = col(c0).cast(DoubleType)
       m match {
         case Iqr(k) =>
           // one percentile aggregate with both percentages — two separate
           // percentile() calls each buffer + sort the column independently
-          val qs =
-            if (exact) percentile(c, array(lit(0.25), lit(0.75)))
-            else percentile_approx(c, array(lit(0.25), lit(0.75)), lit(100000))
+          val qs = pct(c, array(lit(0.25), lit(0.75)))
           val q1 = element_at(qs, 1); val q3 = element_at(qs, 2)
           Seq((q1 - lit(k) * (q3 - q1)).as(lowerName(c0)),
               (q3 + lit(k) * (q3 - q1)).as(upperName(c0)))
         case ZScore(t) =>
           Seq((avg(c) - lit(t) * stddev_samp(c)).as(lowerName(c0)),
               (avg(c) + lit(t) * stddev_samp(c)).as(upperName(c0)))
+        case Mad(_) =>
+          Seq(pct(c, lit(0.5)).as(s"_gf_${c0}_med"))
       }
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    val pass1 = df.agg(aggs.head, aggs.tail: _*)
+    val madSpecs = sorted.collect { case (c0, m: Mad) => (c0, m) }
+    if (madSpecs.isEmpty) pass1
+    else {
+      val meds = pass1.select(
+        madSpecs.map { case (c0, _) => col(s"_gf_${c0}_med") }: _*)
+      val madAggs = madSpecs.map { case (c0, _) =>
+        val c = col(c0).cast(DoubleType)
+        pct(abs(c - col(s"_gf_${c0}_med")), lit(0.5)).as(s"_gf_${c0}_madv")
+      }
+      val pass2 = df.crossJoin(broadcast(meds))
+        .agg(madAggs.head, madAggs.tail: _*)
+      val finalCols: Seq[Column] = sorted.flatMap {
+        case (c0, Mad(t)) =>
+          val med = col(s"_gf_${c0}_med")
+          val sc = lit(t * 1.4826) * col(s"_gf_${c0}_madv")
+          Seq((med - sc).as(lowerName(c0)), (med + sc).as(upperName(c0)))
+        case (c0, _) =>
+          Seq(col(lowerName(c0)), col(upperName(c0)))
+      }
+      pass1.crossJoin(pass2).select(finalCols: _*)
+    }
   }
 
   /** Flag outliers per configured column (detect_outliers.py:32-90).

@@ -174,7 +174,12 @@ object ConfigPipeline {
                 optional = Set("threshold"))
               ZScore(dm.get("threshold").map(asDouble(_, s"$path.detect.$c.threshold"))
                 .getOrElse(3.0))
-            case other => fail(s"$path.detect.$c.method", s"unknown method '$other' (iqr|zscore)")
+            case "mad" =>
+              requireKeys(dm, s"$path.detect.$c", required = Set("method"),
+                optional = Set("threshold"))
+              Mad(dm.get("threshold").map(asDouble(_, s"$path.detect.$c.threshold"))
+                .getOrElse(3.5))
+            case other => fail(s"$path.detect.$c.method", s"unknown method '$other' (iqr|zscore|mad)")
           })
         }
         val handle = asMap(m("handle"), s"$path.handle").map { case (c, s) =>

@@ -76,6 +76,29 @@ object DedupOutlierQueries {
            OR l_extendedprice > q3 + 1.5 * (q3 - q1)
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // MAD (modified z-score, Iglewicz & Hoaglin): robust where mean/std
+    // are dragged by the outliers being hunted. Two 1-row aggregate
+    // passes (median, then deviation median) — the data never shuffles.
+    Q("outliers_mad",
+      (s, dir) => {
+        val det = Outliers.detect(Tables.events(s, dir),
+          Map("value" -> Mad(3.5)))
+        Outliers.outlierRows(det)
+          .select("event_id", "value")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS med FROM events),
+        d AS (
+          SELECT quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) AS madv
+          FROM events, m)
+        SELECT event_id, value
+        FROM events, m, d
+        WHERE value < med - 3.5 * 1.4826 * madv
+           OR value > med + 3.5 * 1.4826 * madv
+        ORDER BY event_id""")),
+
     Q("outliers_zscore",
       (s, dir) => {
         val det = Outliers.detect(Tables.events(s, dir),

@@ -103,8 +103,8 @@ class ConfigPipelineSpec extends SparkSpec {
       "run_id: x\nstages:\n  - module: normalize\n    renmae_columns: {a: b}\n")
       .contains("unknown key(s): renmae_columns"))
     assert(configError(
-      "run_id: x\nstages:\n  - module: outliers\n    detect: {c: {method: mad}}\n    handle: {}\n")
-      .contains("unknown method 'mad'"))
+      "run_id: x\nstages:\n  - module: outliers\n    detect: {c: {method: grubbs}}\n    handle: {}\n")
+      .contains("unknown method 'grubbs'"))
     assert(configError(
       "run_id: x\nstages:\n  - module: validate\n    rules:\n      - {rule: in_range, column: c}\n")
       .contains("missing required key"))

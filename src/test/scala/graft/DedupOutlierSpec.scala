@@ -61,4 +61,23 @@ class DedupOutlierSpec extends SparkSpec {
     val out = Outliers.handle(det, Map("v" -> ReplaceMedian))
     assert(out.filter(col("v") === 10.0).count() == 21)
   }
+
+  test("MAD flags by robust sigma where mean/std would be dragged") {
+    // 20 values at 10 ± small noise, one monster at 1000: the classic
+    // case where the outlier inflates the stddev enough that zscore at
+    // 3.0 misses it on tiny samples, while MAD is untouched by it
+    import spark.implicits._
+    val vals = (0 until 20).map(i => 10.0 + (i % 5) * 0.1) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val det = Outliers.detect(df, Map("v" -> Mad(3.5)))
+    val flagged = Outliers.outlierRows(det).select("id").collect().map(_.getLong(0))
+    assert(flagged.toSeq == Seq(20L))
+    // hand-check the bound arithmetic: med = 10.1..., MAD over |x - med|
+    val sorted = vals.sorted
+    val med = sorted(vals.length / 2)
+    val devs = vals.map(v => math.abs(v - med)).sorted
+    val mad = devs(vals.length / 2)
+    val hi = med + 3.5 * 1.4826 * mad
+    assert(vals.count(_ > hi) == 1 && 1000.0 > hi)
+  }
 }
