@@ -64,6 +64,18 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2).getString(1) == toks("c", 1 to 3))
   }
 
+  test("plan pin: keep-first is a partial-aggregating min, not a rank window") {
+    val df = Seq((1L, toks("w", 1 to 30))).toDF("doc_id", "text")
+    val plan = CorpusOps.dedupeSpans(df, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    // the skew-robustness claim: no sort window over the gram hash — the
+    // boilerplate gram occurring 10^9 times must collapse map-side
+    assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
+    val aggs = "(HashAggregate|ObjectHashAggregate|SortAggregate)".r
+      .findAllIn(plan).size
+    assert(aggs >= 2, s"expected a partial+final aggregate pair, got $aggs")
+  }
+
   test("documents shorter than n and blank documents pass through") {
     val rows = Seq((1L, "just a few tokens"), (2L, "   "), (3L, ""))
     val out = CorpusOps.dedupeSpans(rows.toDF("doc_id", "text"),
