@@ -183,7 +183,12 @@ object Png {
     try {
       while (got < expect && !inflater.finished()) {
         val n = inflater.inflate(filt, got, expect - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // All input was staged up front, so ANY zero-progress iteration is a
+        // refusal: needsInput() = truncated stream; !needsInput() = a stream
+        // this decoder cannot advance (e.g. a zlib header with the FDICT bit
+        // set leaves inflate() returning 0 with needsDictionary() true — an
+        // unguarded loop would hang the executor task on a crafted asset).
+        if (n == 0) return None
         got += n
       }
       // stream must end exactly at the expected byte count

@@ -78,6 +78,32 @@ class PngSpec extends SparkSpec {
     assert(s.width.isEmpty && s.pix_sum.isEmpty)
   }
 
+  test("FDICT zlib header inside a CRC-valid IDAT refuses instead of hanging") {
+    // Inflater.inflate() returns 0 forever on a preset-dictionary stream
+    // (needsDictionary() true, needsInput() false) — an unguarded loop spins.
+    val good = Png.encode(5, 4, 1, grad)
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+        ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      bos.write(be32(data.length.toLong))
+      bos.write(ctype.getBytes("US-ASCII")); bos.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      bos.write(be32(crc.getValue))
+      bos.toByteArray
+    }
+    // 0x78 0x20: CM=8, FDICT=1, and 0x7820 % 31 == 0 so FCHECK passes;
+    // then a 4-byte DICTID and junk deflate bytes.
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0x5b, 0x00)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(good, 0, 8) // PNG signature
+    bos.write(chunk("IHDR", good.slice(16, 16 + 13)))
+    bos.write(chunk("IDAT", fdictIdat))
+    bos.write(chunk("IEND", Array.emptyByteArray))
+    assert(!Png.decodePixels(9L, bos.toByteArray).ok) // refuses, promptly
+  }
+
   test("nearest-neighbour resize samples the exact NN grid") {
     val (w, h) = (10, 6)
     val png = Png.encode(w, h, 1, grad, y => y % 5)
