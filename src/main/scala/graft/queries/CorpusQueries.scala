@@ -128,14 +128,52 @@ object CorpusQueries {
     // occurring more than once in the corpus is cut from all but its
     // (id, pos)-first occurrence; surrounding novel text survives. The
     // level between document-global near-dup and C4 segment dedup.
-    // Rows-only (xxhash64 gram keys are engine-specific); SpanDedupSpec
+    // Oracle mirrors detection over the gram STRINGS (the xxhash64 key is
+    // an internal detail, not a semantic one): group by gram, count > 1,
+    // (id, pos)-min keep-first, exploded-index distinct cut. SpanDedupSpec
     // pins keep-first, span union, case handling, and pass-through.
     Q("dedup_spans",
       (s, dir) => graft.text.CorpusOps.dedupeSpans(
           Tables.documents(s, dir).select("doc_id", "text"),
           "doc_id", "text", n = 8)
         .orderBy("doc_id"),
-      None),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS lc,
+                 $sqlToks AS l
+          FROM documents),
+        g AS (
+          SELECT doc_id, p - 1 AS pos, array_to_string(l[p : p + 7], ' ') AS gram
+          FROM (SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS p, l FROM t)
+          WHERE length(array_to_string(l[p : p + 7], ' ')) > 0),
+        st AS (
+          SELECT gram, count(*) AS cnt,
+                 min(doc_id * ${CorpusOps.SegRank} + pos) AS fr
+          FROM g GROUP BY 1),
+        del AS (
+          SELECT DISTINCT doc_id, i FROM (
+            SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 7)) AS i
+            FROM g JOIN st USING (gram)
+            WHERE st.cnt > 1 AND g.doc_id * ${CorpusOps.SegRank} + g.pos <> st.fr)),
+        nrm AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS nrm FROM del GROUP BY 1),
+        tok AS (
+          SELECT doc_id, p - 1 AS i, lc[p] AS tokc
+          FROM (SELECT doc_id, unnest(generate_series(1, len(lc))) AS p, lc FROM t)),
+        kept AS (
+          SELECT tok.doc_id, string_agg(tok.tokc, ' ' ORDER BY tok.i) AS clean
+          FROM tok LEFT JOIN del ON tok.doc_id = del.doc_id AND tok.i = del.i
+          WHERE del.i IS NULL
+          GROUP BY 1)
+        SELECT t.doc_id,
+               CASE WHEN nrm.doc_id IS NULL THEN
+                      CASE WHEN length(trim(t.text)) = 0 THEN ''
+                           ELSE array_to_string(t.lc, ' ') END
+                    ELSE coalesce(kept.clean, '') END AS clean_text,
+               coalesce(nrm.nrm, 0) AS n_removed_tokens
+        FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN kept USING (doc_id)
+        ORDER BY doc_id""")),
 
     // C4-style duplicate-span removal over 10-token segments; clones are
     // planted so every 5th doc's segments recur and the clone keeps none.

@@ -235,9 +235,15 @@ object CorpusOps {
     * strings; keep-first is a MIN-AGGREGATE per hash (map-side combined —
     * skew-robust against the boilerplate gram that occurs 10⁹ times,
     * where a rank window would sort one reducer's mountain); only
-    * hashes with count > 1 survive to the join; span union + cut are
-    * per-row HOFs (no shuffle). Two gram-shuffles + one doc-keyed
-    * aggregate total. */
+    * hashes with count > 1 survive to the join. The CUT is relational,
+    * not a per-row scan: each duplicate gram explodes to its n deleted
+    * token indexes, `distinct` collapses the overlap (rows bounded by
+    * corpus token count, shuffling as 16-byte (id, idx) pairs), and the
+    * kept text is rebuilt by anti-joining the posexploded tokens of the
+    * AFFECTED documents only — a fully-duplicated L-token boilerplate
+    * page costs O(L·n) exploded rows, never the O(L²) span-membership
+    * scan of a per-token `exists` over an unmerged span list. Untouched
+    * documents never leave the projection fast path. */
   def dedupeSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 16): DataFrame = {
     require(n >= 2, s"dedupeSpans needs n >= 2, got $n")
@@ -254,26 +260,39 @@ object CorpusOps {
       count(lit(1)).as("_gf_cnt"))
       .filter(col("_gf_cnt") > 1)
       .select(col("_gf_h"), col("_gf_first"))
-    val dupSpans = grams.join(firsts, Seq("_gf_h"))
+    // Every non-first occurrence of a duplicated gram deletes its n token
+    // indexes; overlapping grams of one copied passage collapse under the
+    // distinct into one contiguous run of (id, idx) rows.
+    val deleted = grams.join(firsts, Seq("_gf_h"))
       .filter(!(col("_gf_id") === col("_gf_first._gf_id") &&
         col("_gf_pos") === col("_gf_first._gf_pos")))
-      .groupBy(col("_gf_id").as(idCol))
-      .agg(collect_list(struct(col("_gf_pos").as("s"),
-        (col("_gf_pos") + n).as("e"))).as("_gf_spans"))
+      .select(col("_gf_id"),
+        explode(sequence(col("_gf_pos"), col("_gf_pos") + (n - 1))).as("_gf_i"))
+      .distinct()
+    val removed = deleted.groupBy("_gf_id")
+      .agg(count(lit(1)).cast("int").as("_gf_nrm"))
     val toks = split(trim(col(textCol)), "\\s+")
-    val withIdx = transform(toks, (t, i) => struct(t.as("t"), i.as("i")))
-    val kept = filter(withIdx, s =>
-      !exists(col("_gf_spans"), sp =>
-        s.getField("i") >= sp.getField("s") && s.getField("i") < sp.getField("e")))
-    base.join(dupSpans, Seq(idCol), "left")
+    // Token-level rebuild only for documents that actually lose a span.
+    val affectedToks = base
+      .join(removed.select(col("_gf_id").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(toks).as(Seq("_gf_i", "_gf_t")))
+    val rebuilt = affectedToks
+      .join(deleted.withColumnRenamed("_gf_id", idCol), Seq(idCol, "_gf_i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_gf_i"), col("_gf_t")))),
+        s => s.getField("_gf_t")), " ").as("_gf_clean"))
+    base
+      .join(removed.withColumnRenamed("_gf_id", idCol), Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
       .select(
         col(idCol),
-        when(col("_gf_spans").isNull,
+        when(col("_gf_nrm").isNull,
           when(length(trim(col(textCol))) === 0, lit(""))
             .otherwise(array_join(toks, " ")))
-          .otherwise(array_join(transform(kept, s => s.getField("t")), " "))
+          // an entirely-duplicated doc keeps no token: rebuilt has no row
+          .otherwise(coalesce(col("_gf_clean"), lit("")))
           .as("clean_text"),
-        when(col("_gf_spans").isNull, lit(0))
-          .otherwise(size(toks) - size(kept)).as("n_removed_tokens"))
+        coalesce(col("_gf_nrm"), lit(0)).as("n_removed_tokens"))
   }
 }

@@ -76,6 +76,22 @@ class SpanDedupSpec extends SparkSpec {
     assert(aggs >= 2, s"expected a partial+final aggregate pair, got $aggs")
   }
 
+  test("a ~50k-token fully-duplicated doc cuts in linear time") {
+    // The adversarial input shape: a boilerplate-heavy page where spans ~=
+    // tokens. The old per-token exists() over the unmerged span list was
+    // O(L^2) here (~2.5e9 struct comparisons at L=50k); the relational cut
+    // (explode deleted indexes -> distinct -> anti-join) is O(L*n).
+    val l = 50000
+    val big = toks("t", 1 to l)
+    val out = CorpusOps.dedupeSpans(
+        Seq((1L, big), (2L, big), (3L, toks("u", 1 to 5))).toDF("doc_id", "text"),
+        "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == big && out(0).getInt(2) == 0)  // keeper intact
+    assert(out(1).getString(1) == "" && out(1).getInt(2) == l)   // copy vanishes
+    assert(out(2).getString(1) == toks("u", 1 to 5))             // novel survives
+  }
+
   test("documents shorter than n and blank documents pass through") {
     val rows = Seq((1L, "just a few tokens"), (2L, "   "), (3L, ""))
     val out = CorpusOps.dedupeSpans(rows.toDF("doc_id", "text"),
