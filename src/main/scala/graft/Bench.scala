@@ -76,8 +76,19 @@ object Bench {
     }
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Machine-load fingerprint, so a reader can separate code from climate
+    // without round-over-round archaeology: /proc/loadavg is
+    // "l1 l5 l15 running/total lastpid". A clean idle run has l1 well
+    // below the bench's own CPU count and running in the low single digits.
+    val loadFp: String = try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      val parts = try src.mkString.trim.split("\\s+") finally src.close()
+      val rt = parts(3).split("/")
+      s""""load":{"l1":${parts(0)},"l5":${parts(1)},"l15":${parts(2)},""" +
+        s""""procs_running":${rt(0)},"procs_total":${rt(1)},"bench_cpus":$cpus}"""
+    } catch { case _: Exception => s""""load":{"bench_cpus":$cpus}""" }
     val detailLine =
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":$total,"unit":"sec",$loadFp,"queries":$detail,"sf":"$sfDir"}"""
     println(detailLine)
     // Also persist the COMPLETE per-query map as a file artifact: the
     // capped stdout line below drops the fastest queries once the

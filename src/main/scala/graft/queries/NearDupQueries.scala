@@ -26,6 +26,32 @@ object NearDupQueries {
     d.unionByName(clones)
   }
 
+  /** Per-session scratch dir for a persisted-index query: keyed by the
+    * Spark applicationId so two concurrent bench/test runs never share a
+    * path (a shared path races one run's writeIndex overwrite against the
+    * other's append — flaky failures or duplicate-id refusals). Within a
+    * session the path is stable, so bench min-of-3 re-invocations reuse
+    * it instead of accumulating corpus-sized copies. Stale siblings from
+    * FINISHED sessions are swept once they are over an hour old (never
+    * younger — a concurrent live run's dir must not be deleted under
+    * it). */
+  private def scratchIndexDir(s: SparkSession, tag: String, dir: String): String = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft-$tag-${Integer.toHexString(dir.hashCode)}-"
+    val name = prefix + s.sparkContext.applicationId
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(): Unit
+    }
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(base.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(prefix) &&
+          f.getName != name && f.lastModified() < cutoff) rm(f)
+    }
+    new java.io.File(base, name).getAbsolutePath
+  }
+
   /** embeddings ∪ scaled clones (same direction => cosine 1). */
   private def perturbedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -223,13 +249,12 @@ object NearDupQueries {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val trained = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
-        // FIXED path per sf dir, not createTempDirectory: bench min-of-3
-        // and repeated driver runs re-invoke this builder, and a fresh dir
+        // Session-stable path (see scratchIndexDir): bench min-of-3 and
+        // repeated driver runs re-invoke this builder, and a fresh dir
         // per invocation would accumulate corpus-sized index copies in
         // /tmp without bound. writeIndex overwrites, so the round trip
         // under test is identical.
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-q-" +
-          Integer.toHexString(dir.hashCode)
+        val tmp = scratchIndexDir(s, "ivf-q", dir)
         graft.sim.Ivf.writeIndex(trained, tmp)
         trained.release()
         val index = graft.sim.Ivf.readIndex(s, tmp)
@@ -252,8 +277,7 @@ object NearDupQueries {
         // polish (the bench pays train+write+append+read+probe per run)
         val trained = graft.sim.Ivf.train(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", k = 8, iters = 1)
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-app-q-" +
-          Integer.toHexString(dir.hashCode)
+        val tmp = scratchIndexDir(s, "ivf-app-q", dir)
         graft.sim.Ivf.writeIndex(trained, tmp)
         trained.release()
         graft.sim.Ivf.appendToIndex(s, tmp,

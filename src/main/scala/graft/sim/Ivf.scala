@@ -329,7 +329,16 @@ object Ivf {
     *
     * Returns the number of rows appended. Re-open with [[readIndex]] (or
     * keep probing an already-open index: parquet appends are visible to
-    * new jobs, invisible to cached frames). */
+    * new jobs, invisible to cached frames).
+    *
+    * Concurrency contract: SINGLE WRITER. The id-collision check and the
+    * write are not one atomic unit, so two concurrent appends can both
+    * pass the semi-join and both land — serialize appends externally
+    * (one ingest job per index, the normal daily-batch shape). Failure
+    * atomicity IS handled: the batch is written to a dot-prefixed
+    * staging directory (invisible to parquet readers) and moved into the
+    * live inverted file with per-file renames, so a mid-write crash
+    * leaves the index readable and un-torn instead of half-appended. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame, idCol: String, vecCol: String,
                     checkIds: Boolean = true): Long = {
@@ -354,10 +363,63 @@ object Ivf {
     val assigned = assignFine(assignCoarse(base, coarse), cells)
       .select(col("_gf_cid"), col("_gf_id"), col("_gf_v"))
     val n = assigned.cache().count()
-    assigned.repartition(col("_gf_cid"))
-      .write.mode("append").partitionBy("_gf_cid").parquet(s"$path/indexed")
+    val staging = stageAppend(spark, path,
+      out => assigned.repartition(col("_gf_cid"))
+        .write.mode("overwrite").partitionBy("_gf_cid").parquet(out))
+    promoteStaged(spark, staging, s"$path/indexed", partitioned = true)
     assigned.unpersist(false)
     n
+  }
+
+  /** Write an append batch under `<path>/.append-staging-<uuid>` — the dot
+    * prefix hides it from every parquet reader, so a crash mid-write
+    * leaves the live index untouched. Leftover staging dirs from prior
+    * crashed appends are swept first (safe under the documented
+    * single-writer contract). Returns the staging path. */
+  private[sim] def stageAppend(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               write: String => Unit): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".append-staging-"))
+        fs.delete(st.getPath, true): Unit
+    }
+    val staging = s"$path/.append-staging-${java.util.UUID.randomUUID}"
+    write(staging)
+    staging
+  }
+
+  /** Move staged part files into the live index directory. Pure metadata
+    * renames: the torn-append window shrinks from the whole distributed
+    * write to a handful of filesystem renames (part-file names carry a
+    * task UUID, so they cannot collide with resident files). */
+  private[sim] def promoteStaged(spark: org.apache.spark.sql.SparkSession,
+                                 staging: String, dest: String,
+                                 partitioned: Boolean): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    def moveParts(from: org.apache.hadoop.fs.Path,
+                  to: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(to)
+      fs.listStatus(from).foreach { f =>
+        if (f.isFile && f.getPath.getName.startsWith("part-")) {
+          val t = new org.apache.hadoop.fs.Path(to, f.getPath.getName)
+          if (!fs.rename(f.getPath, t)) throw new IllegalStateException(
+            s"append promotion failed moving ${f.getPath} to $t — the " +
+              "index is still consistent (staged files are invisible); " +
+              "re-run the append")
+        }
+      }
+    }
+    if (partitioned)
+      fs.listStatus(sp).foreach { p =>
+        if (p.isDirectory && p.getPath.getName.contains("="))
+          moveParts(p.getPath,
+            new org.apache.hadoop.fs.Path(dest, p.getPath.getName))
+      }
+    else moveParts(sp, new org.apache.hadoop.fs.Path(dest))
+    fs.delete(sp, true): Unit
   }
 
   /** Parse + validate `manifest.json`. Fails loudly on a missing or

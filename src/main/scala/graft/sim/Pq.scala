@@ -295,7 +295,12 @@ object Pq {
     * Same refusal contract: wrong-dim batches raise from the manifest
     * check before any work, and id collisions raise from a column-pruned
     * semi-join before any write (a duplicate id would double-count in
-    * every ADC scan). Returns rows appended. */
+    * every ADC scan). Returns rows appended.
+    *
+    * Same concurrency contract as [[Ivf.appendToIndex]]: SINGLE WRITER
+    * (the id check and the write are not atomic together); failure
+    * atomicity via the dot-prefixed staging dir + rename promotion, so a
+    * mid-write crash never tears the live code file. */
   def appendToIndex(spark: SparkSession, path: String, batch: DataFrame,
                     idCol: String, vecCol: String,
                     checkIds: Boolean = true): Long = {
@@ -319,7 +324,9 @@ object Pq {
     val coded = encode(batch, idCol, vecCol, codebooks,
       meta.m, meta.dim / meta.m).cache()
     val n = coded.count()
-    coded.write.mode("append").parquet(s"$path/codes")
+    val staging = Ivf.stageAppend(spark, path,
+      out => coded.write.mode("overwrite").parquet(out))
+    Ivf.promoteStaged(spark, staging, s"$path/codes", partitioned = false)
     coded.unpersist(false)
     n
   }
