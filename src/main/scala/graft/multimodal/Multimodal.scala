@@ -16,9 +16,11 @@ final case class AssetMeta(asset_id: Long, n_bytes: Long, width: Int,
   * [[decodeAudio]] parse REAL container headers (PNG IHDR, JPEG SOFn, GIF
   * logical screen, WAV/RIFF fmt — pure byte arithmetic, no codec library).
   * Bytes that match no known container fall back to the clearly-marked
-  * deterministic [[decodeStub]] (image/audio PIXEL/SAMPLE codecs are not
-  * in this container); swap the stub for a JNI/javacv call and nothing
-  * else changes.
+  * deterministic [[decodeStub]]. PIXEL/SAMPLE codecs are REAL for PNG
+  * ([[Png]]), GIF ([[Gif]]), baseline JPEG ([[Jpeg]]) and PCM WAV
+  * ([[pcmFeatures]]); only video FRAME decode remains out of scope (an
+  * H.264 codec is not byte arithmetic — swap in a JNI/javacv call and
+  * nothing else changes).
   */
 object Multimodal {
 

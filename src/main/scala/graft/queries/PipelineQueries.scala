@@ -260,6 +260,60 @@ object PipelineQueries {
         FROM v GROUP BY doc_id, w, h
         ORDER BY asset_id""")),
 
+    // REAL JPEG pixel decode through the full baseline machinery: per-doc
+    // JPEGs are encoded (forward DCT, quantization, canonical Huffman,
+    // mixing grey / colour-with-restart-markers / 4:2:0-subsampled per
+    // doc) then decoded back (marker parse, Huffman, dequant, IDCT,
+    // chroma upsample, YCbCr->RGB). Fixtures are achromatic and constant
+    // per 16x16 MCU, which makes the lossy codec EXACT (integer Y,
+    // Cb=Cr=128, DC-only blocks — see JpegSpec), so the oracle never
+    // sees a JPEG: DuckDB aggregates the closed-form block gradient, and
+    // any Huffman/DCT/marker/colour bug breaks the hash.
+    Q("multimodal_jpeg_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long")).as[Long]
+        val blobs = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = (16 * (1 + id % 3)).toInt; val h = (16 * (1 + id % 2)).toInt
+            def v(x: Int, y: Int): Int =
+              ((id + 7 * (x / 16) + 13 * (y / 16)) % 256).toInt
+            val bytes = (id % 3) match {
+              case 0 => graft.multimodal.Jpeg.encode(w, h, 1, (x, y, _) => v(x, y))
+              case 1 => graft.multimodal.Jpeg.encode(w, h, 3, (x, y, _) => v(x, y),
+                restartEvery = 3)
+              case _ => graft.multimodal.Jpeg.encode(w, h, 3, (x, y, _) => v(x, y),
+                subsample420 = true)
+            }
+            (id, bytes)
+          }
+        }.toDF("doc_id", "asset")
+        graft.multimodal.Jpeg.pixelStats(blobs, "doc_id", "asset")
+          .select(col("asset_id"), col("width"), col("height"),
+            col("channels"), col("n_pixels"), col("pix_sum"),
+            col("pix_min"), col("pix_max"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          CAST(16 * (1 + doc_id % 3) AS INT) AS w,
+                          CAST(16 * (1 + doc_id % 2) AS INT) AS h,
+                          doc_id % 3 AS m FROM documents),
+        b AS (SELECT doc_id, w, h, m,
+                     unnest(range((w // 16) * (h // 16))) AS i FROM d),
+        v AS (SELECT doc_id, w, h, m,
+                     (doc_id + 7 * (i % (w // 16)) + 13 * (i // (w // 16))) % 256 AS v
+              FROM b)
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               CAST(CASE WHEN m = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+               CAST(w AS BIGINT) * h AS n_pixels,
+               CAST((CASE WHEN m = 0 THEN 1 ELSE 3 END) * 256 * sum(v) AS BIGINT) AS pix_sum,
+               CAST(min(v) AS INT) AS pix_min,
+               CAST(max(v) AS INT) AS pix_max
+        FROM v GROUP BY doc_id, w, h, m
+        ORDER BY asset_id""")),
+
     // REAL pixel resize through the codec: gradient PNGs are encoded,
     // fit-box-resized (decode -> NN sample -> re-encode), decoded AGAIN,
     // and audited — three full codec passes per asset under the gate.
