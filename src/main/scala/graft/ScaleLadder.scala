@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder evidence tools (SURVEY §5): derive a deterministic N×
+  * corpus from the sf0.1 tables and measure the heavy dedup/ANN family's
+  * growth exponent across it.
+  *
+  * Everything the engine claims about 100 TB behavior is plan-shaped
+  * (PlanQualitySpec pins pushdown/broadcast/partition pruning), but plans
+  * don't expose super-linear CONSTANTS — a quadratic per-row lambda or a
+  * candidate-pair blow-up only shows up when the data actually grows. The
+  * driver corpus is read-only and capped at sf0.1, so the ladder derives
+  * its own larger corpus in java.io.tmpdir:
+  *
+  *   copy 0   = the sf0.1 table verbatim;
+  *   copy k>0 = ids shifted to a disjoint band (k·10⁷) and content
+  *              re-seeded so copies don't collide:
+  *              - documents: every token suffixed `~k` — token/shingle/gram
+  *                equality (and hence the planted dup structure) is
+  *                PRESERVED WITHIN a copy and DESTROYED ACROSS copies, so
+  *                duplicate pairs/spans scale linearly with the factor,
+  *                like a real corpus, instead of quadratically like naive
+  *                replication;
+  *              - embeddings: deterministic per-element jitter (xxhash64 of
+  *                (vec_id, k, i), amplitude 0.02) — cluster geometry is
+  *                kept, exact clones across copies are not;
+  *              - events: event/user ids shifted, timestamps kept — series
+  *                count scales, per-series length (window cost) does not.
+  *
+  * Determinism: no RNG anywhere — content is a pure function of (source
+  * row, k), so two runs derive byte-identical corpora and ladder numbers
+  * are reproducible.
+  */
+object ScaleCorpus {
+
+  val IdBand = 10000000L
+
+  /** Derive `srcDir`'s documents/embeddings/events at `factor`× into
+    * `outDir` (only the tables the heavy family reads; the TPC-H star is
+    * driver-owned and not part of the ladder). Idempotent via a DONE
+    * marker. */
+  def derive(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    val done = new java.io.File(outDir, "_LADDER_DONE")
+    if (done.exists()) return
+    val parts = math.max(factor, spark.sparkContext.defaultParallelism)
+
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    val d = spark.read.parquet(s"$srcDir/documents.parquet")
+    write((0 until factor).map { k =>
+      if (k == 0) d
+      else d.select(
+        (col("doc_id") + lit(k * IdBand)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1~" + k).as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _), "documents")
+
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    write((0 until factor).map { k =>
+      if (k == 0) e
+      else e.select(
+        (col("vec_id") + lit(k * IdBand)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + ((pmod(xxhash64(col("vec_id"), lit(k), i), lit(1000))
+            .cast("double") / 1000.0 - 0.5) * 0.02).cast("float")).cast("float")
+        ).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _), "embeddings")
+
+    // events.ts is parquet TIMESTAMP(NANOS); read as long (Tables.events
+    // handles either form on the way back in).
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    write((0 until factor).map { k =>
+      if (k == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(k * 100 * IdBand))
+        .withColumn("user_id", col("user_id") + lit(k * IdBand))
+    }.reduce(_ unionByName _), "events")
+
+    done.createNewFile(): Unit
+  }
+}
+
+/** Ladder runner: `runMain graft.ScaleLadder [query ...]`.
+  *
+  * For each factor in SPARK_GRAFT_LADDER_FACTORS (default 1,4,16,64) and
+  * each query, runs warm-up + min-of-SPARK_GRAFT_BENCH_ITERS (default 2)
+  * with Bench's materialization discipline, then fits the growth exponent
+  * b of t = a·f^b by least squares on (ln f, ln t) over factors ≥ 4 (the
+  * ×1 point is dominated by fixed plan/JVM overhead that would bias b
+  * DOWN; with it excluded, b is the marginal data-growth exponent — the
+  * number that predicts 100× behavior). A query whose run exceeds
+  * SPARK_GRAFT_LADDER_CUTOFF seconds (default 180) is not advanced to the
+  * next factor — reported as `truncated` rather than hanging the ladder.
+  * Writes scaling_detail.json for SCALING.md.
+  */
+object ScaleLadder {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val cutoff = sys.env.getOrElse("SPARK_GRAFT_LADDER_CUTOFF", "180").toDouble
+    val factors = sys.env.getOrElse("SPARK_GRAFT_LADDER_FACTORS", "1,4,16,64")
+      .split(",").map(_.trim.toInt).toSeq
+    val defaultQueries = Seq(
+      "dedup_minhash", "dedup_components", "dedup_spans", "dedup_jaccard",
+      "ann_ivfpq", "ann_ivfpq_rerank", "llm_curation_full", "text_tfidf")
+    val names = if (args.nonEmpty) args.toSeq else defaultQueries
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    val queries = names.map(n => byName.getOrElse(n, sys.error(s"unknown query '$n'")))
+
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft-scale")
+    def dirFor(f: Int): String =
+      if (f == 1) srcDir
+      else {
+        val d = new java.io.File(base, s"x$f").getAbsolutePath
+        ScaleCorpus.derive(spark, srcDir, d, f)
+        d
+      }
+
+    // (query, factor) -> seconds; LinkedHashMap keeps report order stable.
+    val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    val alive = scala.collection.mutable.Set[String](names: _*)
+
+    factors.foreach { f =>
+      if (alive.nonEmpty) {
+        val dir = dirFor(f)
+        println(s"[ladder] factor x$f dir=$dir queries=${alive.size}")
+        queries.filter(q => alive(q.name)).foreach { q =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            q.run(spark, dir).queryExecution.toRdd.count(): Unit
+            (System.nanoTime() - t0) / 1e9
+          }
+          try {
+            val w = once() // warm-up
+            System.gc()
+            val t = if (w > cutoff) w else (1 to iters).map(_ => once()).min
+            times((q.name, f)) = t
+            println(f"[ladder] ${q.name}%-22s x$f%-3d ${t}%8.2f s")
+            if (t > cutoff) {
+              alive -= q.name
+              println(s"[ladder] ${q.name} exceeded cutoff ${cutoff}s — not advancing")
+            }
+          } catch {
+            case e: Throwable =>
+              alive -= q.name
+              println(s"[ladder] ${q.name} FAILED at x$f: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      }
+    }
+
+    // Exponent fit on factors >= 4 (see scaladoc).
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val report = names.map { n =>
+      val pts = factors.flatMap(f => times.get((n, f)).map(t => (f, t)))
+      val fit = pts.filter(_._1 >= 4).map { case (f, t) => (math.log(f), math.log(t)) }
+      val b =
+        if (fit.size < 2) Double.NaN
+        else {
+          val mx = fit.map(_._1).sum / fit.size
+          val my = fit.map(_._2).sum / fit.size
+          fit.map { case (x, y) => (x - mx) * (y - my) }.sum /
+            fit.map { case (x, _) => (x - mx) * (x - mx) }.sum
+        }
+      val ptsJson = pts.map { case (f, t) => s""""x$f":${fmt(t)}""" }.mkString("{", ",", "}")
+      val bJson = if (b.isNaN) "null" else fmt(b)
+      s""""$n":{"times":$ptsJson,"exponent":$bJson,"truncated":${!alive(n)}}"""
+    }.mkString("{", ",", "}")
+
+    val loadFp: String = try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      val parts = try src.mkString.trim.split("\\s+") finally src.close()
+      s""""load":{"l1":${parts(0)},"l5":${parts(1)},"l15":${parts(2)}}"""
+    } catch { case _: Exception => s""""load":{}""" }
+    val line =
+      s"""{"metric":"scaling","cpus":$cpus,"iters":$iters,"factors":"${factors.mkString(",")}",$loadFp,"queries":$report,"src":"$srcDir"}"""
+    println(line)
+    val w = new java.io.PrintWriter("scaling_detail.json", "UTF-8")
+    try w.println(line) finally w.close()
+    spark.stop()
+  }
+}

@@ -252,6 +252,31 @@ object ConfigPipeline {
           asString(m("id_column"), s"$path.id_column"),
           asString(m("bench_path"), s"$path.bench_path"), n.toInt, fpp)
 
+      case "chunking" =>
+        requireKeys(m, path,
+          required = Set("module", "text_column", "id_column", "max_tokens"),
+          optional = Set("overlap"))
+        val maxT = asLong(m("max_tokens"), s"$path.max_tokens")
+        // upper bound: a budget beyond any real context window is a typo
+        // (e.g. characters instead of tokens), and Int-wrap would be worse
+        if (maxT < 1 || maxT > 1000000)
+          fail(s"$path.max_tokens", s"max_tokens must be in [1, 1000000], got $maxT")
+        val ov = m.get("overlap").map(asLong(_, s"$path.overlap")).getOrElse(0L)
+        if (ov < 0 || ov >= maxT)
+          fail(s"$path.overlap",
+            s"overlap must be in [0, max_tokens=$maxT) to leave a positive stride, got $ov")
+        ChunkingStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"), maxT.toInt, ov.toInt)
+
+      case "embedding_centroids" =>
+        requireKeys(m, path,
+          required = Set("module", "group_column", "vector_column"),
+          optional = Set.empty)
+        EmbeddingCentroidsStage(
+          asString(m("group_column"), s"$path.group_column"),
+          asString(m("vector_column"), s"$path.vector_column"))
+
       case "sample" =>
         requireKeys(m, path, required = Set("module", "key_column", "fraction"),
           optional = Set("seed"))
@@ -281,7 +306,7 @@ object ConfigPipeline {
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
             "text_filter|pii_redact|exact_dedup|near_dedup|span_dedup|" +
-            "decontaminate|sample|quota)")
+            "decontaminate|chunking|embedding_centroids|sample|quota)")
     }
   }
 

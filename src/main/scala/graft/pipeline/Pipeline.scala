@@ -37,6 +37,17 @@ final case class NearDedupStage(textCol: String, idCol: String,
   * cleaned text (whitespace-normalized) and all other columns intact. */
 final case class SpanDedupStage(textCol: String, idCol: String,
     n: Int) extends Stage { val name = "span_dedup" }
+/** Re-shapes the corpus: documents become (id, chunk_id, chunk_text,
+  * n_tokens) chunk rows — the context-window prep step right after dedup
+  * in a curation chain. Metadata columns flow onto every chunk of their
+  * document (a per-row projection, not a join); `textCol` is REPLACED by
+  * `chunk_text`, so a downstream text stage must name the new column. */
+final case class ChunkingStage(textCol: String, idCol: String,
+    maxTokens: Int, overlap: Int) extends Stage { val name = "chunking" }
+/** Non-destructive embedding audit: contributes the per-(group, dim)
+  * centroid + variance report, passes the frame through. */
+final case class EmbeddingCentroidsStage(groupCol: String,
+    vecCol: String) extends Stage { val name = "embedding_centroids" }
 final case class SampleStage(keyCol: String, fraction: Double,
                              seed: Long) extends Stage { val name = "sample" }
 final case class QuotaStage(groupCol: String, keyCol: String,
@@ -105,6 +116,13 @@ object Pipeline {
           val hits = CorpusOps.decontaminateBloom(acc, bench, idCol, textCol, n, fpp)
           reports += s"$i:decontaminate" -> hits
           acc.join(hits.select(idCol), Seq(idCol), "left_anti")
+        case ChunkingStage(textCol, idCol, maxTokens, overlap) =>
+          val carry = acc.columns.toSeq.filterNot(c => c == textCol || c == idCol)
+          graft.text.Chunking.chunk(acc, idCol, textCol, maxTokens, overlap, carry)
+        case EmbeddingCentroidsStage(groupCol, vecCol) =>
+          reports += s"$i:embedding_centroids" ->
+            graft.sim.EmbeddingStats.centroids(acc, groupCol, vecCol)
+          acc
         case SampleStage(keyCol, fraction, seed) =>
           Sampling.hashSample(acc, keyCol, fraction, seed)
         case QuotaStage(groupCol, keyCol, quota, seed) =>

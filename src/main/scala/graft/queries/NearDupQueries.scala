@@ -61,6 +61,23 @@ object NearDupQueries {
     e.unionByName(clones)
   }
 
+  /** DuckDB mirror of [[graft.sim.EmbeddingStats.centroids]] on the
+    * embeddings table — shared by the direct query and the config-driven
+    * pipeline twin so the two gates can never drift. */
+  private[queries] val centroidsOracle: String = """
+        WITH u0 AS (SELECT label, unnest(embedding) AS xf,
+                           unnest(range(len(embedding))) AS pos
+                    FROM embeddings),
+        u AS (SELECT label, CAST(xf AS DOUBLE) AS x, CAST(pos AS INT) AS pos FROM u0),
+        a AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(floor(x * x * 1e8 + 0.5) / 1e8 AS DECIMAL(38,8))) AS DOUBLE) AS s2
+              FROM u GROUP BY 1, 2)
+        SELECT label, pos, n,
+               floor((s1 / n) * 1e6 + 0.5) / 1e6 AS centroid,
+               floor(greatest(0, s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
+        FROM a ORDER BY label, pos"""
+
   val all: Seq[Q] = Seq(
     Q("dedup_minhash",
       (s, dir) => MinHash.nearDuplicatePairs(truncatedCorpus(s, dir),
@@ -342,6 +359,22 @@ object NearDupQueries {
       },
       None),
 
+    // IVFADC with residual encoding (Jégou §V.A): codes quantize
+    // normalize(v) − centroid(cell), LUTs rebuilt per (query, probed
+    // cell) — the accuracy-per-byte winner at equal m/ks (IvfPqSpec
+    // measures the recall gain and pins the exact-regime equality with
+    // brute force). Rows-only like its parents (kmeans codebooks).
+    Q("ann_ivfpq_residual",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val ivf = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
+        val res = graft.sim.IvfPq.buildResidual(ivf, m = 16, ks = 16, iters = 1)
+        graft.sim.IvfPq.topKResidual(res, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Per-label centroid + per-dimension variance — prototype vectors and
     // feature-collapse audit, melted to label x dim rows. Both moments
     // accumulate as exact decimals of portably-rounded doubles, so the
@@ -350,19 +383,7 @@ object NearDupQueries {
       (s, dir) => graft.sim.EmbeddingStats.centroids(
           Tables.embeddings(s, dir), "label", "embedding")
         .orderBy("label", "pos"),
-      Some("""
-        WITH u0 AS (SELECT label, unnest(embedding) AS xf,
-                           unnest(range(len(embedding))) AS pos
-                    FROM embeddings),
-        u AS (SELECT label, CAST(xf AS DOUBLE) AS x, CAST(pos AS INT) AS pos FROM u0),
-        a AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-                     CAST(sum(CAST(floor(x * x * 1e8 + 0.5) / 1e8 AS DECIMAL(38,8))) AS DOUBLE) AS s2
-              FROM u GROUP BY 1, 2)
-        SELECT label, pos, n,
-               floor((s1 / n) * 1e6 + 0.5) / 1e6 AS centroid,
-               floor(greatest(0, s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
-        FROM a ORDER BY label, pos""")),
+      Some(centroidsOracle)),
 
     Q("ann_lsh",
       (s, dir) => {
@@ -398,8 +419,17 @@ object NearDupQueries {
         val pqIndex = graft.sim.Pq.train(e, "vec_id", "embedding",
           m = 16, ks = 16, iters = 1)
         val pq = graft.sim.Pq.topK(pqIndex, queries, "vec_id", "embedding", k = 10)
+        // the two IVFADC variants at EQUAL m/ks/nprobe — the grid that
+        // decides whether residual encoding pays for its per-(query,cell)
+        // LUT cost on this corpus
+        val ivfadc = graft.sim.IvfPq.topK(graft.sim.IvfPq.build(index, pqIndex),
+          queries, "vec_id", "embedding", k = 10, nprobe = 2)
+        val resIdx = graft.sim.IvfPq.buildResidual(index, m = 16, ks = 16, iters = 1)
+        val ivfadcR = graft.sim.IvfPq.topKResidual(resIdx,
+          queries, "vec_id", "embedding", k = 10, nprobe = 2)
         Similarity.recallAt(exact,
-            Seq("ivf" -> ivf, "lsh" -> lsh, "lsh_or4" -> lshOr, "pq" -> pq))
+            Seq("ivf" -> ivf, "lsh" -> lsh, "lsh_or4" -> lshOr, "pq" -> pq,
+              "ivfpq" -> ivfadc, "ivfpq_residual" -> ivfadcR))
           .orderBy("method", "query_id")
       },
       None)

@@ -93,6 +93,32 @@ object PipelineQueries {
     ORDER BY doc_id"""
   }
 
+  /** Chunking right after a subsample, as a config artifact — the
+    * context-window prep stage a config-driven curation user reaches for
+    * immediately after dedup (SURVEY row 95 through the row-35b entry
+    * point). */
+  private val chunkingYaml = """
+    |run_id: chunking_config
+    |stages:
+    |  - module: sample
+    |    key_column: doc_id
+    |    fraction: 0.5
+    |  - module: chunking
+    |    text_column: text
+    |    id_column: doc_id
+    |    max_tokens: 64
+    |    overlap: 16
+    |""".stripMargin
+
+  /** The report-only embedding audit as a config artifact. */
+  private val centroidsYaml = """
+    |run_id: centroids_config
+    |stages:
+    |  - module: embedding_centroids
+    |    group_column: label
+    |    vector_column: embedding
+    |""".stripMargin
+
   /** The YAML form of pipeline_chain's hand-built stages — the
     * config-driven entry point must hash-match the typed one. */
   private val chainYaml = """
@@ -175,6 +201,36 @@ object PipelineQueries {
           curationYaml).df
         .select("doc_id").orderBy("doc_id"),
       Some(curationOracle)),
+
+    // Chunking as a YAML stage: subsample -> fixed-budget chunking, with
+    // the `source` metadata column carried onto every chunk (the stage's
+    // per-row projection, not a join). The oracle composes the shared
+    // hash-keep predicate with the shared chunk mirror, then re-derives
+    // the carried column with an explicit join — so both the chunk math
+    // AND the carry values are hash-gated.
+    Q("pipeline_chunking_config",
+      (s, dir) => ConfigPipeline.run(
+          Tables.documents(s, dir).select("doc_id", "source", "text"),
+          chunkingYaml).df
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""
+        SELECT c.doc_id, c.chunk_id, c.chunk_text, c.n_tokens, d.source
+        FROM (${graft.text.Chunking.sqlChunk(
+          s"(SELECT doc_id, text FROM documents WHERE ${
+            graft.ops.Sampling.sqlHashKeep("doc_id", 0.5)}) s",
+          "doc_id", "text", maxTokens = 64, overlap = 16)}) c
+        JOIN documents d USING (doc_id)
+        ORDER BY c.doc_id, c.chunk_id""")),
+
+    // The embedding audit as a YAML stage: report-only (frame passes
+    // through untouched); the published report must hash-match the direct
+    // embedding_centroids query via the shared oracle.
+    Q("pipeline_centroids_config",
+      (s, dir) => ConfigPipeline.run(
+          Tables.embeddings(s, dir), centroidsYaml)
+        .reports("0:embedding_centroids")
+        .orderBy("label", "pos"),
+      Some(NearDupQueries.centroidsOracle)),
 
     // Multimodal plumbing: every 3rd doc gets a REAL PNG header (IHDR),
     // every 3rd+1 a REAL JPEG header (APP0 + SOF0, exercising the marker

@@ -24,13 +24,21 @@ import org.apache.spark.sql.functions._
   * subplan, broadcast LocalRelation, manifest-validated dims) is
   * inherited unchanged from [[Ivf.collectProbes]] / [[Pq.lutFrame]].
   *
-  * Note the codes quantize the ORIGINAL vectors, not cell residuals: the
-  * ADC estimate is cell-independent, so recall loss comes only from
+  * [[build]]'s codes quantize the ORIGINAL vectors, not cell residuals:
+  * the ADC estimate is cell-independent, so recall loss comes only from
   * pruning (unprobed cells) and quantization (codebook resolution) — and
   * probing ALL cells recovers [[Pq.topK]]'s full-scan result exactly
-  * (pinned in PqSpec). Residual encoding (paper §V.A) would sharpen the
-  * estimate per cell at the cost of Kc× codebook state; this engine
-  * keeps the simpler layout and spends `ks`/`m` for accuracy instead. */
+  * (pinned in PqSpec). [[buildResidual]] is the paper's §V.A refinement:
+  * codes quantize `normalize(v) − centroid(cell)` instead. Residuals
+  * concentrate near the origin (the cell already explains the coarse
+  * position), so the same `m×ks` codebook budget resolves FINER detail —
+  * accuracy-per-byte wins at equal m/ks (measured in IvfPqSpec). The
+  * documented cost: the query-side LUT must be rebuilt per (query,
+  * probed cell) — nprobe× more LUT work, still dimension-sized — because
+  * the query residual `normalize(q) − centroid(cell)` differs per cell.
+  * The estimate stays exact-in-the-centering: ‖(q−c) − (x−c)‖ = ‖q−x‖,
+  * so centering introduces NO error of its own and cosine = 1 − d²/2
+  * still holds on the normalized sphere. */
 object IvfPq {
 
   /** `coCodes`: corpus rows (_gf_cid, _gf_id, _gf_code) — the inverted
@@ -60,6 +68,102 @@ object IvfPq {
         s"vectors, $nPq coded vectors, $joined joined rows; the indexes " +
         "were not built from the same corpus (or ids collide)")
     IvfPqIndex(ivf, pq, coCodes)
+  }
+
+  /** Residual IVFADC index: `coCodes` quantizes residuals, `offsets` is
+    * the K-row (_gf_cid, _gf_off) per-cell centering table both the
+    * encode and every probe subtract — cached, broadcast-sized (cells ×
+    * dim doubles, same budget as the fine-centroid table itself). */
+  final case class IvfPqResidualIndex(ivf: Ivf.IvfIndex, pq: Pq.PqIndex,
+                                      coCodes: DataFrame, offsets: DataFrame)
+
+  /** Jégou §V.A residual encoding: quantize `normalize(v) − offset(cell)`
+    * against codebooks trained on the residuals (NO re-normalization —
+    * [[Pq]]'s `normalize=false` path). The offset is the per-cell MEAN
+    * of the normalized members — NOT the unit-normalized centroid: the
+    * mean is the L2-optimal center, so per cell (and per subspace)
+    * Σ‖v−off‖² ≤ Σ‖v‖² by construction, i.e. the residual data the
+    * codebooks must cover carries provably no more energy than what plain
+    * [[build]] quantizes (a unit centroid has the OPPOSITE property when
+    * member-centroid cosines are low: ‖v−c‖² = 2−2cos > 1 — measured
+    * worse than plain on the sf0.1 embeddings before this choice). Any
+    * per-cell constant preserves the distance identity; this one also
+    * shrinks what the byte budget must resolve.
+    *
+    * Scale shape: one posexplode aggregate for the offsets (≤ cells×dim
+    * rows shuffle, map-side combined) + one broadcast join + the normal
+    * PQ train/encode over the residual plan — the corpus is read once by
+    * the offset pass, once by the sample pass, once by encode. Same
+    * index-integrity counting as [[build]]. */
+  def buildResidual(ivf: Ivf.IvfIndex, m: Int, ks: Int = 256,
+                    iters: Int = 3, seed: Long = 42L,
+                    trainSample: Int = 0): IvfPqResidualIndex = {
+    val normed = ivf.indexed.select(col("_gf_cid"), col("_gf_id"),
+      GraftFunctions.vecNormalize(col("_gf_v")).as("_gf_nv"))
+    val offsets = normed
+      .select(col("_gf_cid"), posexplode(col("_gf_nv")).as(Seq("_gf_pos", "_gf_x")))
+      .groupBy("_gf_cid", "_gf_pos")
+      .agg(avg(col("_gf_x")).as("_gf_mx"))
+      .groupBy("_gf_cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("_gf_pos"), col("_gf_mx")))),
+        s => s.getField("_gf_mx")).as("_gf_off"))
+      .cache()
+    val residuals = normed
+      .join(broadcast(offsets), Seq("_gf_cid"))
+      .select(col("_gf_cid"), col("_gf_id"),
+        zip_with(col("_gf_nv"), col("_gf_off"), (a, b) => a - b).as("_gf_rv"))
+    val pq = Pq.train(residuals, "_gf_id", "_gf_rv", m, ks, iters, seed,
+      trainSample, normalize = false)
+    val coCodes = residuals.select(col("_gf_cid"), col("_gf_id"))
+      .join(pq.codes, Seq("_gf_id"))
+      .select(col("_gf_cid"), col("_gf_id"), col("_gf_code"))
+      .cache()
+    val joined = coCodes.count()
+    val nIvf = ivf.indexed.count()
+    if (joined != nIvf) throw new IllegalArgumentException(
+      s"IvfPq.buildResidual: $nIvf indexed vectors but $joined coded rows " +
+        "— ids collide or the encode dropped rows")
+    IvfPqResidualIndex(ivf, pq, coCodes, offsets)
+  }
+
+  /** Top-k by residual ADC over the probed cells. Same probe machinery
+    * as [[topK]] (single-collect probe subplan, static IN pruning on the
+    * cid-partitioned codes); the difference is the LUT frame: one table
+    * per (query, probed cell), built from the per-cell query residual —
+    * `queries × nprobe` LUT rows instead of `queries`, still broadcast.
+    * The (qid, cid) LUT join IS the probe-pair join: a code row scores
+    * for exactly the queries that probed its cell. */
+  def topKResidual(index: IvfPqResidualIndex, queries: DataFrame,
+                   queryId: String, queryVec: String,
+                   k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val (probeRows, probeSchema) =
+      Ivf.collectProbes(index.ivf, queries, queryId, queryVec, nprobe)
+    val spark = index.coCodes.sparkSession
+    val cidIdx = probeSchema.fieldIndex("_gf_cid")
+    val probedCids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq
+    val pairsQv = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
+    val withRes = index.offsets.join(broadcast(pairsQv), Seq("_gf_cid"))
+      .select(col("_gf_qid"), col("_gf_cid"),
+        zip_with(GraftFunctions.vecNormalize(col("_gf_qv")), col("_gf_off"),
+          (a, b) => a - b).as("_gf_qrv"))
+    val luts = Pq.lutKeyed(index.pq, withRes,
+      Seq("_gf_qid", "_gf_cid"), "_gf_qrv", normalize = false)
+    val pruned =
+      if (probedCids.isEmpty) index.coCodes.filter(lit(false))
+      else index.coCodes.filter(col("_gf_cid").isin(probedCids: _*))
+    val w = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_id"))
+    pruned.join(broadcast(luts), Seq("_gf_cid"))
+      .withColumn("_gf_cos",
+        lit(1.0) - GraftFunctions.pqAdcSum(col("_gf_code"), col("_gf_lut"),
+          index.pq.meta.ks) / 2)
+      .withColumn("_gf_rank", row_number().over(w))
+      .filter(col("_gf_rank") <= k)
+      .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
+        col("_gf_rank").as("rank"),
+        graft.Num.dround(col("_gf_cos"), 6).as("adc_cosine"))
   }
 
   /** The shared ADC scan: probe subplan collected ONCE upstream, (qid,

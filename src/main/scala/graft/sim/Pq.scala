@@ -81,6 +81,14 @@ object Pq {
     * whole encode pass at sf0.1. */
   private def normalized(v: Column): Column = GraftFunctions.vecNormalize(v)
 
+  /** The residual path ([[IvfPq.buildResidual]]) quantizes CENTERED
+    * vectors (normalize(v) − cell centroid) which are deliberately NOT
+    * unit — re-normalizing them would break the ‖(q−c) − (x−c)‖ = ‖q−x‖
+    * identity the residual ADC estimate rests on. `array<double>` cast so
+    * float inputs slice/score identically to the normalized path. */
+  private def prepped(v: Column, normalize: Boolean): Column =
+    if (normalize) normalized(v) else v.cast("array<double>")
+
   /** Explode a normalized vector into (subspace id, subvector slice). */
   private def subspaces(nv: Column, m: Int, ds: Int): Column =
     explode(array((0 until m).map(i =>
@@ -119,7 +127,8 @@ object Pq {
     * covers small fixtures entirely (sample ≥ corpus → exact). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, ks: Int = 256, iters: Int = 3,
-            seed: Long = 42L, trainSample: Int = 0): PqIndex = {
+            seed: Long = 42L, trainSample: Int = 0,
+            normalize: Boolean = true): PqIndex = {
     require(m >= 1, s"m=$m subspaces must be positive")
     require(ks >= 1 && ks <= 256, s"ks=$ks must be in 1..256 (byte codes)")
     validate(corpus, vecCol)
@@ -132,7 +141,7 @@ object Pq {
                   else 128 * ks
 
     val base = corpus.select(col(idCol).as("_gf_id"),
-      normalized(col(vecCol)).as("_gf_nv"))
+      prepped(col(vecCol), normalize).as("_gf_nv"))
     // deterministic hash-top sample (TakeOrdered — one corpus pass, no
     // corpus-wide window); cached for the duration of the Lloyd loop
     val trainBase = base
@@ -181,19 +190,21 @@ object Pq {
     trainBase.unpersist(false)
 
     val codebooks = cbDf().cache()
-    val codes = encode(corpus, idCol, vecCol, codebooks, m, ds).cache()
+    val codes = encode(corpus, idCol, vecCol, codebooks, m, ds, normalize).cache()
     PqIndex(codebooks, codes,
-      PqMeta(dim, m, ks, iters, seed, "cosine-l2adc"))
+      PqMeta(dim, m, ks, iters, seed,
+        if (normalize) "cosine-l2adc" else "l2adc-residual"))
   }
 
   /** Encode a (possibly new — incremental ingest) corpus against existing
     * codebooks: assign each subvector, assemble the m codes in subspace
     * order, pack to binary. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             codebooks: DataFrame, m: Int, ds: Int): DataFrame = {
+             codebooks: DataFrame, m: Int, ds: Int,
+             normalize: Boolean = true): DataFrame = {
     validate(df, vecCol)
     val base = df.select(col(idCol).as("_gf_id"),
-      normalized(col(vecCol)).as("_gf_nv"))
+      prepped(col(vecCol), normalize).as("_gf_nv"))
     val sub = base.select(col("_gf_id"), subspaces(col("_gf_nv"), m, ds).as("_gf_s"))
       .select(col("_gf_id"), col("_gf_s._gf_m").as("_gf_m"),
         col("_gf_s._gf_sv").as("_gf_sv"))
@@ -235,20 +246,34 @@ object Pq {
   private[sim] def lutFrame(index: PqIndex, queries: DataFrame,
                             queryId: String, queryVec: String): DataFrame = {
     validate(queries, queryVec)
-    val m = index.meta.m
-    val ds = index.meta.dim / m
     val qdim = Similarity.inferDim(queries, queryVec)
     if (qdim != index.meta.dim) throw new IllegalArgumentException(
       s"query vector dim $qdim does not match index dim ${index.meta.dim} " +
         "— wrong index or wrong embedding column")
-    val qbase = queries.select(col(queryId).as("_gf_qid"),
-      normalized(col(queryVec)).as("_gf_qnv"))
-    val qsub = qbase.select(col("_gf_qid"), subspaces(col("_gf_qnv"), m, ds).as("_gf_s"))
-      .select(col("_gf_qid"), col("_gf_s._gf_m").as("_gf_m"),
-        col("_gf_s._gf_sv").as("_gf_qsv"))
+    lutKeyed(index,
+      queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv")),
+      Seq("_gf_qid"), "_gf_qv", normalize = true)
+  }
+
+  /** Generalized LUT builder: one `m×ks` flattened table per distinct
+    * `keyCols` tuple of `df` — [[lutFrame]] keys by query id only; the
+    * residual IVFADC path keys by (query id, probed cell id) because the
+    * query RESIDUAL differs per probed cell (Jégou §V.A: one LUT per
+    * (query, cell), the documented extra probe cost of residual
+    * encoding). Caller owns dim validation. */
+  private[sim] def lutKeyed(index: PqIndex, df: DataFrame,
+                            keyCols: Seq[String], vecCol: String,
+                            normalize: Boolean): DataFrame = {
+    val m = index.meta.m
+    val ds = index.meta.dim / m
+    val keys = keyCols.map(col)
+    val qbase = df.select(keys :+ prepped(col(vecCol), normalize).as("_gf_qnv"): _*)
+    val qsub = qbase.select(keys :+ subspaces(col("_gf_qnv"), m, ds).as("_gf_s"): _*)
+      .select(keys ++ Seq(col("_gf_s._gf_m").as("_gf_m"),
+        col("_gf_s._gf_sv").as("_gf_qsv")): _*)
     qsub.join(broadcast(index.codebooks), Seq("_gf_m"))
       .withColumn("_gf_d", GraftFunctions.vecL2Sq(col("_gf_qsv"), col("_gf_cbv")))
-      .groupBy("_gf_qid")
+      .groupBy(keys: _*)
       .agg(transform(
         array_sort(collect_list(struct(col("_gf_m"), col("_gf_c"), col("_gf_d")))),
         s => s.getField("_gf_d")).as("_gf_lut"))

@@ -29,16 +29,19 @@ object Chunking {
 
   /** (idCol, chunk_id, chunk_text, n_tokens) — one row per chunk.
     * Blank/empty documents produce zero rows (nothing to train on).
-    * `overlap` must leave a positive stride. */
+    * `overlap` must leave a positive stride. `carry` columns (document
+    * metadata like source/lang) are projected onto every chunk of their
+    * document — still a per-row projection, no join. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
-            maxTokens: Int, overlap: Int = 0): DataFrame = {
+            maxTokens: Int, overlap: Int = 0,
+            carry: Seq[String] = Nil): DataFrame = {
     require(maxTokens >= 1, s"maxTokens=$maxTokens must be >= 1")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap=$overlap must be in [0, maxTokens=$maxTokens)")
     val stride = maxTokens - overlap
     val toks: Column = split(trim(col(textCol)), "\\s+")
     df.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), toks.as("_gf_toks"))
+      .select(col(idCol) +: carry.map(col) :+ toks.as("_gf_toks"): _*)
       .withColumn("_gf_ntok", size(col("_gf_toks")))
       .withColumn("_gf_nchunks",
         (lit(1) + floor((greatest(col("_gf_ntok") - maxTokens, lit(0))
@@ -48,11 +51,11 @@ object Chunking {
       .withColumn("n_tokens",
         least(col("chunk_id") * stride + maxTokens, col("_gf_ntok"))
           - col("chunk_id") * stride)
-      .select(col(idCol), col("chunk_id"),
+      .select(col(idCol) +: col("chunk_id") +:
         array_join(slice(col("_gf_toks"),
           col("chunk_id") * stride + 1, col("n_tokens")), " ")
-          .as("chunk_text"),
-        col("n_tokens"))
+          .as("chunk_text") +:
+        col("n_tokens") +: carry.map(col): _*)
   }
 
   /** DuckDB mirror of [[chunk]] over a table/view — same tokenization

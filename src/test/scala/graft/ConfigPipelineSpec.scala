@@ -290,4 +290,82 @@ class ConfigPipelineSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("ngram"))
   }
+
+  test("chunking stage re-shapes the frame and carries metadata columns") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" "), "web"),
+      (2L, "short doc", "book"),
+      (3L, "   ", "web")) // blank -> zero chunks
+      .toDF("doc_id", "text", "source")
+    val yaml = """
+      |run_id: ch
+      |stages:
+      |  - module: chunking
+      |    text_column: text
+      |    id_column: doc_id
+      |    max_tokens: 4
+      |    overlap: 1
+      |""".stripMargin
+    val res = ConfigPipeline.run(docs, yaml)
+    assert(res.df.columns.toSet ==
+      Set("doc_id", "chunk_id", "chunk_text", "n_tokens", "source"))
+    val rows = res.df.orderBy("doc_id", "chunk_id").collect()
+    // doc 1: 10 tokens, stride 3 => 1 + ceil(6/3) = 3 chunks; doc 2: 1
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(1L).length == 3 && byDoc(2L).length == 1 && !byDoc.contains(3L))
+    assert(byDoc(1L).map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(byDoc(1L).forall(_.getAs[String]("source") == "web"))
+  }
+
+  test("chunking stage validates max_tokens and overlap at config time") {
+    val df = Seq((1L, "x", "s")).toDF("doc_id", "text", "source")
+    val base = (mt: String, ov: String) => s"""
+      |run_id: bad
+      |stages:
+      |  - module: chunking
+      |    text_column: text
+      |    id_column: doc_id
+      |    max_tokens: $mt
+      |    overlap: $ov
+      |""".stripMargin
+    // overlap >= max_tokens leaves a non-positive stride: refused with path
+    val e1 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(df, base("16", "16"))
+    }
+    assert(e1.getMessage.contains("overlap")
+      && e1.getMessage.contains("stages[0].overlap"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(df, base("0", "0"))
+    }
+    assert(e2.getMessage.contains("max_tokens"))
+  }
+
+  test("embedding_centroids stage is report-only: frame passes through") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), "a"),
+      (2L, Array(3.0f, 6.0f), "a"),
+      (3L, Array(5.0f, 5.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val yaml = """
+      |run_id: ec
+      |stages:
+      |  - module: embedding_centroids
+      |    group_column: label
+      |    vector_column: embedding
+      |""".stripMargin
+    val res = ConfigPipeline.run(emb, yaml)
+    assert(res.df.collect().length == 3) // untouched
+    val rep = res.reports("0:embedding_centroids").orderBy("label", "pos").collect()
+    assert(rep.length == 4) // 2 labels x 2 dims
+    val a0 = rep(0)
+    assert(a0.getAs[String]("label") == "a" && a0.getAs[Long]("n") == 2
+      && a0.getAs[Double]("centroid") == 2.0 && a0.getAs[Double]("variance") == 1.0)
+    // unknown keys still refused with the module's path
+    val bad = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(emb, yaml.replace("vector_column: embedding",
+        "vector_column: embedding\n    extra_key: 1"))
+    }
+    assert(bad.getMessage.contains("extra_key") || bad.getMessage.contains("unknown"))
+  }
 }

@@ -124,6 +124,62 @@ class IvfPqSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_ == 10L))
   }
 
+  test("residual ADC is exact when the codebook resolves every residual") {
+    import spark.implicits._
+    // EXACTLY ks=16 vectors: the codebook seeds are the 16 points
+    // themselves, every residual subvector quantizes to its own entry
+    // (distance 0), so quantization is EXACT and residual ADC with every
+    // cell probed must equal brute force to the last rounded digit —
+    // pinning the offset algebra, the per-(query,cell) LUT keying, and
+    // the centering identity in one shot. (n must EQUAL ks: fewer points
+    // would train an n-entry codebook and the ADC kernel refuses the
+    // m×n LUT as a wrong-index mismatch.)
+    val vecs = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        math.sin(i * 2.7 + d * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ivf = Ivf.train(vecs, "vec_id", "embedding", k = 3, iters = 2)
+    val res = IvfPq.buildResidual(ivf, m = 4, ks = 16, iters = 2)
+    val queries = vecs.filter(col("vec_id") < 4)
+    val n = ivf.numCells.toInt
+    val out = IvfPq.topKResidual(res, queries, "vec_id", "embedding",
+        k = 5, nprobe = n)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(out == exact)
+  }
+
+  test("residual encoding beats plain IVFADC recall at equal m/ks") {
+    // the REAL sf0.1 embeddings (2000 vectors, read-only): the sf0.001
+    // fixture's 5-query recall grid is too coarse to separate encodings
+    // (one neighbour = 0.02 recall); this is the corpus the claim is for
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val ivf = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+    val pq = Pq.train(e, "vec_id", "embedding", m = 16, ks = 16, iters = 2)
+    val queries = e.filter(col("vec_id") < 25)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    val plain = IvfPq.topK(IvfPq.build(ivf, pq),
+      queries, "vec_id", "embedding", k = 10, nprobe = 2)
+    val res = IvfPq.buildResidual(ivf, m = 16, ks = 16, iters = 2)
+    val resK = IvfPq.topKResidual(res, queries, "vec_id", "embedding",
+      k = 10, nprobe = 2)
+    val r = Similarity.recallAt(exact,
+        Seq("plain" -> plain, "residual" -> resK))
+      .groupBy("method").agg(avg(col("recall")).as("r"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // §V.A's claim at equal byte budget: residuals concentrate near the
+    // origin, so the same m×ks codebook resolves finer detail. Measured
+    // on this corpus; both probe the same cells, so the comparison
+    // isolates the encoding.
+    info(s"recall@10 at m=16 ks=16 nprobe=2 on sf0.1: " +
+      s"plain=${r("plain")} residual=${r("residual")}")
+    assert(r("residual") >= r("plain"),
+      s"residual recall ${r("residual")} < plain ${r("plain")}")
+  }
+
   test("indexes from different corpora refuse to combine") {
     val e = Tables.embeddings(spark, sfDir)
     val ivf = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
