@@ -359,6 +359,28 @@ object NearDupQueries {
       },
       None),
 
+    // The persisted compressed inverted file: train both halves, write
+    // the cid-PARTITIONED byte-code layout + manifests, re-open, probe —
+    // the probe's static IN filter partition-prunes to the probed cells'
+    // code files (the billion-vector disk layout under the driver gate).
+    // Rows-only like its parents; IvfPqSpec pins the round-trip equality.
+    Q("ann_ivfpq_persisted",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val ivf = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
+        val pq = graft.sim.Pq.train(e, "vec_id", "embedding",
+          m = 16, ks = 16, iters = 1)
+        val combined = graft.sim.IvfPq.build(ivf, pq)
+        val tmp = scratchIndexDir(s, "ivfpq-q", dir)
+        graft.sim.IvfPq.writeIndex(combined, tmp)
+        ivf.release(); pq.release(); combined.coCodes.unpersist(false)
+        val reopened = graft.sim.IvfPq.readIndex(s, tmp)
+        graft.sim.IvfPq.topK(reopened, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // IVFADC with residual encoding (Jégou §V.A): codes quantize
     // normalize(v) − centroid(cell), LUTs rebuilt per (query, probed
     // cell) — the accuracy-per-byte winner at equal m/ks (IvfPqSpec

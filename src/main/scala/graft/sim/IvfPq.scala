@@ -70,6 +70,60 @@ object IvfPq {
     IvfPqIndex(ivf, pq, coCodes)
   }
 
+  /** Persist the compressed inverted file — the artifact row 92's layout
+    * note promises: `codes` is the corpus-sized (cid, id, m-byte code)
+    * table PARTITIONED BY the fine cell id, so a probe's static IN
+    * filter partition-prunes to the probed cells' code files exactly
+    * like [[Ivf.writeIndex]]'s raw layout — plus the two child indexes
+    * ([[Ivf.writeIndex]]: centroids + raw vectors for the rerank fetch;
+    * [[Pq.writeIndex]]: codebooks) and a parent manifest written LAST as
+    * the completeness marker. Repartitioned by cell id before the write
+    * so file count is bounded by cells, not cells × tasks. (The residual
+    * variant is not persisted yet — its offsets table would need the
+    * same treatment and [[Pq]]'s manifest gate pins `cosine-l2adc`.) */
+  def writeIndex(index: IvfPqIndex, path: String): Unit = {
+    Ivf.writeIndex(index.ivf, s"$path/ivf")
+    Pq.writeIndex(index.pq, s"$path/pq")
+    index.coCodes.repartition(col("_gf_cid"))
+      .write.mode("overwrite").partitionBy("_gf_cid").parquet(s"$path/codes")
+    val json =
+      s"""{"format": "graft-ivfpq-v1", "dim": ${index.pq.meta.dim}, """ +
+        s""""m": ${index.pq.meta.m}, "ks": ${index.pq.meta.ks}}"""
+    val spark = index.coCodes.sparkSession
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-open a persisted IVFADC index. The child manifests carry the
+    * real validation ([[Ivf.readIndex]]/[[Pq.readIndex]] each pin their
+    * manifest to their data); this adds the cross-check the children
+    * cannot do alone — both halves must describe the SAME geometry — so
+    * a dir assembled from two different indexes fails at open time, not
+    * as silently-wrong ADC estimates mid-probe. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"$path/manifest.json is missing — not a graft IVFADC index (or a " +
+        "torn write: the manifest is written last); re-create it with " +
+        "IvfPq.writeIndex")
+    val ivf = Ivf.readIndex(spark, s"$path/ivf")
+    val pq = Pq.readIndex(spark, s"$path/pq")
+    val ivfDim = ivf.meta.map(_.dim).getOrElse(-1)
+    if (ivfDim != pq.meta.dim) throw new IllegalArgumentException(
+      s"IVFADC index at $path is inconsistent: IVF half says dim=$ivfDim " +
+        s"but PQ half says dim=${pq.meta.dim} — the halves were not built " +
+        "together; retrain or restore the matching files")
+    val coCodes = spark.read.parquet(s"$path/codes")
+      .select(col("_gf_cid").cast("long").as("_gf_cid"),
+        col("_gf_id"), col("_gf_code"))
+    IvfPqIndex(ivf, pq, coCodes)
+  }
+
   /** Residual IVFADC index: `coCodes` quantizes residuals, `offsets` is
     * the K-row (_gf_cid, _gf_off) per-cell centering table both the
     * encode and every probe subtract — cached, broadcast-sized (cells ×

@@ -180,6 +180,52 @@ class IvfPqSpec extends SparkSpec {
       s"residual recall ${r("residual")} < plain ${r("plain")}")
   }
 
+  test("persisted index round-trips and probes value-identically") {
+    val (e, ivf, pq) = indexes()
+    val queries = e.filter(col("vec_id") < 5)
+    val combined = IvfPq.build(ivf, pq)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-spec").toString
+    IvfPq.writeIndex(combined, tmp)
+    val reopened = IvfPq.readIndex(spark, tmp)
+    val before = IvfPq.topK(combined, queries, "vec_id", "embedding",
+        k = 10, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val after = IvfPq.topK(reopened, queries, "vec_id", "embedding",
+        k = 10, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(before == after)
+    // the code table really is partitioned by cell id on disk
+    val dirs = new java.io.File(s"$tmp/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("_gf_cid=")))
+  }
+
+  test("a missing parent manifest and mismatched halves refuse to open") {
+    val (e, ivf, pq) = indexes()
+    val combined = IvfPq.build(ivf, pq)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-bad").toString
+    IvfPq.writeIndex(combined, tmp)
+    // torn write: manifest (written last) absent => refuse
+    assert(new java.io.File(s"$tmp/manifest.json").delete())
+    val e1 = intercept[IllegalArgumentException] {
+      IvfPq.readIndex(spark, tmp)
+    }
+    assert(e1.getMessage.contains("manifest"))
+    // halves from different geometries => refuse at open, not mid-probe
+    import spark.implicits._
+    val half = (0 until 16).map(i =>
+      (i.toLong + 50000, Array.tabulate(16)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val otherIvf = Ivf.train(half, "vec_id", "embedding", k = 2, iters = 1)
+    val tmp2 = java.nio.file.Files.createTempDirectory("ivfpq-mix").toString
+    IvfPq.writeIndex(combined, tmp2)
+    Ivf.writeIndex(otherIvf, s"$tmp2/ivf") // swap in a wrong-dim IVF half
+    val e2 = intercept[IllegalArgumentException] {
+      IvfPq.readIndex(spark, tmp2)
+    }
+    assert(e2.getMessage.contains("inconsistent"))
+  }
+
   test("indexes from different corpora refuse to combine") {
     val e = Tables.embeddings(spark, sfDir)
     val ivf = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
