@@ -381,6 +381,30 @@ object NearDupQueries {
       },
       None),
 
+    // Incremental ingest for the persisted IVFADC index: one batch, BOTH
+    // halves (cells assigned vs frozen centroids, codes encoded vs frozen
+    // codebooks, both appended cid-partitioned). The daily-ingest cycle
+    // of the compressed corpus under the driver gate; rows-only like its
+    // parents, IvfPqSpec pins refusals and the self-find.
+    Q("ann_ivfpq_append",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val even = e.filter(col("vec_id") % 2 === 0)
+        val ivf = graft.sim.Ivf.train(even, "vec_id", "embedding", k = 8, iters = 1)
+        val pq = graft.sim.Pq.train(even, "vec_id", "embedding",
+          m = 16, ks = 16, iters = 1)
+        val tmp = scratchIndexDir(s, "ivfpq-app-q", dir)
+        graft.sim.IvfPq.writeIndex(graft.sim.IvfPq.build(ivf, pq), tmp)
+        ivf.release(); pq.release()
+        graft.sim.IvfPq.appendToIndex(s, tmp,
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        val reopened = graft.sim.IvfPq.readIndex(s, tmp)
+        graft.sim.IvfPq.topK(reopened, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // IVFADC with residual encoding (Jégou §V.A): codes quantize
     // normalize(v) − centroid(cell), LUTs rebuilt per (query, probed
     // cell) — the accuracy-per-byte winner at equal m/ks (IvfPqSpec

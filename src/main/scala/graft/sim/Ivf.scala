@@ -90,7 +90,7 @@ object Ivf {
   /** Nearest coarse centroid per row: broadcast nested-loop against the
     * Kc-row table, then one min-aggregate (partial aggregation collapses
     * the ×Kc row blow-up map-side before any shuffle). */
-  private def assignCoarse(rows: DataFrame, coarse: DataFrame): DataFrame =
+  private[sim] def assignCoarse(rows: DataFrame, coarse: DataFrame): DataFrame =
     rows.crossJoin(broadcast(coarse))
       .withColumn("_gf_d", cosDist(col("_gf_v"), col("_gf_ccv")))
       .groupBy("_gf_id")
@@ -100,7 +100,7 @@ object Ivf {
 
   /** Nearest fine centroid per row: EQUI-join on the coarse cell — each
     * row scores only its own cell's sub-centroids — then min-aggregate. */
-  private def assignFine(rows: DataFrame, cells: DataFrame): DataFrame =
+  private[sim] def assignFine(rows: DataFrame, cells: DataFrame): DataFrame =
     rows.join(cells, Seq("_gf_ccid"))
       .withColumn("_gf_d", cosDist(col("_gf_v"), col("_gf_cv")))
       .groupBy("_gf_id")

@@ -78,9 +78,9 @@ object IvfPq {
     * ([[Ivf.writeIndex]]: centroids + raw vectors for the rerank fetch;
     * [[Pq.writeIndex]]: codebooks) and a parent manifest written LAST as
     * the completeness marker. Repartitioned by cell id before the write
-    * so file count is bounded by cells, not cells × tasks. (The residual
-    * variant is not persisted yet — its offsets table would need the
-    * same treatment and [[Pq]]'s manifest gate pins `cosine-l2adc`.) */
+    * so file count is bounded by cells, not cells × tasks. The residual
+    * variant persists through [[writeIndexResidual]] (offsets included,
+    * PQ manifest metric-gated so the two layouts cannot be cross-opened). */
   def writeIndex(index: IvfPqIndex, path: String): Unit = {
     Ivf.writeIndex(index.ivf, s"$path/ivf")
     Pq.writeIndex(index.pq, s"$path/pq")
@@ -218,6 +218,171 @@ object IvfPq {
       .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
         col("_gf_rank").as("rank"),
         graft.Num.dround(col("_gf_cos"), 6).as("adc_cosine"))
+  }
+
+  /** Persist a residual index: the plain layout plus the K-row `offsets`
+    * table (the per-cell centering every probe must subtract — without
+    * it the codes are meaningless, which is why [[Pq]]'s manifest gate
+    * refuses to open a residual PQ half through a plain open). */
+  def writeIndexResidual(index: IvfPqResidualIndex, path: String): Unit = {
+    Ivf.writeIndex(index.ivf, s"$path/ivf")
+    Pq.writeIndex(index.pq, s"$path/pq") // manifest records l2adc-residual
+    index.offsets.write.mode("overwrite").parquet(s"$path/offsets")
+    index.coCodes.repartition(col("_gf_cid"))
+      .write.mode("overwrite").partitionBy("_gf_cid").parquet(s"$path/codes")
+    val json =
+      s"""{"format": "graft-ivfpq-res-v1", "dim": ${index.pq.meta.dim}, """ +
+        s""""m": ${index.pq.meta.m}, "ks": ${index.pq.meta.ks}}"""
+    val spark = index.coCodes.sparkSession
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-open a persisted residual index (offsets cached — K×dim doubles,
+    * the same budget as the fine centroids). Same open-time dim
+    * cross-check as [[readIndex]]; additionally the offsets table must
+    * match the geometry (a plain index dir is refused by the PQ metric
+    * gate before this is reached). */
+  def readIndexResidual(spark: org.apache.spark.sql.SparkSession,
+                        path: String): IvfPqResidualIndex = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"$path/manifest.json is missing — not a graft residual IVFADC " +
+        "index (or a torn write: the manifest is written last); " +
+        "re-create it with IvfPq.writeIndexResidual")
+    val ivf = Ivf.readIndex(spark, s"$path/ivf")
+    val pq = Pq.readIndex(spark, s"$path/pq", expectMetric = "l2adc-residual")
+    val ivfDim = ivf.meta.map(_.dim).getOrElse(-1)
+    if (ivfDim != pq.meta.dim) throw new IllegalArgumentException(
+      s"residual IVFADC index at $path is inconsistent: IVF half says " +
+        s"dim=$ivfDim but PQ half says dim=${pq.meta.dim} — the halves " +
+        "were not built together; retrain or restore the matching files")
+    val offsets = spark.read.parquet(s"$path/offsets").cache()
+    offsets.select(size(col("_gf_off"))).limit(1).collect().headOption.foreach { r =>
+      if (r.getInt(0) != pq.meta.dim) throw new IllegalArgumentException(
+        s"residual IVFADC index at $path is inconsistent: offsets have " +
+          s"dim=${r.getInt(0)} but the manifest says ${pq.meta.dim}")
+    }
+    val coCodes = spark.read.parquet(s"$path/codes")
+      .select(col("_gf_cid").cast("long").as("_gf_cid"),
+        col("_gf_id"), col("_gf_code"))
+    IvfPqResidualIndex(ivf, pq, coCodes, offsets)
+  }
+
+  /** Incremental ingest for the persisted compressed inverted file: one
+    * batch, BOTH halves — assign cells against the frozen centroids,
+    * encode against the frozen codebooks, append the raw vectors into
+    * `ivf/indexed` and the byte codes into `codes`, each cid-partitioned
+    * so only the batch's cells' directories are written.
+    *
+    * Refusals BEFORE any write: wrong-dim batch (parent manifest), and
+    * with `checkIds` (default) ids already present in EITHER half — a
+    * duplicate code row double-counts in every ADC scan, and a duplicate
+    * raw row duplicates rerank shortlist hits.
+    *
+    * Concurrency/failure contract (as [[Ivf.appendToIndex]]): SINGLE
+    * WRITER; each half stages to a dot-prefixed dir and promotes via
+    * renames. The two promotions are ordered raw-vectors-first because
+    * the failure modes are asymmetric: an extra `ivf/indexed` row with
+    * no code is INERT (never shortlisted — the shortlist comes from the
+    * code scan; never probed by [[topK]], which reads codes only), but
+    * an extra code row with no raw vector would surface phantom ids in
+    * every ADC ranking. A crash between the promotions therefore leaves
+    * a probeable, correct index plus some dead weight; re-running the
+    * same append is refused by the id check (the ivf half has the ids) —
+    * recover by re-staging with fresh ids or rebuilding. Returns rows
+    * appended. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    checkIds: Boolean = true): Long = {
+    val parent = readParentManifest(spark, path)
+    val dim = Similarity.inferDim(batch, vecCol)
+    if (dim != parent.dim) throw new IllegalArgumentException(
+      s"append batch has vector dim $dim but the IVFADC index at $path " +
+        s"was built at dim ${parent.dim} — wrong embedding column or " +
+        "wrong index")
+    val coarse = spark.read.parquet(s"$path/ivf/coarse")
+    val cells = spark.read.parquet(s"$path/ivf/cells")
+    val codebooks = spark.read.parquet(s"$path/pq/codebooks")
+    val base = batch.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"))
+    if (checkIds) {
+      // both halves: a crash between a prior append's two promotions
+      // leaves ids in ivf/indexed only — re-appending them would
+      // duplicate raw rows (duplicate rerank hits)
+      val existing = spark.read.parquet(s"$path/codes").select("_gf_id")
+        .unionByName(spark.read.parquet(s"$path/ivf/indexed").select("_gf_id"))
+      val clash = base.select("_gf_id").join(existing, Seq("_gf_id"),
+        "left_semi").limit(5).collect()
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"append batch re-uses ids already present in the IVFADC index " +
+          s"at $path (e.g. ${clash.map(_.get(0)).mkString(", ")}) — " +
+          "appending them would duplicate rows in every probe; dedup the " +
+          "batch or use fresh ids")
+    }
+    val assigned = Ivf.assignFine(Ivf.assignCoarse(base, coarse), cells)
+      .select(col("_gf_cid"), col("_gf_id"), col("_gf_v")).cache()
+    val coded = Pq.encode(batch, idCol, vecCol, codebooks,
+      parent.m, parent.dim / parent.m)
+    val coCoded = assigned.select(col("_gf_cid"), col("_gf_id"))
+      .join(coded, Seq("_gf_id"))
+      .select(col("_gf_cid"), col("_gf_id"), col("_gf_code")).cache()
+    val n = coCoded.count()
+    val nAssigned = assigned.count()
+    if (n != nAssigned) throw new IllegalArgumentException(
+      s"IvfPq.appendToIndex: $nAssigned cell-assigned batch rows but $n " +
+        "coded rows — the batch has duplicate or null ids; nothing was " +
+        "written")
+    val s1 = Ivf.stageAppend(spark, s"$path/ivf",
+      out => assigned.repartition(col("_gf_cid"))
+        .write.mode("overwrite").partitionBy("_gf_cid").parquet(out))
+    Ivf.promoteStaged(spark, s1, s"$path/ivf/indexed", partitioned = true)
+    val s2 = Ivf.stageAppend(spark, path,
+      out => coCoded.repartition(col("_gf_cid"))
+        .write.mode("overwrite").partitionBy("_gf_cid").parquet(out))
+    Ivf.promoteStaged(spark, s2, s"$path/codes", partitioned = true)
+    assigned.unpersist(false)
+    coCoded.unpersist(false)
+    n
+  }
+
+  private final case class ParentMeta(dim: Int, m: Int, ks: Int)
+
+  private def readParentManifest(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): ParentMeta = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"$path/manifest.json is missing — not a graft IVFADC index (or a " +
+        "torn write: the manifest is written last); re-create it with " +
+        "IvfPq.writeIndex")
+    val in = fs.open(mp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    try {
+      // SafeConstructor: a shared-filesystem manifest must not
+      // instantiate classes (same rationale as Ivf/Pq.readManifest)
+      val y = new org.yaml.snakeyaml.Yaml(
+          new org.yaml.snakeyaml.constructor.SafeConstructor(
+            new org.yaml.snakeyaml.LoaderOptions()))
+        .load[java.util.Map[String, Object]](txt)
+      def num(k: String): Int = y.get(k) match {
+        case nn: Number => nn.intValue()
+        case other => throw new IllegalArgumentException(
+          s"field '$k' is ${if (other == null) "missing" else other.toString}")
+      }
+      val pm = ParentMeta(num("dim"), num("m"), num("ks"))
+      if (pm.dim <= 0 || pm.m <= 0 || pm.dim % pm.m != 0)
+        throw new IllegalArgumentException(s"dim=${pm.dim}, m=${pm.m}")
+      pm
+    } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"$path/manifest.json is corrupt: ${e.getMessage}", e)
+    }
   }
 
   /** The shared ADC scan: probe subplan collected ONCE upstream, (qid,

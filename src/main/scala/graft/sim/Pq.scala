@@ -299,9 +299,14 @@ object Pq {
   }
 
   /** Re-open a persisted PQ index. Validates manifest presence/sanity and
-    * pins it to the data (codebook slice length = dim/m). */
-  def readIndex(spark: SparkSession, path: String): PqIndex = {
-    val meta = readManifest(spark, path)
+    * pins it to the data (codebook slice length = dim/m). `expectMetric`
+    * guards against probing with the wrong distance: a plain open refuses
+    * a residual-encoded index (its codes only make sense relative to the
+    * per-cell offsets [[IvfPq.readIndexResidual]] carries) and vice
+    * versa. */
+  def readIndex(spark: SparkSession, path: String,
+                expectMetric: String = "cosine-l2adc"): PqIndex = {
+    val meta = readManifest(spark, path, expectMetric)
     val codebooks = spark.read.parquet(s"$path/codebooks")
     val codes = spark.read.parquet(s"$path/codes")
     codebooks.select(size(col("_gf_cbv"))).limit(1).collect().headOption.foreach { r =>
@@ -356,7 +361,8 @@ object Pq {
     n
   }
 
-  private def readManifest(spark: SparkSession, path: String): PqMeta = {
+  private def readManifest(spark: SparkSession, path: String,
+                           expectMetric: String = "cosine-l2adc"): PqMeta = {
     val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(mp)) throw new IllegalArgumentException(
@@ -389,10 +395,12 @@ object Pq {
         meta.dim % meta.m != 0) throw new IllegalArgumentException(
       s"$path/manifest.json is corrupt: dim=${meta.dim}, m=${meta.m}, " +
         s"ks=${meta.ks}")
-    if (meta.metric != "cosine-l2adc") throw new IllegalArgumentException(
+    if (meta.metric != expectMetric) throw new IllegalArgumentException(
       s"$path/manifest.json declares metric='${meta.metric}' but this " +
-        "engine ranks with cosine-from-L2-ADC only — refusing to probe " +
-        "with the wrong distance")
+        s"open expects '$expectMetric' — a residual-encoded index is only " +
+        "probeable through IvfPq.readIndexResidual (its codes are " +
+        "relative to per-cell offsets), and a plain index only through " +
+        "plain opens; refusing to probe with the wrong distance")
     meta
   }
 }

@@ -226,6 +226,64 @@ class IvfPqSpec extends SparkSpec {
     assert(e2.getMessage.contains("inconsistent"))
   }
 
+  test("append ingests both halves; appended rows are found at rank 1") {
+    val e = Tables.embeddings(spark, sfDir)
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    val ivf = Ivf.train(even, "vec_id", "embedding", k = 4, iters = 1)
+    val pq = Pq.train(even, "vec_id", "embedding", m = 16, ks = 16, iters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-app").toString
+    IvfPq.writeIndex(IvfPq.build(ivf, pq), tmp)
+    val n = IvfPq.appendToIndex(spark, tmp, odd, "vec_id", "embedding")
+    assert(n == odd.count())
+    val reopened = IvfPq.readIndex(spark, tmp)
+    // both halves grew in lockstep
+    assert(reopened.coCodes.count() == e.count())
+    assert(reopened.ivf.indexed.count() == e.count())
+    // an appended vector finds ITSELF at rank 1 through the combined
+    // file with every cell probed (ADC distance to own code is minimal)
+    val q = odd.filter(col("vec_id") < 10)
+    val out = IvfPq.topK(reopened, q, "vec_id", "embedding",
+        k = 1, nprobe = reopened.ivf.numCells.toInt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty && out.forall { case (qid, nid) => qid == nid })
+    // id collision refuses BEFORE writing: counts unchanged after
+    val e1 = intercept[IllegalArgumentException] {
+      IvfPq.appendToIndex(spark, tmp, odd.limit(3), "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("re-uses ids"))
+    assert(spark.read.parquet(s"$tmp/codes").count() == e.count())
+    // wrong-dim batch refuses from the parent manifest
+    import spark.implicits._
+    val bad = Seq((900000L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      IvfPq.appendToIndex(spark, tmp, bad, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("dim"))
+  }
+
+  test("residual index persists, re-opens, probes identically; plain open refuses it") {
+    val (e, ivf, _) = indexes()
+    val queries = e.filter(col("vec_id") < 5)
+    val res = IvfPq.buildResidual(ivf, m = 16, ks = 16, iters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-res").toString
+    IvfPq.writeIndexResidual(res, tmp)
+    val reopened = IvfPq.readIndexResidual(spark, tmp)
+    val before = IvfPq.topKResidual(res, queries, "vec_id", "embedding",
+        k = 10, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val after = IvfPq.topKResidual(reopened, queries, "vec_id", "embedding",
+        k = 10, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(before == after)
+    // the metric gate: a residual layout cannot be opened as plain
+    // IVFADC (codes are relative to offsets a plain probe ignores)
+    val e1 = intercept[IllegalArgumentException] {
+      IvfPq.readIndex(spark, tmp)
+    }
+    assert(e1.getMessage.contains("metric") || e1.getMessage.contains("residual"))
+  }
+
   test("indexes from different corpora refuse to combine") {
     val e = Tables.embeddings(spark, sfDir)
     val ivf = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 1)
