@@ -174,6 +174,56 @@ object TextQueries {
                     ELSE floor((CAST(nsp AS DOUBLE) / CAST(len(l) AS DOUBLE)) * 1e4 + 0.5) / 1e4 END AS mean_word_len
         FROM b ORDER BY doc_id""")),
 
+    // CCNet-style LM quality gate: a bigram stupid-backoff model trained
+    // on the trusted slice (every 3rd doc), the rest scored by average
+    // conditioned log-prob. Hash-checked end to end — counts, backoff
+    // cases, OOV floor, and the decimal-sum average all mirror in SQL.
+    Q("text_lm_score",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lm = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        graft.text.LangModel.score(
+            docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", lm)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH reft AS (
+          SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
+          FROM documents WHERE doc_id % 3 = 0 AND length(trim(text)) > 0),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                FROM (SELECT unnest(l) AS w FROM reft) GROUP BY 1),
+        tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS t FROM uni),
+        big AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cb FROM (
+                  SELECT l[p] AS prev, l[p+1] AS w
+                  FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS p
+                        FROM reft WHERE len(l) >= 2))
+                GROUP BY 1, 2),
+        doc AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                FROM documents WHERE doc_id % 3 <> 0 AND length(trim(text)) > 0),
+        pairs AS (SELECT doc_id, l[p] AS prev, l[p+1] AS w
+                  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS p
+                        FROM doc WHERE len(l) >= 2)),
+        lp AS (SELECT doc_id,
+                 floor((CASE
+                    WHEN big.cb IS NOT NULL
+                      THEN ln(CAST(big.cb AS DOUBLE) / CAST(up.cw AS DOUBLE))
+                    WHEN uw.cw IS NOT NULL
+                      THEN ln(0.4 * CAST(uw.cw AS DOUBLE) / t)
+                    ELSE ln(0.4 / t) END) * 1e6 + 0.5) / 1e6 AS lp
+               FROM pairs
+               LEFT JOIN big USING (prev, w)
+               LEFT JOIN uni up ON pairs.prev = up.w
+               LEFT JOIN uni uw ON pairs.w = uw.w, tot),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                  floor((CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE)
+                         / count(*)) * 1e4 + 0.5) / 1e4 AS avg_logprob
+                FROM lp GROUP BY 1)
+        SELECT d.doc_id, coalesce(agg.n_scored, 0) AS n_scored, agg.avg_logprob
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+        LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id""")),
+
     // Per-document top-3 TF-IDF terms.
     Q("text_tfidf",
       (s, dir) => TextAnalysis.tfIdfTopTerms(

@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Bigram language-model scoring — the CCNet-style perplexity gate of a
+  * training-data pipeline (Wenzek et al., "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data", LREC 2020: corpus quality is
+  * graded by LM perplexity against a trusted reference; low-probability
+  * documents are gibberish/boilerplate, suspiciously HIGH-probability ones
+  * are templates). The reference repo has no LM; the model here is the
+  * smallest useful one — token bigrams with stupid backoff (Brants et al.
+  * 2007: no normalization, backoff weight α, count-based — the standard
+  * web-scale choice precisely because it needs only count tables):
+  *
+  *   lp(w | prev) = ln(c(prev,w) / c(prev))        bigram seen
+  *                = ln(α · c(w) / T)                else, unigram seen
+  *                = ln(α / T)                       else (OOV pseudo-count 1)
+  *
+  * A document scores avg lp over its (ntok − 1) conditioned tokens;
+  * `exp(−avg)` would be perplexity, but the avg log-prob is emitted raw —
+  * monotone in perplexity and one fewer libm call to keep portable.
+  *
+  * Spark shapes: training is two explode+count aggregates over the
+  * REFERENCE corpus (bigram pairs come straight off the token array via
+  * `zip_with` of two slices — no window, no per-doc shuffle); the count
+  * tables are the LM artifact, vocab-bounded, not corpus-bounded. Scoring
+  * joins each document's bigram pairs against the two count tables —
+  * token strings are the join keys here for oracle parity; at 100 TB the
+  * keys hash to 8 bytes ([[graft.dedup.LlmDedup]]'s discipline) and the
+  * LM tables broadcast when the vocab allows. Per-token log-probs round
+  * to 6dp and accumulate as exact decimals (the engine's float-parity
+  * rule: single IEEE ops + order-independent decimal addition), so the
+  * result is bit-identical across engines AND partitionings. */
+object LangModel {
+
+  /** `unigrams`: (_gf_w, _gf_cw). `bigrams`: (_gf_prev, _gf_w, _gf_cb).
+    * `total`: reference token count (the one driver-side scalar — a 1-row
+    * aggregate). Both frames cached: the LM is probed per scored batch. */
+  final case class Lm(unigrams: DataFrame, bigrams: DataFrame, total: Long) {
+    def release(): Unit = {
+      unigrams.unpersist(false)
+      bigrams.unpersist(false)
+      ()
+    }
+  }
+
+  private def toks(c: Column): Column = TextAnalysis.tokens(c)
+
+  /** (prev, w) pairs off the token array — a pure projection. */
+  private def bigramPairs(t: Column): Column =
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("_gf_prev"), b.as("_gf_w")))
+
+  /** Count tables from a reference corpus (its quality defines "normal"
+    * text — train on the trusted slice, score the crawl). */
+  def train(ref: DataFrame, textCol: String): Lm = {
+    val base = ref.filter(length(trim(col(textCol))) > 0)
+      .select(toks(col(textCol)).as("_gf_t"))
+    val unigrams = base
+      .select(explode(col("_gf_t")).as("_gf_w"))
+      .groupBy("_gf_w").agg(count(lit(1)).as("_gf_cw"))
+      .cache()
+    val bigrams = base
+      .filter(size(col("_gf_t")) >= 2)
+      .select(explode(bigramPairs(col("_gf_t"))).as("_gf_bg"))
+      .select(col("_gf_bg._gf_prev").as("_gf_prev"), col("_gf_bg._gf_w").as("_gf_w"))
+      .groupBy("_gf_prev", "_gf_w").agg(count(lit(1)).as("_gf_cb"))
+      .cache()
+    // sum over an EMPTY reference is SQL null — surface it as total 0 so
+    // score()'s require gives the real diagnosis instead of an NPE here
+    val total = Option(unigrams.agg(sum(col("_gf_cw"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    Lm(unigrams, bigrams, total)
+  }
+
+  /** (idCol, n_scored, avg_logprob): one row per input document.
+    * `n_scored` = conditioned tokens (ntok − 1; 0 for blank or
+    * single-token documents, whose `avg_logprob` is null — nothing to
+    * condition on is not evidence of quality either way). `backoff` is
+    * stupid-backoff's α. */
+  def score(docs: DataFrame, idCol: String, textCol: String, lm: Lm,
+            backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0 && backoff <= 1, s"backoff=$backoff not in (0,1]")
+    require(lm.total > 0, "LM trained on an empty reference corpus")
+    val t = lit(lm.total.toDouble)
+    val pairs = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks(col(textCol)).as("_gf_t"))
+      .filter(size(col("_gf_t")) >= 2)
+      .select(col(idCol), explode(bigramPairs(col("_gf_t"))).as("_gf_bg"))
+      .select(col(idCol), col("_gf_bg._gf_prev").as("_gf_prev"),
+        col("_gf_bg._gf_w").as("_gf_w"))
+    val scored = pairs
+      .join(lm.bigrams, Seq("_gf_prev", "_gf_w"), "left")
+      .join(lm.unigrams.select(col("_gf_w").as("_gf_prev"),
+        col("_gf_cw").as("_gf_cprev")), Seq("_gf_prev"), "left")
+      .join(lm.unigrams, Seq("_gf_w"), "left")
+      .withColumn("_gf_lp", graft.Num.dround(
+        when(col("_gf_cb").isNotNull,
+          log(col("_gf_cb").cast(DoubleType) / col("_gf_cprev").cast(DoubleType)))
+          .when(col("_gf_cw").isNotNull,
+            log(lit(backoff) * col("_gf_cw").cast(DoubleType) / t))
+          .otherwise(log(lit(backoff) / t)), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("_gf_lp").cast(DecimalType(38, 6))).as("_gf_sum"))
+      .select(col(idCol), col("n_scored"),
+        graft.Num.dround(
+          col("_gf_sum").cast(DoubleType) / col("n_scored"), 4)
+          .as("avg_logprob"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("avg_logprob"))
+  }
+}

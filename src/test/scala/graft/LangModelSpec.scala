@@ -1,0 +1,68 @@
+package graft
+
+import graft.text.LangModel
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the bigram stupid-backoff scorer
+  * ([[graft.text.LangModel]]): every branch of the backoff chain, the
+  * conditioned-token count, and the no-evidence rows. */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ref "a b a c": uni a:2 b:1 c:1, T=4; bigrams (a,b):1 (b,a):1 (a,c):1
+  private def lm() = LangModel.train(
+    Seq(Tuple1("a b a c")).toDF("text"), "text")
+
+  test("all three backoff branches score the documented closed forms") {
+    val model = lm()
+    assert(model.total == 4)
+    val docs = Seq(
+      (1L, "a b x"), // (a,b) bigram: ln(1/2); (b,x) OOV: ln(0.4/4)
+      (2L, "c a"),   // (c,a) unseen bigram, a seen: ln(0.4*2/4)
+      (3L, "a"),     // single token: nothing conditioned
+      (4L, "  "))    // blank: nothing at all
+      .toDF("doc_id", "text")
+    val out = LangModel.score(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1),
+      if (out(i).isNullAt(2)) None else Some(out(i).getDouble(2)))
+    // doc 1: lp = round6(ln 0.5) + round6(ln 0.1) = -0.693147 - 2.302585
+    //        avg = -1.497866 -> round4 = -1.4979 (floor(x*1e4+0.5)/1e4)
+    assert(row(0) == (2L, Some(-1.4979)))
+    // doc 2: ln(0.2) = -1.609438 -> avg round4 = -1.6094
+    assert(row(1) == (1L, Some(-1.6094)))
+    assert(row(2) == (0L, None))
+    assert(row(3) == (0L, None))
+    model.release()
+  }
+
+  test("higher-probability text scores higher than gibberish") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = LangModel.train(docs.filter(col("doc_id") % 3 === 0), "text")
+    val scored = LangModel.score(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", model)
+    // in-domain text (same generator as the reference slice) must beat a
+    // fully-OOV document appended by hand
+    val gib = LangModel.score(
+      Seq((999999L, "zzq1 zzq2 zzq3 zzq4 zzq5")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+    val corpusAvg = scored.agg(avg(col("avg_logprob"))).collect()(0).getDouble(0)
+    val gibAvg = gib.collect()(0).getDouble(2)
+    assert(corpusAvg > gibAvg,
+      s"in-domain $corpusAvg should beat OOV gibberish $gibAvg")
+    model.release()
+  }
+
+  test("backoff and empty-reference misuse are refused") {
+    val model = lm()
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      LangModel.score(docs, "doc_id", "text", model, backoff = 0.0)
+    }
+    model.release()
+    val empty = LangModel.train(Seq(Tuple1("  ")).toDF("text"), "text")
+    intercept[IllegalArgumentException] {
+      LangModel.score(docs, "doc_id", "text", empty)
+    }
+  }
+}
