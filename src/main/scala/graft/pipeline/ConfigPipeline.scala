@@ -64,6 +64,18 @@ import scala.jdk.CollectionConverters._
   *     text_column: text
   *     id_column: doc_id
   *     bench_path: /data/benchmarks.parquet   # optional ngram: 8, fpp: 0.01
+  *   - module: lm_filter
+  *     text_column: text
+  *     id_column: doc_id
+  *     ref_path: /data/trusted.parquet        # bigram LM training slice
+  *     min_logprob: -6.0                      # optional backoff: 0.4
+  *   - module: chunking
+  *     text_column: text
+  *     id_column: doc_id
+  *     max_tokens: 512                        # optional overlap: 0
+  *   - module: embedding_centroids
+  *     group_column: label
+  *     vector_column: embedding               # report-only
   *   - module: quota
   *     group_column: source
   *     key_column: doc_id
@@ -252,6 +264,27 @@ object ConfigPipeline {
           asString(m("id_column"), s"$path.id_column"),
           asString(m("bench_path"), s"$path.bench_path"), n.toInt, fpp)
 
+      case "lm_filter" =>
+        requireKeys(m, path,
+          required = Set("module", "text_column", "id_column", "ref_path",
+            "min_logprob"),
+          optional = Set("backoff"))
+        val minLp = asDouble(m("min_logprob"), s"$path.min_logprob")
+        // log-probs are strictly negative (every branch is ln of a value
+        // < 1); a min of 0 or above drops the whole corpus — the classic
+        // perplexity-instead-of-logprob sign typo, refused with its path
+        if (!(minLp < 0))
+          fail(s"$path.min_logprob",
+            s"min_logprob $minLp must be negative (avg log-probs are; " +
+              "a threshold >= 0 drops every document)")
+        val bo = m.get("backoff").map(asDouble(_, s"$path.backoff")).getOrElse(0.4)
+        if (!(bo > 0 && bo <= 1))
+          fail(s"$path.backoff", s"backoff $bo not in (0,1]")
+        LmFilterStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"),
+          asString(m("ref_path"), s"$path.ref_path"), minLp, bo)
+
       case "chunking" =>
         requireKeys(m, path,
           required = Set("module", "text_column", "id_column", "max_tokens"),
@@ -306,7 +339,7 @@ object ConfigPipeline {
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
             "text_filter|pii_redact|exact_dedup|near_dedup|span_dedup|" +
-            "decontaminate|chunking|embedding_centroids|sample|quota)")
+            "decontaminate|lm_filter|chunking|embedding_centroids|sample|quota)")
     }
   }
 

@@ -30,6 +30,13 @@ final case class PiiRedactStage(textCol: String) extends Stage { val name = "pii
 final case class ExactDedupStage(textCol: String, idCol: String) extends Stage { val name = "exact_dedup" }
 final case class DecontaminateStage(textCol: String, idCol: String,
     benchPath: String, n: Int, fpp: Double) extends Stage { val name = "decontaminate" }
+/** CCNet-style LM gate: docs whose avg conditioned log-prob against a
+  * reference-trained bigram model falls below the threshold are dropped
+  * (and reported); unscoreable docs (blank / single-token: nothing to
+  * condition on) are dropped too — no quality evidence is not a pass. */
+final case class LmFilterStage(textCol: String, idCol: String,
+    refPath: String, minLogprob: Double,
+    backoff: Double) extends Stage { val name = "lm_filter" }
 final case class NearDedupStage(textCol: String, idCol: String,
     threshold: Double) extends Stage { val name = "near_dedup" }
 /** Exact substring dedup (SURVEY row 102): duplicated n-token spans are
@@ -109,6 +116,17 @@ object Pipeline {
           acc.drop(textCol).join(
             cleaned.select(col(idCol), col("clean_text").as(textCol)),
             Seq(idCol))
+        case LmFilterStage(textCol, idCol, refPath, minLp, backoff) =>
+          // reference read + count-table build are eager like any
+          // broadcast build side; the corpus-side plan stays lazy
+          val ref = acc.sparkSession.read.parquet(refPath)
+          val lm = graft.text.LangModel.train(ref, textCol)
+          val scored = graft.text.LangModel.score(
+            acc.select(col(idCol), col(textCol)), idCol, textCol, lm, backoff)
+          val keep = scored.filter(col("avg_logprob") >= minLp)
+          reports += s"$i:lm_filter" ->
+            scored.join(keep.select(idCol), Seq(idCol), "left_anti")
+          acc.join(keep.select(idCol), Seq(idCol), "left_semi")
         case DecontaminateStage(textCol, idCol, benchPath, n, fpp) =>
           // benchmark suite read per the reference's path-driven configs;
           // the Bloom path is value-identical to exact decontamination

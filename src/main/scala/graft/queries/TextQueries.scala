@@ -65,6 +65,45 @@ object TextQueries {
         + 0.2 * least(1.0, stop_hits / greatest(n_tok, 1.0) * 5.0)
         + 0.2 * (n_distinct / greatest(n_tok, 1.0))) * 1e4 + 0.5) / 1e4"""
 
+  /** Shared DuckDB mirror of the LM scoring chain (train on every 3rd
+    * doc, score the rest) — used by text_lm_score and, wrapped in an
+    * ntile, text_lm_buckets, so the two gates cannot drift. */
+  private val lmScoreOracleBody: String = """
+        WITH reft AS (
+          SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
+          FROM documents WHERE doc_id % 3 = 0 AND length(trim(text)) > 0),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                FROM (SELECT unnest(l) AS w FROM reft) GROUP BY 1),
+        tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS t FROM uni),
+        big AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cb FROM (
+                  SELECT l[p] AS prev, l[p+1] AS w
+                  FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS p
+                        FROM reft WHERE len(l) >= 2))
+                GROUP BY 1, 2),
+        doc AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                FROM documents WHERE doc_id % 3 <> 0 AND length(trim(text)) > 0),
+        pairs AS (SELECT doc_id, l[p] AS prev, l[p+1] AS w
+                  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS p
+                        FROM doc WHERE len(l) >= 2)),
+        lp AS (SELECT doc_id,
+                 floor((CASE
+                    WHEN big.cb IS NOT NULL
+                      THEN ln(CAST(big.cb AS DOUBLE) / CAST(up.cw AS DOUBLE))
+                    WHEN uw.cw IS NOT NULL
+                      THEN ln(0.4 * CAST(uw.cw AS DOUBLE) / t)
+                    ELSE ln(0.4 / t) END) * 1e6 + 0.5) / 1e6 AS lp
+               FROM pairs
+               LEFT JOIN big USING (prev, w)
+               LEFT JOIN uni up ON pairs.prev = up.w
+               LEFT JOIN uni uw ON pairs.w = uw.w, tot),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                  floor((CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE)
+                         / count(*)) * 1e4 + 0.5) / 1e4 AS avg_logprob
+                FROM lp GROUP BY 1)
+        SELECT d.doc_id, coalesce(agg.n_scored, 0) AS n_scored, agg.avg_logprob
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+        LEFT JOIN agg USING (doc_id)"""
+
   val all: Seq[Q] = Seq(
     // Fixed-budget chunking with overlap — 64-token windows striding by
     // 48, the context-window prep step. Pure per-row projection (no
@@ -187,42 +226,33 @@ object TextQueries {
             docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", lm)
           .orderBy("doc_id")
       },
-      Some("""
-        WITH reft AS (
-          SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
-          FROM documents WHERE doc_id % 3 = 0 AND length(trim(text)) > 0),
-        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
-                FROM (SELECT unnest(l) AS w FROM reft) GROUP BY 1),
-        tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS t FROM uni),
-        big AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cb FROM (
-                  SELECT l[p] AS prev, l[p+1] AS w
-                  FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS p
-                        FROM reft WHERE len(l) >= 2))
-                GROUP BY 1, 2),
-        doc AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
-                FROM documents WHERE doc_id % 3 <> 0 AND length(trim(text)) > 0),
-        pairs AS (SELECT doc_id, l[p] AS prev, l[p+1] AS w
-                  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS p
-                        FROM doc WHERE len(l) >= 2)),
-        lp AS (SELECT doc_id,
-                 floor((CASE
-                    WHEN big.cb IS NOT NULL
-                      THEN ln(CAST(big.cb AS DOUBLE) / CAST(up.cw AS DOUBLE))
-                    WHEN uw.cw IS NOT NULL
-                      THEN ln(0.4 * CAST(uw.cw AS DOUBLE) / t)
-                    ELSE ln(0.4 / t) END) * 1e6 + 0.5) / 1e6 AS lp
-               FROM pairs
-               LEFT JOIN big USING (prev, w)
-               LEFT JOIN uni up ON pairs.prev = up.w
-               LEFT JOIN uni uw ON pairs.w = uw.w, tot),
-        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
-                  floor((CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE)
-                         / count(*)) * 1e4 + 0.5) / 1e4 AS avg_logprob
-                FROM lp GROUP BY 1)
-        SELECT d.doc_id, coalesce(agg.n_scored, 0) AS n_scored, agg.avg_logprob
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
-        LEFT JOIN agg USING (doc_id)
+      Some(s"$lmScoreOracleBody ORDER BY doc_id")),
+
+    // CCNet's actual decision shape: head/middle/tail terciles of the LM
+    // score (Wenzek et al. keep/inspect/drop by perplexity bucket). The
+    // exact ntile path (total order on (score, doc_id)) is the
+    // oracle-parity route; Binning's approx edges are the 100 TB route.
+    Q("text_lm_buckets",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lm = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        val scored = graft.text.LangModel.score(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", lm)
+        graft.ops.Binning.equalFrequency(
+            scored.filter(col("avg_logprob").isNotNull),
+            "avg_logprob", q = 3, tiebreak = Seq("doc_id"),
+            exact = true, outCol = "bucket")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH base AS ($lmScoreOracleBody)
+        SELECT doc_id, n_scored, avg_logprob,
+               CAST(ntile(3) OVER (ORDER BY avg_logprob, doc_id) AS INT) AS bucket
+        FROM base WHERE avg_logprob IS NOT NULL
         ORDER BY doc_id""")),
+
+
 
     // Per-document top-3 TF-IDF terms.
     Q("text_tfidf",

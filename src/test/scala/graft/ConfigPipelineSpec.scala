@@ -291,6 +291,45 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("ngram"))
   }
 
+  test("lm_filter stage drops low-probability and unscoreable docs, reports them") {
+    // reference: repetitive in-domain text; corpus: one in-domain doc,
+    // one OOV gibberish doc, one single-token doc (unscoreable)
+    val tmp = java.nio.file.Files.createTempDirectory("lm-ref").toString
+    Seq(Tuple1("the cat sat on the mat the cat sat"))
+      .toDF("text").write.mode("overwrite").parquet(tmp)
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "web"),
+      (2L, "zz1 zz2 zz3 zz4 zz5 zz6", "web"),
+      (3L, "hello", "web"))
+      .toDF("doc_id", "text", "source")
+    val yaml = s"""
+      |run_id: lmf
+      |stages:
+      |  - module: lm_filter
+      |    text_column: text
+      |    id_column: doc_id
+      |    ref_path: $tmp
+      |    min_logprob: -3.0
+      |""".stripMargin
+    val res = ConfigPipeline.run(docs, yaml)
+    val kept = res.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept $kept")
+    // dropped docs (OOV + unscoreable) land in the report with scores
+    val rep = res.reports("0:lm_filter").orderBy("doc_id").collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(rep(1).getLong(1) == 0L && rep(1).isNullAt(2)) // unscoreable
+    // config-time refusals with path: sign typo and bad backoff
+    val e1 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("min_logprob: -3.0", "min_logprob: 3.0"))
+    }
+    assert(e1.getMessage.contains("min_logprob"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs,
+        yaml.replace("min_logprob: -3.0", "min_logprob: -3.0\n    backoff: 1.5"))
+    }
+    assert(e2.getMessage.contains("backoff"))
+  }
+
   test("chunking stage re-shapes the frame and carries metadata columns") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" "), "web"),
