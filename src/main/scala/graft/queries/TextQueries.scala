@@ -254,6 +254,56 @@ object TextQueries {
 
 
 
+    // BM25 lexical retrieval: the first 5 docs as queries against the
+    // whole corpus, top-5 each — the inverted-index join shape with every
+    // constant expression mirrored operation-for-operation in SQL
+    // ((1.2 + 1.0), (1 - 0.75 + 0.75·len/avgdl), Lucene idf), 6dp
+    // per-term rounding + exact-decimal sums, avgdl from an exact long
+    // sum. (No self-find claim: on this homogeneous-vocabulary corpus
+    // BM25 rightly favors term frequency over identity — Bm25Spec pins
+    // self-find on a distinctive-vocabulary fixture instead.)
+    Q("text_bm25",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.text.Bm25.topK(docs, "doc_id", "text",
+            docs.filter(col("doc_id") < 5)
+              .select(col("doc_id").as("qid"), col("text")),
+            "qid", "text", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id AS did, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+          FROM documents WHERE length(trim(text)) > 0),
+        lens AS (SELECT did, len(l) AS dlen, l FROM base),
+        post AS (SELECT term, did, dlen, CAST(count(*) AS BIGINT) AS tf
+                 FROM (SELECT did, dlen, unnest(l) AS term FROM lens)
+                 WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dlen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                  FROM lens),
+        qt AS (SELECT DISTINCT qid, term FROM (
+                 SELECT doc_id AS qid,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                 FROM documents WHERE doc_id < 5 AND length(trim(text)) > 0)
+               WHERE length(term) > 0),
+        per AS (SELECT qt.qid, post.did,
+                  floor((ln(1 + (n - df + 0.5) / (df + 0.5))
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / avgdl)))
+                        * 1e6 + 0.5) / 1e6 AS s
+                FROM post JOIN qt USING (term) JOIN dfq USING (term), stats),
+        agg AS (SELECT qid, did,
+                  CAST(round(sum(CAST(s AS DECIMAL(38,6))), 4) AS DOUBLE) AS score
+                FROM per GROUP BY 1, 2),
+        rk AS (SELECT qid, did, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+               FROM agg)
+        SELECT qid AS query_id, CAST(rank AS INT) AS rank, did AS doc_id, score
+        FROM rk WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
     // Per-document top-3 TF-IDF terms.
     Q("text_tfidf",
       (s, dir) => TextAnalysis.tfIdfTopTerms(
