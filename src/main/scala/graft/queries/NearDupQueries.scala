@@ -445,6 +445,90 @@ object NearDupQueries {
     // ground truth, per query — the evaluation loop that decides
     // k/nprobe/planes in production. Rows-only (the approximate side is
     // hash-seeded), but deterministic: same seeds → same recall.
+    // Hybrid retrieval: BM25 (lexical) and exact cosine (embedding)
+    // top-20 lists fused by reciprocal rank fusion over the items that
+    // have BOTH text and a vector. Hash-checked end to end: the oracle
+    // re-derives both rankings (the two mirrors already individually
+    // hash-green) and fuses with the same fixed-order coalesce sum —
+    // RRF reads only RANKS, so the two engines' bit-identical rank
+    // columns guarantee bit-identical fusions.
+    Q("ann_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val emb = Tables.embeddings(s, dir)
+        val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val queries = corpus.filter(col("doc_id") < 5)
+        val bm = graft.text.Bm25.topK(corpus, "doc_id", "text",
+            queries.select(col("doc_id").as("qid"), col("text")),
+            "qid", "text", k = 20)
+          .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+        val ann = Similarity.bruteForceTopK(corpus, "doc_id", "embedding",
+            queries.select(col("doc_id"), col("embedding")), "doc_id", "embedding",
+            k = 20)
+          .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+        graft.sim.Hybrid.rrf(Seq(bm, ann), "query_id", "id", "rank", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH corp AS (
+          SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        base AS (
+          SELECT doc_id AS did, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+          FROM corp WHERE length(trim(text)) > 0),
+        lens AS (SELECT did, len(l) AS dlen, l FROM base),
+        post AS (SELECT term, did, dlen, CAST(count(*) AS BIGINT) AS tf
+                 FROM (SELECT did, dlen, unnest(l) AS term FROM lens)
+                 WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dlen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                  FROM lens),
+        qt AS (SELECT DISTINCT qid, term FROM (
+                 SELECT doc_id AS qid,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                 FROM corp WHERE doc_id < 5 AND length(trim(text)) > 0)
+               WHERE length(term) > 0),
+        per AS (SELECT qt.qid, post.did,
+                  floor((ln(1 + (n - df + 0.5) / (df + 0.5))
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dlen / avgdl)))
+                        * 1e6 + 0.5) / 1e6 AS s
+                FROM post JOIN qt USING (term) JOIN dfq USING (term), stats),
+        bmagg AS (SELECT qid, did,
+                    CAST(round(sum(CAST(s AS DECIMAL(38,6))), 4) AS DOUBLE) AS score
+                  FROM per GROUP BY 1, 2),
+        bmrk AS (SELECT qid AS query_id, did AS id,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+                 FROM bmagg QUALIFY rank <= 20),
+        annscored AS (
+          SELECT q.doc_id AS query_id, c.doc_id AS id,
+                 list_dot_product(c.v, q.v) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(q.v, q.v))) AS cos_raw
+          FROM corp c, (SELECT doc_id, v FROM corp WHERE doc_id < 5) q),
+        annrk AS (SELECT query_id, id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, id) AS rank
+                  FROM annscored QUALIFY rank <= 20),
+        ids AS (SELECT query_id, id FROM bmrk
+                UNION SELECT query_id, id FROM annrk),
+        fused AS (
+          SELECT ids.query_id, ids.id,
+                 coalesce(1.0 / (60.0 + bmrk.rank), 0) +
+                 coalesce(1.0 / (60.0 + annrk.rank), 0) AS rrf
+          FROM ids
+          LEFT JOIN bmrk USING (query_id, id)
+          LEFT JOIN annrk USING (query_id, id)),
+        out AS (SELECT query_id, id, rrf,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, id) AS rank
+                FROM fused QUALIFY rank <= 10)
+        SELECT query_id, CAST(rank AS INT) AS rank, id,
+               floor(rrf * 1e6 + 0.5) / 1e6 AS rrf_score
+        FROM out ORDER BY query_id, rank""")),
+
     Q("ann_recall",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
