@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.dedup.Duplicates
+import graft.text.GopherRules
 import graft.impute.{Constant, ImputeStrategy, Mean, Median, Mode}
 import graft.normalize.{FuzzySpec, NormalizeConfig}
 import graft.outliers._
@@ -52,6 +53,12 @@ import scala.jdk.CollectionConverters._
   *     text_column: text
   *     min_quality: 0.3                 # optional, default 0
   *     languages: [en]                  # optional, default any
+  *   - module: gopher_filter
+  *     text_column: text
+  *     id_column: doc_id                # optional: min_words, max_words,
+  *                                      #   min/max_mean_word_len, max_symbol_ratio,
+  *                                      #   max_bullet_frac, max_ellipsis_frac,
+  *                                      #   min_alpha_frac, min_stop_hits
   *   - module: pii_redact
   *     text_column: text
   *   - module: exact_dedup
@@ -230,6 +237,47 @@ object ConfigPipeline {
           asString(m("text_column"), s"$path.text_column"),
           asString(m("id_column"), s"$path.id_column"))
 
+      case "gopher_filter" =>
+        requireKeys(m, path, required = Set("module", "text_column", "id_column"),
+          optional = Set("min_words", "max_words", "min_mean_word_len",
+            "max_mean_word_len", "max_symbol_ratio", "max_bullet_frac",
+            "max_ellipsis_frac", "min_alpha_frac", "min_stop_hits"))
+        def dOpt(k: String, dv: Double) =
+          m.get(k).map(asDouble(_, s"$path.$k")).getOrElse(dv)
+        def lOpt(k: String, dv: Long) =
+          m.get(k).map(asLong(_, s"$path.$k")).getOrElse(dv)
+        val minW = lOpt("min_words", 50L)
+        val maxW = lOpt("max_words", 100000L)
+        if (minW < 0 || maxW < minW || maxW > Int.MaxValue)
+          fail(s"$path.min_words",
+            s"word-count window invalid: [$minW, $maxW] (need 0 <= min <= max <= ${Int.MaxValue})")
+        val minL = dOpt("min_mean_word_len", 3.0)
+        val maxL = dOpt("max_mean_word_len", 10.0)
+        // negated form catches .nan like the other numeric keys
+        if (!(minL >= 0 && maxL >= minL))
+          fail(s"$path.min_mean_word_len",
+            s"mean-word-length window invalid: [$minL, $maxL]")
+        val sym = dOpt("max_symbol_ratio", 0.1)
+        val bul = dOpt("max_bullet_frac", 0.9)
+        val ell = dOpt("max_ellipsis_frac", 0.3)
+        if (!(sym >= 0 && bul >= 0 && ell >= 0))
+          fail(s"$path.max_symbol_ratio",
+            s"ratio thresholds must be non-negative, got [$sym, $bul, $ell]")
+        val alp = dOpt("min_alpha_frac", 0.8)
+        if (!(alp >= 0 && alp <= 1))
+          fail(s"$path.min_alpha_frac", s"min_alpha_frac $alp not in [0,1]")
+        val stop = lOpt("min_stop_hits", 2L)
+        if (stop < 0 || stop > GopherRules.stopwords.size)
+          fail(s"$path.min_stop_hits",
+            s"min_stop_hits must be in [0, ${GopherRules.stopwords.size}] " +
+              s"(only ${GopherRules.stopwords.size} signature stopwords exist " +
+              "— a higher bar silently drops everything), got " + stop)
+        GopherFilterStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"),
+          GopherRules.Config(minW.toInt, maxW.toInt, minL, maxL,
+            sym, bul, ell, alp, stop.toInt))
+
       case "near_dedup" =>
         requireKeys(m, path, required = Set("module", "text_column", "id_column"),
           optional = Set("threshold"))
@@ -338,7 +386,7 @@ object ConfigPipeline {
       case other =>
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
-            "text_filter|pii_redact|exact_dedup|near_dedup|span_dedup|" +
+            "text_filter|gopher_filter|pii_redact|exact_dedup|near_dedup|span_dedup|" +
             "decontaminate|lm_filter|chunking|embedding_centroids|sample|quota)")
     }
   }

@@ -6,7 +6,7 @@ import graft.normalize.{NormalizeConfig, Normalizer}
 import graft.ops.{Quota, Sampling}
 import graft.outliers.{DetectMethod, HandleStrategy, Outliers}
 import graft.quality.{Rule, Validator}
-import graft.text.{CorpusOps, TextAnalysis}
+import graft.text.{CorpusOps, GopherRules, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -37,6 +37,12 @@ final case class DecontaminateStage(textCol: String, idCol: String,
 final case class LmFilterStage(textCol: String, idCol: String,
     refPath: String, minLogprob: Double,
     backoff: Double) extends Stage { val name = "lm_filter" }
+/** Gopher rule gate (Rae et al. §A1.1): docs failing any structural rule
+  * are dropped; the report carries every dropped doc's full signal + rule
+  * audit so a curation run can see WHICH rule fired, not just that one
+  * did. The keep path is a single zero-shuffle scan predicate. */
+final case class GopherFilterStage(textCol: String, idCol: String,
+    cfg: GopherRules.Config) extends Stage { val name = "gopher_filter" }
 final case class NearDedupStage(textCol: String, idCol: String,
     threshold: Double) extends Stage { val name = "near_dedup" }
 /** Exact substring dedup (SURVEY row 102): duplicated n-token spans are
@@ -105,6 +111,11 @@ object Pipeline {
           acc.withColumn(textCol, CorpusOps.redact(col(textCol)))
         case ExactDedupStage(textCol, idCol) =>
           LlmDedup.exact(acc, textCol, idCol)
+        case GopherFilterStage(textCol, idCol, cfg) =>
+          reports += s"$i:gopher_filter" ->
+            GopherRules.audit(acc.select(col(idCol), col(textCol)),
+              idCol, textCol, cfg).filter(!col("keep"))
+          GopherRules.filterDocs(acc, textCol, cfg)
         case NearDedupStage(textCol, idCol, threshold) =>
           graft.dedup.MinHash.dedup(acc, textCol, idCol, threshold = threshold)
         case SpanDedupStage(textCol, idCol, n) =>

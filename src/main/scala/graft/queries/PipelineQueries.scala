@@ -110,6 +110,19 @@ object PipelineQueries {
     |    overlap: 16
     |""".stripMargin
 
+  /** The Gopher gate as a config artifact — thresholds matching
+    * [[TextQueries.gopherCfg]] so the config path and the direct
+    * `text_gopher_filter` query share one oracle. */
+  private val gopherYaml = """
+    |run_id: gopher_config
+    |stages:
+    |  - module: gopher_filter
+    |    text_column: text
+    |    id_column: doc_id
+    |    min_words: 10
+    |    min_stop_hits: 2
+    |""".stripMargin
+
   /** The report-only embedding audit as a config artifact. */
   private val centroidsYaml = """
     |run_id: centroids_config
@@ -221,6 +234,17 @@ object PipelineQueries {
           "doc_id", "text", maxTokens = 64, overlap = 16)}) c
         JOIN documents d USING (doc_id)
         ORDER BY c.doc_id, c.chunk_id""")),
+
+    // The Gopher gate as a YAML stage over the same rule-exercising
+    // fixture as text_gopher_filter — one oracle serves both, so the
+    // config path cannot drift from the direct operator.
+    Q("pipeline_gopher_config",
+      (s, dir) => ConfigPipeline.run(
+          TextQueries.gopherFixture(Tables.documents(s, dir)), gopherYaml).df
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"""
+        ${TextQueries.gopherAuditSql}
+        SELECT doc_id FROM audit WHERE keep = 1 ORDER BY doc_id""")),
 
     // The embedding audit as a YAML stage: report-only (frame passes
     // through untouched); the published report must hash-match the direct

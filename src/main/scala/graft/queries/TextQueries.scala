@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.LlmDedup
-import graft.text.TextAnalysis
+import graft.text.{GopherRules, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Driver-checked queries for SURVEY §2.3 rows 45 + 52-55 (text analysis
@@ -373,6 +373,137 @@ object TextQueries {
                                                  i -> l[i] || ' ' || l[i + 1]) END) AS ngram
           FROM toks)
         SELECT ngram, count(*) AS cnt FROM grams WHERE length(ngram) > 0
-        GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20"""))
+        GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""")),
+
+    // Gopher rule audit (Rae et al. §A1.1). The corpus is single-line
+    // clean prose, so each structural rule is exercised by a deterministic
+    // derived variant: bullet-list, ellipsis-joined, symbol-spiked,
+    // digits-only, truncated, and stopword-enriched rewrites of mod-7
+    // bands (disjoint id offsets — the dedup_exact clone pattern).
+    Q("text_gopher_rules",
+      (s, dir) => {
+        val outCols = Seq("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "bullet_frac", "ellipsis_frac", "alpha_frac", "stop_hits").map(col) ++
+          (ruleNames :+ "keep").map(n => col(n).cast("int").as(n))
+        GopherRules.audit(
+            gopherFixture(Tables.documents(s, dir)), "doc_id", "text", gopherCfg)
+          .select(outCols: _*).orderBy("doc_id")
+      },
+      Some(s"""
+        $gopherAuditSql
+        SELECT * FROM audit ORDER BY doc_id""")),
+
+    // The filter form: kept ids only, pinning GopherRules.filterDocs'
+    // zero-shuffle predicate against the same oracle's keep conjunction.
+    Q("text_gopher_filter",
+      (s, dir) => GopherRules.filterDocs(
+          gopherFixture(Tables.documents(s, dir)), "text", gopherCfg)
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"""
+        $gopherAuditSql
+        SELECT doc_id FROM audit WHERE keep = 1 ORDER BY doc_id"""))
   )
+
+  /** Gopher thresholds for the driver queries: the paper's values except
+    * minWords (the synthetic docs are ~30 words, the paper's 50 would
+    * zero rule 1's pass side) — 10 keeps both outcomes populated. */
+  private[queries] def gopherCfg = GopherRules.Config(minWords = 10, minStopHits = 2)
+
+  private def ruleNames = Seq("r1_words", "r2_word_len", "r3_symbols",
+    "r4_bullets", "r5_ellipsis", "r6_alpha", "r7_stopwords")
+
+  /** Deterministic rule-exercising corpus: base docs plus six rewrites. */
+  private[queries] def gopherFixture(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs.select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    def band(m: Int, off: Long, text: org.apache.spark.sql.Column) =
+      d.filter(col("doc_id") % 7 === m)
+        .select((col("doc_id") + off).as("doc_id"), text.as("text"))
+    d.unionByName(band(0, 1000000L,
+        concat_ws("\n", transform(slice(toks, 1, 8), t => concat(lit("- "), t)))))
+      .unionByName(band(1, 2000000L,
+        concat(concat_ws("... ", slice(toks, 1, 6)), lit("..."))))
+      .unionByName(band(2, 3000000L, concat(col("text"), lit(" # ## ###"))))
+      .unionByName(band(3, 4000000L, lit("7 42 13 999 0 8 512 64 3 77 21 5")))
+      .unionByName(band(4, 5000000L, concat_ws(" ", slice(toks, 1, 3))))
+      .unionByName(band(5, 6000000L,
+        concat(col("text"), lit(" the list of items that have to be counted with care"))))
+  }
+
+  /** DuckDB mirror of [[gopherFixture]] + `GopherRules.audit` under
+    * [[gopherCfg]] — rule thresholds inlined, booleans as 0/1 ints,
+    * every fraction through the floor-dround. Ends with an `audit` CTE. */
+  private[queries] def gopherAuditSql: String = {
+    val stops = GopherRules.stopwords
+      .map(w => s"CASE WHEN list_contains(w, '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+          FROM documents),
+        u AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(list_transform(l[1:8], t -> '- ' || t), chr(10))
+          FROM base WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, array_to_string(l[1:6], '... ') || '...'
+          FROM base WHERE doc_id % 7 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, text || ' # ## ###' FROM base WHERE doc_id % 7 = 2
+          UNION ALL
+          SELECT doc_id + 4000000, '7 42 13 999 0 8 512 64 3 77 21 5'
+          FROM base WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id + 5000000, array_to_string(l[1:3], ' ')
+          FROM base WHERE doc_id % 7 = 4
+          UNION ALL
+          SELECT doc_id + 6000000,
+                 text || ' the list of items that have to be counted with care'
+          FROM base WHERE doc_id % 7 = 5),
+        sig AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+                 string_split(text, chr(10)) AS ln,
+                 length(trim(text)) = 0 AS blank
+          FROM u),
+        nw AS (
+          SELECT *, CASE WHEN blank THEN 0 ELSE len(w) END AS n_words,
+                 greatest(CAST(CASE WHEN blank THEN 0 ELSE len(w) END AS DOUBLE), 1.0) AS nwd,
+                 greatest(CAST(len(ln) AS DOUBLE), 1.0) AS nld
+          FROM sig),
+        m AS (
+          SELECT doc_id, CAST(n_words AS INT) AS n_words,
+            floor((CASE WHEN blank THEN 0.0
+                   ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / nwd
+                   END) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+            floor((CAST(len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.'))
+                        + len(regexp_extract_all(text, '…')) AS DOUBLE) / nwd)
+                  * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+            floor((CAST(len(list_filter(ln, x -> regexp_matches(x, '^\\s*[-*•‣▪]'))) AS DOUBLE) / nld)
+                  * 1e6 + 0.5) / 1e6 AS bullet_frac,
+            floor((CAST(len(list_filter(ln, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*${"$"}'))) AS DOUBLE) / nld)
+                  * 1e6 + 0.5) / 1e6 AS ellipsis_frac,
+            floor((CAST(len(list_filter(w, t -> regexp_matches(t, '\\p{L}'))) AS DOUBLE) / nwd)
+                  * 1e6 + 0.5) / 1e6 AS alpha_frac,
+            CAST($stops AS INT) AS stop_hits
+          FROM nw),
+        audit AS (
+          SELECT *,
+            CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS r1_words,
+            CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS r2_word_len,
+            CAST(symbol_ratio <= 0.1 AS INT) AS r3_symbols,
+            CAST(bullet_frac <= 0.9 AS INT) AS r4_bullets,
+            CAST(ellipsis_frac <= 0.3 AS INT) AS r5_ellipsis,
+            CAST(alpha_frac >= 0.8 AS INT) AS r6_alpha,
+            CAST(stop_hits >= 2 AS INT) AS r7_stopwords,
+            CAST(n_words >= 10 AND n_words <= 100000
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                 AND stop_hits >= 2 AS INT) AS keep
+          FROM m)"""
+  }
 }

@@ -330,6 +330,47 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("backoff"))
   }
 
+  test("gopher_filter stage drops rule-violating docs and reports which rule fired") {
+    val docs = Seq(
+      (1L, "the cat and dog have sat with that mat be good", "web"),
+      (2L, "1 2 3 4 5 6 7 8 9 10 11 12", "web"),  // digits: alpha + word-len fail
+      (3L, "- a\n- b\n- c", "web"))                 // all-bullet, too short
+      .toDF("doc_id", "text", "source")
+    val yaml = """
+      |run_id: gq
+      |stages:
+      |  - module: gopher_filter
+      |    text_column: text
+      |    id_column: doc_id
+      |    min_words: 5
+      |    min_mean_word_len: 2.0
+      |    min_stop_hits: 2
+      |""".stripMargin
+    val res = ConfigPipeline.run(docs, yaml)
+    assert(res.df.columns.toSeq == Seq("doc_id", "text", "source"),
+      "frame shape must survive the gate")
+    assert(res.df.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val rep = res.reports("0:gopher_filter").orderBy("doc_id").collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // the report names the fired rule: doc 2 fails alpha, doc 3 fails bullets
+    val r2 = rep(0); val r3 = rep(1)
+    assert(!r2.getAs[Boolean]("r6_alpha") && r2.getAs[Boolean]("r4_bullets"))
+    assert(!r3.getAs[Boolean]("r4_bullets"))
+    // config-time refusals with path
+    val e1 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("min_words: 5", "min_words: 50\n    max_words: 10"))
+    }
+    assert(e1.getMessage.contains("min_words"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("min_stop_hits: 2", "min_stop_hits: 9"))
+    }
+    assert(e2.getMessage.contains("min_stop_hits"))
+    val e3 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml + "    min_alpha_frac: .nan\n")
+    }
+    assert(e3.getMessage.contains("min_alpha_frac"))
+  }
+
   test("chunking stage re-shapes the frame and carries metadata columns") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" "), "web"),
