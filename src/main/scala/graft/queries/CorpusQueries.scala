@@ -65,9 +65,9 @@ object CorpusQueries {
     (corpus, bench)
   }
 
-  /** One oracle for both decontamination paths — the Bloom variant's
-    * whole contract is that its result is value-identical to exact. */
-  private def decontaminateOracle: String = s"""
+  /** Shared contamination CTEs (fixture + both gram dictionaries) — one
+    * owner for every decontamination oracle. */
+  private def contaminationCtes: String = s"""
         WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
         corpus AS (
           SELECT c.doc_id,
@@ -83,10 +83,34 @@ object CorpusQueries {
           SELECT DISTINCT doc_id, gram FROM (
             SELECT doc_id, unnest(${sqlNgrams("l", 8)}) AS gram
             FROM (SELECT doc_id, $sqlToks AS l FROM corpus))
-          WHERE length(gram) > 0)
+          WHERE length(gram) > 0)"""
+
+  /** One oracle for both decontamination paths — the Bloom variant's
+    * whole contract is that its result is value-identical to exact. */
+  private def decontaminateOracle: String = s"""
+        $contaminationCtes
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
         FROM cg JOIN bg USING (gram)
         GROUP BY doc_id ORDER BY doc_id"""
+
+  /** The graded form: every corpus doc with gram counts + overlap
+    * fraction (zero-overlap docs included at 0). */
+  private def overlapFractionOracle: String = s"""
+        $contaminationCtes,
+        agg AS (
+          SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+          FROM cg LEFT JOIN bg USING (gram)
+          GROUP BY cg.doc_id)
+        SELECT c.doc_id,
+               CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+               floor((CAST(coalesce(a.n_overlap, 0) AS DOUBLE)
+                      / greatest(CAST(coalesce(a.n_grams, 0) AS DOUBLE), 1.0))
+                     * 1e6 + 0.5) / 1e6 AS overlap_frac
+        FROM (SELECT doc_id FROM corpus) c
+        LEFT JOIN agg a ON c.doc_id = a.doc_id
+        ORDER BY c.doc_id"""
 
   /** DuckDB mirror of the SQL-expressible curation prefix (see
     * `llm_curation_sql_prefix`). Every semantic comes from its owning
@@ -216,6 +240,17 @@ object CorpusQueries {
           .orderBy("doc_id")
       },
       Some(decontaminateOracle)),
+
+    // The graded contamination audit: overlap FRACTION per doc (GPT-3
+    // appendix C's collision-rate shape), zero-overlap docs included —
+    // the binary decontaminate is a threshold on this.
+    Q("decontaminate_overlap",
+      (s, dir) => {
+        val (corpus, bench) = contaminationFixture(s, dir)
+        CorpusOps.overlapFraction(corpus, bench, "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some(overlapFractionOracle)),
 
     // Bloom-runtime-filter variant: must be value-identical to the exact
     // path (same oracle) — the filter only prunes the shuffle, never the

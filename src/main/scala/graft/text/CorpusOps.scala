@@ -100,6 +100,44 @@ object CorpusOps {
     overlapCounts(corpus, benchGrams(bench, textCol, n), idCol, textCol, n,
       probe = None)
 
+  /** Per-document contamination audit — the graded form of
+    * [[decontaminate]] (GPT-3's appendix C measured n-gram collision
+    * RATES; a binary drop is just a threshold on this): for EVERY corpus
+    * document, its distinct-gram count, how many of those grams appear in
+    * the benchmark suite, and the overlap fraction (dround'd, blank docs
+    * 0). The drop rule becomes a downstream `overlap_frac` filter instead
+    * of being baked in.
+    *
+    * Scale shape: the same distinct-gram exchange + gram equi-join as the
+    * exact path, except the join is LEFT (every doc gram must be counted,
+    * so the Bloom pre-probe does NOT apply — pruned grams would vanish
+    * from `n_grams`), plus a left join back to ids so zero-overlap and
+    * zero-gram docs still report. Only 8-byte-hashable gram strings and
+    * (id, count) pairs ride the shuffles; corpus text never does. */
+  def overlapFraction(corpus: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val grams = benchGrams(bench, textCol, n)
+    val agg = corpus
+      .select(col(idCol).as("_gf_id"),
+        explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
+      .filter(length(col("_gf_gram")) > 0)
+      .distinct()
+      .join(grams.withColumn("_gf_hit", lit(1)), Seq("_gf_gram"), "left")
+      .groupBy(col("_gf_id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_gf_hit"), lit(0))).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        graft.Num.dround(
+          coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) /
+            greatest(coalesce(col("n_grams"), lit(0L)).cast(DoubleType), lit(1.0)),
+          6).as("overlap_frac"))
+  }
+
   /** The distinct-gram dictionary of the benchmark side. */
   private def benchGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
     bench

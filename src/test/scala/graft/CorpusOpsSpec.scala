@@ -58,6 +58,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("overlapFraction grades every doc, zero-overlap and short docs included") {
+    val bench = Seq((100L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx one two three four five six seven eight nine yy"), // 4 grams, 2 shared
+      (2L, "totally different words with no overlap at all here"), // 2 grams, 0 shared
+      (3L, "one two three four five six seven eight"),             // 1 gram, fully shared
+      (4L, "short"))                                               // < n tokens: 0 grams
+      .toDF("doc_id", "text")
+    val out = CorpusOps.overlapFraction(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 4L, 2L), (2L, 2L, 0L), (3L, 1L, 1L), (4L, 0L, 0L)))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(0.5, 0.0, 1.0, 0.0))
+    // the binary path is exactly the frac > 0 threshold on this audit
+    val binary = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val graded = out.filter(_.getDouble(3) > 0).map(_.getLong(0)).toSet
+    assert(binary === graded)
+  }
+
   test("decontaminateBloom is value-identical to exact at any fpp") {
     // 60 docs, every 6th contaminated with a shared 9-token span
     val span = (0 until 9).map(i => s"s$i").mkString(" ")
