@@ -38,8 +38,19 @@ object Bench {
     val regs = SparkEntry.registry
     def materialize(q: graft.queries.Q): Unit =
       q.run(spark, sfDir).queryExecution.toRdd.count(): Unit
+    // Index/LM builders .cache() per invocation, and every sample is a
+    // fresh invocation — without clearing, a 155-query × several-sample
+    // run accumulates hundreds of orphaned cached tables (LRU eviction
+    // keeps it CORRECT, but the executor storage pool stays pinned and
+    // later queries' shuffles spill earlier than they should). Queries
+    // share no cached state across invocations, so clearing between
+    // queries changes no result and no steady-state timing.
+    def clearCaches(): Unit = spark.sharedState.cacheManager.clearCache()
 
-    regs.foreach(q => try materialize(q) catch { case _: Throwable => () })
+    regs.foreach { q =>
+      try materialize(q) catch { case _: Throwable => () }
+      clearCaches()
+    }
 
     val results = regs.map { q =>
       System.gc()
@@ -52,6 +63,7 @@ object Bench {
       if (samples.nonEmpty && samples.min < 1.0)
         samples = samples ++ (1 to 2).flatMap(_ => sample())
       val t = if (samples.isEmpty) -1.0 else samples.min
+      clearCaches()
       q.name -> t
     }
     val total = results.map(_._2).filter(_ >= 0).sum

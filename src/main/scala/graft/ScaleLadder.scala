@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * its own larger corpus in java.io.tmpdir:
   *
   *   copy 0   = the sf0.1 table verbatim;
-  *   copy k>0 = ids shifted to a disjoint band (k·10⁷) and content
-  *              re-seeded so copies don't collide:
+  *   copy k>0 = ids shifted to a disjoint band (doc/vec/user ids by
+  *              k·10⁷ = k·IdBand; event_id by k·10⁹ = k·100·IdBand,
+  *              since event ids already span more than one 10⁷ band at
+  *              sf0.1) and content re-seeded so copies don't collide:
   *              - documents: every token suffixed `~k` — token/shingle/gram
   *                equality (and hence the planted dup structure) is
   *                PRESERVED WITHIN a copy and DESTROYED ACROSS copies, so
@@ -49,7 +51,18 @@ object ScaleCorpus {
     def write(df: DataFrame, name: String): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
+    // A source id at or above its band width would collide with the
+    // shifted copies, silently merging rows across bands and corrupting
+    // the ladder's "duplicates scale linearly" premise — refuse instead.
+    def assertBand(df: DataFrame, idCol: String, band: Long, table: String): Unit = {
+      val mx = df.agg(max(col(idCol))).collect()(0).getLong(0)
+      require(mx < band,
+        s"$table.$idCol max $mx >= band width $band — shifted copies " +
+          "would collide; widen the band before deriving")
+    }
+
     val d = spark.read.parquet(s"$srcDir/documents.parquet")
+    assertBand(d, "doc_id", IdBand, "documents")
     write((0 until factor).map { k =>
       if (k == 0) d
       else d.select(
@@ -60,6 +73,7 @@ object ScaleCorpus {
     }.reduce(_ unionByName _), "documents")
 
     val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    assertBand(e, "vec_id", IdBand, "embeddings")
     write((0 until factor).map { k =>
       if (k == 0) e
       else e.select(
@@ -76,6 +90,8 @@ object ScaleCorpus {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    assertBand(ev, "event_id", 100 * IdBand, "events")
+    assertBand(ev, "user_id", IdBand, "events")
     write((0 until factor).map { k =>
       if (k == 0) ev
       else ev
@@ -97,7 +113,9 @@ object ScaleCorpus {
   * DOWN; with it excluded, b is the marginal data-growth exponent — the
   * number that predicts 100× behavior). A query whose run exceeds
   * SPARK_GRAFT_LADDER_CUTOFF seconds (default 180) is not advanced to the
-  * next factor — reported as `truncated` rather than hanging the ladder.
+  * next factor — reported as `truncated` rather than hanging the ladder;
+  * a query that THROWS is reported with its exception under `failed`
+  * (never as truncated — a crash is not a deliberate cutoff).
   * Writes scaling_detail.json for SCALING.md.
   */
 object ScaleLadder {
@@ -137,6 +155,11 @@ object ScaleLadder {
     // (query, factor) -> seconds; LinkedHashMap keeps report order stable.
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     val alive = scala.collection.mutable.Set[String](names: _*)
+    // A crash is NOT a deliberate cutoff: record the exception per query
+    // so the artifact distinguishes "stopped advancing because slow"
+    // (truncated) from "broke" (failed) — a reader of scaling_detail.json
+    // must not mistake one for the other.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
 
     factors.foreach { f =>
       if (alive.nonEmpty) {
@@ -161,6 +184,8 @@ object ScaleLadder {
           } catch {
             case e: Throwable =>
               alive -= q.name
+              failed(q.name) =
+                s"x$f: ${e.getClass.getSimpleName}: ${e.getMessage}"
               println(s"[ladder] ${q.name} FAILED at x$f: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         }
@@ -182,7 +207,17 @@ object ScaleLadder {
         }
       val ptsJson = pts.map { case (f, t) => s""""x$f":${fmt(t)}""" }.mkString("{", ",", "}")
       val bJson = if (b.isNaN) "null" else fmt(b)
-      s""""$n":{"times":$ptsJson,"exponent":$bJson,"truncated":${!alive(n)}}"""
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val failJson = failed.get(n)
+        .map(m => "\"" + esc(m) + "\"").getOrElse("null")
+      // truncated = stopped advancing because SLOW; failed = broke
+      val trunc = !alive(n) && !failed.contains(n)
+      s""""$n":{"times":$ptsJson,"exponent":$bJson,"truncated":$trunc,"failed":$failJson}"""
     }.mkString("{", ",", "}")
 
     val loadFp: String = try {

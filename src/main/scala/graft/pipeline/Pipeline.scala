@@ -80,10 +80,18 @@ final case class QuotaStage(groupCol: String, keyCol: String,
   */
 object Pipeline {
 
-  final case class Result(df: DataFrame, reports: Map[String, DataFrame])
+  /** `release()` unpersists any build-side state a stage cached (today:
+    * `lm_filter`'s count tables). Call it AFTER `df` and every report
+    * you need are materialized — the frames stay correct afterwards
+    * (cached tables recompute on access), but the caching benefit is
+    * gone, so a caller that consumes lazily should consume first.
+    * Idempotent; a no-op for pipelines with no cached build sides. */
+  final case class Result(df: DataFrame, reports: Map[String, DataFrame],
+                          release: () => Unit = () => ())
 
   def run(df: DataFrame, stages: Seq[Stage]): Result = {
     val reports = Map.newBuilder[String, DataFrame]
+    val releasables = Seq.newBuilder[() => Unit]
     val out = stages.zipWithIndex.foldLeft(df) { case (acc, (stage, i)) =>
       stage match {
         case NormalizeStage(cfg) =>
@@ -132,6 +140,7 @@ object Pipeline {
           // broadcast build side; the corpus-side plan stays lazy
           val ref = acc.sparkSession.read.parquet(refPath)
           val lm = graft.text.LangModel.train(ref, textCol)
+          releasables += (() => lm.release())
           val scored = graft.text.LangModel.score(
             acc.select(col(idCol), col(textCol)), idCol, textCol, lm, backoff)
           val keep = scored.filter(col("avg_logprob") >= minLp)
@@ -158,6 +167,7 @@ object Pipeline {
           Quota.capPerGroup(acc, groupCol, keyCol, quota, seed)
       }
     }
-    Result(out, reports.result())
+    val rel = releasables.result()
+    Result(out, reports.result(), () => rel.foreach(_.apply()))
   }
 }

@@ -44,7 +44,16 @@ object IvfPq {
   /** `coCodes`: corpus rows (_gf_cid, _gf_id, _gf_code) — the inverted
     * lists with byte codes in place of vectors. */
   final case class IvfPqIndex(ivf: Ivf.IvfIndex, pq: Pq.PqIndex,
-                              coCodes: DataFrame)
+                              coCodes: DataFrame) {
+    /** Unpersist the composite's cache and both children's (idempotent;
+      * probing afterwards recomputes instead of reading the cache). */
+    def release(): Unit = {
+      coCodes.unpersist(false)
+      ivf.release()
+      pq.release()
+      ()
+    }
+  }
 
   /** Join each vector's fine cell id with its PQ code (one build-time
     * shuffle on the id) and cache the result — the compressed inverted
@@ -129,7 +138,19 @@ object IvfPq {
     * encode and every probe subtract — cached, broadcast-sized (cells ×
     * dim doubles, same budget as the fine-centroid table itself). */
   final case class IvfPqResidualIndex(ivf: Ivf.IvfIndex, pq: Pq.PqIndex,
-                                      coCodes: DataFrame, offsets: DataFrame)
+                                      coCodes: DataFrame, offsets: DataFrame) {
+    /** Unpersist this index's own cached frames AND the child indexes'
+      * (the composite owns the lot — a caller holding only this handle
+      * has no other way to reach them). Probing after release stays
+      * correct but recomputes per probe. */
+    def release(): Unit = {
+      coCodes.unpersist(false)
+      offsets.unpersist(false)
+      ivf.release()
+      pq.release()
+      ()
+    }
+  }
 
   /** Jégou §V.A residual encoding: quantize `normalize(v) − offset(cell)`
     * against codebooks trained on the residuals (NO re-normalization —
@@ -351,6 +372,14 @@ object IvfPq {
 
   private final case class ParentMeta(dim: Int, m: Int, ks: Int)
 
+  /** The one format [[appendToIndex]] may write into. A residual index
+    * (`graft-ivfpq-res-v1`) stores codes of per-cell OFFSET residuals
+    * plus an `offsets` table the plain append path neither applies nor
+    * updates — appending plainly-encoded codes into it would silently
+    * corrupt every ADC ranking, so the manifest format is checked and
+    * anything else refused BEFORE any read of the codebooks. */
+  private val AppendableFormat = "graft-ivfpq-v1"
+
   private def readParentManifest(spark: org.apache.spark.sql.SparkSession,
                                  path: String): ParentMeta = {
     val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
@@ -363,26 +392,45 @@ object IvfPq {
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    try {
-      // SafeConstructor: a shared-filesystem manifest must not
-      // instantiate classes (same rationale as Ivf/Pq.readManifest)
-      val y = new org.yaml.snakeyaml.Yaml(
-          new org.yaml.snakeyaml.constructor.SafeConstructor(
-            new org.yaml.snakeyaml.LoaderOptions()))
-        .load[java.util.Map[String, Object]](txt)
-      def num(k: String): Int = y.get(k) match {
-        case nn: Number => nn.intValue()
-        case other => throw new IllegalArgumentException(
-          s"field '$k' is ${if (other == null) "missing" else other.toString}")
+    val y =
+      try {
+        // SafeConstructor: a shared-filesystem manifest must not
+        // instantiate classes (same rationale as Ivf/Pq.readManifest)
+        new org.yaml.snakeyaml.Yaml(
+            new org.yaml.snakeyaml.constructor.SafeConstructor(
+              new org.yaml.snakeyaml.LoaderOptions()))
+          .load[java.util.Map[String, Object]](txt)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path/manifest.json is corrupt: ${e.getMessage}", e)
       }
-      val pm = ParentMeta(num("dim"), num("m"), num("ks"))
-      if (pm.dim <= 0 || pm.m <= 0 || pm.dim % pm.m != 0)
-        throw new IllegalArgumentException(s"dim=${pm.dim}, m=${pm.m}")
-      pm
-    } catch {
-      case e: Exception => throw new IllegalArgumentException(
-        s"$path/manifest.json is corrupt: ${e.getMessage}", e)
+    if (y == null) throw new IllegalArgumentException(
+      s"$path/manifest.json is empty")
+    // format refusal stays OUTSIDE the corrupt-wrapper: a residual
+    // index is a well-formed manifest being used wrongly, not damage
+    y.get("format") match {
+      case AppendableFormat => // the only append-safe layout
+      case "graft-ivfpq-res-v1" => throw new IllegalArgumentException(
+        s"the index at $path is a RESIDUAL IVFADC index " +
+          "(graft-ivfpq-res-v1): its codes encode per-cell offset " +
+          "residuals, which appendToIndex's plain encoding would " +
+          "silently corrupt. Rebuild with buildResidual + " +
+          "writeResidualIndex, or append to a plain-format index")
+      case other => throw new IllegalArgumentException(
+        s"$path/manifest.json field 'format' is ${if (other == null)
+          "missing" else s"'$other'"} — expected '$AppendableFormat'")
     }
+    def num(k: String): Int = y.get(k) match {
+      case nn: Number => nn.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$path/manifest.json field '$k' is ${if (other == null)
+          "missing" else other.toString}")
+    }
+    val pm = ParentMeta(num("dim"), num("m"), num("ks"))
+    if (pm.dim <= 0 || pm.m <= 0 || pm.dim % pm.m != 0)
+      throw new IllegalArgumentException(
+        s"$path/manifest.json: dim=${pm.dim}, m=${pm.m}")
+    pm
   }
 
   /** The shared ADC scan: probe subplan collected ONCE upstream, (qid,

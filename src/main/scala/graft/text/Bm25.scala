@@ -19,9 +19,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Everything is the relational inverted-index shape: the postings table
   * (term, doc, tf) IS the index, queries join it on the term — one
   * equi-join whose probe side is the query batch's distinct terms, so a
-  * dimension-sized query batch broadcasts and the corpus-sized postings
-  * never move. Document length and avgdl are one aggregate each (avgdl a
-  * broadcast 1-row frame). Per-(query, doc, term) scores round to 6dp and
+  * dimension-sized query batch broadcasts and the corpus-sized token
+  * stream never moves: a broadcast semi-join on the query's term set
+  * sits UNDER the postings aggregation, so the one corpus-sized exchange
+  * carries only query-term rows, and the query-term-sized df table
+  * broadcasts into the score join instead of riding an exchange of the
+  * whole vocabulary. Document length and avgdl are one aggregate each
+  * (avgdl a broadcast 1-row frame). Per-(query, doc, term) scores round to 6dp and
   * accumulate as exact decimals — the engine's cross-engine float-parity
   * rule — then one per-query window ranks the top k.
   *
@@ -45,13 +49,29 @@ object Bm25 {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("_gf_did"), toks.as("_gf_t"))
       .withColumn("_gf_len", size(col("_gf_t")))
-    // postings: (term, doc, tf, len) — the inverted index
+    val qTerms = queries
+      .filter(length(trim(col(queryText))) > 0)
+      .select(col(queryId).as("_gf_qid"),
+        explode(TextAnalysis.tokens(col(queryText))).as("_gf_term"))
+      .filter(length(col("_gf_term")) > 0)
+      .distinct()
+    // postings: (term, doc, tf, len) — the inverted index, pruned to the
+    // query batch's terms BEFORE the aggregation: the broadcast semi-join
+    // sits under the groupBy, so the one corpus-sized exchange carries
+    // only query-term token rows, never the whole token stream. tf and
+    // df are unchanged by the pruning (the semi-join keeps EVERY
+    // occurrence of a kept term).
     val postings = base
       .select(col("_gf_did"), col("_gf_len"),
         explode(col("_gf_t")).as("_gf_term"))
       .filter(length(col("_gf_term")) > 0)
+      .join(broadcast(qTerms.select("_gf_term").distinct()),
+        Seq("_gf_term"), "left_semi")
       .groupBy("_gf_term", "_gf_did", "_gf_len")
       .agg(count(lit(1)).as("_gf_tf"))
+    // df over the pruned postings is still the FULL-corpus document
+    // frequency of each query term; the result is query-term-sized, so
+    // it broadcasts into the score join instead of riding an exchange
     val dfTerm = postings.groupBy("_gf_term")
       .agg(count(lit(1)).as("_gf_df"))
     // N and avgdl: one 1-row aggregate, broadcast into the score. avgdl
@@ -61,15 +81,9 @@ object Bm25 {
       count(lit(1)).as("_gf_n"),
       (sum(col("_gf_len")).cast(DoubleType)
         / count(lit(1)).cast(DoubleType)).as("_gf_avgdl"))
-    val qTerms = queries
-      .filter(length(trim(col(queryText))) > 0)
-      .select(col(queryId).as("_gf_qid"),
-        explode(TextAnalysis.tokens(col(queryText))).as("_gf_term"))
-      .filter(length(col("_gf_term")) > 0)
-      .distinct()
     val perTerm = postings
       .join(broadcast(qTerms), Seq("_gf_term"))
-      .join(dfTerm, Seq("_gf_term"))
+      .join(broadcast(dfTerm), Seq("_gf_term"))
       .crossJoin(broadcast(stats))
       .withColumn("_gf_idf",
         log(lit(1.0) + (col("_gf_n").cast(DoubleType) - col("_gf_df") + 0.5)

@@ -27,9 +27,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * `zip_with` of two slices — no window, no per-doc shuffle); the count
   * tables are the LM artifact, vocab-bounded, not corpus-bounded. Scoring
   * joins each document's bigram pairs against the two count tables —
-  * token strings are the join keys here for oracle parity; at 100 TB the
-  * keys hash to 8 bytes ([[graft.dedup.LlmDedup]]'s discipline) and the
-  * LM tables broadcast when the vocab allows. Per-token log-probs round
+  * token strings are the join keys by default for oracle parity; the
+  * `hashKeys` route keys the joins on `xxhash64` 8-byte hashes
+  * ([[graft.dedup.LlmDedup]]'s discipline) and explicitly broadcasts
+  * each count table when its type count allows. Per-token log-probs round
   * to 6dp and accumulate as exact decimals (the engine's float-parity
   * rule: single IEEE ops + order-independent decimal addition), so the
   * result is bit-identical across engines AND partitionings. */
@@ -79,9 +80,23 @@ object LangModel {
     * `n_scored` = conditioned tokens (ntok − 1; 0 for blank or
     * single-token documents, whose `avg_logprob` is null — nothing to
     * condition on is not evidence of quality either way). `backoff` is
-    * stupid-backoff's α. */
+    * stupid-backoff's α.
+    *
+    * `hashKeys` is the 100 TB route: the three LM joins key on
+    * `xxhash64` of the token strings (8-byte keys — [[graft.dedup
+    * .LlmDedup]]'s discipline: the corpus token stream never shuffles
+    * as strings), and each count table whose type count is at most
+    * `maxBroadcastTypes` gets an explicit `broadcast()` hint, so in the
+    * broadcast regime the only corpus-side exchange left is the final
+    * doc-keyed aggregation of per-doc partials. The default keeps
+    * string keys for byte-exact oracle parity; results are identical
+    * under `hashKeys` barring a 64-bit hash collision inside the vocab
+    * (the same accepted odds as every hash-keyed dedup operator here).
+    * Type counts come off the cached tables — build-side sizing, the
+    * same eagerness as any broadcast build. */
   def score(docs: DataFrame, idCol: String, textCol: String, lm: Lm,
-            backoff: Double = 0.4): DataFrame = {
+            backoff: Double = 0.4, hashKeys: Boolean = false,
+            maxBroadcastTypes: Long = 5000000L): DataFrame = {
     require(backoff > 0 && backoff <= 1, s"backoff=$backoff not in (0,1]")
     require(lm.total > 0, "LM trained on an empty reference corpus")
     val t = lit(lm.total.toDouble)
@@ -92,11 +107,36 @@ object LangModel {
       .select(col(idCol), explode(bigramPairs(col("_gf_t"))).as("_gf_bg"))
       .select(col(idCol), col("_gf_bg._gf_prev").as("_gf_prev"),
         col("_gf_bg._gf_w").as("_gf_w"))
-    val scored = pairs
-      .join(lm.bigrams, Seq("_gf_prev", "_gf_w"), "left")
-      .join(lm.unigrams.select(col("_gf_w").as("_gf_prev"),
-        col("_gf_cw").as("_gf_cprev")), Seq("_gf_prev"), "left")
-      .join(lm.unigrams, Seq("_gf_w"), "left")
+    val joined =
+      if (!hashKeys)
+        pairs
+          .join(lm.bigrams, Seq("_gf_prev", "_gf_w"), "left")
+          .join(lm.unigrams.select(col("_gf_w").as("_gf_prev"),
+            col("_gf_cw").as("_gf_cprev")), Seq("_gf_prev"), "left")
+          .join(lm.unigrams, Seq("_gf_w"), "left")
+      else {
+        val uniTypes = lm.unigrams.count()
+        val biTypes = lm.bigrams.count()
+        def sized(d: DataFrame, types: Long): DataFrame =
+          if (types <= maxBroadcastTypes) broadcast(d) else d
+        val bi = sized(lm.bigrams.select(
+          xxhash64(col("_gf_prev"), col("_gf_w")).as("_gf_bk"),
+          col("_gf_cb")), biTypes)
+        val prev = sized(lm.unigrams.select(
+          xxhash64(col("_gf_w")).as("_gf_pk"),
+          col("_gf_cw").as("_gf_cprev")), uniTypes)
+        val uni = sized(lm.unigrams.select(
+          xxhash64(col("_gf_w")).as("_gf_wk"), col("_gf_cw")), uniTypes)
+        pairs
+          .withColumn("_gf_bk", xxhash64(col("_gf_prev"), col("_gf_w")))
+          .withColumn("_gf_pk", xxhash64(col("_gf_prev")))
+          .withColumn("_gf_wk", xxhash64(col("_gf_w")))
+          .drop("_gf_prev", "_gf_w")
+          .join(bi, Seq("_gf_bk"), "left")
+          .join(prev, Seq("_gf_pk"), "left")
+          .join(uni, Seq("_gf_wk"), "left")
+      }
+    val scored = joined
       .withColumn("_gf_lp", graft.Num.dround(
         when(col("_gf_cb").isNotNull,
           log(col("_gf_cb").cast(DoubleType) / col("_gf_cprev").cast(DoubleType)))

@@ -51,6 +51,23 @@ class Bm25Spec extends SparkSpec {
       s"self-find failed: ${out.mkString(", ")}")
   }
 
+  test("plan: term pruning under the postings agg; df and queries broadcast") {
+    val q = Seq((100L, "cat dog")).toDF("qid", "text")
+    val p = Bm25.topK(corpus, "doc_id", "text", q, "qid", "text", k = 5)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // every join is broadcast — the corpus side never sort-merges
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the query-term semi-join sits below the postings aggregation
+    // (keys term/did/len), so the token stream is pruned before the
+    // first corpus-sized exchange. SimpleMode prints parents before
+    // children, so the semi-join must print AFTER that aggregate.
+    val semiIdx = p.indexOf("LeftSemi")
+    val postingsAggIdx = p.indexOf("keys=[_gf_term")
+    assert(semiIdx >= 0 && postingsAggIdx >= 0, p)
+    assert(semiIdx > postingsAggIdx, p)
+  }
+
   test("parameter refusals") {
     val q = Seq((1L, "x")).toDF("qid", "text")
     intercept[IllegalArgumentException] {

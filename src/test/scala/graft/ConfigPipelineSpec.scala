@@ -318,6 +318,11 @@ class ConfigPipelineSpec extends SparkSpec {
     val rep = res.reports("0:lm_filter").orderBy("doc_id").collect()
     assert(rep.map(_.getLong(0)).toSeq == Seq(2L, 3L))
     assert(rep(1).getLong(1) == 0L && rep(1).isNullAt(2)) // unscoreable
+    // everything is consumed: drop the stage's cached LM count tables
+    // (Result.release is idempotent; frames stay usable afterwards)
+    res.release()
+    res.release()
+    assert(res.df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
     // config-time refusals with path: sign typo and bad backoff
     val e1 = intercept[IllegalArgumentException] {
       ConfigPipeline.run(docs, yaml.replace("min_logprob: -3.0", "min_logprob: 3.0"))

@@ -282,6 +282,16 @@ class IvfPqSpec extends SparkSpec {
       IvfPq.readIndex(spark, tmp)
     }
     assert(e1.getMessage.contains("metric") || e1.getMessage.contains("residual"))
+    // ...and neither can a plain append write into it: the batch would
+    // be encoded WITHOUT the per-cell offsets, corrupting every probe.
+    // Refused from the manifest format BEFORE any write.
+    val nCodes = spark.read.parquet(s"$tmp/codes").count()
+    val e2 = intercept[IllegalArgumentException] {
+      IvfPq.appendToIndex(spark, tmp, e.filter(col("vec_id") >= 900),
+        "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("RESIDUAL"))
+    assert(spark.read.parquet(s"$tmp/codes").count() == nCodes)
   }
 
   test("indexes from different corpora refuse to combine") {

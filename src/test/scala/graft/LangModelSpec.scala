@@ -53,6 +53,36 @@ class LangModelSpec extends SparkSpec {
     model.release()
   }
 
+  test("hashKeys route: identical scores, zero token-keyed exchange in broadcast regime") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = LangModel.train(docs.filter(col("doc_id") % 3 === 0), "text")
+    val crawl = docs.filter(col("doc_id") % 3 =!= 0)
+    val str = LangModel.score(crawl, "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val hashed = LangModel.score(crawl, "doc_id", "text", model,
+      hashKeys = true)
+    assert(hashed.orderBy("doc_id").collect().map(_.toSeq).toSeq == str)
+    // plan pin: the three LM joins broadcast, so the CRAWL token stream
+    // never rides an exchange — no exchange or sort-merge join keyed on
+    // the hashed pair/token keys (the only token-keyed exchanges left
+    // are the reference-sized count-table groupBys on the build side)
+    val p = hashed.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    def hashedKeyed(l: String): Boolean =
+      l.contains("_gf_bk") || l.contains("_gf_pk") || l.contains("_gf_wk")
+    val bad = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("Exchange hashpartitioning"))
+        && hashedKeyed(l)).toSeq
+    assert(bad.isEmpty, bad.mkString("\n"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // ...and a vocab over the broadcast threshold degrades to hashed
+    // 8-byte join keys, never token strings
+    val tiny = LangModel.score(crawl, "doc_id", "text", model,
+      hashKeys = true, maxBroadcastTypes = 1L)
+    assert(tiny.orderBy("doc_id").collect().map(_.toSeq).toSeq == str)
+    model.release()
+  }
+
   test("backoff and empty-reference misuse are refused") {
     val model = lm()
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
