@@ -112,11 +112,20 @@ object CorpusQueries {
         LEFT JOIN agg a ON c.doc_id = a.doc_id
         ORDER BY c.doc_id"""
 
+  /** The curation chain's LM-gate threshold: docs whose avg conditioned
+    * log-prob against the held-in-slice bigram model falls below this
+    * are dropped (so are unscoreable docs — no quality evidence is not a
+    * pass). Sits between the corpus median (≈ −3.47 at both driver
+    * scales) and its 5th percentile (≈ −3.57), so both outcomes stay
+    * populated at every sf. */
+  private val LmGateMinLogprob = -3.52
+
   /** DuckDB mirror of the SQL-expressible curation prefix (see
     * `llm_curation_sql_prefix`). Every semantic comes from its owning
-    * fragment (redaction patterns, quality formula, language chain, quota
-    * window, weighted-sample bucket) so a tune on the Spark side cannot
-    * silently diverge this oracle. */
+    * fragment (redaction patterns, quality formula, language chain,
+    * Gopher audit CTEs, LM scoring CTEs, quota window, weighted-sample
+    * bucket) so a tune on the Spark side cannot silently diverge this
+    * oracle. */
   private def curationPrefixOracle: String = {
     val tokens = TextQueries.sqlTokenCount()
     s"""
@@ -132,11 +141,23 @@ object CorpusQueries {
              ${TextQueries.qualityScoreSql} AS q,
              ${TextQueries.langCaseSql} AS lang
       FROM t),
+    qg AS (
+      SELECT doc_id, source, text FROM scored WHERE q >= 0.3 AND lang = 'en'),
+    ${TextQueries.gopherAuditCtesOver("qg", minStopHits = 1)},
+    gk AS (
+      SELECT qg.doc_id, qg.source, qg.text
+      FROM qg JOIN audit USING (doc_id) WHERE audit.keep = 1),
+    lmref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+    ${TextQueries.lmScoreCtes("lmref", "gk")},
+    lmk AS (
+      SELECT gk.doc_id, gk.source, gk.text
+      FROM gk JOIN lmagg USING (doc_id)
+      WHERE lmagg.avg_logprob >= $LmGateMinLogprob),
     ded AS (
       SELECT doc_id, source, text FROM (
         SELECT doc_id, source, text,
                ${TextQueries.sqlNormText()} AS n
-        FROM scored WHERE q >= 0.3 AND lang = 'en')
+        FROM lmk)
       QUALIFY row_number() OVER (PARTITION BY n ORDER BY doc_id) = 1),
     quot AS (
       SELECT doc_id, text FROM ded
@@ -403,13 +424,17 @@ object CorpusQueries {
         WHERE n NOT IN (SELECT n FROM norm)
         ORDER BY doc_id""")),
 
-    // The modern curation pipeline in ONE lazy plan, composing this round's
-    // operators end-to-end: PII redaction -> quality + language gates ->
-    // exact dedup -> benchmark decontamination (anti-join) -> per-source
-    // quota cap -> quality-weighted subsample. Every stage is gated
-    // individually elsewhere; this pins their composition. Rows-only
-    // (decontamination + redaction chain is exercised against planted
-    // inputs in its own oracle queries).
+    // The modern curation pipeline in ONE lazy plan, composing the
+    // engine's BEST quality stack end-to-end: PII redaction -> quality +
+    // language gates -> Gopher structural rules -> CCNet LM gate (bigram
+    // model trained on a held-in trusted slice, docs below the avg
+    // log-prob threshold dropped) -> exact dedup -> benchmark
+    // decontamination (anti-join) -> per-source quota cap ->
+    // quality-weighted subsample. Every stage is gated individually
+    // elsewhere; this pins their composition. Rows-only (decontamination
+    // + redaction chain is exercised against planted inputs in its own
+    // oracle queries); the SQL-expressible prefix — which now includes
+    // BOTH new gates — is hash-checked as `llm_curation_sql_prefix`.
     Q("llm_curation_full",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
@@ -419,7 +444,20 @@ object CorpusQueries {
         val gated = corpus
           .filter(graft.text.TextAnalysis.qualityScore(col("text")) >= 0.3 &&
             graft.text.TextAnalysis.languageId(col("text")) === "en")
-        val exact = graft.dedup.LlmDedup.exact(gated, "text", "doc_id")
+        val gophed = graft.text.GopherRules.filterDocs(gated, "text",
+          TextQueries.gopherCfg.copy(minStopHits = 1))
+        // LM ref = RAW every-3rd-doc slice (an external trusted corpus in
+        // production); scoring keys on hashed tokens with the count
+        // tables broadcast — the 100 TB route, value-identical to the
+        // string-keyed oracle path (LangModelSpec pins both).
+        val lm = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        val lmKeep = graft.text.LangModel.score(
+            gophed.select("doc_id", "text"), "doc_id", "text", lm,
+            hashKeys = true)
+          .filter(col("avg_logprob") >= LmGateMinLogprob).select("doc_id")
+        val lmKept = gophed.join(lmKeep, Seq("doc_id"), "left_semi")
+        val exact = graft.dedup.LlmDedup.exact(lmKept, "text", "doc_id")
         val contaminated = CorpusOps.decontaminate(exact, bench, "doc_id", "text", n = 8)
         val clean = exact.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
         val capped = Quota.capPerGroup(clean, "source", "doc_id", n = 20)
@@ -431,12 +469,16 @@ object CorpusQueries {
       None),
 
     // Oracle-checked SQL prefix of the curation chain: redact -> quality +
-    // language gates -> exact dedup -> per-source quota -> quality-weighted
-    // sample — llm_curation_full minus only the steps no ANSI engine can
-    // express (the decontamination fixture join is oracle'd separately;
-    // the LSH component step has no SQL form). A drift in any gate now
-    // surfaces as a hash mismatch instead of a silent row-count change in
-    // the rows-only chains.
+    // language gates -> Gopher rules -> LM gate -> exact dedup ->
+    // per-source quota -> quality-weighted sample — llm_curation_full
+    // minus only the steps no ANSI engine can express (the
+    // decontamination fixture join is oracle'd separately; the LSH
+    // component step has no SQL form). A drift in ANY gate — including
+    // the two quality gates folded in from rows 109/113 — surfaces as a
+    // hash mismatch instead of a silent row-count change in the
+    // rows-only chains. The LM gate runs the hashKeys broadcast route
+    // here too, so the oracle ALSO re-proves hashed ≡ string keys on the
+    // full composed chain at both driver scales.
     Q("llm_curation_sql_prefix",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
@@ -444,7 +486,16 @@ object CorpusQueries {
         val gated = corpus
           .filter(graft.text.TextAnalysis.qualityScore(col("text")) >= 0.3 &&
             graft.text.TextAnalysis.languageId(col("text")) === "en")
-        val exact = graft.dedup.LlmDedup.exact(gated, "text", "doc_id")
+        val gophed = graft.text.GopherRules.filterDocs(gated, "text",
+          TextQueries.gopherCfg.copy(minStopHits = 1))
+        val lm = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        val lmKeep = graft.text.LangModel.score(
+            gophed.select("doc_id", "text"), "doc_id", "text", lm,
+            hashKeys = true)
+          .filter(col("avg_logprob") >= LmGateMinLogprob).select("doc_id")
+        val lmKept = gophed.join(lmKeep, Seq("doc_id"), "left_semi")
+        val exact = graft.dedup.LlmDedup.exact(lmKept, "text", "doc_id")
         val capped = Quota.capPerGroup(exact, "source", "doc_id", n = 20)
         Sampling.weightedSample(capped, "doc_id",
             least(lit(1.0),

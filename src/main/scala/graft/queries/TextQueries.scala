@@ -65,13 +65,18 @@ object TextQueries {
         + 0.2 * least(1.0, stop_hits / greatest(n_tok, 1.0) * 5.0)
         + 0.2 * (n_distinct / greatest(n_tok, 1.0))) * 1e4 + 0.5) / 1e4"""
 
-  /** Shared DuckDB mirror of the LM scoring chain (train on every 3rd
-    * doc, score the rest) — used by text_lm_score and, wrapped in an
-    * ntile, text_lm_buckets, so the two gates cannot drift. */
-  private val lmScoreOracleBody: String = """
-        WITH reft AS (
-          SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
-          FROM documents WHERE doc_id % 3 = 0 AND length(trim(text)) > 0),
+  /** LM-scoring CTE chain (no leading WITH) over arbitrary relations:
+    * trains the bigram stupid-backoff model on `refRel(text)` and scores
+    * `corpusRel(doc_id, text)`, ending in `lmagg(doc_id, n_scored,
+    * avg_logprob)` — one row per corpus doc with ≥ 2 tokens. The single
+    * DuckDB mirror of [[graft.text.LangModel]]'s train+score, shared by
+    * text_lm_score, text_lm_buckets, and the curation-chain oracle so
+    * the three gates cannot drift. CTE names are lm-prefixed (plus
+    * reft/uni/tot/big) to compose inside larger oracles. */
+  private[queries] def lmScoreCtes(refRel: String, corpusRel: String): String = s"""
+        reft AS (
+          SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+          FROM $refRel WHERE length(trim(text)) > 0),
         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
                 FROM (SELECT unnest(l) AS w FROM reft) GROUP BY 1),
         tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS t FROM uni),
@@ -80,29 +85,36 @@ object TextQueries {
                   FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS p
                         FROM reft WHERE len(l) >= 2))
                 GROUP BY 1, 2),
-        doc AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
-                FROM documents WHERE doc_id % 3 <> 0 AND length(trim(text)) > 0),
-        pairs AS (SELECT doc_id, l[p] AS prev, l[p+1] AS w
+        lmdoc AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+                FROM $corpusRel WHERE length(trim(text)) > 0),
+        lmpairs AS (SELECT doc_id, l[p] AS prev, l[p+1] AS w
                   FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS p
-                        FROM doc WHERE len(l) >= 2)),
-        lp AS (SELECT doc_id,
+                        FROM lmdoc WHERE len(l) >= 2)),
+        lmlp AS (SELECT doc_id,
                  floor((CASE
                     WHEN big.cb IS NOT NULL
                       THEN ln(CAST(big.cb AS DOUBLE) / CAST(up.cw AS DOUBLE))
                     WHEN uw.cw IS NOT NULL
                       THEN ln(0.4 * CAST(uw.cw AS DOUBLE) / t)
                     ELSE ln(0.4 / t) END) * 1e6 + 0.5) / 1e6 AS lp
-               FROM pairs
+               FROM lmpairs
                LEFT JOIN big USING (prev, w)
-               LEFT JOIN uni up ON pairs.prev = up.w
-               LEFT JOIN uni uw ON pairs.w = uw.w, tot),
-        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+               LEFT JOIN uni up ON lmpairs.prev = up.w
+               LEFT JOIN uni uw ON lmpairs.w = uw.w, tot),
+        lmagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
                   floor((CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE)
                          / count(*)) * 1e4 + 0.5) / 1e4 AS avg_logprob
-                FROM lp GROUP BY 1)
-        SELECT d.doc_id, coalesce(agg.n_scored, 0) AS n_scored, agg.avg_logprob
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
-        LEFT JOIN agg USING (doc_id)"""
+                FROM lmlp GROUP BY 1)"""
+
+  /** Mirror of the LM score queries' fixture: train on every 3rd doc,
+    * score the rest (unscoreable docs surface with n_scored 0). */
+  private val lmScoreOracleBody: String = s"""
+        WITH lmref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        lmcrawl AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        ${lmScoreCtes("lmref", "lmcrawl")}
+        SELECT d.doc_id, coalesce(lmagg.n_scored, 0) AS n_scored, lmagg.avg_logprob
+        FROM (SELECT doc_id FROM lmcrawl) d
+        LEFT JOIN lmagg USING (doc_id)"""
 
   val all: Seq[Q] = Seq(
     // Fixed-budget chunking with overlap — 64-token windows striding by
@@ -430,44 +442,26 @@ object TextQueries {
         concat(col("text"), lit(" the list of items that have to be counted with care"))))
   }
 
-  /** DuckDB mirror of [[gopherFixture]] + `GopherRules.audit` under
-    * [[gopherCfg]] — rule thresholds inlined, booleans as 0/1 ints,
-    * every fraction through the floor-dround. Ends with an `audit` CTE. */
-  private[queries] def gopherAuditSql: String = {
+  /** Gopher-audit CTE chain (no leading WITH) over an arbitrary relation
+    * `rel(doc_id, text)` — the single DuckDB mirror of
+    * `GopherRules.audit` under [[gopherCfg]] (rule thresholds inlined,
+    * booleans as 0/1 ints, every fraction through the floor-dround),
+    * ending in an `audit` CTE. Shared by the fixture queries below and
+    * the curation-chain oracle so the rule formulas cannot drift.
+    * `minStopHits` is the one threshold the two callers set differently
+    * (the chain uses 1: the synthetic corpus tops out at one Gopher
+    * stopword per doc, and 2 would gate every document out). */
+  private[queries] def gopherAuditCtesOver(rel: String,
+                                           minStopHits: Int = 2): String = {
     val stops = GopherRules.stopwords
       .map(w => s"CASE WHEN list_contains(w, '$w') THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH base AS (
-          SELECT doc_id, text,
-                 regexp_split_to_array(lower(trim(text)), '\\s+') AS l
-          FROM documents),
-        u AS (
-          SELECT doc_id, text FROM base
-          UNION ALL
-          SELECT doc_id + 1000000,
-                 array_to_string(list_transform(l[1:8], t -> '- ' || t), chr(10))
-          FROM base WHERE doc_id % 7 = 0
-          UNION ALL
-          SELECT doc_id + 2000000, array_to_string(l[1:6], '... ') || '...'
-          FROM base WHERE doc_id % 7 = 1
-          UNION ALL
-          SELECT doc_id + 3000000, text || ' # ## ###' FROM base WHERE doc_id % 7 = 2
-          UNION ALL
-          SELECT doc_id + 4000000, '7 42 13 999 0 8 512 64 3 77 21 5'
-          FROM base WHERE doc_id % 7 = 3
-          UNION ALL
-          SELECT doc_id + 5000000, array_to_string(l[1:3], ' ')
-          FROM base WHERE doc_id % 7 = 4
-          UNION ALL
-          SELECT doc_id + 6000000,
-                 text || ' the list of items that have to be counted with care'
-          FROM base WHERE doc_id % 7 = 5),
-        sig AS (
+    s"""sig AS (
           SELECT doc_id, text,
                  regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
                  string_split(text, chr(10)) AS ln,
                  length(trim(text)) = 0 AS blank
-          FROM u),
+          FROM $rel),
         nw AS (
           SELECT *, CASE WHEN blank THEN 0 ELSE len(w) END AS n_words,
                  greatest(CAST(CASE WHEN blank THEN 0 ELSE len(w) END AS DOUBLE), 1.0) AS nwd,
@@ -498,12 +492,42 @@ object TextQueries {
             CAST(bullet_frac <= 0.9 AS INT) AS r4_bullets,
             CAST(ellipsis_frac <= 0.3 AS INT) AS r5_ellipsis,
             CAST(alpha_frac >= 0.8 AS INT) AS r6_alpha,
-            CAST(stop_hits >= 2 AS INT) AS r7_stopwords,
+            CAST(stop_hits >= $minStopHits AS INT) AS r7_stopwords,
             CAST(n_words >= 10 AND n_words <= 100000
                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
                  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
                  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-                 AND stop_hits >= 2 AS INT) AS keep
+                 AND stop_hits >= $minStopHits AS INT) AS keep
           FROM m)"""
   }
+
+  /** DuckDB mirror of [[gopherFixture]] + the audit: the fixture's six
+    * rule-exercising rewrites as `u`, then [[gopherAuditCtesOver]]. */
+  private[queries] def gopherAuditSql: String =
+    s"""WITH base AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+          FROM documents),
+        u AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(list_transform(l[1:8], t -> '- ' || t), chr(10))
+          FROM base WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, array_to_string(l[1:6], '... ') || '...'
+          FROM base WHERE doc_id % 7 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, text || ' # ## ###' FROM base WHERE doc_id % 7 = 2
+          UNION ALL
+          SELECT doc_id + 4000000, '7 42 13 999 0 8 512 64 3 77 21 5'
+          FROM base WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id + 5000000, array_to_string(l[1:3], ' ')
+          FROM base WHERE doc_id % 7 = 4
+          UNION ALL
+          SELECT doc_id + 6000000,
+                 text || ' the list of items that have to be counted with care'
+          FROM base WHERE doc_id % 7 = 5),
+        ${gopherAuditCtesOver("u")}"""
 }
