@@ -93,15 +93,20 @@ object CorpusQueries {
         FROM cg JOIN bg USING (gram)
         GROUP BY doc_id ORDER BY doc_id"""
 
-  /** The graded form: every corpus doc with gram counts + overlap
-    * fraction (zero-overlap docs included at 0). */
-  private def overlapFractionOracle: String = s"""
-        $contaminationCtes,
+  /** Per-doc gram/overlap counts off the contamination CTEs — shared by
+    * the graded-overlap oracle and the quality-panel oracle. */
+  private def overlapAggCte: String = s"""
         agg AS (
           SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                  CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
           FROM cg LEFT JOIN bg USING (gram)
-          GROUP BY cg.doc_id)
+          GROUP BY cg.doc_id)"""
+
+  /** The graded form: every corpus doc with gram counts + overlap
+    * fraction (zero-overlap docs included at 0). */
+  private def overlapFractionOracle: String = s"""
+        $contaminationCtes,
+        $overlapAggCte
         SELECT c.doc_id,
                CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
                CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
@@ -119,6 +124,45 @@ object CorpusQueries {
     * scales) and its 5th percentile (≈ −3.57), so both outcomes stay
     * populated at every sf. */
   private val LmGateMinLogprob = -3.52
+
+  /** Panel gopher thresholds: minWords=15 sits inside the corpus
+    * word-count range (10..~190 at every sf) so the structural gate
+    * fails a real minority instead of passing everything;
+    * minStopHits=1 as in the curation chain. */
+  private val PanelGopherCfg =
+    graft.text.GopherRules.Config(minWords = 15, minStopHits = 1)
+
+  /** DuckDB mirror of [[graft.text.QualityPanel.audit]] over the
+    * contamination fixture — every CTE chain comes from the gate that
+    * owns it (Gopher audit, LM scoring, overlap agg), so the panel
+    * cannot drift from the individually-oracled gate queries. */
+  private def qualityPanelOracle: String = s"""
+        $contaminationCtes,
+        ${TextQueries.gopherAuditCtesOver("corpus", minStopHits = 1, minWords = 15)},
+        lmref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        ${TextQueries.lmScoreCtes("lmref", "corpus")},
+        $overlapAggCte,
+        pan AS (
+          SELECT c.doc_id,
+                 audit.keep AS gopher_keep,
+                 lmagg.avg_logprob,
+                 CASE WHEN lmagg.avg_logprob IS NOT NULL
+                       AND lmagg.avg_logprob >= $LmGateMinLogprob
+                      THEN 1 ELSE 0 END AS lm_keep,
+                 CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                 CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+                 floor((CAST(coalesce(a.n_overlap, 0) AS DOUBLE)
+                        / greatest(CAST(coalesce(a.n_grams, 0) AS DOUBLE), 1.0))
+                       * 1e6 + 0.5) / 1e6 AS overlap_frac
+          FROM (SELECT doc_id FROM corpus) c
+          JOIN audit USING (doc_id)
+          LEFT JOIN lmagg USING (doc_id)
+          LEFT JOIN agg a USING (doc_id))
+        SELECT *,
+               CASE WHEN overlap_frac <= 0.1 THEN 1 ELSE 0 END AS decon_keep,
+               CASE WHEN gopher_keep = 1 AND lm_keep = 1 AND overlap_frac <= 0.1
+                    THEN 1 ELSE 0 END AS keep
+        FROM pan ORDER BY doc_id"""
 
   /** DuckDB mirror of the SQL-expressible curation prefix (see
     * `llm_curation_sql_prefix`). Every semantic comes from its owning
@@ -272,6 +316,25 @@ object CorpusQueries {
           .orderBy("doc_id")
       },
       Some(overlapFractionOracle)),
+
+    // The three modern quality gates as ONE per-doc audit frame — the
+    // "why was this doc dropped" debug view: Gopher structural verdict,
+    // LM score + verdict, contamination fraction + verdict, and the
+    // overall keep. The LM runs the hashed-key broadcast route (the
+    // 100 TB path), hash-checked here against the string-keyed oracle
+    // on the composed panel.
+    Q("text_quality_panel",
+      (s, dir) => {
+        val (corpus, bench) = contaminationFixture(s, dir)
+        val lmRef = Tables.documents(s, dir)
+          .filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        graft.text.QualityPanel.audit(corpus, bench, lmRef,
+            "doc_id", "text", PanelGopherCfg,
+            minLmLogprob = LmGateMinLogprob, maxOverlapFrac = 0.1,
+            n = 8, hashKeys = true)
+          .orderBy("doc_id")
+      },
+      Some(qualityPanelOracle)),
 
     // Bloom-runtime-filter variant: must be value-identical to the exact
     // path (same oracle) — the filter only prunes the shuffle, never the

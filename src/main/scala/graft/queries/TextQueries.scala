@@ -448,11 +448,14 @@ object TextQueries {
     * booleans as 0/1 ints, every fraction through the floor-dround),
     * ending in an `audit` CTE. Shared by the fixture queries below and
     * the curation-chain oracle so the rule formulas cannot drift.
-    * `minStopHits` is the one threshold the two callers set differently
-    * (the chain uses 1: the synthetic corpus tops out at one Gopher
-    * stopword per doc, and 2 would gate every document out). */
+    * `minStopHits` and `minWords` are the thresholds callers tune to the
+    * corpus at hand (the curation chain uses minStopHits=1: the synthetic
+    * corpus tops out at one Gopher stopword per doc, and 2 would gate
+    * every document out; the quality panel raises minWords so the
+    * word-count rule splits the raw corpus both ways). */
   private[queries] def gopherAuditCtesOver(rel: String,
-                                           minStopHits: Int = 2): String = {
+                                           minStopHits: Int = 2,
+                                           minWords: Int = 10): String = {
     val stops = GopherRules.stopwords
       .map(w => s"CASE WHEN list_contains(w, '$w') THEN 1 ELSE 0 END")
       .mkString(" + ")
@@ -486,14 +489,14 @@ object TextQueries {
           FROM nw),
         audit AS (
           SELECT *,
-            CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS r1_words,
+            CAST(n_words >= $minWords AND n_words <= 100000 AS INT) AS r1_words,
             CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS r2_word_len,
             CAST(symbol_ratio <= 0.1 AS INT) AS r3_symbols,
             CAST(bullet_frac <= 0.9 AS INT) AS r4_bullets,
             CAST(ellipsis_frac <= 0.3 AS INT) AS r5_ellipsis,
             CAST(alpha_frac >= 0.8 AS INT) AS r6_alpha,
             CAST(stop_hits >= $minStopHits AS INT) AS r7_stopwords,
-            CAST(n_words >= 10 AND n_words <= 100000
+            CAST(n_words >= $minWords AND n_words <= 100000
                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
                  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
                  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8

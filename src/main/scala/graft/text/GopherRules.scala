@@ -144,6 +144,14 @@ object GopherRules {
       .drop("_gq")
   }
 
+  /** The keep conjunction as a standalone boolean column over raw text —
+    * for callers that want the verdict WITHOUT dropping rows (the quality
+    * panel reports it next to the other gates' verdicts). Same per-row
+    * zero-shuffle shape as [[filterDocs]]; codegen's common-subexpression
+    * elimination dedupes the packed signal struct across rule references. */
+  def keepFlag(text: Column, cfg: Config = Config()): Column =
+    keepExpr(struct(signals(text).map { case (n, c) => c.as(n) }: _*), cfg)
+
   /** Keep conjunction over a packed signal struct. */
   private def keepExpr(s: Column, cfg: Config): Column =
     s("n_words") >= cfg.minWords && s("n_words") <= cfg.maxWords &&
