@@ -394,6 +394,67 @@ object PipelineQueries {
         FROM v GROUP BY doc_id, w, h, m
         ORDER BY asset_id""")),
 
+    // REAL video frame sampling: per-doc MJPEG-in-AVI containers (RIFF
+    // hdrl/movi/idx1, one baseline JPEG per '00dc' chunk), every 2nd
+    // frame decoded through the full T.81 machinery, per-frame pixel
+    // stats emitted. Frames reuse the achromatic MCU-constant trick
+    // (each frame shifts the gradient by 31*frame_idx) so the lossy
+    // codec is exact and the oracle is codec-free: DuckDB re-derives
+    // the sampled frame grid and block gradient in closed form. A bug
+    // in the RIFF walk, the even-padding rule, the stride, or the JPEG
+    // path breaks the hash.
+    Q("multimodal_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long")).as[Long]
+        val blobs = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = (16 * (1 + id % 3)).toInt; val h = (16 * (1 + id % 2)).toInt
+            val nf = (2 + id % 5).toInt
+            val frames = (0 until nf).map { f =>
+              def v(x: Int, y: Int): Int =
+                ((id + 7 * (x / 16) + 13 * (y / 16) + 31 * f) % 256).toInt
+              (id % 3) match {
+                case 0 => graft.multimodal.Jpeg.encode(w, h, 1, (x, y, _) => v(x, y))
+                case 1 => graft.multimodal.Jpeg.encode(w, h, 3, (x, y, _) => v(x, y),
+                  restartEvery = 3)
+                case _ => graft.multimodal.Jpeg.encode(w, h, 3, (x, y, _) => v(x, y),
+                  subsample420 = true)
+              }
+            }
+            (id, graft.multimodal.Mjpeg.encodeAvi(w, h, fps = 10, frames))
+          }
+        }.toDF("doc_id", "asset")
+        graft.multimodal.Mjpeg.frameStats(blobs, "doc_id", "asset", stride = 2)
+          .select(col("asset_id"), col("n_frames"), col("frame_idx"),
+            col("width"), col("height"), col("channels"), col("n_pixels"),
+            col("pix_sum"), col("pix_min"), col("pix_max"))
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          CAST(16 * (1 + doc_id % 3) AS INT) AS w,
+                          CAST(16 * (1 + doc_id % 2) AS INT) AS h,
+                          doc_id % 3 AS m,
+                          CAST(2 + doc_id % 5 AS INT) AS nf FROM documents),
+        f AS (SELECT doc_id, w, h, m, nf, unnest(range(0, nf, 2)) AS fi FROM d),
+        b AS (SELECT doc_id, w, h, m, nf, fi,
+                     unnest(range((w // 16) * (h // 16))) AS i FROM f),
+        v AS (SELECT doc_id, w, h, m, nf, fi,
+                     (doc_id + 7 * (i % (w // 16)) + 13 * (i // (w // 16))
+                      + 31 * fi) % 256 AS v
+              FROM b)
+        SELECT doc_id AS asset_id, CAST(nf AS INT) AS n_frames,
+               CAST(fi AS INT) AS frame_idx, w AS width, h AS height,
+               CAST(CASE WHEN m = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+               CAST(w AS BIGINT) * h AS n_pixels,
+               CAST((CASE WHEN m = 0 THEN 1 ELSE 3 END) * 256 * sum(v) AS BIGINT) AS pix_sum,
+               CAST(min(v) AS INT) AS pix_min,
+               CAST(max(v) AS INT) AS pix_max
+        FROM v GROUP BY doc_id, nf, fi, w, h, m
+        ORDER BY asset_id, frame_idx""")),
+
     // REAL pixel resize through the codec: gradient PNGs are encoded,
     // fit-box-resized (decode -> NN sample -> re-encode), decoded AGAIN,
     // and audited — three full codec passes per asset under the gate.
