@@ -116,7 +116,16 @@ object ScaleCorpus {
   * next factor — reported as `truncated` rather than hanging the ladder;
   * a query that THROWS is reported with its exception under `failed`
   * (never as truncated — a crash is not a deliberate cutoff).
-  * Writes scaling_detail.json for SCALING.md.
+  * Writes scaling_detail.json (override: SPARK_GRAFT_LADDER_OUT) for
+  * SCALING.md.
+  *
+  * Distributed mode: SPARK_GRAFT_MASTER=local-cluster[2,8,24576] runs
+  * the same ladder against REAL executor JVMs — serialized task
+  * closures, network shuffle exchange, and broadcast transport instead
+  * of in-process references — the one execution-path class a local[n]
+  * run cannot price. Requires SPARK_GRAFT_APP_JAR (the `sbt package`
+  * jar) so executors load the query classes; executor memory via
+  * SPARK_GRAFT_EXEC_MEM (default 20g per worker).
   */
 object ScaleLadder {
   def main(args: Array[String]): Unit = {
@@ -126,18 +135,28 @@ object ScaleLadder {
     val cutoff = sys.env.getOrElse("SPARK_GRAFT_LADDER_CUTOFF", "180").toDouble
     val factors = sys.env.getOrElse("SPARK_GRAFT_LADDER_FACTORS", "1,4,16,64")
       .split(",").map(_.trim.toInt).toSeq
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_LADDER_OUT", "scaling_detail.json")
     val defaultQueries = Seq(
       "dedup_minhash", "dedup_components", "dedup_spans", "dedup_jaccard",
       "ann_ivfpq", "ann_ivfpq_rerank", "llm_curation_full", "text_tfidf")
     val names = if (args.nonEmpty) args.toSeq else defaultQueries
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster")) {
+      val b = builder
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "20g"))
+      // Ship the application jar to the executor JVMs — the point of
+      // the distributed rung is that NOTHING rides in-process references.
+      sys.env.get("SPARK_GRAFT_APP_JAR").map(j => b.config("spark.jars", j))
+        .getOrElse(b)
+    } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
@@ -226,9 +245,9 @@ object ScaleLadder {
       s""""load":{"l1":${parts(0)},"l5":${parts(1)},"l15":${parts(2)}}"""
     } catch { case _: Exception => s""""load":{}""" }
     val line =
-      s"""{"metric":"scaling","cpus":$cpus,"iters":$iters,"factors":"${factors.mkString(",")}",$loadFp,"queries":$report,"src":"$srcDir"}"""
+      s"""{"metric":"scaling","master":"$master","cpus":$cpus,"iters":$iters,"factors":"${factors.mkString(",")}",$loadFp,"queries":$report,"src":"$srcDir"}"""
     println(line)
-    val w = new java.io.PrintWriter("scaling_detail.json", "UTF-8")
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line) finally w.close()
     spark.stop()
   }
