@@ -116,6 +116,45 @@ object TextQueries {
         FROM (SELECT doc_id FROM lmcrawl) d
         LEFT JOIN lmagg USING (doc_id)"""
 
+  /** DuckDB mirror of [[graft.text.Dsir.logWeights]] on the driver
+    * fixture (target = every 5th doc, raw = 5th+1, corpus = the rest;
+    * string features, α = 1): unigram+bigram explode, Laplace-smoothed
+    * log density ratio per gram (6dp), exact-decimal per-doc sum (4dp).
+    * Ends as SELECT (doc_id, n_feats, log_weight). */
+  private val dsirOracleBody: String = {
+    val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    def gramsOf(rel: String, withId: Boolean): String = {
+      val id = if (withId) "doc_id, " else ""
+      s"""SELECT ${id}g FROM (
+            SELECT ${id}unnest(${Q.sqlNgrams("l", 1)} || ${Q.sqlNgrams("l", 2)}) AS g
+            FROM (SELECT $id$toks AS l FROM $rel))
+          WHERE length(g) > 0"""
+    }
+    s"""
+      WITH dtgt AS (SELECT text FROM documents WHERE doc_id % 5 = 0),
+      draw AS (SELECT text FROM documents WHERE doc_id % 5 = 1),
+      dcorp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 >= 2),
+      tg AS (${gramsOf("dtgt", withId = false)}),
+      rg AS (${gramsOf("draw", withId = false)}),
+      tcnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1),
+      rcnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM rg GROUP BY 1),
+      dk AS (SELECT
+               (SELECT CAST(sum(c) AS DOUBLE) FROM tcnt) AS tt,
+               (SELECT CAST(sum(c) AS DOUBLE) FROM rcnt) AS rt,
+               (SELECT CAST(count(*) AS DOUBLE) FROM
+                  (SELECT g FROM tcnt UNION SELECT g FROM rcnt)) AS v),
+      cgr AS (${gramsOf("dcorp", withId = true)}),
+      dlr AS (SELECT doc_id,
+                floor((ln((coalesce(tcnt.c, 0) + 1.0) / (tt + v))
+                       - ln((coalesce(rcnt.c, 0) + 1.0) / (rt + v))) * 1e6 + 0.5) / 1e6 AS lr
+              FROM cgr LEFT JOIN tcnt USING (g) LEFT JOIN rcnt USING (g), dk),
+      dagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                      floor(CAST(sum(CAST(lr AS DECIMAL(38,6))) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS log_weight
+               FROM dlr GROUP BY 1)
+      SELECT c.doc_id, coalesce(dagg.n_feats, 0) AS n_feats, dagg.log_weight
+      FROM (SELECT doc_id FROM dcorp) c LEFT JOIN dagg USING (doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
     // Fixed-budget chunking with overlap — 64-token windows striding by
     // 48, the context-window prep step. Pure per-row projection (no
@@ -264,7 +303,59 @@ object TextQueries {
         FROM base WHERE avg_logprob IS NOT NULL
         ORDER BY doc_id""")),
 
+    // DSIR importance weights (Xie et al. 2023): bag-of-ngrams log
+    // density ratio between a target slice (every 5th doc) and a raw
+    // slice (5th+1), scored over the rest. String features — the
+    // oracle-parity lane; the hashed-bucket lane (the paper's actual
+    // feature space) is dsir_hashed below.
+    Q("dsir_weights",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        graft.text.Dsir.logWeights(
+            d.filter(col("doc_id") % 5 >= 2), "doc_id", "text",
+            target = d.filter(col("doc_id") % 5 === 0),
+            raw = d.filter(col("doc_id") % 5 === 1))
+          .orderBy("doc_id")
+      },
+      Some(s"$dsirOracleBody ORDER BY doc_id")),
 
+    // The resampling step, deterministic limit form: top-64 docs by
+    // importance weight (ties on id) — the noise-free Gumbel limit,
+    // planned as TakeOrdered (per-partition top-k + one k-sized merge),
+    // never a global single-partition window.
+    Q("dsir_select",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val w = graft.text.Dsir.logWeights(
+          d.filter(col("doc_id") % 5 >= 2), "doc_id", "text",
+          target = d.filter(col("doc_id") % 5 === 0),
+          raw = d.filter(col("doc_id") % 5 === 1))
+        graft.text.Dsir.selectTop(w, "doc_id", k = 64).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH base AS ($dsirOracleBody)
+        SELECT doc_id, n_feats, log_weight FROM base
+        WHERE log_weight IS NOT NULL
+        QUALIFY row_number() OVER (ORDER BY log_weight DESC, doc_id) <= 64
+        ORDER BY doc_id""")),
+
+    // The paper's actual feature space: unigram+bigram counts hashed
+    // into 1024 buckets (pmod(xxhash64, B)) with V = B smoothing — the
+    // 100 TB lane, where both count tables are at most B rows and always
+    // broadcast. Rows-only (xxhash64 has no SQL twin; DsirSpec pins the
+    // hashed lane's estimator against the string lane on a
+    // collision-free fixture).
+    Q("dsir_hashed",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        graft.text.Dsir.logWeights(
+            d.filter(col("doc_id") % 5 >= 2), "doc_id", "text",
+            target = d.filter(col("doc_id") % 5 === 0),
+            raw = d.filter(col("doc_id") % 5 === 1),
+            buckets = Some(1024))
+          .orderBy("doc_id")
+      },
+      None),
 
     // BM25 lexical retrieval: the first 5 docs as queries against the
     // whole corpus, top-5 each — the inverted-index join shape with every
