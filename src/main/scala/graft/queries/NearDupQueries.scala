@@ -64,19 +64,43 @@ object NearDupQueries {
   /** DuckDB mirror of [[graft.sim.EmbeddingStats.centroids]] on the
     * embeddings table — shared by the direct query and the config-driven
     * pipeline twin so the two gates can never drift. */
-  private[queries] val centroidsOracle: String = """
-        WITH u0 AS (SELECT label, unnest(embedding) AS xf,
-                           unnest(range(len(embedding))) AS pos
-                    FROM embeddings),
+  private[queries] val centroidCtes: String = """
+        u0 AS (SELECT label, unnest(embedding) AS xf,
+                      unnest(range(len(embedding))) AS pos
+               FROM embeddings),
         u AS (SELECT label, CAST(xf AS DOUBLE) AS x, CAST(pos AS INT) AS pos FROM u0),
         a AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
                      CAST(sum(CAST(floor(x * x * 1e8 + 0.5) / 1e8 AS DECIMAL(38,8))) AS DOUBLE) AS s2
-              FROM u GROUP BY 1, 2)
+              FROM u GROUP BY 1, 2)"""
+
+  private[queries] val centroidsOracle: String = s"""
+        WITH $centroidCtes
         SELECT label, pos, n,
                floor((s1 / n) * 1e6 + 0.5) / 1e6 AS centroid,
                floor(greatest(0, s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         FROM a ORDER BY label, pos"""
+
+  /** Per-vector squared distance to its own label's centroid — the SQL
+    * twin of [[graft.sim.EmbeddingStats.centroidDistances]], sharing the
+    * centroid CTEs with [[centroidsOracle]] so the two cannot drift. */
+  private[queries] val centroidDistOracle: String = s"""
+        WITH $centroidCtes,
+        c AS (SELECT label, pos, floor((s1 / n) * 1e6 + 0.5) / 1e6 AS centroid FROM a),
+        v0 AS (SELECT vec_id, label, unnest(embedding) AS xf,
+                      unnest(range(len(embedding))) AS pos
+               FROM embeddings),
+        v AS (SELECT vec_id, label, CAST(xf AS DOUBLE) AS x,
+                     CAST(pos AS INT) AS pos FROM v0),
+        dd AS (SELECT vec_id, v.label,
+                      floor(x * 1e6 + 0.5) / 1e6 - centroid AS diff
+               FROM v JOIN c ON v.label = c.label AND v.pos = c.pos),
+        g AS (SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_dims,
+                     floor(CAST(sum(CAST(floor(diff * diff * 1e10 + 0.5) / 1e10
+                                         AS DECIMAL(38,10))) AS DOUBLE)
+                           * 1e6 + 0.5) / 1e6 AS dist_sq
+              FROM dd GROUP BY 1, 2)
+        SELECT vec_id, label, n_dims, dist_sq FROM g"""
 
   val all: Seq[Q] = Seq(
     Q("dedup_minhash",
@@ -430,6 +454,30 @@ object NearDupQueries {
           Tables.embeddings(s, dir), "label", "embedding")
         .orderBy("label", "pos"),
       Some(centroidsOracle)),
+
+    // Embedding-space outlier audit: per-vector squared L2 distance to
+    // its own label's centroid (far-from-prototype = mislabel/noise
+    // candidate). Centroid frame broadcast; only (id, distance) partials
+    // shuffle. Hash-checked against the shared centroid CTEs.
+    Q("embedding_outliers",
+      (s, dir) => graft.sim.EmbeddingStats.centroidDistances(
+          Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+        .orderBy("vec_id"),
+      Some(s"$centroidDistOracle ORDER BY vec_id")),
+
+    // The filter form: vectors within a dist_sq budget of their
+    // prototype, pinning pruneFar's semi-join against the same oracle.
+    // 0.98 ~ the corpus median (the synthetic clusters are loose:
+    // near-unit vectors sit ~0.88-1.10 from their prototype), so both
+    // outcomes stay populated at every sf.
+    Q("embedding_prune_far",
+      (s, dir) => graft.sim.EmbeddingStats.pruneFar(
+          Tables.embeddings(s, dir), "vec_id", "label", "embedding",
+          maxDistSq = 0.98)
+        .select("vec_id").orderBy("vec_id"),
+      Some(s"""
+        WITH base AS ($centroidDistOracle)
+        SELECT vec_id FROM base WHERE dist_sq <= 0.98 ORDER BY vec_id""")),
 
     Q("ann_lsh",
       (s, dir) => {

@@ -49,4 +49,45 @@ object EmbeddingStats {
               - (col("_gf_s1") / col("n")) * (col("_gf_s1") / col("n"))), 6)
           .as("variance"))
   }
+
+  /** Per-vector squared L2 distance to its OWN group's centroid — the
+    * embedding-space outlier audit (a vector far from its class
+    * prototype is a mislabeled/noise candidate; the pruning threshold is
+    * a downstream filter on `dist_sq`, like every other audit here).
+    *
+    * Scale shape: the centroid frame is groups × dim rows (dimension-
+    * sized) and broadcasts into the exploded vector stream, so the only
+    * corpus-side exchange is the id-keyed partial-aggregated distance
+    * sum. Per-dimension terms go through the dround/decimal discipline
+    * (6-dp components, 10-dp squared diffs, exact-decimal sum, 6-dp
+    * total), so distances are bit-identical across engines and
+    * partitionings. */
+  def centroidDistances(df: DataFrame, idCol: String, groupCol: String,
+                        vecCol: String): DataFrame = {
+    val cents = broadcast(centroids(df, groupCol, vecCol)
+      .select(col(groupCol), col("pos"), col("centroid")))
+    val xd = graft.Num.dround(col("_gf_x").cast(DoubleType), 6)
+    df.select(col(idCol), col(groupCol),
+        posexplode(col(vecCol)).as(Seq("pos", "_gf_x")))
+      .join(cents, Seq(groupCol, "pos"))
+      .select(col(idCol), col(groupCol),
+        graft.Num.dround(
+          (xd - col("centroid")) * (xd - col("centroid")), 10).as("_gf_d2"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("n_dims"),
+        graft.Num.dround(
+          sum(col("_gf_d2").cast(DecimalType(38, 10))).cast(DoubleType), 6)
+          .as("dist_sq"))
+  }
+
+  /** The filter form: drop vectors farther than `maxDistSq` from their
+    * group centroid (original columns intact, audited ids semi-joined —
+    * id + verdict pairs shuffle, vectors don't move twice). */
+  def pruneFar(df: DataFrame, idCol: String, groupCol: String,
+               vecCol: String, maxDistSq: Double): DataFrame = {
+    require(maxDistSq >= 0, s"maxDistSq must be >= 0, got $maxDistSq")
+    val keep = centroidDistances(df, idCol, groupCol, vecCol)
+      .filter(col("dist_sq") <= maxDistSq).select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }
