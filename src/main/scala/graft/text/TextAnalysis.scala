@@ -56,8 +56,22 @@ object TextAnalysis {
     * density, repetition), in the spirit of the reference's weighted data
     * health score (scoring.py:20-26):
     *   0.3·min(1, tokens/50) + 0.3·(1-punct_ratio) + 0.2·min(1, 5·stop_ratio)
-    *   + 0.2·distinct_token_ratio, rounded to 4dp. */
-  def qualityScore(c: Column): Column = {
+    *   + 0.2·distinct_token_ratio, rounded to 4dp.
+    *
+    * Evaluates through the fused native kernel
+    * ([[graft.functions.TextQuality]]): the column composite below
+    * references the token array from four CodegenFallback HOFs, which
+    * drops the projection out of whole-stage codegen and re-evaluates
+    * the split per reference — measured 33.2 s vs the kernel's one
+    * linear pass at the ×64 scale rung. [[qualityScoreColumns]] keeps
+    * the composite as the spec's equivalence oracle. */
+  def qualityScore(c: Column): Column =
+    graft.functions.TextQuality.textQualityScore(c)
+
+  /** The original built-in-column composite — retained as the
+    * equivalence oracle for the fused kernel (TextSpec pins kernel ≡
+    * composite on edge cases and the real corpus). */
+  private[graft] def qualityScoreColumns(c: Column): Column = {
     val toks = tokens(c)
     val nTok = size(toks).cast(DoubleType)
     val punct = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast(DoubleType)

@@ -27,6 +27,33 @@ class TextSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "unknown"))
   }
 
+  test("fused quality kernel is value-identical to the column composite") {
+    // edge cases the kernel's hand-rolled walk could get wrong: blank,
+    // spaces-only, tab-led (Spark trim strips SPACES only, so a leading
+    // tab survives into the split and mints an empty first token),
+    // unicode text + supplementary plane (numChars vs UTF-16 length),
+    // punctuation-only, stopword-dense, repeated tokens, long text
+    val edges = Seq("", " ", "   ", "\thello", "a", "the", "the the the",
+      "héllo wörld straße 中文 的 是", "😀 emoji 𝔘nicode test", "!!!...###",
+      "the and of to in is a that", "x " * 100 + "y",
+      "Mixed CASE The AND Of", "a,b!c.d", "line\nbreaks\nhere",
+      "the quick brown fox jumps over the lazy dog and that is of to in",
+      // separator-boundary cases for the fast path's hand-rolled split:
+      // trailing/leading non-space whitespace survives Spark's trim
+      // (spaces only) and mints empty tokens under \s+ split(-1)
+      "end\t", "vtab", "vtmid", "a\fb", "\r\n", "a  b   c", " \t mixed \r ",
+      "tab\tsep\ttoks", "only~tilde", "digits 123 456")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (edges ++ corpus).toDF("t")
+    val mismatches = df.select(
+        TextAnalysis.qualityScore(col("t")).as("fused"),
+        TextAnalysis.qualityScoreColumns(col("t")).as("composite"))
+      .filter(not(col("fused") <=> col("composite")))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("quality score rises with longer less-noisy text") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and runs to the forest in a day that is bright",
