@@ -357,6 +357,63 @@ object TextQueries {
       },
       None),
 
+    // The distributed half of BPE training, oracle-checked: weighted
+    // adjacent-symbol pair counts over the corpus word vocabulary
+    // (chars + the </w> terminal) — exactly the table the trainer's
+    // round 0 picks its first merge from. Top-30 with a total-order
+    // tie-break. The merge LOOP itself is vocab-bounded driver work
+    // pinned by BpeSpec's hand-derived classic fixture.
+    Q("bpe_pair_counts",
+      (s, dir) => {
+        val wc = graft.text.Bpe.wordCounts(
+          Tables.documents(s, dir).select("text"), "text")
+        val syms = concat(
+          transform(sequence(lit(1), length(col("_gf_w"))),
+            i => col("_gf_w").substr(i, lit(1))),
+          array(lit(graft.text.Bpe.EndOfWord)))
+        val n = size(syms)
+        val pairs = zip_with(
+          slice(syms, lit(1), n - 1), slice(syms, lit(2), n - 1),
+          (a, b) => struct(a.as("sym_a"), b.as("sym_b")))
+        wc.select(col("_gf_c"), explode(pairs).as("_gf_p"))
+          .groupBy(col("_gf_p.sym_a").as("sym_a"), col("_gf_p.sym_b").as("sym_b"))
+          .agg(sum(col("_gf_c")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+          .limit(30)
+      },
+      Some("""
+        WITH wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+          WHERE length(w) > 0 GROUP BY 1),
+        sy AS (SELECT c, list_append(
+                 list_transform(generate_series(1, length(w)), i -> w[i]),
+                 '</w>') AS s
+               FROM wc),
+        pr AS (SELECT c, s[i] AS sym_a, s[i+1] AS sym_b
+               FROM (SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i
+                     FROM sy)),
+        ag AS (SELECT sym_a, sym_b, CAST(sum(c) AS BIGINT) AS pair_count
+               FROM pr GROUP BY 1, 2)
+        SELECT sym_a, sym_b, pair_count FROM ag
+        ORDER BY pair_count DESC, sym_a, sym_b LIMIT 30""")),
+
+    // Full BPE lifecycle: train 40 merges on the corpus vocabulary, then
+    // encode every document through the native BpeEncode expression.
+    // Rows-only (the iterative merge loop has no ANSI form; BpeSpec pins
+    // it on the paper's classic fixture) but fully deterministic — the
+    // trainer's tie-breaks are a total order.
+    Q("bpe_train_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val model = graft.text.Bpe.train(docs, "text", numMerges = 40)
+        graft.text.Bpe.encode(docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("n_words"), col("n_subwords"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // BM25 lexical retrieval: the first 5 docs as queries against the
     // whole corpus, top-5 each — the inverted-index join shape with every
     // constant expression mirrored operation-for-operation in SQL

@@ -1,0 +1,170 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-Pair-Encoding tokenizer training + encoding (Sennrich, Haddow &
+  * Birch, ACL 2016) — "train a tokenizer on the corpus", the step a
+  * pre-training pipeline runs between curation and packing.
+  *
+  * Split of labor, Spark-first:
+  *
+  *  - **Word counting is the corpus-scale half** and runs distributed:
+  *    one explode + map-side-combined count — only (word, partial count)
+  *    pairs shuffle, text never does. This is the ONLY pass over the
+  *    corpus; at 100 TB it is one scan.
+  *  - **The merge loop runs on the driver over the counted VOCABULARY**,
+  *    which is vocab-bounded (top `maxVocab` types by count, the
+  *    IVF-codebook/LM-table precedent for bounded driver state) — the
+  *    standard implementation choice (BPE training needs only the
+  *    word→count table; reference tokenizer trainers do exactly this).
+  *    Deterministic: ties on pair count break lexicographically, ties on
+  *    word count break on the word, so two runs of any partitioning
+  *    produce the SAME merge table.
+  *  - **Encoding is distributed again** via the native
+  *    [[graft.functions.BpeEncode]] expression (no Scala UDF): each text
+  *    row's words are greedily merged by rank in one pass per rule
+  *    application. The merge table rides the serialized expression
+  *    (numMerges-bounded, like a broadcast dimension).
+  *
+  * Reference analogue: none (the reference has no tokenizer); this is
+  * the token-counting row's (SURVEY row 54) training-side completion.
+  */
+object Bpe {
+
+  /** End-of-word marker (the paper's `</w>`): merges never cross word
+    * boundaries, and a subword that ends a word is distinct from the
+    * same subword mid-word. */
+  val EndOfWord = "</w>"
+
+  /** Ordered merge rules; rank = position. */
+  final case class Model(merges: Vector[(String, String)]) {
+    require(merges.map(m => (m._1, m._2)).distinct.size == merges.size,
+      "duplicate merge rules")
+    def vocabSeed: Set[String] = merges.map { case (a, b) => a + b }.toSet
+  }
+
+  /** Corpus-scale word counts — the one distributed pass. */
+  def wordCounts(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_gf_w"))
+      .filter(length(col("_gf_w")) > 0)
+      .groupBy("_gf_w").agg(count(lit(1)).as("_gf_c"))
+
+  /** Train `numMerges` rules on the corpus. `maxVocab` bounds driver
+    * state (top types by (count desc, word)); `minPairCount` stops the
+    * loop when the best pair drops below it (rare-pair merges are
+    * noise — the paper's guidance). */
+  def train(corpus: DataFrame, textCol: String, numMerges: Int,
+            maxVocab: Int = 1000000, minPairCount: Long = 2): Model = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val counted = wordCounts(corpus, textCol)
+      .orderBy(col("_gf_c").desc, col("_gf_w"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(counted, numMerges, minPairCount)
+  }
+
+  /** The bounded merge loop, exact and deterministic. Exposed for specs
+    * and for callers that already hold a count table. */
+  def trainFromCounts(counted: Seq[(String, Long)], numMerges: Int,
+                      minPairCount: Long = 2): Model = {
+    // word -> (symbol sequence, count)
+    var vocab: Array[(Array[String], Long)] = counted.iterator.map {
+      case (w, c) =>
+        (w.toCharArray.map(_.toString) :+ EndOfWord, c)
+    }.toArray
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var continue = true
+    while (round < numMerges && continue) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.merge(k, c, (a, b) => a + b): Unit
+          i += 1
+        }
+      }
+      // best = max count, ties lexicographic on (first, second) — a total
+      // order, so the merge table is partition- and run-independent.
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCounts.forEach { (k, v) =>
+        if (v > bestC || (v == bestC && best != null &&
+            (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2))))
+          { best = k; bestC = v }
+      }
+      if (best == null || bestC < minPairCount) continue = false
+      else {
+        merges += best
+        val merged = best._1 + best._2
+        vocab = vocab.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += merged; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+        }
+        round += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** Encode one word into subwords under the model — greedy by rank
+    * (repeatedly merge the best-ranked adjacent pair), the standard
+    * apply-time algorithm. Static kernel shared by the expression. */
+  def encodeWord(word: String, ranks: java.util.HashMap[(String, String), Int]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var syms = word.toCharArray.map(_.toString) :+ EndOfWord
+    var done = false
+    while (!done && syms.length >= 2) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrDefault((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        // merge EVERY occurrence of the chosen pair (left to right)
+        val a = syms(bestAt); val b = syms(bestAt + 1); val m = a + b
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += m; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** Distributed encode: (idCol, n_words, n_subwords, subwords) — one
+    * codegen'd projection, zero shuffle. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             model: Model): DataFrame = {
+    val sub = graft.functions.BpeEncodeFun.bpeEncode(col(textCol), model.merges)
+    df.select(col(idCol),
+        size(filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0))
+          .as("n_words"),
+        sub.as("subwords"))
+      .select(col(idCol), col("n_words"),
+        size(col("subwords")).as("n_subwords"), col("subwords"))
+  }
+}

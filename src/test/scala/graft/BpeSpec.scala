@@ -1,0 +1,85 @@
+package graft
+
+import graft.text.Bpe
+
+/** Pins for the BPE trainer/encoder ([[graft.text.Bpe]]): the paper's
+  * classic fixture hand-derived merge by merge, deterministic
+  * tie-breaks, the greedy apply side (including the canonical
+  * "lowest" → low + est</w>), minPairCount stop, and refusals. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Sennrich et al. §3.2's corpus shape: {low:5, lower:2, newest:6,
+  // widest:3}. Hand-derived rounds (count ties break lexicographically):
+  //   r1: (e,s):9 (t,</w>):9 (es? no) tie {(e,s),(s,t),(t,</w>)} -> (e,s)
+  //   r2: (es,t):9 vs (t,</w>):9 -> "es" < "t" -> (es,t)
+  //   r3: (est,</w>):9 -> (est,</w>)
+  //   r4: (l,o):7 (o,w):7 -> (l,o)
+  //   r5: (lo,w):7 -> (lo,w)
+  private val classicCounts = Seq[(String, Long)](
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("the classic fixture derives the paper's merge sequence") {
+    val m = Bpe.trainFromCounts(classicCounts, numMerges = 5)
+    assert(m.merges == Vector(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("greedy encode: 'lowest' becomes low + est</w>") {
+    val m = Bpe.trainFromCounts(classicCounts, numMerges = 5)
+    val ranks = new java.util.HashMap[(String, String), Int]()
+    m.merges.zipWithIndex.foreach { case (p, i) => ranks.put(p, i) }
+    assert(Bpe.encodeWord("lowest", ranks).toSeq == Seq("low", "est</w>"))
+    // in-vocab word merges fully up to its subwords
+    assert(Bpe.encodeWord("newest", ranks).toSeq ==
+      Seq("n", "e", "w", "est</w>"))
+    // unseen characters stay single symbols
+    assert(Bpe.encodeWord("xyz", ranks).toSeq == Seq("x", "y", "z", "</w>"))
+    assert(Bpe.encodeWord("", ranks).isEmpty)
+  }
+
+  test("minPairCount stops the loop; numMerges caps it") {
+    // every pair occurs once -> below minPairCount=2 -> no merges
+    val m0 = Bpe.trainFromCounts(Seq(("abc", 1L)), numMerges = 10)
+    assert(m0.merges.isEmpty)
+    val m1 = Bpe.trainFromCounts(classicCounts, numMerges = 2)
+    assert(m1.merges == Vector(("e", "s"), ("es", "t")))
+  }
+
+  test("distributed train + native encode end to end") {
+    val corpus = Seq(
+      "low low low low low newest newest newest newest newest newest",
+      "lower lower widest widest widest", "").toDF("text")
+    val model = Bpe.train(corpus, "text", numMerges = 5)
+    assert(model.merges == Vector(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+    val enc = Bpe.encode(
+        Seq((1L, "Lowest  newest"), (2L, ""), (3L, "low")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_words") ->
+          r.getSeq[String](r.fieldIndex("subwords")).toList)).toMap
+    // case-folded by the tokenizer; two words -> concatenated subwords
+    assert(enc(1L)._2 == Seq("low", "est</w>", "n", "e", "w", "est</w>"))
+    assert(enc(1L)._1 == 2)
+    assert(enc(2L) == (0 -> Seq.empty))
+    assert(enc(3L)._2 == Seq("low", "</w>"))
+  }
+
+  test("the encode projection is shuffle-free") {
+    val model = Bpe.trainFromCounts(classicCounts, numMerges = 3)
+    val plan = Bpe.encode(Seq((1L, "low")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("refusals: bad numMerges/maxVocab/minPairCount, duplicate rules") {
+    val c = Seq(Tuple1("a b")).toDF("text")
+    intercept[IllegalArgumentException] { Bpe.train(c, "text", 0) }
+    intercept[IllegalArgumentException] { Bpe.train(c, "text", 1, maxVocab = 0) }
+    intercept[IllegalArgumentException] { Bpe.train(c, "text", 1, minPairCount = 0) }
+    intercept[IllegalArgumentException] {
+      Bpe.Model(Vector(("a", "b"), ("a", "b"))) }
+  }
+}
