@@ -55,7 +55,14 @@ object Dsir {
   /** (idCol, n_feats, log_weight): one row per input document. Docs with
     * no features (blank text) report n_feats 0 and a null weight — no
     * evidence of domain affinity either way, the [[LangModel.score]]
-    * convention. */
+    * convention.
+    *
+    * Cache lifecycle: the two feature-count tables are `.cache()`d for
+    * the build-side aggregates and the scoring joins and stay cached
+    * until the session drops them (Verify/Bench clear the cache between
+    * queries; API callers looping over many corpora should
+    * `spark.sharedState.cacheManager.clearCache()` or unpersist between
+    * fits — the [[LangModel.Lm.release]] discipline). */
   def logWeights(docs: DataFrame, idCol: String, textCol: String,
                  target: DataFrame, raw: DataFrame,
                  buckets: Option[Int] = None, alpha: Double = 1.0,
