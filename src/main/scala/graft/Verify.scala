@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[...] runs the whole gate under
+    // real executor JVMs (serialized closures, network shuffle) — the
+    // distributed-mode CORRECTNESS drive; see ScaleLadder for the
+    // matching perf rung. Requires SPARK_GRAFT_APP_JAR + SPARK_SCALA_VERSION.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // The synthetic parquet stamps timestamps isAdjustedToUTC=false;
@@ -17,7 +22,12 @@ object Verify {
       // values as an adjusted-to-UTC file would.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster")) {
+      val b = builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "20g"))
+      sys.env.get("SPARK_GRAFT_APP_JAR").map(j => b.config("spark.jars", j))
+        .getOrElse(b)
+    } else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -35,7 +35,7 @@ object NearDupQueries {
     * FINISHED sessions are swept once they are over an hour old (never
     * younger — a concurrent live run's dir must not be deleted under
     * it). */
-  private def scratchIndexDir(s: SparkSession, tag: String, dir: String): String = {
+  private[queries] def scratchIndexDir(s: SparkSession, tag: String, dir: String): String = {
     val base = new java.io.File(System.getProperty("java.io.tmpdir"))
     val prefix = s"graft-$tag-${Integer.toHexString(dir.hashCode)}-"
     val name = prefix + s.sparkContext.applicationId

@@ -357,6 +357,42 @@ object TextQueries {
       },
       None),
 
+    // The LM lifecycle under the gate: train on the trusted slice,
+    // PERSIST the count tables (manifest-tagged), re-open from disk, and
+    // score the crawl with the re-opened model — hash-checked against
+    // the SAME oracle as text_lm_score, so the persisted round trip is
+    // proven value-identical, not just readable.
+    Q("text_lm_persisted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val trained = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        val path = NearDupQueries.scratchIndexDir(s, "lmmodel", dir)
+        graft.text.LangModel.writeModel(trained, path)
+        trained.release()
+        val lm = graft.text.LangModel.readModel(s, path)
+        graft.text.LangModel.score(
+            docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", lm)
+          .orderBy("doc_id")
+      },
+      Some(s"$lmScoreOracleBody ORDER BY doc_id")),
+
+    // BPE lifecycle twin: train, persist the merge table, re-open, and
+    // encode with the re-opened model. Rows-only like bpe_train_encode
+    // (same reason); BpeSpec pins the round trip rule-for-rule.
+    Q("bpe_encode_persisted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val model = graft.text.Bpe.train(docs, "text", numMerges = 40)
+        val path = NearDupQueries.scratchIndexDir(s, "bpemodel", dir)
+        graft.text.Bpe.writeModel(s, model, path)
+        val reopened = graft.text.Bpe.readModel(s, path)
+        graft.text.Bpe.encode(docs, "doc_id", "text", reopened)
+          .select(col("doc_id"), col("n_words"), col("n_subwords"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // The distributed half of BPE training, oracle-checked: weighted
     // adjacent-symbol pair counts over the corpus word vocabulary
     // (chars + the </w> terminal) — exactly the table the trainer's

@@ -155,6 +155,65 @@ object Bpe {
     syms
   }
 
+  /** Persist a trained merge table — the "train the tokenizer once on a
+    * sample, ship it to the 100 TB encode pass" lifecycle. One tiny
+    * rank-ordered parquet + a format-tagged manifest written LAST (the
+    * [[graft.sim.Ivf.writeIndex]] completeness-marker convention). */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                 path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "first", "second")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    val json =
+      s"""{"format": "graft-bpe-v1", "num_merges": ${model.merges.size}, """ +
+        s""""end_of_word": "$EndOfWord"}"""
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-open a persisted merge table. Rank order restores the exact
+    * training order (BPE rules are meaningless unordered). Refusals:
+    * missing manifest, wrong format, rank-count mismatch against the
+    * manifest (a partially-copied merges file would otherwise encode
+    * silently differently). */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"$path/manifest.json is missing — not a persisted graft BPE model " +
+        "(or an interrupted write; re-create it with Bpe.writeModel)")
+    val in = fs.open(mp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m =
+      try {
+        val y = new org.yaml.snakeyaml.Yaml(
+          new org.yaml.snakeyaml.constructor.SafeConstructor(
+            new org.yaml.snakeyaml.LoaderOptions()))
+        y.load[java.util.Map[String, Object]](txt)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path/manifest.json is unreadable: ${e.getMessage}")
+      }
+    val format = String.valueOf(m.get("format"))
+    if (format != "graft-bpe-v1") throw new IllegalArgumentException(
+      s"$path holds format '$format', not a graft-bpe-v1 merge table")
+    val declared = String.valueOf(m.get("num_merges")).toInt
+    val rows = spark.read.parquet(s"$path/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("first"), r.getAs[String]("second")))
+    if (rows.length != declared) throw new IllegalArgumentException(
+      s"$path/merges holds ${rows.length} rules but the manifest declares " +
+        s"$declared — refusing a partially-copied model")
+    Model(rows.toVector)
+  }
+
   /** Distributed encode: (idCol, n_words, n_subwords, subwords) — one
     * codegen'd projection, zero shuffle. */
   def encode(df: DataFrame, idCol: String, textCol: String,

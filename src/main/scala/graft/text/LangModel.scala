@@ -156,4 +156,55 @@ object LangModel {
         coalesce(col("n_scored"), lit(0L)).as("n_scored"),
         col("avg_logprob"))
   }
+
+  /** Persist a trained LM — the "train once on the trusted slice, ship
+    * to every curation run" lifecycle (the [[graft.sim.Ivf.writeIndex]]
+    * conventions: frames first, manifest LAST as the completeness
+    * marker, format-tagged so a foreign dir refuses at open). */
+  def writeModel(lm: Lm, path: String): Unit = {
+    lm.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    val json =
+      s"""{"format": "graft-lm-v1", "total": ${lm.total}}"""
+    val spark = lm.unigrams.sparkSession
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-open a persisted LM without retraining. Count tables come back
+    * cached (score probes them per batch — the [[train]] posture);
+    * release with [[Lm.release]]. Refusals: missing manifest (an
+    * incomplete write never exposes one), wrong format tag. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Lm = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"$path/manifest.json is missing — not a persisted graft LM " +
+        "(or an interrupted write; re-create it with LangModel.writeModel)")
+    val in = fs.open(mp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m =
+      try {
+        // SafeConstructor, NOT the default constructor (shared-filesystem
+        // manifests must not instantiate classes from !! tags).
+        val y = new org.yaml.snakeyaml.Yaml(
+          new org.yaml.snakeyaml.constructor.SafeConstructor(
+            new org.yaml.snakeyaml.LoaderOptions()))
+        y.load[java.util.Map[String, Object]](txt)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path/manifest.json is unreadable: ${e.getMessage}")
+      }
+    val format = String.valueOf(m.get("format"))
+    if (format != "graft-lm-v1") throw new IllegalArgumentException(
+      s"$path holds format '$format', not a graft-lm-v1 language model")
+    val total = String.valueOf(m.get("total")).toLong
+    Lm(spark.read.parquet(s"$path/unigrams").cache(),
+      spark.read.parquet(s"$path/bigrams").cache(), total)
+  }
 }

@@ -74,6 +74,29 @@ class BpeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("persisted model round-trips rule-for-rule and refuses foreign dirs") {
+    val m = Bpe.trainFromCounts(classicCounts, numMerges = 5)
+    val path = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    Bpe.writeModel(spark, m, path)
+    assert(Bpe.readModel(spark, path).merges == m.merges)
+    // missing manifest = not a model (or interrupted write)
+    val empty = java.nio.file.Files.createTempDirectory("bpe-empty").toString
+    intercept[IllegalArgumentException] { Bpe.readModel(spark, empty) }
+    // wrong format tag refuses (drop the hadoop-local .crc sidecar so the
+    // hand-rewrite isn't masked by a checksum error)
+    def rewrite(json: String): Unit = {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, ".manifest.json.crc"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "manifest.json"), json): Unit
+    }
+    rewrite("""{"format": "graft-lm-v1", "total": 3}""")
+    intercept[IllegalArgumentException] { Bpe.readModel(spark, path) }
+    // rank-count mismatch (partially-copied merges) refuses
+    rewrite("""{"format": "graft-bpe-v1", "num_merges": 9, "end_of_word": "</w>"}""")
+    intercept[IllegalArgumentException] { Bpe.readModel(spark, path) }
+  }
+
   test("refusals: bad numMerges/maxVocab/minPairCount, duplicate rules") {
     val c = Seq(Tuple1("a b")).toDF("text")
     intercept[IllegalArgumentException] { Bpe.train(c, "text", 0) }

@@ -83,6 +83,29 @@ class LangModelSpec extends SparkSpec {
     model.release()
   }
 
+  test("persisted model scores identically after a write/release/re-open") {
+    val model = lm()
+    val docs = Seq((1L, "a b c"), (2L, "zz qq")).toDF("doc_id", "text")
+    val direct = LangModel.score(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("lm-model").toString
+    LangModel.writeModel(model, path)
+    model.release()
+    val reopened = LangModel.readModel(spark, path)
+    assert(LangModel.score(docs, "doc_id", "text", reopened)
+      .orderBy("doc_id").collect().toSeq == direct)
+    reopened.release()
+    // refusals: no manifest; foreign format tag
+    val empty = java.nio.file.Files.createTempDirectory("lm-empty").toString
+    intercept[IllegalArgumentException] { LangModel.readModel(spark, empty) }
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, ".manifest.json.crc"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "manifest.json"),
+      """{"format": "graft-bpe-v1", "num_merges": 2}""")
+    intercept[IllegalArgumentException] { LangModel.readModel(spark, path) }
+  }
+
   test("backoff and empty-reference misuse are refused") {
     val model = lm()
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
