@@ -336,6 +336,42 @@ object CorpusQueries {
       },
       Some(qualityPanelOracle)),
 
+    // The streaming curation gate, batch-degenerated under the oracle:
+    // quality + language + Gopher + the broadcast-kernel LM threshold as
+    // ONE stateless filter (the same call runs unchanged on a live
+    // stream — StreamingSpec drives it through a MemoryStream and pins
+    // stream ≡ batch). Hash-green here ALSO proves the per-row LM kernel
+    // against the SQL mirror on the composed gate.
+    Q("text_curation_gate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val lm = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        graft.streaming.StreamOps.curationGate(docs, "text",
+            minQuality = 0.3, lang = "en",
+            TextQueries.gopherCfg.copy(minStopHits = 1),
+            lm, minLogprob = LmGateMinLogprob)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text, ${TextQueries.qualityColsSql},
+                 ${TextQueries.langScoresSql}
+          FROM documents),
+        scored AS (
+          SELECT doc_id, text, ${TextQueries.qualityScoreSql} AS q,
+                 ${TextQueries.langCaseSql} AS lang
+          FROM t),
+        qg AS (SELECT doc_id, text FROM scored WHERE q >= 0.3 AND lang = 'en'),
+        ${TextQueries.gopherAuditCtesOver("qg", minStopHits = 1)},
+        gk AS (SELECT qg.doc_id, qg.text
+               FROM qg JOIN audit USING (doc_id) WHERE audit.keep = 1),
+        lmref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        ${TextQueries.lmScoreCtes("lmref", "gk")}
+        SELECT gk.doc_id FROM gk JOIN lmagg USING (doc_id)
+        WHERE lmagg.avg_logprob >= $LmGateMinLogprob
+        ORDER BY doc_id""")),
+
     // Bloom-runtime-filter variant: must be value-identical to the exact
     // path (same oracle) — the filter only prunes the shuffle, never the
     // result. fpp is deliberately coarse (0.05) to exercise the

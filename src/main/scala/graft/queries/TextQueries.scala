@@ -357,6 +357,22 @@ object TextQueries {
       },
       None),
 
+    // The third LM route under the gate: count tables collected into
+    // in-memory maps and shipped with the serialized LmScoreRow kernel —
+    // each doc scores in ONE projection, no join, no doc-keyed exchange
+    // (CCNet's operational shape, and what makes the gate streamable).
+    // Same oracle as text_lm_score: all three routes provably identical.
+    Q("text_lm_broadcast",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lm = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        graft.text.LangModel.scoreBroadcast(
+            docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", lm)
+          .orderBy("doc_id")
+      },
+      Some(s"$lmScoreOracleBody ORDER BY doc_id")),
+
     // The LM lifecycle under the gate: train on the trusted slice,
     // PERSIST the count tables (manifest-tagged), re-open from disk, and
     // score the crawl with the re-opened model — hash-checked against

@@ -185,6 +185,42 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Streaming curation gate: the engine's quality stack applied to a
+    * LIVE document stream — continuous-ingestion curation. Every gate is
+    * deliberately a stateless per-row projection, so the whole thing is
+    * one `filter` with no watermark, no output-mode constraint, and no
+    * state store: the composite quality score (fused kernel), the
+    * stopword language classifier, the seven Gopher structural rules,
+    * and — the one that NEEDS the design — the bigram-LM perplexity gate
+    * via [[graft.text.LangModel.scoreBroadcast]]'s per-row kernel (the
+    * join+aggregate LM routes would demand stateful streaming; the
+    * shipped-model route doesn't). Unscoreable docs (no LM evidence)
+    * fail the LM gate, the curation chain's convention. On a batch frame
+    * the same call degenerates to the identical one-pass filter —
+    * StreamingSpec pins stream ≡ batch on a real MemoryStream. */
+  def curationGate(docs: DataFrame, textCol: String,
+                   minQuality: Double, lang: String,
+                   gopherCfg: graft.text.GopherRules.Config,
+                   lm: graft.text.LangModel.Lm,
+                   minLogprob: Double,
+                   backoff: Double = 0.4): DataFrame = {
+    require(minLogprob < 0,
+      s"minLogprob=$minLogprob must be negative (avg conditioned " +
+        "log-probability — a perplexity-style positive threshold would " +
+        "drop the whole stream)")
+    val t = col(textCol)
+    val uniN = lm.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biN = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lmScore = graft.functions.LmScoreRow.lmScoreRow(
+      t, uniN, biN, lm.total, backoff)("avg_logprob")
+    docs.filter(
+      graft.text.TextAnalysis.qualityScore(t) >= minQuality &&
+        graft.text.TextAnalysis.languageId(t) === lang &&
+        graft.text.GopherRules.keepFlag(t, gopherCfg) &&
+        lmScore.isNotNull && lmScore >= minLogprob)
+  }
+
   /** Streaming first-touch funnel: per-user state tracks the furthest
     * step reached (strict ordering — step i counts only STRICTLY AFTER
     * the time step i-1 was reached, same contract as the batch

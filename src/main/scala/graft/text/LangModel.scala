@@ -157,6 +157,36 @@ object LangModel {
         col("avg_logprob"))
   }
 
+  /** The third scoring route: collect the count tables into in-memory
+    * maps (vocab-bounded — the broadcast-build eagerness; refuse beyond
+    * `maxTypes` rather than silently ballooning the plan) and score each
+    * document in ONE projection via the [[graft.functions.LmScoreRow]]
+    * kernel — no join, no aggregation exchange, nothing keyed by doc.
+    * Operationally this is CCNet's shape (the model ships to workers);
+    * structurally it is what makes the LM gate STREAMABLE, since a
+    * stateless projection needs no watermark or output mode. Values are
+    * identical to [[score]] (LangModelSpec pins all three routes; the
+    * driver oracle re-proves it at both scales). */
+  def scoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
+                     lm: Lm, backoff: Double = 0.4,
+                     maxTypes: Long = 20000000L): DataFrame = {
+    require(backoff > 0 && backoff <= 1, s"backoff=$backoff not in (0,1]")
+    require(lm.total > 0, "LM trained on an empty reference corpus")
+    val uniN = lm.unigrams.count(); val biN = lm.bigrams.count()
+    require(uniN + biN <= maxTypes,
+      s"LM has ${uniN + biN} types > maxTypes=$maxTypes — too large to " +
+        "ship in-memory; use score(hashKeys = true) (broadcast joins) instead")
+    val uni = lm.unigrams.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val s = graft.functions.LmScoreRow.lmScoreRow(
+      col(textCol), uni, bi, lm.total, backoff)
+    docs.select(col(idCol), s.as("_gf_s"))
+      .select(col(idCol), col("_gf_s.n_scored").as("n_scored"),
+        col("_gf_s.avg_logprob").as("avg_logprob"))
+  }
+
   /** Persist a trained LM — the "train once on the trusted slice, ship
     * to every curation run" lifecycle (the [[graft.sim.Ivf.writeIndex]]
     * conventions: frames first, manifest LAST as the completeness

@@ -83,6 +83,26 @@ class LangModelSpec extends SparkSpec {
     model.release()
   }
 
+  test("broadcast-kernel route is value-identical to the join route") {
+    val model = lm()
+    val docs = Seq((1L, "a b c"), (2L, "zz qq"), (3L, ""), (4L, "solo"),
+      (5L, "a b a b c zz")).toDF("doc_id", "text")
+    val joins = LangModel.score(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    val kernel = LangModel.scoreBroadcast(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    assert(kernel == joins)
+    // no exchange anywhere: the whole route is one projection
+    val plan = LangModel.scoreBroadcast(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    // an LM too large to ship refuses with the join-route pointer
+    intercept[IllegalArgumentException] {
+      LangModel.scoreBroadcast(docs, "doc_id", "text", model, maxTypes = 1)
+    }
+    model.release()
+  }
+
   test("persisted model scores identically after a write/release/re-open") {
     val model = lm()
     val docs = Seq((1L, "a b c"), (2L, "zz qq")).toDF("doc_id", "text")

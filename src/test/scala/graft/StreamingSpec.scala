@@ -87,6 +87,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(p => (p._1, p._2)).distinct.toSeq == batch.toSeq)
   }
 
+  test("curationGate filters a live stream and matches the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{GopherRules, LangModel}
+    val goodText =
+      "the quick brown fox and the lazy dog have to run with care that day"
+    val lm = LangModel.train(
+      Seq(Tuple1(goodText), Tuple1(goodText + " again")).toDF("text"), "text")
+    val cfg = GopherRules.Config(minWords = 5, minStopHits = 1)
+    val docs = Seq(
+      1L -> goodText,                                       // passes all
+      2L -> "qqq www eee rrr ttt yyy uuu the and of it",    // LM: OOV floor
+      3L -> "too few",                                      // gopher words
+      4L -> "der die das und ist ein nicht mit oder auch",  // language
+      5L -> "")                                             // blank: no evidence
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.curationGate(df, "text", minQuality = 0.0, lang = "en",
+        cfg, lm, minLogprob = -2.0)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = gate(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curation_gate")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curation_gate").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamed == Set(1L), s"stream gate kept: $streamed")
+
+    // batch degeneration: the SAME call on a batch frame, same verdicts
+    val batch = gate(docs.toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == streamed)
+
+    // the perplexity-sign typo refuses up front
+    intercept[IllegalArgumentException] {
+      StreamOps.curationGate(docs.toDF("doc_id", "text"), "text",
+        0.0, "en", cfg, lm, minLogprob = 2.0)
+    }
+    lm.release()
+  }
+
   test("dedupWithinWatermark drops in-watermark replays as a real stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
