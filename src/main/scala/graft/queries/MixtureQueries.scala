@@ -44,6 +44,46 @@ object MixtureQueries {
                    / CAST(n_tokens AS DOUBLE)) END) * 1e6 + 0.5) / 1e6 AS sample_rate
         FROM per_source, tot ORDER BY source""")),
 
+    // α-temperature mixture (XLM-R's multilingual up-sampling recipe):
+    // tempered weights q_i ∝ share_i^0.3 flatten the source distribution
+    // so low-resource sources up-sample; rates split half the corpus
+    // tokens by the tempered weights. pow on an already-dround'd share,
+    // weights through the dround + exact-decimal-sum discipline.
+    Q("corpus_mixture_temperature",
+      (s, dir) => Mixture.temperaturePlan(Tables.documents(s, dir),
+          "source", "text", alpha = 0.3, budgetFrac = 0.5)
+        .orderBy("source"),
+      Some(s"""
+        WITH per_source AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 sum($sqlTok) AS n_tokens
+          FROM documents GROUP BY source),
+        tot0 AS (SELECT sum(n_tokens) AS total FROM per_source),
+        shr AS (
+          SELECT source, n_docs, n_tokens,
+                 floor((CASE WHEN total = 0 THEN 0.0
+                   ELSE CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) END)
+                   * 1e6 + 0.5) / 1e6 AS token_share
+          FROM per_source, tot0),
+        sa AS (
+          SELECT *, floor(pow(token_share, 0.3) * 1e8 + 0.5) / 1e8 AS s_a
+          FROM shr),
+        zt AS (SELECT CAST(sum(CAST(s_a AS DECIMAL(38,8))) AS DOUBLE) AS z,
+                      sum(n_tokens) AS total
+               FROM sa),
+        wt AS (
+          SELECT source, n_docs, n_tokens, token_share,
+                 floor((CASE WHEN z = 0 THEN 0.0 ELSE s_a / z END)
+                   * 1e6 + 0.5) / 1e6 AS weight,
+                 total
+          FROM sa, zt)
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               token_share, weight,
+               floor((CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE least(1.0, 0.5 * CAST(total AS DOUBLE) * weight
+                   / CAST(n_tokens AS DOUBLE)) END) * 1e6 + 0.5) / 1e6 AS sample_rate
+        FROM wt ORDER BY source""")),
+
     // Sequence packing into 512-token bins, sharded by source.
     Q("pack_sequences",
       (s, dir) => Packing.packStats(

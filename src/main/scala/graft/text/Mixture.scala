@@ -51,4 +51,45 @@ object Mixture {
                 col("_gf_nsrc").cast(DoubleType)) / col("n_tokens").cast(DoubleType))), 6)
           .as("sample_rate"))
   }
+
+  /** α-temperature mixture (the multilingual up-sampling recipe —
+    * Conneau & Lample 2019 §3.1, XLM-R: q_i ∝ share_i^α): α < 1 flattens
+    * the distribution, up-sampling low-resource sources; α = 1
+    * degenerates to the natural token shares; α = 0 is uniform. Rates
+    * target `budgetFrac` of total corpus tokens split by the tempered
+    * weights: rate_i = min(1, budgetFrac·total·q_i / tokens_i).
+    *
+    * Same shape as [[plan]]: one corpus aggregation pass, then arithmetic
+    * on the dimension-sized per-source frame (the α-sum is a second
+    * aggregate over source rows, not corpus rows). Tempered weights go
+    * through dround + exact-decimal summation so the plan hashes
+    * identically cross-engine; `pow` is one libm call on an already-
+    * rounded share (the ln-in-the-LM-oracle precedent). */
+  def temperaturePlan(docs: DataFrame, sourceCol: String, textCol: String,
+                      alpha: Double = 0.3,
+                      budgetFrac: Double = 0.5): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha $alpha not in [0,1]")
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac $budgetFrac not in (0,1]")
+    val base = plan(docs, sourceCol, textCol, budgetFrac)
+      .select("source", "n_docs", "n_tokens", "token_share")
+    val tempered = base.withColumn("_gf_sa",
+      graft.Num.dround(pow(col("token_share"), lit(alpha)), 8))
+    val z = tempered.agg(
+      sum(col("_gf_sa").cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+        .cast(DoubleType).as("_gf_z"),
+      sum(col("n_tokens")).as("_gf_total"))
+    tempered.crossJoin(broadcast(z))
+      .withColumn("weight", graft.Num.dround(
+        when(col("_gf_z") === 0, lit(0.0))
+          .otherwise(col("_gf_sa") / col("_gf_z")), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("token_share"),
+        col("weight"),
+        graft.Num.dround(
+          when(col("n_tokens") === 0, lit(0.0)).otherwise(
+            least(lit(1.0),
+              lit(budgetFrac) * col("_gf_total").cast(DoubleType) * col("weight")
+                / col("n_tokens").cast(DoubleType))), 6)
+          .as("sample_rate"))
+  }
 }

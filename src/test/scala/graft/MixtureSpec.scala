@@ -60,6 +60,36 @@ class MixtureSpec extends SparkSpec {
     assert(out("a")._1 == 1.0)
   }
 
+  test("temperature plan: alpha flattens toward uniform, degenerates at 1") {
+    // 90/10 token split across two sources (9x "w" docs vs 1)
+    def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val df = Seq(("a", doc(90)), ("b", doc(10))).toDF("source", "text")
+    def planOf(alpha: Double) = Mixture.temperaturePlan(
+        df, "source", "text", alpha = alpha, budgetFrac = 0.5)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("token_share"), r.getAs[Double]("weight"),
+          r.getAs[Double]("sample_rate"))).toMap
+    // alpha = 1: weights are the natural shares (0.9 + 0.1 sums exactly)
+    val nat = planOf(1.0)
+    assert(nat("a")._2 == 0.9 && nat("b")._2 == 0.1)
+    // alpha = 0: uniform weights regardless of size
+    val uni = planOf(0.0)
+    assert(uni("a")._2 == 0.5 && uni("b")._2 == 0.5)
+    // alpha = 0.3: strictly between natural and uniform — the low-resource
+    // source up-samples (weight above its share, rate above natural rate)
+    val t = planOf(0.3)
+    assert(t("b")._2 > 0.1 && t("b")._2 < 0.5)
+    assert(t("a")._2 < 0.9 && t("a")._2 > 0.5)
+    assert(t("b")._3 > nat("b")._3)
+    // weights always sum to ~1
+    assert(math.abs(t.values.map(_._2).sum - 1.0) < 1e-5)
+    // refusals
+    intercept[IllegalArgumentException] {
+      Mixture.temperaturePlan(df, "source", "text", alpha = 1.5) }
+    intercept[IllegalArgumentException] {
+      Mixture.temperaturePlan(df, "source", "text", budgetFrac = 0.0) }
+  }
+
   test("vocab coverage is ranked, cumulative, and ends below or at 1") {
     val docs = Seq("a a a b b c", "a b d").map(Tuple1(_)).toDF("text")
     val out = Vocab.coverage(docs, "text", k = 3).orderBy("rank").collect()
