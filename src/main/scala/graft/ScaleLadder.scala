@@ -55,7 +55,11 @@ object ScaleCorpus {
     // shifted copies, silently merging rows across bands and corrupting
     // the ladder's "duplicates scale linearly" premise — refuse instead.
     def assertBand(df: DataFrame, idCol: String, band: Long, table: String): Unit = {
-      val mx = df.agg(max(col(idCol))).collect()(0).getLong(0)
+      // max over an empty table is SQL null — diagnose, don't NPE
+      val row = df.agg(max(col(idCol))).collect()(0)
+      require(!row.isNullAt(0),
+        s"$table is empty — cannot derive a ladder corpus from it")
+      val mx = row.getLong(0)
       require(mx < band,
         s"$table.$idCol max $mx >= band width $band — shifted copies " +
           "would collide; widen the band before deriving")

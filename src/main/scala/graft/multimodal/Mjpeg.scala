@@ -177,6 +177,13 @@ object Mjpeg {
       case None =>
         Seq(FrameStats(assetId, n, ok = false, None, None, None, None,
           None, None, None, None, None))
+      // A well-formed AVI whose movi list holds no '##dc' chunks: the
+      // asset must still be represented in the output (the refusal-row
+      // discipline — no input vanishes), as one ok=false row that says
+      // "container fine, zero frames" via n_frames = Some(0).
+      case Some(ranges) if ranges.isEmpty =>
+        Seq(FrameStats(assetId, n, ok = false, Some(0), None, None, None,
+          None, None, None, None, None))
       case Some(ranges) =>
         val total = ranges.length
         ranges.zipWithIndex.collect {

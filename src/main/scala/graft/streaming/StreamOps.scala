@@ -203,15 +203,17 @@ object StreamOps {
                    gopherCfg: graft.text.GopherRules.Config,
                    lm: graft.text.LangModel.Lm,
                    minLogprob: Double,
-                   backoff: Double = 0.4): DataFrame = {
+                   backoff: Double = 0.4,
+                   maxTypes: Long = 20000000L): DataFrame = {
     require(minLogprob < 0,
       s"minLogprob=$minLogprob must be negative (avg conditioned " +
         "log-probability — a perplexity-style positive threshold would " +
         "drop the whole stream)")
     val t = col(textCol)
-    val uniN = lm.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val biN = lm.bigrams.collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // Shared guarded collect (LangModel.collectTables): an oversized LM
+    // refuses with the join-route pointer instead of OOMing the driver —
+    // the same bound scoreBroadcast enforces for this identical shape.
+    val (uniN, biN) = graft.text.LangModel.collectTables(lm, maxTypes)
     val lmScore = graft.functions.LmScoreRow.lmScoreRow(
       t, uniN, biN, lm.total, backoff)("avg_logprob")
     docs.filter(

@@ -60,13 +60,25 @@ object Dsir {
     * Cache lifecycle: the two feature-count tables are `.cache()`d for
     * the build-side aggregates and the scoring joins and stay cached
     * until the session drops them (Verify/Bench clear the cache between
-    * queries; API callers looping over many corpora should
-    * `spark.sharedState.cacheManager.clearCache()` or unpersist between
-    * fits — the [[LangModel.Lm.release]] discipline). */
+    * queries); API callers looping over many corpora should use
+    * [[logWeightsManaged]] and `release()` after materializing — the
+    * [[LangModel.Lm.release]] discipline. */
   def logWeights(docs: DataFrame, idCol: String, textCol: String,
                  target: DataFrame, raw: DataFrame,
                  buckets: Option[Int] = None, alpha: Double = 1.0,
-                 maxBroadcastFeatures: Long = 5000000L): DataFrame = {
+                 maxBroadcastFeatures: Long = 5000000L): DataFrame =
+    logWeightsManaged(docs, idCol, textCol, target, raw, buckets, alpha,
+      maxBroadcastFeatures).frame
+
+  /** Weight frame plus the release handle for the two cached
+    * feature-count tables the fit built. */
+  final case class Weights(frame: DataFrame, release: () => Unit)
+
+  /** [[logWeights]] with the cache release handle exposed. */
+  def logWeightsManaged(docs: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, raw: DataFrame,
+                 buckets: Option[Int] = None, alpha: Double = 1.0,
+                 maxBroadcastFeatures: Long = 5000000L): Weights = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     buckets.foreach(b => require(b > 0, s"buckets must be > 0, got $b"))
 
@@ -112,10 +124,11 @@ object Dsir {
       Num.dround(
         sum(col("_gf_lr").cast(DecimalType(38, 6))).cast(DoubleType), 4)
         .as("log_weight"))
-    docs.select(col(idCol))
+    val frame = docs.select(col(idCol))
       .join(agg, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         col("log_weight"))
+    Weights(frame, () => { tc.unpersist(false); rc.unpersist(false); () })
   }
 
   /** The resampling step, deterministic form: keep the `k` documents

@@ -40,6 +40,12 @@ object LangModel {
     * `total`: reference token count (the one driver-side scalar — a 1-row
     * aggregate). Both frames cached: the LM is probed per scored batch. */
   final case class Lm(unigrams: DataFrame, bigrams: DataFrame, total: Long) {
+    /** Type counts, memoized: broadcast sizing and the in-memory-route
+      * guard both need them, and a config-chain run scoring many corpora
+      * against ONE cached LM should pay the two count jobs once, not per
+      * scoring call. */
+    lazy val uniTypes: Long = unigrams.count()
+    lazy val biTypes: Long = bigrams.count()
     def release(): Unit = {
       unigrams.unpersist(false)
       bigrams.unpersist(false)
@@ -115,18 +121,16 @@ object LangModel {
             col("_gf_cw").as("_gf_cprev")), Seq("_gf_prev"), "left")
           .join(lm.unigrams, Seq("_gf_w"), "left")
       else {
-        val uniTypes = lm.unigrams.count()
-        val biTypes = lm.bigrams.count()
         def sized(d: DataFrame, types: Long): DataFrame =
           if (types <= maxBroadcastTypes) broadcast(d) else d
         val bi = sized(lm.bigrams.select(
           xxhash64(col("_gf_prev"), col("_gf_w")).as("_gf_bk"),
-          col("_gf_cb")), biTypes)
+          col("_gf_cb")), lm.biTypes)
         val prev = sized(lm.unigrams.select(
           xxhash64(col("_gf_w")).as("_gf_pk"),
-          col("_gf_cw").as("_gf_cprev")), uniTypes)
+          col("_gf_cw").as("_gf_cprev")), lm.uniTypes)
         val uni = sized(lm.unigrams.select(
-          xxhash64(col("_gf_w")).as("_gf_wk"), col("_gf_cw")), uniTypes)
+          xxhash64(col("_gf_w")).as("_gf_wk"), col("_gf_cw")), lm.uniTypes)
         pairs
           .withColumn("_gf_bk", xxhash64(col("_gf_prev"), col("_gf_w")))
           .withColumn("_gf_pk", xxhash64(col("_gf_prev")))
@@ -172,19 +176,32 @@ object LangModel {
                      maxTypes: Long = 20000000L): DataFrame = {
     require(backoff > 0 && backoff <= 1, s"backoff=$backoff not in (0,1]")
     require(lm.total > 0, "LM trained on an empty reference corpus")
-    val uniN = lm.unigrams.count(); val biN = lm.bigrams.count()
-    require(uniN + biN <= maxTypes,
-      s"LM has ${uniN + biN} types > maxTypes=$maxTypes — too large to " +
-        "ship in-memory; use score(hashKeys = true) (broadcast joins) instead")
-    val uni = lm.unigrams.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bi = lm.bigrams.collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val (uni, bi) = collectTables(lm, maxTypes)
     val s = graft.functions.LmScoreRow.lmScoreRow(
       col(textCol), uni, bi, lm.total, backoff)
     docs.select(col(idCol), s.as("_gf_s"))
       .select(col(idCol), col("_gf_s.n_scored").as("n_scored"),
         col("_gf_s.avg_logprob").as("avg_logprob"))
+  }
+
+  /** Collect the count tables into driver maps for the in-memory kernel
+    * route — THE single owner of the "is this LM small enough to ship?"
+    * guard, shared by [[scoreBroadcast]] and the streaming
+    * [[graft.streaming.StreamOps.curationGate]] (which used to duplicate
+    * the collect unguarded: an oversized reference LM must refuse with a
+    * pointer to the join route, never OOM the driver). Type counts come
+    * off [[Lm]]'s memoized sizes. */
+  def collectTables(lm: Lm, maxTypes: Long = 20000000L)
+      : (Map[String, Long], Map[(String, String), Long]) = {
+    require(lm.uniTypes + lm.biTypes <= maxTypes,
+      s"LM has ${lm.uniTypes + lm.biTypes} types > maxTypes=$maxTypes — " +
+        "too large to ship in-memory; use score(hashKeys = true) " +
+        "(broadcast joins) instead")
+    val uni = lm.unigrams.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    (uni, bi)
   }
 
   /** Persist a trained LM — the "train once on the trusted slice, ship
@@ -207,7 +224,14 @@ object LangModel {
   /** Re-open a persisted LM without retraining. Count tables come back
     * cached (score probes them per batch — the [[train]] posture);
     * release with [[Lm.release]]. Refusals: missing manifest (an
-    * incomplete write never exposes one), wrong format tag. */
+    * incomplete write never exposes one), wrong format tag, and a
+    * unigram table whose recomputed total disagrees with the manifest's
+    * — a partially-copied table would otherwise open fine and then
+    * either NPE in the kernel route's bigram branch (a bigram whose
+    * prev unigram vanished) or silently skew every score in the join
+    * route ([[graft.text.Bpe.readModel]]'s rank-count discipline; the
+    * one open-time aggregate is the IvfPq persisted-index cross-check
+    * precedent). */
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Lm = {
     val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -234,7 +258,16 @@ object LangModel {
     if (format != "graft-lm-v1") throw new IllegalArgumentException(
       s"$path holds format '$format', not a graft-lm-v1 language model")
     val total = String.valueOf(m.get("total")).toLong
-    Lm(spark.read.parquet(s"$path/unigrams").cache(),
-      spark.read.parquet(s"$path/bigrams").cache(), total)
+    val unigrams = spark.read.parquet(s"$path/unigrams").cache()
+    val bigrams = spark.read.parquet(s"$path/bigrams").cache()
+    val recomputed = Option(unigrams.agg(sum(col("_gf_cw"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (recomputed != total) {
+      unigrams.unpersist(false); bigrams.unpersist(false)
+      throw new IllegalArgumentException(
+        s"$path/unigrams sums to $recomputed tokens but the manifest " +
+          s"declares $total — refusing a partially-copied model")
+    }
+    Lm(unigrams, bigrams, total)
   }
 }

@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object QualityPanel {
 
+  /** Audit frame plus the release handle for the bigram LM the audit
+    * trained (its two count tables are `.cache()`d for the scoring
+    * joins — the [[graft.pipeline.Pipeline.Result]] discipline). Call
+    * `release()` once the frame is materialized; repeated [[audit]]
+    * calls without it accumulate pinned cached tables until the
+    * session cache is cleared wholesale. */
+  final case class Result(frame: DataFrame, release: () => Unit)
+
   /** @param corpus  documents to audit: idCol + textCol
     * @param bench   benchmark suite for the contamination gate
     * @param lmRef   trusted reference slice the bigram LM trains on
@@ -52,7 +60,19 @@ object QualityPanel {
             minLmLogprob: Double = -6.0,
             maxOverlapFrac: Double = 0.1,
             n: Int = 8,
-            hashKeys: Boolean = false): DataFrame = {
+            hashKeys: Boolean = false): DataFrame =
+    auditManaged(corpus, bench, lmRef, idCol, textCol, gopherCfg,
+      minLmLogprob, maxOverlapFrac, n, hashKeys).frame
+
+  /** [[audit]] with the trained LM's release handle exposed — the route
+    * for callers auditing many corpora in one session. */
+  def auditManaged(corpus: DataFrame, bench: DataFrame, lmRef: DataFrame,
+                   idCol: String, textCol: String,
+                   gopherCfg: GopherRules.Config = GopherRules.Config(),
+                   minLmLogprob: Double = -6.0,
+                   maxOverlapFrac: Double = 0.1,
+                   n: Int = 8,
+                   hashKeys: Boolean = false): Result = {
     val base = corpus.select(col(idCol),
       GopherRules.keepFlag(col(textCol), gopherCfg).cast("int").as("gopher_keep"))
     val lm = LangModel.train(lmRef, textCol)
@@ -60,7 +80,7 @@ object QualityPanel {
         lm, hashKeys = hashKeys)
       .select(col(idCol), col("avg_logprob"))
     val overlap = CorpusOps.overlapFraction(corpus, bench, idCol, textCol, n)
-    base
+    val frame = base
       .join(scored, Seq(idCol), "left")
       .join(overlap, Seq(idCol), "left")
       .select(col(idCol), col("gopher_keep"), col("avg_logprob"),
@@ -73,5 +93,6 @@ object QualityPanel {
       .withColumn("keep",
         (col("gopher_keep") === 1 && col("lm_keep") === 1 &&
           col("decon_keep") === 1).cast("int"))
+    Result(frame, () => lm.release())
   }
 }

@@ -70,4 +70,15 @@ class DsirSpec extends SparkSpec {
       Dsir.logWeights(c, "doc_id", "text",
         Seq(Tuple1("")).toDF("text"), raw) }
   }
+
+  test("logWeightsManaged releases the fit's cached count tables") {
+    spark.sharedState.cacheManager.clearCache()
+    val c = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val w = Dsir.logWeightsManaged(c, "doc_id", "text", target, raw)
+    assert(w.frame.count() == 1)
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    w.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must drop the fit's cached feature-count tables")
+  }
 }

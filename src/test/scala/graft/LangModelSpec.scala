@@ -126,6 +126,25 @@ class LangModelSpec extends SparkSpec {
     intercept[IllegalArgumentException] { LangModel.readModel(spark, path) }
   }
 
+  test("a partially-copied unigram table refuses at open, not at score time") {
+    val model = lm()
+    val path = java.nio.file.Files.createTempDirectory("lm-trunc").toString
+    LangModel.writeModel(model, path)
+    // Simulate a partial copy: drop one unigram row and re-write the
+    // table in place. The manifest still declares the full total, so the
+    // open-time cross-check must refuse (before a bigram whose prev
+    // unigram vanished can NPE the kernel route or skew the join route).
+    val truncated = spark.read.parquet(s"$path/unigrams")
+      .orderBy("_gf_w").limit(1).collect()
+    val schema = spark.read.parquet(s"$path/unigrams").schema
+    spark.createDataFrame(
+        java.util.Arrays.asList(truncated: _*), schema)
+      .write.mode("overwrite").parquet(s"$path/unigrams")
+    val e = intercept[IllegalArgumentException] { LangModel.readModel(spark, path) }
+    assert(e.getMessage.contains("manifest declares"))
+    model.release()
+  }
+
   test("backoff and empty-reference misuse are refused") {
     val model = lm()
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")

@@ -72,9 +72,13 @@ class MjpegSpec extends SparkSpec {
     assert(refused(noMovi))
   }
 
-  test("empty movi list yields zero sampled frames, not a refusal") {
+  test("empty movi list emits one zero-frame row, so the asset never vanishes") {
     val avi = Mjpeg.encodeAvi(16, 16, fps = 5, frames = Seq.empty)
-    assert(Mjpeg.sampleFrames(3L, avi, stride = 1).isEmpty)
+    val rows = Mjpeg.sampleFrames(3L, avi, stride = 1)
+    assert(rows.length == 1)
+    assert(!rows.head.ok)
+    assert(rows.head.n_frames.contains(0))   // container fine, zero frames
+    assert(rows.head.frame_idx.isEmpty)
   }
 
   test("the batch op is shuffle-free") {

@@ -91,4 +91,18 @@ class QualityPanelSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(run(false) == run(true))
   }
+
+  test("auditManaged releases the trained LM's cached tables") {
+    spark.sharedState.cacheManager.clearCache()
+    val corpus = Seq((1L, goodText)).toDF("doc_id", "text")
+    val r = QualityPanel.auditManaged(corpus,
+      Seq((100L, "unrelated bench")).toDF("doc_id", "text"),
+      Seq(Tuple1(goodText)).toDF("text"),
+      "doc_id", "text", GopherRules.Config(minWords = 5, minStopHits = 1))
+    assert(r.frame.count() == 1)
+    assert(!spark.sharedState.cacheManager.isEmpty)  // LM tables pinned
+    r.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must drop the audit's cached LM tables")
+  }
 }

@@ -126,6 +126,14 @@ class StreamingSpec extends SparkSpec {
       StreamOps.curationGate(docs.toDF("doc_id", "text"), "text",
         0.0, "en", cfg, lm, minLogprob = 2.0)
     }
+    // an LM too large to ship in-memory refuses with the join-route
+    // pointer (the shared LangModel.collectTables guard) instead of
+    // collecting unbounded tables into the driver
+    val tooBig = intercept[IllegalArgumentException] {
+      StreamOps.curationGate(docs.toDF("doc_id", "text"), "text",
+        0.0, "en", cfg, lm, minLogprob = -2.0, maxTypes = 1)
+    }
+    assert(tooBig.getMessage.contains("hashKeys"))
     lm.release()
   }
 
