@@ -52,6 +52,13 @@ object Bench {
       clearCaches()
     }
 
+    // Per query: (min, median, sample count). The min is the headline
+    // (one-sided-noise steady-state estimator, as above); the median
+    // rides along in the DETAIL artifact so ambient load is visible in
+    // the artifact itself — a med/min ratio near 1 says the machine was
+    // quiet, a large one says the absolute numbers carry weather
+    // (the r9 round-over-round comparison needed loadavg archaeology to
+    // establish exactly this).
     val results = regs.map { q =>
       System.gc()
       def sample(): Option[Double] = {
@@ -62,11 +69,19 @@ object Bench {
       var samples = (1 to iters).flatMap(_ => sample())
       if (samples.nonEmpty && samples.min < 1.0)
         samples = samples ++ (1 to 2).flatMap(_ => sample())
-      val t = if (samples.isEmpty) -1.0 else samples.min
+      val stats =
+        if (samples.isEmpty) (-1.0, -1.0, 0)
+        else {
+          val s = samples.sorted
+          val med =
+            if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+          (s.head, med, s.size)
+        }
       clearCaches()
-      q.name -> t
+      q.name -> stats
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // The harness that reads this output keeps only the TAIL of stdout
     // (observed: last 2000 chars) and parses the JSON line out of that
     // window — a long line whose head falls outside the window is
@@ -86,8 +101,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Detail entries carry the variance column: {"min":…,"med":…,"n":…}.
+    val detail = results.map { case (k, (mn, md, n)) =>
+      s"\"" + k + s"\":{\"min\":$mn,\"med\":$md,\"n\":$n}"
+    }.mkString("{", ",", "}")
     // Machine-load fingerprint, so a reader can separate code from climate
     // without round-over-round archaeology: /proc/loadavg is
     // "l1 l5 l15 running/total lastpid". A clean idle run has l1 well
@@ -113,11 +130,12 @@ object Bench {
     } catch {
       case e: Exception => System.err.println(s"[bench] detail artifact write failed: $e")
     }
-    val full = line(results)
+    val mins = results.map { case (k, (mn, _, _)) => k -> mn }
+    val full = line(mins)
     val out =
       if (full.length <= 1900) full
       else {
-        val slowestFirst = results.sortBy(-_._2)
+        val slowestFirst = mins.sortBy(-_._2)
         var budget = 1900 - line(Nil).length
         val kept = slowestFirst.takeWhile { case (k, v) =>
           val cost = k.length + fmt(v).length + 4
@@ -125,7 +143,7 @@ object Bench {
           if (ok) budget -= cost
           ok
         }.map(_._1).toSet
-        line(results.filter(r => kept(r._1)))
+        line(mins.filter(r => kept(r._1)))
       }
     println(out)
     spark.stop()

@@ -188,4 +188,38 @@ object Components {
       .select(col("id").as("_gf_loser"))
     df.join(losers, df(idCol) === col("_gf_loser"), "left_anti")
   }
+
+  /** Keep the BEST document per connected component — argmax of
+    * `scoreCol` with min-id tie-break — instead of [[dedupByComponent]]'s
+    * positional min-id pick: real curation keeps the highest-quality copy
+    * of a near-dup cluster, not whichever crawled first. Docs in no pair
+    * are kept unconditionally.
+    *
+    * Scale shape: the winner per component is ONE keyed aggregate
+    * (`min_by` on the (−score, id) total order — map-side combined, so a
+    * boilerplate mega-component contributes partial argmaxes, never a
+    * window's single-reducer pile-up), and only (id, component, score)
+    * triples ever move — the documents' text rides the final anti-join
+    * untouched. */
+  def dedupByComponentBest(df: DataFrame, idCol: String, scoreCol: String,
+                           pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val labeled = componentLabels(pairs, maxIter)
+      .join(df.select(col(idCol).as("_gf_sid"),
+          col(scoreCol).cast("double").as("_gf_score")),
+        col("id") === col("_gf_sid"), "left")
+      // A pair id absent from df (or a null score) must not win by
+      // becoming an unordered null — rank it strictly below every real
+      // score so some present doc represents the component.
+      .select(col("id"), col("component"),
+        coalesce(col("_gf_score"), lit(Double.NegativeInfinity)).as("_gf_score"))
+    val winners = labeled
+      .groupBy(col("component"))
+      .agg(min_by(col("id"),
+        struct((-col("_gf_score")).as("neg"), col("id"))).as("_gf_winner"))
+    val losers = labeled
+      .join(winners, Seq("component"))
+      .filter(col("id") =!= col("_gf_winner"))
+      .select(col("id").as("_gf_loser"))
+    df.join(losers, df(idCol) === col("_gf_loser"), "left_anti")
+  }
 }

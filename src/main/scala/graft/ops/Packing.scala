@@ -42,4 +42,20 @@ object Packing {
         graft.Num.dround(sum(toks).cast("double") / lit(budget.toDouble), 4)
           .as("fill_frac"))
   }
+
+  /** Tokenizer-consistent packing: bin documents by the token count the
+    * TRAINER will actually see — per-doc subword counts from the
+    * codegen'd [[graft.functions.BpeEncode]] under a trained/persisted
+    * BPE model — instead of a caller-supplied whitespace count column. A
+    * whitespace-budget plan under-counts prose ~1.3× (code/CJK far
+    * worse), so its bins overflow the trainer's context window. Same
+    * per-shard window shape as [[packStats]]; the encode is one more
+    * codegen'd projection on the scan, no extra shuffle. */
+  def packStatsBpe(df: org.apache.spark.sql.DataFrame, shardCol: String,
+                   idCol: String, textCol: String,
+                   model: graft.text.Bpe.Model, budget: Long): org.apache.spark.sql.DataFrame =
+    packStats(
+      df.withColumn("_gf_bpe_tok",
+        size(graft.functions.BpeEncodeFun.bpeEncode(col(textCol), model.merges))),
+      shardCol, idCol, "_gf_bpe_tok", budget)
 }

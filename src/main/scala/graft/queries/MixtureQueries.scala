@@ -109,6 +109,98 @@ object MixtureQueries {
                floor((CAST(sum(n_tok) AS DOUBLE) / 512.0) * 1e4 + 0.5) / 1e4 AS fill_frac
         FROM b GROUP BY source, bin ORDER BY source, bin""")),
 
+    // Tokenizer-consistent packing under an ENGINE-TRAINED BPE model:
+    // bins are denominated in the subword units the trainer consumes
+    // (whitespace counts under-count prose ~1.3×, so whitespace-budget
+    // bins overflow the context window). Rows-only (engine-trained merge
+    // table — the bpe_train_encode precedent); pack_sequences_bpe_handed
+    // hash-checks the same algebra and PackingSpec byte-pins the
+    // persisted-model round trip.
+    Q("pack_sequences_bpe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.text.Bpe.train(
+          docs.select("doc_id", "text"), "text", numMerges = 40)
+        Packing.packStatsBpe(docs.select("doc_id", "source", "text"),
+            "source", "doc_id", "text", model, budget = 2048)
+          .orderBy("source", "bin")
+      },
+      None),
+
+    // The same BPE packing HASH-CHECKED under the handed two-rule merge
+    // table (TextQueries.handedBpe): per-word subword cost has a closed
+    // replace()-arithmetic form, summed per doc, then the exact
+    // pack_sequences window/bin/aggregate chain.
+    Q("pack_sequences_bpe_handed",
+      (s, dir) => Packing.packStatsBpe(
+          Tables.documents(s, dir).select("doc_id", "source", "text"),
+          "source", "doc_id", "text", TextQueries.handedBpe, budget = 2048)
+        .orderBy("source", "bin"),
+      Some(s"""
+        WITH wrd AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents),
+        pc AS (
+          SELECT doc_id,
+                 sum(${TextQueries.sqlHandedBpeCost("w")}) AS n_tok
+          FROM wrd GROUP BY 1),
+        d AS (
+          SELECT doc.doc_id, doc.source,
+                 CAST(coalesce(pc.n_tok, 0) AS BIGINT) AS n_tok
+          FROM documents doc LEFT JOIN pc ON pc.doc_id = doc.doc_id),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id, n_tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d),
+        b AS (SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+                     n_tok
+              FROM c)
+        SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               floor((CAST(sum(n_tok) AS DOUBLE) / 2048.0) * 1e4 + 0.5) / 1e4 AS fill_frac
+        FROM b GROUP BY source, bin ORDER BY source, bin""")),
+
+    // Mixture planning with the token budget denominated in BPE subwords
+    // (the tokenCount lane) — HASH-CHECKED under the handed merge table.
+    // The plan's shares/rates shift against corpus_mixture exactly where
+    // a source's subword-per-word rate differs from the corpus mean —
+    // the misallocation the whitespace lane can't see.
+    Q("corpus_mixture_bpe",
+      (s, dir) => Mixture.plan(Tables.documents(s, dir), "source", "text",
+          budgetFrac = 0.5,
+          tokenCount = t => size(graft.functions.BpeEncodeFun.bpeEncode(
+            t, TextQueries.handedBpe.merges)))
+        .orderBy("source"),
+      Some(s"""
+        WITH wrd AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents),
+        pc AS (
+          SELECT doc_id,
+                 sum(${TextQueries.sqlHandedBpeCost("w")}) AS n_tok
+          FROM wrd GROUP BY 1),
+        d AS (
+          SELECT doc.source, CAST(coalesce(pc.n_tok, 0) AS BIGINT) AS n_tok
+          FROM documents doc LEFT JOIN pc ON pc.doc_id = doc.doc_id),
+        per_source AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 sum(n_tok) AS n_tokens
+          FROM d GROUP BY source),
+        tot AS (SELECT sum(n_tokens) AS total, CAST(count(*) AS BIGINT) AS nsrc
+                FROM per_source)
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               floor((CASE WHEN total = 0 THEN 0.0
+                 ELSE CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS token_share,
+               floor((CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE least(1.0, (0.5 * CAST(total AS DOUBLE) / CAST(nsrc AS DOUBLE))
+                   / CAST(n_tokens AS DOUBLE)) END) * 1e6 + 0.5) / 1e6 AS sample_rate
+        FROM per_source, tot ORDER BY source""")),
+
     // Vocabulary coverage: top-50 terms + cumulative corpus-token share.
     Q("vocab_coverage",
       (s, dir) => Vocab.coverage(Tables.documents(s, dir), "text", k = 50)

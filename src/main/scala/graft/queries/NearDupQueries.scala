@@ -207,6 +207,58 @@ object NearDupQueries {
         SELECT u AS id, min(r) AS component FROM walk GROUP BY u
         ORDER BY id""")),
 
+    // Keep-BEST-per-component policy (r10): real curation keeps the
+    // highest-quality member of a near-dup cluster, not the min id.
+    // Same deterministic pair graph as dedup_components_oracle; the
+    // score is length(text) (SQL-mirrorable), argmax per component with
+    // min-id tie-break via one map-side-combined min_by aggregate (no
+    // window). The oracle extends the recursive-CTE fixpoint with a
+    // row_number argmax over the same (score desc, id) total order.
+    Q("dedup_components_best",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).as("_gf_q"))
+        val chain = d.filter(col("doc_id") % 10 < 3)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        val bridge = d.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+        graft.dedup.Components.dedupByComponentBest(
+            d, "doc_id", "_gf_q", chain.unionByName(bridge))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE
+          pairs AS (
+            SELECT doc_id AS id_a, doc_id + 1 AS id_b
+            FROM documents WHERE doc_id % 10 < 3
+            UNION ALL
+            SELECT doc_id AS id_a, doc_id + 10 AS id_b
+            FROM documents WHERE doc_id % 50 = 0),
+          edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs),
+          walk(u, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.u, e.v FROM walk w JOIN edges e ON w.r = e.u),
+          comp AS (SELECT u AS id, min(r) AS component FROM walk GROUP BY u),
+          scored AS (
+            SELECT c.id, c.component, length(d.text) AS score
+            FROM comp c JOIN documents d ON d.doc_id = c.id),
+          win AS (
+            SELECT component, id AS winner FROM (
+              SELECT component, id, row_number() OVER (
+                PARTITION BY component ORDER BY score DESC, id) AS rn
+              FROM scored) WHERE rn = 1),
+          losers AS (
+            SELECT s.id FROM scored s
+            JOIN win w ON s.component = w.component
+            WHERE s.id <> w.winner)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id""")),
+
     // Exact top-10 per query, HASH-CHECKED: VecCosine's sequential double
     // accumulation over float inputs is bit-identical to DuckDB's
     // list_dot_product over CAST(... AS DOUBLE[]) (float×float promoted to

@@ -613,8 +613,165 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id"),
       Some(s"""
         $gopherAuditSql
-        SELECT doc_id FROM audit WHERE keep = 1 ORDER BY doc_id"""))
+        SELECT doc_id FROM audit WHERE keep = 1 ORDER BY doc_id""")),
+
+    // Tokenizer-consistent chunking under an ENGINE-TRAINED BPE model —
+    // the budget is denominated in the subword units the trainer sees,
+    // not whitespace words. Rows-only (the iterative merge loop has no
+    // ANSI form — the bpe_train_encode precedent); the algebra is
+    // hash-checked by text_chunk_bpe_handed and the persisted round trip
+    // is byte-pinned in ChunkingSpec.
+    Q("text_chunk_bpe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val model = graft.text.Bpe.train(docs, "text", numMerges = 40)
+        graft.text.Chunking.chunkBpe(docs, "doc_id", "text", model,
+            budget = 128)
+          .orderBy("doc_id", "chunk_id")
+      },
+      None),
+
+    // The same chunker HASH-CHECKED under a handed two-rule merge table
+    // (the Pq handed-codebook precedent): rules (t,h) and (e,r) have
+    // disjoint single-char sides, so greedy BPE has the closed form
+    // |w|+1 − occ("th") − occ("er") per word — SQL-expressible via
+    // replace(), the full cumsum/bucket/densify pipeline mirrored in
+    // window SQL.
+    Q("text_chunk_bpe_handed",
+      (s, dir) => graft.text.Chunking.chunkBpe(
+          Tables.documents(s, dir), "doc_id", "text", handedBpe,
+          budget = 128)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""
+        WITH wl AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> length(x) > 0) AS ws
+          FROM documents WHERE length(trim(text)) > 0),
+        wrd AS (
+          SELECT doc_id, unnest(ws) AS word,
+                 unnest(generate_series(1, len(ws))) AS i
+          FROM wl),
+        wc AS (
+          SELECT doc_id, i, word,
+                 ${sqlHandedBpeCost("lower(word)")} AS cost
+          FROM wrd),
+        cum AS (
+          SELECT doc_id, i, word, cost,
+                 sum(cost) OVER (PARTITION BY doc_id ORDER BY i) AS c
+          FROM wc),
+        bk AS (
+          SELECT doc_id, i, word, cost,
+                 CAST(floor((c - cost) / 128.0) AS BIGINT) AS b
+          FROM cum),
+        dn AS (
+          SELECT doc_id, i, word, cost,
+                 dense_rank() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS cid
+          FROM bk)
+        SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+               string_agg(word, ' ' ORDER BY i) AS chunk_text,
+               CAST(count(*) AS INT) AS n_words,
+               CAST(sum(cost) AS BIGINT) AS n_tokens
+        FROM dn GROUP BY doc_id, cid
+        ORDER BY doc_id, chunk_id""")),
+
+    // fastText-style quality scoring (Joulin et al. 2016) under a HANDED
+    // string-keyed weight table — the CCNet/GPT-3 gate family's inference
+    // path, hash-checked end to end: grams explode + broadcast weight
+    // join + exact-decimal mean + sigmoid on the already-rounded
+    // activation (the ln/pow-on-rounded-args oracle precedent).
+    Q("text_ft_score",
+      (s, dir) => {
+        val sp = s; import sp.implicits._
+        val weights = ftHandedWeights.toDF("feature", "weight")
+        graft.text.FastText.score(Tables.documents(s, dir), "doc_id",
+            "text", weights, bias = ftHandedBias)
+          .orderBy("doc_id")
+      },
+      Some {
+        val vals = ftHandedWeights
+          .map { case (f, w) => s"('$f', $w)" }.mkString(", ")
+        s"""
+        WITH wt(feature, weight) AS (VALUES $vals),
+        dl AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+          FROM documents),
+        gr AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(${Q.sqlNgrams("l", 1)} || ${Q.sqlNgrams("l", 2)}) AS g
+            FROM dl)
+          WHERE length(g) > 0),
+        pf AS (
+          SELECT doc_id,
+                 floor(coalesce(weight, 0.0) * 1e6 + 0.5) / 1e6 AS wr
+          FROM gr LEFT JOIN wt ON gr.g = wt.feature),
+        ag AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(CAST(wr AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+          FROM pf GROUP BY 1),
+        act AS (
+          SELECT d.doc_id, coalesce(ag.n_feats, 0) AS n_feats,
+                 floor(($ftHandedBias + ag.m) * 1e6 + 0.5) / 1e6 AS activation
+          FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id)
+        SELECT doc_id, n_feats, activation,
+               floor((1.0 / (1.0 + exp(-activation))) * 1e6 + 0.5) / 1e6 AS score
+        FROM act ORDER BY doc_id"""
+      }),
+
+    // The TRAINED fastText gate, CCNet's actual recipe: positives = the
+    // clean corpus (the "trusted reference" role), negatives = a
+    // deterministic junk corruption of it (truncated text + spam
+    // tokens — the gopherFixture rewrite pattern; this synthetic
+    // corpus's lang/source columns are NOT text-correlated, so a real
+    // class boundary has to be planted). Full-batch logistic regression
+    // over hashed unigram+bigram features (B-bounded weight table, the
+    // paper's linearly-decaying lr), then the hashed broadcast scoring
+    // route over the mixed frame. Rows-only (xxhash64 buckets + an
+    // iterative fit have no ANSI form); FastTextSpec pins convergence,
+    // hashed≡string route equality, and separation.
+    Q("text_ft_train_score",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val toks = TextAnalysis.tokens(col("text"))
+        val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(concat_ws(" ", slice(toks, 1, 6)),
+            lit(" zz9 qq7 xx3 zz9 qq7 xx3 vv2 kk8 vv2")).as("text"))
+        val labeled = docs.withColumn("label", lit(1.0))
+          .unionByName(neg.withColumn("label", lit(0.0)))
+        val m = graft.text.FastText.train(labeled, "text", "label",
+          buckets = 1024, epochs = 12, lr = 40.0)
+        graft.text.FastText.scoreHashed(labeled, "doc_id", "text",
+            m.weightFrame(s), m.bias, buckets = 1024)
+          .orderBy("doc_id")
+      },
+      None)
   )
+
+  /** Handed BPE merge table for the hash-green token-budget oracles: two
+    * rules with DISJOINT single-char sides, chosen so greedy encode has a
+    * closed form (see [[sqlHandedBpeCost]]) while still firing constantly
+    * on the corpus vocabulary ("the", "hash", "merge", "order", ...). */
+  private[queries] val handedBpe =
+    graft.text.Bpe.Model(Vector(("t", "h"), ("e", "r")))
+
+  /** DuckDB closed-form subword count of ONE lowered word under
+    * [[handedBpe]]: |w| + 1 (chars + the `</w>` terminal) minus one per
+    * merge. With a≠b a pair can't self-overlap and with disjoint char
+    * sets the rules can't interact, so each rule's merge count is exactly
+    * its substring-occurrence count — `replace()` arithmetic. */
+  private[queries] def sqlHandedBpeCost(w: String): String =
+    s"""(length($w) + 1
+        - CAST((length($w) - length(replace($w, 'th', ''))) / 2 AS BIGINT)
+        - CAST((length($w) - length(replace($w, 'er', ''))) / 2 AS BIGINT))"""
+
+  /** Handed fastText weight table + bias (features from the corpus
+    * vocabulary, both unigrams and bigrams, mixed signs). defs, not vals:
+    * `all` reads them during its own initializer. */
+  private[queries] def ftHandedWeights: Seq[(String, Double)] = Seq(
+    ("join", 0.8), ("hash", 0.5), ("slow", -0.9), ("fast", 0.7),
+    ("table value", 0.4), ("row scan", -0.6), ("the", 0.1),
+    ("big vector", -0.3))
+  private[queries] def ftHandedBias: Double = -0.1
 
   /** Gopher thresholds for the driver queries: the paper's values except
     * minWords (the synthetic docs are ~30 words, the paper's 50 would

@@ -58,6 +58,77 @@ object Chunking {
         col("n_tokens") +: carry.map(col): _*)
   }
 
+  /** Tokenizer-aware chunking: split each document into chunks whose
+    * token BUDGET is accounted in `wordCost` units per word (e.g. BPE
+    * subwords via [[chunkBpe]]) instead of 1-per-whitespace-word. A
+    * packing plan computed on whitespace counts misallocates the budget
+    * the trainer actually sees (prose under-counts ~1.3×, code/CJK far
+    * worse) — this lane closes the curation → tokenize → pack seam.
+    *
+    * Chunk rule: the [[graft.ops.Packing]] BIN rule, word-atomic — a
+    * word belongs to the chunk its cumulative cost OFFSET falls in
+    * (`floor(start / budget)`), bucket ids densified in order. So chunk
+    * boundaries land every `budget` cost units; a word straddling a
+    * boundary stays whole in its starting chunk (a chunk can exceed the
+    * budget by at most that word's cost − 1 — words are atomic, exactly
+    * packing's bin semantics, and the contract a cumsum window mirrors
+    * in SQL). With `wordCost = 1` this degenerates to [[chunk]] with
+    * `overlap = 0` (pinned in ChunkingSpec).
+    *
+    * Spark shape: pure per-row higher-order functions (costs →
+    * running-sum fold → bucket → per-chunk filter) — no shuffle at ANY
+    * corpus size, same as [[chunk]]. Per-doc cost is O(words × chunks)
+    * like [[chunk]]'s slicing.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_words, n_tokens) where
+    * n_tokens is the chunk's cost total in tokenizer units. */
+  def chunkByCost(df: DataFrame, idCol: String, textCol: String,
+                  wordCost: Column => Column, budget: Int,
+                  carry: Seq[String] = Nil): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    val ws = filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
+    val out = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol) +: carry.map(col) :+ ws.as("_gf_ws"): _*)
+      .withColumn("_gf_costs",
+        transform(col("_gf_ws"), w => wordCost(w).cast("long")))
+      // Running cost sum as a fold (array grows left-to-right; the
+      // element_at(-1) only evaluates on the non-empty branch).
+      .withColumn("_gf_cums",
+        aggregate(col("_gf_costs"), typedLit(Array.empty[Long]),
+          (acc, x) => concat(acc, array(
+            when(size(acc) === 0, x).otherwise(element_at(acc, -1) + x)))))
+      .withColumn("_gf_bks",
+        zip_with(col("_gf_cums"), col("_gf_costs"),
+          (c, x) => floor((c - x) / lit(budget.toDouble)).cast("long")))
+      // Monotone buckets → array_distinct is the ordered dense index.
+      .withColumn("_gf_db", array_distinct(col("_gf_bks")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), size(col("_gf_db")) - 1)))
+      .withColumn("_gf_bv", element_at(col("_gf_db"), col("chunk_id") + 1))
+    out.select(
+      col(idCol) +: col("chunk_id") +:
+        array_join(
+          filter(col("_gf_ws"),
+            (w, i) => element_at(col("_gf_bks"), i + 1) === col("_gf_bv")),
+          " ").as("chunk_text") +:
+        size(filter(col("_gf_bks"), b => b === col("_gf_bv"))).as("n_words") +:
+        aggregate(
+          zip_with(col("_gf_costs"), col("_gf_bks"),
+            (c, b) => when(b === col("_gf_bv"), c).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("n_tokens") +:
+        carry.map(col): _*)
+  }
+
+  /** [[chunkByCost]] under a trained BPE model: per-word cost = subword
+    * count from the codegen'd [[graft.functions.BpeEncode]] (merge table
+    * rides the serialized plan — numMerges-bounded). */
+  def chunkBpe(df: DataFrame, idCol: String, textCol: String,
+               model: Bpe.Model, budget: Int,
+               carry: Seq[String] = Nil): DataFrame =
+    chunkByCost(df, idCol, textCol,
+      w => size(graft.functions.BpeEncodeFun.bpeEncode(w, model.merges)),
+      budget, carry)
+
   /** DuckDB mirror of [[chunk]] over a table/view — same tokenization
     * (`\s+` on the trimmed text; the Java∩RE2 parity the text family
     * already relies on), same chunk-count formula, same slicing. */

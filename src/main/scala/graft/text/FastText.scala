@@ -1,0 +1,210 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Num
+
+/** fastText-style supervised quality classifier (Joulin et al. 2016,
+  * "Bag of Tricks for Efficient Text Classification") — the linear
+  * bag-of-ngrams gate CCNet and the GPT-3 pipeline used to score corpus
+  * pages against a trusted reference (positives = curated text,
+  * negatives = raw crawl). The model is a single linear layer over
+  * averaged feature weights:
+  *
+  *   p(keep | d) = σ( b + (1/|F(d)|) · Σ_{f∈F(d)} w[f] )
+  *
+  * with F(d) the unigram+bigram stream of the document (the
+  * [[Dsir]]/fastText feature space; `wordNgrams = 2`) and w either
+  * string-keyed (oracle-parity lane) or hashed into `buckets` via
+  * `pmod(xxhash64(gram), B)` (the paper's hashing trick — the 100 TB
+  * lane, where the weight table is B-bounded no matter the vocabulary).
+  *
+  * Scale shape, Spark-first:
+  *  - **Scoring** is one gram explode + a broadcast join against the
+  *    (vocab- or B-bounded) weight table + one per-doc aggregation —
+  *    [[LangModel.score]]'s discipline: corpus text never shuffles,
+  *    only (id, 6dp log-ratio-style partials) move. Per-feature weights
+  *    round to 6dp and accumulate as exact decimals, so scores hash
+  *    identically cross-engine; the one transcendental (`exp` in the
+  *    sigmoid) applies to an already-rounded activation (the
+  *    ln/pow-in-the-oracle precedent).
+  *  - **Training** is full-batch logistic-regression gradient descent:
+  *    the corpus featurizes ONCE into a cached (id, y, 1/n_f, bucket)
+  *    incidence frame; each epoch is one broadcast join against the
+  *    current B-bounded weight frame + two keyed aggregations (per-doc
+  *    margin, per-bucket gradient), with only the B-sized gradient and
+  *    two scalars collected. No RNG anywhere (full batch, zero init) —
+  *    the paper's SGD reordering noise buys nothing at this model size
+  *    and would cost reproducibility.
+  *
+  * Reference analogue: none (the reference has no text module); this is
+  * the supervised member of the quality-gate family (rows 109/113/117).
+  */
+object FastText {
+
+  /** Unigram + bigram features, blank-safe — the [[Dsir]] feature space. */
+  private[text] def gramsCol(text: Column): Column =
+    filter(
+      concat(TextAnalysis.ngrams(text, 1), TextAnalysis.ngrams(text, 2)),
+      g => length(g) > 0)
+
+  /** Score documents against a STRING-keyed weight table
+    * (`weights`: (feature string, weight double)) — the oracle-parity
+    * lane. Output: (idCol, n_feats, activation, score); docs with no
+    * features report n_feats 0 and null activation/score (no evidence,
+    * the [[LangModel.score]] convention). Absent features weigh 0 (the
+    * linear model's natural missing-feature value, NOT a smoothing
+    * choice). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weights: DataFrame, bias: Double,
+            maxBroadcastFeatures: Long = 5000000L): DataFrame =
+    scoreOn(docs, idCol, textCol,
+      weights.select(col("feature").as("_gf_f"), col("weight").as("_gf_w")),
+      (g: Column) => g, bias, maxBroadcastFeatures)
+
+  /** Score against a BUCKET-keyed weight table (`weights`: (bucket long,
+    * weight double)) under the hashing trick — the bounded-vocabulary
+    * 100 TB lane (rows-only: xxhash64 has no SQL twin). */
+  def scoreHashed(docs: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, bias: Double, buckets: Int,
+                  maxBroadcastFeatures: Long = 5000000L): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    scoreOn(docs, idCol, textCol,
+      weights.select(col("bucket").as("_gf_f"), col("weight").as("_gf_w")),
+      (g: Column) => pmod(xxhash64(g), lit(buckets.toLong)),
+      bias, maxBroadcastFeatures)
+  }
+
+  private def scoreOn(docs: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, feat: Column => Column,
+                      bias: Double, maxBroadcastFeatures: Long): DataFrame = {
+    // Weight-table sizing: one count job against the (bounded) table —
+    // cheap relative to the corpus pass it guards.
+    val w = if (weights.count() <= maxBroadcastFeatures) broadcast(weights)
+            else weights
+    val perFeat = docs
+      .select(col(idCol), explode(gramsCol(col(textCol))).as("_gf_g"))
+      .select(col(idCol), feat(col("_gf_g")).as("_gf_f"))
+      .join(w, Seq("_gf_f"), "left")
+      .select(col(idCol),
+        Num.dround(coalesce(col("_gf_w"), lit(0.0)), 6).as("_gf_wr"))
+    val agg = perFeat.groupBy(idCol).agg(
+      count(lit(1)).as("n_feats"),
+      (sum(col("_gf_wr").cast(DecimalType(38, 6))).cast(DoubleType)
+        / count(lit(1))).as("_gf_mean"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        Num.dround(lit(bias) + col("_gf_mean"), 6).as("activation"))
+      .withColumn("score",
+        Num.dround(lit(1.0) / (lit(1.0) + exp(-col("activation"))), 6))
+  }
+
+  /** Trained model: B-bounded weight vector + bias + the per-epoch
+    * training loss trace (for convergence assertions), plus the release
+    * handle for the cached incidence frame. */
+  final case class Model(weights: Array[Double], bias: Double,
+                         buckets: Int, losses: Vector[Double]) {
+    /** Weight table as a frame for [[scoreHashed]] (only non-zero rows —
+      * zero-weight buckets score identically via the coalesce-0 path). */
+    def weightFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      weights.toIndexedSeq.zipWithIndex
+        .collect { case (w, b) if w != 0.0 => (b.toLong, w) }
+        .toDF("bucket", "weight")
+    }
+  }
+
+  /** Full-batch logistic regression over hashed unigram+bigram features.
+    * `labelCol` must be 0/1. Deterministic up to float-reduction order
+    * (no RNG, zero init, fixed epoch count); the B-sized gradient is the
+    * only per-epoch collect (the IVF-centroid bounded-driver-state
+    * precedent). The step size follows the paper's schedule — linear
+    * decay from `lr` to 0 across the run — which is what lets a large
+    * initial step (the mean-normalized features make the loss surface
+    * flat) land without the tail oscillating. Unlabeled-class corner:
+    * training refuses unless both classes are present (a one-class fit
+    * converges to ±∞ bias). */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+            buckets: Int = 4096, epochs: Int = 20,
+            lr: Double = 10.0): Model = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(lr > 0, s"lr must be > 0, got $lr")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val labeled = docs.select(
+        monotonically_increasing_id().as("_gf_id"),
+        col(labelCol).cast(DoubleType).as("_gf_y"),
+        gramsCol(col(textCol)).as("_gf_gs"))
+      .filter(size(col("_gf_gs")) > 0)
+    // (id, y, 1/n_f, bucket) incidence rows — featurized ONCE, cached
+    // for the epoch loop; text is never touched again.
+    val inc = labeled
+      .select(col("_gf_id"), col("_gf_y"),
+        (lit(1.0) / size(col("_gf_gs"))).as("_gf_inv"),
+        explode(col("_gf_gs")).as("_gf_g"))
+      .select(col("_gf_id"), col("_gf_y"), col("_gf_inv"),
+        pmod(xxhash64(col("_gf_g")), lit(buckets.toLong)).as("_gf_b"))
+      .cache()
+    val classes = labeled.select(col("_gf_y")).distinct().collect()
+      .map(_.getDouble(0)).toSet
+    require(classes.subsetOf(Set(0.0, 1.0)),
+      s"labels must be 0/1, got ${classes.mkString(",")}")
+    require(classes == Set(0.0, 1.0),
+      "training needs BOTH classes present — a one-class fit diverges")
+    val nDocs = labeled.count().toDouble
+
+    val w = Array.fill(buckets)(0.0)
+    var bias = 0.0
+    val losses = Vector.newBuilder[Double]
+    try {
+      (1 to epochs).foreach { ep =>
+        // The paper's linear lr decay (never reaching exactly 0 — the
+        // last epoch still moves at lr/epochs).
+        val lrT = lr * (1.0 - (ep - 1).toDouble / epochs)
+        val wDf = broadcast(
+          w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }
+            .toDF("_gf_b", "_gf_wv"))
+        // Per-doc margin + residual (p − y); one keyed aggregation,
+        // cached for the epoch (read twice: loss aggregate + gradient
+        // join) and released before the next weight frame.
+        val margins = inc.join(wDf, Seq("_gf_b"), "left")
+          .groupBy(col("_gf_id"))
+          .agg(first(col("_gf_y")).as("_gf_y"),
+            first(col("_gf_inv")).as("_gf_inv"),
+            sum(coalesce(col("_gf_wv"), lit(0.0)) * col("_gf_inv")).as("_gf_m"))
+          .select(col("_gf_id"), col("_gf_y"), col("_gf_inv"),
+            (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("_gf_m")))))
+              .as("_gf_p"))
+          .withColumn("_gf_r", col("_gf_p") - col("_gf_y"))
+          .cache()
+        // Loss + bias gradient: one 1-row aggregate. Clamp ln args away
+        // from 0 (a perfectly-separated fixture otherwise yields -inf).
+        val s = margins.agg(
+          sum(-(col("_gf_y") * log(greatest(col("_gf_p"), lit(1e-12)))
+            + (lit(1.0) - col("_gf_y"))
+              * log(greatest(lit(1.0) - col("_gf_p"), lit(1e-12)))))
+            .as("loss"),
+          sum(col("_gf_r")).as("rsum")).collect()(0)
+        losses += s.getDouble(0) / nDocs
+        val gradB = s.getDouble(1) / nDocs
+        // Per-bucket gradient: Σ_incidences r/n_f, B-bounded collect.
+        val grads = inc
+          .join(margins.select(col("_gf_id"), col("_gf_r")), Seq("_gf_id"))
+          .groupBy(col("_gf_b"))
+          .agg(sum(col("_gf_r") * col("_gf_inv")).as("_gf_g"))
+          .collect()
+        grads.foreach(r =>
+          w(r.getLong(0).toInt) -= lrT * r.getDouble(1) / nDocs)
+        bias -= lrT * gradB
+        margins.unpersist(false)
+      }
+    } finally inc.unpersist(false)
+    Model(w, bias, buckets, losses.result())
+  }
+}

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -24,13 +24,19 @@ object Mixture {
     * rates compose multiplicatively).
     */
   def plan(docs: DataFrame, sourceCol: String, textCol: String,
-           budgetFrac: Double = 0.5): DataFrame = {
+           budgetFrac: Double = 0.5,
+           tokenCount: Column => Column = TextAnalysis.tokenCount): DataFrame = {
+    // `tokenCount` is the accounting lane: whitespace tokens by default
+    // (oracle parity), or the trainer's REAL tokenizer via
+    // graft.functions.BpeEncode (`t => size(bpeEncode(t, merges))`) so
+    // the budget is denominated in the units the training run consumes —
+    // the same seam Packing.packStatsBpe closes.
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"budgetFrac $budgetFrac not in (0,1]")
     val perSource = docs
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
     val totals = perSource.agg(
       sum(col("n_tokens")).as("_gf_total"),
       count(lit(1)).as("_gf_nsrc"))
@@ -67,11 +73,12 @@ object Mixture {
     * rounded share (the ln-in-the-LM-oracle precedent). */
   def temperaturePlan(docs: DataFrame, sourceCol: String, textCol: String,
                       alpha: Double = 0.3,
-                      budgetFrac: Double = 0.5): DataFrame = {
+                      budgetFrac: Double = 0.5,
+                      tokenCount: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha $alpha not in [0,1]")
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"budgetFrac $budgetFrac not in (0,1]")
-    val base = plan(docs, sourceCol, textCol, budgetFrac)
+    val base = plan(docs, sourceCol, textCol, budgetFrac, tokenCount)
       .select("source", "n_docs", "n_tokens", "token_share")
     val tempered = base.withColumn("_gf_sa",
       graft.Num.dround(pow(col("token_share"), lit(alpha)), 8))

@@ -71,5 +71,55 @@ class ChunkingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Chunking.chunk(fixture, "doc_id", "text", maxTokens = 8, overlap = 8)
     }
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByCost(fixture, "doc_id", "text", w => lit(1), budget = 0)
+    }
+  }
+
+  test("unit-cost chunkByCost degenerates to chunk with zero overlap") {
+    val byCost = Chunking.chunkByCost(fixture, "doc_id", "text",
+        w => lit(1), budget = maxT)
+      .select("doc_id", "chunk_id", "chunk_text", "n_words")
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val plain = Chunking.chunk(fixture, "doc_id", "text", maxT, overlap = 0)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(byCost == plain)
+  }
+
+  test("BPE cost chunking respects the handed closed form and word atomicity") {
+    // Handed model (t,h)+(e,r): "the"→3, "weather"→6 (see PackingSpec).
+    // budget 7: "the weather" cums are 3, 9 → buckets floor(0/7)=0,
+    // floor(3/7)=0 — one chunk despite total 9 > 7 (the straddling word
+    // stays whole in its starting chunk).
+    val handed = graft.text.Bpe.Model(Vector(("t", "h"), ("e", "r")))
+    val df = Seq((1L, "the weather")).toDF("doc_id", "text")
+    val out = Chunking.chunkBpe(df, "doc_id", "text", handed, budget = 7)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(2) == "the weather")
+    assert(out(0).getInt(3) == 2 && out(0).getLong(4) == 9L)
+    // budget 3: cums 3, 9 → buckets floor(0/3)=0, floor(6/3)=2 →
+    // densified chunk ids 0 and 1.
+    val out3 = Chunking.chunkBpe(df, "doc_id", "text", handed, budget = 3)
+      .orderBy("chunk_id").collect()
+    assert(out3.map(_.getString(2)).toSeq == Seq("the", "weather"))
+    assert(out3.map(_.getLong(4)).toSeq == Seq(3L, 6L))
+  }
+
+  test("persisted-model chunking is byte-equal to the direct model") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val trained = graft.text.Bpe.train(docs, "text", numMerges = 20)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-chunkbpe").toString
+    graft.text.Bpe.writeModel(spark, trained, path)
+    val reopened = graft.text.Bpe.readModel(spark, path)
+    val direct = Chunking.chunkBpe(docs, "doc_id", "text", trained, 128)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val roundTrip = Chunking.chunkBpe(docs, "doc_id", "text", reopened, 128)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(direct == roundTrip)
+    assert(direct.nonEmpty)
   }
 }

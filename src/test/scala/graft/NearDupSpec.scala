@@ -284,6 +284,30 @@ class NearDupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("keep-best component dedup keeps the argmax-score doc per cluster") {
+    // 3-chain {1,2,3}: doc 2 has the highest score and must win even
+    // though dedupByComponent's min-id policy would keep doc 1. Pair
+    // {5,6}: equal scores, min-id tie-break keeps 5. Doc 4 untouched.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.1),
+      (5L, 0.7), (6L, 0.7)).toDF("doc_id", "q")
+    val kept = Components.dedupByComponentBest(docs, "doc_id", "q", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
+  test("keep-best ranks pair ids missing from the corpus below every real doc") {
+    // Pair graph references id 7 that the doc frame doesn't hold (e.g. a
+    // stale incremental pair file). 7 must not win its component by
+    // scoring null; the present doc 8 represents the cluster, and 7
+    // can't be "kept" (it isn't in df to begin with).
+    val pairs = Seq((7L, 8L)).toDF("id_a", "id_b")
+    val docs = Seq((8L, 0.1), (9L, 0.5)).toDF("doc_id", "q")
+    val kept = Components.dedupByComponentBest(docs, "doc_id", "q", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(8L, 9L))
+  }
+
   test("component labels converge on a long chain (diameter > 2)") {
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Components.componentLabels(chain).collect()

@@ -84,6 +84,25 @@ def main():
             files = glob.glob(f"{p}/*.parquet")
             rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"ROWS {d}: {rows}")
+    # SURVEY <-> registry sync (the RegistrySyncSpec twin for full
+    # Verify runs): every dumped query dir must be named in SURVEY.md
+    # section 2, so a green-but-undocumented operator fails the local
+    # gate too. Only meaningful when the dump is the FULL registry
+    # (VerifyOne subsets would false-flag nothing, since we only check
+    # dump -> SURVEY direction).
+    import re
+    try:
+        survey = open("SURVEY.md", encoding="utf-8").read()
+        sec = survey[survey.index("## §2"):survey.index("## §3")]
+        documented = set(re.findall(r"`([a-z0-9_]+)`", sec))
+        dumped = {d for d in os.listdir(out_dir)
+                  if os.path.isdir(os.path.join(out_dir, d))}
+        undocumented = sorted(dumped - documented)
+        if undocumented:
+            print(f"SYNC FAIL: queries with no SURVEY §2 row: {undocumented}")
+            n_fail += 1
+    except (FileNotFoundError, ValueError):
+        pass
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
