@@ -44,8 +44,10 @@ object SkewProbe {
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       // Sandbox-proportional skew thresholds (see scaladoc).
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "8m"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_ADVISORY", "8m"))
     val spark = (if (master.startsWith("local-cluster")) {
       val b = builder.config("spark.executor.memory",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "20g"))
@@ -67,15 +69,30 @@ object SkewProbe {
           .otherwise(col("source")).as("source"),
         col("text"))
     // Dimension: one weight row per source (dimension-sized, but the
-    // probe forbids broadcasting it — see builder conf).
-    def dim: DataFrame = fact.select(col("source")).distinct()
-      .select(col("source"),
-        (length(col("source")).cast("double") / 10.0).as("w"))
+    // probe forbids broadcasting it — see builder conf). MATERIALIZED as
+    // a local relation, deliberately: OptimizeSkewedJoin pattern-matches
+    // SMJ(Sort(Shuffle), Sort(Shuffle)) — a dim arriving through its own
+    // aggregation (e.g. a distinct() kept lazy in the plan) interposes a
+    // HashAggregate between the Sort and the shuffle stage and silently
+    // DISABLES the skew rule (measured here first-hand; that failure
+    // mode is exactly when the salted fallback earns its keep).
+    lazy val dim: DataFrame = {
+      val sources = fact.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq // bounded: one row per source
+      import spark.implicits._
+      sources.map(s => (s, s.length.toDouble / 10.0)).toDF("source", "w")
+    }
 
+    // GLOBAL aggregate downstream, deliberately: a groupBy on the JOIN
+    // key would inherit the join's hash partitioning, and AQE refuses to
+    // split a skewed join whose output distribution a downstream
+    // operator relies on — the split would break key co-location. A
+    // global agg partial-aggregates per partition, so the join output
+    // has no required distribution and the skew rule is free to act
+    // (exactly the shape of a scoring/filter pass over a joined corpus).
     def work(joined: DataFrame): DataFrame =
-      joined.groupBy(col("source"))
-        .agg(count(lit(1)).as("n"),
-          sum(length(col("text")).cast("double") * col("w")).as("weighted"))
+      joined.agg(count(lit(1)).as("n"),
+        sum(crc32(col("text")).cast("double") * col("w")).as("weighted"))
 
     def run(label: String, skewJoin: Boolean, salted: Boolean): (Double, String, Long) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
@@ -131,7 +148,7 @@ object SkewProbe {
     val json =
       s"""{"metric":"skew_probe","master":"$master","factor":$factor,""" +
         s""""rows":$total,"hot_share":${fmt(hot.getLong(1).toDouble / total)},""" +
-        s""""threshold":"8m",$loadFp,""" +
+        s""""threshold":"${sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "8m")}",$loadFp,""" +
         s""""aqe_on_sec":${fmt(aqe._1)},"aqe_split_observed":$aqeSplit,""" +
         s""""skew_off_sec":${fmt(straggler._1)},"salted_sec":${fmt(saltRun._1)},""" +
         s""""aqe_plan":"${esc(joinLines(aqe._2))}",""" +

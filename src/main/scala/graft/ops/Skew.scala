@@ -5,9 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys (SURVEY §5). AQE's skew-join split
   * handles sort-merge skew automatically; this explicit salt is for the
-  * cases AQE can't re-plan (broadcast-ineligible dimension joined on a
-  * power-law key, or deterministic plans where runtime re-optimization is
-  * disabled).
+  * cases AQE can't re-plan — measured first-hand in the SCALING.md skew
+  * rung (graft.SkewProbe): `OptimizeSkewedJoin` pattern-matches
+  * `SMJ(Sort(Shuffle), Sort(Shuffle))`, so a dimension arriving through
+  * its own unmaterialized aggregation (a lazy `distinct()` interposes a
+  * HashAggregate under the Sort) silently disables the rule, as does a
+  * downstream operator relying on the join's output partitioning (a
+  * groupBy on the join key — the split would break key co-location), a
+  * broadcast-ineligible dimension on a power-law key, or a plan where
+  * runtime re-optimization is disabled.
   *
   * Shape: the FACT side gets a deterministic salt in [0, factor) derived
   * by hashing stable columns (never `rand()` — results must be
