@@ -76,6 +76,11 @@ import scala.jdk.CollectionConverters._
   *     id_column: doc_id
   *     ref_path: /data/trusted.parquet        # bigram LM training slice
   *     min_logprob: -6.0                      # optional backoff: 0.4
+  *   - module: ft_filter
+  *     text_column: text
+  *     id_column: doc_id
+  *     model_path: /models/quality-ft         # persisted FastText.writeModel dir
+  *     min_score: 0.5                         # sigmoid keep threshold, (0,1)
   *   - module: chunking
   *     text_column: text
   *     id_column: doc_id
@@ -333,6 +338,25 @@ object ConfigPipeline {
           asString(m("id_column"), s"$path.id_column"),
           asString(m("ref_path"), s"$path.ref_path"), minLp, bo)
 
+      case "ft_filter" =>
+        requireKeys(m, path,
+          required = Set("module", "text_column", "id_column", "model_path",
+            "min_score"),
+          optional = Set.empty)
+        val minS = asDouble(m("min_score"), s"$path.min_score")
+        // the score is a sigmoid in (0,1): a threshold at/below 0 keeps
+        // everything (the gate no-ops), at/above 1 drops the whole
+        // corpus — both are config typos, refused with their path
+        // (negated form catches .nan, the fpp-check convention)
+        if (!(minS > 0 && minS < 1))
+          fail(s"$path.min_score",
+            s"min_score $minS must be in (0,1) — the classifier emits " +
+              "sigmoid scores")
+        FtFilterStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"),
+          asString(m("model_path"), s"$path.model_path"), minS)
+
       case "chunking" =>
         requireKeys(m, path,
           required = Set("module", "text_column", "id_column", "max_tokens"),
@@ -387,7 +411,7 @@ object ConfigPipeline {
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
             "text_filter|gopher_filter|pii_redact|exact_dedup|near_dedup|span_dedup|" +
-            "decontaminate|lm_filter|chunking|embedding_centroids|sample|quota)")
+            "decontaminate|lm_filter|ft_filter|chunking|embedding_centroids|sample|quota)")
     }
   }
 

@@ -37,6 +37,14 @@ final case class DecontaminateStage(textCol: String, idCol: String,
 final case class LmFilterStage(textCol: String, idCol: String,
     refPath: String, minLogprob: Double,
     backoff: Double) extends Stage { val name = "lm_filter" }
+/** fastText classifier gate (Joulin et al. 2016 — the CCNet/GPT-3 shape):
+  * docs whose sigmoid keep-score under a PERSISTED classifier
+  * ([[graft.text.FastText.readModel]] — trained offline on labeled data,
+  * shipped to every curation run) falls below the threshold are dropped
+  * and reported; no-feature docs (null score) are dropped too — no
+  * quality evidence is not a pass (the lm_filter convention). */
+final case class FtFilterStage(textCol: String, idCol: String,
+    modelPath: String, minScore: Double) extends Stage { val name = "ft_filter" }
 /** Gopher rule gate (Rae et al. §A1.1): docs failing any structural rule
   * are dropped; the report carries every dropped doc's full signal + rule
   * audit so a curation run can see WHICH rule fired, not just that one
@@ -145,6 +153,17 @@ object Pipeline {
             acc.select(col(idCol), col(textCol)), idCol, textCol, lm, backoff)
           val keep = scored.filter(col("avg_logprob") >= minLp)
           reports += s"$i:lm_filter" ->
+            scored.join(keep.select(idCol), Seq(idCol), "left_anti")
+          acc.join(keep.select(idCol), Seq(idCol), "left_semi")
+        case FtFilterStage(textCol, idCol, modelPath, minScore) =>
+          // model open (one manifest read + a bounded count) is eager
+          // like any broadcast build side; the scoring plan stays lazy
+          val model = graft.text.FastText.readModel(acc.sparkSession, modelPath)
+          releasables += (() => model.release())
+          val scored = model.score(
+            acc.select(col(idCol), col(textCol)), idCol, textCol)
+          val keep = scored.filter(col("score") >= minScore)
+          reports += s"$i:ft_filter" ->
             scored.join(keep.select(idCol), Seq(idCol), "left_anti")
           acc.join(keep.select(idCol), Seq(idCol), "left_semi")
         case DecontaminateStage(textCol, idCol, benchPath, n, fpp) =>

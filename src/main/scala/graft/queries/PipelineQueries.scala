@@ -246,6 +246,36 @@ object PipelineQueries {
         ${TextQueries.gopherAuditSql}
         SELECT doc_id FROM audit WHERE keep = 1 ORDER BY doc_id""")),
 
+    // The fastText gate as a YAML stage under a PERSISTED handed
+    // (feature-keyed) model — HASH-GREEN: the oracle is text_ft_score's
+    // own closed-form scoring CTE with the stage's threshold applied, so
+    // the config path, the persistence round trip, and the direct
+    // operator share one SQL owner. Null-score (no-feature) docs drop —
+    // absence of quality evidence is not a pass (SQL's null-comparison
+    // semantics mirror this for free).
+    Q("pipeline_ft_config",
+      (s, dir) => {
+        val sp = s; import sp.implicits._
+        val path = NearDupQueries.scratchIndexDir(s, "ftcfg", dir)
+        graft.text.FastText.writeModelFeatures(s,
+          TextQueries.ftHandedWeights.toDF("feature", "weight"),
+          TextQueries.ftHandedBias, path)
+        val yaml = s"""
+          |run_id: ft_config
+          |stages:
+          |  - module: ft_filter
+          |    text_column: text
+          |    id_column: doc_id
+          |    model_path: $path
+          |    min_score: 0.48
+          |""".stripMargin
+        ConfigPipeline.run(Tables.documents(s, dir), yaml).df
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH scored AS (${TextQueries.ftScoreOracleBody})
+        SELECT doc_id FROM scored WHERE score >= 0.48 ORDER BY doc_id""")),
+
     // The embedding audit as a YAML stage: report-only (frame passes
     // through untouched); the published report must hash-match the direct
     // embedding_centroids query via the shared oracle.

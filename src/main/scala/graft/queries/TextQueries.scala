@@ -687,36 +687,7 @@ object TextQueries {
             "text", weights, bias = ftHandedBias)
           .orderBy("doc_id")
       },
-      Some {
-        val vals = ftHandedWeights
-          .map { case (f, w) => s"('$f', $w)" }.mkString(", ")
-        s"""
-        WITH wt(feature, weight) AS (VALUES $vals),
-        dl AS (
-          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
-          FROM documents),
-        gr AS (
-          SELECT doc_id, g FROM (
-            SELECT doc_id,
-                   unnest(${Q.sqlNgrams("l", 1)} || ${Q.sqlNgrams("l", 2)}) AS g
-            FROM dl)
-          WHERE length(g) > 0),
-        pf AS (
-          SELECT doc_id,
-                 floor(coalesce(weight, 0.0) * 1e6 + 0.5) / 1e6 AS wr
-          FROM gr LEFT JOIN wt ON gr.g = wt.feature),
-        ag AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                 CAST(sum(CAST(wr AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
-          FROM pf GROUP BY 1),
-        act AS (
-          SELECT d.doc_id, coalesce(ag.n_feats, 0) AS n_feats,
-                 floor(($ftHandedBias + ag.m) * 1e6 + 0.5) / 1e6 AS activation
-          FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id)
-        SELECT doc_id, n_feats, activation,
-               floor((1.0 / (1.0 + exp(-activation))) * 1e6 + 0.5) / 1e6 AS score
-        FROM act ORDER BY doc_id"""
-      }),
+      Some(s"$ftScoreOracleBody ORDER BY doc_id")),
 
     // The TRAINED fastText gate, CCNet's actual recipe: positives = the
     // clean corpus (the "trusted reference" role), negatives = a
@@ -744,6 +715,26 @@ object TextQueries {
             m.weightFrame(s), m.bias, buckets = 1024)
           .orderBy("doc_id")
       },
+      None),
+
+    // The persisted-classifier lifecycle: train, persist the B-bounded
+    // weight table with a format-tagged manifest, re-open, score through
+    // the re-opened model. Rows-only like text_ft_train_score;
+    // FastTextSpec pins the round trip byte-for-byte and the refusal
+    // ladder (missing manifest / foreign format / truncated weights /
+    // out-of-range buckets).
+    Q("text_ft_persisted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val labeled = docs.withColumn("label",
+          when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0))
+        val m = graft.text.FastText.train(labeled, "text", "label",
+          buckets = 1024, epochs = 4, lr = 10.0)
+        val path = NearDupQueries.scratchIndexDir(s, "ftmodel", dir)
+        graft.text.FastText.writeModel(s, m, path)
+        val loaded = graft.text.FastText.readModel(s, path)
+        loaded.score(docs, "doc_id", "text").orderBy("doc_id")
+      },
       None)
   )
 
@@ -763,6 +754,43 @@ object TextQueries {
     s"""(length($w) + 1
         - CAST((length($w) - length(replace($w, 'th', ''))) / 2 AS BIGINT)
         - CAST((length($w) - length(replace($w, 'er', ''))) / 2 AS BIGINT))"""
+
+  /** Full DuckDB mirror of `FastText.score` under [[ftHandedWeights]] /
+    * [[ftHandedBias]] over `documents` — a complete SELECT emitting
+    * (doc_id, n_feats, activation, score), no trailing ORDER BY so it
+    * nests as a derived table. Single SQL owner shared by text_ft_score
+    * and pipeline_ft_config (the persisted + YAML route), so the config
+    * path cannot drift from the direct operator. */
+  private[queries] def ftScoreOracleBody: String = {
+    val vals = ftHandedWeights
+      .map { case (f, w) => s"('$f', $w)" }.mkString(", ")
+    s"""
+        WITH wt(feature, weight) AS (VALUES $vals),
+        dl AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+          FROM documents),
+        gr AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(${Q.sqlNgrams("l", 1)} || ${Q.sqlNgrams("l", 2)}) AS g
+            FROM dl)
+          WHERE length(g) > 0),
+        pf AS (
+          SELECT doc_id,
+                 floor(coalesce(weight, 0.0) * 1e6 + 0.5) / 1e6 AS wr
+          FROM gr LEFT JOIN wt ON gr.g = wt.feature),
+        ag AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(CAST(wr AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+          FROM pf GROUP BY 1),
+        act AS (
+          SELECT d.doc_id, coalesce(ag.n_feats, 0) AS n_feats,
+                 floor(($ftHandedBias + ag.m) * 1e6 + 0.5) / 1e6 AS activation
+          FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id)
+        SELECT doc_id, n_feats, activation,
+               floor((1.0 / (1.0 + exp(-activation))) * 1e6 + 0.5) / 1e6 AS score
+        FROM act"""
+  }
 
   /** Handed fastText weight table + bias (features from the corpus
     * vocabulary, both unigrams and bigrams, mixed signs). defs, not vals:

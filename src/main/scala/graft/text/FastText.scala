@@ -118,6 +118,119 @@ object FastText {
     }
   }
 
+  /** A persisted classifier re-opened from disk: the weight frame, its
+    * key lane ("bucket" = hashed, "feature" = string), the bias, and —
+    * for the hashed lane — the bucket count. [[LoadedModel.score]]
+    * dispatches to the matching scoring route. */
+  final case class LoadedModel(weights: DataFrame, bias: Double,
+                               keyed: String, buckets: Option[Int]) {
+    def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      keyed match {
+        case "bucket" =>
+          scoreHashed(docs, idCol, textCol, weights, bias, buckets.get)
+        case _ => FastText.score(docs, idCol, textCol, weights, bias)
+      }
+    /** Unpersist the cached weight table (the [[LangModel.Lm.release]]
+      * discipline) once scoring plans are materialized. */
+    def release(): Unit = {
+      weights.unpersist(false)
+      ()
+    }
+  }
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+                            path: String, json: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Persist a TRAINED (bucket-keyed) model — the "fit the gate once on
+    * labeled data, ship it to every curation run" lifecycle (the
+    * [[Bpe.writeModel]]/[[LangModel.writeModel]] conventions: weights
+    * first, format-tagged manifest LAST as the completeness marker,
+    * non-zero row count recorded so a partially-copied weight file
+    * refuses at open). */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                 path: String): Unit = {
+    val w = model.weightFrame(spark)
+    w.coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    val n = model.weights.count(_ != 0.0)
+    writeManifest(spark, path,
+      s"""{"format": "graft-ft-v1", "keyed": "bucket", """ +
+        s""""buckets": ${model.buckets}, "bias": ${model.bias}, "rows": $n}""")
+  }
+
+  /** Persist a STRING-keyed weight table (a handed/exported model — the
+    * oracle-parity lane). `weights`: (feature, weight). */
+  def writeModelFeatures(spark: org.apache.spark.sql.SparkSession,
+                         weights: DataFrame, bias: Double,
+                         path: String): Unit = {
+    val w = weights.select(col("feature"), col("weight"))
+    w.coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    val n = w.count()
+    writeManifest(spark, path,
+      s"""{"format": "graft-ft-v1", "keyed": "feature", """ +
+        s""""bias": $bias, "rows": $n}""")
+  }
+
+  /** Re-open a persisted classifier. Refusals: missing manifest (an
+    * interrupted write never exposes one), foreign format tag, weight
+    * row count differing from the manifest's, and — hashed lane — a
+    * bucket id outside [0, buckets) (a weight table from a different B
+    * would silently mis-route every feature). */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): LoadedModel = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"$path/manifest.json is missing — not a persisted graft fastText " +
+        "model (or an interrupted write; re-create with FastText.writeModel)")
+    val in = fs.open(mp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m =
+      try {
+        val y = new org.yaml.snakeyaml.Yaml(
+          new org.yaml.snakeyaml.constructor.SafeConstructor(
+            new org.yaml.snakeyaml.LoaderOptions()))
+        y.load[java.util.Map[String, Object]](txt)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path/manifest.json is unreadable: ${e.getMessage}")
+      }
+    val format = String.valueOf(m.get("format"))
+    if (format != "graft-ft-v1") throw new IllegalArgumentException(
+      s"$path holds format '$format', not a graft-ft-v1 classifier")
+    val keyed = String.valueOf(m.get("keyed"))
+    val bias = String.valueOf(m.get("bias")).toDouble
+    val declared = String.valueOf(m.get("rows")).toLong
+    val w = spark.read.parquet(s"$path/weights").cache()
+    val got = w.count()
+    def refuse(msg: String): Nothing = {
+      w.unpersist(false)
+      throw new IllegalArgumentException(msg)
+    }
+    if (got != declared) refuse(
+      s"$path/weights holds $got rows but the manifest declares " +
+        s"$declared — refusing a partially-copied model")
+    keyed match {
+      case "bucket" =>
+        val b = String.valueOf(m.get("buckets")).toInt
+        val bad = w.filter(col("bucket") < 0 || col("bucket") >= b).count()
+        if (bad > 0) refuse(
+          s"$path/weights holds $bad bucket ids outside [0, $b) — " +
+            "weight table from a different bucket count; refusing")
+        LoadedModel(w, bias, "bucket", Some(b))
+      case "feature" => LoadedModel(w, bias, "feature", None)
+      case other => refuse(
+        s"$path manifest declares unknown key lane '$other'")
+    }
+  }
+
   /** Full-batch logistic regression over hashed unigram+bigram features.
     * `labelCol` must be 0/1. Deterministic up to float-reduction order
     * (no RNG, zero init, fixed epoch count); the B-sized gradient is the

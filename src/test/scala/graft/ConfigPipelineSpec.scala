@@ -335,6 +335,53 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("backoff"))
   }
 
+  test("ft_filter stage gates on a persisted classifier, reports drops") {
+    // Persisted feature-keyed model: "good" pushes the sigmoid above the
+    // threshold, "bad" below; doc 3 is blank (no features, null score)
+    // and must DROP + report — no quality evidence is not a pass.
+    val path = java.nio.file.Files.createTempDirectory("ft-mdl").toString
+    graft.text.FastText.writeModelFeatures(spark,
+      Seq(("good", 2.0), ("bad", -2.0)).toDF("feature", "weight"),
+      bias = 0.0, path)
+    val docs = Seq(
+      (1L, "good good good", "web"),
+      (2L, "bad bad bad", "web"),
+      (3L, " ", "web"))
+      .toDF("doc_id", "text", "source")
+    val yaml = s"""
+      |run_id: ftf
+      |stages:
+      |  - module: ft_filter
+      |    text_column: text
+      |    id_column: doc_id
+      |    model_path: $path
+      |    min_score: 0.5
+      |""".stripMargin
+    val res = ConfigPipeline.run(docs, yaml)
+    val kept = res.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept $kept")
+    val rep = res.reports("0:ft_filter").orderBy("doc_id").collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(rep(1).getLong(1) == 0L && rep(1).isNullAt(3)) // blank: no evidence
+    res.release()
+    assert(res.df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // config-time refusals: threshold outside the sigmoid's range both
+    // ways (0 keeps everything, 1 drops everything), unknown key
+    val e1 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("min_score: 0.5", "min_score: 0.0"))
+    }
+    assert(e1.getMessage.contains("min_score"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("min_score: 0.5", "min_score: 1.0"))
+    }
+    assert(e2.getMessage.contains("min_score"))
+    val e3 = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs,
+        yaml.replace("min_score: 0.5", "min_score: 0.5\n    backoff: 0.4"))
+    }
+    assert(e3.getMessage.contains("backoff"))
+  }
+
   test("gopher_filter stage drops rule-violating docs and reports which rule fired") {
     val docs = Seq(
       (1L, "the cat and dog have sat with that mat be good", "web"),

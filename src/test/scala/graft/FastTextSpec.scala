@@ -79,6 +79,72 @@ class FastTextSpec extends SparkSpec {
     }
   }
 
+  test("persisted trained model round-trips byte-equal") {
+    val docs = Seq((1L, "alpha beta good", 1.0), (2L, "bad junk spam", 0.0),
+      (3L, "alpha good prose", 1.0), (4L, "junk bad noise", 0.0))
+      .toDF("doc_id", "text", "label")
+    val m = FastText.train(docs, "text", "label",
+      buckets = 512, epochs = 5, lr = 20.0)
+    val path = java.nio.file.Files.createTempDirectory("graft-ft").toString
+    FastText.writeModel(spark, m, path)
+    val loaded = FastText.readModel(spark, path)
+    assert(loaded.keyed == "bucket" && loaded.buckets.contains(512))
+    val direct = FastText.scoreHashed(docs, "doc_id", "text",
+      m.weightFrame(spark), m.bias, 512).orderBy("doc_id").collect().toSeq
+    val viaDisk = loaded.score(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(direct == viaDisk)
+    loaded.release()
+  }
+
+  test("persisted feature-keyed model scores like the string route") {
+    val docs = Seq((1L, "good day"), (2L, "bad day")).toDF("doc_id", "text")
+    val w = Seq(("good", 0.6), ("bad", -0.6)).toDF("feature", "weight")
+    val path = java.nio.file.Files.createTempDirectory("graft-ftf").toString
+    FastText.writeModelFeatures(spark, w, bias = 0.1, path)
+    val loaded = FastText.readModel(spark, path)
+    assert(loaded.keyed == "feature" && loaded.buckets.isEmpty)
+    assert(loaded.score(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq ==
+      FastText.score(docs, "doc_id", "text", w, bias = 0.1)
+        .orderBy("doc_id").collect().toSeq)
+    loaded.release()
+  }
+
+  test("readModel refuses missing manifest, foreign format, truncation, bad buckets") {
+    val docs = Seq((1L, "a", 1.0), (2L, "b", 0.0)).toDF("doc_id", "text", "label")
+    val m = FastText.train(docs, "text", "label",
+      buckets = 64, epochs = 1, lr = 1.0)
+    val empty = java.nio.file.Files.createTempDirectory("graft-ft-e").toString
+    intercept[IllegalArgumentException] { FastText.readModel(spark, empty) }
+
+    val path = java.nio.file.Files.createTempDirectory("graft-ft-r").toString
+    FastText.writeModel(spark, m, path)
+    // Rewriting the manifest out-of-band: drop the Hadoop local-FS CRC
+    // sidecar too, or the next open trips ChecksumException instead of
+    // reaching the refusal under test.
+    def rewriteManifest(json: String): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/manifest.json"), json)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$path/.manifest.json.crc")): Unit
+    }
+    // foreign format tag
+    rewriteManifest(
+      """{"format": "graft-lm-v1", "keyed": "bucket", "buckets": 64, "bias": 0.0, "rows": 1}""")
+    intercept[IllegalArgumentException] { FastText.readModel(spark, path) }
+    // truncated weights: declare one more row than the parquet holds
+    val n = spark.read.parquet(s"$path/weights").count()
+    rewriteManifest(
+      s"""{"format": "graft-ft-v1", "keyed": "bucket", "buckets": 64, "bias": 0.0, "rows": ${n + 1}}""")
+    intercept[IllegalArgumentException] { FastText.readModel(spark, path) }
+    // bucket count smaller than the ids present: refuse the mis-route
+    rewriteManifest(
+      s"""{"format": "graft-ft-v1", "keyed": "bucket", "buckets": 1, "bias": 0.0, "rows": $n}""")
+    val ex = intercept[IllegalArgumentException] { FastText.readModel(spark, path) }
+    assert(ex.getMessage.contains("bucket"))
+  }
+
   test("degenerate arguments raise") {
     val d = Seq((1L, "x", 1.0)).toDF("doc_id", "text", "label")
     intercept[IllegalArgumentException] {
