@@ -194,4 +194,31 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("decontaminate_bloom")
     assert(p.contains("bloom_might_contain"))
   }
+
+  test("text_chunk_bpe_handed: chunking stays a pure projection (no row shuffle)") {
+    val p = plan("text_chunk_bpe_handed")
+    // the only exchange allowed is the final presentation sort — the
+    // cost fold/bucket/densify chain must never shuffle corpus rows
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking gained a row-level exchange:\n$p")
+  }
+
+  test("text_ft_score: weight table broadcasts, corpus text never shuffles") {
+    val p = plan("text_ft_score")
+    assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    // the per-doc aggregation and the id join-back shuffle (id, partial)
+    // pairs only; no exchange may carry the text column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
+  }
+
+  test("pack_sequences_bpe_handed: one shard window exchange, encode on the scan") {
+    val p = plan("pack_sequences_bpe_handed")
+    // per-shard cumsum window + the final bin aggregate re-use ONE
+    // hash exchange on the shard key (bpe_encode adds no shuffle)
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      s"unexpected extra exchange:\n$p")
+    assert(p.contains("bpe_encode"))
+  }
 }
