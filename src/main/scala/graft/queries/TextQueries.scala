@@ -735,7 +735,22 @@ object TextQueries {
         val loaded = graft.text.FastText.readModel(s, path)
         loaded.score(docs, "doc_id", "text").orderBy("doc_id")
       },
-      None)
+      None),
+
+    // The broadcast-KERNEL route under the same handed weight table —
+    // the same oracle as text_ft_score, so the shipped-map
+    // FtScoreRow projection (no join, no per-doc exchange; what makes
+    // the gate streamable) is proven value-identical to the join route
+    // against DuckDB end-to-end (the text_lm_broadcast precedent).
+    Q("text_ft_broadcast",
+      (s, dir) => {
+        val sp = s; import sp.implicits._
+        graft.text.FastText.scoreBroadcast(Tables.documents(s, dir),
+            "doc_id", "text", ftHandedWeights.toDF("feature", "weight"),
+            bias = ftHandedBias)
+          .orderBy("doc_id")
+      },
+      Some(s"$ftScoreOracleBody ORDER BY doc_id"))
   )
 
   /** Handed BPE merge table for the hash-green token-budget oracles: two

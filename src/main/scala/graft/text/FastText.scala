@@ -118,6 +118,56 @@ object FastText {
     }
   }
 
+  /** The third scoring route — the [[LangModel.scoreBroadcast]] shape:
+    * collect the (bounded) weight table into an in-memory map that rides
+    * the serialized [[graft.functions.FtScoreRow]] kernel, so each
+    * document scores in ONE projection — no join, no per-doc aggregation
+    * exchange. That statelessness is what makes the supervised gate
+    * STREAMABLE (pinned in StreamingSpec); values are identical to
+    * [[score]] (FastTextSpec pins the routes; the driver oracle proves
+    * the string lane against DuckDB end-to-end). String-keyed lane. */
+  def scoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
+                     weights: DataFrame, bias: Double,
+                     maxFeatures: Long = 20000000L): DataFrame = {
+    val w = collectWeightMap(weights, "feature", maxFeatures)
+      .map { case (k, v) => (k.asInstanceOf[String], v) }
+    project(docs, idCol,
+      graft.functions.FtScoreRow.ftScoreRow(col(textCol), w, bias))
+  }
+
+  /** [[scoreBroadcast]] for a BUCKET-keyed table — value-identical to
+    * [[scoreHashed]] (the kernel hashes grams with the engine's own
+    * xxhash64/seed-42, so routing is bit-identical). */
+  def scoreBroadcastHashed(docs: DataFrame, idCol: String, textCol: String,
+                           weights: DataFrame, bias: Double, buckets: Int,
+                           maxFeatures: Long = 20000000L): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val w = collectWeightMap(weights, "bucket", maxFeatures)
+      .map { case (k, v) => (k.asInstanceOf[Long], v) }
+    project(docs, idCol,
+      graft.functions.FtScoreRow.ftScoreRowHashed(col(textCol), w, buckets, bias))
+  }
+
+  private def project(docs: DataFrame, idCol: String, s: Column): DataFrame =
+    docs.select(col(idCol), s.as("_gf_s"))
+      .select(col(idCol), col("_gf_s.n_feats").as("n_feats"),
+        col("_gf_s.activation").as("activation"),
+        col("_gf_s.score").as("score"))
+
+  /** Guarded collect of a weight table into a driver map — the
+    * [[LangModel.collectTables]] discipline: refuse above `maxFeatures`
+    * with a pointer to the join route rather than ballooning the plan
+    * (and every executor heap) with an unbounded serialized map. */
+  private def collectWeightMap(weights: DataFrame, keyCol: String,
+                               maxFeatures: Long): Map[Any, Double] = {
+    val n = weights.count()
+    require(n <= maxFeatures,
+      s"weight table has $n rows > maxFeatures=$maxFeatures — too large " +
+        "to ship in-memory; use score/scoreHashed (broadcast joins) instead")
+    weights.select(col(keyCol), col("weight")).collect()
+      .map(r => r.get(0) -> r.getDouble(1)).toMap
+  }
+
   /** A persisted classifier re-opened from disk: the weight frame, its
     * key lane ("bucket" = hashed, "feature" = string), the bias, and —
     * for the hashed lane — the bucket count. [[LoadedModel.score]]

@@ -79,6 +79,42 @@ class FastTextSpec extends SparkSpec {
     }
   }
 
+  test("broadcast-kernel routes are value-identical to the join routes") {
+    // Mixed fixture incl. the evidence corners: blank doc (0 feats),
+    // single token, repeated grams, unmatched vocabulary.
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "epsilon"), (4L, " "), (5L, "zz unknown words here"))
+      .toDF("doc_id", "text")
+    val w = Seq(("alpha", 0.4), ("beta", -0.2), ("gamma", 0.9),
+      ("beta beta", 0.5), ("epsilon", -0.7)).toDF("feature", "weight")
+    val join = FastText.score(docs, "doc_id", "text", w, bias = 0.2)
+      .orderBy("doc_id").collect().toSeq
+    val kernel = FastText.scoreBroadcast(docs, "doc_id", "text", w, bias = 0.2)
+      .orderBy("doc_id").collect().toSeq
+    assert(join == kernel)
+    // hashed pair: scoreHashed (join) vs scoreBroadcastHashed (kernel) —
+    // the kernel hashes grams itself, so routing must be bit-identical
+    val b = 4096
+    val hashed = w.select(
+      pmod(xxhash64(col("feature")), lit(b.toLong)).as("bucket"),
+      col("weight"))
+    val hj = FastText.scoreHashed(docs, "doc_id", "text", hashed,
+      bias = 0.2, buckets = b).orderBy("doc_id").collect().toSeq
+    val hk = FastText.scoreBroadcastHashed(docs, "doc_id", "text", hashed,
+      bias = 0.2, buckets = b).orderBy("doc_id").collect().toSeq
+    assert(hj == hk)
+  }
+
+  test("scoreBroadcast refuses an oversized weight table") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val w = Seq(("a", 0.1), ("b", 0.2), ("c", 0.3)).toDF("feature", "weight")
+    val ex = intercept[IllegalArgumentException] {
+      FastText.scoreBroadcast(docs, "doc_id", "text", w, bias = 0.0,
+        maxFeatures = 2)
+    }
+    assert(ex.getMessage.contains("broadcast joins"))
+  }
+
   test("persisted trained model round-trips byte-equal") {
     val docs = Seq((1L, "alpha beta good", 1.0), (2L, "bad junk spam", 0.0),
       (3L, "alpha good prose", 1.0), (4L, "junk bad noise", 0.0))

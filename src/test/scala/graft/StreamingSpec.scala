@@ -137,6 +137,33 @@ class StreamingSpec extends SparkSpec {
     lm.release()
   }
 
+  test("fastText kernel gate runs unchanged on a live stream (stream == batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    // The FtScoreRow projection is stateless — no watermark, no state
+    // store — so a score threshold gates a stream exactly like a batch.
+    val w = Seq(("good", 2.0), ("bad", -2.0)).toDF("feature", "weight")
+    val docs = Seq(
+      1L -> "good clean prose",   // above threshold
+      2L -> "bad junk noise",     // below
+      3L -> "")                   // blank: null score, never passes
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.text.FastText.scoreBroadcast(df, "doc_id", "text", w, bias = 0.0)
+        .filter(col("score") >= 0.5)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = gate(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ft_gate")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ft_gate").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(1L), s"stream ft gate kept: $streamed")
+    val batch = gate(docs.toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == streamed)
+  }
+
   test("dedupWithinWatermark drops in-watermark replays as a real stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
