@@ -79,10 +79,14 @@ object FastText {
 
   private def scoreOn(docs: DataFrame, idCol: String, textCol: String,
                       weights: DataFrame, feat: Column => Column,
-                      bias: Double, maxBroadcastFeatures: Long): DataFrame = {
+                      bias: Double, maxBroadcastFeatures: Long,
+                      knownRows: Option[Long] = None): DataFrame = {
     // Weight-table sizing: one count job against the (bounded) table —
-    // cheap relative to the corpus pass it guards.
-    val w = if (weights.count() <= maxBroadcastFeatures) broadcast(weights)
+    // cheap relative to the corpus pass it guards. Callers that already
+    // know the size (a re-opened LoadedModel counted at open time) pass
+    // it to skip the job — the Lm.uniTypes memoization discipline.
+    val rows = knownRows.getOrElse(weights.count())
+    val w = if (rows <= maxBroadcastFeatures) broadcast(weights)
             else weights
     val perFeat = docs
       .select(col(idCol), explode(gramsCol(col(textCol))).as("_gf_g"))
@@ -173,12 +177,22 @@ object FastText {
     * for the hashed lane — the bucket count. [[LoadedModel.score]]
     * dispatches to the matching scoring route. */
   final case class LoadedModel(weights: DataFrame, bias: Double,
-                               keyed: String, buckets: Option[Int]) {
+                               keyed: String, buckets: Option[Int],
+                               rows: Long) {
+    /** Scores through the matching join route. The open-time row count
+      * rides along so repeated scoring calls against one loaded model
+      * skip the per-call sizing job (the Lm.uniTypes memoization). */
     def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
       keyed match {
         case "bucket" =>
-          scoreHashed(docs, idCol, textCol, weights, bias, buckets.get)
-        case _ => FastText.score(docs, idCol, textCol, weights, bias)
+          scoreOn(docs, idCol, textCol,
+            weights.select(col("bucket").as("_gf_f"), col("weight").as("_gf_w")),
+            (g: Column) => pmod(xxhash64(g), lit(buckets.get.toLong)),
+            bias, 5000000L, Some(rows))
+        case _ =>
+          scoreOn(docs, idCol, textCol,
+            weights.select(col("feature").as("_gf_f"), col("weight").as("_gf_w")),
+            (g: Column) => g, bias, 5000000L, Some(rows))
       }
     /** Unpersist the cached weight table (the [[LangModel.Lm.release]]
       * discipline) once scoring plans are materialized. */
@@ -274,8 +288,8 @@ object FastText {
         if (bad > 0) refuse(
           s"$path/weights holds $bad bucket ids outside [0, $b) — " +
             "weight table from a different bucket count; refusing")
-        LoadedModel(w, bias, "bucket", Some(b))
-      case "feature" => LoadedModel(w, bias, "feature", None)
+        LoadedModel(w, bias, "bucket", Some(b), got)
+      case "feature" => LoadedModel(w, bias, "feature", None, got)
       case other => refuse(
         s"$path manifest declares unknown key lane '$other'")
     }
