@@ -1,0 +1,148 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Num.dround
+
+/** Gate-evaluation metrics: grade a quality gate's SCORE against labels.
+  *
+  * The engine ships a stack of curation gates (composite quality, Gopher,
+  * LM perplexity, fastText, DSIR — SURVEY §2 rows 53/109/113/117/124) but
+  * until now no way to measure how well any of them separates good from
+  * bad data. These are the standard classifier-evaluation operators —
+  * ROC-AUC, a precision/recall threshold sweep, a calibration
+  * (reliability) table, and inter-gate Cohen's kappa — extending the
+  * reference's validation-summary spirit (validate_data.py's row-coverage
+  * rates) to scored gates.
+  *
+  * Scale shape: every operator first collapses the corpus to a
+  * DISTINCT-SCORE frame (scores are 4-dp-rounded, so the support is
+  * ≤ 10⁴ rows regardless of corpus size) with one map-side-combined
+  * aggregation; ranking/threshold windows then run on that bounded frame.
+  * No corpus-wide sort, no per-row window — the only corpus-sized
+  * exchange is the keyed partial-count shuffle.
+  *
+  * Float parity: ranks and counts are integers/half-integers (exact in
+  * both engines), rank-sum accumulates as DECIMAL, and every emitted
+  * ratio is a single IEEE division of identical operands followed by
+  * [[graft.Num.dround]] — bit-identical across engines and partitionings.
+  */
+object GateEval {
+
+  /** Distinct-score frame: one row per score value with `n` rows and
+    * `npos` positives. The bounded relation every metric runs on. */
+  private def byScore(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) > 0, 1L).otherwise(0L)).as("npos"))
+
+  /** ROC-AUC via the Mann-Whitney rank-sum with average-rank tie
+    * handling: AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N). One row:
+    * (n_pos, n_neg, auc). Ties get rank `before + (n+1)/2` — exact
+    * half-integers; the rank-sum accumulates as DECIMAL(38,1) so the
+    * total is exact, and the final division is one IEEE op. */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = byScore(df, scoreCol, labelCol)
+    // The window runs on the distinct-score frame (bounded support) —
+    // single-partition by construction, ≤ 10^(dp) rows.
+    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("avgrank",
+        col("before").cast(DoubleType) + (col("n").cast(DoubleType) + 1.0) / 2.0)
+    ranked.agg(
+        sum(col("npos")).as("p"),
+        sum(col("n") - col("npos")).as("q"),
+        sum((col("npos").cast(DoubleType) * col("avgrank"))
+          .cast(DecimalType(38, 1))).as("ranksum"))
+      .select(
+        col("p").as("n_pos"), col("q").as("n_neg"),
+        dround(
+          (col("ranksum") - (col("p") * (col("p") + 1L) / 2L)
+            .cast(DecimalType(38, 1))).cast(DoubleType)
+            / (col("p") * col("q")).cast(DoubleType), 6).as("auc"))
+  }
+
+  /** Precision/recall/F1 sweep over fixed thresholds (predicted-positive
+    * = score ≥ t). One row per threshold: (threshold, tp, fp, fn, tn,
+    * precision, recall, f1); empty prediction sets emit NULL ratios.
+    * The distinct-score frame cross-joins the (tiny, broadcast)
+    * threshold list, so the sweep costs thresholds × |support| rows. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve needs at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = byScore(df, scoreCol, labelCol)
+    val t = broadcast(thresholds.toDF("threshold"))
+    val prec = col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType)
+    val rec = col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType)
+    g.crossJoin(t)
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("score") >= col("threshold"), col("npos")).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold"), col("n") - col("npos"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold"), col("npos")).otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("threshold"), col("n") - col("npos"))
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0, dround(prec, 6)).as("precision"),
+        when(col("tp") + col("fn") > 0, dround(rec, 6)).as("recall"),
+        when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 && col("tp") > 0,
+          dround(lit(2.0) * prec * rec / (prec + rec), 6))
+          .when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0, lit(0.0))
+          .as("f1"))
+  }
+
+  /** Calibration (reliability) table over `bins` fixed-width buckets of a
+    * [0,1] score: (bin, bin_lo, n, n_pos, mean_score, pos_rate). A
+    * well-calibrated gate has mean_score ≈ pos_rate per bin. Scores are
+    * 4-dp-rounded upstream, so the per-bin score sum is exact as
+    * DECIMAL(38,4). */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int): DataFrame = {
+    require(bins >= 2, s"calibration needs >= 2 bins, got $bins")
+    val b = least(floor(col(scoreCol) * bins).cast(LongType), lit(bins - 1L))
+    df.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol).cast(DecimalType(38, 4))).as("ssum"))
+      .select(col("bin"),
+        dround(col("bin").cast(DoubleType) / bins, 4).as("bin_lo"),
+        col("n"), col("n_pos"),
+        dround(col("ssum").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("mean_score"),
+        dround(col("n_pos").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("pos_rate"))
+  }
+
+  /** Cohen's kappa between two BOOLEAN gate verdicts — chance-corrected
+    * agreement (are two gates redundant, or does each catch different
+    * data?). One pass, one row: the 2×2 confusion counts, observed
+    * agreement p_o, chance agreement p_e, kappa. Count products stay
+    * < 2⁵³ for any corpus this side of 9×10¹⁵ rows, so the double
+    * arithmetic is exact until the final divisions. */
+  def kappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val agg = df.agg(
+      sum(when(a && b, 1L).otherwise(0L)).as("both_pass"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("a_only"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("b_only"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("both_fail"))
+    val n = (col("both_pass") + col("a_only") + col("b_only") + col("both_fail"))
+      .cast(DoubleType)
+    val po = (col("both_pass") + col("both_fail")).cast(DoubleType) / n
+    val pe = ((col("both_pass") + col("a_only")) * (col("both_pass") + col("b_only"))
+      + (col("both_fail") + col("b_only")) * (col("both_fail") + col("a_only")))
+      .cast(DoubleType) / (n * n)
+    agg.select(
+      col("both_pass"), col("a_only"), col("b_only"), col("both_fail"),
+      dround(po, 6).as("p_o"), dround(pe, 6).as("p_e"),
+      when(lit(1.0) - pe =!= 0.0, dround((po - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+  }
+}

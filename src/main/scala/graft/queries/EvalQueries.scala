@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.Tables
+import graft.quality.{Anonymity, GateEval}
+import graft.sim.{Pca, Quantize}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Driver-checked queries for the gate-evaluation + governance family
+  * (SURVEY §2.3 rows 125-131): classifier metrics over the engine's own
+  * quality gates (ROC-AUC, PR sweep, calibration, inter-gate kappa),
+  * k-anonymity/l-diversity release audits, encoding-artifact detection,
+  * int8 embedding quantization, and the PCA spectrum.
+  */
+object EvalQueries {
+
+  /** The labeled evaluation frame every gate-metric query shares: pos =
+    * the corpus as-is, neg = a deterministic junk corruption of it (the
+    * text_ft_train_score fixture — truncation + spam tokens), scored by
+    * the composite quality gate. A REAL gate graded on a REAL separation
+    * task, with every step ANSI-expressible. */
+  private def mixedScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(concat_ws(" ", slice(toks, 1, 6)),
+        lit(" zz9 qq7 xx3 zz9 qq7 xx3 vv2 kk8 vv2")).as("text"))
+    docs.withColumn("label", lit(1L))
+      .unionByName(neg.withColumn("label", lit(0L)))
+      .select(col("doc_id"), col("label"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+  }
+
+  /** DuckDB CTE chain (no leading WITH) building the mixed labeled+scored
+    * frame, ending in `mg(score, n, npos)` — the distinct-score frame all
+    * three metric oracles read. Single owner so the three metrics grade
+    * the same gate on the same corpus. */
+  private def mixedScoreCtes: String = s"""
+        mixbase AS (SELECT doc_id, text FROM documents),
+        mixneg AS (SELECT doc_id + 1000000 AS doc_id,
+          array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[1:6], ' ')
+            || ' zz9 qq7 xx3 zz9 qq7 xx3 vv2 kk8 vv2' AS text FROM mixbase),
+        mixed AS (SELECT doc_id, CAST(1 AS BIGINT) AS label, text FROM mixbase
+                  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), text FROM mixneg),
+        mixq AS (SELECT doc_id, label, ${TextQueries.qualityColsSql} FROM mixed),
+        msc AS (SELECT doc_id, label, ${TextQueries.qualityScoreSql} AS score FROM mixq),
+        mg AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(label) AS BIGINT) AS npos
+               FROM msc GROUP BY 1)"""
+
+  private val prThresholds: Seq[Double] = (0 to 10).map(_ / 10.0)
+
+  def all: Seq[Q] = Seq(
+
+    // ROC-AUC of the composite quality gate separating real docs from
+    // junk corruptions — Mann-Whitney rank-sum with average-rank ties,
+    // computed on the bounded distinct-score frame (SURVEY row 125).
+    Q("quality_gate_auc",
+      (s, dir) => GateEval.auc(mixedScored(s, dir), "score", "label"),
+      Some(s"""
+        WITH $mixedScoreCtes,
+        mr AS (SELECT score, n, npos,
+                 CAST(coalesce(sum(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
+               FROM mg),
+        ma AS (SELECT CAST(sum(npos) AS BIGINT) AS p,
+                 CAST(sum(n - npos) AS BIGINT) AS q,
+                 sum(CAST(CAST(npos AS DOUBLE) *
+                   (CAST(before AS DOUBLE) + (CAST(n AS DOUBLE) + 1.0) / 2.0)
+                   AS DECIMAL(38,1))) AS rs
+               FROM mr)
+        SELECT p AS n_pos, q AS n_neg,
+               floor((CAST(rs - CAST((p * (p + 1)) // 2 AS DECIMAL(38,1)) AS DOUBLE)
+                 / CAST(p * q AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
+        FROM ma""")),
+
+    // Precision/recall/F1 sweep at fixed thresholds over the same gate
+    // (row 125): the operating-point table behind picking a curation
+    // cutoff. Empty prediction/label sides yield NULL metrics.
+    Q("quality_gate_pr",
+      (s, dir) => GateEval.prCurve(mixedScored(s, dir), "score", "label",
+        prThresholds).orderBy("threshold"),
+      Some(s"""
+        WITH $mixedScoreCtes,
+        mth AS (SELECT CAST(x AS DOUBLE) AS threshold
+                FROM (VALUES ${prThresholds.map(t => s"($t)").mkString(",")}) v(x)),
+        mc AS (SELECT threshold,
+                 CAST(sum(CASE WHEN score >= threshold THEN npos ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN score >= threshold THEN n - npos ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN score < threshold THEN npos ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN score < threshold THEN n - npos ELSE 0 END) AS BIGINT) AS tn
+               FROM mg CROSS JOIN mth GROUP BY 1),
+        md AS (SELECT threshold, tp, fp, fn, tn,
+                 CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS pr,
+                 CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rc
+               FROM mc)
+        SELECT threshold, tp, fp, fn, tn,
+               CASE WHEN tp + fp > 0 THEN floor(pr * 1e6 + 0.5) / 1e6 END AS "precision",
+               CASE WHEN tp + fn > 0 THEN floor(rc * 1e6 + 0.5) / 1e6 END AS recall,
+               CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+                    THEN floor(2.0 * pr * rc / (pr + rc) * 1e6 + 0.5) / 1e6
+                    WHEN tp + fp > 0 AND tp + fn > 0 THEN 0.0 END AS f1
+        FROM md ORDER BY threshold""")),
+
+    // Calibration (reliability) table of the same gate (row 125): per
+    // fixed-width score decile, mean score vs realized positive rate.
+    Q("quality_gate_calibration",
+      (s, dir) => GateEval.calibration(mixedScored(s, dir), "score", "label",
+        bins = 10).orderBy("bin"),
+      Some(s"""
+        WITH $mixedScoreCtes
+        SELECT bin, floor(CAST(bin AS DOUBLE) / 10 * 1e4 + 0.5) / 1e4 AS bin_lo,
+               n, n_pos,
+               floor(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_score,
+               floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pos_rate
+        FROM (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN label > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                     sum(CAST(score AS DECIMAL(38,4))) AS ssum
+              FROM msc GROUP BY 1)
+        ORDER BY bin""")),
+
+    // Cohen's kappa between the language-ID gate's 'en' verdict and the
+    // corpus metadata label (row 126) — chance-corrected agreement, the
+    // standard way to grade a classifier against noisy reference labels.
+    Q("quality_gate_agreement",
+      (s, dir) => {
+        val verdicts = Tables.documents(s, dir).select(
+          (TextAnalysis.languageId(col("text")) === "en").as("pred_en"),
+          (col("lang") === "en").as("meta_en"))
+        GateEval.kappa(verdicts, "pred_en", "meta_en")
+      },
+      Some(s"""
+        WITH lp AS (
+          SELECT (${TextQueries.langCaseSql}) = 'en' AS pred_en,
+                 lang = 'en' AS meta_en
+          FROM (SELECT doc_id, lang, ${TextQueries.langScoresSql} FROM documents)),
+        kc AS (SELECT
+                 CAST(sum(CASE WHEN pred_en AND meta_en THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+                 CAST(sum(CASE WHEN pred_en AND NOT meta_en THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+                 CAST(sum(CASE WHEN NOT pred_en AND meta_en THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+                 CAST(sum(CASE WHEN NOT pred_en AND NOT meta_en THEN 1 ELSE 0 END) AS BIGINT) AS both_fail
+               FROM lp),
+        kd AS (SELECT *,
+                 CAST(both_pass + both_fail AS DOUBLE)
+                   / CAST(both_pass + a_only + b_only + both_fail AS DOUBLE) AS po,
+                 CAST((both_pass + a_only) * (both_pass + b_only)
+                      + (both_fail + b_only) * (both_fail + a_only) AS DOUBLE)
+                   / (CAST(both_pass + a_only + b_only + both_fail AS DOUBLE)
+                      * CAST(both_pass + a_only + b_only + both_fail AS DOUBLE)) AS pe
+               FROM kc)
+        SELECT both_pass, a_only, b_only, both_fail,
+               floor(po * 1e6 + 0.5) / 1e6 AS p_o,
+               floor(pe * 1e6 + 0.5) / 1e6 AS p_e,
+               CASE WHEN 1.0 - pe <> 0.0
+                    THEN floor((po - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 END AS kappa
+        FROM kd""")),
+
+    // k-anonymity / l-diversity per-equivalence-class audit over the
+    // customer release (row 127): QI = (nation, market segment),
+    // sensitive attribute = the in-debt flag.
+    Q("pii_k_anonymity",
+      (s, dir) => Anonymity.audit(
+        Tables.customer(s, dir).withColumn("in_debt", col("c_acctbal") < 0),
+        Seq("c_nationkey", "c_mktsegment"), "in_debt", k = 5, l = 2)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some(s"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT in_debt) AS BIGINT) AS n_sensitive,
+               count(*) < 5 AS k_violation,
+               count(DISTINCT in_debt) < 2 AS l_violation
+        FROM (SELECT c_nationkey, c_mktsegment, c_acctbal < 0 AS in_debt
+              FROM customer)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // The release-level verdict (row 127): achieved k and l, violating
+    // class/row counts, and the at-risk row fraction — one row.
+    Q("pii_k_anonymity_summary",
+      (s, dir) => Anonymity.summary(
+        Tables.customer(s, dir).withColumn("in_debt", col("c_acctbal") < 0),
+        Seq("c_nationkey", "c_mktsegment"), "in_debt", k = 5, l = 2),
+      Some(s"""
+        WITH cls AS (
+          SELECT CAST(count(*) AS BIGINT) AS class_size,
+                 CAST(count(DISTINCT in_debt) AS BIGINT) AS n_sensitive
+          FROM (SELECT c_nationkey, c_mktsegment, c_acctbal < 0 AS in_debt
+                FROM customer)
+          GROUP BY c_nationkey, c_mktsegment),
+        agg AS (SELECT
+                 CAST(sum(class_size) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(min(class_size) AS BIGINT) AS k_achieved,
+                 CAST(min(n_sensitive) AS BIGINT) AS l_achieved,
+                 CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS k_violating_classes,
+                 CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS k_violating_rows,
+                 CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT) AS l_violating_classes
+               FROM cls)
+        SELECT *, floor(CAST(k_violating_rows AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE) * 1e6 + 0.5) / 1e6 AS at_risk_frac
+        FROM agg""")),
+
+    // Encoding-artifact audit (row 128): mojibake markers, replacement
+    // chars, stray control chars — over the corpus plus a deterministic
+    // corruption fixture (the gopherFixture pattern: the synthetic corpus
+    // is clean, so the rules must be made to fire both ways).
+    Q("text_mojibake",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val cor = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, replace(col("text"), lit("a"), lit("Ã¡")))
+            .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" itâ€™s here")))
+            .otherwise(concat(lit("�"), col("text"))).as("text"))
+        TextAnalysis.encodingAudit(docs.unionByName(cor), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH mjbase AS (SELECT doc_id, text FROM documents),
+        mjcor AS (SELECT doc_id + 2000000 AS doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'Ã¡')
+               WHEN doc_id % 3 = 1 THEN text || ' itâ€™s here' || chr(7)
+               ELSE chr(65533) || text END AS text FROM mjbase),
+        mjall AS (SELECT doc_id, text FROM mjbase
+                  UNION ALL SELECT doc_id, text FROM mjcor),
+        mjc AS (SELECT doc_id,
+                 CAST((length(text) - length(replace(text, 'Ã', ''))) / 1 AS BIGINT)
+                 + CAST((length(text) - length(replace(text, 'â€', ''))) / 2 AS BIGINT)
+                 + CAST((length(text) - length(replace(text, 'Â', ''))) / 1 AS BIGINT) AS n_mojibake,
+                 CAST((length(text) - length(replace(text, chr(65533), ''))) / 1 AS BIGINT) AS n_replacement,
+                 CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_control
+                FROM mjall)
+        SELECT doc_id, n_mojibake, n_replacement, n_control,
+               n_mojibake + n_replacement + n_control = 0 AS is_clean
+        FROM mjc ORDER BY doc_id""")),
+
+    // Int8 scalar-quantization audit over the embedding corpus (row 129):
+    // per-vector code book + reconstruction error — the SQ8-vs-PQ
+    // decision table.
+    Q("embedding_quantize",
+      (s, dir) => Quantize.int8Audit(Tables.embeddings(s, dir),
+        "vec_id", "embedding").orderBy("vec_id"),
+      Some("""
+        WITH qx AS (SELECT vec_id, CAST(u.x AS DOUBLE) AS x
+                    FROM embeddings, unnest(embedding) AS u(x)),
+        qs AS (SELECT vec_id, min(x) AS mn, max(x) AS mx,
+                      CAST(count(*) AS BIGINT) AS nd
+               FROM qx GROUP BY 1),
+        qp AS (SELECT qx.vec_id, x, mn, nd,
+                 CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+               FROM qx JOIN qs ON qx.vec_id = qs.vec_id),
+        qe AS (SELECT vec_id, mn, nd, scale,
+                 x - (mn + least(255.0, greatest(0.0, floor((x - mn) / scale + 0.5))) * scale) AS e
+               FROM qp)
+        SELECT vec_id, nd AS n_dims, mn AS vmin, scale,
+               floor(max(abs(e)) * 1e7 + 0.5) / 1e7 AS max_abs_err,
+               floor((CAST(sum(CAST(floor(e * e * 1e12 + 0.5) / 1e12 AS DECIMAL(38,12)))
+                 AS DOUBLE) / CAST(nd AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS mse
+        FROM qe GROUP BY vec_id, nd, mn, scale ORDER BY vec_id""")),
+
+    // PCA spectrum of the embedding corpus (row 130): eigenvalues,
+    // explained-variance ratios, heaviest-loading raw dimensions — the
+    // effective-dimensionality / collapse audit. Rows-only: an
+    // eigendecomposition has no ANSI form; PcaSpec pins the algebra
+    // (orthonormality, Av=λv, trace, a closed-form 2-D fixture).
+    Q("embedding_pca",
+      (s, dir) => Pca.spectrum(Tables.embeddings(s, dir), "embedding")
+        .orderBy("component"),
+      None),
+
+    // Per-source corpus composition (row 131): the RefinedWeb-style
+    // per-domain table (docs, languages, tokens, chars, mean gate score)
+    // a mixture plan starts from.
+    Q("corpus_source_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          graft.Num.dround(
+            sum(TextAnalysis.qualityScore(col("text")).cast(DecimalType(38, 4)))
+              .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+            .as("mean_quality"))
+        .orderBy("source"),
+      Some(s"""
+        WITH t AS (SELECT source, lang, n_chars,
+                     ${TextQueries.sqlTokenCount("text")} AS ntok,
+                     ${TextQueries.qualityColsSql}
+                   FROM documents),
+        s2 AS (SELECT source, lang, n_chars, ntok,
+                 ${TextQueries.qualityScoreSql} AS q FROM t)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               floor(CAST(sum(CAST(q AS DECIMAL(38,4))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_quality
+        FROM s2 GROUP BY source ORDER BY source"""))
+  )
+}

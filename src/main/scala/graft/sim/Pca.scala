@@ -1,0 +1,228 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Principal component analysis over an embedding column — the classic
+  * spectrum audit for learned representations: how many directions carry
+  * the corpus's variance (effective dimensionality), which raw dimensions
+  * load them, and whether the space has collapsed (one dominant
+  * component = degenerate embeddings; see Jolliffe, public literature).
+  * Complements [[EmbeddingStats]]'s per-dimension variances with the
+  * cross-dimension structure those marginals can't see.
+  *
+  * Scale split (the Bpe/FastText discipline): the corpus-sized work is
+  * ONE typed-Aggregator pass accumulating (n, Σx, upper-tri Σxxᵀ) —
+  * d(d+3)/2+1 doubles of state, map-side combined, a few-KB exchange
+  * regardless of corpus size. The d×d eigenproblem is dimension-sized
+  * (d ≤ a few thousand) and runs as a deterministic cyclic Jacobi on the
+  * driver — the same bounded-driver-step shape as BPE's merge loop and
+  * k-means' centroid update.
+  *
+  * Determinism: the covariance accumulates IEEE doubles, so the last
+  * ulp depends on partition order; outputs are 6-dp-rounded and the
+  * registered query is rows-only (an eigendecomposition has no ANSI
+  * form). PcaSpec pins the algebra exactly: orthonormality, Av = λv
+  * residuals, trace preservation, and a closed-form 2-D fixture.
+  */
+object Pca {
+
+  /** Eigen-spectrum model: `mean(d)`, eigenvalues desc, eigenvectors
+    * (rows aligned with eigenvalues, unit norm, sign fixed so each
+    * vector's largest-|loading| entry is positive — Jacobi's rotation
+    * signs are otherwise arbitrary). */
+  final case class Model(mean: Array[Double], eigenvalues: Array[Double],
+                         eigenvectors: Array[Array[Double]]) {
+    def dim: Int = mean.length
+  }
+
+  /** Buffer: [0]=n, [1..d]=Σx, [1+d ..]=upper-tri Σ x_i·x_j. */
+  private final class MomentAgg(d: Int,
+      enc: org.apache.spark.sql.Encoder[Array[Double]])
+      extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
+    private val triLen = d * (d + 1) / 2
+    def zero: Array[Double] = new Array[Double](1 + d + triLen)
+    def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      require(v.length == d,
+        s"Pca: vector of dim ${v.length} in a dim-$d corpus")
+      b(0) += 1.0
+      var i = 0
+      var p = 1 + d
+      while (i < d) {
+        val xi = v(i).toDouble
+        b(1 + i) += xi
+        var j = i
+        while (j < d) { b(p) += xi * v(j).toDouble; p += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Double]): Array[Double] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] = enc
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] = enc
+  }
+
+  /** Fit the spectrum: one distributed moment pass + driver Jacobi. */
+  def fit(df: DataFrame, vecCol: String): Model = {
+    val d = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .limit(1).collect() match {
+      case Array(row) => row.getSeq[Float](0).length
+      case _ => throw new IllegalArgumentException(
+        s"Pca.fit: no non-null vectors in $vecCol")
+    }
+    require(d >= 2, s"Pca needs dim >= 2, got $d")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val moments = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .as[Seq[Float]]
+      .select(new MomentAgg(d,
+        implicitly[org.apache.spark.sql.Encoder[Array[Double]]]).toColumn)
+      .head()
+    val n = moments(0)
+    require(n >= 2, s"Pca needs >= 2 vectors, got ${n.toLong}")
+    val mean = Array.tabulate(d)(i => moments(1 + i) / n)
+    // population covariance: E[x_i x_j] − μ_i μ_j
+    val cov = Array.ofDim[Double](d, d)
+    var p = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = moments(p) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    Model(mean, values, vectors)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: sweeps in a
+    * fixed (p,q) order until every off-diagonal is below tolerance —
+    * deterministic given the input matrix. O(d³) per sweep on the
+    * driver; dimension-sized by contract. Returns (eigenvalues desc,
+    * matching unit eigenvectors as rows, sign-fixed). */
+  private[sim] def jacobiEigen(m: Array[Array[Double]],
+                               maxSweeps: Int = 64,
+                               tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    val scale = math.max(1.0, a.indices.map(i => math.abs(a(i)(i))).max)
+    while (off > tol * scale && sweep < maxSweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > tol * scale / (d * d)) {
+            // classic 2×2 rotation zeroing a(p)(q)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    // sort desc by eigenvalue, ties broken by original column index
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { i =>
+      val vec = Array.tabulate(d)(k => v(k)(i))
+      // sign convention: largest-|loading| entry positive
+      val top = vec.indices.maxBy(k => (math.abs(vec(k)), -k))
+      if (vec(top) < 0) vec.map(x => -x) else vec
+    }.toArray
+    (values, vectors)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += math.abs(a(i)(j)); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** The spectrum as a frame — one row per component: eigenvalue,
+    * explained-variance ratio, cumulative ratio, and the heaviest-loading
+    * raw dimension. Dimension-sized output. */
+  def spectrum(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val model = fit(df, vecCol)
+    val total = model.eigenvalues.map(v => math.max(v, 0.0)).sum
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var cum = 0.0
+    val rows = model.eigenvalues.zipWithIndex.map { case (ev, i) =>
+      val ratio = if (total > 0) math.max(ev, 0.0) / total else 0.0
+      cum += ratio
+      val vec = model.eigenvectors(i)
+      val top = vec.indices.maxBy(k => (math.abs(vec(k)), -k))
+      Row(i, r6(ev), r6(ratio), r6(math.min(cum, 1.0)), top, r6(vec(top)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("component", IntegerType, nullable = false),
+        StructField("eigenvalue", DoubleType, nullable = false),
+        StructField("explained_ratio", DoubleType, nullable = false),
+        StructField("cum_ratio", DoubleType, nullable = false),
+        StructField("top_dim", IntegerType, nullable = false),
+        StructField("top_loading", DoubleType, nullable = false))))
+  }
+
+  /** Project vectors onto the top-k components (a broadcast-literal
+    * codegen'd projection — k·d multiply-adds per row, no shuffle):
+    * output keeps `idCol` plus `pc` = array of k scores. */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+              model: Model, k: Int): DataFrame = {
+    require(k >= 1 && k <= model.dim,
+      s"project k must be in [1, ${model.dim}], got $k")
+    val meanLit = array(model.mean.map(lit): _*)
+    val centered = zip_with(col(vecCol), meanLit,
+      (x, m) => x.cast(DoubleType) - m)
+    val comps = (0 until k).map { c =>
+      val w = array(model.eigenvectors(c).map(lit): _*)
+      aggregate(zip_with(centered, w, (x, wi) => x * wi),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    df.select(col(idCol), array(comps: _*).as("pc"))
+  }
+}

@@ -231,4 +231,47 @@ object TextAnalysis {
         graft.Num.dround(col("tfidf"), 4).as("tfidf"))
       .orderBy(col(idCol), col("rank"))
   }
+
+  /** Non-overlapping occurrences of literal substring `s` — replace()
+    * length arithmetic, the engine-portable way to count multi-byte
+    * literals (regex-free: no escaping or unicode-class divergence). */
+  def substrCount(c: Column, s: String): Column = {
+    require(s.nonEmpty, "substrCount needs a non-empty needle")
+    ((length(c) - length(replace(c, lit(s), lit("")))) / lit(s.length))
+      .cast("long")
+  }
+
+  /** Common UTF-8-decoded-as-Latin-1 mojibake markers: 'Ã' (mangled
+    * accented letters, e.g. 'é'→'Ã©'), 'â€' (mangled smart punctuation,
+    * e.g. '’'→'â€™'), 'Â' (mangled NBSP/degree/copyright). Literal
+    * substring counts, not regex, so both engines count identically. */
+  val mojibakeMarkers: Seq[String] = Seq("Ã", "â€", "Â")
+
+  /** Count of mojibake marker hits in the text. */
+  def mojibakeCount(c: Column): Column =
+    mojibakeMarkers.map(substrCount(c, _)).reduce(_ + _)
+
+  /** Count of U+FFFD replacement characters (lossy transcoding scars). */
+  def replacementCharCount(c: Column): Column = substrCount(c, "�")
+
+  /** Count of non-whitespace C0 control characters (tab/LF/CR excluded)
+    * — binary garbage embedded in "text". */
+  def controlCharCount(c: Column): Column =
+    regexp_count(c, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+
+  /** Per-document encoding-artifact audit: mojibake markers, replacement
+    * characters, stray control characters, and the combined verdict — the
+    * corpus-hygiene gate every web-scraped training set needs before
+    * tokenization (a mojibake'd corpus teaches the tokenizer phantom
+    * vocabulary). Pure codegen'd projection: no shuffle, no UDF;
+    * composes into any curation chain as a scan predicate. */
+  def encodingAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+        mojibakeCount(t).as("n_mojibake"),
+        replacementCharCount(t).as("n_replacement"),
+        controlCharCount(t).cast("long").as("n_control"))
+      .withColumn("is_clean",
+        col("n_mojibake") + col("n_replacement") + col("n_control") === 0L)
+  }
 }

@@ -221,4 +221,41 @@ class PlanQualitySpec extends SparkSpec {
       s"unexpected extra exchange:\n$p")
     assert(p.contains("bpe_encode"))
   }
+
+  test("text_mojibake: the audit is a pure projection (no row-level shuffle)") {
+    val p = plan("text_mojibake")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encoding audit gained a row-level exchange:\n$p")
+  }
+
+  test("embedding_quantize: zero shuffle, zero join — codes on the scan") {
+    val p = plan("embedding_quantize")
+    assert(!p.contains("Exchange hashpartitioning"), s"quantize shuffled:\n$p")
+    assert(!p.contains("Join"), s"quantize gained a join:\n$p")
+  }
+
+  test("quality_gate_auc: corpus collapses to the score frame map-side; text never shuffles") {
+    val p = plan("quality_gate_auc")
+    // distinct-score collapse must partial-aggregate before its exchange
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"score collapse lost map-side combine:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
+  }
+
+  test("quality_gate_pr: threshold sweep joins only the collapsed score frame") {
+    val p = plan("quality_gate_pr")
+    // the cross join is bounded-frame × 11 thresholds and must broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), s"threshold join not broadcast:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
+  }
+
+  test("corpus_source_stats: per-source partials combine map-side; text never shuffles") {
+    val p = plan("corpus_source_stats")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"source stats lost map-side combine:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
+  }
 }
