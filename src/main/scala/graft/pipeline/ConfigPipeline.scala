@@ -235,6 +235,13 @@ object ConfigPipeline {
         requireKeys(m, path, required = Set("module", "text_column"), optional = Set.empty)
         PiiRedactStage(asString(m("text_column"), s"$path.text_column"))
 
+      case "mojibake_filter" =>
+        requireKeys(m, path, required = Set("module", "text_column", "id_column"),
+          optional = Set.empty)
+        MojibakeFilterStage(
+          asString(m("text_column"), s"$path.text_column"),
+          asString(m("id_column"), s"$path.id_column"))
+
       case "exact_dedup" =>
         requireKeys(m, path, required = Set("module", "text_column", "id_column"),
           optional = Set.empty)

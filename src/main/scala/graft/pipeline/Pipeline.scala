@@ -53,6 +53,12 @@ final case class GopherFilterStage(textCol: String, idCol: String,
     cfg: GopherRules.Config) extends Stage { val name = "gopher_filter" }
 final case class NearDedupStage(textCol: String, idCol: String,
     threshold: Double) extends Stage { val name = "near_dedup" }
+/** Encoding-hygiene gate (SURVEY row 128): docs carrying mojibake
+  * markers, replacement chars, or stray C0 control chars are dropped;
+  * the report carries every dropped doc's per-class artifact counts. The
+  * keep path is a single zero-shuffle scan predicate. */
+final case class MojibakeFilterStage(textCol: String,
+    idCol: String) extends Stage { val name = "mojibake_filter" }
 /** Exact substring dedup (SURVEY row 102): duplicated n-token spans are
   * cut in place; the frame keeps flowing with `textCol` replaced by the
   * cleaned text (whitespace-normalized) and all other columns intact. */
@@ -132,6 +138,16 @@ object Pipeline {
             GopherRules.audit(acc.select(col(idCol), col(textCol)),
               idCol, textCol, cfg).filter(!col("keep"))
           GopherRules.filterDocs(acc, textCol, cfg)
+        case MojibakeFilterStage(textCol, idCol) =>
+          reports += s"$i:mojibake_filter" ->
+            TextAnalysis.encodingAudit(acc.select(col(idCol), col(textCol)),
+              idCol, textCol).filter(!col("is_clean"))
+          // keep path re-states the verdict as a scan predicate so the
+          // surviving frame never joins back to the audit
+          acc.filter(
+            TextAnalysis.mojibakeCount(col(textCol))
+              + TextAnalysis.replacementCharCount(col(textCol))
+              + TextAnalysis.controlCharCount(col(textCol)).cast("long") === 0L)
         case NearDedupStage(textCol, idCol, threshold) =>
           graft.dedup.MinHash.dedup(acc, textCol, idCol, threshold = threshold)
         case SpanDedupStage(textCol, idCol, n) =>

@@ -52,6 +52,38 @@ object EvalQueries {
 
   private val prThresholds: Seq[Double] = (0 to 10).map(_ / 10.0)
 
+  /** Corpus + deterministic encoding corruption — every third doc gains a
+    * different artifact class (Latin-1 mojibake / smart-quote mangle +
+    * control char / replacement char). Shared by text_mojibake and the
+    * YAML mojibake_filter stage so one oracle serves both. */
+  private[queries] def mojibakeFixture(docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val cor = base.select((col("doc_id") + 2000000L).as("doc_id"),
+      when(col("doc_id") % 3 === 0, replace(col("text"), lit("a"), lit("Ã¡")))
+        .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" itâ€™s here")))
+        .otherwise(concat(lit("�"), col("text"))).as("text"))
+    base.unionByName(cor)
+  }
+
+  /** DuckDB CTE chain (no leading WITH) building [[mojibakeFixture]] and
+    * its audit counts, ending in `mjc(doc_id, n_mojibake, n_replacement,
+    * n_control)` — the single SQL owner of the encoding-audit semantics. */
+  private[queries] def mojibakeAuditCtes: String = s"""
+        mjbase AS (SELECT doc_id, text FROM documents),
+        mjcor AS (SELECT doc_id + 2000000 AS doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'Ã¡')
+               WHEN doc_id % 3 = 1 THEN text || ' itâ€™s here' || chr(7)
+               ELSE chr(65533) || text END AS text FROM mjbase),
+        mjall AS (SELECT doc_id, text FROM mjbase
+                  UNION ALL SELECT doc_id, text FROM mjcor),
+        mjc AS (SELECT doc_id,
+                 CAST((length(text) - length(replace(text, 'Ã', ''))) / 1 AS BIGINT)
+                 + CAST((length(text) - length(replace(text, 'â€', ''))) / 2 AS BIGINT)
+                 + CAST((length(text) - length(replace(text, 'Â', ''))) / 1 AS BIGINT) AS n_mojibake,
+                 CAST((length(text) - length(replace(text, chr(65533), ''))) / 1 AS BIGINT) AS n_replacement,
+                 CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_control
+                FROM mjall)"""
+
   def all: Seq[Q] = Seq(
 
     // ROC-AUC of the composite quality gate separating real docs from
@@ -204,34 +236,15 @@ object EvalQueries {
         FROM agg""")),
 
     // Encoding-artifact audit (row 128): mojibake markers, replacement
-    // chars, stray control chars — over the corpus plus a deterministic
+    // chars, stray control chars -- over the corpus plus a deterministic
     // corruption fixture (the gopherFixture pattern: the synthetic corpus
     // is clean, so the rules must be made to fire both ways).
     Q("text_mojibake",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select("doc_id", "text")
-        val cor = docs.select((col("doc_id") + 2000000L).as("doc_id"),
-          when(col("doc_id") % 3 === 0, replace(col("text"), lit("a"), lit("Ã¡")))
-            .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" itâ€™s here")))
-            .otherwise(concat(lit("�"), col("text"))).as("text"))
-        TextAnalysis.encodingAudit(docs.unionByName(cor), "doc_id", "text")
-          .orderBy("doc_id")
-      },
+      (s, dir) => TextAnalysis.encodingAudit(
+        mojibakeFixture(Tables.documents(s, dir)), "doc_id", "text")
+        .orderBy("doc_id"),
       Some(s"""
-        WITH mjbase AS (SELECT doc_id, text FROM documents),
-        mjcor AS (SELECT doc_id + 2000000 AS doc_id,
-          CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'Ã¡')
-               WHEN doc_id % 3 = 1 THEN text || ' itâ€™s here' || chr(7)
-               ELSE chr(65533) || text END AS text FROM mjbase),
-        mjall AS (SELECT doc_id, text FROM mjbase
-                  UNION ALL SELECT doc_id, text FROM mjcor),
-        mjc AS (SELECT doc_id,
-                 CAST((length(text) - length(replace(text, 'Ã', ''))) / 1 AS BIGINT)
-                 + CAST((length(text) - length(replace(text, 'â€', ''))) / 2 AS BIGINT)
-                 + CAST((length(text) - length(replace(text, 'Â', ''))) / 1 AS BIGINT) AS n_mojibake,
-                 CAST((length(text) - length(replace(text, chr(65533), ''))) / 1 AS BIGINT) AS n_replacement,
-                 CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_control
-                FROM mjall)
+        WITH $mojibakeAuditCtes
         SELECT doc_id, n_mojibake, n_replacement, n_control,
                n_mojibake + n_replacement + n_control = 0 AS is_clean
         FROM mjc ORDER BY doc_id""")),

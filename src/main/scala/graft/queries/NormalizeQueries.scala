@@ -225,6 +225,44 @@ object NormalizeQueries {
           FROM unknown, master)
         SELECT seg, master AS corrected,
                floor(score * 1e4 + 0.5) / 1e4 AS score
-        FROM scored WHERE rnk = 1 ORDER BY seg"""))
+        FROM scored WHERE rnk = 1 ORDER BY seg""")),
+
+    // Blocked record linkage (SURVEY row 134): dirty part names (last 3
+    // chars lost) matched back to the distinct master catalog — candidates
+    // from an EQUI-join on the 4-char blocking prefix (never all-pairs),
+    // winner per dirty value via one map-side-combined min_by argmax, the
+    // codegen'd native Jaro-Winkler in the pair loop.
+    Q("link_records",
+      (s, dir) => {
+        val part = Tables.part(s, dir)
+        val master = part.select(col("p_name")).distinct()
+        val dirty = part.select(
+          col("p_name").substr(lit(1), length(col("p_name")) - 3)
+            .as("dirty_name")).distinct()
+        graft.ops.RecordLinkage.bestMatch(
+            dirty, "dirty_name", "dirty_name",
+            master, "p_name", "p_name",
+            blockKey = c => c.substr(1, 4), minScore = 0.8)
+          .orderBy("dirty_name")
+      },
+      Some("""
+        WITH master AS (SELECT DISTINCT p_name FROM part),
+        dirty AS (SELECT DISTINCT substr(p_name, 1, length(p_name) - 3) AS dirty_name
+                  FROM part),
+        pairs AS (
+          SELECT dirty_name, p_name,
+                 jaro_winkler_similarity(dirty_name, p_name) AS s
+          FROM dirty JOIN master
+            ON substr(dirty_name, 1, 4) = substr(p_name, 1, 4)
+          WHERE jaro_winkler_similarity(dirty_name, p_name) >= 0.8),
+        best AS (
+          SELECT dirty_name, p_name, s,
+                 CAST(count(*) OVER (PARTITION BY dirty_name) AS BIGINT) AS n_candidates,
+                 row_number() OVER (PARTITION BY dirty_name
+                   ORDER BY s DESC, p_name) AS rn
+          FROM pairs)
+        SELECT dirty_name, p_name AS match_id,
+               floor(s * 1e6 + 0.5) / 1e6 AS score, n_candidates
+        FROM best WHERE rn = 1 ORDER BY dirty_name"""))
   )
 }

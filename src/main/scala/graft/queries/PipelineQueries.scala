@@ -123,6 +123,16 @@ object PipelineQueries {
     |    min_stop_hits: 2
     |""".stripMargin
 
+  /** The encoding-hygiene gate as a config artifact; fixture + oracle
+    * CTEs live in [[EvalQueries]] (single owner with text_mojibake). */
+  private val mojibakeYaml = """
+    |run_id: mojibake_config
+    |stages:
+    |  - module: mojibake_filter
+    |    text_column: text
+    |    id_column: doc_id
+    |""".stripMargin
+
   /** The report-only embedding audit as a config artifact. */
   private val centroidsYaml = """
     |run_id: centroids_config
@@ -245,6 +255,20 @@ object PipelineQueries {
       Some(s"""
         ${TextQueries.gopherAuditSql}
         SELECT doc_id FROM audit WHERE keep = 1 ORDER BY doc_id""")),
+
+    // The encoding-hygiene gate as a YAML stage over the same corruption
+    // fixture as text_mojibake — one CTE owner serves both, so the config
+    // path cannot drift from the direct audit (SURVEY row 128).
+    Q("pipeline_mojibake_config",
+      (s, dir) => ConfigPipeline.run(
+          EvalQueries.mojibakeFixture(Tables.documents(s, dir)),
+          mojibakeYaml).df
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"""
+        WITH ${EvalQueries.mojibakeAuditCtes}
+        SELECT doc_id FROM mjc
+        WHERE n_mojibake + n_replacement + n_control = 0
+        ORDER BY doc_id""")),
 
     // The fastText gate as a YAML stage under a PERSISTED handed
     // (feature-keyed) model — HASH-GREEN: the oracle is text_ft_score's

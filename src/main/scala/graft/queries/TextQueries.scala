@@ -750,7 +750,90 @@ object TextQueries {
             bias = ftHandedBias)
           .orderBy("doc_id")
       },
-      Some(s"$ftScoreOracleBody ORDER BY doc_id"))
+      Some(s"$ftScoreOracleBody ORDER BY doc_id")),
+
+    // Duplication-mass histogram (SURVEY row 132): how much of the corpus
+    // is redundant, by exact-duplicate cluster size — the first number a
+    // dedup plan is sized from. Same clone fixture as dedup_exact so the
+    // histogram has real mass; two keyed aggregations, the first on the
+    // 128-bit content fingerprint (the only corpus-sized exchange — text
+    // itself never shuffles), the second on the bounded size domain.
+    Q("dedup_exact_sizes",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val clones = d.filter(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          upper(concat(col("text"), lit("  "))).as("text"))
+        d.unionByName(clones)
+          .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"),
+            ((col("cluster_size") - 1L) * col("n_clusters")).as("n_redundant"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, upper(text || '  ') FROM documents WHERE doc_id % 5 = 0),
+        cl AS (
+          SELECT md5(${sqlNormText("text")}) AS fp,
+                 CAST(count(*) AS BIGINT) AS cluster_size
+          FROM u GROUP BY 1)
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+        FROM cl GROUP BY cluster_size ORDER BY cluster_size""")),
+
+    // Tokenizer fertility by language (SURVEY row 133): subwords-per-word
+    // under the BPE model — the standard tokenizer-fairness audit (a
+    // language with high fertility pays more context budget per word).
+    // HASH-GREEN under the handed merge table (closed replace()-arithmetic
+    // form); the engine-trained lane is Bpe.encode with any model. One
+    // grouped pass; both counts are codegen'd projections on the scan.
+    Q("bpe_fertility",
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val words = size(filter(toks, w => length(w) > 0)).cast("long")
+        val subwords = size(graft.functions.BpeEncodeFun.bpeEncode(
+          col("text"), handedBpe.merges)).cast("long")
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(words).as("n_words"),
+            sum(subwords).as("n_subwords"))
+          .withColumn("fertility",
+            when(col("n_words") > 0, graft.Num.dround(
+              col("n_subwords").cast("double") / col("n_words").cast("double"), 6)))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH wrd AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> length(x) > 0)) AS w
+          FROM documents),
+        pc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(${sqlHandedBpeCost("w")}) AS BIGINT) AS n_subwords
+          FROM wrd GROUP BY 1),
+        d AS (
+          SELECT doc.lang, coalesce(pc.n_words, 0) AS n_words,
+                 coalesce(pc.n_subwords, 0) AS n_subwords
+          FROM documents doc LEFT JOIN pc ON pc.doc_id = doc.doc_id),
+        agg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_words) AS BIGINT) AS n_words,
+                 CAST(sum(n_subwords) AS BIGINT) AS n_subwords
+          FROM d GROUP BY lang)
+        SELECT lang, n_docs, n_words, n_subwords,
+               CASE WHEN n_words > 0 THEN
+                 floor(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6
+               END AS fertility
+        FROM agg ORDER BY lang"""))
   )
 
   /** Handed BPE merge table for the hash-green token-budget oracles: two

@@ -291,6 +291,36 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("ngram"))
   }
 
+  test("mojibake_filter stage drops artifact docs and reports their counts") {
+    val docs = Seq(
+      (1L, "clean ascii prose", "web"),
+      (2L, "mangled cafÃ© text", "web"),   // mojibake marker
+      (3L, "torn�byte", "web"))            // replacement char
+      .toDF("doc_id", "text", "source")
+    val yaml = """
+      |run_id: mjf
+      |stages:
+      |  - module: mojibake_filter
+      |    text_column: text
+      |    id_column: doc_id
+      |""".stripMargin
+    val res = ConfigPipeline.run(docs, yaml)
+    val kept = res.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept $kept")
+    // surviving frame keeps every original column (filter, not project)
+    assert(res.df.columns.toSeq == Seq("doc_id", "text", "source"))
+    val rep = res.reports("0:mojibake_filter").orderBy("doc_id").collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(rep(0).getAs[Long]("n_mojibake") == 1L)
+    assert(rep(1).getAs[Long]("n_replacement") == 1L)
+    // unknown keys refuse at config time with the offending path
+    val e = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("id_column: doc_id",
+        "id_column: doc_id\n    threshold: 2"))
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("lm_filter stage drops low-probability and unscoreable docs, reports them") {
     // reference: repetitive in-domain text; corpus: one in-domain doc,
     // one OOV gibberish doc, one single-token doc (unscoreable)

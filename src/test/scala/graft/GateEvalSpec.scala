@@ -123,6 +123,32 @@ class GateEvalSpec extends SparkSpec {
     assert(Seq(0, 1, 2, 3, 4).forall(i => !out(i).getAs[Boolean]("is_clean")))
   }
 
+  test("record linkage: block bounds candidates, best match wins, id tie-break") {
+    import graft.ops.RecordLinkage
+    val master = Seq((10L, "cold widget"), (11L, "cold wodget"),
+      (20L, "blue rod"), (30L, "warm plate")).toDF("rid", "name")
+    val dirty = Seq((1L, "cold widgt"),  // matches 10 best, 11 second
+      (2L, "blue ro"),                   // matches 20 within the block
+      (3L, "zzzz none")).toDF("did", "name") // block miss → absent
+    val out = RecordLinkage.bestMatch(dirty, "did", "name",
+        master, "rid", "name", c => c.substr(1, 4), minScore = 0.8)
+      .orderBy("did").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Long]("match_id") == 10L)
+    assert(out(0).getAs[Long]("n_candidates") == 2) // both cold* survive 0.8
+    assert(out(1).getAs[Long]("match_id") == 20L)
+    // exact duplicate master rows: the tie breaks on the smaller id
+    val dupMaster = Seq((7L, "cold widget"), (5L, "cold widget"))
+      .toDF("rid", "name")
+    val tied = RecordLinkage.bestMatch(dirty.filter($"did" === 1L), "did", "name",
+        dupMaster, "rid", "name", c => c.substr(1, 4), minScore = 0.0)
+      .head()
+    assert(tied.getAs[Long]("match_id") == 5L)
+    assertThrows[IllegalArgumentException](
+      RecordLinkage.bestMatch(dirty, "did", "name", master, "rid", "name",
+        c => c.substr(1, 4), minScore = 1.5))
+  }
+
   test("misuse is refused") {
     val df = Seq((0.5, 1L)).toDF("score", "label")
     assertThrows[IllegalArgumentException](

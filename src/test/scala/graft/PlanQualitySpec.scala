@@ -251,6 +251,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
   }
 
+  test("link_records: candidates come from an equi-join on the block key, never a cartesian") {
+    val p = plan("link_records")
+    assert(!p.contains("CartesianProduct"), s"linkage went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"block join missing:\n$p")
+    assert(p.contains("jaro_winkler"), "native JW expression not in the plan")
+  }
+
+  test("dedup_exact_sizes: fingerprint aggregation is partial'd; text never shuffles") {
+    val p = plan("dedup_exact_sizes")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"size histogram lost map-side combine:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
+  }
+
   test("corpus_source_stats: per-source partials combine map-side; text never shuffles") {
     val p = plan("corpus_source_stats")
     assert(p.contains("partial_count") || p.contains("partial count"),

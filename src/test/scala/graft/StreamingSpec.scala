@@ -164,6 +164,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("encoding audit gates a live stream exactly like a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // encodingAudit is a stateless codegen'd projection — the hygiene
+    // gate composes into a continuous-ingestion chain unchanged.
+    val docs = Seq(
+      1L -> "clean ascii prose",
+      2L -> "mangled cafÃ© text",   // mojibake marker
+      3L -> "torn�byte")            // replacement char
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextAnalysis.encodingAudit(df, "doc_id", "text")
+        .filter(col("is_clean"))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = gate(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("moji_gate")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("moji_gate").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(1L), s"stream hygiene gate kept: $streamed")
+    val batch = gate(docs.toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == streamed)
+  }
+
   test("dedupWithinWatermark drops in-watermark replays as a real stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double, Long)]
