@@ -151,6 +151,16 @@ object GraftFunctions {
     ColumnGlue.column(
       PqAdcSum(ColumnGlue.expression(code), ColumnGlue.expression(lut), ks))
 
+  /** Column API for [[Sq8Audit]]: one-pass int8 quantization error audit
+    * (struct), fused — see Sq8Kernel. */
+  def sq8Audit(vec: Column): Column =
+    ColumnGlue.column(Sq8Audit(ColumnGlue.expression(vec)))
+
+  /** Column API for [[Sq8Encode]]: one-pass SQ8 byte-code word + moments
+    * (struct), fused — see Sq8Kernel. */
+  def sq8Encode(vec: Column): Column =
+    ColumnGlue.column(Sq8Encode(ColumnGlue.expression(vec)))
+
   /** Register `vec_cosine` + `jaro_winkler` for SQL use in an existing
     * session. */
   def register(spark: SparkSession): Unit = {

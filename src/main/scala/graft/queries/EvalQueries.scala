@@ -283,6 +283,88 @@ object EvalQueries {
         .orderBy("component"),
       None),
 
+    // Corpus health scorecard (row 136): the reference's weighted data
+    // health score (m00_utils/scoring.py — completeness/validity/
+    // uniqueness weights) lifted to corpus curation: encoding hygiene,
+    // gate quality, and duplication mass fold into one 0-100 score, with
+    // the language-entropy diversity signal alongside. Three bounded
+    // aggregates (full-pass stats, fingerprint cluster mass, lang
+    // distribution) cross-joined as 1-row/dimension-sized broadcasts.
+    Q("corpus_health",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nD = count(lit(1)).cast(DoubleType)
+        val artifacts = TextAnalysis.mojibakeCount(col("text")) +
+          TextAnalysis.replacementCharCount(col("text")) +
+          TextAnalysis.controlCharCount(col("text")).cast("long")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          graft.Num.dround(sum(when(artifacts === 0L, 1L).otherwise(0L))
+            .cast(DoubleType) / nD, 6).as("clean_frac"),
+          graft.Num.dround(
+            sum(TextAnalysis.qualityScore(col("text")).cast(DecimalType(38, 4)))
+              .cast(DoubleType) / nD, 6).as("mean_quality"),
+          graft.Num.dround(
+            sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+              .cast(DoubleType) / nD, 6).as("mean_tokens"))
+        val dup = docs
+          .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(graft.Num.dround(
+            sum(col("sz") - 1L).cast(DoubleType) /
+              sum(col("sz")).cast(DoubleType), 6).as("dup_frac"))
+        val langCounts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        val tot = langCounts.agg(sum(col("c")).as("tot"))
+        val p = col("c").cast(DoubleType) / col("tot").cast(DoubleType)
+        val ent = langCounts.crossJoin(broadcast(tot))
+          .select(graft.Num.dround(p * log(p), 9)
+            .cast(DecimalType(30, 9)).as("term"))
+          .agg(graft.Num.dround(
+            sum(col("term")).cast(DoubleType) * lit(-1.0), 6)
+            .as("lang_entropy"))
+        base.crossJoin(broadcast(dup)).crossJoin(broadcast(ent))
+          .withColumn("health_score", graft.Num.dround(
+            lit(100.0) * (lit(0.35) * col("clean_frac")
+              + lit(0.35) * col("mean_quality")
+              + lit(0.30) * (lit(1.0) - col("dup_frac"))), 2))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, text,
+                     ${TextQueries.sqlTokenCount("text")} AS ntok,
+                     ${TextQueries.qualityColsSql}
+                   FROM documents),
+        t2 AS (SELECT doc_id, lang, ntok, ${TextQueries.qualityScoreSql} AS q,
+                 CASE WHEN
+                   CAST((length(text) - length(replace(text, 'Ã', ''))) / 1 AS BIGINT)
+                   + CAST((length(text) - length(replace(text, 'â€', ''))) / 2 AS BIGINT)
+                   + CAST((length(text) - length(replace(text, 'Â', ''))) / 1 AS BIGINT)
+                   + CAST((length(text) - length(replace(text, chr(65533), ''))) / 1 AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT)
+                   = 0 THEN 1 ELSE 0 END AS clean
+               FROM t),
+        base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  floor(CAST(sum(clean) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS clean_frac,
+                  floor(CAST(sum(CAST(q AS DECIMAL(38,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_quality,
+                  floor(CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_tokens
+                 FROM t2),
+        cl AS (SELECT md5(${TextQueries.sqlNormText("text")}) AS fp,
+                 CAST(count(*) AS BIGINT) AS sz
+               FROM documents GROUP BY 1),
+        dup AS (SELECT floor(CAST(sum(sz - 1) AS DOUBLE) / CAST(sum(sz) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_frac
+                FROM cl),
+        lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+        ltot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM lc),
+        terms AS (SELECT CAST(floor((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                    AS DECIMAL(30,9)) AS term
+                  FROM lc, ltot),
+        ent AS (SELECT floor(CAST(sum(term) AS DOUBLE) * -1.0 * 1e6 + 0.5) / 1e6 AS lang_entropy
+                FROM terms)
+        SELECT n_docs, clean_frac, mean_quality, mean_tokens, dup_frac, lang_entropy,
+               floor((100.0 * (0.35 * clean_frac + 0.35 * mean_quality
+                 + 0.30 * (1.0 - dup_frac))) * 1e2 + 0.5) / 1e2 AS health_score
+        FROM base, dup, ent""")),
+
     // Per-source corpus composition (row 131): the RefinedWeb-style
     // per-domain table (docs, languages, tokens, chars, mean gate score)
     // a mixture plan starts from.

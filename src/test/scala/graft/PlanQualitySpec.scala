@@ -251,6 +251,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
   }
 
+  test("ann_sq8: the scan reads byte codes through the ADC kernel, queries broadcast") {
+    val p = plan("ann_sq8")
+    assert(p.contains("pq_adc_sum"), "ADC kernel not in the plan")
+    assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast all-pairs:\n$p")
+  }
+
   test("link_records: candidates come from an equi-join on the block key, never a cartesian") {
     val p = plan("link_records")
     assert(!p.contains("CartesianProduct"), s"linkage went all-pairs:\n$p")

@@ -33,6 +33,68 @@ class QuantizeSpec extends SparkSpec {
     assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-7)
   }
 
+  test("fused kernels are value-identical to the HOF composites") {
+    val e = Tables.embeddings(spark, sfDir)
+    val fix = Seq((1L, Array(0f, 1f, 0.37f)), (2L, Array(-2.5f, -2.5f)),
+      (3L, Array(0.001f, -0.001f, 123.456f, 0f)))
+      .toDF("vec_id", "embedding")
+    for (df <- Seq(e, fix)) {
+      val a1 = Quantize.int8Audit(df, "vec_id", "embedding")
+        .orderBy("vec_id").collect()
+      val a2 = Quantize.int8AuditColumns(df, "vec_id", "embedding")
+        .orderBy("vec_id").collect()
+      assert(a1.map(_.toString).toSeq == a2.map(_.toString).toSeq,
+        "audit kernel diverged from the composite")
+      val c1 = Quantize.encodeSq8(df, "vec_id", "embedding")
+        .orderBy("vec_id").collect()
+      val c2 = Quantize.encodeSq8Columns(df, "vec_id", "embedding")
+        .orderBy("vec_id").collect()
+      assert(c1.zip(c2).forall { case (x, y) =>
+        x.getAs[Array[Byte]]("codes").sameElements(y.getAs[Array[Byte]]("codes")) &&
+          x.getAs[Double]("sum_c") == y.getAs[Double]("sum_c") &&
+          x.getAs[Double]("sum_c2") == y.getAs[Double]("sum_c2") &&
+          x.getAs[Double]("vmin") == y.getAs[Double]("vmin") &&
+          x.getAs[Double]("scale") == y.getAs[Double]("scale")
+      }, "encode kernel diverged from the composite")
+    }
+  }
+
+  test("sq8 search: codes are bytes, moments close the norm, endpoints exact") {
+    val df = Seq((1L, Array(0f, 1f, 0.5f))).toDF("vec_id", "embedding")
+    val c = Quantize.encodeSq8(df, "vec_id", "embedding").head()
+    val codes = c.getAs[Array[Byte]]("codes")
+    assert(codes.length == 3)
+    assert((codes(0) & 0xff) == 0 && (codes(1) & 0xff) == 255)
+    // Σc and Σc² match the packed codes exactly
+    val cs = codes.map(_ & 0xff)
+    assert(c.getAs[Double]("sum_c") == cs.map(_.toDouble).sum)
+    assert(c.getAs[Double]("sum_c2") == cs.map(x => x.toDouble * x).sum)
+  }
+
+  test("sq8 top-k agrees with exact brute force on the real corpus") {
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter($"vec_id" < 5)
+    val coded = Quantize.encodeSq8(e, "vec_id", "embedding")
+    val sq8 = Quantize.topKSq8(coded, "vec_id", queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.sim.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8-bit codes perturb cosines by ~1e-3 — neighbor sets may differ at
+    // the margin, but recall@10 must stay high for SQ8 to be usable
+    val recall = (sq8 intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@10 = $recall")
+    // each query always returns a full top-10 under the compressed scan
+    assert(sq8.size == exact.size)
+  }
+
+  test("sq8 misuse is refused") {
+    val df = Seq((1L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val coded = Quantize.encodeSq8(df, "vec_id", "embedding")
+    assertThrows[IllegalArgumentException](
+      Quantize.topKSq8(coded, "vec_id", df, "vec_id", "embedding", k = 0))
+  }
+
   test("corpus-wide: every vector within the half-step bound, mse ≤ max²") {
     val out = Quantize.int8Audit(Tables.embeddings(spark, sfDir),
       "vec_id", "embedding").collect()
