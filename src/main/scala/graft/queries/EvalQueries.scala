@@ -394,6 +394,59 @@ object EvalQueries {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                floor(CAST(sum(CAST(q AS DECIMAL(38,4))) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_quality
-        FROM s2 GROUP BY source ORDER BY source"""))
+        FROM s2 GROUP BY source ORDER BY source""")),
+
+    // Flesch reading-ease audit (row 137): the classic readability
+    // formula over portable proxies — words = non-empty whitespace
+    // tokens, sentences = terminal-punctuation runs (floored at 1),
+    // syllables = vowel-group runs. The educational-value/readability
+    // gate family of modern curation stacks; pure codegen'd projection.
+    Q("text_readability",
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val words = size(filter(toks, w => length(w) > 0)).cast("long")
+        val sents = greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+        val syl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+        Tables.documents(s, dir).select(col("doc_id"),
+            words.as("n_words"), sents.as("n_sentences"),
+            syl.as("n_syllable_groups"))
+          .withColumn("flesch",
+            when(col("n_words") > 0, graft.Num.dround(
+              lit(206.835)
+                - lit(1.015) * (col("n_words").cast(DoubleType)
+                  / col("n_sentences").cast(DoubleType))
+                - lit(84.6) * (col("n_syllable_groups").cast(DoubleType)
+                  / col("n_words").cast(DoubleType)), 4)))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH rd AS (
+          SELECT doc_id,
+            CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0)) AS BIGINT) AS n_words,
+            CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllable_groups
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllable_groups,
+               CASE WHEN n_words > 0 THEN
+                 floor((206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - 84.6 * (CAST(n_syllable_groups AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                   * 1e4 + 0.5) / 1e4
+               END AS flesch
+        FROM rd ORDER BY doc_id""")),
+
+    // Top-k PCA projection of the corpus (row 130's `project` lane):
+    // per-vector scores along the fitted spectrum — the dimensionality-
+    // reduction output itself. Rows-only like embedding_pca (driver
+    // eigensolve); PcaSpec pins projection variance ≡ eigenvalue.
+    Q("embedding_pca_project",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val m = Pca.fit(e, "embedding")
+        Pca.project(e, "vec_id", "embedding", m, k = 4).orderBy("vec_id")
+      },
+      None)
   )
 }

@@ -282,44 +282,26 @@ object NearDupQueries {
             e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
           .orderBy("query_id", "rank")
       },
-      Some(s"""
-        WITH cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        st AS (SELECT vec_id, v, CAST(len(v) AS BIGINT) AS n_dims,
-                 list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx
-               FROM cv),
-        cod AS (SELECT vec_id, n_dims, mn,
-                 CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale,
-                 list_transform(v, x -> least(255.0, greatest(0.0,
-                   floor((x - mn) / (CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END) + 0.5)))) AS cd
-               FROM st),
-        corp AS (SELECT vec_id, n_dims, mn, scale, cd,
-                  list_dot_product(cd, list_transform(cd, c -> 1.0)) AS sum_c,
-                  list_dot_product(cd, cd) AS sum_c2
-                FROM cod),
-        qr AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < 5),
-        qs AS (SELECT qid, qv,
-                 list_dot_product(qv, list_transform(qv, x -> 1.0)) AS sq,
-                 list_dot_product(qv, qv) AS nq2
-               FROM qr),
-        sc AS (SELECT qs.qid AS query_id, corp.vec_id AS neighbor_id,
-                 (corp.mn * qs.sq + corp.scale * list_dot_product(qs.qv, corp.cd))
-                   / (sqrt(qs.nq2) *
-                      sqrt(CAST(corp.n_dims AS DOUBLE) * (corp.mn * corp.mn)
-                        + 2.0 * corp.mn * corp.scale * corp.sum_c
-                        + corp.scale * corp.scale * corp.sum_c2)) AS cos_raw
-               FROM corp, qs
-               WHERE qs.nq2 > 0
-                 AND CAST(corp.n_dims AS DOUBLE) * (corp.mn * corp.mn)
-                   + 2.0 * corp.mn * corp.scale * corp.sum_c
-                   + corp.scale * corp.scale * corp.sum_c2 > 0),
-        rk AS (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
-                 ${Q.sqlDround("cos_raw", 6)} AS cosine
-               FROM sc)
-        SELECT query_id, neighbor_id, rank, cosine FROM rk
-        WHERE rank <= 10 ORDER BY query_id, rank""")),
+      Some(sq8Oracle)),
+
+    // The persisted-index lifecycle for the SQ8 route (SURVEY row 135):
+    // encode, persist the byte codes with a format-tagged row-pinned
+    // manifest, re-open through the refusal ladder, search the re-opened
+    // index — against the SAME oracle as ann_sq8, so persistence is
+    // proven value-identical to the direct route end to end (the
+    // pipeline_ft_config shared-owner precedent).
+    Q("ann_sq8_persisted",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val path = scratchIndexDir(s, "sq8", dir)
+        graft.sim.Quantize.writeSq8Index(
+          graft.sim.Quantize.encodeSq8(e, "vec_id", "embedding"), path)
+        graft.sim.Quantize.topKSq8(
+            graft.sim.Quantize.readSq8Index(s, path), "vec_id",
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(sq8Oracle)),
 
     Q("ann_bruteforce",
       (s, dir) => {
@@ -719,4 +701,50 @@ object NearDupQueries {
       },
       None)
   )
+
+  /** DuckDB mirror of the SQ8 coded-scan search over `embeddings` with
+    * queries vec_id < 5 — replicates the kernel's exact summation
+    * grouping (list_dot_product ≡ the sequential mul-add folds). Single
+    * owner shared by ann_sq8 and ann_sq8_persisted, so the persisted
+    * route is pinned value-identical to the direct one. */
+  // def, not val: `all` above initializes first and captures this by name
+  private[queries] def sq8Oracle: String = s"""
+        WITH cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        st AS (SELECT vec_id, v, CAST(len(v) AS BIGINT) AS n_dims,
+                 list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx
+               FROM cv),
+        cod AS (SELECT vec_id, n_dims, mn,
+                 CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale,
+                 list_transform(v, x -> least(255.0, greatest(0.0,
+                   floor((x - mn) / (CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END) + 0.5)))) AS cd
+               FROM st),
+        corp AS (SELECT vec_id, n_dims, mn, scale, cd,
+                  list_dot_product(cd, list_transform(cd, c -> 1.0)) AS sum_c,
+                  list_dot_product(cd, cd) AS sum_c2
+                FROM cod),
+        qr AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+        qs AS (SELECT qid, qv,
+                 list_dot_product(qv, list_transform(qv, x -> 1.0)) AS sq,
+                 list_dot_product(qv, qv) AS nq2
+               FROM qr),
+        sc AS (SELECT qs.qid AS query_id, corp.vec_id AS neighbor_id,
+                 (corp.mn * qs.sq + corp.scale * list_dot_product(qs.qv, corp.cd))
+                   / (sqrt(qs.nq2) *
+                      sqrt(CAST(corp.n_dims AS DOUBLE) * (corp.mn * corp.mn)
+                        + 2.0 * corp.mn * corp.scale * corp.sum_c
+                        + corp.scale * corp.scale * corp.sum_c2)) AS cos_raw
+               FROM corp, qs
+               WHERE qs.nq2 > 0
+                 AND CAST(corp.n_dims AS DOUBLE) * (corp.mn * corp.mn)
+                   + 2.0 * corp.mn * corp.scale * corp.sum_c
+                   + corp.scale * corp.scale * corp.sum_c2 > 0),
+        rk AS (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+                 ${Q.sqlDround("cos_raw", 6)} AS cosine
+               FROM sc)
+        SELECT query_id, neighbor_id, rank, cosine FROM rk
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+
 }

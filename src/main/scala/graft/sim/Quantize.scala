@@ -96,6 +96,60 @@ object Quantize {
         col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
   }
 
+  /** Persist the SQ8-coded corpus (the [[Pq.writeIndex]] conventions:
+    * data first, format-tagged manifest LAST as the completeness marker,
+    * row count pinned for open-time validation). */
+  def writeSq8Index(coded: DataFrame, path: String): Unit = {
+    val spark = coded.sparkSession
+    val head = coded.select("n_dims").limit(1).collect()
+    require(head.nonEmpty, "writeSq8Index: refusing to persist an empty coded corpus")
+    val dim = head(0).getLong(0)
+    val n = coded.count()
+    coded.write.mode("overwrite").parquet(s"$path/codes")
+    val json = s"""{"format": "graft-sq8-v1", "dim": $dim, "rows": $n}"""
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-open a persisted SQ8 index; refuses a missing/foreign manifest, a
+    * row-count mismatch (partial copy — the Bpe.readModel check), and a
+    * code word whose byte length disagrees with the manifest dim (the
+    * manifest does not belong to this data). */
+  def readSq8Index(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"no SQ8 index manifest at $path — nothing was persisted here, or the " +
+        "write was interrupted before completion (manifest is written last)")
+    val in = fs.open(mp)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def num(k: String): Long =
+      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"SQ8 manifest at $path is missing '$k': $raw"))
+    if (!raw.contains("\"graft-sq8-v1\"")) throw new IllegalArgumentException(
+      s"manifest at $path is not a graft-sq8-v1 index (got: $raw) — refusing " +
+        "to scan foreign codes")
+    val dim = num("dim"); val rows = num("rows")
+    val codes = spark.read.parquet(s"$path/codes")
+    val n = codes.count()
+    if (n != rows) throw new IllegalArgumentException(
+      s"SQ8 index at $path has $n code rows but the manifest pinned $rows — " +
+        "partial copy or torn write; restore the matching files")
+    codes.select(length(col("codes")).as("_gf_len")).limit(1).collect()
+      .foreach { r =>
+        if (r.getInt(0) != dim) throw new IllegalArgumentException(
+          s"SQ8 index at $path stores ${r.getInt(0)}-byte code words but the " +
+            s"manifest says dim=$dim — the manifest does not belong to this data")
+      }
+    codes
+  }
+
   // ---- HOF composites: retained as the kernels' equivalence oracles ----
 
   /** The original column-composite audit (QuantizeSpec pins kernel ≡

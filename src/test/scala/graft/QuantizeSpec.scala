@@ -88,6 +88,48 @@ class QuantizeSpec extends SparkSpec {
     assert(sq8.size == exact.size)
   }
 
+  test("sq8 persisted index: round trip byte-equal, refusal ladder") {
+    val tmp = java.nio.file.Files.createTempDirectory("sq8-idx").toString
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val coded = Quantize.encodeSq8(e, "vec_id", "embedding")
+    Quantize.writeSq8Index(coded, tmp)
+    val back = Quantize.readSq8Index(spark, tmp)
+    val a = coded.orderBy("vec_id").collect()
+    val b = back.orderBy("vec_id").collect()
+    assert(a.length == b.length)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.getAs[Array[Byte]]("codes").sameElements(y.getAs[Array[Byte]]("codes")) &&
+        x.getAs[Double]("vmin") == y.getAs[Double]("vmin") &&
+        x.getAs[Double]("sum_c2") == y.getAs[Double]("sum_c2")
+    }, "persisted codes diverged from direct encode")
+    // refusals: no manifest; foreign format; torn copy (row-count lies)
+    val noManifest = java.nio.file.Files.createTempDirectory("sq8-nomf").toString
+    assertThrows[IllegalArgumentException](Quantize.readSq8Index(spark, noManifest))
+    val mf = java.nio.file.Paths.get(tmp, "manifest.json")
+    val orig = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    def rewrite(content: String): Unit = {
+      java.nio.file.Files.write(mf, content.getBytes("UTF-8"))
+      // drop the Hadoop local-FS checksum sibling — the NIO edit above
+      // would otherwise trip ChecksumException before our refusal fires
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(tmp, ".manifest.json.crc")): Unit
+    }
+    rewrite(orig.replace("graft-sq8-v1", "graft-pq-v1"))
+    assertThrows[IllegalArgumentException](Quantize.readSq8Index(spark, tmp))
+    rewrite(orig.replaceAll(""""rows": \d+""", "\"rows\": 9999"))
+    assertThrows[IllegalArgumentException](Quantize.readSq8Index(spark, tmp))
+    rewrite(orig.replaceAll(""""dim": \d+""", "\"dim\": 3"))
+    assertThrows[IllegalArgumentException](Quantize.readSq8Index(spark, tmp))
+    // restore and confirm the index still opens (refusals were read-only)
+    rewrite(orig)
+    assert(Quantize.readSq8Index(spark, tmp).count() == 50)
+    // empty-corpus write refuses before touching disk
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException](Quantize.writeSq8Index(
+      Quantize.encodeSq8(empty, "vec_id", "embedding"),
+      java.nio.file.Files.createTempDirectory("sq8-empty").toString))
+  }
+
   test("sq8 misuse is refused") {
     val df = Seq((1L, Array(0f, 1f))).toDF("vec_id", "embedding")
     val coded = Quantize.encodeSq8(df, "vec_id", "embedding")
