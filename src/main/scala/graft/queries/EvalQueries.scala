@@ -52,6 +52,29 @@ object EvalQueries {
 
   private val prThresholds: Seq[Double] = (0 to 10).map(_ / 10.0)
 
+  /** DuckDB AUC tail over a relation of per-row (score, label) — the
+    * rank-sum CTE chain shared by every gate's AUC oracle so the metric
+    * formula has one SQL owner. Emits the final SELECT. */
+  private def aucTailSql(rel: String): String = s"""
+        mgx AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(label) AS BIGINT) AS npos
+                FROM $rel GROUP BY 1),
+        mr AS (SELECT score, n, npos,
+                 CAST(coalesce(sum(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
+               FROM mgx),
+        ma AS (SELECT CAST(sum(npos) AS BIGINT) AS p,
+                 CAST(sum(n - npos) AS BIGINT) AS q,
+                 sum(CAST(CAST(npos AS DOUBLE) *
+                   (CAST(before AS DOUBLE) + (CAST(n AS DOUBLE) + 1.0) / 2.0)
+                   AS DECIMAL(38,1))) AS rs
+               FROM mr)
+        SELECT p AS n_pos, q AS n_neg,
+               floor((CAST(rs - CAST((p * (p + 1)) // 2 AS DECIMAL(38,1)) AS DOUBLE)
+                 / CAST(p * q AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
+        FROM ma"""
+
   /** Corpus + deterministic encoding corruption — every third doc gains a
     * different artifact class (Latin-1 mojibake / smart-quote mangle +
     * control char / replacement char). Shared by text_mojibake and the
@@ -93,21 +116,38 @@ object EvalQueries {
       (s, dir) => GateEval.auc(mixedScored(s, dir), "score", "label"),
       Some(s"""
         WITH $mixedScoreCtes,
-        mr AS (SELECT score, n, npos,
-                 CAST(coalesce(sum(n) OVER (ORDER BY score
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS BIGINT) AS before
-               FROM mg),
-        ma AS (SELECT CAST(sum(npos) AS BIGINT) AS p,
-                 CAST(sum(n - npos) AS BIGINT) AS q,
-                 sum(CAST(CAST(npos AS DOUBLE) *
-                   (CAST(before AS DOUBLE) + (CAST(n AS DOUBLE) + 1.0) / 2.0)
-                   AS DECIMAL(38,1))) AS rs
-               FROM mr)
-        SELECT p AS n_pos, q AS n_neg,
-               floor((CAST(rs - CAST((p * (p + 1)) // 2 AS DECIMAL(38,1)) AS DOUBLE)
-                 / CAST(p * q AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
-        FROM ma""")),
+        ${aucTailSql("msc")}""")),
+
+    // The SAME evaluation harness graded on a SECOND real gate (row 125):
+    // ROC-AUC of the handed fastText classifier on the identical
+    // real-vs-junk task — cross-gate comparability is the point of a
+    // shared metric. Null-score (no-feature) docs are excluded on both
+    // sides (no evidence is not a ranking).
+    Q("quality_gate_auc_ft",
+      (s, dir) => {
+        val sp = s; import sp.implicits._
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val toks = TextAnalysis.tokens(col("text"))
+        val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(concat_ws(" ", slice(toks, 1, 6)),
+            lit(" zz9 qq7 xx3 zz9 qq7 xx3 vv2 kk8 vv2")).as("text"))
+        val mixed = docs.unionByName(neg)
+        val scored = graft.text.FastText.score(mixed, "doc_id", "text",
+            TextQueries.ftHandedWeights.toDF("feature", "weight"),
+            bias = TextQueries.ftHandedBias)
+          .withColumn("label", when(col("doc_id") < 1000000L, 1L).otherwise(0L))
+          .filter(col("score").isNotNull)
+        GateEval.auc(scored, "score", "label")
+      },
+      Some(s"""
+        WITH $mixedScoreCtes,
+        fts AS (SELECT doc_id, score
+                FROM (${TextQueries.ftScoreOracleBody("mixed")})
+                WHERE score IS NOT NULL),
+        fl AS (SELECT score,
+                 CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END AS label
+               FROM fts),
+        ${aucTailSql("fl")}""")),
 
     // Precision/recall/F1 sweep at fixed thresholds over the same gate
     // (row 125): the operating-point table behind picking a curation

@@ -859,14 +859,19 @@ object TextQueries {
     * nests as a derived table. Single SQL owner shared by text_ft_score
     * and pipeline_ft_config (the persisted + YAML route), so the config
     * path cannot drift from the direct operator. */
-  private[queries] def ftScoreOracleBody: String = {
+  private[queries] def ftScoreOracleBody: String = ftScoreOracleBody("documents")
+
+  /** Same, parameterized over the scored relation (doc_id, text) — lets
+    * callers score a derived frame (e.g. the gate-eval mixed fixture)
+    * without duplicating the scoring SQL. */
+  private[queries] def ftScoreOracleBody(rel: String): String = {
     val vals = ftHandedWeights
       .map { case (f, w) => s"('$f', $w)" }.mkString(", ")
     s"""
         WITH wt(feature, weight) AS (VALUES $vals),
         dl AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
-          FROM documents),
+          FROM $rel),
         gr AS (
           SELECT doc_id, g FROM (
             SELECT doc_id,
@@ -884,7 +889,7 @@ object TextQueries {
         act AS (
           SELECT d.doc_id, coalesce(ag.n_feats, 0) AS n_feats,
                  floor(($ftHandedBias + ag.m) * 1e6 + 0.5) / 1e6 AS activation
-          FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id)
+          FROM $rel d LEFT JOIN ag ON d.doc_id = ag.doc_id)
         SELECT doc_id, n_feats, activation,
                floor((1.0 / (1.0 + exp(-activation))) * 1e6 + 0.5) / 1e6 AS score
         FROM act"""
