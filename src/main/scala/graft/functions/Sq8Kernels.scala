@@ -46,7 +46,17 @@ object Sq8Kernel {
       val e = xi - (mn + q * scale)
       val ae = math.abs(e)
       if (ae > maxAbs) maxAbs = ae
-      sumTerms += math.floor(e * e * 1e12 + 0.5).toLong
+      val t = math.floor(e * e * 1e12 + 0.5)
+      // exact-arithmetic guard: past Long range the integer sum would
+      // wrap silently (and the DECIMAL composite would overflow to NULL
+      // just as silently) — a vector with range ≫ 10⁶ has no meaningful
+      // 8-bit quantization, so refuse loudly instead
+      if (t >= Long.MaxValue.toDouble || sumTerms > Long.MaxValue - t.toLong)
+        throw new ArithmeticException(
+          s"sq8_audit: squared-error sum exceeds exact integer range " +
+            s"(element range ${scale * 255.0} too large for 12-dp exact MSE) — " +
+            "8-bit quantization of such a spread is not meaningful; rescale first")
+      sumTerms += t.toLong
       i += 1
     }
     new GenericInternalRow(Array[Any](

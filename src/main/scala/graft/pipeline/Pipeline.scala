@@ -143,11 +143,10 @@ object Pipeline {
             TextAnalysis.encodingAudit(acc.select(col(idCol), col(textCol)),
               idCol, textCol).filter(!col("is_clean"))
           // keep path re-states the verdict as a scan predicate so the
-          // surviving frame never joins back to the audit
-          acc.filter(
-            TextAnalysis.mojibakeCount(col(textCol))
-              + TextAnalysis.replacementCharCount(col(textCol))
-              + TextAnalysis.controlCharCount(col(textCol)).cast("long") === 0L)
+          // surviving frame never joins back to the audit; isCleanText is
+          // the shared owner, so null-text rows drop here AND appear in
+          // the report above (is_clean false, never null)
+          acc.filter(TextAnalysis.isCleanText(col(textCol)))
         case NearDedupStage(textCol, idCol, threshold) =>
           graft.dedup.MinHash.dedup(acc, textCol, idCol, threshold = threshold)
         case SpanDedupStage(textCol, idCol, n) =>

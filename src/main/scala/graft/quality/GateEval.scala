@@ -42,8 +42,14 @@ object GateEval {
   /** ROC-AUC via the Mann-Whitney rank-sum with average-rank tie
     * handling: AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N). One row:
     * (n_pos, n_neg, auc). Ties get rank `before + (n+1)/2` — exact
-    * half-integers; the rank-sum accumulates as DECIMAL(38,1) so the
-    * total is exact, and the final division is one IEEE op. */
+    * half-integers; the rank-sum and the P(P+1)/2 correction accumulate
+    * as exact DECIMAL (the correction in decimal arithmetic, NOT a long
+    * divide — Spark's `/` on longs is double division, which rounds past
+    * 2⁵³ and the long product wraps past 3×10⁹ positives), and the final
+    * division is one IEEE op on double-cast counts. A single-class input
+    * (no positives or no negatives) yields NULL — AUC is undefined, and
+    * a silent engine-specific NaN/NULL divergence would otherwise leak
+    * into the oracle compare. */
   def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val g = byScore(df, scoreCol, labelCol)
     // The window runs on the distinct-score frame (bounded support) —
@@ -52,6 +58,8 @@ object GateEval {
     val ranked = g.withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
       .withColumn("avgrank",
         col("before").cast(DoubleType) + (col("n").cast(DoubleType) + 1.0) / 2.0)
+    val pD = col("p").cast(DecimalType(38, 0))
+    val correction = (pD * (pD + lit(1)) / lit(2)).cast(DecimalType(38, 1))
     ranked.agg(
         sum(col("npos")).as("p"),
         sum(col("n") - col("npos")).as("q"),
@@ -59,10 +67,11 @@ object GateEval {
           .cast(DecimalType(38, 1))).as("ranksum"))
       .select(
         col("p").as("n_pos"), col("q").as("n_neg"),
-        dround(
-          (col("ranksum") - (col("p") * (col("p") + 1L) / 2L)
-            .cast(DecimalType(38, 1))).cast(DoubleType)
-            / (col("p") * col("q")).cast(DoubleType), 6).as("auc"))
+        when(col("p") > 0 && col("q") > 0,
+          dround(
+            (col("ranksum") - correction).cast(DoubleType)
+              / (col("p").cast(DoubleType) * col("q").cast(DoubleType)), 6))
+          .as("auc"))
   }
 
   /** Precision/recall/F1 sweep over fixed thresholds (predicted-positive

@@ -18,20 +18,26 @@ object EvalQueries {
 
   /** The labeled evaluation frame every gate-metric query shares: pos =
     * the corpus as-is, neg = a deterministic junk corruption of it (the
-    * text_ft_train_score fixture — truncation + spam tokens), scored by
-    * the composite quality gate. A REAL gate graded on a REAL separation
-    * task, with every step ANSI-expressible. */
-  private def mixedScored(s: SparkSession, dir: String): DataFrame = {
+    * text_ft_train_score fixture — truncation + spam tokens) on
+    * COLLISION-PROOF negative clone ids (−id−1: a fixed shift would
+    * collide with real ids at a large enough corpus and silently corrupt
+    * the labels). One Scala + one SQL owner for the construction, so
+    * every gate is graded on the identical task. */
+  private def mixedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val toks = TextAnalysis.tokens(col("text"))
-    val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+    val neg = docs.select((negate(col("doc_id")) - 1L).as("doc_id"),
       concat(concat_ws(" ", slice(toks, 1, 6)),
         lit(" zz9 qq7 xx3 zz9 qq7 xx3 vv2 kk8 vv2")).as("text"))
     docs.withColumn("label", lit(1L))
       .unionByName(neg.withColumn("label", lit(0L)))
-      .select(col("doc_id"), col("label"),
-        TextAnalysis.qualityScore(col("text")).as("score"))
   }
+
+  /** [[mixedDocs]] scored by the composite quality gate — a REAL gate
+    * graded on a REAL separation task, every step ANSI-expressible. */
+  private def mixedScored(s: SparkSession, dir: String): DataFrame =
+    mixedDocs(s, dir).select(col("doc_id"), col("label"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
 
   /** DuckDB CTE chain (no leading WITH) building the mixed labeled+scored
     * frame, ending in `mg(score, n, npos)` — the distinct-score frame all
@@ -39,7 +45,7 @@ object EvalQueries {
     * the same gate on the same corpus. */
   private def mixedScoreCtes: String = s"""
         mixbase AS (SELECT doc_id, text FROM documents),
-        mixneg AS (SELECT doc_id + 1000000 AS doc_id,
+        mixneg AS (SELECT -doc_id - 1 AS doc_id,
           array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[1:6], ' ')
             || ' zz9 qq7 xx3 zz9 qq7 xx3 vv2 kk8 vv2' AS text FROM mixbase),
         mixed AS (SELECT doc_id, CAST(1 AS BIGINT) AS label, text FROM mixbase
@@ -71,8 +77,10 @@ object EvalQueries {
                    AS DECIMAL(38,1))) AS rs
                FROM mr)
         SELECT p AS n_pos, q AS n_neg,
-               floor((CAST(rs - CAST((p * (p + 1)) // 2 AS DECIMAL(38,1)) AS DOUBLE)
-                 / CAST(p * q AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
+               CASE WHEN p > 0 AND q > 0 THEN
+                 floor((CAST(rs - CAST((CAST(p AS HUGEINT) * (p + 1)) // 2 AS DECIMAL(38,1)) AS DOUBLE)
+                   / (CAST(p AS DOUBLE) * CAST(q AS DOUBLE))) * 1e6 + 0.5) / 1e6
+               END AS auc
         FROM ma"""
 
   /** Corpus + deterministic encoding corruption — every third doc gains a
@@ -126,16 +134,11 @@ object EvalQueries {
     Q("quality_gate_auc_ft",
       (s, dir) => {
         val sp = s; import sp.implicits._
-        val docs = Tables.documents(s, dir).select("doc_id", "text")
-        val toks = TextAnalysis.tokens(col("text"))
-        val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(concat_ws(" ", slice(toks, 1, 6)),
-            lit(" zz9 qq7 xx3 zz9 qq7 xx3 vv2 kk8 vv2")).as("text"))
-        val mixed = docs.unionByName(neg)
+        val mixed = mixedDocs(s, dir)
         val scored = graft.text.FastText.score(mixed, "doc_id", "text",
             TextQueries.ftHandedWeights.toDF("feature", "weight"),
             bias = TextQueries.ftHandedBias)
-          .withColumn("label", when(col("doc_id") < 1000000L, 1L).otherwise(0L))
+          .join(mixed.select("doc_id", "label"), "doc_id")
           .filter(col("score").isNotNull)
         GateEval.auc(scored, "score", "label")
       },
@@ -144,9 +147,8 @@ object EvalQueries {
         fts AS (SELECT doc_id, score
                 FROM (${TextQueries.ftScoreOracleBody("mixed")})
                 WHERE score IS NOT NULL),
-        fl AS (SELECT score,
-                 CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END AS label
-               FROM fts),
+        fl AS (SELECT f.score, m.label
+               FROM fts f JOIN mixed m ON f.doc_id = m.doc_id),
         ${aucTailSql("fl")}""")),
 
     // Precision/recall/F1 sweep at fixed thresholds over the same gate
@@ -334,13 +336,11 @@ object EvalQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val nD = count(lit(1)).cast(DoubleType)
-        val artifacts = TextAnalysis.mojibakeCount(col("text")) +
-          TextAnalysis.replacementCharCount(col("text")) +
-          TextAnalysis.controlCharCount(col("text")).cast("long")
         val base = docs.agg(
           count(lit(1)).as("n_docs"),
-          graft.Num.dround(sum(when(artifacts === 0L, 1L).otherwise(0L))
-            .cast(DoubleType) / nD, 6).as("clean_frac"),
+          graft.Num.dround(
+            sum(when(TextAnalysis.isCleanText(col("text")), 1L).otherwise(0L))
+              .cast(DoubleType) / nD, 6).as("clean_frac"),
           graft.Num.dround(
             sum(TextAnalysis.qualityScore(col("text")).cast(DecimalType(38, 4)))
               .cast(DoubleType) / nD, 6).as("mean_quality"),

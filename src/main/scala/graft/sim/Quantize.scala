@@ -86,6 +86,9 @@ object Quantize {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_gf_qid").orderBy(col("_gf_cos").desc, col(codedId))
     coded.crossJoin(broadcast(q))
+      // null code words (null/empty source vectors) carry no geometry —
+      // their NULL cosine would rank engine-dependently, so drop them
+      .filter(col("codes").isNotNull)
       .filter(col("_gf_nq2") > 0)
       .withColumn("_gf_ndq2", nDq2)
       .filter(col("_gf_ndq2") > 0)
@@ -101,11 +104,30 @@ object Quantize {
     * row count pinned for open-time validation). */
   def writeSq8Index(coded: DataFrame, path: String): Unit = {
     val spark = coded.sparkSession
-    val head = coded.select("n_dims").limit(1).collect()
-    require(head.nonEmpty, "writeSq8Index: refusing to persist an empty coded corpus")
-    val dim = head(0).getLong(0)
-    val n = coded.count()
+    // ONE encode pass: write first, then read dim/rows back from the
+    // written files (re-encoding the corpus just to count it would
+    // double the quantization work).
+    // refuse BEFORE touching disk: overwriting an existing index with an
+    // empty frame would wipe its codes and leave a dangling manifest
+    // (the next open would die in the parquet read, not our refusal)
+    require(coded.limit(1).collect().nonEmpty,
+      "writeSq8Index: refusing to persist an empty coded corpus")
     coded.write.mode("overwrite").parquet(s"$path/codes")
+    // dim/rows come from the WRITTEN files — re-encoding the corpus just
+    // to count it would double the quantization work. Null code words
+    // (null/empty source vectors encode to a null struct) refuse here:
+    // they would rank nondeterministically in every later probe.
+    val written = spark.read.parquet(s"$path/codes")
+    val stats = written.agg(
+      count(lit(1)).as("n"), count(col("codes")).as("nc"),
+      first(col("n_dims"), ignoreNulls = true).as("d")).collect()(0)
+    if (stats.getLong(0) != stats.getLong(1))
+      throw new IllegalArgumentException(
+        s"writeSq8Index: ${stats.getLong(0) - stats.getLong(1)} null code " +
+          "words in the coded corpus (null/empty source vectors) — drop " +
+          "them before persisting; a null code word cannot be probed")
+    val dim = stats.getLong(2)
+    val n = stats.getLong(0)
     val json = s"""{"format": "graft-sq8-v1", "dim": $dim, "rows": $n}"""
     val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -141,7 +163,10 @@ object Quantize {
     if (n != rows) throw new IllegalArgumentException(
       s"SQ8 index at $path has $n code rows but the manifest pinned $rows — " +
         "partial copy or torn write; restore the matching files")
-    codes.select(length(col("codes")).as("_gf_len")).limit(1).collect()
+    // sample a NON-NULL code word (a tampered file could hold nulls the
+    // write path refuses — length(NULL) would NPE the getInt here)
+    codes.filter(col("codes").isNotNull)
+      .select(length(col("codes")).as("_gf_len")).limit(1).collect()
       .foreach { r =>
         if (r.getInt(0) != dim) throw new IllegalArgumentException(
           s"SQ8 index at $path stores ${r.getInt(0)}-byte code words but the " +

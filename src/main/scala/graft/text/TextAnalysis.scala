@@ -259,19 +259,33 @@ object TextAnalysis {
   def controlCharCount(c: Column): Column =
     regexp_count(c, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
 
+  /** Total encoding-artifact count — the ONE owner of the artifact sum
+    * (audit verdict, pipeline keep predicate, and corpus health all read
+    * this, so a new artifact class lands everywhere at once). NULL for
+    * NULL text. */
+  def artifactCount(c: Column): Column =
+    mojibakeCount(c) + replacementCharCount(c) + controlCharCount(c).cast("long")
+
+  /** The hygiene verdict: artifact-free AND present. NULL text is NOT
+    * clean (no content is no evidence — the lm/ft-gate convention), so
+    * filters on this never silently lose null-text rows from BOTH the
+    * kept frame and the drop report. */
+  def isCleanText(c: Column): Column =
+    coalesce(artifactCount(c) === 0L, lit(false))
+
   /** Per-document encoding-artifact audit: mojibake markers, replacement
     * characters, stray control characters, and the combined verdict — the
     * corpus-hygiene gate every web-scraped training set needs before
     * tokenization (a mojibake'd corpus teaches the tokenizer phantom
     * vocabulary). Pure codegen'd projection: no shuffle, no UDF;
-    * composes into any curation chain as a scan predicate. */
+    * composes into any curation chain as a scan predicate. NULL text
+    * emits NULL counts with `is_clean` false — represented, not lost. */
   def encodingAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     docs.select(col(idCol),
         mojibakeCount(t).as("n_mojibake"),
         replacementCharCount(t).as("n_replacement"),
-        controlCharCount(t).cast("long").as("n_control"))
-      .withColumn("is_clean",
-        col("n_mojibake") + col("n_replacement") + col("n_control") === 0L)
+        controlCharCount(t).cast("long").as("n_control"),
+        isCleanText(t).as("is_clean"))
   }
 }

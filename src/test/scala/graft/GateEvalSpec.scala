@@ -24,6 +24,26 @@ class GateEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == math.floor(10.0 / 12.0 * 1e6 + 0.5) / 1e6)
   }
 
+  test("auc is NULL for single-class input (undefined, not NaN)") {
+    val allPos = Seq((0.9, 1L), (0.5, 1L)).toDF("score", "label")
+    val r = GateEval.auc(allPos, "score", "label").head()
+    assert(r.getAs[Long]("n_neg") == 0 && r.isNullAt(r.fieldIndex("auc")))
+    val allNeg = Seq((0.9, 0L)).toDF("score", "label")
+    val r2 = GateEval.auc(allNeg, "score", "label").head()
+    assert(r2.getAs[Long]("n_pos") == 0 && r2.isNullAt(r2.fieldIndex("auc")))
+  }
+
+  test("encoding audit: null text is not clean and is not lost") {
+    val df = Seq((1L, Some("fine text")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingAudit(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Boolean]("is_clean"))
+    assert(!out(1).getAs[Boolean]("is_clean")) // false, never NULL
+    assert(out(1).isNullAt(out(1).fieldIndex("n_mojibake")))
+  }
+
   test("auc degenerates correctly: perfect 1, inverted 0, constant 0.5") {
     val perfect = Seq((0.9, 1L), (0.8, 1L), (0.1, 0L)).toDF("score", "label")
     assert(GateEval.auc(perfect, "score", "label").head().getAs[Double]("auc") == 1.0)

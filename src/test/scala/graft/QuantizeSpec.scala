@@ -137,6 +137,34 @@ class QuantizeSpec extends SparkSpec {
       Quantize.topKSq8(coded, "vec_id", df, "vec_id", "embedding", k = 0))
   }
 
+  test("audit refuses element ranges past the exact-MSE integer ceiling") {
+    // range ~4e9 → per-term floor(e²·1e12) overflows a long: the kernel
+    // must refuse loudly (the decimal composite would overflow to NULL
+    // just as silently as the long would wrap)
+    val df = Seq((1L, Array(-2e9f, 2e9f, 0.5e9f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Quantize.int8Audit(df, "vec_id", "embedding").collect())
+    assert(e.getMessage.contains("sq8_audit") ||
+      Option(e.getCause).exists(_.getMessage.contains("sq8_audit")))
+  }
+
+  test("persisting null code words (null source vectors) is refused") {
+    val df = Seq((1L, Some(Array(0f, 1f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val coded = Quantize.encodeSq8(df, "vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("sq8-null").toString
+    val e = intercept[IllegalArgumentException](
+      Quantize.writeSq8Index(coded, tmp))
+    assert(e.getMessage.contains("null code"))
+    // and an empty frame refuses BEFORE touching an existing index
+    val good = java.nio.file.Files.createTempDirectory("sq8-keep").toString
+    Quantize.writeSq8Index(
+      Quantize.encodeSq8(df.filter($"vec_id" === 1L), "vec_id", "embedding"), good)
+    assertThrows[IllegalArgumentException](Quantize.writeSq8Index(
+      Quantize.encodeSq8(df.filter($"vec_id" < 0), "vec_id", "embedding"), good))
+    assert(Quantize.readSq8Index(spark, good).count() == 1) // index intact
+  }
+
   test("corpus-wide: every vector within the half-step bound, mse ≤ max²") {
     val out = Quantize.int8Audit(Tables.embeddings(spark, sfDir),
       "vec_id", "embedding").collect()
