@@ -145,6 +145,17 @@ object GraftFunctions {
   def packBytes(codes: Column): Column =
     ColumnGlue.column(PackBytes(ColumnGlue.expression(codes)))
 
+  /** Column API for [[BinPopcount]]: set bits of a packed bit-code word
+    * (the positive-sign count of a binarized embedding). */
+  def binPopcount(code: Column): Column =
+    ColumnGlue.column(BinPopcount(ColumnGlue.expression(code)))
+
+  /** Column API for [[BinHamming]]: popcount(a XOR b) over two packed
+    * bit-code words, one generated loop. */
+  def binHamming(a: Column, b: Column): Column =
+    ColumnGlue.column(
+      BinHamming(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
   /** Column API for [[PqAdcSum]]: Σ_m lut[m·ks + code[m]] over a packed
     * code word and a flattened per-query lookup table. */
   def pqAdcSum(code: Column, lut: Column, ks: Int): Column =

@@ -303,6 +303,104 @@ object NearDupQueries {
       },
       Some(sq8Oracle)),
 
+    // 1-bit binary quantization audit (SURVEY row 138): per-vector
+    // positive-sign count read back FROM THE PACKED WORD (BinPopcount),
+    // hash-checked against the float-side sign count — the pack pipeline
+    // (transform/slice/aggregate fold → PackBytes) must preserve every
+    // sign bit exactly or the integers diverge.
+    Q("embedding_binarize",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.sim.Binary.encodeBinary(e, "vec_id", "embedding")
+          .select(col("vec_id"), col("n_dims"), col("n_pos"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS n_dims,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+        FROM embeddings ORDER BY vec_id""")),
+
+    // Hamming-distance top-10 over the binarized corpus (SURVEY row 138):
+    // the scan reads ceil(d/8)-byte code words (32× smaller than float32)
+    // through the BinHamming XOR+popcount kernel. HASH-GREEN on integer
+    // distances: the oracle recounts differing SIGNS from the raw floats,
+    // never seeing the packed layout — a match proves pack ∘ xor ∘
+    // popcount ≡ the semantic definition over every (query, row) pair.
+    Q("ann_hamming",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.sim.Binary.hammingTopK(
+            graft.sim.Binary.encodeBinary(e, "vec_id", "embedding"), "vec_id",
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(hammingOracle)),
+
+    // The SAME probe through a PERSISTED binary index (write → manifest →
+    // re-open through the refusal ladder → probe) against the SAME oracle,
+    // so persistence is proven value-identical to the direct route.
+    Q("ann_hamming_persisted",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val path = scratchIndexDir(s, "bin", dir)
+        graft.sim.Binary.writeBinaryIndex(
+          graft.sim.Binary.encodeBinary(e, "vec_id", "embedding"), path)
+        graft.sim.Binary.hammingTopK(
+            graft.sim.Binary.readBinaryIndex(s, path), "vec_id",
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(hammingOracle)),
+
+    // Binary shortlist (m=50 by Hamming) + exact-cosine rerank of the
+    // shortlist only (SURVEY row 138) — the IVFADC+R two-stage shape at
+    // 1/32 the first-pass scan bytes. HASH-GREEN end to end: integer
+    // Hamming shortlisting is exact (above), and the rerank reuses
+    // VecCosine's bit-exact parity with list_dot_product.
+    Q("ann_hamming_rerank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.sim.Binary.hammingRerank(
+            graft.sim.Binary.encodeBinary(e, "vec_id", "embedding"), "vec_id",
+            e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", m = 50, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bits AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CASE WHEN unnest(embedding) > 0 THEN 1 ELSE 0 END AS b
+          FROM embeddings),
+        ham AS (
+          SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                 CAST(sum(CASE WHEN qb.b <> cb.b THEN 1 ELSE 0 END) AS INT) AS hamming
+          FROM bits cb JOIN (SELECT * FROM bits WHERE vec_id < 5) qb USING (i)
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, neighbor_id, hamming,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY hamming, neighbor_id) AS hrank
+          FROM ham),
+        scored AS (
+          SELECT s.query_id, s.neighbor_id, s.hamming,
+                 list_dot_product(ce.v, qe.v) /
+                   (sqrt(list_dot_product(ce.v, ce.v)) *
+                    sqrt(list_dot_product(qe.v, qe.v))) AS cos_raw
+          FROM short s
+          JOIN e ce ON ce.vec_id = s.neighbor_id
+          JOIN e qe ON qe.vec_id = s.query_id
+          WHERE s.hrank <= 50),
+        ranked AS (
+          SELECT query_id, neighbor_id, hamming,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+                 floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine
+          FROM scored)
+        SELECT query_id, neighbor_id, rank, cosine, hamming FROM ranked
+        WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     Q("ann_bruteforce",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -708,6 +806,27 @@ object NearDupQueries {
     * owner shared by ann_sq8 and ann_sq8_persisted, so the persisted
     * route is pinned value-identical to the direct one. */
   // def, not val: `all` above initializes first and captures this by name
+  /** Shared by ann_hamming and ann_hamming_persisted (the sq8Oracle
+    * precedent): integer Hamming distances recounted from raw float SIGNS
+    * — the oracle never sees the packed byte layout. */
+  private[queries] def hammingOracle: String = """
+        WITH bits AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CASE WHEN unnest(embedding) > 0 THEN 1 ELSE 0 END AS b
+          FROM embeddings),
+        ham AS (
+          SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                 CAST(sum(CASE WHEN qb.b <> cb.b THEN 1 ELSE 0 END) AS INT) AS hamming
+          FROM bits cb JOIN (SELECT * FROM bits WHERE vec_id < 5) qb USING (i)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, hamming,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY hamming, neighbor_id) AS INT) AS rank
+          FROM ham)
+        SELECT query_id, neighbor_id, rank, hamming FROM ranked
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+
   private[queries] def sq8Oracle: String = s"""
         WITH cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         st AS (SELECT vec_id, v, CAST(len(v) AS BIGINT) AS n_dims,
