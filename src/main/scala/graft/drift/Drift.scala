@@ -164,6 +164,76 @@ object Drift {
       .orderBy("bin_id")
   }
 
+  /** Bounded-divergence pack over the [[psi]] binning: Jensen-Shannon
+    * divergence (the symmetric, ln2-bounded KL — Lin 1991), squared
+    * Hellinger distance, and total variation, per bin + totals, in the
+    * SAME single side-tagged counting pass as [[psi]]. PSI's ε-clamp is
+    * unnecessary here: every term is well-defined at zero mass
+    * (p·ln(p/m) → 0, (√p−√q)² and |p−q| are plain arithmetic), so the
+    * pack reports exact zero-bin behavior where PSI reports a clamped
+    * approximation — the reason drift dashboards carry both.
+    *
+    * Scale shape: identical to [[psi]] — each side scans once, ≤ `bins`
+    * aggregate rows ever shuffle, totals are window sums over the
+    * bin-sized frame. Cross-engine parity: terms are single IEEE ops on
+    * identical operands (ln included — the LM-oracle precedent), rounded
+    * to 6dp BEFORE the exact-decimal total (the Q.dsum discipline);
+    * Hellinger's final sqrt applies to the already-exact total. */
+  def divergences(base: DataFrame, target: DataFrame, column: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins > 0, s"divergences needs bins > 0, got $bins")
+    val x = col(column).cast(DoubleType)
+    val bounds = base.agg(min(x).as("_gf_lo"), max(x).as("_gf_hi"))
+    val tagged = base.filter(x.isNotNull).select(x.as("_gf_x"), lit(0).as("_gf_side"))
+      .unionByName(target.filter(x.isNotNull).select(x.as("_gf_x"), lit(1).as("_gf_side")))
+    val counts = tagged.crossJoin(broadcast(bounds))
+      .groupBy(psiBinId(col("_gf_x"), bins).as("bin_id")).agg(
+        count(when(col("_gf_side") === 0, 1)).as("base_cnt"),
+        count(when(col("_gf_side") === 1, 1)).as("target_cnt"))
+    val allBins = base.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin_id"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val p = col("base_pct"); val q = col("target_pct")
+    val m = (p + q) / lit(2.0)
+    // KL pieces with the 0·ln(0) → 0 convention; m = 0 only when both
+    // sides are 0, where both pieces are already 0.
+    val jsTerm = graft.Num.dround(
+      lit(0.5) * when(p > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        lit(0.5) * when(q > 0, q * log(q / m)).otherwise(lit(0.0)), 6)
+    val hellTerm = graft.Num.dround(
+      (sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)), 6)
+    val tvTerm = graft.Num.dround(lit(0.5) * abs(p - q), 6)
+    def decTotal(term: Column): Column =
+      sum(term.cast(DecimalType(38, 6))).over(tot).cast(DoubleType)
+    val bothSides =
+      sum("base_cnt").over(tot) > 0 && sum("target_cnt").over(tot) > 0
+    allBins
+      .join(counts, Seq("bin_id"), "left")
+      .withColumn("base_cnt", coalesce(col("base_cnt"), lit(0L)))
+      .withColumn("target_cnt", coalesce(col("target_cnt"), lit(0L)))
+      // Empty-side guards mirror [[psi]]: never bind on real data, so the
+      // oracle needs no mirror.
+      .withColumn("base_pct",
+        when(sum("base_cnt").over(tot) > 0,
+          col("base_cnt").cast(DoubleType) / sum("base_cnt").over(tot).cast(DoubleType)))
+      .withColumn("target_pct",
+        when(sum("target_cnt").over(tot) > 0,
+          col("target_cnt").cast(DoubleType) / sum("target_cnt").over(tot).cast(DoubleType)))
+      .withColumn("js_term", jsTerm)
+      .withColumn("hell_term", hellTerm)
+      .withColumn("tv_term", tvTerm)
+      .withColumn("js_div", when(bothSides, decTotal(col("js_term"))))
+      .withColumn("hellinger",
+        when(bothSides, graft.Num.dround(sqrt(lit(0.5) * decTotal(col("hell_term"))), 6)))
+      .withColumn("tv_dist", when(bothSides, decTotal(col("tv_term"))))
+      .select(col("bin_id"),
+        graft.Num.dround(col("base_pct"), 6).as("base_pct"),
+        graft.Num.dround(col("target_pct"), 6).as("target_pct"),
+        col("js_term"), col("hell_term"), col("tv_term"),
+        col("js_div"), col("hellinger"), col("tv_dist"))
+      .orderBy("bin_id")
+  }
+
   /** Per-column PSI sweep: one [[psi]]-style total per numeric column —
     * the full-feature drift dashboard in ONE pass per side. Columns melt
     * to (column_name, value) rows (a projection, not a shuffle), bounds

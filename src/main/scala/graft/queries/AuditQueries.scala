@@ -257,6 +257,50 @@ object AuditQueries {
                CAST((SELECT sum(CAST(psi_term AS DECIMAL(38,6))) FROM terms) AS DOUBLE) AS psi_total
         FROM terms ORDER BY bin_id""")),
 
+    // Bounded-divergence pack (Jensen-Shannon / Hellinger / total
+    // variation) over the SAME split and binning as drift_psi — the
+    // ε-free complements PSI dashboards carry (every term well-defined
+    // at zero mass, JS bounded by ln 2). One side-tagged counting pass;
+    // totals are window sums over the bin-sized frame.
+    Q("drift_divergence",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        Drift.divergences(
+          o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          "o_totalprice", bins = 10)
+      },
+      Some("""
+        WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+        tgt AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+        bounds AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS DOUBLE) AS nb FROM base),
+        nt AS (SELECT CAST(count(x) AS DOUBLE) AS n FROM tgt),
+        bb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM base, bounds GROUP BY 1),
+        tb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM tgt, bounds GROUP BY 1),
+        bins AS (SELECT CAST(g AS INT) AS bin_id FROM generate_series(0, 9) t(g)),
+        j AS (SELECT b.bin_id,
+                     CAST(coalesce(bb.c, 0) AS DOUBLE) / nb AS bp,
+                     CAST(coalesce(tb.c, 0) AS DOUBLE) / n AS tp
+              FROM bins b LEFT JOIN bb USING (bin_id) LEFT JOIN tb USING (bin_id), bounds, nt),
+        terms AS (SELECT bin_id, bp, tp,
+                         floor((0.5 * (CASE WHEN bp > 0 THEN bp * ln(bp / ((bp + tp) / 2.0)) ELSE 0.0 END)
+                              + 0.5 * (CASE WHEN tp > 0 THEN tp * ln(tp / ((bp + tp) / 2.0)) ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS js_term,
+                         floor(((sqrt(bp) - sqrt(tp)) * (sqrt(bp) - sqrt(tp))) * 1e6 + 0.5) / 1e6 AS hell_term,
+                         floor((0.5 * abs(bp - tp)) * 1e6 + 0.5) / 1e6 AS tv_term
+                  FROM j)
+        SELECT bin_id,
+               floor(bp * 1e6 + 0.5) / 1e6 AS base_pct,
+               floor(tp * 1e6 + 0.5) / 1e6 AS target_pct,
+               js_term, hell_term, tv_term,
+               CAST((SELECT sum(CAST(js_term AS DECIMAL(38,6))) FROM terms) AS DOUBLE) AS js_div,
+               floor(sqrt(0.5 * CAST((SELECT sum(CAST(hell_term AS DECIMAL(38,6))) FROM terms) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hellinger,
+               CAST((SELECT sum(CAST(tv_term AS DECIMAL(38,6))) FROM terms) AS DOUBLE) AS tv_dist
+        FROM terms ORDER BY bin_id""")),
+
     // Streaming PSI drift monitor, batch-degenerated: the reference is
     // frozen from the first week (dimension-sized snapshot — bins
     // literal doubles baked into the plan, NO stream-side join), then

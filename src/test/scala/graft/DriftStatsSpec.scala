@@ -125,4 +125,27 @@ class DriftStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.isNullAt(3)).toMap
     assert(!halfNull("a") && halfNull("b"))
   }
+
+  test("divergence pack hits the closed-form endpoints") {
+    // identical distributions: every divergence is exactly zero
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    val same = Drift.divergences(base, base, "x", bins = 10).collect()
+    assert(same.forall(r => r.getAs[Double]("js_div") == 0.0 &&
+      r.getAs[Double]("hellinger") == 0.0 && r.getAs[Double]("tv_dist") == 0.0))
+    // disjoint supports (base fills bins 0-4 and 9 — the 9 via the single
+    // bounds-widening point at 99 — target fills bins 5-8 only): JS = ln 2,
+    // Hellinger = 1, TV = 1 — the maxima
+    val lo = (1 to 500).map(i => (i % 50).toDouble).toDF("x")
+    val hiT = (1 to 500).map(i => 50.0 + i % 40).toDF("x")
+    val wide = lo.union(Seq(99.0).toDF("x"))
+    val far = Drift.divergences(wide, hiT, "x", bins = 10).collect()
+    val js = far.head.getAs[Double]("js_div")
+    assert(math.abs(js - math.log(2.0)) < 1e-3, s"disjoint JS was $js")
+    assert(math.abs(far.head.getAs[Double]("hellinger") - 1.0) < 1e-3)
+    assert(math.abs(far.head.getAs[Double]("tv_dist") - 1.0) < 1e-3)
+    // an empty side nulls the totals (mirrors the psi discipline)
+    val empty = Drift.divergences(base, base.limit(0), "x", bins = 10).collect()
+    assert(empty.forall(r => r.isNullAt(r.fieldIndex("js_div")) &&
+      r.isNullAt(r.fieldIndex("hellinger")) && r.isNullAt(r.fieldIndex("tv_dist"))))
+  }
 }
