@@ -58,6 +58,38 @@ object SamplingQueries {
         .orderBy("cluster_id", "vec_id"),
       None),
 
+    // Greedy k-center (MaxMin) diversity sampling — HASH-GREEN against a
+    // recursive-CTE oracle that replays the greedy loop in pure SQL: the
+    // emitted frame is integers only (round, id), distances on both
+    // sides are the same index-order double folds, and ties break on min
+    // id, so the full 8-step selection trajectory must match exactly.
+    Q("sample_kcenter",
+      (s, dir) => graft.sim.KCenter.select(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+        .orderBy("round"),
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        seed AS (
+          SELECT vec_id FROM e
+          ORDER BY list_dot_product(v, v) DESC, vec_id LIMIT 1),
+        sel(step, ids) AS (
+          SELECT 1, [vec_id] FROM seed
+          UNION ALL
+          SELECT step + 1, list_append(ids, (
+            SELECT c.vec_id FROM e c
+            WHERE NOT list_contains(ids, c.vec_id)
+            ORDER BY (
+              SELECT min(list_sum(list_transform(generate_series(1, len(c.v)),
+                i -> (c.v[i] - s.v[i]) * (c.v[i] - s.v[i]))))
+              FROM e s WHERE list_contains(ids, s.vec_id)) DESC, c.vec_id
+            LIMIT 1))
+          FROM sel WHERE step < 8),
+        final AS (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)
+        SELECT CAST(generate_subscripts(ids, 1) AS INT) AS round,
+               unnest(ids) AS vec_id
+        FROM final ORDER BY round""")),
+
     // The whole curation story in one lazy plan: quality gate -> language
     // gate -> exact dedup -> near-dup connected-component dedup ->
     // deterministic subsample. Each step is an operator gated elsewhere;
