@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.text.TextAnalysis
+
+/** Deterministic corpus sharding — the export shape a training run reads:
+  * N reproducible, statistically balanced shards with a token-accounted
+  * manifest. Shard assignment is a stateless multiplicative scatter of
+  * the document id (Knuth's 2⁶⁴/φ-family constant, reduced by a prime),
+  * NOT a round-robin or a sort: any worker can recompute any document's
+  * shard with no coordination, appends land in the same shards, and the
+  * assignment survives repartitioning — the properties that matter when
+  * the writer is a 1000-executor job.
+  *
+  * The scatter is chosen to be exact in PLAIN 64-bit integer arithmetic
+  * (id ≤ ~3.4e9 enforced, so id·M < 2⁶³ — no wraparound anywhere), which
+  * makes it reproducible by ANY engine that can multiply integers — the
+  * DuckDB oracle recomputes it verbatim. A same-engine-only hash (e.g.
+  * xxhash64) would shard equally well but be unverifiable outside Spark.
+  *
+  * Write lifecycle follows the persisted-index discipline
+  * ([[graft.sim.Quantize.writeSq8Index]]): refusals before any write,
+  * data first (partitioned BY SHARD, so a trainer reading shard k
+  * partition-prunes to its own files), format-tagged manifest LAST as
+  * the completeness marker, open-time validation against it.
+  */
+object Sharding {
+
+  /** Knuth multiplicative constant (2³²·(√5−1)/2, odd). */
+  val Mixer = 2654435761L
+  /** Prime reducer — keeps consecutive ids scattered across shards. */
+  val Modulus = 1000000007L
+  /** Largest id for which id·Mixer stays inside a signed 64-bit long. */
+  val MaxId: Long = Long.MaxValue / Mixer
+
+  /** Shard of an id: ((id·M) mod P) mod n, exact in 64-bit arithmetic.
+    * Out-of-range ids (negative, or large enough that the product would
+    * wrap) fail loudly — a wrapped product would assign a silently
+    * different shard than every other engine computes. */
+  def shardId(id: Column, n: Int): Column = {
+    require(n >= 1, s"shard count must be >= 1, got $n")
+    val idL = id.cast(LongType)
+    when(idL.isNull || idL < 0 || idL > MaxId,
+      raise_error(concat(lit("graft: shardId precondition violated (id "),
+        idL.cast("string"),
+        lit(s") — need 0 <= id <= $MaxId so the scatter product is exact")))
+        .cast(LongType))
+      .otherwise(idL * lit(Mixer) % lit(Modulus) % lit(n.toLong))
+      .cast("int")
+  }
+
+  /** The shard plan: one row per shard with document/token/char mass and
+    * each shard's share of the total token budget — the frame a training
+    * job sizes its readers from. ONE map-side-combined aggregation over
+    * the corpus (token/char counts are codegen'd scan projections);
+    * ≤ n rows ever shuffle. */
+  def shardPlan(docs: DataFrame, idCol: String, textCol: String,
+                n: Int): DataFrame =
+    planFromSharded(
+      docs.withColumn("shard", shardId(col(idCol), n)), textCol)
+
+  /** The same plan over a frame that already carries its `shard` column
+    * (e.g. a re-opened [[readShards]] export) — shared so the persisted
+    * lifecycle is gate-checked against the SAME oracle as the direct
+    * plan. */
+  def planFromSharded(sharded: DataFrame, textCol: String): DataFrame = {
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    sharded
+      .select(col("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("_gf_t"),
+        length(col(textCol)).cast(LongType).as("_gf_c"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_gf_t").as("n_tokens"),
+        sum("_gf_c").as("n_chars"))
+      // share of total tokens: one division of two exact longs — the
+      // balance number a reader-sizing loop actually uses
+      .withColumn("token_share",
+        graft.Num.dround(col("n_tokens").cast("double") /
+          sum("n_tokens").over(tot).cast("double"), 6))
+      .orderBy("shard")
+  }
+
+  /** Write the corpus into n shards at `path`: data partitioned by shard
+    * (a trainer reading shard k partition-prunes to its own files), then
+    * a format-tagged manifest with per-shard row/token mass, written
+    * LAST as the completeness marker. */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+                  path: String, n: Int): Unit = {
+    val spark = docs.sparkSession
+    require(docs.limit(1).collect().nonEmpty,
+      "writeShards: refusing to export an empty corpus")
+    docs.withColumn("shard", shardId(col(idCol), n))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    // manifest mass comes from the WRITTEN files (what a reader will see),
+    // not the input frame
+    val written = spark.read.parquet(s"$path/data")
+    val per = written
+      .groupBy("shard")
+      .agg(count(lit(1)).as("rows"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast(LongType)).as("tokens"))
+      .orderBy("shard")
+      .collect()
+    val total = per.map(_.getLong(1)).sum
+    val shardsJson = per.map(r =>
+      s"""{"shard": ${r.getInt(0)}, "rows": ${r.getLong(1)}, "tokens": ${r.getLong(2)}}""")
+      .mkString("[", ", ", "]")
+    val json =
+      s"""{"format": "graft-shards-v1", "n_shards": $n, "rows": $total, "shards": $shardsJson}"""
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-open a sharded export; refuses a missing/foreign manifest and a
+    * per-shard row-count mismatch (partial copy / torn write — the
+    * validation count reads no data columns, only the shard partition
+    * value). Returns the corpus with its `shard` column. */
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"no shard manifest at $path — nothing was exported here, or the " +
+        "write was interrupted before completion (manifest is written last)")
+    val in = fs.open(mp)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    if (!raw.contains("\"graft-shards-v1\"")) throw new IllegalArgumentException(
+      s"manifest at $path is not a graft-shards-v1 export (got: $raw) — " +
+        "refusing to read foreign shards")
+    val pinned = """\{"shard":\s*(\d+),\s*"rows":\s*(\d+)""".r
+      .findAllMatchIn(raw).map(m => (m.group(1).toInt, m.group(2).toLong)).toMap
+    val data = spark.read.parquet(s"$path/data")
+    val actual = data.groupBy("shard").agg(count(lit(1)).as("rows"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    if (actual != pinned) throw new IllegalArgumentException(
+      s"sharded export at $path does not match its manifest (manifest " +
+        s"$pinned vs files $actual) — partial copy or torn write; restore " +
+        "the matching files")
+    data
+  }
+}

@@ -23,6 +23,31 @@ object MixtureQueries {
         QUALIFY ${Quota.sqlQualify("source", "doc_id", 10)}
         ORDER BY doc_id""")),
 
+    // Deterministic 16-shard export plan: per-shard doc/token/char mass +
+    // token share. HASH-GREEN: the multiplicative scatter
+    // ((id·M) mod P) mod n is exact in plain 64-bit arithmetic, so the
+    // oracle recomputes the ASSIGNMENT itself verbatim — not just the
+    // aggregates.
+    Q("corpus_shard_plan",
+      (s, dir) => graft.ops.Sharding.shardPlan(
+          Tables.documents(s, dir), "doc_id", "text", n = 16),
+      Some(shardPlanOracle)),
+
+    // The SAME plan recomputed from a PERSISTED sharded export (write
+    // partitioned by shard → manifest LAST → re-open through the refusal
+    // ladder) against the SAME oracle — the export lifecycle is proven
+    // value-identical to the direct plan (the ann_sq8_persisted
+    // precedent).
+    Q("corpus_shard_persisted",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val path = NearDupQueries.scratchIndexDir(s, "shards", dir)
+        graft.ops.Sharding.writeShards(d, "doc_id", "text", path, n = 16)
+        graft.ops.Sharding.planFromSharded(
+          graft.ops.Sharding.readShards(s, path), "text")
+      },
+      Some(shardPlanOracle)),
+
     // Mixture plan: per-source composition + uniform-weight sampling rates
     // toward half the corpus tokens.
     Q("corpus_mixture",
@@ -221,4 +246,24 @@ object MixtureQueries {
                  / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cum_share
         FROM top, tot ORDER BY rank"""))
   )
+
+  /** Shared by corpus_shard_plan and corpus_shard_persisted: the oracle
+    * recomputes the multiplicative scatter verbatim (exact 64-bit
+    * integer arithmetic — see [[graft.ops.Sharding.shardId]]). */
+  private def shardPlanOracle: String = s"""
+        WITH t AS (
+          SELECT CAST(((doc_id * 2654435761) % 1000000007) % 16 AS INT) AS shard,
+                 $sqlTok AS tk,
+                 CAST(length(text) AS BIGINT) AS ch
+          FROM documents),
+        agg AS (
+          SELECT shard, count(*) AS n_docs,
+                 CAST(sum(tk) AS BIGINT) AS n_tokens,
+                 CAST(sum(ch) AS BIGINT) AS n_chars
+          FROM t GROUP BY shard)
+        SELECT shard, n_docs, n_tokens, n_chars,
+               floor((CAST(n_tokens AS DOUBLE) /
+                 CAST((SELECT sum(n_tokens) FROM agg) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                 AS token_share
+        FROM agg ORDER BY shard"""
 }
