@@ -401,6 +401,14 @@ object ConfigPipeline {
           asString(m("key_column"), s"$path.key_column"), fraction,
           parseSeed(m, path))
 
+      case "shard_assign" =>
+        requireKeys(m, path, required = Set("module", "key_column", "n_shards"),
+          optional = Set.empty)
+        val n = asLong(m("n_shards"), s"$path.n_shards")
+        if (n < 1 || n > Int.MaxValue)
+          fail(s"$path.n_shards", s"n_shards must be in [1, ${Int.MaxValue}], got $n")
+        ShardAssignStage(asString(m("key_column"), s"$path.key_column"), n.toInt)
+
       case "quota" =>
         requireKeys(m, path, required = Set("module", "group_column", "key_column", "n"),
           optional = Set("seed"))
@@ -418,7 +426,8 @@ object ConfigPipeline {
         fail(s"$path.module",
           s"unknown module '$other' (normalize|impute|dedup|outliers|validate|" +
             "text_filter|gopher_filter|pii_redact|exact_dedup|near_dedup|span_dedup|" +
-            "decontaminate|lm_filter|ft_filter|chunking|embedding_centroids|sample|quota)")
+            "decontaminate|lm_filter|ft_filter|chunking|embedding_centroids|sample|" +
+            "shard_assign|quota)")
     }
   }
 

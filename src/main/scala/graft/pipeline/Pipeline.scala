@@ -77,6 +77,8 @@ final case class EmbeddingCentroidsStage(groupCol: String,
     vecCol: String) extends Stage { val name = "embedding_centroids" }
 final case class SampleStage(keyCol: String, fraction: Double,
                              seed: Long) extends Stage { val name = "sample" }
+final case class ShardAssignStage(keyCol: String,
+                                  nShards: Int) extends Stage { val name = "shard_assign" }
 final case class QuotaStage(groupCol: String, keyCol: String,
                             quota: Int, seed: Long = 0L) extends Stage { val name = "quota" }
 
@@ -197,6 +199,10 @@ object Pipeline {
           acc
         case SampleStage(keyCol, fraction, seed) =>
           Sampling.hashSample(acc, keyCol, fraction, seed)
+        case ShardAssignStage(keyCol, nShards) =>
+          // pure transform: the export write stays the caller's sink step
+          acc.withColumn("shard",
+            graft.ops.Sharding.shardId(org.apache.spark.sql.functions.col(keyCol), nShards))
         case QuotaStage(groupCol, keyCol, quota, seed) =>
           Quota.capPerGroup(acc, groupCol, keyCol, quota, seed)
       }

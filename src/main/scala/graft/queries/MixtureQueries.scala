@@ -250,7 +250,7 @@ object MixtureQueries {
   /** Shared by corpus_shard_plan and corpus_shard_persisted: the oracle
     * recomputes the multiplicative scatter verbatim (exact 64-bit
     * integer arithmetic — see [[graft.ops.Sharding.shardId]]). */
-  private def shardPlanOracle: String = s"""
+  private[queries] def shardPlanOracle: String = s"""
         WITH t AS (
           SELECT CAST(((doc_id * 2654435761) % 1000000007) % 16 AS INT) AS shard,
                  $sqlTok AS tk,

@@ -792,9 +792,21 @@ object NearDupQueries {
         val resIdx = graft.sim.IvfPq.buildResidual(index, m = 16, ks = 16, iters = 1)
         val ivfadcR = graft.sim.IvfPq.topKResidual(resIdx,
           queries, "vec_id", "embedding", k = 10, nprobe = 2)
+        // the 1-bit routes: raw Hamming order, and Hamming-shortlist +
+        // exact rerank — the grid that shows how much of binary's 32×
+        // scan saving the rerank stage buys back in recall
+        val coded = graft.sim.Binary.encodeBinary(e, "vec_id", "embedding")
+        val ham = graft.sim.Binary.hammingTopK(coded, "vec_id",
+            queries, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val hamR = graft.sim.Binary.hammingRerank(coded, "vec_id",
+            e, "vec_id", "embedding", queries, "vec_id", "embedding",
+            m = 50, k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
         Similarity.recallAt(exact,
             Seq("ivf" -> ivf, "lsh" -> lsh, "lsh_or4" -> lshOr, "pq" -> pq,
-              "ivfpq" -> ivfadc, "ivfpq_residual" -> ivfadcR))
+              "ivfpq" -> ivfadc, "ivfpq_residual" -> ivfadcR,
+              "hamming" -> ham, "hamming_rerank" -> hamR))
           .orderBy("method", "query_id")
       },
       None)

@@ -142,6 +142,15 @@ object PipelineQueries {
     |    vector_column: embedding
     |""".stripMargin
 
+  /** Shard assignment as a config stage: the curate→export seam in YAML. */
+  private val shardYaml = """
+    |run_id: shard_config
+    |stages:
+    |  - module: shard_assign
+    |    key_column: doc_id
+    |    n_shards: 16
+    |""".stripMargin
+
   /** The YAML form of pipeline_chain's hand-built stages — the
     * config-driven entry point must hash-match the typed one. */
   private val chainYaml = """
@@ -309,6 +318,14 @@ object PipelineQueries {
         .reports("0:embedding_centroids")
         .orderBy("label", "pos"),
       Some(NearDupQueries.centroidsOracle)),
+
+    // The shard_assign stage through the YAML entry point, reduced to the
+    // SAME plan frame and oracle as corpus_shard_plan — the config lane
+    // must hash-match the typed API (the pipeline_from_config precedent).
+    Q("pipeline_shard_config",
+      (s, dir) => graft.ops.Sharding.planFromSharded(
+          ConfigPipeline.run(Tables.documents(s, dir), shardYaml).df, "text"),
+      Some(MixtureQueries.shardPlanOracle)),
 
     // Multimodal plumbing: every 3rd doc gets a REAL PNG header (IHDR),
     // every 3rd+1 a REAL JPEG header (APP0 + SOF0, exercising the marker

@@ -530,4 +530,26 @@ class ConfigPipelineSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("extra_key") || bad.getMessage.contains("unknown"))
   }
+
+  test("shard_assign stage matches the typed API and validates at config time") {
+    val docs = Seq((0L, "a b"), (1L, "c"), (2L, "d e f"))
+      .toDF("doc_id", "text")
+    val yaml = """
+      |run_id: shards
+      |stages:
+      |  - module: shard_assign
+      |    key_column: doc_id
+      |    n_shards: 4
+      |""".stripMargin
+    val out = ConfigPipeline.run(docs, yaml).df.orderBy("doc_id").collect()
+    val expect = docs.select(col("doc_id"),
+        graft.ops.Sharding.shardId(col("doc_id"), 4).as("shard"))
+      .orderBy("doc_id").collect().map(_.getInt(1)).toSeq
+    assert(out.map(_.getAs[Int]("shard")).toSeq == expect)
+    // n_shards is range-checked at CONFIG time
+    val bad = intercept[IllegalArgumentException] {
+      ConfigPipeline.run(docs, yaml.replace("n_shards: 4", "n_shards: 0"))
+    }
+    assert(bad.getMessage.contains("n_shards"))
+  }
 }
