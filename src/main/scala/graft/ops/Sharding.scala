@@ -95,10 +95,15 @@ object Sharding {
       "writeShards: refusing to export an empty corpus")
     docs.withColumn("shard", shardId(col(idCol), n))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
-    // manifest mass comes from the WRITTEN files (what a reader will see),
-    // not the input frame
-    val written = spark.read.parquet(s"$path/data")
-    val per = written
+    writeManifest(spark, path, textCol, n)
+  }
+
+  /** Recompute the manifest from the WRITTEN files (what a reader will
+    * see, not the input frame) and overwrite it — always the LAST step
+    * of a write or append, so its presence marks completeness. */
+  private def writeManifest(spark: SparkSession, path: String,
+                            textCol: String, n: Int): Unit = {
+    val per = spark.read.parquet(s"$path/data")
       .groupBy("shard")
       .agg(count(lit(1)).as("rows"),
         sum(TextAnalysis.tokenCount(col(textCol)).cast(LongType)).as("tokens"))
@@ -115,6 +120,52 @@ object Sharding {
     val out = fs.create(mp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Append documents to an existing sharded export WITHOUT rewriting it:
+    * the scatter is stateless, so new ids land in their final shards with
+    * no reshuffle of existing data — the property that makes hash
+    * sharding the right layout for a continuously-growing corpus.
+    * Refusals BEFORE any write (the [[graft.sim.Ivf.appendToIndex]]
+    * discipline): foreign/missing manifest, empty append, id collisions
+    * with the existing export (an id appearing twice would double-count
+    * in every downstream reader). Data appends first; the manifest is
+    * recomputed from the WRITTEN files and overwritten LAST — a torn
+    * append leaves a stale manifest that [[readShards]] refuses. */
+  def appendToShards(docs: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit = {
+    val spark = docs.sparkSession
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"no shard manifest at $path — appendToShards needs an existing " +
+        "export; use writeShards for the first write")
+    val in = fs.open(mp)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    if (!raw.contains("\"graft-shards-v1\"")) throw new IllegalArgumentException(
+      s"manifest at $path is not a graft-shards-v1 export (got: $raw) — " +
+        "refusing to append to foreign shards")
+    val n = """"n_shards":\s*(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"shard manifest at $path is missing 'n_shards': $raw"))
+    require(docs.limit(1).collect().nonEmpty,
+      "appendToShards: refusing to append an empty frame")
+    // id-collision refusal reads only the id column of the existing export
+    val existing = spark.read.parquet(s"$path/data")
+    val clashes = docs.select(col(idCol))
+      .join(existing.select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    if (clashes.nonEmpty) throw new IllegalArgumentException(
+      s"appendToShards: ids already present in the export at $path " +
+        s"(first ${clashes.length}: ${clashes.mkString(", ")}) — an id " +
+        "appearing twice would double-count in every downstream reader")
+    docs.withColumn("shard", shardId(col(idCol), n))
+      .write.mode("append").partitionBy("shard").parquet(s"$path/data")
+    // manifest recomputed from the written files, overwritten LAST
+    writeManifest(spark, path, textCol, n)
   }
 
   /** Re-open a sharded export; refuses a missing/foreign manifest and a

@@ -48,6 +48,23 @@ object MixtureQueries {
       },
       Some(shardPlanOracle)),
 
+    // Incremental ingest under the gate: export the even half, APPEND the
+    // odd half (stateless scatter → no reshuffle of existing data,
+    // id-collision refusal before any write), re-open, re-derive the plan
+    // — against the SAME oracle, so write ∪ append ≡ one full write.
+    Q("corpus_shard_append",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val path = NearDupQueries.scratchIndexDir(s, "shards-app", dir)
+        graft.ops.Sharding.writeShards(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, n = 16)
+        graft.ops.Sharding.appendToShards(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+        graft.ops.Sharding.planFromSharded(
+          graft.ops.Sharding.readShards(s, path), "text")
+      },
+      Some(shardPlanOracle)),
+
     // Mixture plan: per-source composition + uniform-weight sampling rates
     // toward half the corpus tokens.
     Q("corpus_mixture",

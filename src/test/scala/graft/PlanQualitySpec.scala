@@ -281,4 +281,27 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
   }
+
+  test("ann_hamming: queries broadcast with their code words; kernel in the plan") {
+    val p = plan("ann_hamming")
+    assert(p.contains("bin_hamming"), "popcount kernel not in the plan")
+    assert(p.contains("BroadcastNestedLoopJoin"), "queries must broadcast")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$p")
+  }
+
+  test("corpus_shard_plan: one partial'd aggregation; text never shuffles") {
+    val p = plan("corpus_shard_plan")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"shard plan lost map-side combine:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
+  }
+
+  test("drift_divergence: broadcast bounds, no row-level join") {
+    val p = plan("drift_divergence")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"row-level join appeared:\n$p")
+  }
 }

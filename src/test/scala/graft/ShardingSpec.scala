@@ -83,4 +83,30 @@ class ShardingSpec extends SparkSpec {
     }
     assert(ex4.getMessage.contains("empty"))
   }
+
+  test("append lands in the same layout as one full write; refusals hold") {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-app").toString
+    val full = s"$dir/full"; val inc = s"$dir/inc"
+    Sharding.writeShards(d, "doc_id", "text", full, 8)
+    Sharding.writeShards(d.filter(col("doc_id") % 2 === 0), "doc_id", "text", inc, 8)
+    Sharding.appendToShards(d.filter(col("doc_id") % 2 === 1), "doc_id", "text", inc)
+    val p1 = Sharding.planFromSharded(Sharding.readShards(spark, full), "text")
+      .collect().map(_.toString).toSeq
+    val p2 = Sharding.planFromSharded(Sharding.readShards(spark, inc), "text")
+      .collect().map(_.toString).toSeq
+    assert(p1 == p2)
+    // id collision refuses before any write
+    val ex = intercept[IllegalArgumentException] {
+      Sharding.appendToShards(d.limit(3), "doc_id", "text", inc)
+    }
+    assert(ex.getMessage.contains("already present"))
+    // the refused append did not corrupt the export
+    assert(Sharding.readShards(spark, inc).count() == d.count())
+    // appending to nothing refuses with the writeShards pointer
+    val ex2 = intercept[IllegalArgumentException] {
+      Sharding.appendToShards(d.limit(3), "doc_id", "text", s"$dir/none")
+    }
+    assert(ex2.getMessage.contains("writeShards"))
+  }
 }
