@@ -128,6 +128,35 @@ object GateEval {
           .as("pos_rate"))
   }
 
+  /** Cumulative gains / lift curve of a gate, on the BOUNDED
+    * distinct-score frame (the [[auc]] discipline — scores are
+    * 4-dp-rounded upstream, so ≤ 10⁴ groups; no corpus-wide row sort,
+    * no ntile tie-splitting): for every distinct score, descending, the
+    * cumulative population depth, the captured-positive gain, and
+    * lift = gain/depth — the "read the top X% of the corpus by this
+    * gate, keep what fraction of the good documents" table a curation
+    * budget is set from. One keyed count with map-side combine; the
+    * windows run over the bounded score frame only. All-negative or
+    * empty sides null the gain/lift rather than reading as 0/0. */
+  def gains(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) > 0, 1L).otherwise(0L)).as("n_pos"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(lit(1))
+    val depthRaw = col("cum_n").cast(DoubleType) / col("tot_n").cast(DoubleType)
+    val gainRaw = col("cum_pos").cast(DoubleType) / col("tot_pos").cast(DoubleType)
+    g.withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .withColumn("tot_n", sum("n").over(wTot))
+      .withColumn("tot_pos", sum("n_pos").over(wTot))
+      .select(col("score"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        dround(depthRaw, 6).as("depth"),
+        when(col("tot_pos") > 0, dround(gainRaw, 6)).as("gain"),
+        when(col("tot_pos") > 0, dround(gainRaw / depthRaw, 6)).as("lift"))
+  }
+
   /** Cohen's kappa between two BOOLEAN gate verdicts — chance-corrected
     * agreement (are two gates redundant, or does each catch different
     * data?). One pass, one row: the 2×2 confusion counts, observed

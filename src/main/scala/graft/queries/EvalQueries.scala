@@ -197,6 +197,35 @@ object EvalQueries {
               FROM msc GROUP BY 1)
         ORDER BY bin""")),
 
+    // Cumulative gains / lift curve of the same gate (row 125): for every
+    // distinct score, descending — population depth, captured-positive
+    // gain, lift = gain/depth. The "read the top X% by this gate" table a
+    // curation budget is set from; computed on the bounded distinct-score
+    // frame (the AUC discipline — no corpus-wide row sort, no ntile
+    // tie-splitting).
+    Q("quality_gate_gains",
+      (s, dir) => GateEval.gains(mixedScored(s, dir), "score", "label")
+        .orderBy(col("score").desc),
+      Some(s"""
+        WITH $mixedScoreCtes
+        SELECT score, n, npos AS n_pos,
+               CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+               floor((CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS depth,
+               CASE WHEN tot_pos > 0 THEN
+                 floor((CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS gain,
+               CASE WHEN tot_pos > 0 THEN
+                 floor(((CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE))
+                   / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE))) * 1e6 + 0.5) / 1e6 END AS lift
+        FROM (SELECT score, n, npos,
+                sum(n) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                sum(npos) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+                sum(n) OVER () AS tot_n,
+                sum(npos) OVER () AS tot_pos
+              FROM mg)
+        ORDER BY score DESC""")),
+
     // Cohen's kappa between the language-ID gate's 'en' verdict and the
     // corpus metadata label (row 126) — chance-corrected agreement, the
     // standard way to grade a classifier against noisy reference labels.

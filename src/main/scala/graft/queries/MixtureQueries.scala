@@ -261,7 +261,44 @@ object MixtureQueries {
                floor((CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cum_share
-        FROM top, tot ORDER BY rank"""))
+        FROM top, tot ORDER BY rank""")),
+
+    // Zipf rank-frequency audit: ln-ln regression slope over the top-20
+    // terms — natural text sits near −1; flat flags templated/synthetic
+    // corpora. HASH-GREEN: ln on identical operands, 10dp-rounded terms
+    // into exact decimal sums, the same closed-form slope tree.
+    Q("text_zipf",
+      (s, dir) => Vocab.zipf(Tables.documents(s, dir), "text", k = 20)
+        .orderBy("rank"),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        counts AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+          WHERE length(term) > 0 GROUP BY term),
+        top AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 20),
+        rk AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
+                      term, cnt FROM top),
+        t AS (SELECT rank, term, cnt,
+                     floor(ln(CAST(rank AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS ln_rank,
+                     floor(ln(CAST(cnt AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS ln_cnt
+              FROM rk),
+        t2 AS (SELECT *,
+                      floor(ln_rank * ln_cnt * 1e10 + 0.5) / 1e10 AS xy,
+                      floor(ln_rank * ln_rank * 1e10 + 0.5) / 1e10 AS xx
+               FROM t),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(ln_rank AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(ln_cnt AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(xy AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(xx AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+              FROM t2)
+        SELECT rank, term, cnt, ln_rank, ln_cnt,
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                 floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+               END AS zipf_slope
+        FROM t2, s ORDER BY rank"""))
   )
 
   /** Shared by corpus_shard_plan and corpus_shard_persisted: the oracle

@@ -169,10 +169,49 @@ class GateEvalSpec extends SparkSpec {
         c => c.substr(1, 4), minScore = 1.5))
   }
 
+  test("gains curve hits its endpoints; all-negative labels null out") {
+    // scores separate perfectly: the top half holds every positive
+    val df = ((1 to 10).map(i => (0.9, 1L)) ++ (1 to 10).map(i => (0.1, 0L)))
+      .toDF("score", "label")
+    val g = GateEval.gains(df, "score", "label")
+      .orderBy(org.apache.spark.sql.functions.col("score").desc).collect()
+    assert(g.length == 2)
+    // at depth 0.5 the gate has captured ALL positives: gain 1, lift 2
+    assert(g(0).getAs[Double]("depth") == 0.5 &&
+      g(0).getAs[Double]("gain") == 1.0 && g(0).getAs[Double]("lift") == 2.0)
+    // the full-corpus row is always (depth 1, gain 1, lift 1)
+    assert(g(1).getAs[Double]("depth") == 1.0 &&
+      g(1).getAs[Double]("gain") == 1.0 && g(1).getAs[Double]("lift") == 1.0)
+    // no positives anywhere -> gain/lift null, never 0/0
+    val neg = GateEval.gains(
+      Seq((0.9, 0L), (0.1, 0L)).toDF("score", "label"), "score", "label")
+      .collect()
+    assert(neg.forall(r => r.isNullAt(r.fieldIndex("gain")) &&
+      r.isNullAt(r.fieldIndex("lift"))))
+  }
+
+  test("zipf slope is exactly -1 on a planted power law") {
+    import org.apache.spark.sql.functions._
+    // counts 12/6/4/3 = 12/rank for ranks 1..4: ln cnt = ln 12 - ln rank
+    val words = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val z = graft.text.Vocab.zipf(docs, "text", k = 4).orderBy("rank").collect()
+    assert(z.map(_.getAs[String]("term")).toSeq == Seq("aa", "bb", "cc", "dd"))
+    val slope = z.head.getAs[Double]("zipf_slope")
+    assert(math.abs(slope - (-1.0)) < 1e-5, s"slope was $slope")
+    // a degenerate fit (uniform counts -> denominator fine, slope 0)
+    val flat = Seq(Seq.fill(5)("aa bb cc dd").mkString(" ")).toDF("text")
+    val z2 = graft.text.Vocab.zipf(flat, "text", k = 4).collect()
+    assert(z2.head.getAs[Double]("zipf_slope") == 0.0)
+  }
+
   test("misuse is refused") {
     val df = Seq((0.5, 1L)).toDF("score", "label")
     assertThrows[IllegalArgumentException](
       GateEval.prCurve(df, "score", "label", Seq.empty))
+    assertThrows[IllegalArgumentException](
+      graft.text.Vocab.zipf(Seq("a").toDF("text"), "text", 1))
     assertThrows[IllegalArgumentException](
       GateEval.calibration(df, "score", "label", 1))
     assertThrows[IllegalArgumentException](
