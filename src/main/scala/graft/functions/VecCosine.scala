@@ -145,6 +145,11 @@ object GraftFunctions {
   def packBytes(codes: Column): Column =
     ColumnGlue.column(PackBytes(ColumnGlue.expression(codes)))
 
+  /** Column API for [[DeflateLen]]: deflate-compressed byte length — the
+    * compression-ratio quality signal. */
+  def deflateLen(text: Column): Column =
+    ColumnGlue.column(DeflateLen(ColumnGlue.expression(text)))
+
   /** Column API for [[BinPopcount]]: set bits of a packed bit-code word
     * (the positive-sign count of a binarized embedding). */
   def binPopcount(code: Column): Column =

@@ -179,6 +179,18 @@ object TextQueries {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // Compression-ratio quality signal (rows-only: JDK zlib has no ANSI
+    // form — deterministic for fixed input/level, pinned in TextSpec with
+    // planted repetitive-vs-varied fixtures instead of a DuckDB oracle).
+    Q("text_compress_ratio",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        graft.functions.GraftFunctions.deflateLen(col("text")).as("n_deflated"),
+        TextAnalysis.compressionRatio(col("text")).as("compress_ratio"))
+        .orderBy("doc_id"),
+      None),
+
     Q("text_langid",
       (s, dir) => Tables.documents(s, dir).select(
         col("doc_id"), col("lang"),

@@ -30,6 +30,17 @@ object TextAnalysis {
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
 
+  /** Compression-ratio quality signal: deflate(text).bytes / chars via
+    * the codegen'd [[graft.functions.DeflateLen]] kernel — repetitive or
+    * templated text compresses far below natural prose, so a low ratio
+    * flags boilerplate with zero linguistic assumptions (the
+    * RedPajama-v2/Dolma annotation family). Null/empty text → null. */
+  def compressionRatio(c: Column): Column =
+    when(length(c) > 0,
+      graft.Num.dround(
+        graft.functions.GraftFunctions.deflateLen(c).cast("double")
+          / length(c).cast("double"), 4))
+
   /** BPE-ish regex token count: letter runs, single digits, or single
     * non-alphanumeric glyphs — the classic pre-tokenizer shape. */
   val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"

@@ -142,4 +142,29 @@ class TextSpec extends SparkSpec {
     assert(out(1).getDouble(1) < 0.6) // a single occurrence covers < 60%
     assert(out(2).getDouble(1) === 0.0)
   }
+
+  test("compression ratio separates repetitive from varied text, deterministically") {
+    import org.apache.spark.sql.functions._
+    val rep = ("spam " * 200).trim
+    // varied text: no repeated structure at deflate's window scale
+    val varied = (0 until 200).map(i => s"w${i * 7919 % 1000}x${i % 13}").mkString(" ")
+    val docs = Seq((1L, rep), (2L, varied), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.deflateLen(col("text")).as("d"),
+        graft.text.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .orderBy("doc_id").collect()
+    val repRatio = out(0).getAs[Double]("r")
+    val varRatio = out(1).getAs[Double]("r")
+    assert(repRatio < 0.05, s"repetitive text should crush: $repRatio")
+    assert(varRatio > 0.3, s"varied text should resist: $varRatio")
+    assert(out(2).getAs[Int]("d") == 0 && out(2).isNullAt(2)) // empty -> len 0, null ratio
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))          // null -> null
+    // deterministic across evaluations (interpreted vs codegen'd paths
+    // both call the same static kernel on the same bytes)
+    val again = docs.select(
+        graft.functions.GraftFunctions.deflateLen(col("text")).as("d"))
+      .orderBy("doc_id").collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(again.toSeq == out.map(r => if (r.isNullAt(1)) -1 else r.getAs[Int]("d")).toSeq)
+  }
 }
