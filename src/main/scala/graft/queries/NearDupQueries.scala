@@ -128,6 +128,45 @@ object NearDupQueries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // Dedup-method grader (the ann_recall discipline applied to the
+    // near-dup family): precision/recall of each route against the
+    // PLANTED clone ground truth (id ↔ id+2000000 for id%10=0) on ONE
+    // shared fixture. Rows-only (the methods' hash lanes are
+    // engine-specific) but the grading arithmetic is exact integers —
+    // the number a dedup-threshold decision is made from.
+    Q("dedup_recall",
+      (s, dir) => {
+        val corpus = truncatedCorpus(s, dir)
+        val truth = corpus.filter(col("doc_id") >= 2000000)
+          .select((col("doc_id") - 2000000).as("id_a"), col("doc_id").as("id_b"))
+        val methods = Seq(
+          "minhash" -> MinHash.nearDuplicatePairs(corpus, "text", "doc_id",
+            n = 5, k = 64, bands = 16, threshold = 0.5),
+          "jaccard" -> NgramJaccard.pairs(corpus, "text", "doc_id",
+            n = 5, threshold = 0.5),
+          // simhash grades LOW here by design: the fixture truncates 20%
+          // of words, far past a 7-bit Hamming budget — the grader makes
+          // that visible instead of leaving threshold folklore
+          "simhash" -> SimHash.nearDuplicatePairs(corpus, "text", "doc_id",
+            maxDist = 7, blocks = 8))
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        methods.map { case (name, pairs) =>
+          val det = pairs.select(col("id_a"), col("id_b")).distinct()
+          val detN = det.agg(count(lit(1)).as("n_detected"))
+          val hitN = det.join(broadcast(truth), Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+          nTrue.crossJoin(detN).crossJoin(hitN).select(
+            lit(name).as("method"), col("n_true"), col("n_detected"), col("n_hits"),
+            when(col("n_detected") > 0, graft.Num.dround(
+              col("n_hits").cast("double") / col("n_detected").cast("double"), 4))
+              .as("precision"),
+            when(col("n_true") > 0, graft.Num.dround(
+              col("n_hits").cast("double") / col("n_true").cast("double"), 4))
+              .as("recall"))
+        }.reduce(_.unionByName(_)).orderBy("method")
+      },
+      None),
+
     // HASH-CHECKED against brute-force: on this fixture the LSH path's
     // output provably equals the exact cosine>=0.999 pair set — clones are
     // positively scaled (sign bits identical => co-bucketed in the one
@@ -154,6 +193,37 @@ object NearDupQueries {
                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 AS cosine
                FROM allv a, allv b WHERE a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.999
+        ORDER BY id_a, id_b""")),
+
+    // Exact binary-fingerprint dedup: pairs sharing the ENTIRE 64-bit
+    // sign pattern, found by an EQUI-join on the 8-byte code word (the
+    // dedup_exact hash-bucket shape — no all-pairs anywhere; the
+    // zero-cost prefilter in front of exact-cosine verification). The
+    // 1.01-scaled clones pair exactly: positive scaling can never flip a
+    // sign, which the oracle exploits by reusing the BASE vector's sign
+    // string for its clone.
+    Q("dedup_embedding_binary",
+      (s, dir) => {
+        val coded = graft.sim.Binary.encodeBinary(
+          perturbedEmbeddings(s, dir), "vec_id", "embedding")
+          .filter(col("codes").isNotNull)
+        val a = coded.select(col("vec_id").as("id_a"), col("codes"))
+        val b = coded.select(col("vec_id").as("id_b"), col("codes"))
+        a.join(b, "codes").filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH sig0 AS (
+          SELECT vec_id, array_to_string(list_transform(embedding,
+            x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sg
+          FROM embeddings),
+        allsig AS (
+          SELECT vec_id, sg FROM sig0
+          UNION ALL
+          SELECT vec_id + 100000, sg FROM sig0 WHERE vec_id % 10 = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM allsig a JOIN allsig b ON a.sg = b.sg AND a.vec_id < b.vec_id
         ORDER BY id_a, id_b""")),
 
     // Keep-one-per-connected-component policy over the MinHash pair graph

@@ -612,4 +612,29 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("no non-null rows"))
   }
+
+  test("shard assignment and the compression signal run unchanged on a live stream") {
+    // both are stateless scan projections, so the continuous-ingestion
+    // lane (ingest → quality-annotate → shard) is the SAME plan as batch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(1L -> "the cat sat", 7L -> ("spam " * 50).trim, 42L -> "one two")
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF.toDF("doc_id", "text")
+    def annotate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.ops.Sharding.shardId(col("doc_id"), 16).as("shard"),
+      graft.text.TextAnalysis.compressionRatio(col("text")).as("ratio"))
+    val q = annotate(streamDf)
+      .writeStream.format("memory").queryName("shard_stream")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("shard_stream").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val batch = annotate(rows.toDF("doc_id", "text")).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }
