@@ -152,6 +152,24 @@ object OpsQueries {
                floor((CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS share
         FROM top, t ORDER BY cnt DESC, l_orderkey""")),
 
+    // Top-k per group WITHOUT a window: the bounded typed Aggregator
+    // (ops/TopK) combines k-sized buffers MAP-SIDE, so the exchange
+    // carries ≤ k candidates per (group, partition) instead of every row
+    // of every group through a per-key sort — the hot-key-safe form of
+    // "keep the best k of each key". HASH-GREEN against the ANSI
+    // row_number form: identical (score desc, id asc) semantics.
+    Q("events_topk_agg",
+      (s, dir) => graft.ops.TopK.perGroup(Tables.events(s, dir),
+          Seq("event_type"), "value", "event_id", k = 3)
+        .orderBy("event_type", "rank"),
+      Some("""
+        SELECT event_type, CAST(rn AS INT) AS rank, event_id AS id, value AS score
+        FROM (SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value DESC, event_id) AS rn
+              FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+        WHERE rn <= 3 ORDER BY event_type, rank""")),
+
     // Latest record per entity (SCD-style current snapshot): one window
     // shuffle on the entity key; ties on ts break on event_id so the
     // survivor is deterministic.

@@ -298,6 +298,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!exchanges.contains("text#"), s"text shuffled:\n$exchanges")
   }
 
+  test("events_topk_agg: map-side-combined object aggregate, no window/per-key sort") {
+    val p = plan("events_topk_agg")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed aggregate missing:\n$p")
+    assert(!p.contains("Window"), s"window crept back in:\n$p")
+    // partial + final pair proves the k-sized buffers combine map-side
+    assert(p.contains("partial_topkagg") || p.contains("partial_TopKAgg") ||
+      p.linesIterator.count(l => l.contains("Aggregate")) >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
   test("drift_divergence: broadcast bounds, no row-level join") {
     val p = plan("drift_divergence")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
