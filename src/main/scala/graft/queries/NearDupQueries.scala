@@ -527,6 +527,21 @@ object NearDupQueries {
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e4 + 0.5) / 1e4 >= 0.3
         ORDER BY id_a, id_b""")),
 
+    // IVF + binary probe (FAISS IndexBinaryIVF shape): coarse cells prune
+    // the scan, pruned cells scan as 8-byte Hamming words, exact cosine
+    // reranks the shortlist only — binary codes with partition pruning,
+    // the 100 TB-shaped binary route. Rows-only (k-means seeds);
+    // BinarySpec pins full-probe ≡ whole-corpus hammingRerank.
+    Q("ann_ivf_hamming",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val index = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        graft.sim.Binary.ivfHammingTopK(index, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2, m = 50)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // IVF coarse-quantizer ANN: train on the corpus, probe 2 of 8 cells.
     Q("ann_ivf",
       (s, dir) => {

@@ -40,24 +40,28 @@ object Binary {
     * representation, not the pre-pack array. */
   def encodeBinary(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
+    df.select(
+      col(idCol),
+      when(v.isNull, lit(null).cast("int")).otherwise(size(v)).as("n_dims"),
+      codesColumn(v).as("codes"))
+      .withColumn("n_pos", GraftFunctions.binPopcount(col("codes")))
+  }
+
+  /** The packed sign-bit word of a vector column — ceil(d/8) byte slots;
+    * byte j folds dims [8j, 8j+8) MSB-first. A tail byte with m<8 dims
+    * keeps its bits in the LOW m positions — consistent across
+    * equal-dimension vectors, which BinHamming enforces (unequal byte
+    * lengths throw). Null/empty vectors → null word. */
+  private[graft] def codesColumn(v: Column): Column = {
     val d = size(v)
-    // ceil(d/8) byte slots; byte j folds dims [8j, 8j+8) MSB-first. A
-    // tail byte with m<8 dims keeps its bits in the LOW m positions —
-    // consistent across equal-dimension vectors, which BinHamming
-    // enforces (unequal byte lengths throw).
     val byteCodes = transform(
       sequence(lit(0), floor((d - lit(1)).cast("double") / 8.0).cast("int")),
       j => aggregate(
         slice(v, j * lit(8) + lit(1), lit(8)),
         lit(0),
         (acc, x) => acc * lit(2) + when(x > lit(0), lit(1)).otherwise(lit(0))))
-    val codes = when(v.isNull || d === 0, lit(null).cast("binary"))
+    when(v.isNull || d === 0, lit(null).cast("binary"))
       .otherwise(GraftFunctions.packBytes(byteCodes))
-    df.select(
-      col(idCol),
-      when(v.isNull, lit(null).cast("int")).otherwise(d).as("n_dims"),
-      codes.as("codes"))
-      .withColumn("n_pos", GraftFunctions.binPopcount(col("codes")))
   }
 
   /** Top-k nearest by Hamming distance over the binarized corpus.
@@ -110,6 +114,60 @@ object Binary {
       .select(col("query_id"), col("neighbor_id"),
         col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"),
         col("hamming"))
+  }
+
+  /** IVF + binary probe (the FAISS `IndexBinaryIVF` shape — binary codes
+    * at 100 TB): the coarse quantizer prunes to `nprobe` cells (and, on a
+    * persisted cid-partitioned index, to those cells' FILES), the pruned
+    * cells scan as 8-bytes-per-vector Hamming words through the popcount
+    * kernel, and exact cosine reranks only the m-row shortlist. Probe
+    * selection reuses [[Ivf.collectProbes]] — the single-collect subplan
+    * both IVF routes share — so dim validation and the static IN pruning
+    * filter come for free. Rows-only at the gate (k-means seeds are
+    * engine-specific); BinarySpec pins full-probe ≡ whole-corpus
+    * [[hammingRerank]] (the IvfPq full-probe ≡ full-scan precedent). */
+  def ivfHammingTopK(index: Ivf.IvfIndex, queries: DataFrame,
+                     queryId: String, queryVec: String,
+                     k: Int = 10, nprobe: Int = 2, m: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= k, s"shortlist m ($m) must be >= k ($k)")
+    val spark = queries.sparkSession
+    val (probeRows, probeSchema) =
+      Ivf.collectProbes(index, queries, queryId, queryVec, nprobe)
+    val cidIdx = probeSchema.fieldIndex("_gf_cid")
+    val probedCids = probeRows.map(_.getLong(cidIdx)).distinct.toSeq
+    val probesLocal = spark.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probeSchema)
+      .withColumn("_gf_qcodes", codesColumn(col("_gf_qv")))
+    val coded = index.indexed.select(col("_gf_cid"), col("_gf_id"),
+        codesColumn(col("_gf_v")).as("_gf_codes"))
+      .filter(col("_gf_codes").isNotNull)
+    val pruned =
+      if (probedCids.isEmpty) coded.filter(lit(false))
+      else coded.filter(col("_gf_cid").isin(probedCids: _*))
+    val wH = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_ham").asc, col("_gf_id"))
+    val shortlist = pruned
+      .join(broadcast(probesLocal.select(
+        col("_gf_cid"), col("_gf_qid"), col("_gf_qcodes"))), Seq("_gf_cid"))
+      .withColumn("_gf_ham",
+        GraftFunctions.binHamming(col("_gf_codes"), col("_gf_qcodes")))
+      .withColumn("_gf_hrank", row_number().over(wH))
+      .filter(col("_gf_hrank") <= m)
+      .select(col("_gf_qid"), col("_gf_id"), col("_gf_ham"))
+    // exact rerank: floats fetched by id for the shortlist only
+    val wC = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_id"))
+    broadcast(shortlist)
+      .join(index.indexed.select(col("_gf_id"), col("_gf_v")), Seq("_gf_id"))
+      .join(broadcast(probesLocal
+        .select(col("_gf_qid"), col("_gf_qv")).distinct()), Seq("_gf_qid"))
+      .withColumn("_gf_cos", Similarity.cosine(col("_gf_v"), col("_gf_qv")))
+      .withColumn("_gf_rank", row_number().over(wC))
+      .filter(col("_gf_rank") <= k)
+      .select(col("_gf_qid").as("query_id"), col("_gf_id").as("neighbor_id"),
+        col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"),
+        col("_gf_ham").as("hamming"))
   }
 
   /** Persist the binarized corpus ([[Quantize.writeSq8Index]] conventions:

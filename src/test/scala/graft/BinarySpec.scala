@@ -90,6 +90,28 @@ class BinarySpec extends SparkSpec {
     assert(rr.forall(_.getAs[Int]("hamming") >= 0))
   }
 
+  test("ivf-binary at full probe equals the whole-corpus hamming rerank") {
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val q = e.filter(col("vec_id") < 3)
+    val index = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 1)
+    try {
+      val cells = index.numCells.toInt
+      val full = Binary.ivfHammingTopK(index, q, "vec_id", "embedding",
+          k = 5, nprobe = cells, m = 30)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      val flat = Binary.hammingRerank(
+          Binary.encodeBinary(e, "vec_id", "embedding"), "vec_id",
+          e, "vec_id", "embedding", q, "vec_id", "embedding", m = 30, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      assert(full == flat,
+        "probing every cell must degenerate to the flat binary scan")
+      // pruned probe returns candidates only from probed cells (k <= m rows)
+      val pruned = Binary.ivfHammingTopK(index, q, "vec_id", "embedding",
+        k = 5, nprobe = 1, m = 30).collect()
+      assert(pruned.nonEmpty && pruned.length <= 3 * 5)
+    } finally index.release()
+  }
+
   test("persisted index round-trips; refusal ladder holds") {
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
     val coded = Binary.encodeBinary(e, "vec_id", "embedding")
