@@ -5,16 +5,22 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Top-k-per-group via a bounded typed Aggregator — the scale-correct
+/** Top-k-per-group via a bounded typed Aggregator — the sort-free
   * alternative to `row_number() OVER (PARTITION BY g ORDER BY s)` for
-  * "keep the best k of each key": the window form SORTS every group's
-  * full row set after the shuffle (and a hot key's whole population
-  * lands in one task's sort), while this aggregator keeps a k-sized
-  * buffer per group that combines MAP-SIDE — each partition contributes
-  * at most k candidates per group to the exchange, the reducer merges
-  * k-sized buffers, and nothing is ever globally sorted. At 100 TB the
-  * difference is shuffling k rows per (group × partition) versus every
-  * row of every group.
+  * "keep the best k of each key".
+  *
+  * Honest comparison on THIS Spark (4.x): the rank-filter window form is
+  * no longer the naive everything-through-one-sort plan — Spark ≥ 3.5's
+  * `InferWindowGroupLimit` inserts a PARTIAL WindowGroupLimit before the
+  * exchange (measured on q_window_topn/events_latest: the exchange
+  * carries ≤ k rows per (group, partition), same as this aggregator).
+  * What the window path still pays and this aggregator does not:
+  * TWO partition-wide SORTS on (group, order) — one feeding the partial
+  * limit, one after the exchange — where the aggregate form is hash
+  * grouping + an O(k) insertion per row with NO sort anywhere. And the
+  * aggregator stays available where the limit inference cannot fire
+  * (rank filters that are not literal comparisons, rank columns consumed
+  * downstream).
   *
   * Semantics match the window form exactly (score descending, id
   * ascending on ties), which is what makes the registry query

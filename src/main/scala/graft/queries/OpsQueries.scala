@@ -153,11 +153,12 @@ object OpsQueries {
         FROM top, t ORDER BY cnt DESC, l_orderkey""")),
 
     // Top-k per group WITHOUT a window: the bounded typed Aggregator
-    // (ops/TopK) combines k-sized buffers MAP-SIDE, so the exchange
-    // carries ≤ k candidates per (group, partition) instead of every row
-    // of every group through a per-key sort — the hot-key-safe form of
-    // "keep the best k of each key". HASH-GREEN against the ANSI
-    // row_number form: identical (score desc, id asc) semantics.
+    // (ops/TopK) combines k-sized buffers map-side. Spark ≥3.5's partial
+    // WindowGroupLimit already prunes the window form's exchange equally
+    // (verified on this build — see TopK's scaladoc); what the aggregate
+    // form additionally removes is BOTH partition-wide sorts, replacing
+    // them with hash grouping + O(k) insertions. HASH-GREEN against the
+    // ANSI row_number form: identical (score desc, id asc) semantics.
     Q("events_topk_agg",
       (s, dir) => graft.ops.TopK.perGroup(Tables.events(s, dir),
           Seq("event_type"), "value", "event_id", k = 3)
