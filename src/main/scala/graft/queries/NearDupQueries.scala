@@ -52,6 +52,20 @@ object NearDupQueries {
     new java.io.File(base, name).getAbsolutePath
   }
 
+  /** embeddings ∪ clones with exactly two deterministic sign flips
+    * (positions vec_id%64 and 7·vec_id%64) — Hamming ≤ 2 from their
+    * originals, used by the banded Hamming pair probe. */
+  private def flippedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val clones = e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i.cast("long") === col("vec_id") % 64 ||
+             i.cast("long") === (col("vec_id") * 7) % 64, -x).otherwise(x))
+        .as("embedding"))
+    e.unionByName(clones)
+  }
+
   /** embeddings ∪ scaled clones (same direction => cosine 1). */
   private def perturbedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -224,6 +238,37 @@ object NearDupQueries {
           SELECT vec_id + 100000, sg FROM sig0 WHERE vec_id % 10 = 0)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM allsig a JOIN allsig b ON a.sg = b.sg AND a.vec_id < b.vec_id
+        ORDER BY id_a, id_b""")),
+
+    // Near-dup pairs within Hamming ≤ 3 via banded bit-sampling LSH with
+    // the PIGEONHOLE guarantee (4 bands > 3 bits → one band survives
+    // intact → recall EXACTLY 1), so unlike MinHash banding the pair set
+    // is the true threshold set — HASH-GREEN against an oracle that
+    // recounts sign-string Hamming over all pairs. Clones here flip
+    // exactly two deterministic sign positions.
+    Q("dedup_embedding_hamming",
+      (s, dir) => {
+        val coded = graft.sim.Binary.encodeBinary(
+          flippedEmbeddings(s, dir), "vec_id", "embedding")
+        graft.sim.Binary.hammingPairs(coded, "vec_id", maxDist = 3, bands = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        clones AS (
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(embedding, (x, i) ->
+                   CASE WHEN i - 1 = vec_id % 64 OR i - 1 = (vec_id * 7) % 64
+                        THEN -x ELSE x END) AS embedding
+          FROM base WHERE vec_id % 10 = 0),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+        sig AS (SELECT vec_id, array_to_string(list_transform(embedding,
+                  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sg
+                FROM allv)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(hamming(a.sg, b.sg) AS INT) AS hamming
+        FROM sig a, sig b
+        WHERE a.vec_id < b.vec_id AND hamming(a.sg, b.sg) <= 3
         ORDER BY id_a, id_b""")),
 
     // Keep-one-per-connected-component policy over the MinHash pair graph

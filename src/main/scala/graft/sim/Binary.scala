@@ -116,6 +116,50 @@ object Binary {
         col("hamming"))
   }
 
+  /** All pairs within Hamming distance `maxDist`, by bit-sampling LSH
+    * with an EXACTNESS GUARANTEE: the code word splits into `bands`
+    * byte-ranges and candidates come from an EQUI-join on (band, bytes);
+    * by pigeonhole, two words differing in ≤ maxDist < bands bits agree
+    * on at least one whole band, so recall is EXACTLY 1 — unlike MinHash
+    * banding, whose recall is probabilistic, this pair set is the true
+    * threshold set and therefore ORACLE-CHECKABLE. Precision is then
+    * restored by the exact [[graft.functions.BinHamming]] filter.
+    *
+    * Scale shape: band rows are (id, 8-byte word, band bytes) — no text,
+    * no floats, no all-pairs; bucket sizes are bounded by sign-pattern
+    * collisions (zero natural collisions measured on the synthetic
+    * corpus; a degenerate corpus of near-constant-sign vectors would
+    * concentrate buckets, the same caveat MinHash banding documents). */
+  def hammingPairs(coded: DataFrame, idCol: String,
+                   maxDist: Int, bands: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(bands > maxDist,
+      s"the pigeonhole guarantee needs bands ($bands) > maxDist ($maxDist) " +
+        "— with fewer bands a qualifying pair can disagree in every band " +
+        "and silently vanish; raise bands or lower maxDist")
+    val c = coded.filter(col("codes").isNotNull)
+      .select(col(idCol).as("_gf_id"), col("codes"))
+    val len = length(col("codes"))
+    val bw = floor((len + lit(bands - 1)).cast("double") / bands).cast("int")
+    val banded = c.select(col("_gf_id"), col("codes"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => col("codes").substr(b * bw + lit(1), bw))))
+    val a = banded.select(col("_gf_id").as("id_a"), col("codes").as("_gf_ca"),
+      col("pos").as("_gf_band"), col("col").as("_gf_bb"))
+    val b = banded.select(col("_gf_id").as("id_b"), col("codes").as("_gf_cb"),
+      col("pos").as("_gf_band"), col("col").as("_gf_bb"))
+    a.join(b, Seq("_gf_band", "_gf_bb"))
+      .filter(col("id_a") < col("id_b"))
+      // a close pair collides in several bands — dedup BEFORE the exact
+      // distance so each surviving pair pays one kernel call
+      .select(col("id_a"), col("id_b"), col("_gf_ca"), col("_gf_cb"))
+      .distinct()
+      .withColumn("hamming",
+        GraftFunctions.binHamming(col("_gf_ca"), col("_gf_cb")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** IVF + binary probe (the FAISS `IndexBinaryIVF` shape — binary codes
     * at 100 TB): the coarse quantizer prunes to `nprobe` cells (and, on a
     * persisted cid-partitioned index, to those cells' FILES), the pruned

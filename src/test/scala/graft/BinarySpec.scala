@@ -90,6 +90,36 @@ class BinarySpec extends SparkSpec {
     assert(rr.forall(_.getAs[Int]("hamming") >= 0))
   }
 
+  test("banded hammingPairs is exactly the brute-force threshold set") {
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 80)
+    val coded = Binary.encodeBinary(e, "vec_id", "embedding")
+    // brute force over all pairs at several thresholds — the banded join
+    // must reproduce each exactly (pigeonhole recall 1, exact filter)
+    val a = coded.select(col("vec_id").as("id_a"), col("codes").as("ca"))
+    val b = coded.select(col("vec_id").as("id_b"), col("codes").as("cb"))
+    val all = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.binHamming(col("ca"), col("cb")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (tau <- Seq(0, 3, 7)) {
+      val truth = all.filter(_._3 <= tau).map(p => (p._1, p._2, p._3)).toSet
+      val got = Binary.hammingPairs(coded, "vec_id", maxDist = tau, bands = tau + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == truth, s"tau=$tau: banded ${got.size} vs brute ${truth.size}")
+    }
+    // a multi-band collision (identical word) emits the pair exactly once
+    val dup = Binary.encodeBinary(
+      Seq((1L, Array(1f, -1f, 1f)), (2L, Array(2f, -9f, 5f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val pairs = Binary.hammingPairs(dup, "vec_id", maxDist = 0, bands = 1).collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+    // the pigeonhole precondition is enforced, not assumed
+    val ex = intercept[IllegalArgumentException] {
+      Binary.hammingPairs(dup, "vec_id", maxDist = 4, bands = 4)
+    }
+    assert(ex.getMessage.contains("pigeonhole"))
+  }
+
   test("ivf-binary at full probe equals the whole-corpus hamming rerank") {
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
     val q = e.filter(col("vec_id") < 3)
