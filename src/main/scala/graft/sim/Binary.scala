@@ -160,6 +160,39 @@ object Binary {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Streaming lane of [[hammingPairs]]: probe incoming (binarized)
+    * documents against a STATIC coded index — the banded equi-join is
+    * stream-static (streamable unchanged), the exact kernel filter is
+    * stateless, so continuous near-dup screening over 8-byte codes runs
+    * the SAME plan as batch (StreamingSpec pins stream ≡ batch). The
+    * pigeonhole guarantee carries over: every index row within `maxDist`
+    * of a probe IS emitted. A probe may emit once per colliding band —
+    * the dedupWithinWatermark/downstream-distinct trade the MinHash
+    * stream probe documents (a blocking distinct has no place in an
+    * append stream). */
+  def hammingProbe(probes: DataFrame, probeId: String,
+                   index: DataFrame, indexId: String,
+                   maxDist: Int, bands: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(bands > maxDist,
+      s"the pigeonhole guarantee needs bands ($bands) > maxDist ($maxDist)")
+    def banded(df: DataFrame, id: String, idOut: String, codesOut: String) = {
+      val len = length(col("codes"))
+      val bw = floor((len + lit(bands - 1)).cast("double") / bands).cast("int")
+      df.filter(col("codes").isNotNull)
+        .select(col(id).as(idOut), col("codes").as(codesOut),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => col("codes").substr(b * bw + lit(1), bw))))
+        .withColumnsRenamed(Map("pos" -> "_gf_band", "col" -> "_gf_bb"))
+    }
+    banded(probes, probeId, "probe_id", "_gf_pc")
+      .join(banded(index, indexId, "index_id", "_gf_ic"), Seq("_gf_band", "_gf_bb"))
+      .withColumn("hamming",
+        GraftFunctions.binHamming(col("_gf_pc"), col("_gf_ic")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("probe_id"), col("index_id"), col("hamming"))
+  }
+
   /** IVF + binary probe (the FAISS `IndexBinaryIVF` shape — binary codes
     * at 100 TB): the coarse quantizer prunes to `nprobe` cells (and, on a
     * persisted cid-partitioned index, to those cells' FILES), the pruned

@@ -613,6 +613,43 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("no non-null rows"))
   }
 
+  test("binary hammingProbe screens a live stream against a static index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sim.Binary
+    val index = Binary.encodeBinary(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50),
+      "vec_id", "embedding").localCheckpoint(true)
+    // probes: vec 7's exact signs (hamming 0 guaranteed) and its
+    // negation (hamming = n_pos + n_neg >> 3, never emitted)
+    val v7 = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probesData = Seq((700L, v7), (701L, v7.map(x => -x)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val streamDf = Binary.encodeBinary(
+      mem.toDF.toDF("pid", "vec"), "pid", "vec")
+    val q = Binary.hammingProbe(streamDf, "pid", index, "vec_id",
+        maxDist = 3, bands = 4)
+      .writeStream.format("memory").queryName("bin_probe")
+      .outputMode("append").start()
+    mem.addData(probesData: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bin_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val hits = streamed.filter(_._1 == 700L)
+    assert(hits.nonEmpty && hits.forall(p => p._2 == 7L && p._3 == 0),
+      s"probe missed its original: ${streamed.toSeq}")
+    assert(!streamed.exists(_._1 == 701L),
+      s"negated probe wrongly matched: ${streamed.toSeq}")
+    // batch degeneration: distinct pairs equal the batch call's
+    val batch = Binary.hammingProbe(
+      Binary.encodeBinary(probesData.toDF("pid", "vec"), "pid", "vec"), "pid",
+      index, "vec_id", maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    assert(streamed.map(p => (p._1, p._2)).distinct.toSeq.sorted == batch.sorted)
+  }
+
   test("shard assignment and the compression signal run unchanged on a live stream") {
     // both are stateless scan projections, so the continuous-ingestion
     // lane (ingest → quality-annotate → shard) is the SAME plan as batch
