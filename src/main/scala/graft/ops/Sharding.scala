@@ -131,7 +131,10 @@ object Sharding {
     * with the existing export (an id appearing twice would double-count
     * in every downstream reader). Data appends first; the manifest is
     * recomputed from the WRITTEN files and overwritten LAST — a torn
-    * append leaves a stale manifest that [[readShards]] refuses. */
+    * append leaves a stale manifest that [[readShards]] refuses.
+    * Single-writer contract (as for every persisted index in this
+    * engine): two concurrent appends race the collision check and the
+    * manifest rewrite — serialize appends externally. */
   def appendToShards(docs: DataFrame, idCol: String, textCol: String,
                      path: String): Unit = {
     val spark = docs.sparkSession

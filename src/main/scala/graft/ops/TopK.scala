@@ -97,6 +97,15 @@ object TopK {
                scoreCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(groupCols.nonEmpty, "perGroup needs at least one group column")
+    // the output frame adds rank/id/score, and the intermediate explode
+    // adds pos/col — a group column shadowing any of them would emit an
+    // ambiguous or silently-renamed frame
+    val reserved = Set("rank", "id", "score", "pos", "col", "_gf_top")
+    val clash = groupCols.map(_.toLowerCase).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"perGroup group columns collide with output/intermediate names " +
+        s"${clash.mkString(", ")} — rename them before calling (reserved: " +
+        s"${reserved.mkString(", ")})")
     val agg = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
     df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
       .groupBy(groupCols.map(col): _*)

@@ -139,7 +139,11 @@ object GateEval {
     * windows run over the bounded score frame only. All-negative or
     * empty sides null the gain/lift rather than reading as 0/0. */
   def gains(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val g = df.groupBy(col(scoreCol).as("score"))
+    // null scores carry no rank: DuckDB and Spark disagree on default
+    // null placement under DESC ordering, so a null score group would
+    // hash engine-dependently — drop it at the scan, as TopK does
+    val g = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("score"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol) > 0, 1L).otherwise(0L)).as("n_pos"))
     val wCum = Window.orderBy(col("score").desc)

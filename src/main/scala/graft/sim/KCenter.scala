@@ -40,7 +40,10 @@ object KCenter {
     val v = col(vecCol)
     val clean = df
       .filter(v.isNotNull && size(v) > 0 && !exists(v, x => x.isNull))
-      .select(col(idCol).as("_gf_id"), v.as("_gf_v"))
+      // explicit long cast: the argmax reads the id back with getLong, and
+      // an int id column would otherwise die in the row accessor instead
+      // of resolving here
+      .select(col(idCol).cast("long").as("_gf_id"), v.as("_gf_v"))
 
     // Seed = farthest from the origin (min-id tie-break): norm² via the
     // same index-order fold the per-round kernel uses.
