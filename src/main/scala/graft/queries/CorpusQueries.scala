@@ -542,7 +542,14 @@ object CorpusQueries {
           .withColumn("text", graft.text.CorpusOps.redact(col("text")))
         val gated = corpus
           .filter(graft.text.TextAnalysis.qualityScore(col("text")) >= 0.3 &&
-            graft.text.TextAnalysis.languageId(col("text")) === "en")
+            graft.text.TextAnalysis.languageId(col("text")) === "en" &&
+            // r10: the compression-ratio gate (row 142) joins the chain —
+            // too-compressible text is templated/repetitive boilerplate.
+            // Stays out of the SQL prefix (zlib has no ANSI form); its
+            // gating behavior is pinned in TextSpec and its scan-predicate
+            // shape matches the other gates (one more codegen'd column on
+            // the SAME projection, no extra pass).
+            graft.text.TextAnalysis.compressionRatio(col("text")) >= 0.42)
         val gophed = graft.text.GopherRules.filterDocs(gated, "text",
           TextQueries.gopherCfg.copy(minStopHits = 1))
         // LM ref = RAW every-3rd-doc slice (an external trusted corpus in
@@ -560,10 +567,16 @@ object CorpusQueries {
         val contaminated = CorpusOps.decontaminate(exact, bench, "doc_id", "text", n = 8)
         val clean = exact.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
         val capped = Quota.capPerGroup(clean, "source", "doc_id", n = 20)
+        // r10: the chain now ends where a real pipeline ends — at the
+        // EXPORT layout: every surviving document leaves with its
+        // deterministic shard assignment (row 140), so curate → shard is
+        // ONE lazy plan end to end.
         Sampling.weightedSample(capped, "doc_id",
             least(lit(1.0),
               graft.text.TextAnalysis.tokenCount(col("text")).cast(DoubleType) / lit(60.0)))
-          .select("doc_id").orderBy("doc_id")
+          .select(col("doc_id"),
+            graft.ops.Sharding.shardId(col("doc_id"), 16).as("shard"))
+          .orderBy("doc_id")
       },
       None),
 
