@@ -85,6 +85,49 @@ object Imputer {
     }
   }
 
+  /** Grouped imputation: fill values computed PER GROUP (cohort-aware
+    * fills — a per-segment mean moves far less probability mass than the
+    * global one when cohorts differ). Semantics follow pandas
+    * groupby().transform(...): a group whose column is entirely null
+    * keeps its nulls (no silent fallback to the global statistic), and
+    * rows with a NULL group key match no group and keep theirs too.
+    *
+    * Scale shape: ONE grouped aggregation per strategy family (map-side
+    * combined, ≤ |groups| rows) broadcast-joined back — rows never
+    * shuffle; Mode's per-group top-1 is a map-side `min_by` argmax
+    * ((count desc, value asc) tie-break), never a window. */
+  def imputeBy(df: DataFrame, groupCol: String,
+               strategies: Map[String, ImputeStrategy],
+               exact: Boolean = true): DataFrame = {
+    require(df.columns.contains(groupCol),
+      s"imputeBy group column '$groupCol' not in ${df.columns.mkString(", ")}")
+    val present = strategies.filter {
+      case (c, _) => df.columns.contains(c) && c != groupCol
+    }
+    val aggs = present.toSeq.sortBy(_._1)
+      .flatMap { case (c, s) => statAgg(df, c, s, exact) }
+    var out = df
+    if (aggs.nonEmpty) {
+      val stats = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      out = out.join(broadcast(stats), Seq(groupCol), "left")
+    }
+    present.toSeq.sortBy(_._1).collect { case (c, Mode) =>
+      val mode = df.filter(col(c).isNotNull)
+        .groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("_gf_cnt"))
+        .groupBy(col(groupCol))
+        .agg(min_by(col(c), struct((-col("_gf_cnt")).as("_gf_n"), col(c)))
+          .as(statName(c)))
+      mode
+    }.foreach { m => out = out.join(broadcast(m), Seq(groupCol), "left") }
+    present.toSeq.sortBy(_._1).foreach {
+      case (c, Constant(v)) =>
+        out = out.withColumn(c, coalesce(col(c), lit(v).cast(df.schema(c).dataType)))
+      case (c, _) =>
+        out = out.withColumn(c, coalesce(col(c), col(statName(c))))
+    }
+    out.select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Changelog — (column_name, strategy, fill_value, nulls_filled), the
     * reference's change_log_rows (impute_data.py:78-90). One extra
     * null-count pass; fill values ride the same stats frame. */

@@ -34,6 +34,22 @@ object AuditQueries {
         SELECT event_id, floor((coalesce(value, fill)) * 1e2 + 0.5) / 1e2 AS value
         FROM d, st ORDER BY event_id""")),
 
+    // Cohort-aware fill: per-event_type means instead of the global one
+    // (pandas groupby().transform semantics — all-null groups keep their
+    // nulls, null group keys match no group).
+    Q("impute_mean_by",
+      (s, dir) => Imputer.imputeBy(eventsWithNulls(s, dir), "event_type",
+          Map("value" -> Mean))
+        .select(col("event_id"), graft.Num.dround(col("value"), 2).as("value"))
+        .orderBy("event_id"),
+      Some(s"""
+        WITH d AS ($eventsNullSql),
+        st AS (SELECT event_type,
+                 CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS fill
+               FROM d GROUP BY event_type)
+        SELECT event_id, floor((coalesce(value, fill)) * 1e2 + 0.5) / 1e2 AS value
+        FROM d LEFT JOIN st USING (event_type) ORDER BY event_id""")),
+
     Q("impute_median",
       (s, dir) => Imputer.impute(eventsWithNulls(s, dir), Map("value" -> Median))
         .select(col("event_id"), graft.Num.dround(col("value"), 2).as("value"))

@@ -67,6 +67,28 @@ class ImputerAuditSpec extends SparkSpec {
     assert(num("v") == 9.0) // |150-15|/15
   }
 
+  test("imputeBy fills per group; all-null groups and null keys keep nulls") {
+    val df = Seq(
+      (1L, Some("a"), Option(10.0)), (2L, Some("a"), None),
+      (3L, Some("b"), Option(50.0)), (4L, Some("b"), Option(70.0)),
+      (5L, Some("b"), None),
+      (6L, Some("c"), Option.empty[Double]),   // all-null group
+      (7L, Option.empty[String], None))        // null group key
+      .toDF("id", "g", "v")
+    val out = Imputer.imputeBy(df, "g", Map("v" -> Mean))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(out(1).contains(10.0)) // group a mean
+    assert(out(4).contains(60.0)) // group b mean
+    assert(out(5).isEmpty && out(6).isEmpty)
+    // Mode per group ties on the smaller value
+    val m = Imputer.imputeBy(
+      Seq((1L, "a", Some("x")), (2L, "a", Some("y")), (3L, "a", None))
+        .toDF("id", "g", "s"), "g", Map("s" -> Mode))
+      .orderBy("id").collect()
+    assert(m(2).getString(2) == "x")
+  }
+
   test("data dictionary semantic types") {
     val df = Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("user_id", "cat", "score")
     val m = DataDictionary.build(df).collect()
