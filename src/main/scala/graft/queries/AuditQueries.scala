@@ -457,6 +457,51 @@ object AuditQueries {
                CAST(sum(CAST(psi_term AS DECIMAL(38,6))) AS DOUBLE) AS psi_total
         FROM scored GROUP BY period ORDER BY period""")),
 
+    // Per-source drift: each source's QUALITY-SCORE distribution scored
+    // against the whole corpus (psiByPeriod with period = source) — the
+    // "which feed went bad" diagnostic a multi-source curation dashboard
+    // leads with. One counting pass per side; ≤ sources×bins rows shuffle.
+    Q("drift_psi_by_source",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("source"),
+          graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+        Drift.psiByPeriod(d, d, "q", "source", bins = 10)
+          .withColumnRenamed("period", "source")
+      },
+      Some(s"""
+        WITH mixq AS (SELECT source, ${TextQueries.qualityColsSql} FROM documents),
+        d AS (SELECT source, CAST(${TextQueries.qualityScoreSql} AS DOUBLE) AS x FROM mixq),
+        base AS (SELECT x FROM d WHERE x IS NOT NULL),
+        tgt AS (SELECT source AS period, x FROM d WHERE x IS NOT NULL),
+        bounds AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS DOUBLE) AS nb FROM base),
+        bb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM base, bounds GROUP BY 1),
+        tb AS (SELECT period,
+                      CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM tgt, bounds GROUP BY 1, 2),
+        periods AS (SELECT DISTINCT period FROM tb),
+        bins AS (SELECT CAST(g AS INT) AS bin_id FROM generate_series(0, 9) t(g)),
+        cells AS (
+          SELECT p.period, b.bin_id,
+                 CAST(coalesce(tb.c, 0) AS BIGINT) AS target_cnt,
+                 CAST(coalesce(bb.c, 0) AS DOUBLE) / nb AS bp
+          FROM periods p CROSS JOIN bins b
+          LEFT JOIN tb ON tb.period = p.period AND tb.bin_id = b.bin_id
+          LEFT JOIN bb ON bb.bin_id = b.bin_id, bounds),
+        terms AS (
+          SELECT period, target_cnt, bp,
+                 CAST(target_cnt AS DOUBLE)
+                   / sum(target_cnt) OVER (PARTITION BY period) AS tp
+          FROM cells),
+        scored AS (
+          SELECT period, target_cnt,
+                 floor((greatest(tp, 1e-6) - greatest(bp, 1e-6))
+                     * ln(greatest(tp, 1e-6) / greatest(bp, 1e-6)) * 1e6 + 0.5) / 1e6 AS psi_term
+          FROM terms)
+        SELECT period AS source, CAST(sum(target_cnt) AS BIGINT) AS n_target,
+               CAST(sum(CAST(psi_term AS DECIMAL(38,6))) AS DOUBLE) AS psi_total
+        FROM scored GROUP BY period ORDER BY source""")),
+
     // Two-sample KS statistic on the same era split.
     Q("drift_ks",
       (s, dir) => {
