@@ -121,4 +121,33 @@ object Validator {
       .groupBy(col(rule.column).as("invalid_value"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("invalid_value"))
+
+  /** Referential-integrity audit: foreign-key values in `fact` with no
+    * match in `dim`, with how many rows each orphan strands — the
+    * cross-TABLE rule the single-frame Rule set can't express. Null FKs
+    * are a different defect (NotNull's) and are excluded here. Scale
+    * shape: the dim side collapses to DISTINCT keys before the anti-join
+    * (dimension-sized — broadcastable; beyond that, a sort-merge
+    * anti-join on the key); the report is one map-side-combined count
+    * per orphan value. */
+  def orphans(fact: DataFrame, fkCol: String,
+              dim: DataFrame, pkCol: String): DataFrame =
+    fact.filter(col(fkCol).isNotNull)
+      .join(dim.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+      .groupBy(col(fkCol).as("orphan_key"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Functional-dependency audit: determinant values for which
+    * `detCol → depCol` does NOT hold (more than one distinct dependent),
+    * with the dependent cardinality and the row mass involved — the
+    * "is this column really derivable from that one" check behind
+    * normalization and join-key decisions. One grouped pass keyed on the
+    * determinant (count-distinct expands map-side; ≤ |determinants| rows
+    * ever shuffle). */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame =
+    df.filter(col(detCol).isNotNull)
+      .groupBy(col(detCol).as("determinant"))
+      .agg(countDistinct(col(depCol)).as("n_dependents"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_dependents") > 1)
 }

@@ -112,6 +112,37 @@ object ValidationQueries {
           FROM events
         ) ORDER BY rule, column_name""")),
 
+    // Referential integrity (cross-table): orders whose o_custkey points
+    // at no surviving customer — orphans planted by dropping every 7th
+    // customer from the dim side. Null FKs are NotNull's defect, not
+    // this rule's.
+    Q("validate_referential",
+      (s, dir) => graft.quality.Validator.orphans(
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir).filter(col("c_custkey") % 7 =!= 0), "c_custkey")
+        .orderBy("orphan_key"),
+      Some("""
+        SELECT o_custkey AS orphan_key, CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey % 7 <> 0 AND c_custkey IS NOT NULL)
+        GROUP BY o_custkey ORDER BY orphan_key""")),
+
+    // Functional-dependency audit: which sources violate source → lang
+    // (multi-language feeds), with dependent cardinality and row mass.
+    Q("profile_fd",
+      (s, dir) => graft.quality.Validator.fdViolations(
+          Tables.documents(s, dir), "source", "lang")
+        .orderBy("determinant"),
+      Some("""
+        SELECT source AS determinant,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_dependents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY source HAVING count(DISTINCT lang) > 1
+        ORDER BY determinant""")),
+
     Q("validate_unique_key",
       (s, dir) => Validator.summary(Tables.lineitem(s, dir),
         Seq(UniqueKey(Seq("l_orderkey", "l_linenumber")), UniqueKey(Seq("l_partkey")))),
