@@ -144,4 +144,50 @@ object EventAnalytics {
       .withColumn("is_anomaly",
         coalesce(abs(col("zscore")) > threshold, lit(false)))
   }
+  /** Fixed-grid resample with zero-filled gaps: per-bucket event and
+    * distinct-entity counts over a COMPLETE `unit` grid from the frame's
+    * first to last bucket — the step a dashboard or anomaly monitor
+    * needs before any rolling window (a missing bucket is an outage
+    * signal, not an absent row; rolling stats over a gappy frame
+    * silently shrink their denominators).
+    *
+    * Scale shape: one map-side-combined grouped aggregation over the
+    * events; the grid is TIME-bounded, not data-bounded (hours in the
+    * observed span), generated from a 1-row bounds aggregate and
+    * broadcast-joined against the bucket counts — nothing row-sized
+    * moves after the first aggregation. Buckets emit as unix micros
+    * (the events family convention — timestamps never cross the oracle
+    * hash boundary). */
+  def resample(df: DataFrame, tsCol: String, unit: String,
+               userCol: Option[String] = None): DataFrame = {
+    val allowed = Set("hour", "day", "week", "month")
+    require(allowed.contains(unit),
+      s"resample unit must be one of ${allowed.mkString(", ")}, got '$unit'")
+    val t = col(tsCol)
+    val clean = df.filter(t.isNotNull)
+    val bounds = clean.agg(
+      date_trunc(unit, min(t)).as("_gf_lo"),
+      date_trunc(unit, max(t)).as("_gf_hi"))
+    val step = unit match {
+      case "hour"  => expr("interval 1 hour")
+      case "day"   => expr("interval 1 day")
+      case "week"  => expr("interval 7 days")
+      case "month" => expr("interval 1 month")
+    }
+    val grid = bounds
+      .select(explode(sequence(col("_gf_lo"), col("_gf_hi"), step)).as("_gf_bucket"))
+    val aggs = Seq(count(lit(1)).as("n_events")) ++
+      userCol.map(u => countDistinct(col(u)).as("n_users"))
+    val counts = clean
+      .groupBy(date_trunc(unit, t).as("_gf_bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    val joined = grid.join(broadcast(counts), Seq("_gf_bucket"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+    val filled = userCol.fold(joined)(_ =>
+      joined.withColumn("n_users", coalesce(col("n_users"), lit(0L))))
+    filled
+      .select(Seq(unix_micros(col("_gf_bucket")).as(s"${unit}_us"),
+        col("n_events")) ++ userCol.map(_ => col("n_users")): _*)
+      .orderBy(s"${unit}_us")
+  }
 }

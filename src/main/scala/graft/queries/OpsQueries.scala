@@ -171,6 +171,30 @@ object OpsQueries {
               FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
         WHERE rn <= 3 ORDER BY event_type, rank""")),
 
+    // Fixed-grid resample with zero-filled gaps: the 'error' slice on an
+    // HOURLY grid — sparse enough at small scales that empty buckets
+    // actually exercise (a missing bucket is an outage signal, not an
+    // absent row). Grid size is TIME-bounded (hours in the span), never
+    // data-bounded.
+    Q("events_resample",
+      (s, dir) => graft.ops.EventAnalytics.resample(
+          Tables.events(s, dir).filter(col("event_type") === "error"),
+          "ts", "hour", userCol = Some("user_id")),
+      Some("""
+        WITH f AS (SELECT ts, user_id FROM events
+                   WHERE event_type = 'error' AND ts IS NOT NULL),
+        b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                     date_trunc('hour', max(ts)) AS hi FROM f),
+        grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b),
+        c AS (SELECT date_trunc('hour', ts) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM f GROUP BY 1)
+        SELECT epoch_us(bucket) AS hour_us,
+               coalesce(n_events, 0) AS n_events,
+               coalesce(n_users, 0) AS n_users
+        FROM grid LEFT JOIN c USING (bucket) ORDER BY hour_us""")),
+
     // Latest record per entity (SCD-style current snapshot): one window
     // shuffle on the entity key; ties on ts break on event_id so the
     // survivor is deterministic.
