@@ -931,6 +931,61 @@ object PipelineQueries {
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start""")),
 
+    // Session-distribution summary over the sessionize frame: sessions
+    // bucketed by event count with volume and mean duration per bucket —
+    // the one-page engagement shape behind session-based sampling and
+    // bot screening. Durations are exact µs longs; the mean rides the
+    // single-division-of-exact-operands discipline.
+    Q("events_session_stats",
+      (s, dir) => {
+        val sess = StreamOps.sessionize(Tables.events(s, dir), gap = "30 minutes")
+          .select(col("n_events"),
+            (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+              .as("_gf_dur_us"))
+        val bucket = when(col("n_events") === 1, "1")
+          .when(col("n_events") <= 3, "2-3")
+          .when(col("n_events") <= 7, "4-7")
+          .otherwise("8+")
+        sess.groupBy(bucket.as("events_bucket"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("total_events"),
+            graft.Num.dround(
+              sum(col("_gf_dur_us")).cast("double")
+                / count(lit(1)).cast("double") / lit(1e6), 3)
+              .as("avg_duration_s"))
+          .orderBy("events_bucket")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x),
+        sess AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_events,
+                 epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+          FROM s GROUP BY user_id, sid),
+        b AS (
+          SELECT CASE WHEN n_events = 1 THEN '1'
+                      WHEN n_events <= 3 THEN '2-3'
+                      WHEN n_events <= 7 THEN '4-7'
+                      ELSE '8+' END AS events_bucket,
+                 n_events, dur_us
+          FROM sess)
+        SELECT events_bucket,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS total_events,
+               floor((CAST(sum(dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6) * 1e3 + 0.5) / 1e3
+                 AS avg_duration_s
+        FROM b GROUP BY events_bucket ORDER BY events_bucket""")),
+
     // Microsecond-granularity gap query: min inter-event gap in µs per
     // user. Exists to pin the events ns→µs INTEGER truncation in
     // Tables.events — with double division (the old bug) ~6% of rows are
