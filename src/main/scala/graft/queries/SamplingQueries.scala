@@ -58,6 +58,48 @@ object SamplingQueries {
         .orderBy("cluster_id", "vec_id"),
       None),
 
+    // MMR diversity selection around a topic vector (vec 0): greedy
+    // λ·relevance − (1−λ)·redundancy, k=8 at λ=0.7. HASH-GREEN against a
+    // recursive-CTE oracle replaying the greedy trajectory — integers
+    // only, (1−λ) computed as 1−0.7 on BOTH engines (never the double
+    // literal 0.3), min-id ties.
+    Q("sample_mmr",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        graft.sim.Mmr.select(e, "vec_id", "embedding", q, k = 8, lambda = 0.7)
+          .orderBy("round")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0),
+        qv AS (SELECT v FROM e WHERE vec_id = 0),
+        rel AS (
+          SELECT e.vec_id, list_dot_product(e.v, qv.v) /
+            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS r
+          FROM e, qv),
+        seed AS (SELECT vec_id FROM rel ORDER BY r DESC, vec_id LIMIT 1),
+        sel(step, ids) AS (
+          SELECT 1, [vec_id] FROM seed
+          UNION ALL
+          SELECT step + 1, list_append(ids, (
+            SELECT c.vec_id
+            FROM e c JOIN rel ON rel.vec_id = c.vec_id
+            WHERE NOT list_contains(ids, c.vec_id)
+            ORDER BY 0.7 * rel.r - (1 - 0.7) * (
+              SELECT max(list_dot_product(c.v, s.v) /
+                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v))))
+              FROM e s WHERE list_contains(ids, s.vec_id)) DESC, c.vec_id
+            LIMIT 1))
+          FROM sel WHERE step < 8),
+        final AS (SELECT ids FROM sel ORDER BY step DESC LIMIT 1)
+        SELECT CAST(generate_subscripts(ids, 1) AS INT) AS round,
+               unnest(ids) AS vec_id
+        FROM final ORDER BY round""")),
+
     // Greedy k-center (MaxMin) diversity sampling — HASH-GREEN against a
     // recursive-CTE oracle that replays the greedy loop in pure SQL: the
     // emitted frame is integers only (round, id), distances on both

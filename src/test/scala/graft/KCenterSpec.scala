@@ -67,6 +67,51 @@ class KCenterSpec extends SparkSpec {
     assert(out == Seq(5L, 1L, 2L))
   }
 
+  test("mmr: trajectory matches brute force; lambda=1 degenerates to cosine top-k") {
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val vs = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def bruteMmr(lam: Double, k: Int): Seq[Long] = {
+      val qv = q.toArray
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      while (picked.size < k) {
+        val cands = vs.filterNot(v => picked.contains(v._1))
+        val best = cands.map { case (id, v) =>
+          val score = if (sel.isEmpty) cos(v, qv)
+            else lam * cos(v, qv) - (1.0 - lam) * sel.map(s => cos(v, s)).max
+          (score, id)
+        }.maxBy { case (sc, id) => (sc, -id) }
+        picked += best._2
+        sel += cands.find(_._1 == best._2).get._2
+      }
+      picked.toSeq
+    }
+    val got = graft.sim.Mmr.select(e, "vec_id", "embedding", q, k = 5, lambda = 0.7)
+      .orderBy("round").collect().map(_.getLong(1)).toSeq
+    assert(got == bruteMmr(0.7, 5))
+    // lambda = 1: pure relevance — equals cosine top-k order (min-id ties)
+    val rel = graft.sim.Mmr.select(e, "vec_id", "embedding", q, k = 5, lambda = 1.0)
+      .orderBy("round").collect().map(_.getLong(1)).toSeq
+    val topk = vs.map { case (id, v) => (cos(v, q.toArray), id) }
+      .sortBy { case (sc, id) => (-sc, id) }.take(5).map(_._2)
+    assert(rel == topk)
+    // misuse refusals
+    assertThrows[IllegalArgumentException](
+      graft.sim.Mmr.select(e, "vec_id", "embedding", q, k = 0, lambda = 0.5))
+    assertThrows[IllegalArgumentException](
+      graft.sim.Mmr.select(e, "vec_id", "embedding", q, k = 1, lambda = 1.5))
+    assertThrows[IllegalArgumentException](
+      graft.sim.Mmr.select(e.limit(2), "vec_id", "embedding", q, k = 5, lambda = 0.5))
+  }
+
   test("exhaustion refuses loudly instead of padding") {
     val pts = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
