@@ -616,6 +616,46 @@ object CorpusQueries {
       },
       Some(curationPrefixOracle)),
 
+    // Snapshot diff: what changed between two corpus versions (the audit
+    // a recurring crawl publishes with every refresh). Planted churn:
+    // every 17th doc removed, every 13th survivor edited, every 10th
+    // re-added under a new id. Spark compares 64-bit fingerprints (text
+    // never shuffles); the oracle compares the text itself — same
+    // verdicts, so the fingerprint lane is proven against the semantic
+    // definition.
+    Q("corpus_diff",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val newer = d.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" xx")))
+              .otherwise(col("text")))
+          .unionByName(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+        CorpusOps.diff(d, newer, "doc_id", "text")
+      },
+      Some(s"""
+        WITH oldd AS (SELECT doc_id, text FROM documents),
+        newd AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN text || ' xx' ELSE text END AS text
+          FROM oldd WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 3000000, text FROM oldd WHERE doc_id % 10 = 0),
+        j AS (
+          SELECT o.text AS t_old, n.text AS t_new,
+                 CAST(${TextQueries.sqlTokenCount("o.text")} AS BIGINT) AS tk_old,
+                 CAST(${TextQueries.sqlTokenCount("n.text")} AS BIGINT) AS tk_new
+          FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        SELECT CASE WHEN t_old IS NULL THEN 'added'
+                    WHEN t_new IS NULL THEN 'removed'
+                    WHEN t_old <> t_new THEN 'changed'
+                    ELSE 'unchanged' END AS change,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN t_old IS NULL THEN 0 ELSE tk_old END) AS BIGINT) AS n_tokens_old,
+               CAST(sum(CASE WHEN t_new IS NULL THEN 0 ELSE tk_new END) AS BIGINT) AS n_tokens_new
+        FROM j GROUP BY 1 ORDER BY change""")),
+
     // Quality-weighted deterministic sampling: keep probability scales with
     // document length (min(1, n_chars/1000)).
     Q("sample_weighted",

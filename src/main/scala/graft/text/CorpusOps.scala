@@ -333,4 +333,34 @@ object CorpusOps {
           .as("clean_text"),
         coalesce(col("_gf_nrm"), lit(0)).as("n_removed_tokens"))
   }
+
+  /** Snapshot diff: what changed between two corpus versions — the
+    * audit a recurring crawl/curation job publishes with every refresh
+    * (how much churned, how much token mass moved). One full-outer join
+    * on the 8-byte id; content equality compares 64-bit fingerprints, so
+    * TEXT never shuffles — each side projects to (id, hash, tokens)
+    * before the join (the standard fingerprint trade: a collision reads
+    * as "unchanged", ~n/2⁶⁴). Output is one row per change class with
+    * doc and token mass on both sides.
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame,
+           idCol: String, textCol: String): DataFrame = {
+    def slim(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as("_gf_id"),
+        xxhash64(col(textCol)).as(s"_gf_h_$side"),
+        graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long")
+          .as(s"_gf_t_$side"))
+    val joined = slim(oldDf, "old")
+      .join(slim(newDf, "new"), Seq("_gf_id"), "full_outer")
+    val change = when(col("_gf_h_old").isNull, "added")
+      .when(col("_gf_h_new").isNull, "removed")
+      .when(col("_gf_h_old") =!= col("_gf_h_new"), "changed")
+      .otherwise("unchanged")
+    joined
+      .groupBy(change.as("change"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("_gf_t_old"), lit(0L))).as("n_tokens_old"),
+        sum(coalesce(col("_gf_t_new"), lit(0L))).as("n_tokens_new"))
+      .orderBy("change")
+  }
 }
