@@ -587,6 +587,24 @@ object NearDupQueries {
       },
       None),
 
+    // The SAME IVF-binary probe through a PERSISTED cid-partitioned index
+    // (write → manifest → re-open through the refusal ladder → probe):
+    // deterministic seeds → identical rows to ann_ivf_hamming, and the
+    // probed cells prune to the re-opened index's FILES.
+    Q("ann_ivf_hamming_persisted",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val trained = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        val tmp = scratchIndexDir(s, "ivf-bin-q", dir)
+        graft.sim.Ivf.writeIndex(trained, tmp)
+        trained.release()
+        val index = graft.sim.Ivf.readIndex(s, tmp)
+        graft.sim.Binary.ivfHammingTopK(index, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nprobe = 2, m = 50)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // IVF coarse-quantizer ANN: train on the corpus, probe 2 of 8 cells.
     Q("ann_ivf",
       (s, dir) => {
