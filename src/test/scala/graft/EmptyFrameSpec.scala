@@ -119,4 +119,33 @@ class EmptyFrameSpec extends SparkSpec {
     assert(StreamOps.intervalJoin(evs, noEvs, Seq("user_id")).count() == 0)
     assert(StreamOps.intervalJoin(noEvs, evs, Seq("user_id")).count() == 0)
   }
+
+  test("r10 operators tolerate empty frames") {
+    import graft.sim.Binary
+    import graft.ops.{Sharding, TopK, EventAnalytics}
+    import graft.quality.GateEval
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Binary.encodeBinary(noVecs, "vec_id", "embedding").count() == 0)
+    val coded = Binary.encodeBinary(noVecs, "vec_id", "embedding")
+    assert(Binary.hammingTopK(coded, "vec_id", noVecs, "vec_id", "embedding").count() == 0)
+    assert(Binary.hammingPairs(coded, "vec_id", maxDist = 3, bands = 4).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sharding.shardPlan(noDocs, "doc_id", "text", 8).count() == 0)
+    assert(TopK.perGroup(
+      Seq.empty[(String, Double, Long)].toDF("g", "v", "id"),
+      Seq("g"), "v", "id", 3).count() == 0)
+    assert(GateEval.gains(
+      Seq.empty[(Double, Long)].toDF("score", "label"), "score", "label")
+      .count() == 0)
+    assert(graft.text.Vocab.zipf(noDocs, "text", k = 4).count() == 0)
+    val noEvents = Seq.empty[(java.sql.Timestamp, Long)].toDF("ts", "user_id")
+    assert(EventAnalytics.resample(noEvents, "ts", "hour",
+      Some("user_id")).count() == 0)
+    assert(graft.text.CorpusOps.diff(noDocs, noDocs, "doc_id", "text").count() == 0)
+    // drift divergences: both sides empty -> bins with null totals
+    val d = Drift.divergences(
+      Seq.empty[Tuple1[Double]].toDF("x"),
+      Seq.empty[Tuple1[Double]].toDF("x"), "x", bins = 4).collect()
+    assert(d.length == 4 && d.forall(_.isNullAt(d.head.fieldIndex("js_div"))))
+  }
 }
