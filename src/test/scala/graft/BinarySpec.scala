@@ -142,6 +142,24 @@ class BinarySpec extends SparkSpec {
     } finally index.release()
   }
 
+  test("persisted ivf-binary probe is row-identical to the direct route") {
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 150)
+    val q = e.filter(col("vec_id") < 2)
+    val trained = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 1)
+    val direct = Binary.ivfHammingTopK(trained, q, "vec_id", "embedding",
+        k = 5, nprobe = 2, m = 30)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfbin").toString
+    graft.sim.Ivf.writeIndex(trained, dir)
+    trained.release()
+    val reopened = graft.sim.Ivf.readIndex(spark, dir)
+    val persisted = Binary.ivfHammingTopK(reopened, q, "vec_id", "embedding",
+        k = 5, nprobe = 2, m = 30)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(direct == persisted,
+      "the write -> re-open round trip moved the probe results")
+  }
+
   test("persisted index round-trips; refusal ladder holds") {
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
     val coded = Binary.encodeBinary(e, "vec_id", "embedding")

@@ -349,4 +349,38 @@ class NearDupSpec extends SparkSpec {
       assert(rddDirs <= 2, s"checkpoint dir leaked $rddDirs rdd-* entries")
     } finally spark.sparkContext.setCheckpointDir(null)
   }
+
+  test("dedup_recall grader computes exact precision/recall on a known fixture") {
+    import spark.implicits._
+    // ground truth: pairs (1,2) and (3,4); the detector finds (1,2) and
+    // a false positive (1,3) -> precision 1/2, recall 1/2
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val detected = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val nTrue = truth.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n_true"))
+    val detN = detected.distinct().agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n_detected"))
+    val hitN = detected.distinct()
+      .join(truth, Seq("id_a", "id_b"), "left_semi")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_hits"))
+    val r = nTrue.crossJoin(detN).crossJoin(hitN).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getLong(2) == 1)
+    // and the REGISTERED grader emits sane mass on the real fixture:
+    // every method's hits are bounded by both detected and true pairs
+    val graded = SparkEntry.queries("dedup_recall")(spark, sfDir).collect()
+    assert(graded.length == 3)
+    graded.foreach { row =>
+      val nT = row.getAs[Long]("n_true"); val nD = row.getAs[Long]("n_detected")
+      val nH = row.getAs[Long]("n_hits")
+      assert(nH <= nT && nH <= nD, s"impossible grading row: $row")
+      assert(nT == graded.head.getAs[Long]("n_true"),
+        "methods must be graded against ONE shared ground truth")
+    }
+    // minhash/jaccard must catch most planted clones on this fixture
+    val recalls = graded.map(r2 =>
+      r2.getAs[String]("method") -> r2.getAs[Double]("recall")).toMap
+    assert(recalls("minhash") > 0.8 && recalls("jaccard") > 0.8,
+      s"near-dup recall collapsed: $recalls")
+  }
 }
