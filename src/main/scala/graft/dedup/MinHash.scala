@@ -270,4 +270,125 @@ object MinHash {
       .select(col("id_b").as("_gf_loser")).distinct()
     df.join(losers, df(idCol) === col("_gf_loser"), "left_anti")
   }
+
+  /** Persist a signature index — the state an INCREMENTAL near-dedup
+    * pipeline carries between batches ([[incrementalNear]] /
+    * [[probePairs]] consume it). Follows the engine's persisted-index
+    * discipline ([[graft.sim.Quantize.writeSq8Index]]): refusals before
+    * any write (empty frame, null signatures, MIXED k — an index whose
+    * rows disagree on lane count would band-hash wrong slices and
+    * silently stop matching), data first, format-tagged k/row-pinned
+    * manifest LAST as the completeness marker. */
+  def writeSignatureIndex(sigs: DataFrame, path: String): Unit = {
+    val spark = sigs.sparkSession
+    require(sigs.limit(1).collect().nonEmpty,
+      "writeSignatureIndex: refusing to persist an empty signature frame")
+    sigs.select(col("_gf_id"), col("_gf_sig"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val written = spark.read.parquet(s"$path/sigs")
+    val stats = written.agg(
+      count(lit(1)).as("n"), count(col("_gf_sig")).as("ns"),
+      countDistinct(size(col("_gf_sig"))).as("nk"),
+      first(size(col("_gf_sig")), ignoreNulls = true).as("k")).collect()(0)
+    if (stats.getLong(0) != stats.getLong(1))
+      throw new IllegalArgumentException(
+        s"writeSignatureIndex: ${stats.getLong(0) - stats.getLong(1)} null " +
+          "signatures in the frame — drop them before persisting; a null " +
+          "signature cannot be probed")
+    if (stats.getLong(2) != 1L)
+      throw new IllegalArgumentException(
+        s"writeSignatureIndex: ${stats.getLong(2)} distinct lane counts in " +
+          "one frame — an index must be built at ONE k")
+    val k = stats.getInt(3); val n = stats.getLong(0)
+    val json = s"""{"format": "graft-minhash-v1", "k": $k, "rows": $n}"""
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-open a persisted signature index; refuses a missing/foreign
+    * manifest, a row-count mismatch (partial copy), and a sampled lane
+    * count that disagrees with the manifest's k. */
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"no signature-index manifest at $path — nothing was persisted here, " +
+        "or the write was interrupted before completion (manifest is last)")
+    val in = fs.open(mp)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def num(key: String): Long =
+      s""""$key":\\s*(\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"signature-index manifest at $path is missing '$key': $raw"))
+    if (!raw.contains("\"graft-minhash-v1\"")) throw new IllegalArgumentException(
+      s"manifest at $path is not a graft-minhash-v1 index (got: $raw) — " +
+        "refusing to probe foreign signatures")
+    val k = num("k"); val rows = num("rows")
+    val sigs = spark.read.parquet(s"$path/sigs")
+    val n = sigs.count()
+    if (n != rows) throw new IllegalArgumentException(
+      s"signature index at $path has $n rows but the manifest pinned $rows " +
+        "— partial copy or torn write; restore the matching files")
+    sigs.select(size(col("_gf_sig")).as("_gf_k")).limit(1).collect()
+      .foreach { r =>
+        if (r.getInt(0) != k) throw new IllegalArgumentException(
+          s"signature index at $path stores ${r.getInt(0)}-lane signatures " +
+            s"but the manifest says k=$k — the manifest does not belong to " +
+            "this data")
+      }
+    sigs
+  }
+
+  /** Append a new batch's signatures to an existing index WITHOUT
+    * rewriting it — the between-batches step of incremental near-dedup.
+    * Refusals BEFORE any write: foreign/missing manifest, empty batch,
+    * lane-count mismatch with the index's k, id collisions (a document
+    * signed twice would pair with itself forever after). Data appends
+    * first; the manifest is recounted from the written files and
+    * overwritten LAST. Single-writer contract, as for every persisted
+    * index in this engine. */
+  def appendToSignatureIndex(sigs: DataFrame, path: String): Unit = {
+    val spark = sigs.sparkSession
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"no signature-index manifest at $path — appendToSignatureIndex needs " +
+        "an existing index; use writeSignatureIndex for the first write")
+    val in = fs.open(mp)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    if (!raw.contains("\"graft-minhash-v1\"")) throw new IllegalArgumentException(
+      s"manifest at $path is not a graft-minhash-v1 index (got: $raw)")
+    val k = """"k":\s*(\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"signature-index manifest at $path is missing 'k': $raw"))
+    require(sigs.limit(1).collect().nonEmpty,
+      "appendToSignatureIndex: refusing to append an empty frame")
+    val badK = sigs.filter(col("_gf_sig").isNull || size(col("_gf_sig")) =!= k)
+      .limit(1).collect()
+    if (badK.nonEmpty) throw new IllegalArgumentException(
+      s"appendToSignatureIndex: batch carries a null or non-$k-lane " +
+        s"signature — the index at $path was built at k=$k")
+    val existing = spark.read.parquet(s"$path/sigs")
+    val clashes = sigs.select(col("_gf_id"))
+      .join(existing.select(col("_gf_id")), Seq("_gf_id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    if (clashes.nonEmpty) throw new IllegalArgumentException(
+      s"appendToSignatureIndex: ids already present in the index at $path " +
+        s"(first ${clashes.length}: ${clashes.mkString(", ")})")
+    sigs.select(col("_gf_id"), col("_gf_sig"))
+      .write.mode("append").parquet(s"$path/sigs")
+    val n = spark.read.parquet(s"$path/sigs").count()
+    val json = s"""{"format": "graft-minhash-v1", "k": $k, "rows": $n}"""
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }

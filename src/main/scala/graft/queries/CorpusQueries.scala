@@ -408,6 +408,38 @@ object CorpusQueries {
       },
       None),
 
+    // Incremental near-dedup against a PERSISTED signature index (write
+    // even half → append a later slice → re-open through the refusal
+    // ladder → dedup the batch): the state an incremental pipeline
+    // actually carries between runs. Deterministic signatures → identical
+    // rows to the in-memory route (pinned in NearDupSpec); rows-only like
+    // its parent (hash lanes).
+    Q("dedup_incremental_near_persisted",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val path = NearDupQueries.scratchIndexDir(s, "mh-sigs", dir)
+        graft.dedup.MinHash.writeSignatureIndex(
+          graft.dedup.MinHash.signatures(
+            d.filter(col("doc_id") % 5 === 2), "text", "doc_id", n = 3, k = 64),
+          path)
+        graft.dedup.MinHash.appendToSignatureIndex(
+          graft.dedup.MinHash.signatures(
+            d.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+            "text", "doc_id", n = 3, k = 64),
+          path)
+        val index = graft.dedup.MinHash.readSignatureIndex(s, path)
+        val edited = d.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("prefix edit "), col("text")).as("text"))
+        val fresh = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        graft.dedup.MinHash.incrementalNear(
+            edited.unionByName(fresh), index, "text", "doc_id",
+            threshold = 0.5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
     // The STREAM-SHAPED probe over the same fixture (per-row MinHashSig
     // kernel + stateless band join — the plan a Structured Streaming
     // ingest runs against yesterday's index; StreamingSpec drives it live

@@ -350,6 +350,51 @@ class NearDupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("persisted signature index: round-trip identity and refusal ladder") {
+    import spark.implicits._
+    import graft.dedup.MinHash
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").filter(col("doc_id") < 120)
+    val base = MinHash.signatures(
+      docs.filter(col("doc_id") < 60), "text", "doc_id", n = 3, k = 64)
+    val more = MinHash.signatures(
+      docs.filter(col("doc_id") >= 60), "text", "doc_id", n = 3, k = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-sigs").toString
+    val path = s"$dir/idx"
+    MinHash.writeSignatureIndex(base, path)
+    MinHash.appendToSignatureIndex(more, path)
+    val reopened = MinHash.readSignatureIndex(spark, path)
+    // write ∪ append ≡ one full index: probing either yields identical rows
+    val full = MinHash.signatures(docs, "text", "doc_id", n = 3, k = 64)
+    val probe = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    def run(ix: org.apache.spark.sql.DataFrame) =
+      MinHash.incrementalNear(probe, ix, "text", "doc_id", threshold = 0.5)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(run(reopened) == run(full))
+    // refusals: append id collision, wrong k, empty write, foreign manifest
+    val ex1 = intercept[IllegalArgumentException] {
+      MinHash.appendToSignatureIndex(base.limit(3), path)
+    }
+    assert(ex1.getMessage.contains("already present"))
+    val ex2 = intercept[IllegalArgumentException] {
+      MinHash.appendToSignatureIndex(
+        MinHash.signatures(probe, "text", "doc_id", n = 3, k = 32), path)
+    }
+    assert(ex2.getMessage.contains("k=64"))
+    val ex3 = intercept[IllegalArgumentException] {
+      MinHash.writeSignatureIndex(base.limit(0), s"$dir/empty")
+    }
+    assert(ex3.getMessage.contains("empty"))
+    val fp = new java.io.PrintWriter(s"$path/manifest.json")
+    try fp.write("""{"format": "other", "k": 64, "rows": 1}""") finally fp.close()
+    new java.io.File(s"$path/.manifest.json.crc").delete(): Unit
+    val ex4 = intercept[IllegalArgumentException] {
+      MinHash.readSignatureIndex(spark, path)
+    }
+    assert(ex4.getMessage.contains("graft-minhash-v1"))
+  }
+
   test("dedup_recall grader computes exact precision/recall on a known fixture") {
     import spark.implicits._
     // ground truth: pairs (1,2) and (3,4); the detector finds (1,2) and
