@@ -75,6 +75,27 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("pack_bytes round-trips every 0..255 code and refuses out-of-range") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val codes = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255)).map(_.toArray))
+    check(Prop.forAll(codes) { cs =>
+      val packed = graft.functions.PqCodec.pack(
+        new GenericArrayData(cs.map(Int.box)))
+      packed.length == cs.length &&
+        cs.indices.forall(i => (packed(i) & 0xff) == cs(i))
+    })
+    check(Prop.forAll(Gen.oneOf(Gen.choose(-1000, -1), Gen.choose(256, 1000))) { bad =>
+      try {
+        graft.functions.PqCodec.pack(
+          new GenericArrayData(Array(Int.box(bad))))
+        false
+      } catch {
+        case e: IllegalArgumentException => e.getMessage.contains("0..255")
+      }
+    })
+  }
+
   test("shard scatter stays in range across the exact-id domain") {
     check(Prop.forAll(Gen.choose(0L, graft.ops.Sharding.MaxId),
       Gen.choose(1, 4096)) { (id, n) =>
