@@ -48,6 +48,49 @@ object MixtureQueries {
       },
       Some(shardPlanOracle)),
 
+    // Shard mixture balance: per (shard, source) composition with each
+    // shard's deviation from the corpus-wide source share — the scatter
+    // must hand every shard an unbiased sample or per-shard training
+    // batches drift. HASH-GREEN: the deviation is a single subtraction
+    // of two exact-count ratios.
+    Q("corpus_shard_balance",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("shard", graft.ops.Sharding.shardId(col("doc_id"), 16))
+        val wShard = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        d.groupBy("shard", "source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("shard_share",
+            col("n_docs").cast("double") / sum("n_docs").over(wShard).cast("double"))
+          .withColumn("corpus_share",
+            sum("n_docs").over(wSrc).cast("double") / sum("n_docs").over(wAll).cast("double"))
+          .select(col("shard"), col("source"), col("n_docs"),
+            graft.Num.dround(col("shard_share"), 6).as("shard_share"),
+            graft.Num.dround(col("corpus_share"), 6).as("corpus_share"),
+            graft.Num.dround(col("shard_share") - col("corpus_share"), 6)
+              .as("deviation"))
+          .orderBy("shard", "source")
+      },
+      Some("""
+        WITH t AS (
+          SELECT CAST(((doc_id * 2654435761) % 1000000007) % 16 AS INT) AS shard,
+                 source
+          FROM documents),
+        g AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM t GROUP BY shard, source),
+        w AS (SELECT shard, source, n_docs,
+                     CAST(n_docs AS DOUBLE) /
+                       CAST(sum(n_docs) OVER (PARTITION BY shard) AS DOUBLE) AS ss,
+                     CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE) /
+                       CAST(sum(n_docs) OVER () AS DOUBLE) AS cs
+              FROM g)
+        SELECT shard, source, n_docs,
+               floor(ss * 1e6 + 0.5) / 1e6 AS shard_share,
+               floor(cs * 1e6 + 0.5) / 1e6 AS corpus_share,
+               floor((ss - cs) * 1e6 + 0.5) / 1e6 AS deviation
+        FROM w ORDER BY shard, source""")),
+
     // Incremental ingest under the gate: export the even half, APPEND the
     // odd half (stateless scatter → no reshuffle of existing data,
     // id-collision refusal before any write), re-open, re-derive the plan
