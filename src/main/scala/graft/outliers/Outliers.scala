@@ -189,4 +189,63 @@ object Outliers {
   private def cleanCols(flagged: DataFrame): IndexedSeq[String] =
     flagged.columns.filterNot(c =>
       c.startsWith("_gf_") || c.endsWith("_outlier") || c == "any_outlier").toIndexedSeq
+
+  /** Cohort-aware outlier audit: per-GROUP bounds instead of global ones
+    * (a value ordinary for one segment is extreme for another — global
+    * bounds under-flag heavy cohorts and over-flag light ones; the
+    * [[graft.impute.Imputer.imputeBy]] complement). One grouped
+    * aggregation builds every cohort's bounds (map-side combined,
+    * ≤ |groups| rows), broadcast-joined back; the report is one more
+    * grouped pass. Iqr and ZScore only — Mad's per-group two-pass median
+    * chain is not worth the extra grouped shuffle until someone needs it
+    * (refused loudly, not silently approximated).
+    * Output: (group, column_name, method, n, outlier_count,
+    * lower_bound, upper_bound). */
+  def logBy(df: DataFrame, groupCol: String,
+            specs: Map[String, DetectMethod],
+            exact: Boolean = true): DataFrame = {
+    require(specs.nonEmpty, "logBy needs at least one column spec")
+    specs.collect { case (c, m: Mad) => c }.headOption.foreach { c =>
+      throw new IllegalArgumentException(
+        s"logBy: Mad on '$c' is not supported per-group (its two-pass " +
+          "median-of-deviations needs a second grouped shuffle) — use Iqr " +
+          "or ZScore, or global Mad via detect()")
+    }
+    def pct(c: Column, ps: Column): Column =
+      if (exact) percentile(c, ps) else percentile_approx(c, ps, lit(100000))
+    val sorted = specs.toSeq.sortBy(_._1)
+    val aggs = sorted.flatMap { case (c0, m) =>
+      val c = col(c0).cast(DoubleType)
+      m match {
+        case Iqr(k) =>
+          val qs = pct(c, array(lit(0.25), lit(0.75)))
+          val q1 = element_at(qs, 1); val q3 = element_at(qs, 2)
+          Seq((q1 - lit(k) * (q3 - q1)).as(lowerName(c0)),
+              (q3 + lit(k) * (q3 - q1)).as(upperName(c0)))
+        case ZScore(t) =>
+          Seq((avg(c) - lit(t) * stddev_samp(c)).as(lowerName(c0)),
+              (avg(c) + lit(t) * stddev_samp(c)).as(upperName(c0)))
+        case _: Mad => Seq.empty // refused above
+      }
+    }
+    val bounds = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val flagged = df.join(broadcast(bounds), Seq(groupCol), "left")
+    val entries = sorted.map { case (c0, m) =>
+      struct(
+        lit(c0).as("column_name"),
+        lit(m.name).as("method"),
+        count(col(c0)).as("n"),
+        coalesce(sum(when(
+          col(c0) < col(lowerName(c0)) || col(c0) > col(upperName(c0)), 1L)),
+          lit(0L)).as("outlier_count"),
+        graft.Num.dround(first(col(lowerName(c0))), 4).as("lower_bound"),
+        graft.Num.dround(first(col(upperName(c0))), 4).as("upper_bound"))
+    }
+    flagged.groupBy(col(groupCol))
+      .agg(array(entries.toIndexedSeq: _*).as("_gf_m"))
+      .select(col(groupCol), explode(col("_gf_m")).as("_gf_e"))
+      .select(col(groupCol), col("_gf_e.column_name"), col("_gf_e.method"),
+        col("_gf_e.n"), col("_gf_e.outlier_count"),
+        col("_gf_e.lower_bound"), col("_gf_e.upper_bound"))
+  }
 }

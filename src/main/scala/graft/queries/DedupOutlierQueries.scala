@@ -99,6 +99,32 @@ object DedupOutlierQueries {
            OR value > med + 3.5 * 1.4826 * madv
         ORDER BY event_id""")),
 
+    // Cohort-aware outlier audit: per-event_type IQR bounds — a value
+    // ordinary for one segment is extreme for another; global bounds
+    // under-flag heavy cohorts and over-flag light ones.
+    Q("outliers_iqr_by",
+      (s, dir) => Outliers.logBy(Tables.events(s, dir), "event_type",
+          Map("value" -> Iqr(1.5)))
+        .orderBy("event_type"),
+      Some("""
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+                 quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+          FROM events GROUP BY event_type),
+        bb AS (SELECT event_type,
+                      q1 - 1.5 * (q3 - q1) AS lo,
+                      q3 + 1.5 * (q3 - q1) AS hi
+               FROM b)
+        SELECT e.event_type, 'value' AS column_name, 'iqr' AS method,
+               CAST(count(e.value) AS BIGINT) AS n,
+               CAST(coalesce(sum(CASE WHEN e.value < lo OR e.value > hi
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS outlier_count,
+               floor(lo * 1e4 + 0.5) / 1e4 AS lower_bound,
+               floor(hi * 1e4 + 0.5) / 1e4 AS upper_bound
+        FROM events e LEFT JOIN bb USING (event_type)
+        GROUP BY e.event_type, lo, hi ORDER BY event_type""")),
+
     Q("outliers_zscore",
       (s, dir) => {
         val det = Outliers.detect(Tables.events(s, dir),
