@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Semantics match the window form exactly (score descending, id
   * ascending on ties), which is what makes the registry query
-  * HASH-CHECKABLE against the ANSI row_number oracle. Null scores/ids
-  * carry no rank and are dropped at the scan (the window form ranks
-  * them engine-dependently).
+  * HASH-CHECKABLE against the ANSI row_number oracle. Null and NaN
+  * scores (and null ids) carry no rank and are dropped at the scan (the
+  * window form ranks nulls engine-dependently, and NaN breaks the
+  * comparator's total order).
   */
 object TopK {
 
@@ -107,7 +108,12 @@ object TopK {
         s"${clash.mkString(", ")} — rename them before calling (reserved: " +
         s"${reserved.mkString(", ")})")
     val agg = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
-    df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+    // NaN scores are dropped WITH the nulls: the comparator's (>, ==)
+    // ordering is partial under NaN — a NaN row would be inserted at the
+    // front of a non-full buffer yet never beat a full one's tail, an
+    // order-dependent result diverging from the row_number oracle.
+    df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("_gf_top"))
       .select(groupCols.map(col) :+

@@ -33,9 +33,14 @@ import graft.Num.dround
 object GateEval {
 
   /** Distinct-score frame: one row per score value with `n` rows and
-    * `npos` positives. The bounded relation every metric runs on. */
+    * `npos` positives. The bounded relation every metric runs on.
+    * NULL scores are dropped at the scan (matching `gains`): an unscored
+    * row has no rank — kept, it would sort engine-dependently in the AUC
+    * window (Spark nulls-first vs DuckDB nulls-last) and land on an
+    * arbitrary side of every prCurve threshold. */
   private def byScore(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
-    df.groupBy(col(scoreCol).as("score"))
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("score"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol) > 0, 1L).otherwise(0L)).as("npos"))
 

@@ -508,14 +508,54 @@ object EvalQueries {
 
     // Top-k PCA projection of the corpus (row 130's `project` lane):
     // per-vector scores along the fitted spectrum — the dimensionality-
-    // reduction output itself. Rows-only like embedding_pca (driver
-    // eigensolve); PcaSpec pins projection variance ≡ eigenvalue.
+    // reduction output itself, emitted as SCALAR pc_0..pc_3 columns (a
+    // top-level array column defeats the gate's canonicalizer — the r10
+    // red row). Rows-only like embedding_pca (driver eigensolve); PcaSpec
+    // pins projection variance ≡ eigenvalue.
     Q("embedding_pca_project",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val m = Pca.fit(e, "embedding")
-        Pca.project(e, "vec_id", "embedding", m, k = 4).orderBy("vec_id")
+        Pca.projectFlat(e, "vec_id", "embedding", m, k = 4).orderBy("vec_id")
       },
-      None)
+      None),
+
+    // The projection machinery HASH-GREEN (the Pq/BPE handed-fixture
+    // precedent): project through a HANDED orthonormal loadings matrix —
+    // 4 Walsh rows with entries ±0.125 (exactly representable; ‖w‖ = 1 by
+    // construction) and a zero mean — so every per-dim product is EXACT
+    // (float × 2⁻³) and the centered-dot-product pipeline has a closed
+    // DuckDB form (list_dot_product, the dedup_embedding-proven
+    // bit-identical accumulation order). A hash match proves projectFlat's
+    // zip_with/aggregate fold ≡ the semantic dot product end to end; only
+    // the eigensolve itself stays rows-only (embedding_pca).
+    Q("embedding_pca_project_handed",
+      (s, dir) => Pca.projectFlat(Tables.embeddings(s, dir),
+          "vec_id", "embedding", walshModel, k = 4)
+        .orderBy("vec_id"),
+      Some {
+        val comps = walshLoadings.zipWithIndex.map { case (w, i) =>
+          val arr = w.mkString("[", ", ", "]")
+          s"${Q.sqlDround(s"list_dot_product(CAST(embedding AS DOUBLE[]), $arr)", 6)} AS pc_$i"
+        }.mkString(",\n               ")
+        s"""
+        SELECT vec_id,
+               $comps
+        FROM embeddings ORDER BY vec_id"""
+      })
   )
+
+  /** Handed orthonormal loadings: the first 4 Walsh (Hadamard) functions
+    * over 64 dims with entries ±0.125 = ±1/√64 — exactly representable
+    * (2⁻³), mutually orthogonal sign patterns, unit norm. */
+  private[queries] val walshLoadings: Seq[Array[Double]] = Seq(
+    Array.tabulate(64)(_ => 0.125),
+    Array.tabulate(64)(i => if (i < 32) 0.125 else -0.125),
+    Array.tabulate(64)(i => if ((i / 16) % 2 == 0) 0.125 else -0.125),
+    Array.tabulate(64)(i => if ((i / 8) % 2 == 0) 0.125 else -0.125))
+
+  /** The handed loadings as a [[Pca.Model]] (zero mean; eigenvalues are
+    * placeholders — projection never reads them). */
+  private val walshModel: Pca.Model =
+    Pca.Model(Array.fill(64)(0.0), Array.fill(4)(1.0), walshLoadings.toArray)
 }

@@ -116,6 +116,29 @@ object Binary {
         col("hamming"))
   }
 
+  /** Band substrings of a code word, remainder-spread: base = len/bands
+    * bytes per band with the first len%bands bands one byte wider, so
+    * every band is NON-EMPTY whenever len ≥ bands. (The previous
+    * ceil(len/bands) width left trailing bands as empty substrings
+    * whenever len mod bands was small — e.g. 5-byte codes, 4 bands → band
+    * 3 empty for EVERY row — and an all-rows-equal band degenerates the
+    * candidate equi-join toward all-pairs; recall was unaffected, cost
+    * blew up.) Words shorter than `bands` bytes raise: a zero-width band
+    * would silently recreate the degenerate bucket. */
+  private[graft] def bandSlices(codes: Column, bands: Int): Column = {
+    val len = length(codes)
+    val base = floor(len.cast("double") / bands).cast("int")
+    val rem = (len % lit(bands)).cast("int")
+    val guarded = when(len >= lit(bands), codes)
+      .otherwise(raise_error(concat(
+        lit("graft.sim.Binary: code word of "), len.cast("string"),
+        lit(s" bytes cannot split into $bands non-empty bands — lower " +
+          "bands or widen the codes"))).cast("binary"))
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      guarded.substr(b * base + least(b, rem) + lit(1),
+        base + when(b < rem, lit(1)).otherwise(lit(0))))
+  }
+
   /** All pairs within Hamming distance `maxDist`, by bit-sampling LSH
     * with an EXACTNESS GUARANTEE: the code word splits into `bands`
     * byte-ranges and candidates come from an EQUI-join on (band, bytes);
@@ -139,11 +162,8 @@ object Binary {
         "and silently vanish; raise bands or lower maxDist")
     val c = coded.filter(col("codes").isNotNull)
       .select(col(idCol).as("_gf_id"), col("codes"))
-    val len = length(col("codes"))
-    val bw = floor((len + lit(bands - 1)).cast("double") / bands).cast("int")
     val banded = c.select(col("_gf_id"), col("codes"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => col("codes").substr(b * bw + lit(1), bw))))
+      posexplode(bandSlices(col("codes"), bands)))
     val a = banded.select(col("_gf_id").as("id_a"), col("codes").as("_gf_ca"),
       col("pos").as("_gf_band"), col("col").as("_gf_bb"))
     val b = banded.select(col("_gf_id").as("id_b"), col("codes").as("_gf_cb"),
@@ -177,12 +197,9 @@ object Binary {
     require(bands > maxDist,
       s"the pigeonhole guarantee needs bands ($bands) > maxDist ($maxDist)")
     def banded(df: DataFrame, id: String, idOut: String, codesOut: String) = {
-      val len = length(col("codes"))
-      val bw = floor((len + lit(bands - 1)).cast("double") / bands).cast("int")
       df.filter(col("codes").isNotNull)
         .select(col(id).as(idOut), col("codes").as(codesOut),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => col("codes").substr(b * bw + lit(1), bw))))
+          posexplode(bandSlices(col("codes"), bands)))
         .withColumnsRenamed(Map("pos" -> "_gf_band", "col" -> "_gf_bb"))
     }
     banded(probes, probeId, "probe_id", "_gf_pc")

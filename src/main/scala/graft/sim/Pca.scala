@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -38,8 +38,14 @@ object Pca {
     def dim: Int = mean.length
   }
 
-  /** Buffer: [0]=n, [1..d]=Σx, [1+d ..]=upper-tri Σ x_i·x_j. */
-  private final class MomentAgg(d: Int,
+  /** Buffer: [0]=n, [1..d]=Σ(x−s), [1+d ..]=upper-tri Σ (x−s)_i·(x−s)_j.
+    * Accumulating SHIFTED moments (s = an arbitrary corpus vector) keeps
+    * the second-moment magnitudes near the covariance scale: the raw
+    * E[x_i x_j] − μ_i μ_j form cancels catastrophically when the mean
+    * offset dwarfs the variance (large-|μ| embeddings), degrading small
+    * eigenpairs; the shifted form is the textbook fix and is algebraically
+    * identical (covariance is translation-invariant). */
+  private final class MomentAgg(d: Int, shift: Array[Double],
       enc: org.apache.spark.sql.Encoder[Array[Double]])
       extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
     private val triLen = d * (d + 1) / 2
@@ -51,10 +57,10 @@ object Pca {
       var i = 0
       var p = 1 + d
       while (i < d) {
-        val xi = v(i).toDouble
+        val xi = v(i).toDouble - shift(i)
         b(1 + i) += xi
         var j = i
-        while (j < d) { b(p) += xi * v(j).toDouble; p += 1; j += 1 }
+        while (j < d) { b(p) += xi * (v(j).toDouble - shift(j)); p += 1; j += 1 }
         i += 1
       }
       b
@@ -69,33 +75,41 @@ object Pca {
     def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] = enc
   }
 
-  /** Fit the spectrum: one distributed moment pass + driver Jacobi. */
+  /** Fit the spectrum: one distributed moment pass + driver Jacobi. The
+    * 1-row dim probe also hands the aggregator its shift vector (a real
+    * corpus point ≈ the mean's magnitude), so the second moments
+    * accumulate near the covariance scale — see [[MomentAgg]]. */
   def fit(df: DataFrame, vecCol: String): Model = {
-    val d = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+    val firstVec = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
       .limit(1).collect() match {
-      case Array(row) => row.getSeq[Float](0).length
+      case Array(row) => row.getSeq[Float](0)
       case _ => throw new IllegalArgumentException(
         s"Pca.fit: no non-null vectors in $vecCol")
     }
+    val d = firstVec.length
     require(d >= 2, s"Pca needs dim >= 2, got $d")
+    val shift = firstVec.map(_.toDouble).toArray
     val spark = df.sparkSession
     import spark.implicits._
     val moments = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
       .as[Seq[Float]]
-      .select(new MomentAgg(d,
+      .select(new MomentAgg(d, shift,
         implicitly[org.apache.spark.sql.Encoder[Array[Double]]]).toColumn)
       .head()
     val n = moments(0)
     require(n >= 2, s"Pca needs >= 2 vectors, got ${n.toLong}")
-    val mean = Array.tabulate(d)(i => moments(1 + i) / n)
-    // population covariance: E[x_i x_j] − μ_i μ_j
+    // centered deltas: δ_i = E[x_i − s_i]; mean = s + δ
+    val delta = Array.tabulate(d)(i => moments(1 + i) / n)
+    val mean = Array.tabulate(d)(i => shift(i) + delta(i))
+    // population covariance: E[(x−s)_i (x−s)_j] − δ_i δ_j — both terms are
+    // variance-scaled, no large-mean cancellation
     val cov = Array.ofDim[Double](d, d)
     var p = 1 + d
     var i = 0
     while (i < d) {
       var j = i
       while (j < d) {
-        val c = moments(p) / n - mean(i) * mean(j)
+        val c = moments(p) / n - delta(i) * delta(j)
         cov(i)(j) = c; cov(j)(i) = c
         p += 1; j += 1
       }
@@ -210,19 +224,39 @@ object Pca {
 
   /** Project vectors onto the top-k components (a broadcast-literal
     * codegen'd projection — k·d multiply-adds per row, no shuffle):
-    * output keeps `idCol` plus `pc` = array of k scores. */
+    * output keeps `idCol` plus `pc` = array of k scores. For the driver
+    * gate use [[projectFlat]] — a top-level array column defeats the
+    * canonicalizer's column sort. */
   def project(df: DataFrame, idCol: String, vecCol: String,
               model: Model, k: Int): DataFrame = {
     require(k >= 1 && k <= model.dim,
       s"project k must be in [1, ${model.dim}], got $k")
+    df.select(col(idCol), array(scoreCols(col(vecCol), model, k): _*).as("pc"))
+  }
+
+  /** [[project]] with SCALAR output columns `pc_0..pc_{k-1}` (6-dp rounded
+    * — the fit's moment sums are partition-order IEEE, like `spectrum`'s
+    * outputs) so the frame is flat and sortable by any consumer,
+    * including the correctness gate's canonicalizer. */
+  def projectFlat(df: DataFrame, idCol: String, vecCol: String,
+                  model: Model, k: Int): DataFrame = {
+    require(k >= 1 && k <= model.dim,
+      s"projectFlat k must be in [1, ${model.dim}], got $k")
+    val comps = scoreCols(col(vecCol), model, k).zipWithIndex.map {
+      case (c, i) => graft.Num.dround(c, 6).as(s"pc_$i")
+    }
+    df.select(col(idCol) +: comps: _*)
+  }
+
+  /** The k projection-score expressions (centered dot products). */
+  private def scoreCols(vec: Column, model: Model, k: Int): Seq[Column] = {
     val meanLit = array(model.mean.map(lit): _*)
-    val centered = zip_with(col(vecCol), meanLit,
+    val centered = zip_with(vec, meanLit,
       (x, m) => x.cast(DoubleType) - m)
-    val comps = (0 until k).map { c =>
+    (0 until k).map { c =>
       val w = array(model.eigenvectors(c).map(lit): _*)
       aggregate(zip_with(centered, w, (x, wi) => x * wi),
         lit(0.0), (acc, t) => acc + t)
     }
-    df.select(col(idCol), array(comps: _*).as("pc"))
   }
 }

@@ -120,6 +120,41 @@ class BinarySpec extends SparkSpec {
     assert(ex.getMessage.contains("pigeonhole"))
   }
 
+  test("band widths spread the remainder — no empty band, short words refused") {
+    // 5-byte codes (40 dims), 4 bands: remainder-spread → widths 2,1,1,1.
+    // (ceil-width banding made band 3 an EMPTY substring for every row —
+    // an all-rows-equal bucket degenerating the candidate join.)
+    val word = Seq((1L, Array.tabulate(40)(i => if (i % 3 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val coded = Binary.encodeBinary(word, "vec_id", "embedding")
+    val slices = coded.select(Binary.bandSlices(col("codes"), 4).as("b"))
+      .head().getSeq[Array[Byte]](0)
+    assert(slices.map(_.length) == Seq(2, 1, 1, 1))
+    assert(slices.flatten == coded.head().getAs[Array[Byte]]("codes").toSeq,
+      "bands must partition the word in order")
+    // exactness still holds on 5-byte codes (recall-1 pigeonhole)
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
+      .select(col("vec_id"), slice(col("embedding"), 1, 40).as("embedding"))
+    val c40 = Binary.encodeBinary(e, "vec_id", "embedding")
+    val a = c40.select(col("vec_id").as("id_a"), col("codes").as("ca"))
+    val b = c40.select(col("vec_id").as("id_b"), col("codes").as("cb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.binHamming(col("ca"), col("cb")).as("h"))
+      .collect().filter(_.getInt(2) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Binary.hammingPairs(c40, "vec_id", maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+    // a word shorter than the band count raises instead of degenerating
+    val tiny = Binary.encodeBinary(
+      Seq((1L, Array(1f, -1f)), (2L, Array(-1f, 1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val ex2 = intercept[Exception] {
+      Binary.hammingPairs(tiny, "vec_id", maxDist = 2, bands = 4).collect()
+    }
+    assert(ex2.getMessage.contains("non-empty bands"))
+  }
+
   test("ivf-binary at full probe equals the whole-corpus hamming rerank") {
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
     val q = e.filter(col("vec_id") < 3)

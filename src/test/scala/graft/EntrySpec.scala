@@ -9,6 +9,22 @@ class EntrySpec extends SparkSpec {
   test("every registered query runs on sf0.001 and returns rows or a valid empty result") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
+      // Gate invariant (the r10 red-row class): the driver's correctness
+      // canonicalizer sorts the frame column-wise in pandas, which cannot
+      // factorize nested values — a registered query emitting a top-level
+      // array/map/struct column errors the gate instead of being checked.
+      // Flatten (pc_0..pc_k scalars, or a melted (id, pos, value) frame)
+      // before registering; there is deliberately NO exempt list.
+      val nested = df.schema.fields.filter(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => true
+        case _ => false
+      })
+      assert(nested.isEmpty,
+        s"$name emits nested top-level column(s) ${
+          nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")
+        } — the driver's canonicalizer cannot sort them; flatten the output")
       val n = df.count()
       assert(n >= 0, s"$name failed")
     }
