@@ -24,7 +24,8 @@ object Artifacts {
 
   final case class Entry(artifact: String, kind: String, path: String)
 
-  private def safe(name: String): String = name.replaceAll("[^A-Za-z0-9_.-]", "_")
+  private[pipeline] def safe(name: String): String =
+    name.replaceAll("[^A-Za-z0-9_.-]", "_")
 
   def bundleDir(outDir: String, runId: String): String = s"$outDir/${safe(runId)}"
 

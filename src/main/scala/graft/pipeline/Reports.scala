@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Report-tables export bundle — the engine-parity answer to the
+  * reference's rendered report surface (m00_utils/report_generator.py,
+  * report_html.py:1-80, m08_visuals/summary_plots.py:60,
+  * dashboard_plots.py): every summary table those renderers draw from
+  * (describe, validation summary, outlier log, imputation changelog,
+  * health score, …) written as parquet through the [[Artifacts]] layout
+  * with a manifest, so a user migrating off the reference keeps the
+  * one-command report DATA — named, re-readable, run-keyed — without the
+  * engine taking on matplotlib/HTML rendering.
+  *
+  * Layout under `<outDir>/<runId>/`:
+  * {{{
+  *   reports/<table_name>/   — one parquet dir per report table
+  *   manifest/               — (artifact, kind, path) parquet index
+  * }}}
+  *
+  * Unlike [[Artifacts.write]] (a pipeline-run bundle that carries the
+  * cleaned corpus), a report bundle is SUMMARY-SIZED by contract: the
+  * tables are per-module aggregates (columns × rules rows, not corpus
+  * rows), so the whole bundle stays readable in one call at any corpus
+  * scale — the distributed work happened upstream in the module
+  * aggregations that produced the frames. The manifest is written LAST,
+  * the completeness-marker discipline every persisted graft artifact
+  * follows.
+  */
+object Reports {
+
+  /** Write named report tables + manifest under `<outDir>/<runId>/`;
+    * returns the manifest entries. Refuses an empty table set and
+    * duplicate (directory-normalized) table names — two tables mapping
+    * to one directory would silently overwrite each other. */
+  def writeBundle(spark: SparkSession, tables: Seq[(String, DataFrame)],
+                  outDir: String, runId: String): Seq[Artifacts.Entry] = {
+    require(tables.nonEmpty, "Reports.writeBundle: empty report-table set")
+    val safeNames = tables.map(t => Artifacts.safe(t._1))
+    require(safeNames.distinct.size == safeNames.size,
+      s"Reports.writeBundle: table names collide after directory " +
+        s"normalization: ${tables.map(_._1).mkString(", ")}")
+    val base = Artifacts.bundleDir(outDir, runId)
+    val entries = tables.map { case (name, df) =>
+      val p = s"$base/reports/${Artifacts.safe(name)}"
+      df.write.mode(SaveMode.Overwrite).parquet(p)
+      Artifacts.Entry(name, "report", p)
+    }
+    import spark.implicits._
+    entries.toDF().write.mode(SaveMode.Overwrite).parquet(s"$base/manifest")
+    entries
+  }
+
+  /** Read one report table back by name (manifest-routed — the caller
+    * never touches the directory layout). */
+  def readTable(spark: SparkSession, outDir: String, runId: String,
+                name: String): DataFrame = {
+    val m = Artifacts.readManifest(spark, outDir, runId)
+      .filter(col("artifact") === name).select("path").collect()
+    require(m.nonEmpty,
+      s"no report table '$name' in bundle $runId under $outDir")
+    spark.read.parquet(m.head.getString(0))
+  }
+
+  /** The bundle's table of contents: (artifact, kind, path). */
+  def contents(spark: SparkSession, outDir: String, runId: String): DataFrame =
+    Artifacts.readManifest(spark, outDir, runId)
+}

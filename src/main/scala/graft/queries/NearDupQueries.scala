@@ -52,6 +52,41 @@ object NearDupQueries {
     new java.io.File(base, name).getAbsolutePath
   }
 
+  /** 8 handed Walsh sign planes over 64 dims, entries ±0.125 (= ±2⁻³,
+    * exactly representable, unit norm): plane p carries the sign pattern
+    * (−1)^popcount(i & (p+1)) — 8 distinct orthogonal Walsh functions.
+    * Every per-dim product is exact (float × 2⁻³), so the plane dots —
+    * and with them the LSH bucket bits — are bit-identical between the
+    * zip_with fold and DuckDB's list_dot_product. */
+  private[queries] val walshPlanes: Seq[Array[Double]] =
+    (1 to 8).map(m => Array.tabulate(64)(i =>
+      if (java.lang.Integer.bitCount(i & m) % 2 == 0) 0.125 else -0.125))
+
+  /** Precision/recall grading of detected pair sets against a planted
+    * truth set — shared by the rows-only [[dedup_recall]] (engine-specific
+    * detectors) and the hash-green `dedup_recall_handed` (deterministic
+    * detectors), so the grading arithmetic has ONE owner. Detected pairs
+    * dedup first; hits are a broadcast semi-join (truth is planted-clone
+    * sized); ratios are exact-integer divisions, 4-dp dround'd. */
+  private def gradeDetections(truth: DataFrame,
+                              methods: Seq[(String, DataFrame)]): DataFrame = {
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    methods.map { case (name, pairs) =>
+      val det = pairs.select(col("id_a"), col("id_b")).distinct()
+      val detN = det.agg(count(lit(1)).as("n_detected"))
+      val hitN = det.join(broadcast(truth), Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nTrue.crossJoin(detN).crossJoin(hitN).select(
+        lit(name).as("method"), col("n_true"), col("n_detected"), col("n_hits"),
+        when(col("n_detected") > 0, graft.Num.dround(
+          col("n_hits").cast("double") / col("n_detected").cast("double"), 4))
+          .as("precision"),
+        when(col("n_true") > 0, graft.Num.dround(
+          col("n_hits").cast("double") / col("n_true").cast("double"), 4))
+          .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("method")
+  }
+
   /** embeddings ∪ clones with exactly two deterministic sign flips
     * (positions vec_id%64 and 7·vec_id%64) — Hamming ≤ 2 from their
     * originals, used by the banded Hamming pair probe. */
@@ -163,23 +198,63 @@ object NearDupQueries {
           // that visible instead of leaving threshold folklore
           "simhash" -> SimHash.nearDuplicatePairs(corpus, "text", "doc_id",
             maxDist = 7, blocks = 8))
-        val nTrue = truth.agg(count(lit(1)).as("n_true"))
-        methods.map { case (name, pairs) =>
-          val det = pairs.select(col("id_a"), col("id_b")).distinct()
-          val detN = det.agg(count(lit(1)).as("n_detected"))
-          val hitN = det.join(broadcast(truth), Seq("id_a", "id_b"), "left_semi")
-            .agg(count(lit(1)).as("n_hits"))
-          nTrue.crossJoin(detN).crossJoin(hitN).select(
-            lit(name).as("method"), col("n_true"), col("n_detected"), col("n_hits"),
-            when(col("n_detected") > 0, graft.Num.dround(
-              col("n_hits").cast("double") / col("n_detected").cast("double"), 4))
-              .as("precision"),
-            when(col("n_true") > 0, graft.Num.dround(
-              col("n_hits").cast("double") / col("n_true").cast("double"), 4))
-              .as("recall"))
-        }.reduce(_.unionByName(_)).orderBy("method")
+        gradeDetections(truth, methods)
       },
       None),
+
+    // The grading arithmetic itself HASH-GREEN: the SAME gradeDetections
+    // path over DETERMINISTIC detected-pair fixtures both engines derive
+    // independently from `documents` — "half" finds every other planted
+    // clone pair (precision 1, recall 0.5), "noisy" finds them all plus
+    // id%7 false pairs (recall 1, precision < 1) — so the
+    // n_true/n_detected/n_hits counting, the semi-join hit logic, the
+    // distinct-dedup, and the 4-dp ratio arithmetic that dedup_recall's
+    // numbers flow through are oracle-pinned end to end; only the
+    // engine-specific pair GENERATORS keep dedup_recall rows-only.
+    Q("dedup_recall_handed",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id")
+        val truth = d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 2000000).as("id_b"))
+        val half = truth.filter(col("id_a") % 20 === 0)
+        val noisy = truth.unionByName(
+          d.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")))
+        gradeDetections(truth, Seq("half" -> half, "noisy" -> noisy))
+      },
+      Some(s"""
+        WITH truth AS (SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+                       FROM documents WHERE doc_id % 10 = 0),
+             half AS (SELECT id_a, id_b FROM truth WHERE id_a % 20 = 0),
+             noisy AS (SELECT id_a, id_b FROM truth
+                       UNION ALL
+                       SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 7 = 0),
+             g AS (
+               SELECT 'half' AS method,
+                      (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+                      (SELECT CAST(count(*) AS BIGINT)
+                       FROM (SELECT DISTINCT id_a, id_b FROM half)) AS n_detected,
+                      (SELECT CAST(count(*) AS BIGINT)
+                       FROM (SELECT DISTINCT id_a, id_b FROM half) h
+                       WHERE EXISTS (SELECT 1 FROM truth t
+                                     WHERE t.id_a = h.id_a AND t.id_b = h.id_b)) AS n_hits
+               UNION ALL
+               SELECT 'noisy',
+                      (SELECT CAST(count(*) AS BIGINT) FROM truth),
+                      (SELECT CAST(count(*) AS BIGINT)
+                       FROM (SELECT DISTINCT id_a, id_b FROM noisy)),
+                      (SELECT CAST(count(*) AS BIGINT)
+                       FROM (SELECT DISTINCT id_a, id_b FROM noisy) h
+                       WHERE EXISTS (SELECT 1 FROM truth t
+                                     WHERE t.id_a = h.id_a AND t.id_b = h.id_b)))
+        SELECT method, n_true, n_detected, n_hits,
+               CASE WHEN n_detected > 0 THEN
+                 ${Q.sqlDround("CAST(n_hits AS DOUBLE) / CAST(n_detected AS DOUBLE)", 4)}
+               END AS precision,
+               CASE WHEN n_true > 0 THEN
+                 ${Q.sqlDround("CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE)", 4)}
+               END AS recall
+        FROM g ORDER BY method""")),
 
     // HASH-CHECKED against brute-force: on this fixture the LSH path's
     // output provably equals the exact cosine>=0.999 pair set — clones are
@@ -823,6 +898,54 @@ object NearDupQueries {
           .orderBy("query_id", "rank")
       },
       None),
+
+    // The LSH machinery HASH-GREEN (the dedup_embedding_hamming
+    // sign-recount precedent, extended from pairs to the probe path):
+    // the SAME bucket→probe→rerank plan as ann_lsh, but under a HANDED
+    // plane matrix — 8 Walsh sign rows with entries ±0.125 (exactly
+    // representable), so each bucket bit is the sign of a
+    // sequential-fold dot product both engines accumulate
+    // bit-identically (list_dot_product ≡ the zip_with fold, proven by
+    // dedup_embedding), and the whole pipeline has a closed SQL form.
+    // Only the pseudo-random default planes keep ann_lsh rows-only;
+    // this pins the machinery they run through.
+    Q("ann_lsh_handed",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        // 4 planes → 16 buckets: big enough buckets at sf0.01 that the
+        // probed top-10 lists are FULL (the hash covers real rank/cosine
+        // structure, not near-singleton buckets)
+        Similarity.lshTopKWithPlanes(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            walshPlanes.take(4), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val bucket = walshPlanes.take(4).zipWithIndex.map { case (w, p) =>
+          val arr = w.mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString("\n                 + ")
+        s"""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             b AS (SELECT vec_id, v,
+                     $bucket AS bucket
+                   FROM c),
+             q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 5),
+             cand AS (
+               SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
+                      list_dot_product(b.v, q.qv) /
+                        (sqrt(list_dot_product(b.v, b.v)) *
+                         sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+               FROM b JOIN q ON b.bucket = q.bucket),
+             ranked AS (
+               SELECT query_id, neighbor_id,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+                      ${Q.sqlDround("cos_raw", 6)} AS cosine
+               FROM cand)
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+      }),
 
     // Recall@10 of the approximate indexes against the exact brute-force
     // ground truth, per query — the evaluation loop that decides

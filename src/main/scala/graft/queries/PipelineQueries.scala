@@ -1020,6 +1020,39 @@ object PipelineQueries {
       Some("""
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INT) AS k
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // Report-tables export bundle (the reference's one-command report
+    // surface — report_generator.py / report_html.py / summary_plots.py —
+    // as DATA): the five per-module summary frames written through the
+    // Reports/Artifacts layout (manifest LAST), then the describe table
+    // read BACK from the bundle. The frames and the oracle are taken from
+    // the registered per-module queries THEMSELVES (one owner — the
+    // bundle cannot drift from the gates), so a hash match proves the
+    // round trip through the bundle is value-identical to the direct
+    // query: write → manifest → manifest-routed read-back ≡ running the
+    // module. ArtifactsSpec covers the refusal paths.
+    Q("report_bundle",
+      (s, dir) => {
+        val modules = Seq(
+          "describe" -> registered(ProfileQueries.all, "profile_describe"),
+          "validation" -> registered(ValidationQueries.all, "validate_suite"),
+          "outlier_log" -> registered(DedupOutlierQueries.all, "outliers_log"),
+          "impute_changelog" -> registered(AuditQueries.all, "impute_changelog"),
+          "health_score" -> registered(AuditQueries.all, "health_score"))
+        val out = NearDupQueries.scratchIndexDir(s, "report", dir)
+        Reports.writeBundle(s,
+          modules.map { case (n, q) => n -> q.run(s, dir) }, out, "run1")
+        Reports.readTable(s, out, "run1", "describe")
+          .orderBy("column_name")
+      },
+      Some(registered(ProfileQueries.all, "profile_describe").oracle.get))
   )
+
+  /** Look up a registered query by name in its owning module — the
+    * report bundle reuses the module queries' own builders and oracles
+    * so there is exactly ONE owner per report table. */
+  private def registered(owner: Seq[Q], name: String): Q =
+    owner.find(_.name == name).getOrElse(
+      throw new IllegalStateException(s"no registered query '$name'"))
 }

@@ -207,6 +207,33 @@ object Similarity {
         col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
   }
 
+  /** [[lshTopK]] under an EXPLICIT plane matrix — the oracle lane (the
+    * Pq/BPE handed-fixture discipline): handed planes whose entries are
+    * exactly representable (e.g. ±2⁻³ Walsh rows) make the bucket
+    * assignment — the sign of a sequential-fold dot product — and the
+    * in-bucket rerank fully SQL-expressible, so the whole
+    * bucket→probe→rerank machinery can go hash-green while the
+    * pseudo-random default planes stay rows-only. Same plan shape as the
+    * single-table [[lshTopK]]: corpus buckets once, queries broadcast. */
+  def lshTopKWithPlanes(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        planes: Seq[Array[Double]], k: Int = 10): DataFrame = {
+    require(planes.nonEmpty, "lshTopKWithPlanes needs at least one plane")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cv = corpus.select(col(corpusId).as("_gf_cid"), col(corpusVec).as("_gf_cv"))
+    val qv = queries.select(col(queryId).as("_gf_qid"), col(queryVec).as("_gf_qv"))
+    val w = Window.partitionBy("_gf_qid")
+      .orderBy(col("_gf_cos").desc, col("_gf_cid"))
+    cv.withColumn("_gf_bucket", bucketId(col("_gf_cv"), planes))
+      .join(broadcast(qv.withColumn("_gf_bucket",
+        bucketId(col("_gf_qv"), planes))), Seq("_gf_bucket"))
+      .withColumn("_gf_cos", cosine(col("_gf_cv"), col("_gf_qv")))
+      .withColumn("_gf_rank", row_number().over(w))
+      .filter(col("_gf_rank") <= k)
+      .select(col("_gf_qid").as("query_id"), col("_gf_cid").as("neighbor_id"),
+        col("_gf_rank").as("rank"), graft.Num.dround(col("_gf_cos"), 6).as("cosine"))
+  }
+
   /** Recall@k of approximate top-k results against the exact ground
     * truth: per (method, query), |approx ∩ exact| / |exact| — the
     * evaluation loop that tunes k/nprobe/planes before trusting an index

@@ -37,4 +37,43 @@ class ArtifactsSpec extends SparkSpec {
       Artifacts.readReport(spark, out, "run-42", "nope")
     }
   }
+
+  test("report bundle round-trips named tables through the manifest") {
+    val describe = Seq(("a", 3L, 1.5), ("b", 2L, 9.0))
+      .toDF("column_name", "cnt", "mean")
+    val health = Seq((93.5, "green")).toDF("overall_score", "status")
+    val out = Files.createTempDirectory("graft-reports").toString
+
+    val entries = Reports.writeBundle(spark,
+      Seq("describe" -> describe, "health score" -> health), out, "r1")
+    assert(entries.map(_.artifact) == Seq("describe", "health score"))
+    assert(entries.forall(_.kind == "report"))
+
+    // manifest-routed read-back is value-identical
+    val back = Reports.readTable(spark, out, "r1", "describe")
+      .orderBy("column_name").collect()
+    assert(back.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 3L, 1.5), ("b", 2L, 9.0)))
+    // names with directory-hostile characters route through the manifest
+    assert(Reports.readTable(spark, out, "r1", "health score")
+      .head().getString(1) == "green")
+    assert(Reports.contents(spark, out, "r1").count() == 2)
+
+    // re-write overwrites in place (run-keyed layout, no duplicates)
+    Reports.writeBundle(spark,
+      Seq("describe" -> describe, "health score" -> health), out, "r1")
+    assert(Reports.contents(spark, out, "r1").count() == 2)
+
+    // refusals: unknown table, empty set, colliding normalized names
+    intercept[IllegalArgumentException] {
+      Reports.readTable(spark, out, "r1", "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Reports.writeBundle(spark, Seq.empty, out, "r2")
+    }
+    intercept[IllegalArgumentException] {
+      Reports.writeBundle(spark,
+        Seq("a b" -> describe, "a_b" -> health), out, "r3")
+    }
+  }
 }
