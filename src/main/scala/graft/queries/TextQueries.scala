@@ -729,6 +729,31 @@ object TextQueries {
       },
       None),
 
+    // The minibatch training lane — the same planted class boundary as
+    // text_ft_train_score, but each epoch trains on a DETERMINISTIC hash
+    // sample of the docs (Sampling.hashSample, seed = epoch), the 100 TB
+    // epoch-cost bound: per-epoch join/aggregate volume is
+    // fraction-bounded instead of corpus-sized. More epochs at a quarter
+    // of the data ≈ the full-batch pass count, so the gate still
+    // separates. Rows-only (xxhash64 + iterative fit); FastTextSpec pins
+    // convergence, determinism, and full-batch equivalence at 1.0.
+    Q("text_ft_train_minibatch",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val toks = TextAnalysis.tokens(col("text"))
+        val neg = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(concat_ws(" ", slice(toks, 1, 6)),
+            lit(" zz9 qq7 xx3 zz9 qq7 xx3 vv2 kk8 vv2")).as("text"))
+        val labeled = docs.withColumn("label", lit(1.0))
+          .unionByName(neg.withColumn("label", lit(0.0)))
+        val m = graft.text.FastText.train(labeled, "text", "label",
+          buckets = 1024, epochs = 12, lr = 40.0, minibatchFraction = 0.25)
+        graft.text.FastText.scoreHashed(labeled, "doc_id", "text",
+            m.weightFrame(s), m.bias, buckets = 1024)
+          .orderBy("doc_id")
+      },
+      None),
+
     // The persisted-classifier lifecycle: train, persist the B-bounded
     // weight table with a format-tagged manifest, re-open, score through
     // the re-opened model. Rows-only like text_ft_train_score;

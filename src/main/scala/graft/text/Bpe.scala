@@ -157,7 +157,9 @@ object Bpe {
 
   /** Persist a trained merge table — the "train the tokenizer once on a
     * sample, ship it to the 100 TB encode pass" lifecycle. One tiny
-    * rank-ordered parquet + a format-tagged manifest written LAST (the
+    * rank-ordered parquet, the public text shape alongside (merges.txt +
+    * vocab.json via [[writeTextFormat]], so the artifact is consumable
+    * outside graft), and a format-tagged manifest written LAST (the
     * [[graft.sim.Ivf.writeIndex]] completeness-marker convention). */
   def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
                  path: String): Unit = {
@@ -166,6 +168,7 @@ object Bpe {
       .map { case ((a, b), r) => (r, a, b) }
       .toDF("rank", "first", "second")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    writeTextFormat(spark, model, path)
     val json =
       s"""{"format": "graft-bpe-v1", "num_merges": ${model.merges.size}, """ +
         s""""end_of_word": "$EndOfWord"}"""
@@ -212,6 +215,131 @@ object Bpe {
       s"$path/merges holds ${rows.length} rules but the manifest declares " +
         s"$declared — refusing a partially-copied model")
     Model(rows.toVector)
+  }
+
+  /** A model as read back from the public text format: the ordered merge
+    * table plus the vocab exactly as the file lists it (id order). */
+  final case class TextModel(model: Model, vocab: Vector[String])
+
+  /** The token inventory a model can emit, in the conventional id order:
+    * base symbols (every merge input that no earlier merge produced, plus
+    * [[EndOfWord]] and any caller-handed `alphabet` entries) sorted, then
+    * merge products in rank order. Deterministic from the model alone, so
+    * two trainers producing the same merges export the same vocab. */
+  def vocabTokens(model: Model, alphabet: Seq[String] = Nil): Vector[String] = {
+    val products = model.merges.map { case (a, b) => a + b }.toSet
+    val base = (model.merges.iterator.flatMap { case (a, b) => Iterator(a, b) }
+      .filterNot(products.contains) ++ Iterator(EndOfWord) ++ alphabet.iterator)
+      .toVector.distinct.sorted
+    base ++ model.merges.map { case (a, b) => a + b }
+  }
+
+  /** JSON string escaping for vocab tokens: `"`/`\`/control chars and all
+    * non-ASCII as \\uXXXX, so the file is plain-ASCII JSON any consumer
+    * (and our snakeyaml read-back) parses identically. */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c >= 0x20 && c < 0x7f => sb.append(c)
+      case c => sb.append(f"\\u${c.toInt}%04x")
+    }
+    sb.result()
+  }
+
+  private def writeText(spark: org.apache.spark.sql.SparkSession,
+                        path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(spark: org.apache.spark.sql.SparkSession,
+                       path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"$path is missing — not a text-format BPE model directory")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Export the merge table in the PUBLIC text shape — `merges.txt`
+    * (the subword-nmt format: a `#version: 0.2` header, then one
+    * "first second" pair per line in rank order) plus `vocab.json`
+    * (token → integer id, the HuggingFace-tokenizers layout, ids in
+    * [[vocabTokens]] order) — so the trained tokenizer is consumable
+    * outside graft. Symbols never contain whitespace (words are
+    * whitespace-split before training), so the space-separated line
+    * format is unambiguous. Overload below re-exports a read-back
+    * [[TextModel]] with its vocab verbatim. */
+  def writeTextFormat(spark: org.apache.spark.sql.SparkSession, model: Model,
+                      path: String, alphabet: Seq[String] = Nil): Unit =
+    writeTextFormat(spark, TextModel(model, vocabTokens(model, alphabet)), path)
+
+  def writeTextFormat(spark: org.apache.spark.sql.SparkSession,
+                      tm: TextModel, path: String): Unit = {
+    val products = tm.model.merges.map { case (a, b) => a + b }
+    val missing = products.filterNot(tm.vocab.contains)
+    require(missing.isEmpty,
+      s"vocab is missing ${missing.size} merge products (first: " +
+        s"'${missing.head}') — the export would not round-trip")
+    val merges = ("#version: 0.2" +:
+      tm.model.merges.map { case (a, b) => s"$a $b" }).mkString("", "\n", "\n")
+    writeText(spark, s"$path/merges.txt", merges)
+    val vocab = tm.vocab.zipWithIndex
+      .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
+      .mkString("{", ", ", "}")
+    writeText(spark, s"$path/vocab.json", vocab)
+  }
+
+  /** Re-open a text-format model. Refusals: missing files, a symbol
+    * containing whitespace (not ours), duplicate rules, vocab ids that
+    * are not dense 0..n-1, and merge products absent from the vocab (a
+    * merges/vocab pair from different trainings). Round-trips byte-equal
+    * through [[writeTextFormat]] (BpeSpec pins it). */
+  def readTextFormat(spark: org.apache.spark.sql.SparkSession,
+                     path: String): TextModel = {
+    val lines = readText(spark, s"$path/merges.txt").split("\n", -1)
+      .iterator.filterNot(l => l.startsWith("#") || l.isEmpty).toVector
+    val merges = lines.map { l =>
+      val parts = l.split(" ", -1)
+      if (parts.length != 2 || parts.exists(_.isEmpty))
+        throw new IllegalArgumentException(
+          s"$path/merges.txt line '$l' is not a 'first second' pair")
+      (parts(0), parts(1))
+    }
+    val model = Model(merges)
+    val vocabTxt = readText(spark, s"$path/vocab.json")
+    val parsed =
+      try {
+        val y = new org.yaml.snakeyaml.Yaml(
+          new org.yaml.snakeyaml.constructor.SafeConstructor(
+            new org.yaml.snakeyaml.LoaderOptions()))
+        y.load[java.util.Map[String, Object]](vocabTxt)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path/vocab.json is unreadable: ${e.getMessage}")
+      }
+    val byId = new Array[String](parsed.size())
+    parsed.forEach { (tok, id) =>
+      val i = String.valueOf(id).toInt
+      if (i < 0 || i >= byId.length || byId(i) != null)
+        throw new IllegalArgumentException(
+          s"$path/vocab.json ids are not dense 0..${byId.length - 1} " +
+            s"(token '$tok' has id $i)")
+      byId(i) = tok
+    }
+    val vocab = byId.toVector
+    val missing = merges.map { case (a, b) => a + b }.filterNot(vocab.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"$path/vocab.json is missing ${missing.size} merge products " +
+        s"(first: '${missing.head}') — merges/vocab from different trainings")
+    TextModel(model, vocab)
   }
 
   /** Distributed encode: (idCol, n_words, n_subwords, subwords) — one

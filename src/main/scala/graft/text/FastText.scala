@@ -304,13 +304,26 @@ object FastText {
     * initial step (the mean-normalized features make the loss surface
     * flat) land without the tail oscillating. Unlabeled-class corner:
     * training refuses unless both classes are present (a one-class fit
-    * converges to ±∞ bias). */
+    * converges to ±∞ bias).
+    *
+    * `minibatchFraction` < 1 is the 100 TB epoch-cost bound: each epoch
+    * trains on a DETERMINISTIC hash sample of the documents
+    * ([[graft.ops.Sampling.hashSample]] on the doc key, seed = epoch),
+    * so per-epoch join/aggregate volume is fraction-bounded while every
+    * epoch still sees a different (but run-reproducible — still no RNG)
+    * slice. Loss and gradients normalize by THAT epoch's sampled doc
+    * count; the trace records each epoch's sampled-subset loss. An epoch
+    * whose sample lands empty records NaN and moves on (no update — no
+    * evidence). Full batch (the default 1.0) is byte-identical to the
+    * pre-minibatch behavior. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
             buckets: Int = 4096, epochs: Int = 20,
-            lr: Double = 10.0): Model = {
+            lr: Double = 10.0, minibatchFraction: Double = 1.0): Model = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
     require(lr > 0, s"lr must be > 0, got $lr")
+    require(minibatchFraction > 0 && minibatchFraction <= 1,
+      s"minibatchFraction must be in (0, 1], got $minibatchFraction")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -319,13 +332,18 @@ object FastText {
         col(labelCol).cast(DoubleType).as("_gf_y"),
         gramsCol(col(textCol)).as("_gf_gs"))
       .filter(size(col("_gf_gs")) > 0)
-    // (id, y, 1/n_f, bucket) incidence rows — featurized ONCE, cached
-    // for the epoch loop; text is never touched again.
+    // (id, sample key, y, 1/n_f, bucket) incidence rows — featurized
+    // ONCE, cached for the epoch loop; text is never touched again.
+    // _gf_sk folds the (unbounded) synthetic doc id into hashSample's
+    // documented key range; all of a doc's rows share it, so the epoch
+    // filter samples DOCUMENTS, not incidence rows.
     val inc = labeled
-      .select(col("_gf_id"), col("_gf_y"),
+      .select(col("_gf_id"),
+        pmod(xxhash64(col("_gf_id")), lit(1000000000L)).as("_gf_sk"),
+        col("_gf_y"),
         (lit(1.0) / size(col("_gf_gs"))).as("_gf_inv"),
         explode(col("_gf_gs")).as("_gf_g"))
-      .select(col("_gf_id"), col("_gf_y"), col("_gf_inv"),
+      .select(col("_gf_id"), col("_gf_sk"), col("_gf_y"), col("_gf_inv"),
         pmod(xxhash64(col("_gf_g")), lit(buckets.toLong)).as("_gf_b"))
       .cache()
     val classes = labeled.select(col("_gf_y")).distinct().collect()
@@ -334,7 +352,6 @@ object FastText {
       s"labels must be 0/1, got ${classes.mkString(",")}")
     require(classes == Set(0.0, 1.0),
       "training needs BOTH classes present — a one-class fit diverges")
-    val nDocs = labeled.count().toDouble
 
     val w = Array.fill(buckets)(0.0)
     var bias = 0.0
@@ -347,10 +364,16 @@ object FastText {
         val wDf = broadcast(
           w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }
             .toDF("_gf_b", "_gf_wv"))
+        // Minibatch lane: a deterministic per-epoch doc sample off the
+        // cached incidence via the bounded per-doc sample key.
+        val epochInc =
+          if (minibatchFraction >= 1.0) inc
+          else graft.ops.Sampling.hashSample(inc, "_gf_sk",
+            minibatchFraction, seed = ep.toLong)
         // Per-doc margin + residual (p − y); one keyed aggregation,
         // cached for the epoch (read twice: loss aggregate + gradient
         // join) and released before the next weight frame.
-        val margins = inc.join(wDf, Seq("_gf_b"), "left")
+        val margins = epochInc.join(wDf, Seq("_gf_b"), "left")
           .groupBy(col("_gf_id"))
           .agg(first(col("_gf_y")).as("_gf_y"),
             first(col("_gf_inv")).as("_gf_inv"),
@@ -360,25 +383,36 @@ object FastText {
               .as("_gf_p"))
           .withColumn("_gf_r", col("_gf_p") - col("_gf_y"))
           .cache()
-        // Loss + bias gradient: one 1-row aggregate. Clamp ln args away
-        // from 0 (a perfectly-separated fixture otherwise yields -inf).
+        // Loss + bias gradient + the epoch's doc count: one 1-row
+        // aggregate. Clamp ln args away from 0 (a perfectly-separated
+        // fixture otherwise yields -inf). Normalization is by THIS
+        // epoch's doc count (= the full corpus at fraction 1.0).
         val s = margins.agg(
           sum(-(col("_gf_y") * log(greatest(col("_gf_p"), lit(1e-12)))
             + (lit(1.0) - col("_gf_y"))
               * log(greatest(lit(1.0) - col("_gf_p"), lit(1e-12)))))
             .as("loss"),
-          sum(col("_gf_r")).as("rsum")).collect()(0)
-        losses += s.getDouble(0) / nDocs
-        val gradB = s.getDouble(1) / nDocs
-        // Per-bucket gradient: Σ_incidences r/n_f, B-bounded collect.
-        val grads = inc
-          .join(margins.select(col("_gf_id"), col("_gf_r")), Seq("_gf_id"))
-          .groupBy(col("_gf_b"))
-          .agg(sum(col("_gf_r") * col("_gf_inv")).as("_gf_g"))
-          .collect()
-        grads.foreach(r =>
-          w(r.getLong(0).toInt) -= lrT * r.getDouble(1) / nDocs)
-        bias -= lrT * gradB
+          sum(col("_gf_r")).as("rsum"),
+          count(lit(1)).as("n")).collect()(0)
+        val nEpoch = s.getLong(2).toDouble
+        if (nEpoch == 0) {
+          // the sample landed empty — no evidence, no update
+          losses += Double.NaN
+        } else {
+          losses += s.getDouble(0) / nEpoch
+          val gradB = s.getDouble(1) / nEpoch
+          // Per-bucket gradient: Σ_incidences r/n_f, B-bounded collect
+          // (the join against per-doc residuals re-selects the epoch's
+          // incidence subset — unsampled docs have no residual row).
+          val grads = epochInc
+            .join(margins.select(col("_gf_id"), col("_gf_r")), Seq("_gf_id"))
+            .groupBy(col("_gf_b"))
+            .agg(sum(col("_gf_r") * col("_gf_inv")).as("_gf_g"))
+            .collect()
+          grads.foreach(r =>
+            w(r.getLong(0).toInt) -= lrT * r.getDouble(1) / nEpoch)
+          bias -= lrT * gradB
+        }
         margins.unpersist(false)
       }
     } finally inc.unpersist(false)

@@ -97,6 +97,66 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bpe.readModel(spark, path) }
   }
 
+  test("text format round-trips byte-equal and is what writeModel ships") {
+    val m = Bpe.trainFromCounts(classicCounts, numMerges = 5)
+    val p1 = java.nio.file.Files.createTempDirectory("bpe-txt1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("bpe-txt2").toString
+    Bpe.writeTextFormat(spark, m, p1)
+    val tm = Bpe.readTextFormat(spark, p1)
+    assert(tm.model.merges == m.merges)
+    // vocab: base symbols sorted (</w> sorts first), then products in rank order
+    assert(tm.vocab == Vector(
+      "</w>", "e", "l", "o", "s", "t", "w",
+      "es", "est", "est</w>", "lo", "low"))
+    // write the read-back verbatim -> byte-identical files
+    Bpe.writeTextFormat(spark, tm, p2)
+    def bytes(dir: String, f: String) =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f)).toSeq
+    assert(bytes(p1, "merges.txt") == bytes(p2, "merges.txt"))
+    assert(bytes(p1, "vocab.json") == bytes(p2, "vocab.json"))
+    // the public shape itself: header + rank-ordered space-separated pairs
+    assert(new String(bytes(p1, "merges.txt").toArray, "UTF-8") ==
+      "#version: 0.2\ne s\nes t\nest </w>\nl o\nlo w\n")
+    // writeModel ships the same two files alongside the parquet
+    val p3 = java.nio.file.Files.createTempDirectory("bpe-full").toString
+    Bpe.writeModel(spark, m, p3)
+    assert(bytes(p3, "merges.txt") == bytes(p1, "merges.txt"))
+    assert(bytes(p3, "vocab.json") == bytes(p1, "vocab.json"))
+    // non-ASCII alphabet entries escape to \uXXXX and survive the trip
+    val p4 = java.nio.file.Files.createTempDirectory("bpe-uni").toString
+    Bpe.writeTextFormat(spark, m, p4, alphabet = Seq("é", "\""))
+    val tm4 = Bpe.readTextFormat(spark, p4)
+    assert(tm4.vocab.contains("é") && tm4.vocab.contains("\""))
+    assert(!new String(bytes(p4, "vocab.json").toArray, "UTF-8").contains("é"))
+  }
+
+  test("text format refusals: missing files, bad lines, foreign vocab") {
+    val m = Bpe.trainFromCounts(classicCounts, numMerges = 3)
+    val empty = java.nio.file.Files.createTempDirectory("bpe-txtempty").toString
+    intercept[IllegalArgumentException] { Bpe.readTextFormat(spark, empty) }
+    val p = java.nio.file.Files.createTempDirectory("bpe-txtbad").toString
+    Bpe.writeTextFormat(spark, m, p)
+    def rewrite(f: String, s: String): Unit = {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(p, s".$f.crc"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p, f), s): Unit
+    }
+    // a merge line that is not a 'first second' pair
+    rewrite("merges.txt", "#version: 0.2\ne s\nes\n")
+    intercept[IllegalArgumentException] { Bpe.readTextFormat(spark, p) }
+    // vocab from a different training (missing a merge product)
+    rewrite("merges.txt", "#version: 0.2\ne s\nq z\n")
+    intercept[IllegalArgumentException] { Bpe.readTextFormat(spark, p) }
+    // non-dense vocab ids
+    rewrite("merges.txt", "#version: 0.2\ne s\n")
+    rewrite("vocab.json", """{"e": 0, "s": 2, "es": 3}""")
+    intercept[IllegalArgumentException] { Bpe.readTextFormat(spark, p) }
+    // exporting a vocab that lacks a product refuses at write time
+    intercept[IllegalArgumentException] {
+      Bpe.writeTextFormat(spark, Bpe.TextModel(m, Vector("e", "s")), p)
+    }
+  }
+
   test("refusals: bad numMerges/maxVocab/minPairCount, duplicate rules") {
     val c = Seq(Tuple1("a b")).toDF("text")
     intercept[IllegalArgumentException] { Bpe.train(c, "text", 0) }

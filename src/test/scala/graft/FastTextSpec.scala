@@ -68,6 +68,44 @@ class FastTextSpec extends SparkSpec {
       s"no separation: $scored")
   }
 
+  test("minibatch lane converges, is deterministic, and refuses bad fractions") {
+    val pos = (0 until 12).map(i => (s"excellent prose sample $i", 1.0))
+    val neg = (0 until 12).map(i => (s"spam junk noise $i", 0.0))
+    val docs = (pos ++ neg).toDF("text", "label")
+      .withColumn("doc_id", monotonically_increasing_id())
+    // hash-sampled epochs (seed = epoch, no RNG): the gate still separates
+    val m = FastText.train(docs, "text", "label",
+      buckets = 4096, epochs = 15, lr = 40.0, minibatchFraction = 0.5)
+    assert(m.losses.size == 15)
+    val real = m.losses.filterNot(_.isNaN)
+    assert(real.nonEmpty && real.last < real.head,
+      s"loss did not fall: ${m.losses}")
+    val scored = FastText.scoreHashed(docs, "doc_id", "text",
+        m.weightFrame(spark), m.bias, buckets = m.buckets)
+      .join(docs.select("doc_id", "label"), "doc_id")
+      .groupBy("label").agg(avg("score").as("s"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(scored(1.0) > 0.6 && scored(0.0) < 0.4, s"no separation: $scored")
+    // two runs of the same minibatch schedule produce the SAME model
+    val m2 = FastText.train(docs, "text", "label",
+      buckets = 4096, epochs = 15, lr = 40.0, minibatchFraction = 0.5)
+    assert(m2.bias == m.bias && m2.weights.toSeq == m.weights.toSeq)
+    // fraction 1.0 is byte-identical to the default full-batch lane
+    val full = FastText.train(docs, "text", "label",
+      buckets = 512, epochs = 3, lr = 10.0)
+    val full2 = FastText.train(docs, "text", "label",
+      buckets = 512, epochs = 3, lr = 10.0, minibatchFraction = 1.0)
+    assert(full.bias == full2.bias &&
+      full.weights.toSeq == full2.weights.toSeq &&
+      full.losses == full2.losses)
+    intercept[IllegalArgumentException] {
+      FastText.train(docs, "text", "label", minibatchFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      FastText.train(docs, "text", "label", minibatchFraction = 1.5)
+    }
+  }
+
   test("training refuses one-class and non-binary labels") {
     val oneClass = Seq(("a b", 1.0), ("c d", 1.0)).toDF("text", "label")
     intercept[IllegalArgumentException] {
