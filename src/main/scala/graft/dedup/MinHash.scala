@@ -262,13 +262,47 @@ object MinHash {
 
   /** Greedy near-dedup: drop any doc that near-matches a smaller-id doc
     * (single pass over the pair list — the standard corpus-dedup policy;
-    * full connected components would need iteration). */
+    * full connected components would need iteration).
+    *
+    * **Identical-signature collapse (the boilerplate mega-cluster
+    * guard).** Before the band join, docs sharing an IDENTICAL signature
+    * collapse to their min-id representative via one aggregation. This is
+    * the skew fix AQE cannot provide: an m-doc boilerplate cluster (site
+    * chrome, license headers, templated pages — every real crawl has one)
+    * puts m identical band hashes in EVERY band's bucket, so the
+    * candidate self-join emits bands·m²/2 pairs — OptimizeSkewedJoin can
+    * split the hot partition across tasks, but the quadratic OUTPUT still
+    * has to exist (m = 10⁸ at 100 TB → 10¹⁶ pairs). Aggregation, unlike a
+    * join, is skew-robust (map-side partial combine), so the collapse
+    * costs one combined exchange and removes the blow-up at its source:
+    * the cluster enters the band join as ONE row.
+    *
+    * The kept set is EXACTLY the pre-collapse one:
+    *  - a non-representative member is a loser both ways (identical sigs
+    *    collide in every band and estimate 1.0 ≥ any threshold, and the
+    *    rep's id is smaller by construction);
+    *  - for cross-group pairs, est_jaccard and band collision depend only
+    *    on the signatures, so (repA, repB) passes iff every (a, b) pair
+    *    did, and min(A ∪ B) — the only cross-group survivor either way —
+    *    is a representative by definition.
+    * MinHashSpec pins collapsed ≡ pair-derived on a planted mega-cluster;
+    * [[graft.MinHashSkewProbe]] measures the quadratic counterfactual. */
   def dedup(df: DataFrame, textCol: String, idCol: String,
             n: Int = 3, k: Int = 64, bands: Int = 16,
             threshold: Double = 0.7): DataFrame = {
-    val losers = nearDuplicatePairs(df, textCol, idCol, n, k, bands, threshold)
-      .select(col("id_b").as("_gf_loser")).distinct()
-    df.join(losers, df(idCol) === col("_gf_loser"), "left_anti")
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val sigs = signatures(df, textCol, idCol, n, k)
+    val reps = sigs.groupBy(col("_gf_sig"))
+      .agg(min(col("_gf_id")).as("_gf_rep"))
+    // m×1 per signature group: skew-safe (the hot key meets ONE build row)
+    val dupLosers = sigs.join(reps, Seq("_gf_sig"))
+      .filter(col("_gf_id") =!= col("_gf_rep"))
+      .select(col("_gf_id").as("_gf_loser"))
+    val repSigs = reps.select(col("_gf_rep").as("_gf_id"), col("_gf_sig"))
+    val pairLosers = sigPairs(repSigs, k, bands, threshold)
+      .select(col("id_b").as("_gf_loser"))
+    df.join(dupLosers.unionByName(pairLosers).distinct(),
+      df(idCol) === col("_gf_loser"), "left_anti")
   }
 
   /** Persist a signature index — the state an INCREMENTAL near-dedup

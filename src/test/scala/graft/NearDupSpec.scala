@@ -28,6 +28,33 @@ class NearDupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("dedup's identical-signature collapse keeps exactly the pair-derived set") {
+    // a planted boilerplate mega-cluster (identical text -> identical
+    // signatures), near-dups of its representative AND of a non-rep
+    // member, plus unrelated docs — the shapes the collapse proof covers
+    val boiler = (1 to 40).map(i => (100L + i, baseText))
+    val df = (boiler ++ Seq(
+      (50L, nearText),        // near-dup of the cluster, id BELOW the reps
+      (200L, nearText),       // near-dup of the cluster, id above
+      (300L, otherText),      // unrelated
+      (301L, otherText)       // exact dup of unrelated
+    )).toDF("doc_id", "text")
+    val kept = MinHash.dedup(df, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the reference semantics, derived from the full pair list
+    val losers = MinHash.nearDuplicatePairs(df, "text", "doc_id",
+        threshold = 0.5)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val expected = (boiler.map(_._1) ++ Seq(50L, 200L, 300L, 301L)).toSet -- losers
+    assert(kept == expected, s"collapse diverged: kept=$kept expected=$expected")
+    // doc 50 (smallest id overall) must be the sole survivor of its
+    // near-dup neighborhood; the unrelated pair keeps its min id
+    assert(kept.contains(50L) && kept.contains(300L) && !kept.contains(301L))
+    // 50 < every cluster id and near-matches the shared signature, so the
+    // entire mega-cluster must drop (via the rep — non-reps drop by collapse)
+    assert(!boiler.map(_._1).exists(kept.contains))
+  }
+
   test("simhash: identical docs distance 0; one-word change small; unrelated far") {
     val df = Seq((1L, baseText), (2L, baseText),
       (3L, baseText.replaceFirst("word1 ", "zzzz ")), (4L, otherText))
