@@ -45,6 +45,7 @@ object Sampling {
   private[graft] val WeightedPrime   = 999999883L
   private[graft] val SplitPrime      = 999999797L
   private[graft] val QuotaPrime      = 999999761L
+  private[graft] val BottomKPrime    = 999999751L
 
   /** Bucket in [0, Buckets) from a non-negative integral key; keys must
     * stay below ~3.4e9 to avoid BIGINT overflow in external engines (Spark
@@ -116,6 +117,48 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** EXACTLY-k-per-stratum deterministic sample (a bottom-k sketch): the
+    * k rows of each stratum whose key hashes smallest, ranked
+    * (bucket asc, key asc). Fraction samplers ([[hashSample]] /
+    * [[stratifiedSample]]) cannot promise a fixed size; this is the
+    * fixed-BUDGET selector — eval sets, human-review batches, per-source
+    * debug samples — with the bottom-k property that the rank-≤-j prefix
+    * IS the bottom-j sample (nested subsamples for free) and that the
+    * same keys win across reruns and engines (the Knuth bucket, own fold
+    * prime, SQL-portable via [[sqlBottomKBucket]]).
+    *
+    * Scale shape: [[TopK.perGroup]]'s k-bounded typed Aggregator — hash
+    * grouping with an O(k) insertion per row, the exchange carrying ≤ k
+    * candidates per (stratum, partition) and NO sort anywhere — then one
+    * join (strata·k rows, AQE broadcasts it) to recover the full rows.
+    * The window form (`row_number() OVER (PARTITION BY stratum ORDER BY
+    * bucket, key)`) pays two partition-wide sorts for the same answer
+    * and remains the ORACLE formulation.
+    *
+    * Contract: `keyCol` must be unique within each stratum (it is "the
+    * id") — duplicate keys tie in the hash order, where the window
+    * oracle numbers them arbitrarily and the aggregator keeps both.
+    * Output: the selected rows of `df` plus `sample_rank` (1-based).
+    * Strata with fewer than k rows keep them all. */
+  def bottomKSample(df: DataFrame, keyCol: String, strataCol: String,
+                    k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralKey(df, keyCol)
+    val scored = df.select(col(strataCol),
+      (-bucket(col(keyCol), seed, BottomKPrime)).cast("double").as("_gf_neg"),
+      col(keyCol))
+    val sel = TopK.perGroup(scored, Seq(strataCol), "_gf_neg", keyCol, k)
+      .select(col(strataCol), col("id").as(keyCol),
+        col("rank").as("sample_rank"))
+    df.join(sel, Seq(strataCol, keyCol))
+  }
+
+  /** SQL fragment mirroring [[bottomKSample]]'s rank order for a DuckDB
+    * oracle: `row_number() OVER (PARTITION BY stratum ORDER BY
+    * <this>, key)`. */
+  def sqlBottomKBucket(key: String, seed: Long = 0L): String =
+    sqlBucket(key, seed, BottomKPrime)
 
   /** Quality-weighted deterministic sampling — keep each row with
     * probability `weight` (its own column, clamped to [0,1]; NULL weights

@@ -98,6 +98,101 @@ object Sharding {
     writeManifest(spark, path, textCol, n)
   }
 
+  /** Write the corpus as JSON-LINES shards — the text-interop twin of
+    * [[writeShards]]: every training stack reads JSONL, none needs this
+    * engine to do so. Same deterministic scatter (a row lands in the SAME
+    * shard either format), same lifecycle (refusals first, data
+    * partitioned by shard, manifest LAST) — plus the frame's schema DDL
+    * pinned in the manifest, because JSON carries no types: a schema-less
+    * read-back would silently widen ints and reorder columns, breaking
+    * round-trip equality. [[readShardsJsonl]] restores the exact schema. */
+  def writeShardsJsonl(docs: DataFrame, idCol: String, textCol: String,
+                       path: String, n: Int): Unit = {
+    val spark = docs.sparkSession
+    require(docs.limit(1).collect().nonEmpty,
+      "writeShardsJsonl: refusing to export an empty corpus")
+    val fields = docs.schema.fieldNames
+    require(!fields.contains("shard"),
+      "writeShardsJsonl: the frame already carries a 'shard' column — " +
+        "drop or rename it; the export owns that name")
+    docs.withColumn("shard", shardId(col(idCol), n))
+      .write.mode("overwrite").partitionBy("shard").json(s"$path/data")
+    val ddl = docs.schema.toDDL
+    val per = spark.read.schema(docs.schema.add("shard", "int"))
+      .json(s"$path/data")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("rows"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast(LongType)).as("tokens"))
+      .orderBy("shard")
+      .collect()
+    val total = per.map(_.getLong(1)).sum
+    val shardsJson = per.map(r =>
+      s"""{"shard": ${r.getInt(0)}, "rows": ${r.getLong(1)}, "tokens": ${r.getLong(2)}}""")
+      .mkString("[", ", ", "]")
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json =
+      s"""{"format": "graft-shards-jsonl-v1", "n_shards": $n, """ +
+        s""""rows": $total, "schema": "${esc(ddl)}", "shards": $shardsJson}"""
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-open a JSONL export under its manifest-pinned schema. Refusals:
+    * missing/foreign manifest, unparsable pinned schema, per-shard row
+    * counts differing from the manifest's (partial copy / torn write).
+    * Returns the corpus with its `shard` column, typed exactly as
+    * written. */
+  def readShardsJsonl(spark: SparkSession, path: String): DataFrame = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) throw new IllegalArgumentException(
+      s"no shard manifest at $path — nothing was exported here, or the " +
+        "write was interrupted before completion (manifest is written last)")
+    val in = fs.open(mp)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m =
+      try {
+        val y = new org.yaml.snakeyaml.Yaml(
+          new org.yaml.snakeyaml.constructor.SafeConstructor(
+            new org.yaml.snakeyaml.LoaderOptions()))
+        y.load[java.util.Map[String, Object]](raw)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path/manifest.json is unreadable: ${e.getMessage}")
+      }
+    val format = String.valueOf(m.get("format"))
+    if (format != "graft-shards-jsonl-v1") throw new IllegalArgumentException(
+      s"manifest at $path holds format '$format', not a graft-shards-jsonl-v1 " +
+        "export — refusing to read foreign shards")
+    val ddl = String.valueOf(m.get("schema"))
+    val schema =
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"manifest at $path pins an unparsable schema '$ddl': ${e.getMessage}")
+      }
+    val pinned = """\{"shard":\s*(\d+),\s*"rows":\s*(\d+)""".r
+      .findAllMatchIn(raw).map(g => (g.group(1).toInt, g.group(2).toLong)).toMap
+    val data = spark.read.schema(schema.add("shard", "int")).json(s"$path/data")
+    val actual = data.groupBy("shard").agg(count(lit(1)).as("rows"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    if (actual != pinned) throw new IllegalArgumentException(
+      s"JSONL export at $path does not match its manifest (manifest " +
+        s"$pinned vs files $actual) — partial copy or torn write; restore " +
+        "the matching files")
+    data
+  }
+
   /** Recompute the manifest from the WRITTEN files (what a reader will
     * see, not the input frame) and overwrite it — always the LAST step
     * of a write or append, so its presence marks completeness. */

@@ -91,6 +91,27 @@ object MixtureQueries {
                floor((ss - cs) * 1e6 + 0.5) / 1e6 AS deviation
         FROM w ORDER BY shard, source""")),
 
+    // JSONL export round trip: write the corpus as JSON-LINES shards
+    // (the format every training stack reads — the interop lane of the
+    // export), re-open under the manifest-pinned schema, and emit the
+    // ROWS themselves. HASH-GREEN against the source table + recomputed
+    // scatter: document content (text itself, not a digest), ids, and
+    // shard assignment all survive the text round trip exactly.
+    Q("corpus_shard_jsonl",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+        val path = NearDupQueries.scratchIndexDir(s, "shards-jsonl", dir)
+        graft.ops.Sharding.writeShardsJsonl(d, "doc_id", "text", path, n = 8)
+        graft.ops.Sharding.readShardsJsonl(s, path)
+          .select(col("doc_id"), col("lang"), col("shard"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang,
+               CAST(((doc_id * 2654435761) % 1000000007) % 8 AS INT) AS shard,
+               text
+        FROM documents ORDER BY doc_id""")),
+
     // Incremental ingest under the gate: export the even half, APPEND the
     // odd half (stateless scatter → no reshuffle of existing data,
     // id-collision refusal before any write), re-open, re-derive the plan

@@ -33,6 +33,29 @@ object SamplingQueries {
            OR (l_returnflag = 'A' AND ${Sampling.sqlStratifiedBucket("l_orderkey")} < ${(0.30 * Sampling.Buckets).toLong})
         GROUP BY 1 ORDER BY 1""")),
 
+    // Fixed-BUDGET per-stratum sample: exactly 7 docs per language,
+    // deterministically hash-uniform (bottom-k of the portable Knuth
+    // bucket) — eval sets / review batches, where fraction samplers
+    // can't promise a size. The engine side is TopK's k-bounded typed
+    // Aggregator (no sort anywhere, <= k candidates per partition
+    // through the exchange); the oracle is the two-sort window form —
+    // hash equality proves the sort-free plan keeps the SAME rows.
+    Q("sample_bottomk",
+      (s, dir) => Sampling.bottomKSample(Tables.documents(s, dir),
+          "doc_id", "lang", k = 7)
+        .select(col("lang"), col("sample_rank").cast("int").as("sample_rank"),
+          col("doc_id"))
+        .orderBy("lang", "sample_rank"),
+      Some(s"""
+        SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ${Sampling.sqlBottomKBucket("doc_id")}, doc_id)
+                   AS sample_rank
+          FROM documents) t
+        WHERE sample_rank <= 7
+        ORDER BY lang, sample_rank""")),
+
     // Entity-keyed train/val/test split: deterministic, leakage-safe (same
     // key -> same split across reruns and derived tables).
     Q("sample_split",

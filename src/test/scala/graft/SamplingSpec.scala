@@ -67,6 +67,42 @@ class SamplingSpec extends SparkSpec {
       .contains("< 900000 THEN 'b'"))
   }
 
+  test("bottomKSample: exact budget, nested prefixes, reproducible, hash-uniform") {
+    val out = Sampling.bottomKSample(ids, "id", "cls", k = 25)
+      .collect().map(r => (r.getAs[String]("cls"), r.getAs[Long]("id"),
+        r.getAs[Int]("sample_rank")))
+    // exactly k per stratum (both strata are larger than k)
+    val byCls = out.groupBy(_._1)
+    assert(byCls.keySet == Set("majority", "minority"))
+    assert(byCls.values.forall(_.length == 25))
+    // ranks are 1..k and ordered by (bucket asc, id asc)
+    byCls.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 25))
+    }
+    // reproducible; different seed draws differently
+    val again = Sampling.bottomKSample(ids, "id", "cls", k = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == out.map(t => (t._1, t._2)).toSet)
+    val other = Sampling.bottomKSample(ids, "id", "cls", k = 25, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(other != again)
+    // the rank <= j prefix IS the bottom-j sample (nested subsamples)
+    val j = Sampling.bottomKSample(ids, "id", "cls", k = 10)
+      .collect().map(r => (r.getAs[String]("cls"), r.getAs[Long]("id"))).toSet
+    assert(j == out.filter(_._3 <= 10).map(t => (t._1, t._2)).toSet)
+    // a stratum smaller than k keeps all its rows
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "cls")
+    assert(Sampling.bottomKSample(tiny, "id", "cls", k = 5).count() == 3)
+    // refusals
+    intercept[IllegalArgumentException] {
+      Sampling.bottomKSample(ids, "id", "cls", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.bottomKSample(ids.withColumn("sid", col("id").cast("string")),
+        "sid", "cls", k = 3)
+    }
+  }
+
   test("composed selectors are decorrelated: quota-then-sample keeps ~fraction") {
     // r4 ADVICE: with one shared hash, quota kept the n LOWEST buckets per
     // group, which a following sample(0.8) then kept at ~100% instead of

@@ -84,6 +84,51 @@ class ShardingSpec extends SparkSpec {
     assert(ex4.getMessage.contains("empty"))
   }
 
+  test("JSONL export round-trips rows, types, and assignment; refusals hold") {
+    val d = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-jsonl").toString
+    val path = s"$dir/exp"
+    Sharding.writeShardsJsonl(d, "doc_id", "text", path, 8)
+    val re = Sharding.readShardsJsonl(spark, path)
+    // the manifest-pinned schema restores the exact column types (a
+    // schema-less JSON read would widen n_chars int -> bigint)
+    assert(re.drop("shard").schema == d.schema)
+    // row-for-row equality through the text format
+    assert(re.drop("shard").exceptAll(d).count() == 0L)
+    assert(d.exceptAll(re.drop("shard")).count() == 0L)
+    // assignment matches the scatter, same as the parquet lane
+    assert(re.filter(col("shard") =!= Sharding.shardId(col("doc_id"), 8)).count() == 0L)
+    // refusal ladder: missing manifest, foreign format, torn write, empty
+    intercept[IllegalArgumentException] {
+      Sharding.readShardsJsonl(spark, s"$dir/nothere")
+    }
+    def tamper(json: String): Unit = {
+      val fp = new java.io.PrintWriter(s"$path/manifest.json")
+      try fp.write(json) finally fp.close()
+      new java.io.File(s"$path/.manifest.json.crc").delete(): Unit
+    }
+    tamper("""{"format": "graft-shards-v1"}""")
+    assert(intercept[IllegalArgumentException] {
+      Sharding.readShardsJsonl(spark, path)
+    }.getMessage.contains("graft-shards-jsonl-v1"))
+    tamper("""{"format": "graft-shards-jsonl-v1", "n_shards": 8, "rows": 1, "schema": "doc_id BIGINT,lang STRING,text STRING,n_chars INT", "shards": [{"shard": 0, "rows": 1, "tokens": 1}]}""")
+    assert(intercept[IllegalArgumentException] {
+      Sharding.readShardsJsonl(spark, path)
+    }.getMessage.contains("does not match"))
+    tamper("""{"format": "graft-shards-jsonl-v1", "n_shards": 8, "rows": 1, "schema": "NOT A SCHEMA ((", "shards": []}""")
+    assert(intercept[IllegalArgumentException] {
+      Sharding.readShardsJsonl(spark, path)
+    }.getMessage.contains("unparsable"))
+    intercept[IllegalArgumentException] {
+      Sharding.writeShardsJsonl(d.limit(0), "doc_id", "text", s"$dir/empty", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.writeShardsJsonl(d.withColumn("shard", lit(1)),
+        "doc_id", "text", s"$dir/clash", 4)
+    }
+  }
+
   test("append lands in the same layout as one full write; refusals hold") {
     val d = Tables.documents(spark, sfDir).select("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-shards-app").toString
