@@ -171,6 +171,46 @@ object OpsQueries {
               FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
         WHERE rn <= 3 ORDER BY event_type, rank""")),
 
+    // Count-Min sketch vs exact counts: approximate frequencies in FIXED
+    // d·w state — the bounded-memory counterpart of exact heavy hitters
+    // for unbounded key domains, mergeable cell-wise across executors /
+    // batches. HASH-GREEN: the row hashes are the portable Knuth scatter
+    // folded by per-row primes (exact 64-bit arithmetic), so DuckDB
+    // recomputes the SKETCH itself — collisions, overcounts and all —
+    // not just a property of it. d=4, w=64 against 150 keys forces real
+    // collisions, so the overcount column is live, and min-over-rows is
+    // exercised, at every scale.
+    Q("sketch_cms",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        val sk = graft.ops.CountMin.sketch(ev, "user_id", depth = 4, width = 64)
+        val probes = ev.select("user_id").distinct()
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        graft.ops.CountMin.estimate(sk, probes, "user_id", depth = 4, width = 64)
+          .join(exact, Seq("user_id"))
+          .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") - col("exact_cnt")).as("overcount"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH rws AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+        ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        cells AS (
+          SELECT r.r AS rw, ${graft.ops.CountMin.sqlCellCase("user_id", "r.r", 4, 64)} AS cell,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ev, rws r GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT user_id FROM ev),
+        pc AS (SELECT p.user_id, r.r AS rw,
+                      ${graft.ops.CountMin.sqlCellCase("p.user_id", "r.r", 4, 64)} AS cell
+               FROM probes p, rws r),
+        est AS (SELECT user_id, min(coalesce(cnt, 0)) AS cms_est
+                FROM pc LEFT JOIN cells USING (rw, cell) GROUP BY user_id),
+        exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+                  FROM ev GROUP BY user_id)
+        SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+        FROM est JOIN exact USING (user_id)
+        ORDER BY user_id""")),
+
     // Fixed-grid resample with zero-filled gaps: the 'error' slice on an
     // HOURLY grid — sparse enough at small scales that empty buckets
     // actually exercise (a missing bucket is an outage signal, not an
