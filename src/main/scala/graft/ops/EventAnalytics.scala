@@ -190,4 +190,42 @@ object EventAnalytics {
         col("n_events")) ++ userCol.map(_ => col("n_users")): _*)
       .orderBy(s"${unit}_us")
   }
+
+  /** SCD2 validity intervals from an event stream — the change-history
+    * builder every warehouse keeps next to its `latest` snapshot
+    * ([[graft.queries.OpsQueries]] `events_latest`): per entity, each
+    * CHANGE of `stateCol` opens a version row [valid_from, valid_to),
+    * half-open on the next change's timestamp; the open interval
+    * (valid_to null) is the current state. Consecutive equal states
+    * collapse into one interval — re-observing the same state is not a
+    * change (classic type-2 dimension semantics).
+    *
+    * Deterministic under ties: ordering is (ts, tieCol) — a total order,
+    * so two runs of any partitioning emit the SAME history; null
+    * entity/ts/state rows are dropped (they can anchor no interval).
+    * Timestamps emit as epoch-µs integers (the engine's cross-engine
+    * timestamp convention).
+    *
+    * Scale shape: both windows share ONE partitioning on the entity key
+    * — a single shuffle, no global sort; the change filter drops
+    * unchanged rows BEFORE the second (version-numbering) window, so the
+    * heavier window runs over changes only, which for real dimension
+    * feeds is a tiny fraction of observations. */
+  def history(events: DataFrame, entityCol: String, tsCol: String,
+              stateCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .withColumn("_gf_prev", lag(col(stateCol), 1).over(w))
+      .filter(col("_gf_prev").isNull || col("_gf_prev") =!= col(stateCol))
+    val w2 = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    changes
+      .select(col(entityCol),
+        row_number().over(w2).cast("int").as("version"),
+        col(stateCol).as("state"),
+        unix_micros(col(tsCol)).as("valid_from_us"),
+        unix_micros(lead(col(tsCol), 1).over(w2)).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }

@@ -259,6 +259,42 @@ object OpsQueries {
           ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
         ORDER BY user_id""")),
 
+    // SCD2 change history — the versioned complement of events_latest:
+    // per user, each event_type CHANGE opens a [valid_from, valid_to)
+    // interval (half-open on the next change; open = current state),
+    // consecutive equal states collapsing into one version. Total order
+    // (ts, event_id) on both windows, which share one entity-keyed
+    // shuffle; the change filter runs BEFORE version numbering so the
+    // second window sees changes only. HASH-GREEN against the ANSI
+    // lag/lead mirror at µs granularity.
+    Q("events_scd2",
+      (s, dir) => graft.ops.EventAnalytics.history(Tables.events(s, dir),
+          "user_id", "ts", "event_type", tieCol = "event_id")
+        .orderBy("user_id", "version"),
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL),
+        chg AS (
+          SELECT user_id, event_type, ts, event_id FROM o
+          WHERE prev IS NULL OR prev <> event_type),
+        v AS (
+          SELECT user_id,
+                 row_number() OVER w2 AS version,
+                 event_type AS state,
+                 epoch_us(ts) AS valid_from_us,
+                 epoch_us(lead(ts) OVER w2) AS valid_to_us
+          FROM chg
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        SELECT user_id, CAST(version AS INT) AS version, state,
+               valid_from_us, valid_to_us,
+               valid_to_us IS NULL AS is_current
+        FROM v ORDER BY user_id, version""")),
+
     // Batch degeneration of the stateful streaming funnel (same builder
     // StreamingSpec drives across triggers): one row per user per
     // first-reached step, strict ordering. The oracle derives each

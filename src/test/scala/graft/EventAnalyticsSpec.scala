@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.EventAnalytics
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 
 class EventAnalyticsSpec extends SparkSpec {
   import spark.implicits._
@@ -33,6 +34,36 @@ class EventAnalyticsSpec extends SparkSpec {
     val out = EventAnalytics.funnel(rows, "user_id", "ts", "event_type",
       Seq("view", "click")).collect()
     assert(out(1).getLong(2) == 0L)
+  }
+
+  test("history builds SCD2 intervals: changes open versions, repeats collapse") {
+    val rows = Seq(
+      // u1: A A B A  -> versions A[1,3) B[3,4) A[4,null)
+      (1L, ts(1, 1), "A", 10L), (1L, ts(1, 2), "A", 11L),
+      (1L, ts(1, 3), "B", 12L), (1L, ts(1, 4), "A", 13L),
+      // u2: single observation -> one open interval
+      (2L, ts(2, 1), "X", 20L),
+      // u3: tie on ts broken by event_id (31 before 32) -> C then D
+      (3L, ts(3, 1), "C", 31L), (3L, ts(3, 1), "D", 32L),
+      // null state/entity/ts rows anchor nothing
+      (4L, ts(4, 1), null, 40L), (0L, null, "Z", 41L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.history(rows, "user_id", "ts", "event_type",
+        tieCol = "event_id")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.isNullAt(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "A", false, false), (1L, 2, "B", false, false),
+      (1L, 3, "A", true, true),
+      (2L, 1, "X", true, true),
+      (3L, 1, "C", false, false), (3L, 2, "D", true, true)))
+    // interval arithmetic: u1's B starts where A ends (half-open chain)
+    val u1 = EventAnalytics.history(rows, "user_id", "ts", "event_type",
+        tieCol = "event_id")
+      .filter(col("user_id") === 1L).orderBy("version")
+      .collect().map(r => (r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(u1(0)._2 == u1(1)._1 && u1(1)._2 == u1(2)._1 && u1(2)._2 == -1L)
   }
 
   test("retention counts distinct users per cohort day offset") {

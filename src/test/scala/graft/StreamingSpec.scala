@@ -164,6 +164,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("Count-Min sketch accumulates on a live stream and equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    // The sketch IS an aggregation (groupBy row/cell + sum), so it runs
+    // under output mode COMPLETE with d·w-bounded state — the streaming
+    // frequency monitor shape (per-trigger snapshot of all counters).
+    val keys = Seq(3L, 3L, 3L, 7L, 7L, 11L, 3L, 11L, 11L, 11L)
+    val mem = MemoryStream[Long]
+    val q = graft.ops.CountMin.sketch(mem.toDF.toDF("k"), "k",
+        depth = 3, width = 16)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    mem.addData(keys.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(keys.drop(4): _*)   // counters must ACCUMULATE across triggers
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.CountMin.sketch(keys.toDF("k"), "k", 3, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"stream sketch diverged: $streamed vs $batch")
+    // and estimates off the streamed counters match the batch estimates
+    val est = graft.ops.CountMin.estimate(spark.table("cms_stream"),
+        Seq(3L, 7L, 11L).toDF("k"), "k", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == Map(3L -> 4L, 7L -> 2L, 11L -> 4L))
+  }
+
   test("encoding audit gates a live stream exactly like a batch") {
     implicit val sqlCtx = spark.sqlContext
     // encodingAudit is a stateless codegen'd projection — the hygiene
