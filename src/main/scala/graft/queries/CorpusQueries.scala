@@ -306,6 +306,56 @@ object CorpusQueries {
       },
       Some(decontaminateOracle)),
 
+    // Asymmetric containment pairs — the excerpt/quotation case Jaccard
+    // misses: docs with >= 20 tokens spawn a 12-token-prefix excerpt
+    // (doc_id + 2000000), whose 5 8-grams are all contained in the
+    // parent (containment 1.0) while Jaccard ~ 5/(len-7) stays under
+    // every near-dup threshold. The df-cap (drop grams in > 1000 docs)
+    // is part of the semantics and mirrored by the oracle — it is the
+    // MinHash-mega-cluster argument applied to the gram self-join.
+    Q("dedup_containment",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val toks = graft.text.TextAnalysis.tokens(col("text"))
+        val excerpts = d.filter(size(toks) >= 20)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", slice(toks, 1, 12)).as("text"))
+        CorpusOps.containmentPairs(d.unionByName(excerpts),
+            "doc_id", "text", n = 8, maxDf = 1000, threshold = 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        exc AS (
+          SELECT doc_id + 2000000 AS doc_id, array_to_string(l[1:12], ' ') AS text
+          FROM (SELECT doc_id, $sqlToks AS l FROM documents)
+          WHERE len(l) >= 20),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+        g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(${sqlNgrams("l", 8)}) AS gram
+            FROM (SELECT doc_id, $sqlToks AS l FROM corpus))
+          WHERE length(gram) > 0),
+        rare AS (
+          SELECT doc_id, gram FROM g
+          WHERE gram IN (SELECT gram FROM g GROUP BY gram
+                         HAVING count(*) <= 1000)),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+                  FROM g GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM rare a JOIN rare b USING (gram)
+          WHERE a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared, n_a, containment FROM (
+          SELECT id_a, id_b, n_shared, n_a,
+                 floor((CAST(n_shared AS DOUBLE) / CAST(n_a AS DOUBLE))
+                       * 1e6 + 0.5) / 1e6 AS containment
+          FROM shared JOIN sizes ON sizes.doc_id = shared.id_a) t
+        WHERE containment >= 0.8
+        ORDER BY id_a, id_b""")),
+
     // The graded contamination audit: overlap FRACTION per doc (GPT-3
     // appendix C's collision-rate shape), zero-overlap docs included —
     // the binary decontaminate is a threshold on this.

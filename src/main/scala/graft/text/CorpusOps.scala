@@ -83,6 +83,62 @@ object CorpusOps {
             s => s.getField("_gf_segment")), " ").cast("binary")).as("kept_hash"))
   }
 
+  /** Cross-document n-gram CONTAINMENT pairs — the asymmetric near-dup
+    * Jaccard misses: a short document quoted inside a long one scores
+    * containment(A in B) = |grams(A) ∩ grams(B)| / |grams(A)| ≈ 1 while
+    * its Jaccard stays near |A|/|B| (under every MinHash threshold). The
+    * excerpt/quotation check a curation pipeline runs next to symmetric
+    * near-dedup.
+    *
+    * Scale shape: documents explode to DISTINCT grams; grams whose
+    * document frequency exceeds `maxDf` are dropped BEFORE the gram
+    * self-join — the [[graft.dedup.MinHash.dedup]] mega-cluster argument
+    * again: a boilerplate gram shared by m docs would emit m² candidate
+    * rows (join-output explosion no partition split can absorb), and a
+    * gram that common is non-discriminative anyway (the standard df-cap;
+    * the cap is part of the SEMANTICS, mirrored by the oracle). The join
+    * then carries only discriminative (gram, id) pairs, shared-gram
+    * counts aggregate per ordered pair, and each divides by the
+    * contained side's distinct-gram count.
+    *
+    * Returns (id_a, id_b, n_shared, n_a, containment) for ORDERED pairs
+    * a ≠ b with containment(A in B) ≥ threshold, containment at 6dp —
+    * both directions can appear (asymmetric by design: the excerpt is
+    * contained in the parent, not vice versa). Documents with fewer than
+    * `n` tokens have no grams at this granularity and pair with nothing
+    * (the [[TextAnalysis.ngrams]] empty-array convention — containment
+    * needs at least one full window of evidence). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8, maxDf: Int = 1000,
+                       threshold: Double = 0.8): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 gram can pair nothing), got $maxDf")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val grams = docs
+      .select(col(idCol).as("_gf_id"),
+        explode(TextAnalysis.ngrams(col(textCol), n)).as("_gf_gram"))
+      .filter(length(col("_gf_gram")) > 0)
+      .distinct()
+    val sizes = grams.groupBy("_gf_id").agg(count(lit(1)).as("n_a"))
+    val rare = grams.join(
+      grams.groupBy("_gf_gram").agg(count(lit(1)).as("_gf_df"))
+        .filter(col("_gf_df") <= maxDf)
+        .select("_gf_gram"),
+      Seq("_gf_gram"), "left_semi")
+    val shared = rare.select(col("_gf_gram"), col("_gf_id").as("id_a"))
+      .join(rare.select(col("_gf_gram"), col("_gf_id").as("id_b")), Seq("_gf_gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("_gf_id").as("id_a"), col("n_a")), Seq("id_a"))
+      .withColumn("containment",
+        graft.Num.dround(col("n_shared").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_shared", "n_a", "containment")
+  }
+
   /** Benchmark decontamination: for each corpus document, the number of
     * distinct word `n`-grams it shares with the benchmark set — the
     * standard held-out-eval overlap check (GPT-2/GPT-3-style n-gram

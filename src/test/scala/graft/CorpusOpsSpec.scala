@@ -46,6 +46,48 @@ class CorpusOpsSpec extends SparkSpec {
       s"expected precondition failure, got: $msgs")
   }
 
+  test("containmentPairs: excerpt scores 1.0 in its parent, asymmetric, df-capped") {
+    val words = (1 to 40).map(i => s"w$i")
+    val parent = words.mkString(" ")             // 40 tokens
+    val excerpt = words.take(12).mkString(" ")   // 5 8-grams, all in parent
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, parent), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.containmentPairs(docs, "doc_id", "text",
+        n = 8, maxDf = 1000, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // exactly the asymmetric direction: excerpt (2) contained in parent (1)
+    assert(out.toSeq == Seq((2L, 1L, 5L, 5L, 1.0)))
+    // the reverse direction scores 5/33 and is cut by the threshold;
+    // lowering it surfaces the pair with the exact asymmetric ratio
+    val both = CorpusOps.containmentPairs(docs, "doc_id", "text",
+        n = 8, maxDf = 1000, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(both((1L, 2L)) == math.floor(5.0 / 33.0 * 1e6 + 0.5) / 1e6)
+    // df-cap: a gram shared by all three docs is dropped before pairing
+    val boiler = "common boiler plate gram shared by every doc here"
+    val capped = CorpusOps.containmentPairs(
+      Seq((1L, boiler), (2L, boiler), (3L, boiler)).toDF("doc_id", "text"),
+      "doc_id", "text", n = 8, maxDf = 2, threshold = 0.1)
+    assert(capped.count() == 0L)
+    // short docs (< n tokens) have no grams and pair with nothing
+    val short = CorpusOps.containmentPairs(
+      Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 8, maxDf = 10, threshold = 0.1)
+    assert(short.count() == 0L)
+    // refusals
+    intercept[IllegalArgumentException] {
+      CorpusOps.containmentPairs(docs, "doc_id", "text", n = 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.containmentPairs(docs, "doc_id", "text", maxDf = 1)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.containmentPairs(docs, "doc_id", "text", threshold = 0.0)
+    }
+  }
+
   test("decontaminate counts distinct shared n-grams per corpus doc") {
     val bench = Seq((100L, "one two three four five six seven eight nine"))
       .toDF("doc_id", "text")
