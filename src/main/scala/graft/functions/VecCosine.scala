@@ -177,8 +177,24 @@ object GraftFunctions {
   def sq8Encode(vec: Column): Column =
     ColumnGlue.column(Sq8Encode(ColumnGlue.expression(vec)))
 
-  /** Register `vec_cosine` + `jaro_winkler` for SQL use in an existing
-    * session. */
+  /** SQL builder for [[UnicodeNormalize]] — the form must be a string
+    * LITERAL (it parameterizes codegen; a column-valued form would need
+    * per-row dispatch and exists in no engine's normalize either). */
+  private[functions] def unicodeNormBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"unicode_normalize(text, 'NFC') takes 2 arguments, got ${children.size}")
+    val form = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s, t)
+          if t == org.apache.spark.sql.types.StringType && s != null =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"unicode_normalize's form must be a string literal, got ${other.sql}")
+    }
+    UnicodeNormalize(children.head, form)
+  }
+
+  /** Register `vec_cosine` + `jaro_winkler` + `unicode_normalize` for
+    * SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_cosine"),
@@ -188,6 +204,10 @@ object GraftFunctions {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinklerSim(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => unicodeNormBuilder(children))
   }
 }
 
@@ -203,5 +223,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinklerSim(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => GraftFunctions.unicodeNormBuilder(children)))
   }
 }

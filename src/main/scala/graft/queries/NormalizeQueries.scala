@@ -227,6 +227,43 @@ object NormalizeQueries {
                floor(score * 1e4 + 0.5) / 1e4 AS score
         FROM scored WHERE rnk = 1 ORDER BY seg""")),
 
+    // Unicode NFC canonicalization (UAX #15) via the native
+    // UnicodeNormalize expression — the pre-dedup step a multilingual
+    // corpus cannot skip: composed U+00E9 and decomposed e+U+0301 are
+    // the same text to a reader but different bytes to every fingerprint
+    // / gram join / shingle. Docs ≡ 0 (mod 4) get a decomposed suffix
+    // planted (combining acute U+0301, the commonest class), so the
+    // normalizer has live work at every scale; DuckDB's nfc_normalize is
+    // the oracle — the normalized TEXT itself is hash-compared, plus
+    // codepoint counts before/after (each composition shortens by one).
+    Q("normalize_nfc",
+      (s, dir) => {
+        import graft.functions.UnicodeNorm.unicodeNormalize
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" cafe\u0301 re\u0301sume\u0301")))
+            .otherwise(col("text")).as("text"))
+        planted.select(col("doc_id"),
+            unicodeNormalize(col("text"), "NFC").as("text_nfc"),
+            length(col("text")).as("n_before"),
+            length(unicodeNormalize(col("text"), "NFC")).as("n_after"))
+          .withColumn("changed", col("n_before") =!= col("n_after"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                   THEN text || ' cafe' || chr(769) || ' re' || chr(769)
+                        || 'sume' || chr(769)
+                   ELSE text END AS text
+          FROM documents)
+        SELECT doc_id, nfc_normalize(text) AS text_nfc,
+               CAST(length(text) AS INT) AS n_before,
+               CAST(length(nfc_normalize(text)) AS INT) AS n_after,
+               length(text) <> length(nfc_normalize(text)) AS changed
+        FROM planted ORDER BY doc_id""")),
+
     // Blocked record linkage (SURVEY row 134): dirty part names (last 3
     // chars lost) matched back to the distinct master catalog — candidates
     // from an EQUI-join on the 4-char blocking prefix (never all-pairs),
