@@ -331,6 +331,46 @@ object MixtureQueries {
     // terms — natural text sits near −1; flat flags templated/synthetic
     // corpora. HASH-GREEN: ln on identical operands, 10dp-rounded terms
     // into exact decimal sums, the same closed-form slope tree.
+    // PMI collocations (Church & Hanks 1990): top-50 adjacent bigrams by
+    // pointwise mutual information with a min-count-5 floor (PMI's
+    // rare-pair noise fix) — phrase mining / boilerplate discovery /
+    // tokenizer merge-candidate audit. HASH-GREEN: exact long counts,
+    // one IEEE ratio 6dp-rounded BEFORE the ln (the ln-on-rounded-args
+    // precedent), ties on bigram text.
+    Q("text_pmi",
+      (s, dir) => Vocab.collocations(Tables.documents(s, dir), "text",
+        minCount = 5, k = 50),
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+          FROM documents),
+        uni AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS cu FROM toks
+          WHERE length(term) > 0 GROUP BY term),
+        bi AS (
+          SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(${Q.sqlNgrams("l", 2)}) AS bigram
+            FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+                  FROM documents))
+          WHERE length(bigram) > 0 GROUP BY bigram
+          HAVING count(*) >= 5),
+        tot AS (SELECT (SELECT sum(cu) FROM uni) AS n1,
+                       (SELECT sum(cnt) FROM bi) AS n2),
+        parts AS (
+          SELECT b.bigram, b.cnt, ux.cu AS cnt_x, uy.cu AS cnt_y, n1, n2
+          FROM bi b
+          JOIN uni ux ON ux.term = string_split(b.bigram, ' ')[1]
+          JOIN uni uy ON uy.term = string_split(b.bigram, ' ')[2]
+          CROSS JOIN tot)
+        SELECT bigram, cnt, cnt_x, cnt_y,
+               floor(ln(floor(
+                 ((CAST(cnt AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+                  ((CAST(cnt_x AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+                   (CAST(cnt_y AS DOUBLE) / CAST(n1 AS DOUBLE))))
+                 * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS pmi
+        FROM parts
+        ORDER BY pmi DESC, bigram LIMIT 50""")),
+
     Q("text_zipf",
       (s, dir) => Vocab.zipf(Tables.documents(s, dir), "text", k = 20)
         .orderBy("rank"),

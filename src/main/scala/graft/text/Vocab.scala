@@ -78,4 +78,56 @@ object Vocab {
           graft.Num.dround((n * sxy - sx * sy) / denom, 6)))
       .select("rank", "term", "cnt", "ln_rank", "ln_cnt", "zipf_slope")
   }
+
+  /** Top-k collocations by pointwise mutual information — the corpus
+    * phrase-mining pass (boilerplate phrase discovery, multi-word-entity
+    * spotting, tokenizer merge-candidate auditing):
+    *
+    *   PMI(x, y) = ln( p(x,y) / (p(x)·p(y)) ),
+    *   p(x,y) = c(xy)/N₂, p(w) = c(w)/N₁
+    *
+    * with c(xy) adjacent-bigram counts (N₂ their total) and c(w) unigram
+    * counts (N₁ their total). `minCount` floors the bigram count — PMI's
+    * classic failure mode is rare-pair noise (a hapax bigram of two hapax
+    * words maxes the score), the standard fix since Church & Hanks 1990.
+    *
+    * Scale shape: two keyed counts with map-side combine (only (gram,
+    * partial count) pairs shuffle), the unigram side joined onto the
+    * ≥-minCount bigram side twice (broadcast while it fits), top-k via
+    * sort-limit. Cross-engine parity: the probability ratio is one IEEE
+    * double expression over exact longs, 6-dp rounded BEFORE the ln and
+    * re-rounded after (the ln-on-rounded-args oracle precedent). Ties
+    * order by bigram text. */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                   k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val uni = docs
+      .select(explode(TextAnalysis.ngrams(col(textCol), 1)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("_gf_cu"))
+    val bi = docs
+      .select(explode(TextAnalysis.ngrams(col(textCol), 2)).as("bigram"))
+      .filter(length(col("bigram")) > 0)
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val totals = uni.agg(sum(col("_gf_cu")).as("_gf_n1"))
+      .crossJoin(bi.agg(sum(col("cnt")).as("_gf_n2")))
+    val parts = bi
+      .withColumn("_gf_x", split(col("bigram"), " ").getItem(0))
+      .withColumn("_gf_y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("term").as("_gf_x"), col("_gf_cu").as("_gf_cx")), Seq("_gf_x"))
+      .join(uni.select(col("term").as("_gf_y"), col("_gf_cu").as("_gf_cy")), Seq("_gf_y"))
+      .crossJoin(broadcast(totals))
+    val ratio = graft.Num.dround(
+      (col("cnt").cast(DoubleType) / col("_gf_n2").cast(DoubleType)) /
+        ((col("_gf_cx").cast(DoubleType) / col("_gf_n1").cast(DoubleType)) *
+          (col("_gf_cy").cast(DoubleType) / col("_gf_n1").cast(DoubleType))), 6)
+    parts
+      .withColumn("pmi", graft.Num.dround(log(ratio), 6))
+      .select(col("bigram"), col("cnt"), col("_gf_cx").as("cnt_x"),
+        col("_gf_cy").as("cnt_y"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
 }

@@ -90,6 +90,30 @@ class MixtureSpec extends SparkSpec {
       Mixture.temperaturePlan(df, "source", "text", budgetFrac = 0.0) }
   }
 
+  test("collocations: hand-computed PMI on a planted phrase, floor, refusals") {
+    // "new york" appears 6 times; each word only inside the phrase plus
+    // filler tokens keep totals round. Docs: 6 x "new york", 12 fillers.
+    val docs = (1 to 6).map(_ => "new york").toDF("text")
+      .unionByName((1 to 6).map(_ => "aa bb").toDF("text"))
+    val out = graft.text.Vocab.collocations(docs, "text", minCount = 5, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // N1 = 24 unigrams, N2 = 12 bigrams; c(new york)=6, c(new)=c(york)=6
+    // ratio = (6/12) / ((6/24)*(6/24)) = 8 -> pmi = ln(8) rounded 6dp
+    val expected = math.floor(math.log(8.0) * 1e6 + 0.5) / 1e6
+    assert(out("new york") == ((6L, 6L, 6L, expected)))
+    assert(out.contains("aa bb") && out.size == 2)
+    // floor: raising minCount above 6 drops everything
+    assert(graft.text.Vocab.collocations(docs, "text", minCount = 7, k = 10)
+      .count() == 0L)
+    intercept[IllegalArgumentException] {
+      graft.text.Vocab.collocations(docs, "text", minCount = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.Vocab.collocations(docs, "text", k = 0)
+    }
+  }
+
   test("vocab coverage is ranked, cumulative, and ends below or at 1") {
     val docs = Seq("a a a b b c", "a b d").map(Tuple1(_)).toDF("text")
     val out = Vocab.coverage(docs, "text", k = 3).orderBy("rank").collect()
