@@ -259,6 +259,68 @@ object OpsQueries {
           ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
         ORDER BY user_id""")),
 
+    // CDC changelog apply (the warehouse MERGE): a synthesized
+    // Debezium-shaped log against the orders snapshot — updates (price
+    // doubled), deletes, inserts (shifted keys), and a second-sequence
+    // delete overriding an update for %100 keys, so latest-wins is
+    // live. Untouched keys pass through. One window over the CHANGELOG
+    // only + one key anti-join against the base. HASH-GREEN against the
+    // ANSI row_number/anti-join/union mirror.
+    Q("cdc_apply",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        def slice(m: Long, r: Long) = o.filter(col("o_orderkey") % m === r)
+        val changes =
+          slice(10, 0).select(col("o_orderkey"), col("o_orderstatus"),
+              (col("o_totalprice") * 2).as("o_totalprice"),
+              lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(slice(10, 1).select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit(1L).as("seq"), lit("D").as("op")))
+          .unionByName(slice(100, 0).select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit(2L).as("seq"), lit("D").as("op")))
+          .unionByName(slice(10, 2).select(
+            (col("o_orderkey") + 900000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit(1L).as("seq"), lit("I").as("op")))
+        graft.ops.Cdc.applyChanges(o, changes,
+            Seq("o_orderkey"), "seq", "op")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            Q.money(col("o_totalprice")).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        ch AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                 1 AS seq, 'U' AS op FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice, 1, 'D'
+          FROM base WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 'D'
+          FROM base WHERE o_orderkey % 100 = 0
+          UNION ALL
+          SELECT o_orderkey + 900000000, o_orderstatus, o_totalprice, 1, 'I'
+          FROM base WHERE o_orderkey % 10 = 2),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+              ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1),
+        surv AS (
+          SELECT b.* FROM base b
+          WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM latest)),
+        ups AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
+          WHERE op <> 'D')
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        FROM (SELECT * FROM surv UNION ALL SELECT * FROM ups) t
+        ORDER BY o_orderkey""")),
+
     // SCD2 change history — the versioned complement of events_latest:
     // per user, each event_type CHANGE opens a [valid_from, valid_to)
     // interval (half-open on the next change; open = current state),
