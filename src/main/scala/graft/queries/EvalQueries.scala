@@ -543,6 +543,28 @@ object EvalQueries {
                $comps
         FROM embeddings ORDER BY vec_id"""
       })
+    ,
+
+    // Whitened projection HASH-GREEN under the same handed fixture, with
+    // HANDED eigenvalues 4/1/0.25/0.0625 (powers of 4, so every √λ is an
+    // exact power of 2 and the per-component division is an exact float
+    // scale) — proving the unit-variance rescale path end to end; the
+    // fitted-eigenvalue lane stays covered by PcaSpec's variance pin.
+    Q("embedding_whiten_handed",
+      (s, dir) => Pca.whitenFlat(Tables.embeddings(s, dir),
+          "vec_id", "embedding", walshWhitenModel, k = 4)
+        .orderBy("vec_id"),
+      Some {
+        val scales = Seq(2.0, 1.0, 0.5, 0.25)
+        val comps = walshLoadings.zipWithIndex.map { case (w, i) =>
+          val arr = w.mkString("[", ", ", "]")
+          s"${Q.sqlDround(s"list_dot_product(CAST(embedding AS DOUBLE[]), $arr) / ${scales(i)}", 6)} AS pc_$i"
+        }.mkString(",\n               ")
+        s"""
+        SELECT vec_id,
+               $comps
+        FROM embeddings ORDER BY vec_id"""
+      })
   )
 
   /** Handed orthonormal loadings: the first 4 Walsh (Hadamard) functions
@@ -558,4 +580,11 @@ object EvalQueries {
     * placeholders — projection never reads them). */
   private val walshModel: Pca.Model =
     Pca.Model(Array.fill(64)(0.0), Array.fill(4)(1.0), walshLoadings.toArray)
+
+  /** The whitening fixture: same loadings, eigenvalues 4/1/0.25/0.0625 —
+    * powers of 4, so each √λ (2/1/0.5/0.25) is an exact power of two and
+    * the rescale divides exactly in both engines. */
+  private val walshWhitenModel: Pca.Model =
+    Pca.Model(Array.fill(64)(0.0), Array(4.0, 1.0, 0.25, 0.0625),
+      walshLoadings.toArray)
 }

@@ -248,6 +248,31 @@ object Pca {
     df.select(col(idCol) +: comps: _*)
   }
 
+  /** Whitened projection with SCALAR output columns: each component
+    * score divides by √λ_c so every output dimension has unit variance
+    * under the fitted model — the standard preprocessing before
+    * isotropic-distance work (SemDedup-style cosine on decorrelated
+    * axes, Mahalanobis-ish outlier scoring). A non-positive eigenvalue
+    * in the requested top-k refuses at call time — whitening by a
+    * clamped zero tail would emit Infinity row-by-row, the silent
+    * version of the same error. 6-dp rounded like [[projectFlat]]. */
+  def whitenFlat(df: DataFrame, idCol: String, vecCol: String,
+                 model: Model, k: Int): DataFrame = {
+    require(k >= 1 && k <= model.dim,
+      s"whitenFlat k must be in [1, ${model.dim}], got $k")
+    val bad = model.eigenvalues.take(k).zipWithIndex.filter(_._1 <= 0.0)
+    require(bad.isEmpty,
+      s"whitenFlat: component(s) ${bad.map(_._2).mkString(", ")} have " +
+        "non-positive eigenvalues — whitening them divides by zero; " +
+        "project fewer components or use projectFlat")
+    val comps = scoreCols(col(vecCol), model, k).zipWithIndex.map {
+      case (c, i) =>
+        graft.Num.dround(c / lit(math.sqrt(model.eigenvalues(i))), 6)
+          .as(s"pc_$i")
+    }
+    df.select(col(idCol) +: comps: _*)
+  }
+
   /** The k projection-score expressions (centered dot products). */
   private def scoreCols(vec: Column, model: Model, k: Int): Seq[Column] = {
     val meanLit = array(model.mean.map(lit): _*)

@@ -71,6 +71,33 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("whitened components have unit variance; non-positive eigenvalues refuse") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m = Pca.fit(emb, "embedding")
+    val k = 3
+    val wh = Pca.whitenFlat(emb, "vec_id", "embedding", m, k)
+    val agg = wh.select((0 until k).flatMap(i => Seq(
+      sum(col(s"pc_$i")).as(s"s$i"),
+      sum(col(s"pc_$i") * col(s"pc_$i")).as(s"q$i"))) :+
+      count(lit(1)).cast("double").as("n"): _*).head()
+    val n = agg.getAs[Double]("n")
+    for (i <- 0 until k) {
+      val mean = agg.getAs[Double](s"s$i") / n
+      val varI = agg.getAs[Double](s"q$i") / n - mean * mean
+      assert(math.abs(varI - 1.0) < 1e-3, s"var(whitened pc$i)=$varI != 1")
+    }
+    // a zero eigenvalue in range refuses (the Infinity-row alternative)
+    val degenerate = Pca.Model(m.mean, m.eigenvalues.updated(1, 0.0),
+      m.eigenvectors)
+    val ex = intercept[IllegalArgumentException] {
+      Pca.whitenFlat(emb, "vec_id", "embedding", degenerate, k = 2)
+    }
+    assert(ex.getMessage.contains("non-positive"))
+    // but projecting ABOVE the bad component is still fine
+    assert(Pca.whitenFlat(emb, "vec_id", "embedding", degenerate, k = 1)
+      .columns.contains("pc_0"))
+  }
+
   test("spectrum ratios are a partition of total variance") {
     val rows = Pca.spectrum(Tables.embeddings(spark, sfDir), "embedding")
       .orderBy("component").collect()
