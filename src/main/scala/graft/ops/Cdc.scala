@@ -55,8 +55,12 @@ object Cdc {
     val latest = changes
       .withColumn("_gf_rn", row_number().over(w))
       .filter(col("_gf_rn") === 1)
+    // pass-through keys = base minus ANY touched key — the raw changelog
+    // keys suffice (anti-joins are duplicate-insensitive), so this branch
+    // skips the latest-change window entirely: ONE window in the plan,
+    // over the changelog (PlanQualitySpec pins it)
     val survivors = base.join(
-      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      changes.select(keyCols.map(col): _*), keyCols, "left_anti")
     val upserts = latest.filter(col(opCol) =!= "D")
       .select(payload.map(col): _*)
     survivors.unionByName(upserts)

@@ -315,4 +315,52 @@ class PlanQualitySpec extends SparkSpec {
       s"bounds not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"row-level join appeared:\n$p")
   }
+
+  test("sample_bottomk: the selection is the sort-free typed aggregate") {
+    val p = plan("sample_bottomk")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed aggregate missing:\n$p")
+    // the only Window-free rank source is the aggregator; a window would
+    // reintroduce the two partition-wide sorts the operator exists to avoid
+    assert(!p.contains("Window"), s"window crept back in:\n$p")
+  }
+
+  test("sketch_cms: counters partial-aggregate map-side (d*w-bounded exchange)") {
+    val p = plan("sketch_cms")
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"sketch lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs appeared:\n$p")
+  }
+
+  test("cdc_apply: the window runs over the changelog; the base joins anti") {
+    val p = plan("cdc_apply")
+    assert(p.contains("LeftAnti"), s"pass-through lost its anti-join:\n$p")
+    // exactly one Window — over the changelog's latest-change ranking
+    // (tree prefixes like ':- ' / '+- ' precede the operator name)
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"unexpected window count:\n$p")
+  }
+
+  test("events_scd2: both windows share ONE entity-keyed exchange") {
+    val p = plan("events_scd2")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("dedup_containment: the df-cap is a semi-join, no cartesian anywhere") {
+    val p = plan("dedup_containment")
+    assert(p.contains("LeftSemi"), s"df-cap lost its semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs appeared:\n$p")
+  }
+
+  test("normalize_nfc: a pure projection — no shuffle except the final sort") {
+    val p = plan("normalize_nfc")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in a projection op:\n${exchanges.mkString("\n")}")
+    assert(p.contains("unicode_normalize") || p.contains("UnicodeNormalize"),
+      s"native expression missing from the plan:\n$p")
+  }
 }
