@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AuditQueries, CoreQueries, CorpusQueries, DedupOutlierQueries, EvalQueries, InferQueries, MixtureQueries, NearDupQueries, NormalizeQueries, OpsQueries, PipelineQueries, ProfileQueries, Q, SamplingQueries, TextQueries, ValidationQueries}
+import graft.queries.{AuditQueries, CoreQueries, CorpusQueries, DedupOutlierQueries, EvalQueries, GraphQueries, InferQueries, MixtureQueries, NearDupQueries, NormalizeQueries, OpsQueries, PipelineQueries, ProfileQueries, Q, SamplingQueries, TextQueries, ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,8 @@ object SparkEntry {
       NormalizeQueries.all ++ DedupOutlierQueries.all ++ AuditQueries.all ++
       TextQueries.all ++ NearDupQueries.all ++ PipelineQueries.all ++
       InferQueries.all ++ SamplingQueries.all ++ OpsQueries.all ++
-      CorpusQueries.all ++ MixtureQueries.all ++ EvalQueries.all
+      CorpusQueries.all ++ MixtureQueries.all ++ EvalQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
