@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.dedup.{MinHash, NgramJaccard, SimHash}
 import graft.sim.Similarity
+import graft.text.Winnow
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1080,8 +1081,73 @@ object NearDupQueries {
               "hamming" -> ham, "hamming_rerank" -> hamR))
           .orderBy("method", "query_id")
       },
-      None)
+      None),
+
+    // Winnowing fingerprints (§2 row 152 — Schleimer et al. 2003, the
+    // MOSS algorithm): the selected (doc, position, hash) set itself is
+    // hash-compared — DuckDB replays gram building, the md5-prefix hash,
+    // the arithmetic (min hash, rightmost pos) tie encode, the w-window
+    // min, the partial-window short-doc rule, and the decode.
+    Q("dedup_winnow",
+      (s, dir) => Winnow.fingerprints(
+          Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4)
+        .orderBy("doc_id", "fp_pos", "fp_hash"),
+      Some(winnowSql)),
+
+    // Winnowing overlap candidates (§2 row 152): doc pairs sharing >= 2
+    // fingerprint hashes after the df-cap (fingerprints in > 16 docs are
+    // boilerplate, dropped BEFORE the self-join — the MinHash mega-
+    // cluster lesson as part of the oracle-pinned semantics).
+    Q("dedup_winnow_pairs",
+      (s, dir) => Winnow.overlapPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          k = 5, w = 4, minShared = 2, maxDf = 16)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH $winnowCte,
+        fp AS (SELECT DISTINCT doc_id, fp_hash FROM decoded),
+        kept AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+                 HAVING count(*) <= 16),
+        pruned AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN kept USING (fp_hash))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared
+        FROM pruned a JOIN pruned b ON a.fp_hash = b.fp_hash
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY id_a, id_b"""))
   )
+
+  /** Shared DuckDB CTE chain ending in `decoded(doc_id, fp_pos, fp_hash)`
+    * — the winnowing selection replayed verbatim (k=5, w=4); single owner
+    * for both winnow queries. */
+  private def winnowCte: String = {
+    val k = 5; val w = 4
+    val gram = (0 until k).map(i => s"l[i + $i]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+           FROM documents),
+       grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             ${Winnow.sqlGramHash(s"($gram)")} AS h
+           FROM toks CROSS JOIN
+             unnest(generate_series(1, len(l) - ${k - 1})) AS t(i)
+           WHERE len(l) >= $k AND length($gram) > 0),
+       win AS (SELECT doc_id, pos,
+             min(${Winnow.sqlCode("h", "pos")}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+           FROM grams),
+       decoded AS (SELECT DISTINCT doc_id,
+             wmin // ${Winnow.PosBase} AS fp_hash,
+             ${Winnow.PosMask} - (wmin % ${Winnow.PosBase}) AS fp_pos
+           FROM win WHERE pos <= n_grams - $w OR pos = 0)"""
+  }
+
+  private def winnowSql: String =
+    s"""
+      WITH $winnowCte
+      SELECT doc_id, fp_hash, fp_pos FROM decoded
+      ORDER BY doc_id, fp_pos, fp_hash"""
 
   /** DuckDB mirror of the SQ8 coded-scan search over `embeddings` with
     * queries vec_id < 5 — replicates the kernel's exact summation
