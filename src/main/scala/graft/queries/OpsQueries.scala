@@ -484,6 +484,55 @@ object OpsQueries {
         SELECT p_partkey, CAST($z AS BIGINT) AS zval
         FROM part, ($bounds) b
         ORDER BY p_partkey"""
+      }),
+
+    // Poisson-bootstrap CI for per-type mean event value (§2 row 153):
+    // the ENTIRE bootstrap is oracle-replayed — per-(row, replicate)
+    // Knuth draws, the integer-threshold Poisson(1) inverse-CDF ladder,
+    // exact-decimal weighted means, and the order-statistic interval —
+    // so a hash match pins every replicate, not just the summary.
+    Q("bootstrap_ci_mean",
+      (s, dir) => graft.ops.Bootstrap.ciMean(
+          Tables.events(s, dir), "event_id", "value",
+          Seq("event_type"), replicates = 64, seedBase = 0L, alpha = 0.025)
+        .orderBy("event_type"),
+      Some {
+        val B = 64
+        val bucket = graft.ops.Bootstrap.sqlReplicateBucket("k", "b", 0L)
+        val weight = graft.ops.Bootstrap.sqlPoissonWeight(bucket)
+        s"""
+        WITH base AS (
+          SELECT event_type, event_id AS k, CAST(value AS DECIMAL(30,4)) AS v
+          FROM events WHERE value IS NOT NULL),
+        obs AS (
+          SELECT event_type, count(*) AS n_rows,
+                 ${Q.sqlDround("CAST(sum(v) AS DOUBLE) / count(*)", 6)} AS observed_mean
+          FROM base GROUP BY 1),
+        reps AS (
+          SELECT event_type, b, sum(v * w) AS s, sum(w) AS n
+          FROM (SELECT event_type, r.b AS b, v, $weight AS w
+                FROM base CROSS JOIN
+                  (SELECT unnest(generate_series(0, ${B - 1})) AS b) r)
+          GROUP BY 1, 2 HAVING sum(w) > 0),
+        means AS (
+          SELECT event_type, b,
+                 ${Q.sqlDround("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS m
+          FROM reps),
+        ranked AS (
+          SELECT event_type, b, m,
+                 row_number() OVER (PARTITION BY event_type ORDER BY m ASC, b ASC) AS r,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM means),
+        sel AS (
+          SELECT event_type, m, cnt FROM ranked
+          WHERE r = CAST(ceil(0.025 * cnt) AS INT)
+             OR r = cnt + 1 - CAST(ceil(0.025 * cnt) AS INT)),
+        ci AS (SELECT event_type, min(m) AS ci_lo, max(m) AS ci_hi,
+                      max(cnt) AS n_replicates
+               FROM sel GROUP BY 1)
+        SELECT obs.event_type, n_rows, observed_mean, ci_lo, ci_hi, n_replicates
+        FROM obs JOIN ci USING (event_type)
+        ORDER BY event_type"""
       })
   )
 }
