@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) —
+  * approximate distinct counting whose REGISTER TABLE is cross-engine
+  * exact, the CountMin treatment applied to cardinality: Spark's own
+  * `approx_count_distinct` is a fine estimator but its xxhash64-based
+  * sketch is unverifiable outside Spark (SURVEY §2 row 44's rows-only
+  * reason). This sketch hashes with the md5-prefix fold (byte-identical
+  * in every engine) and keeps every downstream step in integer
+  * arithmetic, so an external SQL engine recomputes registers AND
+  * estimate verbatim — collisions, corrections and all.
+  *
+  *   - 32-bit hash h = first 8 md5 hex chars; bucket = top p bits
+  *     (integer div), w = low 32−p bits (mod);
+  *   - ρ(w) = leading-zero count + 1 inside the (32−p)-bit word =
+  *     (32−p) − bitlen(w) + 1, with bitlen computed by an integer
+  *     CASE ladder (no log2 float anywhere); w = 0 → ρ = 32−p+1;
+  *   - register[j] = max ρ over the bucket's keys — one map-side-combined
+  *     groupBy, ≤ m = 2^p combined rows per partition through the
+  *     exchange, sketches merge by register-wise max (the streaming /
+  *     per-shard combination law);
+  *   - the harmonic sum Σ 2^−reg is computed in INTEGER units of
+  *     2^−(32−p+1): term = 2^(ρmax−reg) is a BIGINT, empty registers
+  *     contribute 2^ρmax, and only the FINAL estimate performs float ops
+  *     (α_m·m²·2^ρmax / S_int — literals both engines parse identically,
+  *     one divide, dround);
+  *   - small-range correction (linear counting E = m·ln(m/V) when
+  *     E ≤ 2.5m and V > 0) mirrored exactly; the 32-bit large-range
+  *     correction is out of scope for corpus-shard cardinalities and
+  *     deliberately omitted (documented, refused at nothing — it only
+  *     matters past ~100M distinct per group where a 64-bit-hash sketch
+  *     should be used instead).
+  *
+  * 100 TB posture: state is m registers per group regardless of corpus
+  * size; the explode-free single aggregation reads the corpus once, and
+  * per-shard register tables combine by max — the property that makes
+  * HLL the standard distributed-cardinality primitive.
+  */
+object Hll {
+
+  private val HashBits = 32
+
+  /** Portable 32-bit key hash (strings or any castable type). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Integer bit-length ladder for a value in [0, 2^maxBits): bitlen(0)=0,
+    * bitlen(w)=floor(log2 w)+1 — built as exact BIGINT compares. */
+  def bitlen(w: Column, maxBits: Int): Column =
+    // ascending fold so the OUTERMOST when tests the largest power
+    (0 until maxBits).foldLeft(lit(0)) { case (elseBranch, k) =>
+      when(w >= (1L << k), lit(k + 1)).otherwise(elseBranch)
+    }
+
+  /** Register table: one row per (groupCols, bucket) with the max ρ.
+    * Only populated buckets appear (an absent bucket IS register 0). */
+  def registers(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 12, s"precision p must be in [7, 12], got $p")
+    val wBits = HashBits - p
+    val gs = groupCols.map(col)
+    val pre = df.where(col(keyCol).isNotNull)
+      .select(gs :+ h32(col(keyCol)).as("_h"): _*)
+    val w = pmod(col("_h"), lit(1L << wBits))
+    val rho = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits) - bitlen(w, wBits) + 1)
+    pre
+      .select(gs :+ expr(s"_h div ${1L << wBits}").as("bucket")
+        :+ rho.as("rho"): _*)
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max("rho").as("max_rho"))
+  }
+
+  /** α_m for m = 2^p registers (Flajolet et al. §4, m ≥ 128). */
+  def alphaM(p: Int): Double = 0.7213 / (1.0 + 1.079 / (1L << p))
+
+  /** Per-group distinct estimate: (groupCols, n_nonzero, v_zero,
+    * est_distinct). The raw estimate and the linear-counting correction
+    * are both replayed exactly by the SQL mirror. */
+  def estimate(df: DataFrame, keyCol: String, groupCols: Seq[String],
+               p: Int = 8): DataFrame = {
+    val m = 1L << p
+    val rhoMax = HashBits - p + 1
+    val gs = groupCols.map(col)
+    val regs = registers(df, keyCol, groupCols, p)
+    val agg = regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_nonzero"),
+        // Σ 2^(ρmax − reg) in exact BIGINTs — the harmonic sum in
+        // integer units of 2^−ρmax.
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoMax - max_rho)"))
+          .as("s_pop"))
+    val sInt = col("s_pop") + (lit(m) - col("n_nonzero")) * lit(1L << rhoMax)
+    val eRaw = lit(alphaM(p) * m * m * (1L << rhoMax).toDouble) / sInt.cast("double")
+    val vZero = lit(m) - col("n_nonzero")
+    val est = when(eRaw <= lit(2.5 * m) && vZero > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / vZero.cast("double")))
+      .otherwise(eRaw)
+    agg.select(gs :+ col("n_nonzero") :+ vZero.as("v_zero") :+
+      graft.Num.dround(est, 4).as("est_distinct"): _*)
+  }
+
+  /** DuckDB fragment: the 32-bit portable hash of `key`. */
+  def sqlH32(key: String): String =
+    s"CAST(CAST(concat('0x', substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+  /** DuckDB fragment mirroring [[bitlen]]. */
+  def sqlBitlen(w: String, maxBits: Int): String = {
+    val whens = (maxBits - 1 to 0 by -1)
+      .map(k => s"WHEN $w >= ${1L << k} THEN ${k + 1}").mkString(" ")
+    s"(CASE $whens ELSE 0 END)"
+  }
+
+  /** DuckDB fragment: ρ from the low-bits word. */
+  def sqlRho(w: String, wBits: Int): String =
+    s"(CASE WHEN $w = 0 THEN ${wBits + 1} " +
+      s"ELSE $wBits - ${sqlBitlen(w, wBits)} + 1 END)"
+}

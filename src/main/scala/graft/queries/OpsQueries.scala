@@ -533,6 +533,63 @@ object OpsQueries {
         SELECT obs.event_type, n_rows, observed_mean, ci_lo, ci_hi, n_replicates
         FROM obs JOIN ci USING (event_type)
         ORDER BY event_type"""
+      }),
+
+    // Portable HyperLogLog registers (§2 row 154): the sketch ITSELF is
+    // hash-compared — md5-prefix hash, top-p bucket, the integer
+    // bit-length ladder for ρ, and the per-bucket max, all replayed by
+    // DuckDB (the sketch_cms treatment applied to cardinality; row 44's
+    // approx_count_distinct stays rows-only because xxhash64 is
+    // Spark-internal — THIS sketch is the verifiable lane).
+    Q("sketch_hll",
+      (s, dir) => graft.ops.Hll.registers(
+          Tables.documents(s, dir), "text", Seq("source"), p = 8)
+        .orderBy("source", "bucket"),
+      Some(s"""
+        WITH $hllRegCte
+        SELECT source, bucket, max_rho FROM regs
+        ORDER BY source, bucket""")),
+
+    // HLL estimate (§2 row 154): harmonic sum in exact integer units of
+    // 2^-25, one final float divide, and the linear-counting small-range
+    // branch — the full Flajolet et al. estimator, oracle-replayed.
+    Q("sketch_hll_estimate",
+      (s, dir) => graft.ops.Hll.estimate(
+          Tables.documents(s, dir), "text", Seq("source"), p = 8)
+        .orderBy("source"),
+      Some {
+        val m = 256L
+        val rhoMax = 25
+        val numer = graft.ops.Hll.alphaM(8) * m * m * (1L << rhoMax).toDouble
+        s"""
+        WITH $hllRegCte,
+        agg AS (SELECT source, count(*) AS n_nonzero,
+                  sum(CAST(1 AS BIGINT) << ($rhoMax - max_rho)) AS s_pop
+                FROM regs GROUP BY 1),
+        est AS (SELECT source, n_nonzero, ($m - n_nonzero) AS v_zero,
+                  $numer / CAST(s_pop + ($m - n_nonzero) * ${1L << rhoMax} AS DOUBLE)
+                    AS e_raw
+                FROM agg)
+        SELECT source, n_nonzero, v_zero,
+          ${Q.sqlDround(
+            s"""CASE WHEN e_raw <= ${2.5 * m} AND v_zero > 0
+                THEN ${m.toDouble} * ln(${m.toDouble} / CAST(v_zero AS DOUBLE))
+                ELSE e_raw END""", 4)} AS est_distinct
+        FROM est ORDER BY source"""
       })
   )
+
+  /** Shared DuckDB CTE ending in `regs(source, bucket, max_rho)` — the
+    * p=8 HLL register build over document texts, single owner for both
+    * sketch_hll queries. */
+  private def hllRegCte: String = {
+    val wBits = 24
+    s"""pre AS (SELECT source, ${graft.ops.Hll.sqlH32("text")} AS h
+          FROM documents WHERE text IS NOT NULL),
+       rho AS (SELECT source, h // ${1L << wBits} AS bucket,
+                 ${graft.ops.Hll.sqlRho(s"(h % ${1L << wBits})", wBits)} AS rho
+               FROM pre),
+       regs AS (SELECT source, bucket, max(rho) AS max_rho
+                FROM rho GROUP BY 1, 2)"""
+  }
 }

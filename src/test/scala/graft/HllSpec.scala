@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Hll
+
+/** Pins for the portable HyperLogLog (SURVEY §2 row 154): the integer
+  * bit-length ladder at its boundaries, the register merge law, estimate
+  * accuracy within the m=256 theoretical error on a known cardinality,
+  * the linear-counting small-range branch, and the refusal ladder. */
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bitlen ladder: exact boundaries") {
+    val cases = Seq(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3, 7L -> 3,
+      8L -> 4, (1L << 23) -> 24, (1L << 24) - 1 -> 24)
+    val out = cases.map(_._1).toDF("w")
+      .select(Hll.bitlen(col("w"), 24).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("registers merge by max: reg(A ∪ B) = max-merge(reg(A), reg(B))") {
+    val a = (1L to 4000L).map(i => ("g", s"key_a_$i")).toDF("grp", "k")
+    val b = (1L to 4000L).map(i => ("g", s"key_b_$i")).toDF("grp", "k")
+    val union = Hll.registers(a.unionByName(b), "k", Seq("grp"))
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    val merged = Hll.registers(a, "k", Seq("grp"))
+      .unionByName(Hll.registers(b, "k", Seq("grp")))
+      .groupBy("grp", "bucket").agg(max("max_rho").as("max_rho"))
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(union == merged)
+  }
+
+  test("estimate within the m=256 error band on a known cardinality") {
+    val n = 50000
+    val df = (1L to n.toLong).map(i => ("g", s"document_$i")).toDF("grp", "k")
+    val est = Hll.estimate(df, "k", Seq("grp"))
+      .collect().head.getDouble(3)
+    // 1.04/sqrt(256) = 6.5% standard error; 3 sigma ≈ 20%.
+    assert(math.abs(est - n) / n < 0.2, s"estimate $est too far from $n")
+  }
+
+  test("small cardinalities take the linear-counting branch and stay tight") {
+    val df = (1L to 10L).map(i => ("g", s"v$i")).toDF("grp", "k")
+    val row = Hll.estimate(df, "k", Seq("grp")).collect().head
+    val (nz, est) = (row.getLong(1), row.getDouble(3))
+    assert(nz <= 10)
+    assert(math.abs(est - 10.0) < 3.0, s"linear counting drifted: $est")
+  }
+
+  test("duplicates do not move the sketch; refusals") {
+    val once = (1L to 100L).map(i => ("g", s"v$i")).toDF("grp", "k")
+    val thrice = once.unionByName(once).unionByName(once)
+    assert(Hll.estimate(once, "k", Seq("grp")).collect().head ==
+      Hll.estimate(thrice, "k", Seq("grp")).collect().head)
+    intercept[IllegalArgumentException](Hll.registers(once, "k", Seq("grp"), p = 6))
+    intercept[IllegalArgumentException](Hll.registers(once, "k", Seq("grp"), p = 13))
+  }
+}
