@@ -155,6 +155,18 @@ object TextQueries {
       FROM (SELECT doc_id FROM dcorp) c LEFT JOIN dagg USING (doc_id)"""
   }
 
+  // Planted non-Latin suffixes, \u-escaped so the source file stays
+  // ASCII; the SAME Scala strings are interpolated into the DuckDB
+  // oracle, so both engines profile identical codepoints.
+  private val CyrSuffix =    // " privet mir" in Cyrillic
+    " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"
+  private val HanSuffix =    // "ni hao shi jie" in Han
+    " \u4f60\u597d\u4e16\u754c"
+  private val GreekSuffix =  // "geia sou" in Greek
+    " \u03b3\u03b5\u03b9\u03ac \u03c3\u03bf\u03c5"
+  private val ArabicSuffix = // "marhaba" in Arabic
+    " \u0645\u0631\u062d\u0628\u0627"
+
   val all: Seq[Q] = Seq(
     // Fixed-budget chunking with overlap — 64-token windows striding by
     // 48, the context-window prep step. Pure per-row projection (no
@@ -870,8 +882,42 @@ object TextQueries {
                CASE WHEN n_words > 0 THEN
                  floor(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6
                END AS fertility
-        FROM agg ORDER BY lang"""))
+        FROM agg ORDER BY lang""")),
+
+    // Unicode-script composition profile (§2 row 155): the language-
+    // consistency audit — per-doc codepoint tallies for the five
+    // majority scripts + digits + explicit whitespace, with the dominant
+    // script. The ASCII corpus is planted with deterministic Cyrillic /
+    // Han / Greek / Arabic suffixes (the normalize_nfc precedent) so
+    // every class and the tie rule are live in the hash compare.
+    Q("text_scripts",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 7 === 1, concat(col("text"), lit(CyrSuffix)))
+            .when(col("doc_id") % 7 === 2, concat(col("text"), lit(HanSuffix)))
+            .when(col("doc_id") % 7 === 3, concat(col("text"), lit(GreekSuffix)))
+            .when(col("doc_id") % 7 === 4, concat(col("text"), lit(ArabicSuffix)))
+            .when(col("doc_id") % 7 === 5, concat(col("text"), lit(" 2024 and 42")))
+            .otherwise(col("text")).as("text"))
+        graft.text.Scripts.profile(planted, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 1 THEN text || '$CyrSuffix'
+                      WHEN doc_id % 7 = 2 THEN text || '$HanSuffix'
+                      WHEN doc_id % 7 = 3 THEN text || '$GreekSuffix'
+                      WHEN doc_id % 7 = 4 THEN text || '$ArabicSuffix'
+                      WHEN doc_id % 7 = 5 THEN text || ' 2024 and 42'
+                      ELSE text END AS text
+          FROM documents),
+        ${graft.text.Scripts.sqlProfile("planted", "doc_id", "text")}
+        ORDER BY doc_id"""))
   )
+
+
+    " مرحبا"
 
   /** Handed BPE merge table for the hash-green token-budget oracles: two
     * rules with DISJOINT single-char sides, chosen so greedy encode has a
