@@ -61,7 +61,8 @@ object PageRank {
     * (`node` long, `rank` double, `scale`-dp). */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iterations: Int = 3, damping: Double = 0.85,
-            base: Double = 0.15, scale: Int = 8): DataFrame = {
+            base: Double = 0.15, scale: Int = 8,
+            checkpoint: Boolean = true): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
@@ -94,12 +95,16 @@ object PageRank {
           graft.Num.dround(col("rank") / col("out_deg"), scale)
             .cast(DecimalType(30, scale)).as("c"))
       val incoming = contrib.groupBy("dst").agg(sum("c").as("s"))
-      val next = truncate(
+      val iterated =
         nodes.join(incoming, nodes("node") === incoming("dst"), "left")
           .select(col("node"),
             graft.Num.dround(
               lit(base) + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)),
-              scale).as("rank")))
+              scale).as("rank"))
+      // checkpoint=false keeps the lazy iteration plan visible (plan
+      // pins, tiny graphs); real runs MUST truncate or the plan re-runs
+      // every prior round.
+      val next = if (checkpoint) truncate(iterated) else iterated
       prev.foreach(_.unpersist())
       prev = Some(next)
       r = next

@@ -50,12 +50,15 @@ object Bootstrap {
       999989L, 999998L)
 
   /** The portable bucket with a COLUMN seed (replicate index): the
-    * Sampling.bucket prime-fold arithmetic with seed = seedBase + b. All
-    * intermediates stay BIGINT-safe for keys < ~3.4e9 and seeds < 1e6
-    * (the documented Sampling bounds). */
+    * Sampling.bucket prime-fold arithmetic with seed = seedBase + b,
+    * with the key PRE-FOLDED modulo the prime before the first multiply
+    * — (residue + seed)·Knuth < 2.66e18 stays BIGINT-safe for ANY
+    * non-negative key, where the raw Sampling shape overflows (loudly,
+    * under ANSI) past keys ~3.4e9: the scale ladder's ×16 id band hit
+    * exactly that. */
   def replicateBucket(key: Column, b: Column, seedBase: Long): Column = {
     val seed = lit(seedBase) + b.cast("long")
-    val t = (key.cast("long") + seed) * lit(Knuth)
+    val t = (pmod(key.cast("long"), lit(FoldPrime)) + seed) * lit(Knuth)
     pmod(pmod(pmod(t, lit(FoldPrime)) * (lit(Knuth) + lit(2L) * seed),
       lit(FoldPrime)), lit(Buckets))
   }
@@ -137,7 +140,8 @@ object Bootstrap {
     * column). */
   def sqlReplicateBucket(key: String, b: String, seedBase: Long): String = {
     val seed = s"($seedBase + CAST($b AS BIGINT))"
-    val t = s"((CAST($key AS BIGINT) + $seed) * $Knuth)"
+    val kf = s"(((CAST($key AS BIGINT) % $FoldPrime) + $FoldPrime) % $FoldPrime)"
+    val t = s"(($kf + $seed) * $Knuth)"
     s"((((($t % $FoldPrime) + $FoldPrime) % $FoldPrime) * " +
       s"($Knuth + 2 * $seed)) % $FoldPrime % $Buckets)"
   }

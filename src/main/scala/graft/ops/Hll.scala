@@ -81,11 +81,18 @@ object Hll {
     * est_distinct). The raw estimate and the linear-counting correction
     * are both replayed exactly by the SQL mirror. */
   def estimate(df: DataFrame, keyCol: String, groupCols: Seq[String],
-               p: Int = 8): DataFrame = {
+               p: Int = 8): DataFrame =
+    estimateFromRegisters(registers(df, keyCol, groupCols, p), groupCols, p)
+
+  /** The estimator stage alone, over any (groupCols, bucket, max_rho)
+    * register frame — reused by [[overlap]], whose pair-union registers
+    * are derived relationally rather than from raw keys. */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                            p: Int): DataFrame = {
+    require(p >= 7 && p <= 12, s"precision p must be in [7, 12], got $p")
     val m = 1L << p
     val rhoMax = HashBits - p + 1
     val gs = groupCols.map(col)
-    val regs = registers(df, keyCol, groupCols, p)
     val agg = regs.groupBy(gs: _*)
       .agg(count(lit(1)).as("n_nonzero"),
         // Σ 2^(ρmax − reg) in exact BIGINTs — the harmonic sum in
@@ -100,6 +107,59 @@ object Hll {
       .otherwise(eRaw)
     agg.select(gs :+ col("n_nonzero") :+ vZero.as("v_zero") :+
       graft.Num.dround(est, 4).as("est_distinct"): _*)
+  }
+
+  /** Pairwise set-overlap estimates between the values of `pairCol` —
+    * inclusion–exclusion over merged sketches: |A ∩ B| ≈ Ê(A) + Ê(B) −
+    * Ê(A ∪ B), where the union sketch is the register-wise MAX of the two
+    * group sketches (exact for HLL — no rescan of the data). The
+    * cross-shard / cross-source contamination estimator at 100 TB: no
+    * join of the corpora, just m-register arithmetic per pair. Ordered
+    * pairs (a < b); `est_jaccard` clamps the (noisy, possibly negative)
+    * intersection at 0 before the ratio. */
+  def overlap(df: DataFrame, keyCol: String, pairCol: String,
+              p: Int = 8): DataFrame = {
+    val regs = registers(df, keyCol, Seq(pairCol), p).persist()
+    val ests = estimateFromRegisters(regs, Seq(pairCol), p)
+      .select(col(pairCol), col("est_distinct"))
+    val pairs = ests.select(col(pairCol).as("id_a"))
+      .join(ests.select(col(pairCol).as("id_b")), col("id_a") < col("id_b"))
+    val ua = pairs.join(regs.withColumnRenamed(pairCol, "id_a"), "id_a")
+      .select(col("id_a"), col("id_b"), col("bucket"), col("max_rho"))
+    val ub = pairs.join(regs.withColumnRenamed(pairCol, "id_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("bucket"), col("max_rho"))
+    val unionRegs = ua.unionByName(ub)
+      .groupBy("id_a", "id_b", "bucket").agg(max("max_rho").as("max_rho"))
+    val estU = estimateFromRegisters(unionRegs, Seq("id_a", "id_b"), p)
+      .select(col("id_a"), col("id_b"), col("est_distinct").as("est_union"))
+    val out = estU
+      .join(ests.select(col(pairCol).as("id_a"), col("est_distinct").as("est_a")), "id_a")
+      .join(ests.select(col(pairCol).as("id_b"), col("est_distinct").as("est_b")), "id_b")
+    val inter = graft.Num.dround(col("est_a") + col("est_b") - col("est_union"), 4)
+    out.select(col("id_a"), col("id_b"), col("est_a"), col("est_b"),
+      col("est_union"), inter.as("est_intersect"),
+      graft.Num.dround(
+        greatest(inter, lit(0.0)) / col("est_union"), 6).as("est_jaccard"))
+  }
+
+  /** DuckDB mirror of [[estimateFromRegisters]] over register relation
+    * `regsRel` keyed by `keyCols` — single owner for every HLL-estimate
+    * oracle. Emits (keyCols, n_nonzero, v_zero, est_distinct). */
+  def sqlEstimateFromRegs(regsRel: String, keyCols: Seq[String], p: Int): String = {
+    val m = 1L << p
+    val rhoMax = HashBits - p + 1
+    val numer = alphaM(p) * m * m * (1L << rhoMax).toDouble
+    val keys = keyCols.mkString(", ")
+    s"""SELECT $keys, n_nonzero, v_zero,
+           floor((CASE WHEN e_raw <= ${2.5 * m} AND v_zero > 0
+                  THEN ${m.toDouble} * ln(${m.toDouble} / CAST(v_zero AS DOUBLE))
+                  ELSE e_raw END) * 1e4 + 0.5) / 1e4 AS est_distinct
+       FROM (SELECT $keys, n_nonzero, ($m - n_nonzero) AS v_zero,
+               $numer / CAST(s_pop + ($m - n_nonzero) * ${1L << rhoMax} AS DOUBLE)
+                 AS e_raw
+             FROM (SELECT $keys, count(*) AS n_nonzero,
+                     sum(CAST(1 AS BIGINT) << ($rhoMax - max_rho)) AS s_pop
+                   FROM $regsRel GROUP BY $keys) hll_sums) hll_raw"""
   }
 
   /** DuckDB fragment: the 32-bit portable hash of `key`. */

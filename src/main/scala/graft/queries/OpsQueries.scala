@@ -557,26 +557,59 @@ object OpsQueries {
       (s, dir) => graft.ops.Hll.estimate(
           Tables.documents(s, dir), "text", Seq("source"), p = 8)
         .orderBy("source"),
-      Some {
-        val m = 256L
-        val rhoMax = 25
-        val numer = graft.ops.Hll.alphaM(8) * m * m * (1L << rhoMax).toDouble
-        s"""
+      Some(s"""
         WITH $hllRegCte,
-        agg AS (SELECT source, count(*) AS n_nonzero,
-                  sum(CAST(1 AS BIGINT) << ($rhoMax - max_rho)) AS s_pop
-                FROM regs GROUP BY 1),
-        est AS (SELECT source, n_nonzero, ($m - n_nonzero) AS v_zero,
-                  $numer / CAST(s_pop + ($m - n_nonzero) * ${1L << rhoMax} AS DOUBLE)
-                    AS e_raw
-                FROM agg)
-        SELECT source, n_nonzero, v_zero,
-          ${Q.sqlDround(
-            s"""CASE WHEN e_raw <= ${2.5 * m} AND v_zero > 0
-                THEN ${m.toDouble} * ln(${m.toDouble} / CAST(v_zero AS DOUBLE))
-                ELSE e_raw END""", 4)} AS est_distinct
-        FROM est ORDER BY source"""
-      })
+        est AS (${graft.ops.Hll.sqlEstimateFromRegs("regs", Seq("source"), 8)})
+        SELECT source, n_nonzero, v_zero, est_distinct
+        FROM est ORDER BY source""")),
+
+    // HLL set-overlap by inclusion-exclusion (§2 row 157): per source
+    // pair, |A ∩ B| ≈ Ê(A) + Ê(B) − Ê(A ∪ B) where the union sketch is
+    // the register-wise MAX — cross-shard contamination estimated from
+    // m-register arithmetic, never a join of the corpora. The oracle
+    // replays sketches, pair union, both estimator passes, and the
+    // clamped Jaccard.
+    Q("sketch_hll_overlap",
+      (s, dir) => graft.ops.Hll.overlap(
+          Tables.documents(s, dir), "text", "source", p = 8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH $hllRegCte,
+        est AS (${graft.ops.Hll.sqlEstimateFromRegs("regs", Seq("source"), 8)}),
+        pairs AS (SELECT a.source AS id_a, b.source AS id_b
+                  FROM est a JOIN est b ON a.source < b.source),
+        u AS (SELECT p.id_a, p.id_b, r.bucket, max(r.max_rho) AS max_rho
+              FROM pairs p JOIN regs r
+                ON r.source = p.id_a OR r.source = p.id_b
+              GROUP BY 1, 2, 3),
+        est_u AS (${graft.ops.Hll.sqlEstimateFromRegs("u", Seq("id_a", "id_b"), 8)}),
+        joined AS (SELECT eu.id_a, eu.id_b,
+                     ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+                     eu.est_distinct AS est_union
+                   FROM est_u eu
+                   JOIN est ea ON ea.source = eu.id_a
+                   JOIN est eb ON eb.source = eu.id_b),
+        inter AS (SELECT *,
+                    floor((est_a + est_b - est_union) * 1e4 + 0.5) / 1e4
+                      AS est_intersect
+                  FROM joined)
+        SELECT id_a, id_b, est_a, est_b, est_union, est_intersect,
+               ${Q.sqlDround("greatest(est_intersect, 0.0) / est_union", 6)}
+                 AS est_jaccard
+        FROM inter ORDER BY id_a, id_b""")),
+
+    // Per-group OLS trend (§2 row 156): slope/intercept/R² of event
+    // value against days-since-corpus-start — the drift-over-time
+    // monitor. Exact-decimal moment sums, 2dp-rounded before the double
+    // conversion (the decSum rule), closed-form fit on identical IEEE
+    // operands; the oracle replays the whole fit.
+    Q("events_trend",
+      (s, dir) => graft.ops.Trend.ols(
+          Tables.events(s, dir), "ts", "value", Seq("event_type"))
+        .orderBy("event_type"),
+      Some(s"""
+        WITH ${graft.ops.Trend.sqlOls("events", "ts", "value", "event_type")}
+        ORDER BY event_type"""))
   )
 
   /** Shared DuckDB CTE ending in `regs(source, bucket, max_rho)` — the

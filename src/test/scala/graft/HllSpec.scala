@@ -49,6 +49,25 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est - 10.0) < 3.0, s"linear counting drifted: $est")
   }
 
+  test("overlap: planted 50% intersection estimated by inclusion-exclusion") {
+    // A = 1..4000, B = 2001..6000 → |A∩B| = 2000, |A∪B| = 6000.
+    val a = (1L to 4000L).map(i => ("a", s"key_$i"))
+    val b = (2001L to 6000L).map(i => ("b", s"key_$i"))
+    val c = (1L to 3000L).map(i => ("c", s"other_$i")) // disjoint from both
+    val df = (a ++ b ++ c).toDF("src", "k")
+    val rows = Hll.overlap(df, "k", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val (unionAb, interAb, jacAb) = rows(("a", "b"))
+    assert(math.abs(unionAb - 6000) / 6000 < 0.2, s"union $unionAb")
+    assert(math.abs(interAb - 2000) / 2000 < 0.5, s"intersect $interAb")
+    assert(jacAb > 0.15 && jacAb < 0.55, s"jaccard $jacAb")
+    // disjoint pairs: intersection estimate is noise around 0 — the
+    // clamped jaccard must be far below the planted pair's
+    val (_, _, jacAc) = rows(("a", "c"))
+    assert(jacAc < jacAb / 2, s"disjoint jaccard $jacAc vs planted $jacAb")
+  }
+
   test("duplicates do not move the sketch; refusals") {
     val once = (1L to 100L).map(i => ("g", s"v$i")).toDF("grp", "k")
     val thrice = once.unionByName(once).unionByName(once)

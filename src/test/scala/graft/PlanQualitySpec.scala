@@ -363,4 +363,56 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("unicode_normalize") || p.contains("UnicodeNormalize"),
       s"native expression missing from the plan:\n$p")
   }
+
+  test("graph_pagerank: map-side-combined contributions, no cartesian") {
+    // The registered query checkpoints each round (the plan shows only
+    // the final scan), so pin the UN-truncated single-iteration plan the
+    // operator itself builds.
+    import org.apache.spark.sql.functions.col
+    val e = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    val p = graft.graph.PageRank.ranks(e, "src", "dst",
+        iterations = 1, checkpoint = false)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"contribution sum lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs appeared:\n$p")
+  }
+
+  test("dedup_winnow: gram text never enters an exchange") {
+    val p = plan("dedup_winnow")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("gram") && !exchanges.contains("text"),
+      s"corpus text shuffled:\n$exchanges")
+    // ONE hash exchange: the fingerprint distinct reuses the per-doc
+    // window partitioning (partial+final aggregate, no second shuffle)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"unexpected exchange count:\n$p")
+  }
+
+  test("bootstrap_ci_mean: the xB explosion feeds a partial aggregate") {
+    val p = plan("bootstrap_ci_mean")
+    assert(p.contains("Generate explode"), s"replicate explode missing:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"replicate means lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs appeared:\n$p")
+  }
+
+  test("sketch_hll: one scan, register max combines map-side, no explode") {
+    val p = plan("sketch_hll")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
+    assert(!p.contains("Generate"), s"needless explode:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"register max lost map-side combine:\n$p")
+  }
+
+  test("text_scripts: a pure projection — no shuffle except the final sort") {
+    val p = plan("text_scripts")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in a projection op:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregation:\n$p")
+  }
 }

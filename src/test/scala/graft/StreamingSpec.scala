@@ -192,6 +192,28 @@ class StreamingSpec extends SparkSpec {
     assert(est == Map(3L -> 4L, 7L -> 2L, 11L -> 4L))
   }
 
+  test("HLL registers accumulate on a live stream and equal the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    // registers(…) is a max-aggregation, so it runs COMPLETE with
+    // ≤ 2^p-bounded state — the streaming cardinality-monitor shape;
+    // register max must accumulate across triggers.
+    val keys = (1L to 300L).map(i => ("g", s"key_$i"))
+    val mem = MemoryStream[(String, String)]
+    val q = graft.ops.Hll.registers(mem.toDF.toDF("grp", "k"), "k", Seq("grp"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    mem.addData(keys.take(120): _*)
+    q.processAllAvailable()
+    mem.addData(keys.drop(120): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = graft.ops.Hll.registers(keys.toDF("grp", "k"), "k", Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(streamed == batch, "stream registers diverged from batch")
+  }
+
   test("encoding audit gates a live stream exactly like a batch") {
     implicit val sqlCtx = spark.sqlContext
     // encodingAudit is a stateless codegen'd projection — the hygiene

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Trend
+
+/** Pins for the per-group OLS trend (SURVEY §2 row 156): an exact-line
+  * fixture, flat/degenerate groups, null discipline. */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(s"2025-01-0${day + 1} 00:00:00")
+
+  test("points on an exact line recover slope/intercept/r2 exactly") {
+    // y = 2x + 1 at x = 0, 1, 2 days.
+    val df = Seq(("g", ts(0), 1.0), ("g", ts(1), 3.0), ("g", ts(2), 5.0))
+      .toDF("grp", "t", "v")
+    val r = Trend.ols(df, "t", "v", Seq("grp")).collect().head
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"intercept ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"r2 ${r.getDouble(4)}")
+  }
+
+  test("flat series: slope 0, r2 null (zero y-variance)") {
+    val df = Seq(("g", ts(0), 4.0), ("g", ts(1), 4.0), ("g", ts(2), 4.0))
+      .toDF("grp", "t", "v")
+    val r = Trend.ols(df, "t", "v", Seq("grp")).collect().head
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 4.0)
+    assert(r.isNullAt(4), "r2 must be null when dy = 0")
+  }
+
+  test("degenerate groups emit nulls, not division errors") {
+    val df = Seq(
+      ("single", ts(0), 1.0),                       // n = 1
+      ("same_x", ts(0), 1.0), ("same_x", ts(0), 9.0)) // constant x
+      .toDF("grp", "t", "v")
+    val out = Trend.ols(df, "t", "v", Seq("grp")).orderBy("grp").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+        s"degenerate group ${r.getString(0)} must fit to nulls")
+    }
+  }
+
+  test("null timestamps and values drop before fitting") {
+    val df = Seq(("g", Option(ts(0)), Option(1.0)),
+      ("g", Option(ts(1)), Option(3.0)),
+      ("g", Option.empty[Timestamp], Option(9.0)),
+      ("g", Option(ts(2)), Option.empty[Double]))
+      .toDF("grp", "t", "v")
+    val r = Trend.ols(df, "t", "v", Seq("grp")).collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0)
+  }
+
+  test("noisy line: r2 strictly between 0 and 1, slope near truth") {
+    val pts = (0 until 30).map(i =>
+      ("g", Timestamp.valueOf(f"2025-01-${i + 1}%02d 00:00:00"),
+        2.0 * i + 1.0 + (if (i % 2 == 0) 0.5 else -0.5)))
+    val r = Trend.ols(pts.toDF("grp", "t", "v"), "t", "v", Seq("grp"))
+      .collect().head
+    assert(math.abs(r.getDouble(2) - 2.0) < 0.05)
+    assert(r.getDouble(4) > 0.99 && r.getDouble(4) < 1.0)
+  }
+}
