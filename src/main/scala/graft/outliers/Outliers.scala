@@ -1,8 +1,9 @@
 package graft.outliers
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Detection method per column (detect_outliers.py:16-29). */
 sealed trait DetectMethod { def name: String }
@@ -247,5 +248,55 @@ object Outliers {
       .select(col(groupCol), col("_gf_e.column_name"), col("_gf_e.method"),
         col("_gf_e.n"), col("_gf_e.outlier_count"),
         col("_gf_e.lower_bound"), col("_gf_e.upper_bound"))
+  }
+
+  /** Per-group winsorization summary at EXACT discrete percentiles: the
+    * bounds are the values at ranks ceil(pLo·n) / ceil(pHi·n) of the
+    * group's sorted non-null values (the ANSI PERCENTILE_DISC rule,
+    * selected explicitly via row_number so the semantics do not depend
+    * on any engine's builtin quantile flavor — a DATA VALUE, never an
+    * interpolation, so cross-engine float divergence is impossible).
+    * Emits per group: n, the two bounds, clip counts, and the
+    * exact-decimal mean before/after clipping — the robust-scaling audit
+    * (IQR clipping's percentile-parameterized sibling; heavy tails move
+    * the mean, winsorized means don't).
+    *
+    * Scale shape: one per-group sort (the window) + a broadcast-joined
+    * bounds frame; values carry ≤ 4 semantic decimals (the Q.money
+    * contract) so means are exact decimals. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi,
+      s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
+    val gs = groupCols.map(col)
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(gs :+ col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
+    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
+    val ranked = rows
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(gs: _*)))
+    val bounds = ranked
+      .groupBy(gs: _*)
+      .agg(
+        max(col("_n")).as("n"),
+        min(when(col("_rn") === ceil(lit(pLo) * col("_n")), col("_v"))).as("lo"),
+        min(when(col("_rn") === ceil(lit(pHi) * col("_n")), col("_v"))).as("hi"))
+    val clipped = rows.join(broadcast(bounds), groupCols)
+      .withColumn("_vw", least(greatest(col("_v"), col("lo")), col("hi")))
+    clipped.groupBy(gs: _*)
+      .agg(
+        max(col("n")).as("n"),
+        graft.Num.dround(min(col("lo")).cast("double"), 4).as("lo"),
+        graft.Num.dround(min(col("hi")).cast("double"), 4).as("hi"),
+        sum(when(col("_v") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("_v") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        // exact decimal sums, 2dp-rounded BEFORE the double cast (small
+        // numerators convert identically in every engine), one divide
+        graft.Num.dround(
+          round(sum(col("_v")), 2).cast("double") / count(lit(1)), 4)
+          .as("mean_before"),
+        graft.Num.dround(
+          round(sum(col("_vw")), 2).cast("double") / count(lit(1)), 4)
+          .as("mean_after"))
   }
 }

@@ -230,5 +230,44 @@ object DedupOutlierQueries {
            FROM lineitem)
         WHERE NOT (l_extendedprice < q1 - 1.5*(q3-q1) OR l_extendedprice > q3 + 1.5*(q3-q1))
           AND NOT (l_quantity < mu - 3.0*sd OR l_quantity > mu + 3.0*sd)"""))
+    ,
+
+    // Per-group winsorization summary (§2 row 158): bounds at the EXACT
+    // discrete p01/p99 ranks (values from the data, never interpolated),
+    // selected via row_number so no engine's builtin quantile flavor is
+    // in the loop; exact-decimal clipped means. The oracle replays rank
+    // selection, clipping, and both means.
+    Q("outliers_winsorize",
+      (s, dir) => Outliers.winsorize(Tables.lineitem(s, dir),
+          "l_extendedprice", Seq("l_returnflag"), pLo = 0.01, pHi = 0.99)
+        .orderBy("l_returnflag"),
+      Some(s"""
+        WITH vals AS (
+          SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,4)) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        ranked AS (
+          SELECT l_returnflag, v,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM vals),
+        bounds AS (
+          SELECT l_returnflag, max(n) AS n,
+                 min(CASE WHEN rn = ceil(0.01 * n) THEN v END) AS lo,
+                 min(CASE WHEN rn = ceil(0.99 * n) THEN v END) AS hi
+          FROM ranked GROUP BY 1),
+        cl AS (
+          SELECT r.l_returnflag, b.n, b.lo, b.hi, r.v,
+                 least(greatest(r.v, b.lo), b.hi) AS vw
+          FROM vals r JOIN bounds b USING (l_returnflag))
+        SELECT l_returnflag, max(n) AS n,
+               ${Q.sqlDround("CAST(min(lo) AS DOUBLE)", 4)} AS lo,
+               ${Q.sqlDround("CAST(min(hi) AS DOUBLE)", 4)} AS hi,
+               sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
+               sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clipped_hi,
+               ${Q.sqlDround("CAST(round(sum(v), 2) AS DOUBLE) / count(*)", 4)}
+                 AS mean_before,
+               ${Q.sqlDround("CAST(round(sum(vw), 2) AS DOUBLE) / count(*)", 4)}
+                 AS mean_after
+        FROM cl GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

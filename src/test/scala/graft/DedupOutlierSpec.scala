@@ -80,4 +80,29 @@ class DedupOutlierSpec extends SparkSpec {
     val hi = med + 3.5 * 1.4826 * mad
     assert(vals.count(_ > hi) == 1 && 1000.0 > hi)
   }
+
+  test("winsorize: exact discrete ranks, clip counts, hand-computed means") {
+    import spark.implicits._
+    // 1..100 in one group at (p05, p95): lo = 5th smallest = 5, hi = 95;
+    // 4 rows clip up, 5 clip down; mean 50.5 → 50.45 after (+10 − 15).
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Outliers.winsorize(df, "v", Seq("grp"), pLo = 0.05, pHi = 0.95)
+      .collect().head
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 95.0)
+    assert(r.getLong(4) == 4L && r.getLong(5) == 5L)
+    assert(r.getDouble(6) == 50.5 && r.getDouble(7) == 50.45)
+  }
+
+  test("winsorize: nulls drop; tiny groups pick in-range bounds; refusals") {
+    import spark.implicits._
+    val df = Seq(("g", Option(1.0)), ("g", Option(2.0)), ("g", Option.empty[Double]))
+      .toDF("grp", "v")
+    val r = Outliers.winsorize(df, "v", Seq("grp")).collect().head
+    // n = 2: ceil(.01·2) = 1 → lo = 1.0; ceil(.99·2) = 2 → hi = 2.0
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 1.0 && r.getDouble(3) == 2.0)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+    intercept[IllegalArgumentException](
+      Outliers.winsorize(df, "v", Seq("grp"), pLo = 0.5, pHi = 0.5))
+  }
 }
