@@ -7,9 +7,15 @@ import org.apache.spark.sql.execution.SimpleMode
   * plans so a refactor can't silently lose them. */
 class PlanQualitySpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // Pins inspect the operator's OWN plan shape: drop any cached
+    // relations a previously-run suite left behind, or a scan-count pin
+    // sees InMemoryTableScan instead of the parquet scan (order-dependent
+    // flake, observed once under the full suite).
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(SimpleMode)
+  }
 
   test("q3_join broadcasts every dimension (no sort-merge join)") {
     val p = plan("q3_join")
