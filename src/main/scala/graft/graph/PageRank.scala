@@ -59,10 +59,33 @@ object PageRank {
 
   /** Ranks after `iterations` rounds: one row per node, columns
     * (`node` long, `rank` double, `scale`-dp). */
+  /** [[ranks]] with the teleport restricted to a SEED set — personalized
+    * PageRank (the seed-expansion curation pattern: start from trusted
+    * domains/documents, let the walk discover what they endorse): seeds
+    * start at r₀ = 1 and receive the `base` teleport each round;
+    * non-seeds start at 0 and earn rank only through in-links. Seeds
+    * absent from the graph are ignored. */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: DataFrame, seedCol: String,
+                        iterations: Int = 3, damping: Double = 0.85,
+                        base: Double = 0.15, scale: Int = 8,
+                        checkpoint: Boolean = true): DataFrame =
+    run(edges, srcCol, dstCol, iterations, damping, base, scale, checkpoint,
+      Some(seeds.select(col(seedCol).cast("long").as("node"))
+        .where(col("node").isNotNull).distinct()))
+
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iterations: Int = 3, damping: Double = 0.85,
             base: Double = 0.15, scale: Int = 8,
-            checkpoint: Boolean = true): DataFrame = {
+            checkpoint: Boolean = true): DataFrame =
+    run(edges, srcCol, dstCol, iterations, damping, base, scale, checkpoint,
+      None)
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int, damping: Double,
+                  base: Double, scale: Int,
+                  checkpoint: Boolean,
+                  seedNodes: Option[DataFrame]): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
@@ -81,12 +104,19 @@ object PageRank {
       .repartition(col("src"))
       .persist()
 
-    val nodes = e.select(col("src").as("node"))
+    val nodesPlain = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist()
+    // _seed marks teleport targets; the uniform walk is "all seeds".
+    val nodes = (seedNodes match {
+      case Some(sn) => nodesPlain
+        .join(sn.withColumn("_seed", lit(true)), Seq("node"), "left")
+        .na.fill(value = false, cols = Seq("_seed"))
+      case None => nodesPlain.withColumn("_seed", lit(true))
+    }).persist()
 
-    var r = nodes.select(col("node"), lit(1.0).as("rank"))
+    var r = nodes.select(col("node"),
+      when(col("_seed"), lit(1.0)).otherwise(lit(0.0)).as("rank"))
     var prev: Option[DataFrame] = None
     (1 to iterations).foreach { _ =>
       val contrib = adj
@@ -99,7 +129,8 @@ object PageRank {
         nodes.join(incoming, nodes("node") === incoming("dst"), "left")
           .select(col("node"),
             graft.Num.dround(
-              lit(base) + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)),
+              when(col("_seed"), lit(base)).otherwise(lit(0.0))
+                + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)),
               scale).as("rank"))
       // checkpoint=false keeps the lazy iteration plan visible (plan
       // pins, tiny graphs); real runs MUST truncate or the plan re-runs
@@ -113,12 +144,6 @@ object PageRank {
     nodes.unpersist()
     r
   }
-
-  /** DuckDB mirror of one iteration's new-rank expression, shared with the
-    * registered oracle so the arithmetic has one owner. `s` is the exact
-    * decimal incoming sum (possibly NULL). */
-  def sqlNewRank(s: String, damping: Double, base: Double, scale: Int): String =
-    s"floor(($base + $damping * coalesce(CAST($s AS DOUBLE), 0.0)) * 1e$scale + 0.5) / 1e$scale"
 
   /** DuckDB mirror of the per-edge contribution fed to the exact sum. */
   def sqlContrib(rank: String, outDeg: String, scale: Int): String =

@@ -592,6 +592,44 @@ object AuditQueries {
                 CAST(max($c) AS VARCHAR) AS example_max
               FROM customer"""
         }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
-      })
+      }),
+
+    // CUSUM changepoint statistics (§2 row 159): the sequential drift
+    // monitor — per event_type, C+/C− over (ts, event_id) order via the
+    // prefix-sum closed form, ENTIRELY in exact decimal arithmetic (no
+    // float in the statistic). The oracle replays running sums, running
+    // mins, the max(0,·) fold and the alarm compare row for row.
+    Q("events_cusum",
+      (s, dir) => graft.drift.Cusum.detect(Tables.events(s, dir),
+          "value", "ts", "event_id", Seq("event_type"),
+          target = 50.0, slack = 10.0, threshold = 1000.0)
+        .orderBy("event_type", "ts", "event_id"),
+      Some("""
+        WITH s AS (
+          SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,4)) AS v
+          FROM events WHERE value IS NOT NULL),
+        p AS (
+          SELECT event_type, ts, event_id, v,
+                 sum(v - CAST(50.0 AS DECIMAL(18,4)) - CAST(10.0 AS DECIMAL(18,4)))
+                   OVER w AS pu,
+                 sum(CAST(50.0 AS DECIMAL(18,4)) - CAST(10.0 AS DECIMAL(18,4)) - v)
+                   OVER w AS pd
+          FROM s
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        c AS (
+          SELECT event_type, ts, event_id, v,
+                 pu - least(CAST(0 AS DECIMAL(28,4)), min(pu) OVER w) AS cu,
+                 pd - least(CAST(0 AS DECIMAL(28,4)), min(pd) OVER w) AS cd
+          FROM p
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type, ts, event_id,
+               floor(CAST(v AS DOUBLE) * 1e4 + 0.5) / 1e4 AS value,
+               floor(CAST(cu AS DOUBLE) * 1e4 + 0.5) / 1e4 AS cusum_up,
+               floor(CAST(cd AS DOUBLE) * 1e4 + 0.5) / 1e4 AS cusum_down,
+               (cu > CAST(1000.0 AS DECIMAL(18,4))
+                 OR cd > CAST(1000.0 AS DECIMAL(18,4))) AS alarm
+        FROM c ORDER BY event_type, ts, event_id"""))
   )
 }

@@ -43,6 +43,31 @@ class PageRankSpec extends SparkSpec {
     assert(out == Seq((5L, 0.15), (6L, 0.21375), (7L, 0.21375)))
   }
 
+  test("personalized walk: seeds hold the teleport, non-seeds earn rank") {
+    // Chain 1→2→3, seed {1}, 2 iterations:
+    //   r0 = (1, 0, 0)
+    //   r1 = (0.15, 0.85·1, 0)        = (0.15, 0.85, 0)
+    //   r2 = (0.15, 0.85·0.15, 0.85·0.85) = (0.15, 0.1275, 0.7225)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.graph.PageRank.personalizedRanks(
+        edges, "src", "dst", seeds, "node", iterations = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 0.15), (2L, 0.1275), (3L, 0.7225)))
+  }
+
+  test("all-node seeds reduce personalized to the uniform walk") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val all = Seq(1L, 2L, 3L).toDF("node")
+    val uniform = graft.graph.PageRank.ranks(edges, "src", "dst", iterations = 3)
+      .orderBy("node").collect().map(_.toString).toSeq
+    val ppr = graft.graph.PageRank.personalizedRanks(
+        edges, "src", "dst", all, "node", iterations = 3)
+      .orderBy("node").collect().map(_.toString).toSeq
+    assert(uniform == ppr)
+  }
+
   test("null endpoints drop; refusal ladder") {
     val edges = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(3L)),
       (Option(2L), Option.empty[Long])).toDF("src", "dst")
