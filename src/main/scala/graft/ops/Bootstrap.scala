@@ -78,40 +78,62 @@ object Bootstrap {
     * for a group contributes no order statistic for it. */
   def ciMean(df: DataFrame, keyCol: String, valueCol: String,
              groupCols: Seq[String], replicates: Int = 64,
-             seedBase: Long = 0L, alpha: Double = 0.025): DataFrame = {
+             seedBase: Long = 0L, alpha: Double = 0.025): DataFrame =
+    ciCore(df.where(col(valueCol).isNotNull), keyCol,
+      col(valueCol).cast(DecimalType(30, 4)),
+      lit(1).cast(DecimalType(30, 4)),
+      groupCols, replicates, seedBase, alpha, "observed_mean")
+
+  /** Per-group bootstrap CI for a RATIO metric Σnum/Σden — the
+    * production shape (pass rate per source, CTR, tokens-per-doc):
+    * per replicate, both sides reweight by the SAME Poisson draw, so
+    * the ratio's correlation structure is resampled correctly (a naive
+    * per-side bootstrap destroys it). Rows where either side is null
+    * are skipped; replicates with a zero weighted denominator drop. */
+  def ciRatio(df: DataFrame, keyCol: String, numCol: String, denCol: String,
+              groupCols: Seq[String], replicates: Int = 64,
+              seedBase: Long = 0L, alpha: Double = 0.025): DataFrame =
+    ciCore(df.where(col(numCol).isNotNull && col(denCol).isNotNull), keyCol,
+      col(numCol).cast(DecimalType(30, 4)),
+      col(denCol).cast(DecimalType(30, 4)),
+      groupCols, replicates, seedBase, alpha, "observed_ratio")
+
+  /** Shared replicate machinery: exact-decimal weighted Σnum/Σden per
+    * replicate, order-statistic interval. `num`/`den` are decimal
+    * expressions on the ≤ 4-semantic-decimal contract (the Q.money
+    * discipline — a direct cast, never a per-row double rounding). */
+  private def ciCore(rows: DataFrame, keyCol: String, num: Column, den: Column,
+                     groupCols: Seq[String], replicates: Int,
+                     seedBase: Long, alpha: Double,
+                     observedName: String): DataFrame = {
     require(replicates >= 8 && replicates <= 1024,
       s"replicates must be in [8, 1024], got $replicates")
     require(alpha > 0.0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
     require(seedBase >= 0 && seedBase + replicates < Sampling.MaxSeed,
       s"seedBase + replicates must stay below ${Sampling.MaxSeed}")
-    require(math.ceil(alpha * replicates).toLong >= 1,
-      "alpha * replicates rounds to rank 0")
-    Sampling.requireIntegralKey(df, keyCol)
+    Sampling.requireIntegralKey(rows, keyCol)
     val gs = groupCols.map(col)
 
-    // Direct decimal cast (the Q.money discipline): callers pass values
-    // carrying <= 4 semantic decimal digits, so the cast is unambiguous
-    // — no per-row double rounding to tie-break differently per engine.
-    val base = df
-      .where(col(valueCol).isNotNull)
-      .select(gs :+ col(keyCol).as("_key") :+
-        col(valueCol).cast(DecimalType(30, 4)).as("_v"): _*)
+    val base = rows.select(gs :+ col(keyCol).as("_key") :+
+      num.as("_num") :+ den.as("_den"): _*)
 
-    // Observed (full-data) mean per group, exact-decimal.
+    // Observed (full-data) ratio per group, exact-decimal.
     val observed = base.groupBy(gs: _*)
       .agg(count(lit(1)).as("n_rows"),
-        graft.Num.dround(sum("_v").cast("double") / count(lit(1)), 6)
-          .as("observed_mean"))
+        graft.Num.dround(
+          sum("_num").cast("double") / sum("_den").cast("double"), 6)
+          .as(observedName))
 
-    // One pass × B replicates → partial-aggregated replicate means.
+    // One pass × B replicates → partial-aggregated replicate ratios.
     val reps = base
-      .select(gs :+ col("_key") :+ col("_v") :+
+      .select(gs :+ col("_key") :+ col("_num") :+ col("_den") :+
         explode(sequence(lit(0), lit(replicates - 1))).as("_b"): _*)
-      .select(gs :+ col("_b") :+ col("_v") :+
+      .select(gs :+ col("_b") :+ col("_num") :+ col("_den") :+
         poissonWeight(replicateBucket(col("_key"), col("_b"), seedBase))
           .as("_w"): _*)
       .groupBy(gs :+ col("_b"): _*)
-      .agg(sum(col("_v") * col("_w")).as("_sum"), sum("_w").as("_n"))
+      .agg(sum(col("_num") * col("_w")).as("_sum"),
+        sum(col("_den") * col("_w")).as("_n"))
       .where(col("_n") > 0)
       .select(gs :+ col("_b") :+
         graft.Num.dround(col("_sum").cast("double") / col("_n").cast("double"), 6)
@@ -132,7 +154,7 @@ object Bootstrap {
         max("_cnt").as("n_replicates"))
 
     observed.join(ci, groupCols)
-      .select(gs :+ col("n_rows") :+ col("observed_mean") :+
+      .select(gs :+ col("n_rows") :+ col(observedName) :+
         col("ci_lo") :+ col("ci_hi") :+ col("n_replicates"): _*)
   }
 

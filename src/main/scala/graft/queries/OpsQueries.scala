@@ -535,6 +535,63 @@ object OpsQueries {
         ORDER BY event_type"""
       }),
 
+    // Ratio-metric bootstrap (§2 row 153): CI for Σnum/Σden per group —
+    // the production pass-rate/CTR shape, both sides reweighted by the
+    // SAME Poisson draw so the ratio's correlation structure survives
+    // the resample. Metric: share of event-value mass above 40.
+    Q("bootstrap_ci_rate",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("num",
+            when(col("value") > 40, col("value")).otherwise(lit(0.0)))
+        graft.ops.Bootstrap.ciRatio(e, "event_id", "num", "value",
+            Seq("event_type"), replicates = 64, seedBase = 0L, alpha = 0.025)
+          .orderBy("event_type")
+      },
+      Some {
+        val B = 64
+        val bucket = graft.ops.Bootstrap.sqlReplicateBucket("k", "b", 0L)
+        val weight = graft.ops.Bootstrap.sqlPoissonWeight(bucket)
+        s"""
+        WITH base AS (
+          SELECT event_type, event_id AS k,
+                 CAST(CASE WHEN value > 40 THEN value ELSE 0.0 END
+                   AS DECIMAL(30,4)) AS num,
+                 CAST(value AS DECIMAL(30,4)) AS den
+          FROM events WHERE value IS NOT NULL),
+        obs AS (
+          SELECT event_type, count(*) AS n_rows,
+                 ${Q.sqlDround(
+                   "CAST(sum(num) AS DOUBLE) / CAST(sum(den) AS DOUBLE)", 6)}
+                   AS observed_ratio
+          FROM base GROUP BY 1),
+        reps AS (
+          SELECT event_type, b, sum(num * w) AS s, sum(den * w) AS n
+          FROM (SELECT event_type, r.b AS b, num, den, $weight AS w
+                FROM base CROSS JOIN
+                  (SELECT unnest(generate_series(0, ${B - 1})) AS b) r)
+          GROUP BY 1, 2 HAVING sum(den * w) > 0),
+        means AS (
+          SELECT event_type, b,
+                 ${Q.sqlDround("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS m
+          FROM reps),
+        ranked AS (
+          SELECT event_type, b, m,
+                 row_number() OVER (PARTITION BY event_type ORDER BY m ASC, b ASC) AS r,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM means),
+        sel AS (
+          SELECT event_type, m, cnt FROM ranked
+          WHERE r = CAST(ceil(0.025 * cnt) AS INT)
+             OR r = cnt + 1 - CAST(ceil(0.025 * cnt) AS INT)),
+        ci AS (SELECT event_type, min(m) AS ci_lo, max(m) AS ci_hi,
+                      max(cnt) AS n_replicates
+               FROM sel GROUP BY 1)
+        SELECT obs.event_type, n_rows, observed_ratio, ci_lo, ci_hi, n_replicates
+        FROM obs JOIN ci USING (event_type)
+        ORDER BY event_type"""
+      }),
+
     // Portable HyperLogLog registers (§2 row 154): the sketch ITSELF is
     // hash-compared — md5-prefix hash, top-p bucket, the integer
     // bit-length ladder for ρ, and the per-bucket max, all replayed by

@@ -64,6 +64,16 @@ class BootstrapSpec extends SparkSpec {
     assert(a != c, "a different seedBase must change the draws")
   }
 
+  test("ciRatio: correlated draws make a constant per-row ratio exact") {
+    // num = den/2 on every row: ANY reweighting that applies the SAME
+    // weight to both sides yields exactly 0.5 — a per-side bootstrap
+    // would not. The CI must collapse to the point.
+    val df = (1L to 400L).map(i => (i, "g", 3.0, 6.0)).toDF("id", "grp", "num", "den")
+    val r = Bootstrap.ciRatio(df, "id", "num", "den", Seq("grp"),
+      replicates = 32).collect().head
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5)
+  }
+
   test("refusals") {
     val df = Seq((1L, "g", 1.0)).toDF("id", "grp", "v")
     intercept[IllegalArgumentException](
