@@ -16,6 +16,13 @@ final case class FunnelAdvance(user_id: Long, step_idx: Int, ts_us: Long)
 final case class AnomalyScore(user_id: Long, ts_us: Long, value: Double,
                               zscore: Option[Double], is_anomaly: Boolean)
 
+/** Output row of [[StreamOps.streamingCusum]] — the streaming twin of
+  * `Cusum.detect`'s row (key typed long here; the batch operator groups
+  * by arbitrary columns). */
+final case class CusumPoint(key: Long, ts_us: Long, tie: Long, value: Double,
+                            cusum_up: Double, cusum_down: Double,
+                            alarm: Boolean)
+
 /** Structured-Streaming-ready event transforms (SURVEY §2.2 row 42).
   * Every builder here works identically on a batch frame and a streaming
   * frame (`readStream` source): tumbling/session windows are the same
@@ -305,6 +312,63 @@ object StreamOps {
               if (sorted.isEmpty) Long.MinValue else sorted.last._1 / 1000L)
             rows.iterator
           }
+      }.toDF()
+  }
+
+  /** Streaming CUSUM — the live twin of [[graft.drift.Cusum.detect]]:
+    * per-key level-shift alarms on a stream, state being ONE (C⁺, C⁻)
+    * pair per key in EXACT 1e-4 integer units (values ride the
+    * ≤ 4-decimal contract, target/slack/threshold enforced
+    * 4dp-representable), so the fold is pure Long arithmetic and a
+    * streamed series produces BIT-IDENTICAL statistics to the batch
+    * closed form — no float drift across triggers, executors, or
+    * batch/stream replay. State is O(#keys) scalars, the smallest of
+    * any stateful op here.
+    *
+    * Ordering: rows are folded in (event-time µs, tiebreak) order WITHIN
+    * each trigger; cross-trigger reordering is the source's contract
+    * (the streamingFunnel "strict order" posture). */
+  def streamingCusum(events: DataFrame, target: Double, slack: Double,
+                     threshold: Double,
+                     tiebreakCol: Option[String] = None): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    def toScaled(x: Double, name: String): Long = {
+      val v = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      require(v.toDouble == x, s"$name must be 4dp-representable, got $x")
+      (v * 10000).toLongExact
+    }
+    val tS = toScaled(target, "target")
+    val kS = toScaled(slack, "slack")
+    val hS = toScaled(threshold, "threshold")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tb = tiebreakCol
+      .map(c => coalesce(col(c).cast("long"), lit(Long.MinValue)))
+      .getOrElse(lit(0L))
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")), tb,
+        // the scaled-long conversion happens ENGINE-side so the state
+        // fold never sees a double
+        round(col("value") * 10000).cast("long"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state) =>
+          var (up, dn) = state.getOption.getOrElse((0L, 0L))
+          val out = it.map { case (_, us, tie, vS) => (us, tie, vS) }
+            .toSeq.sortBy(identity)
+            .map { case (us, tie, vS) =>
+              up = math.max(0L, up + (vS - tS - kS))
+              dn = math.max(0L, dn + (tS - kS - vS))
+              CusumPoint(key, us, tie, vS / 1e4,
+                up / 1e4, dn / 1e4, up > hS || dn > hS)
+            }
+          state.update((up, dn))
+          out.iterator
       }.toDF()
   }
 

@@ -192,6 +192,43 @@ class StreamingSpec extends SparkSpec {
     assert(est == Map(3L -> 4L, 7L -> 2L, 11L -> 4L))
   }
 
+  test("streamingCusum carries exact integer state across triggers, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    // A level shift split ACROSS triggers: the (C+, C-) state must carry.
+    val rows = (0 until 10).map { i =>
+      (1L, new Timestamp(1700000000000L + i * 60000L), i.toLong,
+        if (i < 5) 10.0 else 30.0)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = graft.streaming.StreamOps.streamingCusum(
+        mem.toDF.toDF("user_id", "ts", "event_id", "value"),
+        target = 10.0, slack = 2.0, threshold = 30.0,
+        tiebreakCol = Some("event_id"))
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(6): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(6): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusum_stream").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6))).sortBy(_._1).toSeq
+    val batchDf = rows.toDF("user_id", "ts", "event_id", "value")
+    val batch = graft.drift.Cusum.detect(batchDf, "value", "ts", "event_id",
+        Seq("user_id"), target = 10.0, slack = 2.0, threshold = 30.0)
+      .collect()
+      .map(r => (r.getAs[Timestamp]("ts").getTime * 1000,
+        r.getAs[Double]("value"), r.getAs[Double]("cusum_up"),
+        r.getAs[Double]("cusum_down"), r.getAs[Boolean]("alarm")))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch, s"stream diverged:\n$streamed\nvs\n$batch")
+    // the shift (x=30 vs target 10, slack 2 → +18/event from i=5) must
+    // alarm within two post-shift events — and it crossed a trigger
+    assert(streamed.count(_._5) >= 4)
+  }
+
   test("HLL registers accumulate on a live stream and equal the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     // registers(…) is a max-aggregation, so it runs COMPLETE with
