@@ -57,6 +57,26 @@ object PageRank {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** Release a PRIOR round's materialization once its successor is
+    * eagerly checkpointed (nothing references it anymore): reliable
+    * checkpoint files delete, localCheckpoint caches unpersist — a
+    * DataFrame.unpersist() alone is a no-op for both, so without this a
+    * k-iteration walk holds k node-frames (the Components.dropCheckpoint
+    * lesson). Best-effort: a failure costs memory, not correctness. */
+  private def dropRound(df: DataFrame): Unit =
+    try {
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach { r =>
+        r.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true): Unit
+        }
+        r.unpersist(blocking = false): Unit
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Ranks after `iterations` rounds: one row per node, columns
     * (`node` long, `rank` double, `scale`-dp). */
   /** [[ranks]] with the teleport restricted to a SEED set — personalized
@@ -136,7 +156,7 @@ object PageRank {
       // pins, tiny graphs); real runs MUST truncate or the plan re-runs
       // every prior round.
       val next = if (checkpoint) truncate(iterated) else iterated
-      prev.foreach(_.unpersist())
+      if (checkpoint) prev.foreach(dropRound)
       prev = Some(next)
       r = next
     }

@@ -913,7 +913,28 @@ object TextQueries {
                       ELSE text END AS text
           FROM documents),
         ${graft.text.Scripts.sqlProfile("planted", "doc_id", "text")}
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Vocabulary drift between snapshots (§2 row 160): token-level
+    // release-over-release comparison — top-50 union terms with
+    // Laplace-smoothed probabilities, log-ratios and PSI contributions;
+    // snapshots are the corpus doc_id-parity halves (deterministic,
+    // mirrored). The oracle replays counts, the union join, the exact
+    // scalar totals, top-K tie order and the smoothed arithmetic.
+    Q("text_vocab_drift",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.drift.VocabDrift.vocabDrift(
+            d.where(col("doc_id") % 2 === 0),
+            d.where(col("doc_id") % 2 === 1),
+            "text", topK = 50, smooth = 1)
+          .orderBy("term")
+      },
+      Some(s"""
+        WITH old_snap AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        new_snap AS (SELECT text FROM documents WHERE doc_id % 2 = 1),
+        ${graft.drift.VocabDrift.sqlVocabDrift("old_snap", "new_snap", 50, 1)}
+        ORDER BY term"""))
   )
 
 
