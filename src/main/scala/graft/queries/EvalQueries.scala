@@ -564,6 +564,59 @@ object EvalQueries {
         SELECT vec_id,
                $comps
         FROM embeddings ORDER BY vec_id"""
+      }),
+
+    // Split-conformal prediction intervals (§2 row 161): per event_type,
+    // q̂ at the finite-sample rank ceil((n_calib+1)(1−α)) over
+    // calibration residuals, held-out coverage — the distribution-free
+    // per-prediction uncertainty next to the bootstrap's per-mean CIs.
+    // The oracle replays the Knuth split, the exact-decimal model mean,
+    // the rank selection and the coverage count.
+    Q("gate_conformal",
+      (s, dir) => graft.quality.Conformal.intervals(
+          Tables.events(s, dir), "event_id", "value", Seq("event_type"),
+          alpha = 0.1, calibFraction = 0.5, seed = 0L)
+        .orderBy("event_type"),
+      Some {
+        val oneMinusAlpha = 1.0 - 0.1 // the SAME Scala double the engine uses
+        val bucket = graft.ops.Sampling.sqlBucket("k", 0L,
+          graft.quality.Conformal.SplitPrime)
+        s"""
+        WITH pts AS (
+          SELECT event_type, event_id AS k, CAST(value AS DECIMAL(18,4)) AS v,
+                 ($bucket < 500000) AS calib
+          FROM events WHERE value IS NOT NULL),
+        model AS (
+          SELECT event_type, count(*) AS n_calib,
+                 ${Q.sqlDround("CAST(round(sum(v), 2) AS DOUBLE) / count(*)", 4)}
+                   AS model_mean
+          FROM pts WHERE calib GROUP BY 1),
+        ranked AS (
+          SELECT p.event_type, m.n_calib,
+                 abs(CAST(p.v AS DOUBLE) - m.model_mean) AS res,
+                 row_number() OVER (PARTITION BY p.event_type
+                   ORDER BY abs(CAST(p.v AS DOUBLE) - m.model_mean), p.k) AS rn
+          FROM pts p JOIN model m USING (event_type) WHERE p.calib),
+        qh AS (
+          SELECT event_type, res AS qraw FROM ranked
+          WHERE rn = least(CAST(ceil($oneMinusAlpha * (n_calib + 1)) AS BIGINT),
+                           n_calib)),
+        cov AS (
+          SELECT p.event_type, count(*) AS n_eval,
+                 ${Q.sqlDround(s"""CAST(sum(CASE WHEN
+                     abs(CAST(p.v AS DOUBLE) - m.model_mean) <= q.qraw
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*)""", 4)}
+                   AS coverage,
+                 max(q.qraw) AS qraw
+          FROM pts p JOIN model m USING (event_type) JOIN qh q USING (event_type)
+          WHERE NOT p.calib GROUP BY 1),
+        fin AS (SELECT m.event_type, m.n_calib, c.n_eval,
+                  ${Q.sqlDround("m.model_mean", 4)} AS model_mean,
+                  ${Q.sqlDround("c.qraw", 4)} AS qhat, c.coverage
+                FROM model m JOIN cov c USING (event_type))
+        SELECT event_type, n_calib, n_eval, model_mean, qhat,
+               ${Q.sqlDround("qhat * 2", 4)} AS width, coverage
+        FROM fin ORDER BY event_type"""
       })
   )
 
