@@ -421,4 +421,24 @@ class PlanQualitySpec extends SparkSpec {
       s"non-sort exchange in a projection op:\n${exchanges.mkString("\n")}")
     assert(!p.contains("HashAggregate"), s"unexpected aggregation:\n$p")
   }
+
+  test("events_cusum: all four window passes share ONE series exchange") {
+    val p = plan("events_cusum")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"window passes split their exchange:\n$p")
+  }
+
+  test("text_vocab_drift: counts partial-aggregate; text never shuffles") {
+    val p = plan("text_vocab_drift")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"term counts lost map-side combine:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"corpus text shuffled:\n$exchanges")
+  }
+
+  test("gate_conformal: model and qhat broadcast; no sort-merge join") {
+    val p = plan("gate_conformal")
+    assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"row-level shuffle join:\n$p")
+  }
 }
