@@ -46,6 +46,7 @@ object Sampling {
   private[graft] val SplitPrime      = 999999797L
   private[graft] val QuotaPrime      = 999999761L
   private[graft] val BottomKPrime    = 999999751L
+  private[graft] val WeightedKPrime  = 999999599L
 
   /** Bucket in [0, Buckets) from a non-negative integral key; keys must
     * stay below ~3.4e9 to avoid BIGINT overflow in external engines (Spark
@@ -159,6 +160,42 @@ object Sampling {
     * <this>, key)`. */
   def sqlBottomKBucket(key: String, seed: Long = 0L): String =
     sqlBucket(key, seed, BottomKPrime)
+
+  /** Exact-k WEIGHTED sampling without replacement per stratum
+    * (Efraimidis & Spirakis 2006): each row draws key u^(1/w) and the
+    * top-k keys are a weighted sample without replacement — the
+    * mixture-sampling primitive ([[weightedSample]] keeps each row
+    * independently, so stratum sizes float; this hits exactly k with
+    * selection pressure ∝ weight). Ranked on the monotone-equivalent
+    * ln(u)/w (one ln + one divide on deterministic operands — no pow,
+    * whose cross-engine rounding is unpinned), u = (bucket + 0.5)/10⁶
+    * from the portable Knuth bucket under an own prime, selection via
+    * the sort-free k-bounded [[TopK]] aggregator. Null weights drop the
+    * row (the weightedSample convention); non-positive or NaN weights
+    * refuse loudly — they would silently win every draw. */
+  def weightedKSample(df: DataFrame, keyCol: String, strataCol: String,
+                      weightCol: String, k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralKey(df, keyCol)
+    val w = col(weightCol).cast("double")
+    val guarded = when(w <= 0.0 || w.isNaN, raise_error(concat(
+      lit(s"graft: weightedKSample weight '$weightCol' must be positive, got "),
+      w.cast("string")))).otherwise(w)
+    val u = (bucket(col(keyCol), seed, WeightedKPrime).cast("double") + 0.5) /
+      Buckets.toDouble
+    val scored = df.where(w.isNotNull)
+      .select(col(strataCol), (log(u) / guarded).as("_gf_aes"), col(keyCol))
+    val sel = TopK.perGroup(scored, Seq(strataCol), "_gf_aes", keyCol, k)
+      .select(col(strataCol), col("id").as(keyCol),
+        col("rank").as("sample_rank"))
+    df.join(sel, Seq(strataCol, keyCol))
+  }
+
+  /** SQL fragment mirroring [[weightedKSample]]'s A-ES score — rank with
+    * `row_number() OVER (PARTITION BY stratum ORDER BY <this> DESC, key)`. */
+  def sqlWeightedKScore(key: String, weight: String, seed: Long = 0L): String =
+    s"(ln((${sqlBucket(key, seed, WeightedKPrime)} + 0.5) / ${Buckets}.0) " +
+      s"/ CAST($weight AS DOUBLE))"
 
   /** Quality-weighted deterministic sampling — keep each row with
     * probability `weight` (its own column, clamped to [0,1]; NULL weights

@@ -56,6 +56,28 @@ object SamplingQueries {
         WHERE sample_rank <= 7
         ORDER BY lang, sample_rank""")),
 
+    // Exact-k WEIGHTED sampling without replacement per language (§2
+    // row 162 — Efraimidis & Spirakis): selection pressure ∝ n_chars,
+    // exactly 6 docs per lang; the oracle re-ranks on the identical
+    // ln(u)/w A-ES score (no pow — its cross-engine rounding is
+    // unpinned) with the same tie rule.
+    Q("sample_weighted_k",
+      (s, dir) => Sampling.weightedKSample(Tables.documents(s, dir),
+          "doc_id", "lang", "n_chars", k = 6)
+        .select(col("lang"), col("sample_rank").cast("int").as("sample_rank"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("lang", "sample_rank"),
+      Some(s"""
+        SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id, n_chars
+        FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ${Sampling.sqlWeightedKScore("doc_id", "n_chars")}
+                     DESC, doc_id) AS sample_rank
+          FROM documents WHERE n_chars IS NOT NULL) t
+        WHERE sample_rank <= 6
+        ORDER BY lang, sample_rank""")),
+
     // Entity-keyed train/val/test split: deterministic, leakage-safe (same
     // key -> same split across reruns and derived tables).
     Q("sample_split",

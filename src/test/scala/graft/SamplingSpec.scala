@@ -185,4 +185,47 @@ class SamplingSpec extends SparkSpec {
       .count()
     assert(primeMismatches == 0)
   }
+
+  test("weightedKSample: exact k, no replacement, reproducible") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"s${i % 4}", 1.0 + (i % 7)))
+      .toDF("id", "grp", "w")
+    val out = Sampling.weightedKSample(df, "id", "grp", "w", k = 10)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.values.toSet == Set(10L), s"budgets off: $byGrp")
+    assert(out.select("id").distinct().count() == 40)
+    val again = Sampling.weightedKSample(df, "id", "grp", "w", k = 10)
+      .orderBy("grp", "sample_rank").collect().map(_.toString).toSeq
+    assert(again ==
+      out.orderBy("grp", "sample_rank").collect().map(_.toString).toSeq)
+  }
+
+  test("weightedKSample: selection pressure follows the weights") {
+    import spark.implicits._
+    // 300 independent strata, two items each (weight 9 vs 1), k = 1:
+    // P(heavy wins) = 0.9 per stratum — expect ~270 wins.
+    val rows = (0L until 300L).flatMap { s =>
+      Seq((2 * s, s"g$s", 9.0, "heavy"), (2 * s + 1, s"g$s", 1.0, "light"))
+    }
+    val df = rows.toDF("id", "grp", "w", "tag")
+    val wins = Sampling.weightedKSample(df, "id", "grp", "w", k = 1)
+      .filter(col("tag") === "heavy").count()
+    assert(wins >= 240 && wins <= 295, s"heavy wins $wins, expected ~270")
+  }
+
+  test("weightedKSample: null weights drop, non-positive weights refuse") {
+    import spark.implicits._
+    val df = Seq((1L, "g", Option(5.0)), (2L, "g", Option.empty[Double]),
+      (3L, "g", Option(2.0))).toDF("id", "grp", "w")
+    val kept = Sampling.weightedKSample(df, "id", "grp", "w", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), "the null-weight row must drop")
+    val bad = Seq((1L, "g", 0.0)).toDF("id", "grp", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedKSample(bad, "id", "grp", "w", k = 1).collect()
+    }
+    assert(e.getMessage.contains("must be positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("must be positive")))
+  }
 }
