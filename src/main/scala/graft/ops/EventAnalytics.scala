@@ -228,4 +228,63 @@ object EventAnalytics {
         unix_micros(lead(col(tsCol), 1).over(w2)).as("valid_to_us"))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
+
+  /** Seasonal profile + seasonality strength (one-way variance
+    * decomposition): per (group, hour-of-day) the exact-decimal mean,
+    * plus the group's seasonality R² = SS_between / SS_total — the
+    * fraction of the metric's variance the daily cycle explains (≈ 0:
+    * the hour profile is noise, don't seasonally adjust; ≈ 1: the series
+    * IS its daily shape, compare like hours to like). The time-bucketed
+    * counterpart of grouped describe, and the calibration step before
+    * any seasonality-adjusted anomaly rule.
+    *
+    * Cross-engine exactness: the hour bucket is pure integer µs
+    * arithmetic ((epoch_us div 3 600 000 000) mod 24 — engine date
+    * functions and their timezone semantics never enter); values ride
+    * the ≤ 4-decimal contract so Σx and Σx² are exact decimals; means
+    * are one IEEE divide; the 24-term variance sums re-enter exact
+    * decimals via the dround-then-cast rule before summing (a plain
+    * double sum over buckets is reduction-order-dependent).
+    *
+    * Scale: ONE map-side-combined aggregation to groups×24 rows; the
+    * decomposition is arithmetic over that tiny frame. */
+  def seasonalProfile(df: DataFrame, tsCol: String, valueCol: String,
+                      groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val gs = groupCols.map(col)
+    val usPerHour = 3600000000L
+    val base = df.where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(gs :+
+        expr(s"(unix_micros(`$tsCol`) div $usPerHour) % 24").as("hour_of_day") :+
+        col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
+    val perBucket = base.groupBy(gs :+ col("hour_of_day"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum("_v").as("_s"),
+        sum(col("_v") * col("_v")).as("_s2"))
+      .withColumn("mean_value",
+        graft.Num.dround(
+          round(col("_s"), 2).cast("double") / col("n"), 4))
+    // group totals from the SAME bucket sums (one scan total)
+    val totals = perBucket.groupBy(gs: _*)
+      .agg(sum("n").as("_tn"), sum("_s").as("_ts"), sum("_s2").as("_ts2"),
+        // SS_between re-enters exact decimals per bucket term (dround
+        // BEFORE the decimal cast — the dsum tie-free discipline)
+        sum(graft.Num.dround(
+          col("n") * graft.Num.dround(
+            (round(col("_s"), 2).cast("double") / col("n")) *
+              (round(col("_s"), 2).cast("double") / col("n")), 4), 4)
+          .cast(DecimalType(30, 4))).as("_ssb_raw"))
+      .select(gs :+ col("_tn") :+
+        graft.Num.dround(round(col("_ts"), 2).cast("double") / col("_tn"), 6)
+          .as("_gmean") :+
+        round(col("_ts2"), 2).cast("double").as("_ts2d") :+
+        round(col("_ssb_raw"), 2).cast("double").as("_ssbd"): _*)
+    val sst = col("_ts2d") - col("_tn").cast("double") * col("_gmean") * col("_gmean")
+    val ssb = col("_ssbd") - col("_tn").cast("double") * col("_gmean") * col("_gmean")
+    val strength = totals.select(gs :+
+      when(sst > 0, graft.Num.dround(ssb / sst, 6)).as("seasonality_r2"): _*)
+    perBucket
+      .select(gs :+ col("hour_of_day") :+ col("n") :+ col("mean_value"): _*)
+      .join(broadcast(strength), groupCols)
+  }
 }

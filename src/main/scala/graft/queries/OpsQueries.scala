@@ -535,6 +535,52 @@ object OpsQueries {
         ORDER BY event_type"""
       }),
 
+    // Seasonal profile + seasonality strength (§2 row 163): per
+    // (event_type, hour-of-day) exact-decimal means and the one-way
+    // variance decomposition R² — the calibration step before any
+    // seasonality-adjusted rule. Hour buckets are pure integer µs
+    // arithmetic (no engine date/timezone semantics in the loop).
+    Q("events_seasonal",
+      (s, dir) => graft.ops.EventAnalytics.seasonalProfile(
+          Tables.events(s, dir), "ts", "value", Seq("event_type"))
+        .orderBy("event_type", "hour_of_day"),
+      Some {
+        val m = "(CAST(round(s, 2) AS DOUBLE) / n)"
+        val mSq4 = s"(floor(($m * $m) * 1e4 + 0.5) / 1e4)"
+        val term = s"CAST(floor(n * $mSq4 * 1e4 + 0.5) / 1e4 AS DECIMAL(30,4))"
+        s"""
+        WITH base AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                 CAST(value AS DECIMAL(18,4)) AS v
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        pb AS (
+          SELECT event_type, hour_of_day, count(*) AS n,
+                 sum(v) AS s, sum(v * v) AS s2
+          FROM base GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, sum(n) AS tn,
+                 ${Q.sqlDround("CAST(round(sum(s), 2) AS DOUBLE) / sum(n)", 6)}
+                   AS gmean,
+                 CAST(round(sum(s2), 2) AS DOUBLE) AS ts2d,
+                 CAST(round(sum($term), 2) AS DOUBLE) AS ssbd
+          FROM pb GROUP BY 1),
+        st AS (
+          SELECT event_type,
+                 CASE WHEN ts2d - tn * gmean * gmean > 0
+                   THEN ${Q.sqlDround(
+                     "(ssbd - tn * gmean * gmean) / (ts2d - tn * gmean * gmean)",
+                     6)}
+                 END AS seasonality_r2
+          FROM tot)
+        SELECT pb.event_type, pb.hour_of_day, pb.n,
+               ${Q.sqlDround("CAST(round(pb.s, 2) AS DOUBLE) / pb.n", 4)}
+                 AS mean_value,
+               st.seasonality_r2
+        FROM pb JOIN st ON pb.event_type = st.event_type
+        ORDER BY pb.event_type, pb.hour_of_day"""
+      }),
+
     // Ratio-metric bootstrap (§2 row 153): CI for Σnum/Σden per group —
     // the production pass-rate/CTR shape, both sides reweighted by the
     // SAME Poisson draw so the ratio's correlation structure survives

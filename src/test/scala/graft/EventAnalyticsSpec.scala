@@ -103,4 +103,42 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(21L)._1.isEmpty && !out(21L)._2, "constant series -> null z")
     assert(out(30L)._1.isEmpty && !out(30L)._2, "singleton series -> null z")
   }
+
+  test("seasonalProfile: hand-computed variance decomposition") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(hour: Int, day: Int) =
+      new Timestamp((day * 24L + hour) * 3600L * 1000L)
+    // Perfectly seasonal: hour 0 always 10, hour 12 always 20.
+    //   gmean = 15; SS_total = 1000 - 4*225 = 100; SS_between = 100 → R² = 1
+    val perfect = Seq(
+      ("a", at(0, 0), 10.0), ("a", at(0, 1), 10.0),
+      ("a", at(12, 0), 20.0), ("a", at(12, 1), 20.0))
+    // Zero-variance group: R² undefined → null.
+    val flat = Seq(("b", at(3, 0), 5.0), ("b", at(9, 0), 5.0))
+    val df = (perfect ++ flat).toDF("grp", "ts", "value")
+    val out = graft.ops.EventAnalytics.seasonalProfile(df, "ts", "value", Seq("grp"))
+      .orderBy("grp", "hour_of_day").collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((0L, 2L, 10.0), (12L, 2L, 20.0)))
+    assert(a.forall(_.getDouble(4) == 1.0), "perfect seasonality must score R2 = 1")
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.forall(_.isNullAt(4)), "zero total variance -> null R2")
+  }
+
+  test("seasonalProfile: anti-seasonal noise scores near zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // The same value pattern in EVERY hour: the hour profile explains
+    // nothing, R² ≈ 0 (exactly 0 up to the mean rounding).
+    val rows = for (h <- 0 until 24; i <- 0 until 4)
+      yield ("g", new Timestamp((h * 3600L + i * 60) * 1000L), (i * 5).toDouble)
+    val out = graft.ops.EventAnalytics.seasonalProfile(
+        rows.toDF("grp", "ts", "value"), "ts", "value", Seq("grp"))
+      .collect()
+    assert(out.length == 24)
+    assert(out.forall(r => math.abs(r.getDouble(4)) < 0.01),
+      s"uniform pattern must score ~0, got ${out.head.getDouble(4)}")
+  }
 }
