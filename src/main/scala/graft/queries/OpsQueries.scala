@@ -535,6 +535,29 @@ object OpsQueries {
         ORDER BY event_type"""
       }),
 
+    // Exact distributed quantiles (§2 row 164): the value-histogram
+    // path — no global sort, state bounded by the value DOMAIN. The
+    // oracle is DuckDB's OWN quantile_disc (an independent exact
+    // implementation, the AsofJoin-style strong oracle), not a mirror.
+    Q("events_quantiles",
+      (s, dir) => graft.ops.Quantiles.exact(
+          Tables.events(s, dir), "value", Seq("event_type"),
+          Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("event_type", "p"),
+      Some {
+        // quantile_disc takes CONSTANT probes only — one branch per p
+        val branches = Seq("0.25", "0.5", "0.9", "0.99").map { p =>
+          s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
+                CAST(quantile_disc(CAST(value AS DECIMAL(18,4)), $p) AS DOUBLE)
+                  AS value
+              FROM events WHERE value IS NOT NULL GROUP BY event_type"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+        SELECT * FROM (
+        $branches
+        ) ORDER BY event_type, p"""
+      }),
+
     // Seasonal profile + seasonality strength (§2 row 163): per
     // (event_type, hour-of-day) exact-decimal means and the one-way
     // variance decomposition R² — the calibration step before any

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quantiles
+
+/** Pins for exact histogram-path quantiles (SURVEY §2 row 164): the
+  * PERCENTILE_DISC rank rule on a hand enumeration, duplicate-mass
+  * handling, null/empty discipline, agreement with Spark's own exact
+  * percentile on the corpus, refusals. */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand enumeration: value at cum >= ceil(p*n)") {
+    // 1..10: p=0.25 -> rank 3 -> 3; p=0.5 -> 5; p=0.99 -> 10; p=1 -> 10
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Quantiles.exact(df, "v", Seq("grp"), Seq(0.25, 0.5, 0.99, 1.0))
+      .orderBy("p").collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(out == Seq((0.25, 3.0), (0.5, 5.0), (0.99, 10.0), (1.0, 10.0)))
+  }
+
+  test("duplicate mass shifts ranks correctly") {
+    // {1, 2, 2, 2, 9}: p=0.5 -> rank 3 -> 2; p=0.8 -> rank 4 -> 2;
+    // p=0.81 -> rank 5 -> 9
+    val df = Seq(1.0, 2.0, 2.0, 2.0, 9.0).map(("g", _)).toDF("grp", "v")
+    val out = Quantiles.exact(df, "v", Seq("grp"), Seq(0.5, 0.8, 0.81))
+      .orderBy("p").collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(out == Seq((0.5, 2.0), (0.8, 2.0), (0.81, 9.0)))
+  }
+
+  test("matches Spark's buffering exact percentile on the corpus") {
+    val e = Tables.events(spark, sfDir).where(col("value").isNotNull)
+    val ours = Quantiles.exact(e, "value", Seq("event_type"), Seq(0.5))
+      .select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // percentile_disc-equivalent via sorted collect per group (test-only)
+    val groups = e.select("event_type").distinct().collect().map(_.getString(0))
+    groups.foreach { g =>
+      val vals = e.filter(col("event_type") === g)
+        .select(col("value").cast("decimal(18,4)").cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      val expect = vals(math.ceil(0.5 * vals.length).toInt - 1)
+      assert(ours(g) == expect, s"group $g: ${ours(g)} vs $expect")
+    }
+  }
+
+  test("nulls drop; empty groups emit nothing; refusals") {
+    val df = Seq(("g", Option(1.0)), ("g", Option.empty[Double]),
+      ("h", Option.empty[Double])).toDF("grp", "v")
+    val out = Quantiles.exact(df, "v", Seq("grp"), Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(out == Seq(("g", 1.0)))
+    intercept[IllegalArgumentException](
+      Quantiles.exact(df, "v", Seq("grp"), Seq(0.0)))
+    intercept[IllegalArgumentException](
+      Quantiles.exact(df, "v", Seq("grp"), Seq(0.5, 0.5)))
+  }
+}
