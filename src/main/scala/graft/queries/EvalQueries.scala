@@ -617,6 +617,60 @@ object EvalQueries {
         SELECT event_type, n_calib, n_eval, model_mean, qhat,
                ${Q.sqlDround("qhat * 2", 4)} AS width, coverage
         FROM fin ORDER BY event_type"""
+      }),
+
+    // Two-proportion A/B readout with Wilson intervals (§2 row 165):
+    // per event_type, arm = event_id parity, success = value > 40 —
+    // exact counts, pooled z, per-arm Wilson bounds, every IEEE chain
+    // replayed by the oracle.
+    Q("ab_proportions",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .where(col("value").isNotNull)
+          .withColumn("arm",
+            when(col("event_id") % 2 === 0, "a").otherwise("b"))
+          .withColumn("flag", col("value") > 40)
+        graft.quality.AbTest.proportions(e, "arm", "flag", Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some {
+        import graft.quality.AbTest.sqlWilson
+        val z = 1.96
+        s"""
+        WITH base AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                 (value > 40) AS flag
+          FROM events WHERE value IS NOT NULL),
+        agg AS (
+          SELECT event_type,
+                 sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN arm = 'a' AND flag THEN 1 ELSE 0 END) AS x_a,
+                 sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS n_b,
+                 sum(CASE WHEN arm = 'b' AND flag THEN 1 ELSE 0 END) AS x_b
+          FROM base GROUP BY 1),
+        d AS (
+          SELECT *,
+                 CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                 CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                 CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp,
+                 CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+          FROM agg)
+        SELECT event_type, n_a, x_a, n_b, x_b,
+               CASE WHEN n_a > 0 THEN ${Q.sqlDround("pa", 6)} END AS p_a,
+               CASE WHEN n_b > 0 THEN ${Q.sqlDround("pb", 6)} END AS p_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                 THEN ${Q.sqlDround("pb - pa", 6)} END AS diff,
+               CASE WHEN n_a > 0 AND n_b > 0 AND
+                      sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) > 0
+                 THEN ${Q.sqlDround(
+                   "(pb - pa) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))", 4)}
+               END AS z_stat,
+               CASE WHEN n_a > 0 THEN ${Q.sqlDround(sqlWilson("pa", "na", z, lower = true), 6)} END AS a_lo,
+               CASE WHEN n_a > 0 THEN ${Q.sqlDround(sqlWilson("pa", "na", z, lower = false), 6)} END AS a_hi,
+               CASE WHEN n_b > 0 THEN ${Q.sqlDround(sqlWilson("pb", "nb", z, lower = true), 6)} END AS b_lo,
+               CASE WHEN n_b > 0 THEN ${Q.sqlDround(sqlWilson("pb", "nb", z, lower = false), 6)} END AS b_hi
+        FROM d ORDER BY event_type"""
       })
   )
 
