@@ -72,6 +72,31 @@ object Sampling {
     else pmod(t, lit(Buckets))
   }
 
+  /** [[bucket]] with the key PRE-FOLDED modulo the prime before the
+    * first multiply — (residue + seed)·Knuth < 2.66e18 stays BIGINT-safe
+    * for ANY non-negative key, where the legacy shape overflows (loudly,
+    * under ANSI) past keys ~3.4e9; the Bootstrap replicate draw and the
+    * scale ladder's shifted id bands both hit exactly that. NEW
+    * operators should prefer this; existing ones keep the legacy shape
+    * because their oracle-pinned assignments depend on it. */
+  def bucketFolded(key: Column, seed: Long, prime: Long): Column = {
+    require(prime > 0, "bucketFolded requires a fold prime")
+    require(seed >= 0 && seed < MaxSeed, s"seed must be in [0, $MaxSeed), got $seed")
+    val t = (pmod(key.cast("long"), lit(prime)) + lit(seed)) * lit(Knuth)
+    pmod(pmod(pmod(t, lit(prime)) * lit(Knuth + 2 * seed), lit(prime)),
+      lit(Buckets))
+  }
+
+  /** SQL fragment mirroring [[bucketFolded]]. */
+  def sqlBucketFolded(key: String, seed: Long, prime: Long): String = {
+    require(prime > 0, "bucketFolded requires a fold prime")
+    require(seed >= 0 && seed < MaxSeed, s"seed must be in [0, $MaxSeed), got $seed")
+    val kf = s"(((CAST($key AS BIGINT) % $prime) + $prime) % $prime)"
+    val t = s"(($kf + $seed) * $Knuth)"
+    s"((((($t % $prime) + $prime) % $prime) * ${Knuth + 2 * seed}) " +
+      s"% $prime % $Buckets)"
+  }
+
   /** Fail fast when the sampling key cannot hash: a non-numeric key casts
     * to NULL buckets, which silently empties a filtering sampler's output
     * and silently degrades quota's selection from hash-uniform to

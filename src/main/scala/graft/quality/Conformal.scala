@@ -57,7 +57,9 @@ object Conformal {
       .select(gs :+ col(keyCol).as("_key") :+
         col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
       .withColumn("_calib",
-        graft.ops.Sampling.bucket(col("_key"), seed, SplitPrime) <
+        // the pre-folded bucket: BIGINT-safe for any non-negative key
+        // (the scale ladder's x16 id band overflowed the legacy shape)
+        graft.ops.Sampling.bucketFolded(col("_key"), seed, SplitPrime) <
           (calibFraction * graft.ops.Sampling.Buckets).toLong)
 
     val calib = rows.where(col("_calib"))

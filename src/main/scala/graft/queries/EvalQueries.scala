@@ -579,7 +579,7 @@ object EvalQueries {
         .orderBy("event_type"),
       Some {
         val oneMinusAlpha = 1.0 - 0.1 // the SAME Scala double the engine uses
-        val bucket = graft.ops.Sampling.sqlBucket("k", 0L,
+        val bucket = graft.ops.Sampling.sqlBucketFolded("k", 0L,
           graft.quality.Conformal.SplitPrime)
         s"""
         WITH pts AS (
