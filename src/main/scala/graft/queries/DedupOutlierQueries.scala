@@ -252,8 +252,8 @@ object DedupOutlierQueries {
           FROM vals),
         bounds AS (
           SELECT l_returnflag, max(n) AS n,
-                 min(CASE WHEN rn = ceil(0.01 * n) THEN v END) AS lo,
-                 min(CASE WHEN rn = ceil(0.99 * n) THEN v END) AS hi
+                 min(CASE WHEN rn = ceil(CAST(0.01 AS DOUBLE) * n) THEN v END) AS lo,
+                 min(CASE WHEN rn = ceil(CAST(0.99 AS DOUBLE) * n) THEN v END) AS hi
           FROM ranked GROUP BY 1),
         cl AS (
           SELECT r.l_returnflag, b.n, b.lo, b.hi, r.v,
@@ -262,8 +262,8 @@ object DedupOutlierQueries {
         SELECT l_returnflag, max(n) AS n,
                ${Q.sqlDround("CAST(min(lo) AS DOUBLE)", 4)} AS lo,
                ${Q.sqlDround("CAST(min(hi) AS DOUBLE)", 4)} AS hi,
-               sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
-               sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clipped_hi,
+               CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+               CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
                ${Q.sqlDround("CAST(round(sum(v), 2) AS DOUBLE) / count(*)", 4)}
                  AS mean_before,
                ${Q.sqlDround("CAST(round(sum(vw), 2) AS DOUBLE) / count(*)", 4)}

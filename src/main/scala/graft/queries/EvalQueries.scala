@@ -644,10 +644,10 @@ object EvalQueries {
           FROM events WHERE value IS NOT NULL),
         agg AS (
           SELECT event_type,
-                 sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS n_a,
-                 sum(CASE WHEN arm = 'a' AND flag THEN 1 ELSE 0 END) AS x_a,
-                 sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS n_b,
-                 sum(CASE WHEN arm = 'b' AND flag THEN 1 ELSE 0 END) AS x_b
+                 CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN arm = 'a' AND flag THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+                 CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN arm = 'b' AND flag THEN 1 ELSE 0 END) AS BIGINT) AS x_b
           FROM base GROUP BY 1),
         d AS (
           SELECT *,

@@ -288,7 +288,7 @@ object OpsQueries {
         graft.ops.Cdc.applyChanges(o, changes,
             Seq("o_orderkey"), "seq", "op")
           .select(col("o_orderkey"), col("o_orderstatus"),
-            Q.money(col("o_totalprice")).as("price"))
+            Q.dround(col("o_totalprice").cast("double"), 4).as("price"))
           .orderBy("o_orderkey")
       },
       Some(s"""
@@ -317,7 +317,7 @@ object OpsQueries {
           SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
           WHERE op <> 'D')
         SELECT o_orderkey, o_orderstatus,
-               CAST(o_totalprice AS DECIMAL(18,4)) AS price
+               ${Q.sqlDround("CAST(o_totalprice AS DOUBLE)", 4)} AS price
         FROM (SELECT * FROM surv UNION ALL SELECT * FROM ups) t
         ORDER BY o_orderkey""")),
 

@@ -937,9 +937,6 @@ object TextQueries {
         ORDER BY term"""))
   )
 
-
-    " مرحبا"
-
   /** Handed BPE merge table for the hash-green token-budget oracles: two
     * rules with DISJOINT single-char sides, chosen so greedy encode has a
     * closed form (see [[sqlHandedBpeCost]]) while still firing constantly

@@ -25,6 +25,18 @@ class EntrySpec extends SparkSpec {
         s"$name emits nested top-level column(s) ${
           nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")
         } — the driver's canonicalizer cannot sort them; flatten the output")
+      // Gate invariant (the r11 red-row class): a DECIMAL output column
+      // reads as pandas `object` from Spark parquet but float64 from
+      // DuckDB, so the driver's hash diverges even when values match
+      // (cdc_apply, r11). Emit dround(cast(x AS DOUBLE), n) instead —
+      // decimals are for intermediate exact arithmetic, never for output.
+      val decimals = df.schema.fields.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      assert(decimals.isEmpty,
+        s"$name emits DecimalType output column(s) ${
+          decimals.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")
+        } — pandas reads Spark decimal as object vs DuckDB float64; " +
+          "emit dround(cast(... as double), n) instead")
       val n = df.count()
       assert(n >= 0, s"$name failed")
     }

@@ -55,6 +55,28 @@ def main():
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             n_fail += 1
             continue
+        # dtype parity (the driver's hash lane is dtype-sensitive even when
+        # values agree: DuckDB HUGEINT fetches as float64 vs Spark int64;
+        # Spark DECIMAL parquet reads as object vs DuckDB float64). Fail on
+        # any cross-CLASS divergence after norm, so the class dies locally.
+        def dclass(dt):
+            s = str(dt)
+            if s.startswith("datetime"):
+                return "datetime"
+            if np.issubdtype(dt, np.bool_):
+                return "bool"
+            if np.issubdtype(dt, np.integer):
+                return "int"
+            if np.issubdtype(dt, np.floating):
+                return "float"
+            return "object"
+        dbad = [f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+                for c in spark_df.columns
+                if dclass(spark_df[c].dtype) != dclass(duck_df[c].dtype)]
+        if dbad:
+            print(f"FAIL {name}: dtype parity {dbad[:3]}")
+            n_fail += 1
+            continue
         bad = []
         for c in spark_df.columns:
             a, b = spark_df[c], duck_df[c]
