@@ -198,7 +198,18 @@ object NearDupQueries {
           // of words, far past a 7-bit Hamming budget — the grader makes
           // that visible instead of leaving threshold folklore
           "simhash" -> SimHash.nearDuplicatePairs(corpus, "text", "doc_id",
-            maxDist = 7, blocks = 8))
+            maxDist = 7, blocks = 8),
+          // winnowing's GUARANTEED detection (any shared passage of
+          // >= k+w-1 tokens) measured next to the probabilistic methods
+          // — the truncated clone shares its whole surviving prefix, so
+          // recall here isolates the df-cap's cost, not chance
+          "winnow" -> Winnow.overlapPairs(corpus, "doc_id", "text",
+            k = 5, w = 4, minShared = 2, maxDf = 16),
+          // the md5-lane portable twin graded against the xxhash64
+          // production lane: same k/bands/threshold shape, so a recall
+          // gap between the two rows would flag a lane-arithmetic bug
+          "minhash_portable" -> graft.dedup.PortableMinHash.pairs(corpus,
+            "text", "doc_id", n = 5, k = 32, bands = 16, threshold = 0.5))
         gradeDetections(truth, methods)
       },
       None),
@@ -1083,6 +1094,54 @@ object NearDupQueries {
       },
       None),
 
+    // Portable MinHash signatures (§2 rows 46/47's verifiable lane — the
+    // sketch_hll treatment applied to near-dedup): the signature TABLE
+    // itself is hash-compared. DuckDB replays shingling (with the
+    // short-doc fallback), the md5-prefix 32-bit hash, and all 32
+    // (a·h+b) mod 2³¹−1 universal-lane minima verbatim; the xxhash64
+    // production lane (dedup_minhash) stays the 100 TB hot path.
+    Q("dedup_minhash_portable_sig",
+      (s, dir) => graft.dedup.PortableMinHash.signatureTable(
+          Tables.documents(s, dir), "text", "doc_id", n = 5, k = 32)
+        .orderBy("doc_id", "lane"),
+      Some(s"""
+        WITH ${graft.dedup.PortableMinHash.sqlSigCte("documents", 5, 32)}
+        SELECT doc_id, lane, sig FROM (
+          ${graft.dedup.PortableMinHash.sqlMelt(32)})
+        ORDER BY doc_id, lane""")),
+
+    // Portable MinHash candidate pairs: band join (16 bands × 2 lanes,
+    // the band key being the raw lane values — no second hash to
+    // mirror) + the exact-binary estimator (k a power of two), on the
+    // shared truncated-clone fixture. HASH-GREEN end to end.
+    Q("dedup_minhash_portable_pairs",
+      (s, dir) => graft.dedup.PortableMinHash.pairs(truncatedCorpus(s, dir),
+          "text", "doc_id", n = 5, k = 32, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH $portableCorpusCte,
+        ${graft.dedup.PortableMinHash.sqlSigCte("corpus", 5, 32)},
+        ${graft.dedup.PortableMinHash.sqlPairsCte(32, 16, 0.5)}
+        SELECT id_a, id_b, est_jaccard FROM pr
+        ORDER BY id_a, id_b""")),
+
+    // Portable MinHash KEPT SET — the actual keep/drop decision
+    // (greedy smaller-id-wins over the pair list, MinHash.dedup's
+    // policy) oracle-pinned, closing the gap dedup_recall could only
+    // grade: rows 46/47's decision procedure is now recomputed, not
+    // sampled.
+    Q("dedup_minhash_portable",
+      (s, dir) => graft.dedup.PortableMinHash.kept(truncatedCorpus(s, dir),
+          "text", "doc_id", n = 5, k = 32, bands = 16, threshold = 0.5)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH $portableCorpusCte,
+        ${graft.dedup.PortableMinHash.sqlSigCte("corpus", 5, 32)},
+        ${graft.dedup.PortableMinHash.sqlPairsCte(32, 16, 0.5)}
+        SELECT doc_id FROM corpus
+        WHERE doc_id NOT IN (SELECT id_b FROM pr)
+        ORDER BY doc_id""")),
+
     // Winnowing fingerprints (§2 row 152 — Schleimer et al. 2003, the
     // MOSS algorithm): the selected (doc, position, hash) set itself is
     // hash-compared — DuckDB replays gram building, the md5-prefix hash,
@@ -1116,6 +1175,21 @@ object NearDupQueries {
         GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY id_a, id_b"""))
   )
+
+  /** DuckDB mirror of [[truncatedCorpus]], ending in
+    * `corpus(doc_id, text)` — tokenization matches the Scala builder
+    * exactly (raw split on whitespace, NO lower/trim: the clone text
+    * keeps its case; downstream shingling lowercases on both sides). */
+  private def portableCorpusCte: String = s"""
+       pc_cl AS (
+          SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(l[1:greatest((len(l) * 4) // 5, 1)], ' ')
+                   AS text
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS l
+                FROM documents)
+          WHERE doc_id % 10 = 0),
+       corpus AS (SELECT doc_id, text FROM documents
+                  UNION ALL SELECT doc_id, text FROM pc_cl)"""
 
   /** Shared DuckDB CTE chain ending in `decoded(doc_id, fp_pos, fp_hash)`
     * — the winnowing selection replayed verbatim (k=5, w=4); single owner
