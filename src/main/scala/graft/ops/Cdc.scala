@@ -65,4 +65,166 @@ object Cdc {
       .select(payload.map(col): _*)
     survivors.unionByName(upserts)
   }
+
+  // ---- persisted lifecycle ----------------------------------------------
+  //
+  // The warehouse shape (the Sharding/Ivf manifest-last discipline applied
+  // to a mutable snapshot): a versioned directory tree
+  //
+  //   path/v0/  path/v1/ …  (immutable parquet per version)
+  //   path/manifest.json    (format tag, current version, rows, schema DDL,
+  //                          key columns, max applied seq — written LAST)
+  //
+  // Each applied batch writes a NEW version directory first and commits by
+  // overwriting the root manifest — a reader either sees the old manifest
+  // (old version, still intact) or the new one; superseded versions stay on
+  // disk for time travel/rollback. At 100 TB this is the copy-on-write
+  // table layout (Iceberg/Delta's shape without their libraries): the
+  // rewrite cost is the anti-join + union of [[applyChanges]], and readers
+  // never block.
+
+  private val Format = "graft-cdc-snapshot-v1"
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def fs(spark: org.apache.spark.sql.SparkSession,
+                 path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+                            path: String, version: Long, rows: Long,
+                            ddl: String, keyCols: Seq[String],
+                            maxSeq: Long): Unit = {
+    val json =
+      s"""{"format": "$Format", "version": $version, "rows": $rows, """ +
+        s""""schema": "${esc(ddl)}", """ +
+        s""""key_cols": [${keyCols.map(k => s""""${esc(k)}"""").mkString(", ")}], """ +
+        s""""max_seq": $maxSeq}"""
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val out = fs(spark, path).create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                           path: String): java.util.Map[String, Object] = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    if (!fs(spark, path).exists(mp)) throw new IllegalArgumentException(
+      s"no CDC snapshot manifest at $path — nothing was written here, or " +
+        "the write was interrupted before completion (manifest is last)")
+    val in = fs(spark, path).open(mp)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m =
+      try {
+        val y = new org.yaml.snakeyaml.Yaml(
+          new org.yaml.snakeyaml.constructor.SafeConstructor(
+            new org.yaml.snakeyaml.LoaderOptions()))
+        y.load[java.util.Map[String, Object]](raw)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$path/manifest.json is unreadable: ${e.getMessage}")
+      }
+    val format = String.valueOf(m.get("format"))
+    if (format != Format) throw new IllegalArgumentException(
+      s"manifest at $path holds format '$format', not a $Format export — " +
+        "refusing to treat foreign data as a CDC snapshot")
+    m
+  }
+
+  /** Write version 0 of a persisted snapshot. Refusals: empty base (an
+    * empty initial snapshot is almost always a mis-pointed path), key
+    * columns absent from the schema. */
+  def writeSnapshot(base: DataFrame, keyCols: Seq[String],
+                    path: String): Unit = {
+    val spark = base.sparkSession
+    require(keyCols.nonEmpty, "writeSnapshot needs at least one key column")
+    val missing = keyCols.filterNot(base.columns.contains)
+    require(missing.isEmpty,
+      s"key column(s) ${missing.mkString(", ")} absent from the snapshot schema")
+    require(base.limit(1).collect().nonEmpty,
+      "writeSnapshot: refusing to persist an empty snapshot")
+    base.write.mode("overwrite").parquet(s"$path/v0")
+    val rows = spark.read.parquet(s"$path/v0").count()
+    writeManifest(spark, path, 0L, rows, base.schema.toDDL, keyCols,
+      maxSeq = Long.MinValue)
+  }
+
+  /** Apply one changelog batch to the persisted snapshot: read the current
+    * version under its pinned schema, run [[applyChanges]], write the next
+    * version directory, and commit by overwriting the manifest (recording
+    * the batch's max sequence). Refusals, beyond [[applyChanges]]' own:
+    * key columns differing from the manifest's, and a batch whose minimum
+    * sequence does not exceed the last applied maximum — an out-of-order
+    * or replayed batch would silently lose the later state it overlaps. */
+  def applyBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                 changes: DataFrame, keyCols: Seq[String],
+                 seqCol: String, opCol: String): Unit = {
+    val m = readManifest(spark, path)
+    val pinnedKeys = m.get("key_cols")
+      .asInstanceOf[java.util.List[Object]]
+    val pk = (0 until pinnedKeys.size()).map(i => String.valueOf(pinnedKeys.get(i)))
+    require(pk == keyCols,
+      s"snapshot at $path is keyed by (${pk.mkString(", ")}), " +
+        s"not (${keyCols.mkString(", ")})")
+    val version = String.valueOf(m.get("version")).toLong
+    val maxSeq = String.valueOf(m.get("max_seq")).toLong
+    val ddl = String.valueOf(m.get("schema"))
+    val schema =
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"manifest at $path pins an unparsable schema '$ddl': ${e.getMessage}")
+      }
+    val bounds = changes.agg(min(col(seqCol)).cast("long"),
+      max(col(seqCol)).cast("long")).collect()(0)
+    if (bounds.isNullAt(0)) throw new IllegalArgumentException(
+      "applyBatch: empty changelog batch — nothing to apply; a scheduler " +
+        "bug upstream, refuse rather than burn a version number")
+    val (batchMin, batchMax) = (bounds.getLong(0), bounds.getLong(1))
+    if (batchMin <= maxSeq) throw new IllegalArgumentException(
+      s"batch sequences start at $batchMin but the snapshot has already " +
+        s"applied up to $maxSeq — out-of-order or replayed batch; feed " +
+        "batches in log order")
+    val current = spark.read.schema(schema).parquet(s"$path/v$version")
+    val next = applyChanges(current, changes, keyCols, seqCol, opCol)
+    next.write.mode("overwrite").parquet(s"$path/v${version + 1}")
+    val rows = spark.read.parquet(s"$path/v${version + 1}").count()
+    writeManifest(spark, path, version + 1, rows, ddl, keyCols, batchMax)
+  }
+
+  /** Re-open the current snapshot version under the manifest's pinned
+    * schema. Refusals: missing/foreign/unreadable manifest, missing
+    * version directory, row count differing from the manifest's (partial
+    * copy / torn write). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val m = readManifest(spark, path)
+    val version = String.valueOf(m.get("version")).toLong
+    val rows = String.valueOf(m.get("rows")).toLong
+    val ddl = String.valueOf(m.get("schema"))
+    val schema =
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"manifest at $path pins an unparsable schema '$ddl': ${e.getMessage}")
+      }
+    val vp = new org.apache.hadoop.fs.Path(s"$path/v$version")
+    if (!fs(spark, path).exists(vp)) throw new IllegalArgumentException(
+      s"manifest at $path points at version $version but $path/v$version " +
+        "is missing — partial copy; restore the version directory")
+    val df = spark.read.schema(schema).parquet(s"$path/v$version")
+    val actual = df.count()
+    if (actual != rows) throw new IllegalArgumentException(
+      s"snapshot at $path/v$version holds $actual rows but the manifest " +
+        s"pins $rows — partial copy or torn write; restore the matching files")
+    df
+  }
 }

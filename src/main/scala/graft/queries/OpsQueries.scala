@@ -268,58 +268,62 @@ object OpsQueries {
     // ANSI row_number/anti-join/union mirror.
     Q("cdc_apply",
       (s, dir) => {
-        val o = Tables.orders(s, dir)
-          .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        def slice(m: Long, r: Long) = o.filter(col("o_orderkey") % m === r)
-        val changes =
-          slice(10, 0).select(col("o_orderkey"), col("o_orderstatus"),
-              (col("o_totalprice") * 2).as("o_totalprice"),
-              lit(1L).as("seq"), lit("U").as("op"))
-          .unionByName(slice(10, 1).select(col("o_orderkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            lit(1L).as("seq"), lit("D").as("op")))
-          .unionByName(slice(100, 0).select(col("o_orderkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            lit(2L).as("seq"), lit("D").as("op")))
-          .unionByName(slice(10, 2).select(
-            (col("o_orderkey") + 900000000L).as("o_orderkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            lit(1L).as("seq"), lit("I").as("op")))
-        graft.ops.Cdc.applyChanges(o, changes,
+        val (o, batch1, batch2) = cdcFixture(s, dir)
+        graft.ops.Cdc.applyChanges(o, batch1.unionByName(batch2),
             Seq("o_orderkey"), "seq", "op")
           .select(col("o_orderkey"), col("o_orderstatus"),
             Q.dround(col("o_totalprice").cast("double"), 4).as("price"))
           .orderBy("o_orderkey")
       },
-      Some(s"""
-        WITH base AS (
-          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        ch AS (
-          SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
-                 1 AS seq, 'U' AS op FROM base WHERE o_orderkey % 10 = 0
-          UNION ALL
-          SELECT o_orderkey, o_orderstatus, o_totalprice, 1, 'D'
-          FROM base WHERE o_orderkey % 10 = 1
-          UNION ALL
-          SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 'D'
-          FROM base WHERE o_orderkey % 100 = 0
-          UNION ALL
-          SELECT o_orderkey + 900000000, o_orderstatus, o_totalprice, 1, 'I'
-          FROM base WHERE o_orderkey % 10 = 2),
-        latest AS (
-          SELECT * FROM (
-            SELECT *, row_number() OVER (PARTITION BY o_orderkey
-              ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1),
-        surv AS (
-          SELECT b.* FROM base b
-          WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM latest)),
-        ups AS (
-          SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
-          WHERE op <> 'D')
-        SELECT o_orderkey, o_orderstatus,
-               ${Q.sqlDround("CAST(o_totalprice AS DOUBLE)", 4)} AS price
-        FROM (SELECT * FROM surv UNION ALL SELECT * FROM ups) t
-        ORDER BY o_orderkey""")),
+      Some(cdcOracle)),
+
+    // CDC PERSISTED lifecycle (§2 row 150's warehouse shape — the
+    // Sharding/Ivf manifest-last discipline applied to a mutable
+    // snapshot): write version 0, apply the seq-1 and seq-2 changelog
+    // batches INCREMENTALLY (each commits a new immutable version
+    // directory, manifest overwritten last; out-of-order/replayed
+    // batches refused by the monotone-sequence guard), then re-open
+    // the current version under its pinned schema. The final state is
+    // definitionally the one-shot apply's, so it shares cdc_apply's
+    // oracle — the incremental path is pinned to the composed-batch
+    // ANSI mirror. HASH-GREEN.
+    Q("cdc_apply_persisted",
+      (s, dir) => {
+        val (o, batch1, batch2) = cdcFixture(s, dir)
+        val path = NearDupQueries.scratchIndexDir(s, "cdc", dir)
+        graft.ops.Cdc.writeSnapshot(o, Seq("o_orderkey"), path)
+        graft.ops.Cdc.applyBatch(s, path, batch1, Seq("o_orderkey"), "seq", "op")
+        graft.ops.Cdc.applyBatch(s, path, batch2, Seq("o_orderkey"), "seq", "op")
+        graft.ops.Cdc.readSnapshot(s, path)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            Q.dround(col("o_totalprice").cast("double"), 4).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some(cdcOracle)),
+
+    // CDC via the STREAMING operator run in batch degeneration (§2 row
+    // 150's live twin): StreamOps.cdcLatest is the flatMapGroupsWithState
+    // latest-wins fold a changelog STREAM maintains (compacted-topic
+    // contract; StreamingSpec drives it across triggers with replay
+    // suppression); on a batch frame it degenerates to applyChanges'
+    // latest CTE, so composing it with the base anti-join must replay
+    // cdc_apply's oracle verbatim — pinning batch ≡ stream at the gate
+    // (the streamingCusum discipline applied to CDC). HASH-GREEN.
+    Q("cdc_apply_streamed",
+      (s, dir) => {
+        val (o, batch1, batch2) = cdcFixture(s, dir)
+        val latest = graft.streaming.StreamOps.cdcLatest(
+          batch1.unionByName(batch2), "o_orderkey", "seq", "op")
+        val ups = latest.filter(col("op") =!= "D")
+          .select(from_json(col("payload"), o.schema).as("p")).select("p.*")
+        val survivors = o.join(latest.select(col("key").as("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+        survivors.unionByName(ups)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            Q.dround(col("o_totalprice").cast("double"), 4).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some(cdcOracle)),
 
     // SCD2 change history — the versioned complement of events_latest:
     // per user, each event_type CHANGE opens a [valid_from, valid_to)
@@ -737,6 +741,68 @@ object OpsQueries {
         WITH ${graft.ops.Trend.sqlOls("events", "ts", "value", "event_type")}
         ORDER BY event_type"""))
   )
+
+  /** The CDC fixture shared by cdc_apply and cdc_apply_persisted: the
+    * orders snapshot plus a synthesized Debezium-shaped changelog in two
+    * log-ordered batches — seq 1 carries updates (price doubled,
+    * %10 = 0), deletes (%10 = 1) and shifted-key inserts (%10 = 2);
+    * seq 2 is the delete overriding the %100 = 0 updates, so cross-batch
+    * latest-wins is live. Returns (base, batch1, batch2). */
+  private def cdcFixture(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    def slice(m: Long, r: Long) = o.filter(col("o_orderkey") % m === r)
+    val batch1 =
+      slice(10, 0).select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      .unionByName(slice(10, 1).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("seq"), lit("D").as("op")))
+      .unionByName(slice(10, 2).select(
+        (col("o_orderkey") + 900000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("seq"), lit("I").as("op")))
+    val batch2 = slice(100, 0).select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"),
+      lit(2L).as("seq"), lit("D").as("op"))
+    (o, batch1, batch2)
+  }
+
+  /** The composed-batch ANSI mirror shared by cdc_apply (one-shot) and
+    * cdc_apply_persisted (incremental) — final states are identical by
+    * construction, so ONE oracle owns both. */
+  private def cdcOracle: String = s"""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        ch AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                 1 AS seq, 'U' AS op FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice, 1, 'D'
+          FROM base WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 'D'
+          FROM base WHERE o_orderkey % 100 = 0
+          UNION ALL
+          SELECT o_orderkey + 900000000, o_orderstatus, o_totalprice, 1, 'I'
+          FROM base WHERE o_orderkey % 10 = 2),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+              ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1),
+        surv AS (
+          SELECT b.* FROM base b
+          WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM latest)),
+        ups AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
+          WHERE op <> 'D')
+        SELECT o_orderkey, o_orderstatus,
+               ${Q.sqlDround("CAST(o_totalprice AS DOUBLE)", 4)} AS price
+        FROM (SELECT * FROM surv UNION ALL SELECT * FROM ups) t
+        ORDER BY o_orderkey"""
 
   /** Shared DuckDB CTE ending in `regs(source, bucket, max_rho)` — the
     * p=8 HLL register build over document texts, single owner for both

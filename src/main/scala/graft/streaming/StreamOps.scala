@@ -23,6 +23,12 @@ final case class CusumPoint(key: Long, ts_us: Long, tie: Long, value: Double,
                             cusum_up: Double, cusum_down: Double,
                             alarm: Boolean)
 
+/** Output row of [[StreamOps.cdcLatest]] — the compacted-topic CDC
+  * contract: one row per touched key per trigger with its resolved
+  * latest state. */
+final case class CdcLatestRow(key: Long, seq: Long, op: String,
+                              payload: String)
+
 /** Structured-Streaming-ready event transforms (SURVEY §2.2 row 42).
   * Every builder here works identically on a batch frame and a streaming
   * frame (`readStream` source): tumbling/session windows are the same
@@ -507,6 +513,78 @@ object StreamOps {
         if (leftNames.contains(c)) col(s"r.$c").as(s"r_$c") else col(s"r.$c")
       }
     joined.select(outCols: _*)
+  }
+
+  /** Live CDC state maintenance — the streaming twin of
+    * [[graft.ops.Cdc.applyChanges]]'s latest-wins resolution: a
+    * Debezium-shaped changelog stream folds into per-key state (the
+    * winning sequence number + op + payload), and each trigger emits one
+    * row per TOUCHED key with its post-trigger resolved state — the
+    * compacted-topic contract (key, seq, op, payload_json); a downstream
+    * sink materializes the snapshot by latest-per-key compaction over
+    * the base, exactly as [[graft.ops.Cdc]]'s batch anti-join does.
+    *
+    * Payload rides as engine-rendered JSON (`to_json` of every non-meta
+    * column), so the state per key is O(row width) and the operator needs
+    * no payload-specific encoder; `from_json` with the base schema
+    * restores typed columns losslessly (Spark renders doubles in
+    * shortest-round-trip form).
+    *
+    * Semantics, matching the batch/persisted lanes' discipline:
+    *  - within and across triggers the HIGHEST sequence wins;
+    *  - a change at a sequence the key has already applied or passed is
+    *    DROPPED silently (the per-key granular form of the persisted
+    *    lane's monotone-batch guard: replays and stale late arrivals
+    *    must not regress state);
+    *  - two changes at one (key, seq) inside a trigger have no defined
+    *    winner → the query FAILS (the streaming analogue of
+    *    applyChanges' duplicate refusal — a poisoned log should stop the
+    *    pipeline, not corrupt the snapshot);
+    *  - unknown ops fail likewise.
+    *
+    * On a BATCH frame the same operator runs with empty initial state in
+    * one pass, so it degenerates to exactly applyChanges' latest CTE —
+    * the `cdc_apply_streamed` registry key composes it with the base
+    * anti-join and shares cdc_apply's oracle verbatim.
+    *
+    * State per key is one (long, string, json) triple — bounded by key
+    * cardinality, the same bound any compacted CDC topic already pays. */
+  def cdcLatest(changes: DataFrame, keyCol: String, seqCol: String,
+                opCol: String): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val payload = changes.columns.toSeq.filterNot(c => c == seqCol || c == opCol)
+    val typed = changes.select(col(keyCol).cast("long"),
+        col(seqCol).cast("long"), col(opCol).cast("string"),
+        to_json(struct(payload.map(col): _*)))
+      .as[(Long, Long, String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, String), CdcLatestRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state) =>
+          var cur = state.getOption // (seq, op, payload)
+          val batch = it.toSeq
+          val bySeq = batch.groupBy(_._2).filter(_._2.size > 1)
+          if (bySeq.nonEmpty) throw new IllegalStateException(
+            s"changelog has two changes at (key=$key, seq=${bySeq.keys.head})" +
+              " — no defined winner; fix the log")
+          val before = cur.map(_._1)
+          batch.sortBy(_._2).foreach { case (_, seq, op, pl) =>
+            if (!graft.ops.Cdc.Ops.contains(op)) throw new IllegalStateException(
+              s"changelog carries op '$op' at key=$key — ops must be one of " +
+                graft.ops.Cdc.Ops.mkString(", "))
+            if (cur.forall(_._1 < seq)) cur = Some((seq, op, pl))
+          }
+          cur match {
+            // emit only when this trigger ADVANCED the key — a
+            // stale-replay-only trigger re-emitting unchanged state would
+            // duplicate rows in the compacted sink
+            case Some((seq, op, pl)) if !before.contains(seq) =>
+              state.update((seq, op, pl))
+              Iterator.single(CdcLatestRow(key, seq, op, pl))
+            case _ => Iterator.empty
+          }
+      }.toDF()
   }
 
   /** Gap-based sessionization per user: session_window keeps a session

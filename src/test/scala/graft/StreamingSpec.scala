@@ -761,4 +761,83 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
+
+  test("cdcLatest maintains latest-wins state across triggers and suppresses replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    val q = graft.streaming.StreamOps.cdcLatest(
+        mem.toDF.toDF("k", "v", "x", "seq", "op"), "k", "seq", "op")
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    // trigger 1: update key 1, insert key 2
+    mem.addData((1L, "a1", 1.0, 1L, "U"), (2L, "b1", 2.0, 1L, "I"))
+    q.processAllAvailable()
+    // trigger 2: key 1 deleted at seq 3; a STALE replay of key 2's seq-1
+    // insert plus a genuine seq-2 update — the replay must not appear
+    mem.addData((1L, "a1", 1.0, 3L, "D"), (2L, "b1", 2.0, 1L, "I"),
+      (2L, "b2", 2.5, 2L, "U"))
+    q.processAllAvailable()
+    // trigger 3: only a stale change for key 2 → NO emission for it
+    mem.addData((2L, "b0", 0.0, 1L, "U"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cdc_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // per trigger, one row per TOUCHED key with its resolved state
+    assert(rows.count { case (k, s, o) => k == 1L } == 2)
+    assert(rows.contains((1L, 1L, "U")) && rows.contains((1L, 3L, "D")))
+    assert(rows.contains((2L, 1L, "I")) && rows.contains((2L, 2L, "U")))
+    assert(rows.size == 4, s"stale replays leaked: $rows")
+  }
+
+  test("cdcLatest batch degeneration equals applyChanges' latest resolution") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val changes = Seq(
+      (1L, "a2", 11.0, 1L, "U"), (1L, "a3", 12.0, 2L, "D"),
+      (3L, "c2", 33.0, 1L, "U"), (5L, "e", 50.0, 1L, "I")
+    ).toDF("k", "v", "x", "seq", "op")
+    val latest = graft.streaming.StreamOps.cdcLatest(changes, "k", "seq", "op")
+    val ups = latest.filter(col("op") =!= "D")
+      .select(from_json(col("payload"), base.schema).as("p")).select("p.*")
+    val surv = base.join(latest.select(col("key").as("k")), Seq("k"), "left_anti")
+    val got = surv.unionByName(ups).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val want = graft.ops.Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("cdcLatest fails the query on duplicate (key, seq) and unknown ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    val q = graft.streaming.StreamOps.cdcLatest(
+        mem.toDF.toDF("k", "v", "x", "seq", "op"), "k", "seq", "op")
+      .writeStream.format("memory").queryName("cdc_dup_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "a", 1.0, 1L, "U"), (1L, "b", 2.0, 1L, "D"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getMessage.contains("no defined winner") ||
+      Option(e.getCause).exists(_.getMessage.contains("no defined winner")))
+    q.stop()
+
+    val mem2 = MemoryStream[(Long, String, Double, Long, String)]
+    val q2 = graft.streaming.StreamOps.cdcLatest(
+        mem2.toDF.toDF("k", "v", "x", "seq", "op"), "k", "seq", "op")
+      .writeStream.format("memory").queryName("cdc_badop_stream")
+      .outputMode("append").start()
+    mem2.addData((1L, "a", 1.0, 1L, "X"))
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e2.getMessage.contains("ops must be one of") ||
+      Option(e2.getCause).exists(_.getMessage.contains("ops must be one of")))
+    q2.stop()
+  }
 }
