@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -28,6 +28,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Quantiles {
 
+  /** The shared histogram core: `(groupCols, _v DECIMAL(18,4), _c, _cum,
+    * _n)` — distinct-value counts with cumulative and total counts. Every
+    * window here runs over the HISTOGRAM (≤ |domain| rows per group),
+    * never the corpus. */
+  private[graft] def cumHistogram(df: DataFrame, valueCol: String,
+                                  groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val hist = df.where(col(valueCol).isNotNull)
+      .select(gs :+ col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
+      .groupBy(gs :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(gs: _*)
+    hist
+      .withColumn("_cum", sum("_c").over(w))
+      .withColumn("_n", sum("_c").over(n))
+  }
+
   /** One row per (groupCols, p) with the exact discrete quantile of
     * `valueCol`. `ps` must be in (0, 1], distinct. Null values are
     * excluded; a group with no non-null values emits nothing. */
@@ -37,20 +56,61 @@ object Quantiles {
       s"quantile probes must be in (0, 1], got $ps")
     require(ps.distinct.size == ps.size, s"duplicate probes in $ps")
     val gs = groupCols.map(col)
-    val hist = df.where(col(valueCol).isNotNull)
-      .select(gs :+ col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
-      .groupBy(gs :+ col("_v"): _*)
-      .agg(count(lit(1)).as("_c"))
-    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = Window.partitionBy(gs: _*)
-    val cum = hist
-      .withColumn("_cum", sum("_c").over(w))
-      .withColumn("_n", sum("_c").over(n))
+    val cum = cumHistogram(df, valueCol, groupCols)
     val probes = explode(array(ps.map(lit): _*)).as("p")
     cum.select(gs :+ col("_v") :+ col("_cum") :+ col("_n") :+ probes: _*)
       .where(col("_cum") >= ceil(col("p") * col("_n")))
       .groupBy(gs :+ col("p"): _*)
       .agg(graft.Num.dround(min("_v").cast("double"), 4).as("value"))
+  }
+
+  /** CONTINUOUS (interpolated) exact percentiles from the same bounded
+    * histogram — Spark's own `percentile()` semantics, replayed IEEE op
+    * for IEEE op (position = p·(n−1); result = (⌈pos⌉−pos)·v_lo +
+    * (pos−⌊pos⌋)·v_hi on the two bracketing DATA values), but without
+    * `percentile()`'s per-group buffer of every row: the only state is
+    * the value histogram, so the construction survives any row count on
+    * the fixed-precision (≤ 4-decimal) value contract. Values pass
+    * through DECIMAL(18,4) — for doubles that ARE canonical ≤ 4dp
+    * decimals (the contract) the round trip is the identity, and the
+    * interpolation then runs on the same operands `percentile()` sees,
+    * so results are bit-identical to the buffered builtin.
+    *
+    * Output: groupCols + one DOUBLE column per (probe, name) pair; one
+    * row per group (exactly one row when `groupCols` is empty, with null
+    * values if no rows survived the null filter — `percentile()`'s
+    * behavior). */
+  def contColumns(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p._1 >= 0 && p._1 <= 1),
+      s"percentile probes must be in [0, 1], got ${ps.map(_._1)}")
+    require(ps.map(_._2).distinct.size == ps.size,
+      s"duplicate output names in $ps")
+    val gs = groupCols.map(col)
+    val cum = cumHistogram(df, valueCol, groupCols)
+    def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
+    // bracketing values as aggregates over the histogram: 0-based index i
+    // lives at the value whose cumulative count first reaches i + 1
+    val aggs = ps.flatMap { case (p, name) =>
+      Seq(
+        min(when(col("_cum") >= floor(pos(p)) + 1, col("_v"))).as(s"_lo_$name"),
+        min(when(col("_cum") >= ceil(pos(p)) + 1, col("_v"))).as(s"_hi_$name"),
+        max(col("_n")).as(s"_n_$name"))
+    }
+    val agged =
+      if (gs.isEmpty) cum.agg(aggs.head, aggs.tail: _*)
+      else cum.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+    val outCols = ps.map { case (p, name) =>
+      val n = col(s"_n_$name").cast("double")
+      val position = lit(p) * (n - 1)
+      val vLo = col(s"_lo_$name").cast("double")
+      // ⌈pos⌉ beyond the last index (p = 1) brackets to the max itself
+      val vHi = coalesce(col(s"_hi_$name").cast("double"), vLo)
+      when(floor(position) === ceil(position), vLo)
+        .otherwise((ceil(position) - position) * vLo +
+          (position - floor(position)) * vHi)
+        .as(name)
+    }
+    agged.select(gs ++ outCols: _*)
   }
 }

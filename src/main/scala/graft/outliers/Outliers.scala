@@ -38,12 +38,14 @@ final case class Detection(
 /** Outlier detection + handling — Spark-native counterpart of the
   * reference's m05/m06 modules.
   *
-  * Scale design: bounds for every configured column come from ONE
-  * aggregation pass (exact `percentile` by default for oracle parity;
-  * `exact=false` switches to `percentile_approx` — at 100 TB exact
-  * quantiles hold a full column partition in memory, approx holds a fixed
-  * sketch). The bounds row is then broadcast back across the data — the
-  * fact table itself never shuffles.
+  * Scale design: bounds for every configured column aggregate to one row
+  * and broadcast back across the data — the fact table itself never
+  * shuffles. Exact quantiles (IQR, replacement medians) ride the bounded
+  * value-histogram path ([[graft.ops.Quantiles.contColumns]], r12) whose
+  * state is domain-sized at any row count; `exact=false` switches to the
+  * `percentile_approx` sketch; only MAD's deviation median still buffers
+  * (its operands are interpolation results, outside the fixed-precision
+  * histogram contract).
   */
 object Outliers {
 
@@ -51,18 +53,41 @@ object Outliers {
   private def upperName(c: String) = s"_gf_${c}_hi"
   def flagName(c: String, m: DetectMethod): String = s"${c}_${m.name}_outlier"
 
-  /** One-row bounds frame for all configured columns — one aggregation
-    * pass, plus a second pass ONLY when MAD columns are configured (the
-    * deviation median needs the median first; no single-pass form
-    * exists). Both passes aggregate to one row; the data never shuffles. */
+  /** One-row bounds frame for all configured columns, plus a second pass
+    * ONLY when MAD columns are configured (the deviation median needs the
+    * median first; no single-pass form exists). Every piece aggregates to
+    * one row; the data never shuffles.
+    *
+    * Exact IQR quantiles ride the bounded value-histogram path
+    * ([[graft.ops.Quantiles.contColumns]] — Spark's `percentile()`
+    * interpolation replayed over distinct-value counts) instead of the
+    * builtin's per-column buffer of EVERY row: identical results on the
+    * fixed-precision (≤ 4-decimal) value contract, and the only state is
+    * domain-sized, so the lane survives any row count. MAD's deviation
+    * median stays on `percentile()` — deviations are interpolation
+    * RESULTS, not fixed-precision data, so the histogram contract does
+    * not hold for them; `exact = false` keeps the sketch everywhere. */
   private def boundsFrame(df: DataFrame, specs: Map[String, DetectMethod],
                           exact: Boolean): DataFrame = {
     def pct(c: Column, ps: Column): Column =
       if (exact) percentile(c, ps) else percentile_approx(c, ps, lit(100000))
     val sorted = specs.toSeq.sortBy(_._1)
+    val iqrFrames: Seq[DataFrame] =
+      if (!exact) Seq.empty
+      else sorted.collect { case (c0, Iqr(k)) =>
+        graft.ops.Quantiles.contColumns(
+            df.select(col(c0).cast(DoubleType).as(c0)), c0, Seq.empty,
+            Seq(0.25 -> "_gf_q1", 0.75 -> "_gf_q3"))
+          .select(
+            (col("_gf_q1") - lit(k) * (col("_gf_q3") - col("_gf_q1")))
+              .as(lowerName(c0)),
+            (col("_gf_q3") + lit(k) * (col("_gf_q3") - col("_gf_q1")))
+              .as(upperName(c0)))
+      }
     val aggs = sorted.flatMap { case (c0, m) =>
       val c = col(c0).cast(DoubleType)
       m match {
+        case Iqr(_) if exact => Seq.empty // histogram lane above
         case Iqr(k) =>
           // one percentile aggregate with both percentages — two separate
           // percentile() calls each buffer + sort the column independently
@@ -77,7 +102,10 @@ object Outliers {
           Seq(pct(c, lit(0.5)).as(s"_gf_${c0}_med"))
       }
     }
-    val pass1 = df.agg(aggs.head, aggs.tail: _*)
+    val pieces =
+      (if (aggs.nonEmpty) Seq(df.agg(aggs.head, aggs.tail: _*)) else Seq.empty) ++
+        iqrFrames
+    val pass1 = pieces.reduce(_.crossJoin(_))
     val madSpecs = sorted.collect { case (c0, m: Mad) => (c0, m) }
     if (madSpecs.isEmpty) pass1
     else {
@@ -152,19 +180,29 @@ object Outliers {
       return base.filter(!col("any_outlier"))
         .select(cleanCols(base).map(col): _*)
     }
-    // Stats row for mean/median replacements, one pass, broadcast.
+    // Stats row for mean/median replacements, broadcast. Exact medians
+    // ride the bounded-histogram percentile lane (see boundsFrame).
     val statAggs = strategies.toSeq.sortBy(_._1).flatMap {
       case (c0, ReplaceMean) =>
         Some(avg(col(c0).cast(DoubleType)).as(s"_gf_${c0}_mean"))
-      case (c0, ReplaceMedian) =>
-        val c = col(c0).cast(DoubleType)
-        Some((if (exact) percentile(c, lit(0.5))
-              else percentile_approx(c, lit(0.5), lit(100000))).as(s"_gf_${c0}_med"))
+      case (c0, ReplaceMedian) if !exact =>
+        Some(percentile_approx(col(c0).cast(DoubleType), lit(0.5),
+          lit(100000)).as(s"_gf_${c0}_med"))
       case _ => None
     }
+    val medFrames =
+      if (!exact) Seq.empty
+      else strategies.toSeq.sortBy(_._1).collect { case (c0, ReplaceMedian) =>
+        graft.ops.Quantiles.contColumns(
+          base.select(col(c0).cast(DoubleType).as(c0)), c0, Seq.empty,
+          Seq(0.5 -> s"_gf_${c0}_med"))
+      }
+    val statPieces =
+      (if (statAggs.nonEmpty) Seq(base.agg(statAggs.head, statAggs.tail: _*))
+       else Seq.empty) ++ medFrames
     var out =
-      if (statAggs.isEmpty) base
-      else base.crossJoin(broadcast(base.agg(statAggs.head, statAggs.tail: _*)))
+      if (statPieces.isEmpty) base
+      else base.crossJoin(broadcast(statPieces.reduce(_.crossJoin(_))))
     strategies.toSeq.sortBy(_._1).foreach { case (c0, strat) =>
       val m = det.specs(c0)
       val isOut = col(flagName(c0, m))
@@ -215,9 +253,26 @@ object Outliers {
     def pct(c: Column, ps: Column): Column =
       if (exact) percentile(c, ps) else percentile_approx(c, ps, lit(100000))
     val sorted = specs.toSeq.sortBy(_._1)
+    // exact per-group IQR quantiles ride the bounded histogram (see
+    // boundsFrame); groups whose column is all-null drop out of a
+    // histogram frame, so the left joins below restore them with null
+    // bounds — exactly percentile()'s null result for such a group
+    val iqrFrames: Seq[DataFrame] =
+      if (!exact) Seq.empty
+      else sorted.collect { case (c0, Iqr(k)) =>
+        graft.ops.Quantiles.contColumns(
+            df.select(col(groupCol), col(c0).cast(DoubleType).as(c0)),
+            c0, Seq(groupCol), Seq(0.25 -> "_gf_q1", 0.75 -> "_gf_q3"))
+          .select(col(groupCol),
+            (col("_gf_q1") - lit(k) * (col("_gf_q3") - col("_gf_q1")))
+              .as(lowerName(c0)),
+            (col("_gf_q3") + lit(k) * (col("_gf_q3") - col("_gf_q1")))
+              .as(upperName(c0)))
+      }
     val aggs = sorted.flatMap { case (c0, m) =>
       val c = col(c0).cast(DoubleType)
       m match {
+        case Iqr(_) if exact => Seq.empty // histogram lane above
         case Iqr(k) =>
           val qs = pct(c, array(lit(0.25), lit(0.75)))
           val q1 = element_at(qs, 1); val q3 = element_at(qs, 2)
@@ -229,7 +284,11 @@ object Outliers {
         case _: Mad => Seq.empty // refused above
       }
     }
-    val bounds = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val groupsBase =
+      if (aggs.nonEmpty) df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      else df.select(col(groupCol)).distinct()
+    val bounds = iqrFrames.foldLeft(groupsBase)(
+      (acc, f) => acc.join(f, Seq(groupCol), "left"))
     val flagged = df.join(broadcast(bounds), Seq(groupCol), "left")
     val entries = sorted.map { case (c0, m) =>
       struct(
@@ -253,17 +312,19 @@ object Outliers {
   /** Per-group winsorization summary at EXACT discrete percentiles: the
     * bounds are the values at ranks ceil(pLo·n) / ceil(pHi·n) of the
     * group's sorted non-null values (the ANSI PERCENTILE_DISC rule,
-    * selected explicitly via row_number so the semantics do not depend
-    * on any engine's builtin quantile flavor — a DATA VALUE, never an
-    * interpolation, so cross-engine float divergence is impossible).
+    * selected as an explicit cumulative-count rank lookup so the
+    * semantics do not depend on any engine's builtin quantile flavor —
+    * a DATA VALUE, never an interpolation, so cross-engine float
+    * divergence is impossible).
     * Emits per group: n, the two bounds, clip counts, and the
     * exact-decimal mean before/after clipping — the robust-scaling audit
     * (IQR clipping's percentile-parameterized sibling; heavy tails move
     * the mean, winsorized means don't).
     *
-    * Scale shape: one per-group sort (the window) + a broadcast-joined
-    * bounds frame; values carry ≤ 4 semantic decimals (the Q.money
-    * contract) so means are exact decimals. */
+    * Scale shape: the rank lookup runs over the bounded value HISTOGRAM
+    * (≤ |domain| rows per group, r12 — no corpus-row window anywhere) +
+    * a broadcast-joined bounds frame; values carry ≤ 4 semantic decimals
+    * (the Q.money contract) so means are exact decimals. */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
                 pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(pLo > 0 && pHi < 1 && pLo < pHi,
@@ -271,16 +332,19 @@ object Outliers {
     val gs = groupCols.map(col)
     val rows = df.where(col(valueCol).isNotNull)
       .select(gs :+ col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
-    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
-    val ranked = rows
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(gs: _*)))
-    val bounds = ranked
+    // rank selection over the bounded value HISTOGRAM, not the corpus:
+    // the value at rank r is the smallest distinct value whose cumulative
+    // count reaches r, so the per-group sort touches ≤ |domain| rows
+    // (Quantiles.cumHistogram) — identical bounds to a row_number walk,
+    // without the corpus-sized window sort
+    val cum = graft.ops.Quantiles.cumHistogram(
+      df.where(col(valueCol).isNotNull), valueCol, groupCols)
+    val bounds = cum
       .groupBy(gs: _*)
       .agg(
         max(col("_n")).as("n"),
-        min(when(col("_rn") === ceil(lit(pLo) * col("_n")), col("_v"))).as("lo"),
-        min(when(col("_rn") === ceil(lit(pHi) * col("_n")), col("_v"))).as("hi"))
+        min(when(col("_cum") >= ceil(lit(pLo) * col("_n")), col("_v"))).as("lo"),
+        min(when(col("_cum") >= ceil(lit(pHi) * col("_n")), col("_v"))).as("hi"))
     val clipped = rows.join(broadcast(bounds), groupCols)
       .withColumn("_vw", least(greatest(col("_v"), col("lo")), col("hi")))
     clipped.groupBy(gs: _*)

@@ -49,6 +49,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("exact IQR bounds ride the value histogram, not a percentile row buffer") {
+    // the r12 contract: the exact lane's only state is domain-sized — a
+    // percentile() aggregate (which buffers EVERY row per group) in the
+    // plan means the histogram path was silently lost
+    Seq("outliers_iqr", "outliers_iqr_by", "outliers_clip",
+        "outliers_replace_median", "outliers_drop", "outliers_log").foreach {
+      q => assert(!plan(q).contains("percentile("),
+        s"$q plan buffers rows in percentile()")
+    }
+  }
+
+  test("winsorize ranks over the bounded histogram — no corpus-row window") {
+    val p = plan("outliers_winsorize")
+    assert(!p.contains("row_number"),
+      "winsorize regressed to a corpus-row row_number sort")
+    // the rank lookup's window input is the distinct-value histogram: an
+    // aggregate must run BEFORE any Window operator in the plan
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0,
+      s"expected both aggregate and window in plan")
+  }
+
   test("q1_agg aggregates map-side before the shuffle (partial + final HashAggregate)") {
     val p = plan("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
