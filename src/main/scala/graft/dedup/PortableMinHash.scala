@@ -110,6 +110,29 @@ object PortableMinHash {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard over portable-band candidates — row 48's
+    * verifiable lane ([[NgramJaccard.pairs]] with this lane's candidate
+    * generator): candidates from [[pairs]] at `threshold − 0.2` (the
+    * production pre-filter margin), then the exact |A∩B| / |A∪B| over
+    * DISTINCT shingle strings, 4-dp dround'd. Every stage — candidate
+    * bands, gram sets, intersection counts, the ratio — is replayed by
+    * the SQL mirror. */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 5, k: Int = 32, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val cand = pairs(df, textCol, idCol, n, k, bands,
+      math.max(0.0, threshold - 0.2)).select("id_a", "id_b")
+    val sh = df.select(col(idCol).as("_gf_sid"),
+      array_distinct(MinHash.shingles(col(textCol), n)).as("_gf_sh"))
+    cand
+      .join(sh.select(col("_gf_sid").as("id_a"), col("_gf_sh").as("_gf_sh_a")), Seq("id_a"))
+      .join(sh.select(col("_gf_sid").as("id_b"), col("_gf_sh").as("_gf_sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.Num.dround(NgramJaccard.jaccard(col("_gf_sh_a"), col("_gf_sh_b")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Greedy keep set ([[MinHash.dedup]]'s policy): drop any doc whose
     * estimate against a smaller-id doc clears the threshold. */
   def kept(df: DataFrame, textCol: String, idCol: String,
@@ -178,4 +201,26 @@ object PortableMinHash {
           JOIN sig sb ON sb.doc_id = cand.id_b),
         pr AS (SELECT * FROM est WHERE est_jaccard >= $threshold)"""
   }
+
+  /** Final SELECT mirroring [[jaccardPairs]] — expects the [[sqlSigCte]]
+    * chain (for `tk`) and a [[sqlPairsCte]] chain (for `pr`, built at
+    * `threshold − 0.2`) to precede it. */
+  def sqlJaccardSelect(n: Int, threshold: Double): String = s"""
+        g AS (SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(${sqlShingles("l", n)}) AS gram FROM tk)),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM g GROUP BY 1),
+        pint AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_int
+                 FROM pr
+                 JOIN g ga ON ga.doc_id = pr.id_a
+                 JOIN g gb ON gb.doc_id = pr.id_b AND ga.gram = gb.gram
+                 GROUP BY 1, 2)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+                 floor((CAST(n_int AS DOUBLE) /
+                        CAST(sa.nsh + sb.nsh - n_int AS DOUBLE)) * 1e4 + 0.5)
+                   / 1e4 AS jaccard
+          FROM pint
+          JOIN sz sa ON sa.doc_id = pint.id_a
+          JOIN sz sb ON sb.doc_id = pint.id_b) t
+        WHERE jaccard >= $threshold"""
 }

@@ -1142,6 +1142,64 @@ object NearDupQueries {
         WHERE doc_id NOT IN (SELECT id_b FROM pr)
         ORDER BY doc_id""")),
 
+    // Portable SimHash fingerprints (§2 row 47's verifiable lane): the
+    // 32-bit fingerprint TABLE itself is hash-compared — md5-prefix
+    // token hashes, 32 signed bit sums, the positive-sum threshold —
+    // so the Hamming family's fingerprint arithmetic is oracle-pinned;
+    // the 64-bit xxhash64 lane (dedup_simhash) stays production.
+    Q("dedup_simhash_portable_sig",
+      (s, dir) => graft.dedup.PortableSimHash.signatureTable(
+          Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH ${graft.dedup.PortableSimHash.sqlSimCte("documents")}
+        SELECT doc_id, sig FROM sim ORDER BY doc_id""")),
+
+    // Portable SimHash pairs on the one-word-substitution clone fixture
+    // (dedup_simhash's): pigeonhole block join (8 blocks × 4 bits) +
+    // bit_count(xor) distances at a TIGHT budget (Hamming ≤ 3 — a
+    // 32-bit fingerprint passes loose budgets for ordinary same-domain
+    // docs, so the tight budget is the informative one; the planted
+    // clones concentrate at ≤ 3) — candidates, blocks, and every
+    // Hamming value replayed. HASH-GREEN.
+    Q("dedup_simhash_portable",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val clones = d.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "zzzz").as("text"))
+        graft.dedup.PortableSimHash.pairs(d.unionByName(clones),
+            "text", "doc_id", maxDist = 3, blocks = 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH scl AS (
+          SELECT doc_id + 2000000 AS doc_id,
+                 regexp_replace(text, '^\\S+', 'zzzz') AS text
+          FROM documents WHERE doc_id % 10 = 0),
+        scorpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id, text FROM scl),
+        ${graft.dedup.PortableSimHash.sqlSimCte("scorpus")},
+        ${graft.dedup.PortableSimHash.sqlPairsSelect(3, 8)}
+        ORDER BY id_a, id_b""")),
+
+    // Portable exact n-gram Jaccard (§2 row 48's verifiable lane):
+    // candidates from the portable MinHash bands at threshold − 0.2,
+    // then |A∩B| / |A∪B| over DISTINCT shingle strings — candidate
+    // generation, gram sets, intersection counts, and the 4-dp ratio
+    // all replayed. HASH-GREEN.
+    Q("dedup_jaccard_portable",
+      (s, dir) => graft.dedup.PortableMinHash.jaccardPairs(
+          truncatedCorpus(s, dir), "text", "doc_id",
+          n = 5, k = 32, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH $portableCorpusCte,
+        ${graft.dedup.PortableMinHash.sqlSigCte("corpus", 5, 32)},
+        ${graft.dedup.PortableMinHash.sqlPairsCte(32, 16, 0.3)},
+        ${graft.dedup.PortableMinHash.sqlJaccardSelect(5, 0.5)}
+        ORDER BY id_a, id_b""")),
+
     // Winnowing fingerprints (§2 row 152 — Schleimer et al. 2003, the
     // MOSS algorithm): the selected (doc, position, hash) set itself is
     // hash-compared — DuckDB replays gram building, the md5-prefix hash,

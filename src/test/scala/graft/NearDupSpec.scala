@@ -441,7 +441,9 @@ class NearDupSpec extends SparkSpec {
     // and the REGISTERED grader emits sane mass on the real fixture:
     // every method's hits are bounded by both detected and true pairs
     val graded = SparkEntry.queries("dedup_recall")(spark, sfDir).collect()
-    assert(graded.length == 3)
+    // 5 graded methods since r12: minhash, jaccard, simhash, winnow,
+    // minhash_portable
+    assert(graded.length == 5)
     graded.foreach { row =>
       val nT = row.getAs[Long]("n_true"); val nD = row.getAs[Long]("n_detected")
       val nH = row.getAs[Long]("n_hits")
@@ -454,5 +456,7 @@ class NearDupSpec extends SparkSpec {
       r2.getAs[String]("method") -> r2.getAs[Double]("recall")).toMap
     assert(recalls("minhash") > 0.8 && recalls("jaccard") > 0.8,
       s"near-dup recall collapsed: $recalls")
+    assert(recalls("winnow") > 0.8 && recalls("minhash_portable") > 0.8,
+      s"portable/winnow recall collapsed: $recalls")
   }
 }
