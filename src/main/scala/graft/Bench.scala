@@ -19,10 +19,43 @@ import org.apache.spark.sql.SparkSession
   *    computed columns and undertimes expression-heavy queries.
   */
 object Bench {
+  /** Current 1-minute loadavg, or -1 when unreadable. */
+  private def l1(): Double = try {
+    val src = scala.io.Source.fromFile("/proc/loadavg")
+    try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+  } catch { case _: Exception => -1.0 }
+
+  /** Quiet-load gate (the r11 lesson: a bench taken at l1 = 9.8 needed
+    * load-adjustment archaeology to compare across rounds). Wait for the
+    * 1-minute loadavg to drop below `SPARK_GRAFT_BENCH_MAXLOAD`
+    * (default 2.0; 0 disables) for up to `SPARK_GRAFT_BENCH_WAIT_S`
+    * (default 600 s), then RUN REGARDLESS — a missing BENCH artifact is
+    * worse than a weather-stamped one — and return (pre-run l1, whether
+    * the gate was satisfied) for the detail line. */
+  private def quietGate(): (Double, Boolean) = {
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "2.0").toDouble
+    val waitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_S", "600").toLong
+    if (maxLoad <= 0) return (l1(), true)
+    val deadline = System.nanoTime() + waitS * 1000000000L
+    var cur = l1()
+    while (cur > maxLoad && System.nanoTime() < deadline) {
+      System.err.println(
+        f"[bench] ambient l1 = $cur%.2f > $maxLoad%.1f — waiting for quiet " +
+          "(SPARK_GRAFT_BENCH_MAXLOAD=0 disables)")
+      Thread.sleep(30000)
+      cur = l1()
+    }
+    if (cur > maxLoad) System.err.println(
+      f"[bench] still loud after ${waitS}s (l1 = $cur%.2f) — running anyway; " +
+        "numbers carry weather (min-of-N damps it; see load in the detail line)")
+    (cur, cur <= maxLoad)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val (preL1, quiet) = quietGate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -114,8 +147,10 @@ object Bench {
       val parts = try src.mkString.trim.split("\\s+") finally src.close()
       val rt = parts(3).split("/")
       s""""load":{"l1":${parts(0)},"l5":${parts(1)},"l15":${parts(2)},""" +
-        s""""procs_running":${rt(0)},"procs_total":${rt(1)},"bench_cpus":$cpus}"""
-    } catch { case _: Exception => s""""load":{"bench_cpus":$cpus}""" }
+        s""""procs_running":${rt(0)},"procs_total":${rt(1)},"bench_cpus":$cpus,""" +
+        s""""pre_l1":$preL1,"quiet_gate":$quiet}"""
+    } catch { case _: Exception =>
+      s""""load":{"bench_cpus":$cpus,"pre_l1":$preL1,"quiet_gate":$quiet}""" }
     val detailLine =
       s"""{"metric":"total_detail","value":$total,"unit":"sec",$loadFp,"queries":$detail,"sf":"$sfDir"}"""
     println(detailLine)

@@ -206,7 +206,10 @@ object Sampling {
     val guarded = when(w <= 0.0 || w.isNaN, raise_error(concat(
       lit(s"graft: weightedKSample weight '$weightCol' must be positive, got "),
       w.cast("string")))).otherwise(w)
-    val u = (bucket(col(keyCol), seed, WeightedKPrime).cast("double") + 0.5) /
+    // folded bucket (not the legacy shape): the draw stays BIGINT-safe
+    // for any key — the ×16 ladder band that overflowed the Bootstrap
+    // draw would hit this sampler identically (see bucketFolded's doc)
+    val u = (bucketFolded(col(keyCol), seed, WeightedKPrime).cast("double") + 0.5) /
       Buckets.toDouble
     val scored = df.where(w.isNotNull)
       .select(col(strataCol), (log(u) / guarded).as("_gf_aes"), col(keyCol))
@@ -219,7 +222,7 @@ object Sampling {
   /** SQL fragment mirroring [[weightedKSample]]'s A-ES score — rank with
     * `row_number() OVER (PARTITION BY stratum ORDER BY <this> DESC, key)`. */
   def sqlWeightedKScore(key: String, weight: String, seed: Long = 0L): String =
-    s"(ln((${sqlBucket(key, seed, WeightedKPrime)} + 0.5) / ${Buckets}.0) " +
+    s"(ln((${sqlBucketFolded(key, seed, WeightedKPrime)} + 0.5) / ${Buckets}.0) " +
       s"/ CAST($weight AS DOUBLE))"
 
   /** Quality-weighted deterministic sampling — keep each row with
