@@ -121,7 +121,11 @@ object TextQueries {
     * string features, α = 1): unigram+bigram explode, Laplace-smoothed
     * log density ratio per gram (6dp), exact-decimal per-doc sum (4dp).
     * Ends as SELECT (doc_id, n_feats, log_weight). */
-  private val dsirOracleBody: String = {
+  private val dsirOracleBody: String = dsirBody(hashedBuckets = None)
+
+  /** dsir oracle body, optionally with md5-portable feature hashing
+    * (mirrors Dsir's portableHash lane: feature = h32(gram) % B, V = B). */
+  private def dsirBody(hashedBuckets: Option[Int]): String = {
     val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
     def gramsOf(rel: String, withId: Boolean): String = {
       val id = if (withId) "doc_id, " else ""
@@ -130,20 +134,26 @@ object TextQueries {
             FROM (SELECT $id$toks AS l FROM $rel))
           WHERE length(g) > 0"""
     }
+    val featOf = hashedBuckets
+      .map(b => s"(${graft.ops.Hll.sqlH32("g")} % $b)").getOrElse("g")
+    val vExpr = hashedBuckets
+      .map(b => s"CAST($b AS DOUBLE)")
+      .getOrElse("""(SELECT CAST(count(*) AS DOUBLE) FROM
+                  (SELECT g FROM tcnt UNION SELECT g FROM rcnt))""")
     s"""
       WITH dtgt AS (SELECT text FROM documents WHERE doc_id % 5 = 0),
       draw AS (SELECT text FROM documents WHERE doc_id % 5 = 1),
       dcorp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 >= 2),
       tg AS (${gramsOf("dtgt", withId = false)}),
       rg AS (${gramsOf("draw", withId = false)}),
-      tcnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1),
-      rcnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM rg GROUP BY 1),
+      tcnt AS (SELECT $featOf AS g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1),
+      rcnt AS (SELECT $featOf AS g, CAST(count(*) AS BIGINT) AS c FROM rg GROUP BY 1),
       dk AS (SELECT
                (SELECT CAST(sum(c) AS DOUBLE) FROM tcnt) AS tt,
                (SELECT CAST(sum(c) AS DOUBLE) FROM rcnt) AS rt,
-               (SELECT CAST(count(*) AS DOUBLE) FROM
-                  (SELECT g FROM tcnt UNION SELECT g FROM rcnt)) AS v),
-      cgr AS (${gramsOf("dcorp", withId = true)}),
+               $vExpr AS v),
+      cgr0 AS (${gramsOf("dcorp", withId = true)}),
+      cgr AS (SELECT doc_id, $featOf AS g FROM cgr0),
       dlr AS (SELECT doc_id,
                 floor((ln((coalesce(tcnt.c, 0) + 1.0) / (tt + v))
                        - ln((coalesce(rcnt.c, 0) + 1.0) / (rt + v))) * 1e6 + 0.5) / 1e6 AS lr
@@ -380,6 +390,25 @@ object TextQueries {
           .orderBy("doc_id")
       },
       None),
+
+    // The hashed DSIR lane made verifiable (the PortableMinHash
+    // treatment): features = h32(gram) % 1024 via the md5-prefix fold,
+    // V = B smoothing — same estimator, same broadcast-count-table
+    // plan, but every feature id, both count tables, and the smoothed
+    // log-ratio chain replay in DuckDB. HASH-GREEN; dsir_hashed keeps
+    // the xxhash64 production lane (DsirSpec pins the two lanes'
+    // estimator equivalence on a collision-free fixture).
+    Q("dsir_hashed_portable",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        graft.text.Dsir.logWeights(
+            d.filter(col("doc_id") % 5 >= 2), "doc_id", "text",
+            target = d.filter(col("doc_id") % 5 === 0),
+            raw = d.filter(col("doc_id") % 5 === 1),
+            buckets = Some(1024), portableHash = true)
+          .orderBy("doc_id")
+      },
+      Some(s"${dsirBody(hashedBuckets = Some(1024))} ORDER BY doc_id")),
 
     // The third LM route under the gate: count tables collected into
     // in-memory maps and shipped with the serialized LmScoreRow kernel —

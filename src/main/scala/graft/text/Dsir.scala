@@ -43,14 +43,21 @@ object Dsir {
       concat(TextAnalysis.ngrams(text, 1), TextAnalysis.ngrams(text, 2)),
       g => length(g) > 0)
 
-  private def featCol(gram: Column, buckets: Option[Int]): Column =
-    buckets.map(b => pmod(xxhash64(gram), lit(b.toLong)).as("_gf_f"))
-      .getOrElse(gram.as("_gf_f"))
+  /** `portable = true` swaps xxhash64 for the md5-prefix fold
+    * ([[graft.ops.Hll.h32]]) so an external engine recomputes the
+    * feature ids — the oracle-replayable hashed lane; xxhash64 stays
+    * the (faster) production default. */
+  private def featCol(gram: Column, buckets: Option[Int],
+                      portable: Boolean): Column =
+    buckets.map { b =>
+      (if (portable) pmod(graft.ops.Hll.h32(gram), lit(b.toLong))
+       else pmod(xxhash64(gram), lit(b.toLong))).as("_gf_f")
+    }.getOrElse(gram.as("_gf_f"))
 
   private def featFrame(df: DataFrame, textCol: String,
-                        buckets: Option[Int]): DataFrame =
+                        buckets: Option[Int], portable: Boolean): DataFrame =
     df.select(explode(gramsCol(col(textCol))).as("_gf_g"))
-      .select(featCol(col("_gf_g"), buckets))
+      .select(featCol(col("_gf_g"), buckets, portable))
 
   /** (idCol, n_feats, log_weight): one row per input document. Docs with
     * no features (blank text) report n_feats 0 and a null weight — no
@@ -66,9 +73,10 @@ object Dsir {
   def logWeights(docs: DataFrame, idCol: String, textCol: String,
                  target: DataFrame, raw: DataFrame,
                  buckets: Option[Int] = None, alpha: Double = 1.0,
-                 maxBroadcastFeatures: Long = 5000000L): DataFrame =
+                 maxBroadcastFeatures: Long = 5000000L,
+                 portableHash: Boolean = false): DataFrame =
     logWeightsManaged(docs, idCol, textCol, target, raw, buckets, alpha,
-      maxBroadcastFeatures).frame
+      maxBroadcastFeatures, portableHash).frame
 
   /** Weight frame plus the release handle for the two cached
     * feature-count tables the fit built. */
@@ -78,12 +86,15 @@ object Dsir {
   def logWeightsManaged(docs: DataFrame, idCol: String, textCol: String,
                  target: DataFrame, raw: DataFrame,
                  buckets: Option[Int] = None, alpha: Double = 1.0,
-                 maxBroadcastFeatures: Long = 5000000L): Weights = {
+                 maxBroadcastFeatures: Long = 5000000L,
+                 portableHash: Boolean = false): Weights = {
+    require(!portableHash || buckets.nonEmpty,
+      "portableHash applies to the hashed lane — pass buckets = Some(B)")
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     buckets.foreach(b => require(b > 0, s"buckets must be > 0, got $b"))
 
     def counts(df: DataFrame): DataFrame =
-      featFrame(df, textCol, buckets)
+      featFrame(df, textCol, buckets, portableHash)
         .groupBy("_gf_f").agg(count(lit(1)).as("_gf_c"))
 
     val tc = counts(target).cache()
@@ -112,7 +123,7 @@ object Dsir {
     val rDen = lit(rTotal.toDouble + alpha * v)
     val perGram = docs
       .select(col(idCol), explode(gramsCol(col(textCol))).as("_gf_g"))
-      .select(col(idCol), featCol(col("_gf_g"), buckets))
+      .select(col(idCol), featCol(col("_gf_g"), buckets, portableHash))
       .join(tcS, Seq("_gf_f"), "left")
       .join(rcS, Seq("_gf_f"), "left")
       .select(col(idCol), Num.dround(

@@ -13,9 +13,10 @@ class DsirSpec extends SparkSpec {
   private val raw = Seq(Tuple1("cc dd")).toDF("text")
 
   private def weigh(corpus: Seq[(Long, String)],
-                    buckets: Option[Int] = None) =
+                    buckets: Option[Int] = None,
+                    portable: Boolean = false) =
     Dsir.logWeights(corpus.toDF("doc_id", "text"), "doc_id", "text",
-        target, raw, buckets = buckets)
+        target, raw, buckets = buckets, portableHash = portable)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_feats"),
           Option(r.get(r.fieldIndex("log_weight"))).map(_.asInstanceOf[Double])))
@@ -48,6 +49,19 @@ class DsirSpec extends SparkSpec {
     // estimator is value-identical to the string one.
     val corpus = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa cc"))
     assert(weigh(corpus) == weigh(corpus, buckets = Some(1 << 20)))
+  }
+
+  test("portable md5 lane matches both lanes on collision-free buckets and refuses bucketless use") {
+    val corpus = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa cc"))
+    // same cancellation fixture as the xxhash64 lane: with wide
+    // collision-free buckets all three feature spaces give identical
+    // estimates — so a gap between the two HASHED lanes would expose a
+    // portable-fold arithmetic bug, not a collision artifact
+    assert(weigh(corpus) == weigh(corpus, buckets = Some(1 << 20), portable = true))
+    intercept[IllegalArgumentException] {
+      Dsir.logWeights(Seq((1L, "aa")).toDF("doc_id", "text"),
+        "doc_id", "text", target, raw, portableHash = true)
+    }
   }
 
   test("selectTop keeps the k best, skips nulls, ties on id") {
