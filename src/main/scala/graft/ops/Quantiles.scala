@@ -64,6 +64,26 @@ object Quantiles {
       .agg(graft.Num.dround(min("_v").cast("double"), 4).as("value"))
   }
 
+  /** Per-VALUE percent ranks without a corpus sort — the ANSI
+    * `percent_rank()` of every distinct value, from the histogram:
+    * rank(v) = cum(v) − c(v) + 1 (ties share the min rank), pr =
+    * (rank − 1) / (n − 1), single-row groups pr = 0 (the ANSI rule).
+    * Output: (groupCols, value DOUBLE 4dp, n, pr 6dp) — one row per
+    * DISTINCT (group, value); consumers needing per-ROW ranks broadcast-
+    * join this frame back, so the corpus itself never sorts or shuffles.
+    * The oracle checks against DuckDB's own window `percent_rank()` —
+    * an independent implementation, not a mirror. */
+  def percentRanks(df: DataFrame, valueCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val cum = cumHistogram(df, valueCol, groupCols)
+    val rank = col("_cum") - col("_c") + 1
+    val pr = when(col("_n") === 1, lit(0.0))
+      .otherwise((rank - 1).cast("double") / (col("_n") - 1).cast("double"))
+    cum.select(gs :+ graft.Num.dround(col("_v").cast("double"), 4).as("value")
+      :+ col("_n").as("n") :+ graft.Num.dround(pr, 6).as("pr"): _*)
+  }
+
   /** CONTINUOUS (interpolated) exact percentiles from the same bounded
     * histogram — Spark's own `percentile()` semantics, replayed IEEE op
     * for IEEE op (position = p·(n−1); result = (⌈pos⌉−pos)·v_lo +

@@ -309,6 +309,55 @@ object Outliers {
         col("_gf_e.lower_bound"), col("_gf_e.upper_bound"))
   }
 
+  /** Cohort-aware MAD at EXACT discrete medians — the per-group Mad lane
+    * [[logBy]] refuses to approximate: both medians here are DATA VALUES
+    * selected by the PERCENTILE_DISC rank rule over bounded histograms
+    * (the winsorize discipline), so the deviations |v − med| stay exact
+    * 4-decimal decimals, the second median is again a data value, and
+    * every number replays cross-engine. Differs from [[detect]]'s global
+    * Mad only in median flavor (discrete, not interpolated) — the price
+    * of exactness and per-group bounded state; bounds read in "robust
+    * sigmas" through the same 1.4826 normality constant.
+    *
+    * Scale shape: two grouped histogram aggregations (each ≤ |domain|
+    * rows per group through its exchange) + one broadcast join of the
+    * per-group medians; the fact table never sorts.
+    *
+    * Output: (group, n, median, mad, lower, upper, outlier_count). */
+  def madBy(df: DataFrame, groupCol: String, valueCol: String,
+            threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    def discMed(d: DataFrame, vCol: String, out: String): DataFrame =
+      graft.ops.Quantiles.cumHistogram(d, vCol, Seq(groupCol))
+        .groupBy(col(groupCol))
+        .agg(max("_n").as(s"${out}_n"),
+          min(when(col("_cum") >= ceil(lit(0.5) * col("_n")), col("_v")))
+            .as(out))
+    val med = discMed(df, valueCol, "_gf_med")
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast(DecimalType(18, 4)).as("_gf_v"))
+      .join(broadcast(med), Seq(groupCol))
+    val devs = rows.select(col(groupCol),
+      abs(col("_gf_v") - col("_gf_med")).as("_gf_d"))
+    val mad = discMed(devs, "_gf_d", "_gf_madv")
+      .select(col(groupCol), col("_gf_madv"))
+    val sc = lit(threshold * 1.4826)
+    val bounded = rows.join(broadcast(mad), Seq(groupCol))
+      .withColumn("_gf_lo",
+        col("_gf_med").cast(DoubleType) - sc * col("_gf_madv").cast(DoubleType))
+      .withColumn("_gf_hi",
+        col("_gf_med").cast(DoubleType) + sc * col("_gf_madv").cast(DoubleType))
+    bounded.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        graft.Num.dround(min(col("_gf_med")).cast(DoubleType), 4).as("median"),
+        graft.Num.dround(min(col("_gf_madv")).cast(DoubleType), 4).as("mad"),
+        graft.Num.dround(min(col("_gf_lo")), 4).as("lower"),
+        graft.Num.dround(min(col("_gf_hi")), 4).as("upper"),
+        sum(when(col("_gf_v").cast(DoubleType) < col("_gf_lo") ||
+          col("_gf_v").cast(DoubleType) > col("_gf_hi"), 1L).otherwise(0L))
+          .as("outlier_count"))
+  }
+
   /** Per-group winsorization summary at EXACT discrete percentiles: the
     * bounds are the values at ranks ceil(pLo·n) / ceil(pHi·n) of the
     * group's sorted non-null values (the ANSI PERCENTILE_DISC rule,

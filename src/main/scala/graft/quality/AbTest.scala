@@ -65,6 +65,107 @@ object AbTest {
       when(col("n_b") > 0, graft.Num.dround(wilson(pb, nb, z, lower = false), 6)).as("b_hi"): _*)
   }
 
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013): adjust each user's post-period metric by their
+    * PRE-period covariate — y′ = y − θ(x − x̄) with θ = S_xy / S_xx —
+    * so arm means keep their expectation while the variance drops by
+    * the squared correlation; the experiment detects the same effect
+    * with far fewer users. The workhorse readout of every mature
+    * experimentation platform.
+    *
+    * Contract: x = the user's pre-cutover mean of `valueCol`, y = the
+    * post-cutover mean; users lacking either period are EXCLUDED (no
+    * silent imputation — an imputed covariate contributes zero variance
+    * reduction and hides telemetry gaps); arm = user id parity. A
+    * constant covariate (S_xx = 0) emits null θ and the unadjusted
+    * means — refusing adjustment, not the readout.
+    *
+    * Cross-engine exactness (every number replayed by the oracle): the
+    * per-user means divide exact DECIMAL sums and dround to 6dp; the
+    * centered moments dround each product to 8dp, accumulate as exact
+    * DECIMAL(38,8), and round the total to 2dp BEFORE the one
+    * decimal→double conversion (a numerator that small converts
+    * identically everywhere — the Q.dsum rule); θ, adjusted means,
+    * variances, and the reduction are then fixed IEEE chains on those
+    * deterministic operands.
+    *
+    * Output (one row per arm, global columns repeated): (arm, n,
+    * mean_y, mean_y_adj, n_users, theta, var_y, var_adj,
+    * var_reduction).
+    *
+    * Scale: two user-keyed aggregations (map-side combined) + one-row
+    * global frames broadcast back; nothing corpus-sized shuffles. */
+  def cuped(events: DataFrame, userCol: String, tsCol: String,
+            valueCol: String, cutoverUs: Long): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("us"),
+        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+    val pre = col("us") < cutoverUs
+    val per0 = e.groupBy("u").agg(
+      count(when(pre, 1)).as("n_pre"),
+      graft.Num.dround(
+        sum(when(pre, col("v"))).cast(DoubleType) / count(when(pre, 1)), 6)
+        .as("x"),
+      count(when(!pre, 1)).as("n_post"),
+      graft.Num.dround(
+        sum(when(!pre, col("v"))).cast(DoubleType) / count(when(!pre, 1)), 6)
+        .as("y"))
+    val per = per0.where(col("n_pre") > 0 && col("n_post") > 0)
+      .select(col("u"),
+        when(pmod(col("u"), lit(2)) === 0, "a").otherwise("b").as("arm"),
+        col("x"), col("y"))
+    val g = per.agg(
+      count(lit(1)).as("n_users"),
+      graft.Num.dround(
+        sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("xbar"),
+      graft.Num.dround(
+        sum(col("y").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("ybar"))
+    val wg = per.crossJoin(broadcast(g))
+    val dx = col("x") - col("xbar")
+    val dy = col("y") - col("ybar")
+    def mom(c: Column): Column =
+      round(sum(graft.Num.dround(c, 8).cast(DecimalType(38, 8))), 2)
+        .cast(DoubleType)
+    val moments = wg.agg(mom(dx * dy).as("sxy"), mom(dx * dx).as("sxx"),
+      mom(dy * dy).as("syy"))
+    val adj = wg.crossJoin(broadcast(moments))
+      .withColumn("theta",
+        when(col("sxx") > 0, graft.Num.dround(col("sxy") / col("sxx"), 6)))
+      .withColumn("y_adj",
+        when(col("theta").isNotNull,
+          col("y") - col("theta") * (col("x") - col("xbar")))
+          .otherwise(col("y")))
+    val perArm = adj.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      graft.Num.dround(
+        sum(col("y").cast(DecimalType(38, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_y"),
+      graft.Num.dround(
+        sum(graft.Num.dround(col("y_adj"), 6).cast(DecimalType(38, 6)))
+          .cast(DoubleType) / count(lit(1)), 6).as("mean_y_adj"))
+    val sAdj = adj
+      .agg(mom((col("y_adj") - col("ybar")) * (col("y_adj") - col("ybar")))
+        .as("s_adj"))
+    val varY = graft.Num.dround(col("syy") / col("n_users"), 6)
+    val varAdj = graft.Num.dround(col("s_adj") / col("n_users"), 6)
+    perArm.crossJoin(broadcast(g.select("n_users")))
+      .crossJoin(broadcast(moments))
+      .crossJoin(broadcast(sAdj))
+      .select(col("arm"), col("n"), col("mean_y"), col("mean_y_adj"),
+        col("n_users"),
+        when(col("sxx") > 0, graft.Num.dround(col("sxy") / col("sxx"), 6))
+          .as("theta"),
+        varY.as("var_y"), varAdj.as("var_adj"),
+        when(varY > 0, graft.Num.dround(lit(1.0) - varAdj / varY, 6))
+          .as("var_reduction"))
+  }
+
   /** DuckDB fragment: the Wilson bound over rate expression `p` and
     * count `n` — the identical IEEE chain. */
   def sqlWilson(p: String, n: String, z: Double, lower: Boolean): String = {

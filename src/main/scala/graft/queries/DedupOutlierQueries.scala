@@ -125,6 +125,78 @@ object DedupOutlierQueries {
         FROM events e LEFT JOIN bb USING (event_type)
         GROUP BY e.event_type, lo, hi ORDER BY event_type""")),
 
+    // Cohort-aware MAD at exact DISCRETE medians (the per-group Mad lane
+    // logBy refuses to approximate): both medians are data values from
+    // bounded histograms, deviations stay exact 4dp decimals, and the
+    // oracle replays median selection, deviation medians, the 1.4826
+    // bounds, and the counts end to end. HASH-GREEN.
+    Q("outliers_mad_by",
+      (s, dir) => Outliers.madBy(Tables.events(s, dir), "event_type",
+          "value", threshold = 3.5)
+        .orderBy("event_type"),
+      Some {
+        val sc = 3.5 * 1.4826
+        s"""
+        WITH vals AS (
+          SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v
+          FROM events WHERE value IS NOT NULL),
+        h1 AS (SELECT event_type, v, count(*) AS c FROM vals GROUP BY 1, 2),
+        c1 AS (SELECT event_type, v,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+               FROM h1),
+        med AS (SELECT event_type, max(n) AS n,
+                  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS med
+                FROM c1 GROUP BY 1),
+        devs AS (SELECT vals.event_type, vals.v, med.med,
+                   abs(v - med) AS d
+                 FROM vals JOIN med USING (event_type)),
+        h2 AS (SELECT event_type, CAST(d AS DECIMAL(18,4)) AS d, count(*) AS c
+               FROM devs GROUP BY 1, 2),
+        c2 AS (SELECT event_type, d,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+               FROM h2),
+        madv AS (SELECT event_type,
+                   min(CASE WHEN cum >= ceil(0.5 * n) THEN d END) AS madv
+                 FROM c2 GROUP BY 1),
+        bnd AS (SELECT m.event_type, m.n, m.med, madv.madv,
+                  CAST(m.med AS DOUBLE) - $sc * CAST(madv.madv AS DOUBLE) AS lo,
+                  CAST(m.med AS DOUBLE) + $sc * CAST(madv.madv AS DOUBLE) AS hi
+                FROM med m JOIN madv USING (event_type))
+        SELECT v.event_type, CAST(max(b.n) AS BIGINT) AS n,
+               ${Q.sqlDround("CAST(min(b.med) AS DOUBLE)", 4)} AS median,
+               ${Q.sqlDround("CAST(min(b.madv) AS DOUBLE)", 4)} AS mad,
+               ${Q.sqlDround("min(b.lo)", 4)} AS lower,
+               ${Q.sqlDround("min(b.hi)", 4)} AS upper,
+               CAST(sum(CASE WHEN CAST(v.v AS DOUBLE) < b.lo
+                 OR CAST(v.v AS DOUBLE) > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS outlier_count
+        FROM vals v JOIN bnd b USING (event_type)
+        GROUP BY v.event_type ORDER BY event_type"""
+      }),
+
+    // ANSI percent_rank of every distinct value WITHOUT a corpus sort:
+    // ranks come from the bounded value histogram (rank = cum − c + 1,
+    // ties share the min rank), so the fact table never sorts or
+    // shuffles; per-row consumers broadcast-join this frame back. The
+    // oracle is DuckDB's OWN window percent_rank() — an independent
+    // implementation, not a mirror (the events_quantiles discipline).
+    Q("events_percent_rank",
+      (s, dir) => graft.ops.Quantiles.percentRanks(
+          Tables.events(s, dir), "value", Seq("event_type"))
+        .orderBy("event_type", "value"),
+      Some(s"""
+        SELECT DISTINCT event_type,
+               ${Q.sqlDround("CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE)", 4)}
+                 AS value,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               ${Q.sqlDround(
+                 "percent_rank() OVER (PARTITION BY event_type " +
+                   "ORDER BY CAST(value AS DECIMAL(18,4)))", 6)} AS pr
+        FROM events WHERE value IS NOT NULL
+        ORDER BY event_type, value""")),
+
     Q("outliers_zscore",
       (s, dir) => {
         val det = Outliers.detect(Tables.events(s, dir),

@@ -671,6 +671,76 @@ object EvalQueries {
                CASE WHEN n_b > 0 THEN ${Q.sqlDround(sqlWilson("pb", "nb", z, lower = true), 6)} END AS b_lo,
                CASE WHEN n_b > 0 THEN ${Q.sqlDround(sqlWilson("pb", "nb", z, lower = false), 6)} END AS b_hi
         FROM d ORDER BY event_type"""
+      }),
+
+    // CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 — §2
+    // row 166): per-user pre-period covariate x and post-period metric
+    // y split at 2024-01-15T00Z, θ = S_xy/S_xx on exact-decimal
+    // centered moments, adjusted arm means and the variance-reduction
+    // fraction — every chain (user means, moments, θ, adjusted means,
+    // variances) replayed by the oracle. HASH-GREEN.
+    Q("ab_cuped",
+      (s, dir) => graft.quality.AbTest.cuped(
+          Tables.events(s, dir), "user_id", "ts", "value",
+          cutoverUs = 1705276800000000L)
+        .orderBy("arm"),
+      Some {
+        val cut = 1705276800000000L
+        def d6(e: String) = Q.sqlDround(e, 6)
+        def d8(e: String) = Q.sqlDround(e, 8)
+        s"""
+        WITH ce AS (
+          SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS us,
+                 CAST(value AS DECIMAL(18,4)) AS v
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        cper0 AS (
+          SELECT u,
+                 count(*) FILTER (us < $cut) AS n_pre,
+                 ${d6(s"CAST(sum(v) FILTER (us < $cut) AS DOUBLE) / count(*) FILTER (us < $cut)")} AS x,
+                 count(*) FILTER (us >= $cut) AS n_post,
+                 ${d6(s"CAST(sum(v) FILTER (us >= $cut) AS DOUBLE) / count(*) FILTER (us >= $cut)")} AS y
+          FROM ce GROUP BY u),
+        cper AS (
+          SELECT u, CASE WHEN u % 2 = 0 THEN 'a' ELSE 'b' END AS arm, x, y
+          FROM cper0 WHERE n_pre > 0 AND n_post > 0),
+        cg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 ${d6("CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)")} AS xbar,
+                 ${d6("CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*)")} AS ybar
+          FROM cper),
+        cwg AS (SELECT cper.*, cg.n_users, cg.xbar, cg.ybar FROM cper, cg),
+        cmom AS (
+          SELECT
+            CAST(round(sum(CAST(${d8("(x - xbar) * (y - ybar)")} AS DECIMAL(38,8))), 2) AS DOUBLE) AS sxy,
+            CAST(round(sum(CAST(${d8("(x - xbar) * (x - xbar)")} AS DECIMAL(38,8))), 2) AS DOUBLE) AS sxx,
+            CAST(round(sum(CAST(${d8("(y - ybar) * (y - ybar)")} AS DECIMAL(38,8))), 2) AS DOUBLE) AS syy
+          FROM cwg),
+        cadj AS (
+          SELECT cwg.*, sxy, sxx,
+                 CASE WHEN sxx > 0 THEN ${d6("sxy / sxx")} END AS theta
+          FROM cwg, cmom),
+        cadj2 AS (
+          SELECT *, CASE WHEN theta IS NOT NULL
+                      THEN y - theta * (x - xbar) ELSE y END AS y_adj
+          FROM cadj),
+        carm AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 ${d6("CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*)")} AS mean_y,
+                 ${d6(s"CAST(sum(CAST(${d6("y_adj")} AS DECIMAL(38,6))) AS DOUBLE) / count(*)")} AS mean_y_adj
+          FROM cadj2 GROUP BY arm),
+        csadj AS (
+          SELECT CAST(round(sum(CAST(${d8("(y_adj - ybar) * (y_adj - ybar)")} AS DECIMAL(38,8))), 2) AS DOUBLE) AS s_adj
+          FROM cadj2)
+        SELECT arm, n, mean_y, mean_y_adj, cg.n_users,
+               CASE WHEN sxx > 0 THEN ${d6("sxy / sxx")} END AS theta,
+               ${d6("syy / cg.n_users")} AS var_y,
+               ${d6("s_adj / cg.n_users")} AS var_adj,
+               CASE WHEN ${d6("syy / cg.n_users")} > 0
+                 THEN ${d6(s"1.0 - (${d6("s_adj / cg.n_users")}) / (${d6("syy / cg.n_users")})")}
+               END AS var_reduction
+        FROM carm, cg, cmom, csadj
+        ORDER BY arm"""
       })
   )
 

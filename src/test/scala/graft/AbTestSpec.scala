@@ -66,4 +66,53 @@ class AbTestSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AbTest.proportions(df, "arm", "flag", Seq("grp"), z = 0.0))
   }
+
+  test("cuped: hand-computed theta, adjusted means, and variance reduction") {
+    import java.sql.Timestamp
+    val cut = 1705276800000000L
+    def ts(us: Long) = new Timestamp(us / 1000)
+    // users 2/4 (arm a) and 1/3 (arm b), one pre + one post event each:
+    //   u=2: x=10 y=20   u=4: x=20 y=30   u=1: x=10 y=22   u=3: x=20 y=32
+    // x̄=15 ȳ=26; dx=∓5, dy per user: -6,4,-4,6 → S_xy=5·6+5·4+5·4+5·6=100
+    // S_xx=100 → θ=1; y′ = y − 1·(x−15): 25,25,27,27 — arm a mean 25,
+    // arm b mean 27 (raw 25/27 too: means are preserved, variance drops)
+    // var_y = (36+16+16+36)/4 = 26; y′−ȳ = -1,-1,1,1 → var_adj = 1
+    val rows = Seq(
+      (2L, cut - 10L, 10.0), (2L, cut + 10L, 20.0),
+      (4L, cut - 10L, 20.0), (4L, cut + 10L, 30.0),
+      (1L, cut - 10L, 10.0), (1L, cut + 10L, 22.0),
+      (3L, cut - 10L, 20.0), (3L, cut + 10L, 32.0),
+      // user 5 has no post period → excluded entirely
+      (5L, cut - 10L, 99.0))
+      .map { case (u, us, v) => (u, ts(us), v) }
+      .toDF("user_id", "ts", "value")
+    val out = AbTest.cuped(rows, "user_id", "ts", "value", cut)
+      .orderBy("arm").collect()
+    assert(out.length == 2)
+    val a = out(0); val b = out(1)
+    assert(a.getAs[String]("arm") == "a" && a.getAs[Long]("n") == 2)
+    assert(a.getAs[Long]("n_users") == 4)
+    assert(a.getAs[Double]("theta") == 1.0)
+    assert(a.getAs[Double]("mean_y") == 25.0 && a.getAs[Double]("mean_y_adj") == 25.0)
+    assert(b.getAs[Double]("mean_y") == 27.0 && b.getAs[Double]("mean_y_adj") == 27.0)
+    assert(a.getAs[Double]("var_y") == 26.0 && a.getAs[Double]("var_adj") == 1.0)
+    assert(math.abs(a.getAs[Double]("var_reduction") - (1.0 - 1.0 / 26.0)) < 1e-6)
+  }
+
+  test("cuped: constant covariate refuses adjustment, not the readout") {
+    import java.sql.Timestamp
+    val cut = 1705276800000000L
+    def ts(us: Long) = new Timestamp(us / 1000)
+    val rows = Seq(
+      (2L, cut - 10L, 7.0), (2L, cut + 10L, 20.0),
+      (1L, cut - 10L, 7.0), (1L, cut + 10L, 30.0))
+      .map { case (u, us, v) => (u, ts(us), v) }
+      .toDF("user_id", "ts", "value")
+    val out = AbTest.cuped(rows, "user_id", "ts", "value", cut)
+      .orderBy("arm").collect()
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("theta"))))
+    // unadjusted means pass through
+    assert(out.map(r => r.getAs[Double]("mean_y_adj")).toSeq ==
+      out.map(r => r.getAs[Double]("mean_y")).toSeq)
+  }
 }

@@ -105,4 +105,27 @@ class DedupOutlierSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Outliers.winsorize(df, "v", Seq("grp"), pLo = 0.5, pHi = 0.5))
   }
+
+  test("madBy: discrete per-group medians, robust bounds, hand-computed counts") {
+    import spark.implicits._
+    // group g: values 1..9 plus outlier 100 → n=10; disc median at rank
+    // ceil(0.5·10)=5 → 5.0; deviations |v−5|: 4,3,2,1,0,1,2,3,4,95 →
+    // sorted 0,1,1,2,2,3,3,4,4,95, disc median at rank 5 → 2.0;
+    // bounds = 5 ± 3.5·1.4826·2 = 5 ± 10.3782 → [−5.3782, 15.3782];
+    // only 100 falls outside.
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 100.0) :+
+      ("h", 7.0)).toDF("grp", "v")
+    val out = graft.outliers.Outliers.madBy(df, "grp", "v", threshold = 3.5)
+      .orderBy("grp").collect()
+    val g = out(0); val h = out(1)
+    assert(g.getAs[Long]("n") == 10 && g.getAs[Double]("median") == 5.0)
+    assert(g.getAs[Double]("mad") == 2.0)
+    assert(g.getAs[Double]("lower") == -5.3782 && g.getAs[Double]("upper") == 15.3782)
+    assert(g.getAs[Long]("outlier_count") == 1)
+    // single-value group: mad 0 → zero-width bounds, nothing outside
+    assert(h.getAs[Double]("mad") == 0.0 && h.getAs[Long]("outlier_count") == 0)
+    intercept[IllegalArgumentException] {
+      graft.outliers.Outliers.madBy(df, "grp", "v", threshold = 0.0)
+    }
+  }
 }

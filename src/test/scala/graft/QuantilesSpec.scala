@@ -55,4 +55,17 @@ class QuantilesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Quantiles.exact(df, "v", Seq("grp"), Seq(0.5, 0.5)))
   }
+
+  test("percentRanks: ANSI rule with ties, min-rank sharing, single-row group") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.0),
+        ("h", 9.0))
+      .toDF("grp", "v")
+    val got = Quantiles.percentRanks(df, "v", Seq("grp"))
+      .orderBy("grp", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    // g: n=4; ranks 1, 2 (tie), 4 → pr 0, 1/3, 1 ; h single row → 0
+    assert(got.toSeq == Seq(
+      ("g", 1.0, 4L, 0.0), ("g", 2.0, 4L, 0.333333), ("g", 3.0, 4L, 1.0),
+      ("h", 9.0, 1L, 0.0)))
+  }
 }
