@@ -130,6 +130,33 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Equi-join OUTPUT-size estimate from two sketches of the join key,
+    * built with the SAME (depth, width) — the CMS inner-product
+    * estimator (Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B| =
+    * Σ_k fA(k)·fB(k) is estimated per sketch row by the cell-wise inner
+    * product Σ_c a[j,c]·b[j,c] and tightened by the MIN over rows; never
+    * undercounts, overcounts by the collision cross-mass (≤ e/w·N_A·N_B
+    * per row). The planner-side cardinality probe at 100 TB: d·w integer
+    * products decide broadcast vs shuffle vs salt WITHOUT running the
+    * join — and since [[sketch]] materializes cells sparsely (≤ d ×
+    * distinct-keys rows), `width` is a modulus, not storage: millions of
+    * cells cost a fingernail of state, which is what makes the
+    * cross-mass small enough to read. A row sharing NO populated cells
+    * has inner product 0 and participates in the min (the estimate is 0
+    * only when some row sees zero overlap — a certifiably tiny join). */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= RowPrimes.size,
+      s"depth must be in [1, ${RowPrimes.size}], got $depth")
+    val ip = skA.withColumnRenamed("cnt", "_gf_ca")
+      .join(skB.withColumnRenamed("cnt", "_gf_cb"), Seq("row", "cell"))
+      .groupBy("row")
+      .agg(sum(col("_gf_ca") * col("_gf_cb")).as("_gf_ip"))
+    skA.sparkSession.range(depth)
+      .select(col("id").cast("int").as("row"))
+      .join(ip, Seq("row"), "left")
+      .agg(min(coalesce(col("_gf_ip"), lit(0L))).as("est_join_size"))
+  }
+
   /** SQL fragment mirroring [[cell]] for a DuckDB oracle; `j` must be a
     * literal row index. */
   def sqlCell(key: String, j: Int, width: Int): String = {

@@ -105,6 +105,61 @@ object EventAnalytics {
     * Scale shape: ONE window shuffle on the series key (both frames share
     * the same (partition, order) spec so Catalyst plans a single Window
     * node); no joins, no global sort until the caller asks for one. */
+  /** Kaplan–Meier survival over user lifetimes (Kaplan & Meier 1958) —
+    * the censoring-honest upgrade of [[retention]]: per user the
+    * lifetime t = last-active day − first-active day; users still
+    * active in the final `censorDays` of the observation window are
+    * CENSORED at t (treating them as churned is the classic downward
+    * bias this estimator exists to remove). At each distinct lifetime:
+    * d_t churn events, c_t censorings, n_t = users with lifetime ≥ t at
+    * risk, and Ŝ(t) = Π_{u ≤ t} (1 − d_u/n_u).
+    *
+    * Cross-engine exactness: each factor drounds to 6dp; the product
+    * folds LEFT over the ascending-lifetime list on BOTH engines
+    * (Spark: `aggregate` over an ordered window collect; DuckDB:
+    * `list_reduce` over an ordered window list) — the multiplication
+    * ORDER is pinned, so the IEEE chain is identical; the prefix frame
+    * is lifetime-distinct (≤ observation-span rows), so the quadratic
+    * window is bounded by TIME, never data.
+    *
+    * Output: (t_day, n_risk, n_events, n_censored, survival), one row
+    * per distinct lifetime.
+    *
+    * 100 TB: the corpus collapses to one row per user in a map-side-
+    * combined aggregation; everything after runs on span-bounded frames. */
+  def survival(events: DataFrame, userCol: String, tsCol: String,
+               censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val e = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).cast(LongType).as("_u"),
+        (us(tsCol) / lit(86400000000L)).cast(LongType).as("_d"))
+    val horizon = e.agg(max("_d").as("_hmax"))
+    val per = e.groupBy("_u")
+      .agg(min("_d").as("_d0"), max("_d").as("_d1"))
+      .crossJoin(broadcast(horizon))
+      .select(col("_u"), (col("_d1") - col("_d0")).as("t_day"),
+        (col("_d1") > col("_hmax") - censorDays).as("_cens"))
+    val km = per.groupBy("t_day").agg(
+      sum(when(!col("_cens"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(col("_cens"), 1L).otherwise(0L)).as("n_censored"))
+    val back = Window.orderBy(col("t_day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = km.withColumn("n_risk",
+      sum(col("n_events") + col("n_censored")).over(back))
+    val factor = graft.Num.dround(
+      lit(1.0) - col("n_events").cast("double") / col("n_risk").cast("double"), 6)
+    val fwd = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withRisk
+      .withColumn("_f", factor)
+      .withColumn("_fs", collect_list(col("_f")).over(fwd))
+      .select(col("t_day"), col("n_risk"), col("n_events"), col("n_censored"),
+        graft.Num.dround(
+          aggregate(col("_fs"), lit(1.0), (acc, x) => acc * x), 6)
+          .as("survival"))
+  }
+
   def rollingAnomaly(events: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String, orderTiebreak: String,
                      frame: Int = 20, threshold: Double = 3.0): DataFrame = {

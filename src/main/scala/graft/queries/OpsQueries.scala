@@ -137,6 +137,47 @@ object OpsQueries {
                       * 1e4 + 0.5) / 1e4 END AS retention_pct
         FROM c ORDER BY cohort_day, day_offset""")),
 
+    // Kaplan-Meier survival over user lifetimes (§2 row 171 — Kaplan &
+    // Meier 1958): the censoring-honest upgrade of events_retention —
+    // users still active in the final week are censored, not counted as
+    // churn; the product-limit curve multiplies 6dp factors in PINNED
+    // ascending order on both engines (Spark ordered-window fold,
+    // DuckDB list_reduce over an ordered window list), so the IEEE
+    // chain replays exactly. Lifetimes ride the sporadic 'purchase'
+    // slice (all-event lifetimes span the whole window — nothing would
+    // churn). HASH-GREEN.
+    Q("events_survival",
+      (s, dir) => graft.ops.EventAnalytics.survival(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts", censorDays = 7)
+        .orderBy("t_day"),
+      Some("""
+        WITH kme AS (SELECT CAST(user_id AS BIGINT) AS u,
+                            epoch_us(ts) // 86400000000 AS d
+                     FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                       AND event_type = 'purchase'),
+        kmh AS (SELECT max(d) AS hmax FROM kme),
+        kmp AS (SELECT u, max(d) - min(d) AS t_day,
+                       (max(d) > hmax - 7) AS cens
+                FROM kme, kmh GROUP BY u, hmax),
+        kmt AS (SELECT t_day,
+                  CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_events,
+                  CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_censored
+                FROM kmp GROUP BY 1),
+        kmr AS (SELECT *, CAST(sum(n_events + n_censored)
+                  OVER (ORDER BY t_day DESC) AS BIGINT) AS n_risk FROM kmt),
+        kmf AS (SELECT *, floor((1.0 - CAST(n_events AS DOUBLE)
+                  / CAST(n_risk AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f FROM kmr),
+        kml AS (SELECT *, list(f) OVER (ORDER BY t_day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+                FROM kmf)
+        SELECT t_day, n_risk, n_events, n_censored,
+               floor(list_reduce(fs, (a, b) -> a * b) * 1e6 + 0.5) / 1e6
+                 AS survival
+        FROM kml ORDER BY t_day""")),
+
     // Join-key heavy-hitter diagnostic: decides whether a join needs the
     // salted path (Skew.saltedJoin).
     Q("profile_heavy_hitters",
@@ -210,6 +251,54 @@ object OpsQueries {
         SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
         FROM est JOIN exact USING (user_id)
         ORDER BY user_id""")),
+
+    // CMS join-size estimation (§2 row 169 — Cormode & Muthukrishnan
+    // 2005 §4.2): the equi-join OUTPUT size predicted from two sketches'
+    // cell-wise inner products (min over rows), never running the join —
+    // the planner-side probe that decides broadcast vs shuffle vs salt
+    // at 100 TB. Width 2^20 is a modulus, not storage (cells materialize
+    // sparsely), which keeps the collision cross-mass readable. The
+    // oracle recomputes both sketches, every inner product, and the
+    // ratio verbatim. HASH-GREEN.
+    Q("sketch_cms_join_size",
+      (s, dir) => {
+        val d = 3; val w = 1 << 20
+        val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+        val est = graft.ops.CountMin.joinSizeEstimate(
+          graft.ops.CountMin.sketch(l, "k", d, w),
+          graft.ops.CountMin.sketch(o, "k", d, w), d)
+        val truth = l.join(o, "k").agg(count(lit(1)).as("true_join_size"))
+        est.crossJoin(truth).select(col("est_join_size"),
+          col("true_join_size"),
+          Q.dround(col("est_join_size").cast("double") /
+            col("true_join_size").cast("double"), 6).as("ratio"))
+      },
+      Some {
+        val d = 3; val w = 1 << 20
+        s"""
+        WITH jrws AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2),
+        la AS (SELECT l_orderkey AS k FROM lineitem),
+        ob AS (SELECT o_orderkey AS k FROM orders),
+        ca AS (SELECT r.r AS rw,
+                 ${graft.ops.CountMin.sqlCellCase("k", "r.r", d, w)} AS cell,
+                 CAST(count(*) AS BIGINT) AS ca
+               FROM la, jrws r GROUP BY 1, 2),
+        cb AS (SELECT r.r AS rw,
+                 ${graft.ops.CountMin.sqlCellCase("k", "r.r", d, w)} AS cell,
+                 CAST(count(*) AS BIGINT) AS cb
+               FROM ob, jrws r GROUP BY 1, 2),
+        ip AS (SELECT rw, sum(ca * cb) AS ip
+               FROM ca JOIN cb USING (rw, cell) GROUP BY rw),
+        est AS (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_size
+                FROM jrws r LEFT JOIN ip ON ip.rw = r.r),
+        tru AS (SELECT CAST(count(*) AS BIGINT) AS true_join_size
+                FROM la JOIN ob USING (k))
+        SELECT est_join_size, true_join_size,
+               ${Q.sqlDround("CAST(est_join_size AS DOUBLE) / CAST(true_join_size AS DOUBLE)", 6)}
+                 AS ratio
+        FROM est, tru"""
+      }),
 
     // Fixed-grid resample with zero-filled gaps: the 'error' slice on an
     // HOURLY grid — sparse enough at small scales that empty buckets
@@ -739,6 +828,20 @@ object OpsQueries {
         .orderBy("event_type"),
       Some(s"""
         WITH ${graft.ops.Trend.sqlOls("events", "ts", "value", "event_type")}
+        ORDER BY event_type""")),
+
+    // Theil–Sen robust trend (§2 row 170 — Theil 1950, Sen 1968): the
+    // breakdown-resistant complement of events_trend — median of all
+    // pairwise daily slopes, O(span²) pairs bounded by the time window,
+    // never the data; both medians selected by the cumulative-histogram
+    // DISC rank rule (data values). Daily means, the pair join, and
+    // both median selections replayed by the oracle. HASH-GREEN.
+    Q("events_trend_theilsen",
+      (s, dir) => graft.ops.Trend.theilSen(
+          Tables.events(s, dir), "ts", "value", Seq("event_type"))
+        .orderBy("event_type"),
+      Some(s"""
+        WITH ${graft.ops.Trend.sqlTheilSen("events", "ts", "value", "event_type")}
         ORDER BY event_type"""))
   )
 

@@ -99,4 +99,26 @@ class CountMinSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("out of range"))
   }
+
+  test("joinSizeEstimate: exact inner product at wide width, never undercounts") {
+    import spark.implicits._
+    // A has key 1 x3, key 2 x2; B has key 1 x2, key 3 x5 →
+    // true join size = 3*2 = 6; at w = 2^20 collisions are absent, so
+    // every row's inner product is exactly 6
+    val a = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
+    val b = Seq(1L, 1L, 3L, 3L, 3L, 3L, 3L).toDF("k")
+    val d = 3; val w = 1 << 20
+    val est = graft.ops.CountMin.joinSizeEstimate(
+      graft.ops.CountMin.sketch(a, "k", d, w),
+      graft.ops.CountMin.sketch(b, "k", d, w), d)
+      .collect()(0).getLong(0)
+    assert(est == 6L)
+    // disjoint keys: some row has zero shared cells -> estimate 0
+    val c = Seq(9L, 10L).toDF("k")
+    val est0 = graft.ops.CountMin.joinSizeEstimate(
+      graft.ops.CountMin.sketch(a, "k", d, w),
+      graft.ops.CountMin.sketch(c, "k", d, w), d)
+      .collect()(0).getLong(0)
+    assert(est0 == 0L)
+  }
 }

@@ -141,4 +141,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(4)) < 0.01),
       s"uniform pattern must score ~0, got ${out.head.getDouble(4)}")
   }
+
+  test("survival: hand-computed Kaplan-Meier curve with censoring") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(day: Int) = new Timestamp(1704067200000L + day * 86400000L)
+    // horizon day 20 (user 9 active at 20). censorDays = 2 → censored
+    // iff last day > 18. Lifetimes: u1 (0..5) t=5 churn; u2 (0..5) t=5
+    // churn; u3 (2..12) t=10 churn; u9 (0..20) t=20 censored.
+    // KM: t=5 n=4 d=2 → S=0.5; t=10 n=2 d=1 → 0.25; t=20 censored only.
+    val rows = Seq(
+      (1L, 0), (1L, 5), (2L, 0), (2L, 5), (3L, 2), (3L, 12),
+      (9L, 0), (9L, 20))
+      .map { case (u, d) => (u, ts(d)) }
+      .toDF("user_id", "ts")
+    val out = graft.ops.EventAnalytics.survival(rows, "user_id", "ts",
+        censorDays = 2)
+      .orderBy("t_day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (5L, 4L, 2L, 0L, 0.5),
+      (10L, 2L, 1L, 0L, 0.25),
+      (20L, 1L, 0L, 1L, 0.25)))
+    intercept[IllegalArgumentException] {
+      graft.ops.EventAnalytics.survival(rows, "user_id", "ts", censorDays = -1)
+    }
+  }
 }

@@ -66,4 +66,30 @@ class TrendSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 2.0) < 0.05)
     assert(r.getDouble(4) > 0.99 && r.getDouble(4) < 1.0)
   }
+
+  test("theilSen: hand-computed median slope survives a wild day that wrecks OLS") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(1704067200000L + day * 86400000L)
+    // days 0..4 on y = 2x + 1, except day 3 explodes to 1000:
+    // pairwise slopes {2 (most pairs), big ones through day 3} — the
+    // median stays 2; OLS slope is dragged far above it
+    val rows = Seq(0 -> 1.0, 1 -> 3.0, 2 -> 5.0, 3 -> 1000.0, 4 -> 9.0)
+      .map { case (d, v) => ("g", ts(d), v) }
+      .toDF("grp", "ts", "v")
+    val out = graft.ops.Trend.theilSen(rows, "ts", "v", Seq("grp")).collect()(0)
+    assert(out.getAs[Long]("n_days") == 5 && out.getAs[Long]("n_pairs") == 10)
+    assert(out.getAs[Double]("slope") == 2.0)
+    // intercept = disc median of residuals y - 2x: 1,1,1,994,1 -> 1
+    assert(out.getAs[Double]("intercept") == 1.0)
+    val ols = graft.ops.Trend.ols(rows, "ts", "v", Seq("grp")).collect()(0)
+    assert(ols.getAs[Double]("slope") > 50.0, "fixture must actually wreck OLS")
+  }
+
+  test("theilSen: single-day groups emit zero pairs and null slope") {
+    import java.sql.Timestamp
+    val rows = Seq(("g", new Timestamp(1704067200000L), 5.0))
+      .toDF("grp", "ts", "v")
+    val out = graft.ops.Trend.theilSen(rows, "ts", "v", Seq("grp")).collect()(0)
+    assert(out.getAs[Long]("n_pairs") == 0 && out.isNullAt(out.fieldIndex("slope")))
+  }
 }
