@@ -103,6 +103,24 @@ object ScaleCorpus {
         .withColumn("user_id", col("user_id") + lit(k * IdBand))
     }.reduce(_ unionByName _), "events")
 
+    // orders + lineitem (r12): both shift o_orderkey/l_orderkey by the
+    // SAME band, so the FK join structure replicates intact — the CDC
+    // lifecycle and the lineitem-valued operators (winsorize, IQR) can
+    // ladder. Values repeat verbatim across bands: exactly the regime
+    // where the value-histogram lanes should flatline.
+    val o = spark.read.parquet(s"$srcDir/orders.parquet")
+    assertBand(o, "o_orderkey", IdBand, "orders")
+    write((0 until factor).map { k =>
+      if (k == 0) o
+      else o.withColumn("o_orderkey", col("o_orderkey") + lit(k * IdBand))
+    }.reduce(_ unionByName _), "orders")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    assertBand(li, "l_orderkey", IdBand, "lineitem")
+    write((0 until factor).map { k =>
+      if (k == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdBand))
+    }.reduce(_ unionByName _), "lineitem")
+
     done.createNewFile(): Unit
   }
 }

@@ -65,6 +65,103 @@ object AbTest {
       when(col("n_b") > 0, graft.Num.dround(wilson(pb, nb, z, lower = false), 6)).as("b_hi"): _*)
   }
 
+  /** Mann–Whitney U / Wilcoxon rank-sum readout (Mann & Whitney 1947) —
+    * the NONPARAMETRIC arm comparison for continuous metrics: no
+    * normality assumption, immune to monotone transforms, robust to the
+    * heavy tails that make t-style comparisons lie. Computed entirely
+    * from the bounded VALUE HISTOGRAM (the [[graft.ops.Quantiles]]
+    * discipline): per distinct value the two arms' counts, midrank
+    * r_v = (2·cum − c + 1)/2 in exact HALVES, rank sum R_a = Σ n_a,v·r_v
+    * as an exact decimal, U_a = R_a − n_a(n_a+1)/2, and the tie-corrected
+    * normal approximation z = (U_a − n_a·n_b/2) / σ with
+    * σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))) — every input an exact
+    * integer or half, the z a short IEEE chain on identical operands,
+    * so the oracle replays it all. All-tied groups emit null z (σ = 0);
+    * groups missing an arm emit null statistics.
+    *
+    * Scale: one histogram aggregation (≤ |domain| rows per group through
+    * the exchange) + arithmetic on group-sized frames; the corpus never
+    * sorts — the textbook rank test needs a global sort, this one
+    * doesn't.
+    *
+    * Output: (groupCols…, n_a, n_b, u_a, u_b, z_stat). */
+  def mannWhitney(df: DataFrame, armCol: String, valueCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val gs = groupCols.map(col)
+    val hist = df
+      .where(col(armCol).isin("a", "b") && col(valueCol).isNotNull)
+      .select(gs :+ col(armCol).as("_arm") :+
+        col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
+      .groupBy(gs :+ col("_v"): _*)
+      .agg(sum(when(col("_arm") === "a", 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_arm") === "b", 1L).otherwise(0L)).as("_cb"))
+      .withColumn("_c", col("_ca") + col("_cb"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum("_c").over(w))
+    // midrank in halves: 2·r_v = 2·cum − c + 1 (odd integer) — keep the
+    // DOUBLED rank so everything stays in exact BIGINT arithmetic
+    val r2 = lit(2) * col("_cum") - col("_c") + 1
+    val agg = cum.groupBy(gs: _*).agg(
+      sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+      sum(col("_ca") * r2).as("_ra2"), // 2·R_a, exact BIGINT
+      sum(col("_c") * col("_c") * col("_c") - col("_c")).as("_ties"))
+    val na = col("n_a"); val nb = col("n_b")
+    val nn = na + nb
+    val ok = na > 0 && nb > 0
+    // U_a = R_a − n_a(n_a+1)/2, kept doubled: 2·U_a = 2R_a − n_a(n_a+1)
+    val ua2 = col("_ra2") - na * (na + 1)
+    val ub2 = lit(2) * na * nb - ua2
+    val sigma2 =
+      (na * nb).cast(DoubleType) / 12.0 *
+        ((nn + 1).cast(DoubleType) -
+          col("_ties").cast(DoubleType) / (nn * (nn - 1)).cast(DoubleType))
+    val z = (ua2.cast(DoubleType) / 2.0 -
+      (na * nb).cast(DoubleType) / 2.0) / sqrt(sigma2)
+    agg.select(gs :+
+      na.as("n_a") :+ nb.as("n_b") :+
+      when(ok, ua2.cast(DoubleType) / 2.0).as("u_a") :+
+      when(ok, ub2.cast(DoubleType) / 2.0).as("u_b") :+
+      when(ok && sigma2 > 0, graft.Num.dround(z, 4)).as("z_stat"): _*)
+  }
+
+  /** DuckDB mirror of [[mannWhitney]] over `table(groupCol, arm, v)`
+    * CTE-relation (arm ∈ {'a','b'}, v non-null DECIMAL(18,4)) — single
+    * oracle owner for the histogram, doubled ranks, U, and z chains. */
+  def sqlMannWhitney(rel: String, groupCol: String): String =
+    s"""mwh AS (SELECT $groupCol, v,
+              CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+              CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM $rel GROUP BY 1, 2),
+       mwc AS (SELECT $groupCol, v, ca, cb, ca + cb AS c,
+              sum(ca + cb) OVER (PARTITION BY $groupCol ORDER BY v) AS cum
+            FROM mwh),
+       mwa AS (SELECT $groupCol,
+              CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+              CAST(sum(ca * (2 * cum - c + 1)) AS BIGINT) AS ra2,
+              CAST(sum(c * c * c - c) AS BIGINT) AS ties
+            FROM mwc GROUP BY 1),
+       mwf AS (SELECT $groupCol, n_a, n_b,
+              ra2 - n_a * (n_a + 1) AS ua2,
+              2 * n_a * n_b - (ra2 - n_a * (n_a + 1)) AS ub2,
+              CAST(n_a * n_b AS DOUBLE) / 12.0 *
+                (CAST(n_a + n_b + 1 AS DOUBLE) -
+                 CAST(ties AS DOUBLE) /
+                   CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)) AS sigma2
+            FROM mwa)
+       SELECT $groupCol, n_a, n_b,
+              CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(ua2 AS DOUBLE) / 2.0 END AS u_a,
+              CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(ub2 AS DOUBLE) / 2.0 END AS u_b,
+              CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0
+                THEN ${graft.queries.Q.sqlDround(
+                  "(CAST(ua2 AS DOUBLE) / 2.0 - CAST(n_a * n_b AS DOUBLE) / 2.0) / sqrt(sigma2)", 4)}
+              END AS z_stat
+       FROM mwf"""
+
   /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
     * WSDM 2013): adjust each user's post-period metric by their
     * PRE-period covariate — y′ = y − θ(x − x̄) with θ = S_xy / S_xx —

@@ -673,6 +673,30 @@ object EvalQueries {
         FROM d ORDER BY event_type"""
       }),
 
+    // Mann-Whitney U rank-sum readout (§2 row 172 — Mann & Whitney
+    // 1947): the nonparametric arm comparison, computed from the
+    // bounded value histogram (midranks in exact halves, tie-corrected
+    // sigma) — no global sort, no normality assumption. The oracle
+    // replays the histogram, doubled ranks, U statistics, and the z
+    // chain verbatim. HASH-GREEN.
+    Q("ab_mannwhitney",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .where(col("value").isNotNull)
+          .withColumn("arm",
+            when(col("event_id") % 2 === 0, "a").otherwise("b"))
+        graft.quality.AbTest.mannWhitney(e, "arm", "value", Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH mwbase AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                 CAST(value AS DECIMAL(18,4)) AS v
+          FROM events WHERE value IS NOT NULL),
+        ${graft.quality.AbTest.sqlMannWhitney("mwbase", "event_type")}
+        ORDER BY event_type""")),
+
     // CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 — §2
     // row 166): per-user pre-period covariate x and post-period metric
     // y split at 2024-01-15T00Z, θ = S_xy/S_xx on exact-decimal

@@ -115,4 +115,26 @@ class AbTestSpec extends SparkSpec {
     assert(out.map(r => r.getAs[Double]("mean_y_adj")).toSeq ==
       out.map(r => r.getAs[Double]("mean_y")).toSeq)
   }
+
+  test("mannWhitney: hand-computed midranks, U, and tie-corrected z") {
+    // a: {1,2,3}, b: {2,4} → midranks 1, 2.5, 2.5, 4, 5;
+    // R_a = 7.5, U_a = 1.5, U_b = 4.5; ties Σ(t³−t) = 6;
+    // σ² = (6/12)·(6 − 6/20) = 2.85; z = −1.5/√2.85 = −0.8885
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .map { case (arm, v) => ("g", arm, v) }
+      .toDF("grp", "arm", "v")
+    val r = AbTest.mannWhitney(df, "arm", "v", Seq("grp")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("u_a") == 1.5 && r.getAs[Double]("u_b") == 4.5)
+    assert(r.getAs[Double]("z_stat") == -0.8885)
+  }
+
+  test("mannWhitney: all-tied values emit null z; one-armed groups null statistics") {
+    val df = Seq(("g", "a", 5.0), ("g", "b", 5.0), ("h", "a", 1.0))
+      .toDF("grp", "arm", "v")
+    val out = AbTest.mannWhitney(df, "arm", "v", Seq("grp"))
+      .orderBy("grp").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("z_stat")))
+    assert(out(1).isNullAt(out(1).fieldIndex("u_a")))
+  }
 }
