@@ -1,6 +1,7 @@
 package graft.profile
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -90,6 +91,87 @@ object Distributions {
     * it from the data in one column-pruned max(abs) prepass.
     * `exact=false` is the plain `corr()` built-in — the 100 TB default
     * when no cross-engine hash comparison is needed. */
+  /** Gini coefficient + Pareto top-share concentration audit over a
+    * non-negative metric (token counts, bytes, event values): HOW
+    * CONCENTRATED is the corpus — does 1% of documents carry half the
+    * token mass? The data-mixing diagnostic next to [[graft.ops.Skew]]'s
+    * join-key heavy hitters: a high-Gini source needs per-document
+    * budget caps before it dominates a training mix.
+    *
+    * Exact arithmetic on the bounded VALUE HISTOGRAM (never a corpus
+    * sort): with values ascending, the rank-weighted sum uses the tied-
+    * block closed form Σᵢ vᵢ·(cᵢ·cum_beforeᵢ + cᵢ(cᵢ+1)/2) — integers ×
+    * exact decimals — and G = 2·S_rv/(n·S_v) − (n+1)/n on a short IEEE
+    * chain over the 2dp-rounded exact sums (the decSum rule). The top
+    * share takes the ceil(p·n) LARGEST rows' value mass from the
+    * descending cumulative histogram — splitting a tied block
+    * proportionally is exact decimal arithmetic.
+    *
+    * Output: (groupCols…, n, total, gini 6dp, top_share 6dp). Negative
+    * values refuse loudly (Gini is undefined there — a silently wrong
+    * concentration number would mis-size a mixing cap); all-zero groups
+    * emit null gini/top_share.
+    *
+    * 100 TB: one histogram aggregation per group + histogram-sized
+    * windows — the corpus never sorts. */
+  def gini(df: DataFrame, valueCol: String, groupCols: Seq[String],
+           topFraction: Double = 0.01): DataFrame = {
+    require(topFraction > 0 && topFraction < 1,
+      s"topFraction must be in (0, 1), got $topFraction")
+    val gs = groupCols.map(col)
+    val v0 = col(valueCol).cast(DecimalType(18, 4))
+    val guarded = when(v0 < 0, raise_error(concat(
+      lit(s"graft: gini needs non-negative '$valueCol', got "),
+      v0.cast("string")))).otherwise(v0)
+    val hist = df.where(col(valueCol).isNotNull)
+      .select(gs :+ guarded.as("_v"): _*)
+      .groupBy(gs :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val asc = Window.partitionBy(gs: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(gs: _*).orderBy(col("_v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(gs: _*)
+    val cum = hist
+      .withColumn("_cumc", sum("_c").over(asc))
+      .withColumn("_n", sum("_c").over(all))
+      // rank-weighted value mass of the tied block: the rank factor is
+      // pure BIGINT arithmetic (integer div — the double lane would be
+      // exact too, but integer is self-evidently so), cast to a TIGHT
+      // DECIMAL(16,0) so the product (18,4)×(16,0) = (35,4) stays under
+      // precision 38 in BOTH engines (a wider factor makes Spark rescale
+      // where DuckDB doesn't — the Trend.ols width lesson). Contract:
+      // per-group rank sums < 1e16, i.e. ≲ 1.4e8 rows per group — beyond
+      // that, widen per use or pre-aggregate
+      .withColumn("_rank",
+        expr("(_cumc - _c) * _c + (_c * (_c + 1)) div 2"))
+      .withColumn("_rv", col("_v") * col("_rank").cast(DecimalType(16, 0)))
+      // descending cumulative count/value for the top-share lane
+      .withColumn("_dcumc", sum("_c").over(desc))
+      .withColumn("_dcumv", sum(col("_v") * col("_c")).over(desc))
+    val k = ceil(lit(topFraction) * col("_n"))
+    // value mass of the k largest rows: full blocks above the cut plus a
+    // proportional slice of the block straddling it — exact decimals
+    val topMass = sum(
+      when(col("_dcumc") <= k, col("_v") * col("_c"))
+        .when(col("_dcumc") - col("_c") < k,
+          col("_v") * (k - (col("_dcumc") - col("_c"))).cast(DecimalType(18, 0)))
+        .otherwise(lit(0).cast(DecimalType(18, 4))))
+    val agg = cum.groupBy(gs: _*).agg(
+      max(col("_n")).as("n"),
+      round(sum(col("_v") * col("_c")), 2).cast(DoubleType).as("_sv"),
+      round(sum(col("_rv")), 2).cast(DoubleType).as("_srv"),
+      round(topMass, 2).cast(DoubleType).as("_topv"))
+    val n = col("n").cast(DoubleType)
+    val giniExpr = graft.Num.dround(
+      lit(2.0) * col("_srv") / (n * col("_sv")) - (n + 1.0) / n, 6)
+    agg.select(gs :+ col("n") :+
+      graft.Num.dround(col("_sv"), 2).as("total") :+
+      when(col("_sv") > 0, giniExpr).as("gini") :+
+      when(col("_sv") > 0,
+        graft.Num.dround(col("_topv") / col("_sv"), 6)).as("top_share"): _*)
+  }
+
   def correlationMatrix(df: DataFrame, cols: Seq[String] = Nil,
                         exact: Boolean = true,
                         magExp: Map[String, Int] = Map.empty): DataFrame = {

@@ -189,6 +189,53 @@ object TextQueries {
       Some(graft.text.Chunking.sqlChunk("documents", "doc_id", "text",
         maxTokens = 64, overlap = 16) + " ORDER BY doc_id, chunk_id")),
 
+    // Corpus concentration audit (§2 row 173): Gini + Pareto top-share
+    // of token mass per source — does 1% of documents carry half the
+    // tokens? The mixing-cap diagnostic; exact histogram arithmetic
+    // (tied-block rank closed form, proportional straddle slice), no
+    // corpus sort. The oracle replays histogram, rank sums, both
+    // cumulative lanes, and the final chains. HASH-GREEN.
+    Q("corpus_gini",
+      (s, dir) => graft.profile.Distributions.gini(
+          Tables.documents(s, dir).select(col("source"),
+            TextAnalysis.tokenCount(col("text")).as("toks")),
+          "toks", Seq("source"), topFraction = 0.01)
+        .orderBy("source"),
+      Some(s"""
+        WITH gd AS (
+          SELECT source, CAST(${sqlTokenCount()} AS DECIMAL(18,4)) AS v
+          FROM documents),
+        gh AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+               FROM gd GROUP BY 1, 2),
+        gc AS (SELECT source, v, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY v) AS cumc,
+                 sum(c) OVER (PARTITION BY source) AS n,
+                 sum(c) OVER (PARTITION BY source ORDER BY v DESC) AS dcumc
+               FROM gh),
+        gx AS (SELECT source, v, c, cumc, n, dcumc,
+                 v * CAST((cumc - c) * c + (c * (c + 1)) // 2
+                          AS DECIMAL(16,0)) AS rv,
+                 ceil(CAST(0.01 AS DOUBLE) * n) AS k
+               FROM gc),
+        ga AS (SELECT source, max(n) AS n,
+                 CAST(round(sum(v * c), 2) AS DOUBLE) AS sv,
+                 CAST(round(sum(rv), 2) AS DOUBLE) AS srv,
+                 CAST(round(sum(
+                   CASE WHEN dcumc <= k THEN v * c
+                        WHEN dcumc - c < k
+                          THEN v * CAST(k - (dcumc - c) AS DECIMAL(18,0))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+                   AS topv
+               FROM gx GROUP BY 1)
+        SELECT source, CAST(n AS BIGINT) AS n,
+               ${Q.sqlDround("sv", 2)} AS total,
+               CASE WHEN sv > 0 THEN ${Q.sqlDround(
+                 "2.0 * srv / (CAST(n AS DOUBLE) * sv) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)", 6)}
+               END AS gini,
+               CASE WHEN sv > 0 THEN ${Q.sqlDround("topv / sv", 6)}
+               END AS top_share
+        FROM ga ORDER BY source""")),
+
     Q("text_tokens",
       (s, dir) => Tables.documents(s, dir).select(
         col("doc_id"),

@@ -94,4 +94,30 @@ class DistributionsSpec extends SparkSpec {
       .distinct().count()
     assert(support <= 64)
   }
+
+  test("gini: hand-computed tied-block rank form, top share, refusals") {
+    import spark.implicits._
+    // values {1,1,2,4}: n=4, S_v=8; rank sums: block(1)c=2 ranks{1,2}→3,
+    // block(2) rank 3, block(4) rank 4 → S_rv = 1·3+2·3+4·4 = 25;
+    // G = 2·25/(4·8) − 5/4 = 0.3125; top 25% (k=1) mass = 4 → share 0.5
+    val df = Seq(1.0, 1.0, 2.0, 4.0).map(("g", _)).toDF("grp", "v")
+    val r = graft.profile.Distributions.gini(df, "v", Seq("grp"),
+      topFraction = 0.25).collect()(0)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Double]("total") == 8.0)
+    assert(r.getAs[Double]("gini") == 0.3125)
+    assert(r.getAs[Double]("top_share") == 0.5)
+    // all-zero group: defined total, null gini (no mass to concentrate)
+    val z = graft.profile.Distributions.gini(
+      Seq(0.0, 0.0).map(("g", _)).toDF("grp", "v"), "v", Seq("grp"))
+      .collect()(0)
+    assert(z.isNullAt(z.fieldIndex("gini")))
+    // negative values refuse loudly
+    val neg = Seq(("g", -1.0)).toDF("grp", "v")
+    intercept[Exception] {
+      graft.profile.Distributions.gini(neg, "v", Seq("grp")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.profile.Distributions.gini(df, "v", Seq("grp"), topFraction = 1.5)
+    }
+  }
 }
