@@ -1142,6 +1142,25 @@ object NearDupQueries {
         WHERE doc_id NOT IN (SELECT id_b FROM pr)
         ORDER BY doc_id""")),
 
+    // Handed-init Lloyd walk (§2 row 174 — the PageRank full-walk
+    // discipline applied to k-means): the TRAINING LOOP every
+    // k-means-seeded index lane executes, replayed by the oracle
+    // iteration by unrolled iteration from Walsh ±0.125 init — per-round
+    // distances (10dp-dround'd terms, exact-decimal sums), argmins
+    // (lowest-cid ties), exact-decimal mean updates, empty-cluster
+    // pass-through. Sampled-seed lanes stay rows-only production paths;
+    // THIS pins the Lloyd arithmetic they run. HASH-GREEN.
+    Q("kmeans_handed_walk",
+      (s, dir) => graft.sim.KMeansLloyd.lloydWalk(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          graft.sim.KMeansLloyd.walshInit(4, 64), iters = 2)
+        .orderBy("cluster", "pos"),
+      Some(s"""
+        WITH ${graft.sim.KMeansLloyd.sqlLloydWalk("embeddings",
+          graft.sim.KMeansLloyd.walshInit(4, 64), 2)}
+        SELECT cluster, pos, centroid, n FROM kmfinal
+        ORDER BY cluster, pos""")),
+
     // Portable SimHash fingerprints (§2 row 47's verifiable lane): the
     // 32-bit fingerprint TABLE itself is hash-compared — md5-prefix
     // token hashes, 32 signed bit sums, the positive-sum threshold —
