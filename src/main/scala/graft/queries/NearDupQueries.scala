@@ -1161,6 +1161,20 @@ object NearDupQueries {
         SELECT cluster, pos, centroid, n FROM kmfinal
         ORDER BY cluster, pos""")),
 
+    // The walk's final per-vector assignment (§2 row 174): the cell map
+    // an IVF built from this training would store — every vector's
+    // cluster and exact-decimal squared distance replayed. HASH-GREEN.
+    Q("kmeans_handed_assign",
+      (s, dir) => graft.sim.KMeansLloyd.lloydAssignments(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          graft.sim.KMeansLloyd.walshInit(4, 64), iters = 2)
+        .orderBy("vec_id"),
+      Some(s"""
+        WITH ${graft.sim.KMeansLloyd.sqlLloydWalk("embeddings",
+          graft.sim.KMeansLloyd.walshInit(4, 64), 2)}
+        ${graft.sim.KMeansLloyd.sqlLloydAssignSelect(2)}
+        ORDER BY vec_id""")),
+
     // Portable SimHash fingerprints (§2 row 47's verifiable lane): the
     // 32-bit fingerprint TABLE itself is hash-compared — md5-prefix
     // token hashes, 32 signed bit sums, the positive-sum threshold —

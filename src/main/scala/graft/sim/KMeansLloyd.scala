@@ -46,12 +46,11 @@ object KMeansLloyd {
     (1 to k).map(m => (0 until dim).map(i =>
       if (java.lang.Integer.bitCount(i & m) % 2 == 0) 0.125 else -0.125))
 
-  /** Run `iters` Lloyd rounds from `init` over `vecCol: array<float>`.
-    * Returns the melted final state: (cluster, pos, centroid, n) — n the
-    * cluster's final population (repeated per pos; 0 for never-won
-    * clusters, whose centroids pass through from init). */
-  def lloydWalk(df: DataFrame, idCol: String, vecCol: String,
-                init: Seq[Seq[Double]], iters: Int): DataFrame = {
+  /** The shared walk core: (final centroid frame, final assignment with
+    * exact-decimal squared distances). */
+  private def walk(df: DataFrame, idCol: String, vecCol: String,
+                   init: Seq[Seq[Double]], iters: Int)
+      : (DataFrame, DataFrame) = {
     require(init.nonEmpty, "lloydWalk needs at least one init centroid")
     val dim = init.head.size
     require(init.forall(_.size == dim),
@@ -80,16 +79,17 @@ object KMeansLloyd {
         (col("_gf_x") - col("_gf_c")) * (col("_gf_x") - col("_gf_c")), 10)
       pts.join(broadcast(cents), Seq("_gf_pos"))
         .groupBy(col("_gf_id"), col("_gf_cid"))
-        .agg(sum(term.cast(DecimalType(38, 10))).as("_gf_d"))
+        .agg(sum(term.cast(DecimalType(38, 10))).as("_gf_dd"))
         .groupBy("_gf_id")
-        .agg(min(struct(col("_gf_d"), col("_gf_cid"))).getField("_gf_cid")
-          .as("_gf_cid"))
+        .agg(min(struct(col("_gf_dd"), col("_gf_cid"))).as("_gf_best"))
+        .select(col("_gf_id"), col("_gf_best").getField("_gf_cid").as("_gf_cid"),
+          col("_gf_best").getField("_gf_dd").as("_gf_dd"))
     }
 
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(centroids)
-      val means = pts.join(assigned, Seq("_gf_id"))
+      val means = pts.join(assigned.select("_gf_id", "_gf_cid"), Seq("_gf_id"))
         .groupBy(col("_gf_cid"), col("_gf_pos"))
         .agg(graft.Num.dround(
           sum(col("_gf_x").cast(DecimalType(38, 6))).cast(DoubleType) /
@@ -99,10 +99,30 @@ object KMeansLloyd {
         .select(col("_gf_cid"), col("_gf_pos"),
           coalesce(col("_gf_m"), col("_gf_c")).as("_gf_c"))
     }
+    (centroids, assigned)
+  }
+
+  /** Run `iters` Lloyd rounds from `init` over `vecCol: array<float>`.
+    * Returns the melted final state: (cluster, pos, centroid, n) — n the
+    * cluster's final population (repeated per pos; 0 for never-won
+    * clusters, whose centroids pass through from init). */
+  def lloydWalk(df: DataFrame, idCol: String, vecCol: String,
+                init: Seq[Seq[Double]], iters: Int): DataFrame = {
+    val (centroids, assigned) = walk(df, idCol, vecCol, init, iters)
     val sizes = assigned.groupBy("_gf_cid").agg(count(lit(1)).as("n"))
     centroids.join(sizes, Seq("_gf_cid"), "left")
       .select(col("_gf_cid").as("cluster"), col("_gf_pos").as("pos"),
         col("_gf_c").as("centroid"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** The walk's FINAL per-vector assignment — (id, cluster, dist), dist
+    * the exact-decimal squared distance 6dp-dround'd: the cell map an
+    * IVF built from this walk would store, every row oracle-replayable. */
+  def lloydAssignments(df: DataFrame, idCol: String, vecCol: String,
+                       init: Seq[Seq[Double]], iters: Int): DataFrame = {
+    val (_, assigned) = walk(df, idCol, vecCol, init, iters)
+    assigned.select(col("_gf_id").as(idCol), col("_gf_cid").as("cluster"),
+      graft.Num.dround(col("_gf_dd").cast(DoubleType), 6).as("dist"))
   }
 
   // ---- DuckDB mirror -------------------------------------------------
@@ -112,6 +132,15 @@ object KMeansLloyd {
     init.zipWithIndex.flatMap { case (v, cid) =>
       v.zipWithIndex.map { case (x, pos) => s"($cid, $pos, CAST($x AS DOUBLE))" }
     }.mkString("(VALUES ", ", ", ")")
+
+  /** Final SELECT for [[lloydAssignments]] — expects [[sqlLloydWalk]]'s
+    * chain to precede it (reads the last round's distance CTE). */
+  def sqlLloydAssignSelect(iters: Int): String =
+    s"""SELECT vid AS vec_id, cid AS cluster,
+          floor(CAST(d AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dist
+        FROM (SELECT vid, cid, d,
+                row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+              FROM kmd$iters) t WHERE rn = 1"""
 
   /** Unrolled CTE chain replaying the whole walk over
     * `rel(vec_id, embedding)`: ends in `kmfinal(cluster, pos, centroid,
