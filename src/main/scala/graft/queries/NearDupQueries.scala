@@ -1175,6 +1175,90 @@ object NearDupQueries {
         ${graft.sim.KMeansLloyd.sqlLloydAssignSelect(2)}
         ORDER BY vec_id""")),
 
+    // The FULLY-PINNED ANN route (§2 row 174 closes the loop): IVF
+    // trained by the handed Lloyd walk, vectors assigned to its cells,
+    // queries probing their nprobe=2 nearest cells by the SAME exact
+    // distance chain, candidates reranked by exact cosine — train,
+    // assign, probe, and search all recomputed by ONE oracle. The
+    // sampled-seed IVF lanes remain rows-only production paths with
+    // handed-component pins; this is the end-to-end verifiable twin.
+    Q("ann_ivf_handed",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val init = graft.sim.KMeansLloyd.walshInit(4, 64)
+        val cents = graft.sim.KMeansLloyd.lloydWalk(
+          e, "vec_id", "embedding", init, iters = 2)
+        val cells = graft.sim.KMeansLloyd.lloydAssignments(
+            e, "vec_id", "embedding", init, iters = 2)
+          .select(col("vec_id").as("neighbor_id"), col("cluster"))
+        val queries = e.filter(col("vec_id") < 5)
+        val probes = graft.sim.KMeansLloyd.probeCells(
+            queries, "vec_id", "embedding", cents, nprobe = 2)
+          .select(col("vec_id").as("query_id"), col("cluster"))
+        val cand = probes.join(cells, Seq("cluster"))
+          .select("query_id", "neighbor_id")
+        val scored = cand
+          .join(e.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("_vn")), Seq("neighbor_id"))
+          .join(e.select(col("vec_id").as("query_id"),
+            col("embedding").as("_vq")), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.cosine(col("_vn"), col("_vq")).as("_cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("_cos").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("int").as("rank"),
+            graft.Num.dround(col("_cos"), 6).as("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH ${graft.sim.KMeansLloyd.sqlLloydWalk("embeddings",
+          graft.sim.KMeansLloyd.walshInit(4, 64), 2)},
+        ivfcells AS (
+          SELECT vid AS neighbor_id, cid AS cluster FROM (
+            SELECT vid, cid,
+              row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+            FROM kmd2) t WHERE rn = 1),
+        ivfq AS (SELECT vec_id AS qid, CAST(pos AS INT) AS pos,
+                   floor(CAST(xf AS DOUBLE) * 1e6 + 0.5) / 1e6 AS x
+                 FROM (SELECT vec_id, unnest(embedding) AS xf,
+                              unnest(range(len(embedding))) AS pos
+                       FROM embeddings WHERE vec_id < 5)),
+        ivfqd AS (
+          SELECT q.qid, c.cluster AS cid,
+                 sum(CAST(floor((q.x - c.centroid) * (q.x - c.centroid)
+                   * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10))) AS d
+          FROM ivfq q JOIN kmfinal c ON q.pos = c.pos
+          GROUP BY 1, 2),
+        ivfprobe AS (
+          SELECT qid AS query_id, cid AS cluster FROM (
+            SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+            FROM ivfqd) t WHERE rn <= 2),
+        ivfcand AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM ivfprobe p JOIN ivfcells a ON a.cluster = p.cluster),
+        ivfe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+        ivfscored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_dot_product(n.v, q.v) /
+                   (sqrt(list_dot_product(n.v, n.v)) *
+                    sqrt(list_dot_product(q.v, q.v))) AS cos_raw
+          FROM ivfcand cand
+          JOIN ivfe n ON n.vec_id = cand.neighbor_id
+          JOIN ivfe q ON q.vec_id = cand.query_id),
+        ivfranked AS (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank,
+                 ${Q.sqlDround("cos_raw", 6)} AS cosine
+          FROM ivfscored)
+        SELECT query_id, neighbor_id, rank, cosine FROM ivfranked
+        WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // Portable SimHash fingerprints (§2 row 47's verifiable lane): the
     // 32-bit fingerprint TABLE itself is hash-compared — md5-prefix
     // token hashes, 32 signed bit sums, the positive-sum threshold —

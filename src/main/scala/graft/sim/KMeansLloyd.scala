@@ -125,6 +125,35 @@ object KMeansLloyd {
       graft.Num.dround(col("_gf_dd").cast(DoubleType), 6).as("dist"))
   }
 
+  /** `nprobe` nearest cells per query against a [[lloydWalk]] centroid
+    * frame — the SAME exact distance chain as training (6dp coords,
+    * 10dp-dround'd terms, exact-decimal sums, (d, cluster) tie order).
+    * Output: (idCol, cluster, probe_rank). */
+  def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                 walkCentroids: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val qpts = queries
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("_gf_qid"),
+        posexplode(col(vecCol)).as(Seq("_gf_pos", "_gf_xf")))
+      .select(col("_gf_qid"), col("_gf_pos"),
+        graft.Num.dround(col("_gf_xf").cast(DoubleType), 6).as("_gf_x"))
+    val cents = walkCentroids.select(col("cluster").as("_gf_cid"),
+      col("pos").as("_gf_pos"), col("centroid").as("_gf_c"))
+    val term = graft.Num.dround(
+      (col("_gf_x") - col("_gf_c")) * (col("_gf_x") - col("_gf_c")), 10)
+    val d = qpts.join(broadcast(cents), Seq("_gf_pos"))
+      .groupBy(col("_gf_qid"), col("_gf_cid"))
+      .agg(sum(term.cast(DecimalType(38, 10))).as("_gf_dd"))
+    val w = Window.partitionBy(col("_gf_qid"))
+      .orderBy(col("_gf_dd"), col("_gf_cid"))
+    d.withColumn("_gf_rk", row_number().over(w))
+      .where(col("_gf_rk") <= nprobe)
+      .select(col("_gf_qid").as(idCol), col("_gf_cid").as("cluster"),
+        col("_gf_rk").as("probe_rank"))
+  }
+
   // ---- DuckDB mirror -------------------------------------------------
 
   /** SQL literal VALUES relation `(cid, pos, c)` for an init set. */

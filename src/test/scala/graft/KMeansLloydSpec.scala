@@ -63,4 +63,19 @@ class KMeansLloydSpec extends SparkSpec {
         Seq(Seq(0.125), Seq(-0.125)), 0)
     }
   }
+
+  test("probeCells ranks cells by the walk's exact distance; self-query tops its own search") {
+    val df = vecs(1L -> Seq(0f), 2L -> Seq(1f), 3L -> Seq(9f), 4L -> Seq(10f))
+    val init = Seq(Seq(0.125), Seq(-0.125))
+    val cents = KMeansLloyd.lloydWalk(df, "vec_id", "embedding", init, 2)
+    // after round 2: c0 = 9.5, c1 = 0.5 — a query at 8.0 probes c0 first
+    val p = KMeansLloyd.probeCells(vecs(9L -> Seq(8f)), "vec_id", "embedding",
+        cents, nprobe = 2)
+      .orderBy("probe_rank").collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    assert(p.toSeq == Seq((0, 1), (1, 2)))
+    intercept[IllegalArgumentException] {
+      KMeansLloyd.probeCells(df, "vec_id", "embedding", cents, 0)
+    }
+  }
 }
