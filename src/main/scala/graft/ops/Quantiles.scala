@@ -84,6 +84,48 @@ object Quantiles {
       :+ col("_n").as("n") :+ graft.Num.dround(pr, 6).as("pr"): _*)
   }
 
+  /** WEIGHTED discrete quantiles — the mass-weighted generalization of
+    * [[exact]]: the value at cumulative WEIGHT ≥ p·W (smallest such data
+    * value), computed on a (value, Σweight) histogram. The corpus
+    * question this answers: "below what document length does half the
+    * TOKEN MASS live?" — row-counted quantiles mislead whenever the
+    * weight (tokens, bytes, cost) is what downstream consumers pay.
+    * Weights must be non-negative integers (counts/bytes — exact
+    * cumulative arithmetic; fractional weights would reintroduce float
+    * accumulation order); zero-weight rows carry no mass, negative
+    * weights refuse loudly. The p·W threshold is one IEEE multiply on
+    * identical operands — deterministic cross-engine even on boundaries.
+    * Output: (groupCols, p, value); a group with no positive mass emits
+    * nothing. */
+  def exactWeighted(df: DataFrame, valueCol: String, weightCol: String,
+                    groupCols: Seq[String], ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantile probes must be in (0, 1], got $ps")
+    require(ps.distinct.size == ps.size, s"duplicate probes in $ps")
+    val gs = groupCols.map(col)
+    val w0 = col(weightCol).cast("long")
+    val guarded = when(w0 < 0, raise_error(concat(
+      lit(s"graft: exactWeighted weight '$weightCol' must be >= 0, got "),
+      w0.cast("string")))).otherwise(w0)
+    val hist = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(gs :+ col(valueCol).cast(DecimalType(18, 4)).as("_v")
+        :+ guarded.as("_w"): _*)
+      .groupBy(gs :+ col("_v"): _*)
+      .agg(sum(col("_w")).as("_c"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(gs: _*)
+    val cum = hist
+      .withColumn("_cum", sum("_c").over(w))
+      .withColumn("_n", sum("_c").over(n))
+      .where(col("_n") > 0)
+    val probes = explode(array(ps.map(lit): _*)).as("p")
+    cum.select(gs :+ col("_v") :+ col("_cum") :+ col("_n") :+ probes: _*)
+      .where(col("_cum").cast("double") >= col("p") * col("_n").cast("double"))
+      .groupBy(gs :+ col("p"): _*)
+      .agg(graft.Num.dround(min("_v").cast("double"), 4).as("value"))
+  }
+
   /** CONTINUOUS (interpolated) exact percentiles from the same bounded
     * histogram — Spark's own `percentile()` semantics, replayed IEEE op
     * for IEEE op (position = p·(n−1); result = (⌈pos⌉−pos)·v_lo +

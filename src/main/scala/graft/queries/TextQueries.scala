@@ -189,6 +189,37 @@ object TextQueries {
       Some(graft.text.Chunking.sqlChunk("documents", "doc_id", "text",
         maxTokens = 64, overlap = 16) + " ORDER BY doc_id, chunk_id")),
 
+    // Token-mass-weighted corpus quantiles (§2 row 175): "below what
+    // doc length does half the TOKEN MASS live?" — per source, doc
+    // token-count quantiles weighted by the token count itself;
+    // row-counted quantiles mislead when tokens are what the trainer
+    // pays. Weighted histogram, p·W threshold on one IEEE multiply.
+    // HASH-GREEN.
+    Q("corpus_weighted_quantiles",
+      (s, dir) => graft.ops.Quantiles.exactWeighted(
+          Tables.documents(s, dir).select(col("source"),
+            TextAnalysis.tokenCount(col("text")).as("toks")),
+          "toks", "toks", Seq("source"), Seq(0.5, 0.9))
+        .orderBy("source", "p"),
+      Some(s"""
+        WITH wqd AS (
+          SELECT source, CAST(${sqlTokenCount()} AS DECIMAL(18,4)) AS v,
+                 CAST(${sqlTokenCount()} AS BIGINT) AS w
+          FROM documents),
+        wqh AS (SELECT source, v, CAST(sum(w) AS BIGINT) AS c
+                FROM wqd GROUP BY 1, 2),
+        wqc AS (SELECT source, v, c,
+                  sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                  sum(c) OVER (PARTITION BY source) AS n
+                FROM wqh),
+        wqp AS (SELECT source, v, cum, n, p
+                FROM wqc, (SELECT unnest([0.5, 0.9]) AS p) probes
+                WHERE n > 0
+                  AND CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE))
+        SELECT source, CAST(p AS DOUBLE) AS p,
+               ${Q.sqlDround("CAST(min(v) AS DOUBLE)", 4)} AS value
+        FROM wqp GROUP BY 1, 2 ORDER BY source, p""")),
+
     // Corpus concentration audit (§2 row 173): Gini + Pareto top-share
     // of token mass per source — does 1% of documents carry half the
     // tokens? The mixing-cap diagnostic; exact histogram arithmetic

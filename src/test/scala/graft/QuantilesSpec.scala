@@ -68,4 +68,23 @@ class QuantilesSpec extends SparkSpec {
       ("g", 1.0, 4L, 0.0), ("g", 2.0, 4L, 0.333333), ("g", 3.0, 4L, 1.0),
       ("h", 9.0, 1L, 0.0)))
   }
+
+  test("exactWeighted: mass-weighted rank rule, zero weights carry nothing, refusals") {
+    import spark.implicits._
+    // values (v, w): (1,1) (2,1) (10,8) — W=10; p=0.5 → cum >= 5 → 10;
+    // p=0.2 → cum >= 2 → 2; a zero-weight row never shifts a threshold
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 10.0, 8L),
+        ("g", 99.0, 0L))
+      .toDF("grp", "v", "w")
+    val got = Quantiles.exactWeighted(df, "v", "w", Seq("grp"), Seq(0.2, 0.5))
+      .orderBy("p").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0.2, 2.0), (0.5, 10.0)))
+    val neg = Seq(("g", 1.0, -1L)).toDF("grp", "v", "w")
+    intercept[Exception] {
+      Quantiles.exactWeighted(neg, "v", "w", Seq("grp"), Seq(0.5)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactWeighted(df, "v", "w", Seq("grp"), Seq(0.5, 0.5))
+    }
+  }
 }
