@@ -472,8 +472,20 @@ object Drift {
           .select(graft.profile.Distributions
             .quantizeExpr(x, col("_gf_lo"), col("_gf_hi"), quantize).as("v"))
       }
-    val b = side(base).groupBy("v").agg(count(lit(1)).as("bc"))
-    val t = side(target).groupBy("v").agg(count(lit(1)).as("tc"))
+    pooledCdf(side(base), side(target))
+      .agg(max(abs(col("cb") - col("ct"))).as("d"))
+      .select(lit(column).as("column_name"),
+        graft.Num.dround(col("d"), 6).as("ks_stat"))
+  }
+
+  /** Shared pooled-CDF frame over two pre-projected single-column (`v`)
+    * sides: (v, bc, tc, cb, ct, nb, nt) — distinct pooled values with
+    * both cumulative CDFs and the side totals. One-sided-empty guard:
+    * 0/0 would make a CDF NaN, and NaN flows through max/dround into a
+    * silent never-true comparison downstream — null instead. */
+  private def pooledCdf(bSide: DataFrame, tSide: DataFrame): DataFrame = {
+    val b = bSide.groupBy("v").agg(count(lit(1)).as("bc"))
+    val t = tSide.groupBy("v").agg(count(lit(1)).as("tc"))
     val merged = b.join(t, Seq("v"), "full_outer")
       .select(col("v"),
         coalesce(col("bc"), lit(0L)).as("bc"),
@@ -482,17 +494,55 @@ object Drift {
       .orderBy("v").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     merged
-      // One-sided-empty guard: 0/0 would make the CDF NaN, and NaN flows
-      // through max/dround into a silent never-true comparison downstream.
-      // Null instead (never binds on non-empty sides; no oracle mirror).
+      .withColumn("nb", sum("bc").over(tot))
+      .withColumn("nt", sum("tc").over(tot))
       .withColumn("cb",
-        when(sum("bc").over(tot) > 0,
-          sum("bc").over(w).cast(DoubleType) / sum("bc").over(tot)))
+        when(col("nb") > 0, sum("bc").over(w).cast(DoubleType) / col("nb")))
       .withColumn("ct",
-        when(sum("tc").over(tot) > 0,
-          sum("tc").over(w).cast(DoubleType) / sum("tc").over(tot)))
-      .agg(max(abs(col("cb") - col("ct"))).as("d"))
+        when(col("nt") > 0, sum("tc").over(w).cast(DoubleType) / col("nt")))
+  }
+
+  /** Two-sample Cramér–von Mises statistic (discrete, pooled-mass form):
+    * T = (n_b·n_t / (n_b+n_t)²) · Σ_k (F_b(v_k) − F_t(v_k))² · p_k with
+    * p_k the pooled probability mass at v_k — the BODY-weighted companion
+    * of [[ks]]: KS sees only the single worst point, CvM integrates the
+    * squared CDF gap over the whole support, so a broad small shift that
+    * never produces one large gap still registers. Same exact pooled
+    * (value, count) machinery and `quantize` bound as [[ks]]; per-value
+    * terms dround to 12dp and accumulate as exact DECIMAL(38,12) (the
+    * dsum rule), so the oracle replays the statistic to the digit.
+    * Output: (column_name, n_base, n_target, cvm_stat 6dp). */
+  def cvm(base: DataFrame, target: DataFrame, column: String,
+          quantize: Int = 0): DataFrame = {
+    val x = col(column).cast(DoubleType)
+    def side(df: DataFrame): DataFrame =
+      if (quantize <= 0) df.filter(x.isNotNull).select(x.as("v"))
+      else {
+        val bounds = broadcast(
+          base.filter(x.isNotNull).agg(min(x).as("_gf_l1"), max(x).as("_gf_h1"))
+            .crossJoin(target.filter(x.isNotNull)
+              .agg(min(x).as("_gf_l2"), max(x).as("_gf_h2")))
+            .select(least(col("_gf_l1"), col("_gf_l2")).as("_gf_lo"),
+              greatest(col("_gf_h1"), col("_gf_h2")).as("_gf_hi")))
+        df.filter(x.isNotNull).crossJoin(bounds)
+          .select(graft.profile.Distributions
+            .quantizeExpr(x, col("_gf_lo"), col("_gf_hi"), quantize).as("v"))
+      }
+    val cdf = pooledCdf(side(base), side(target))
+    val pk = (col("bc") + col("tc")).cast(DoubleType) /
+      (col("nb") + col("nt")).cast(DoubleType)
+    val term = graft.Num.dround(
+      (col("cb") - col("ct")) * (col("cb") - col("ct")) * pk, 12)
+    cdf.agg(
+        max(col("nb")).as("n_base"), max(col("nt")).as("n_target"),
+        round(sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 12))), 8)
+          .cast(DoubleType).as("_s"))
       .select(lit(column).as("column_name"),
-        graft.Num.dround(col("d"), 6).as("ks_stat"))
+        col("n_base"), col("n_target"),
+        when(col("n_base") > 0 && col("n_target") > 0, graft.Num.dround(
+          col("n_base").cast(DoubleType) * col("n_target").cast(DoubleType) /
+            ((col("n_base") + col("n_target")).cast(DoubleType) *
+             (col("n_base") + col("n_target")).cast(DoubleType)) * col("_s"), 6))
+          .as("cvm_stat"))
   }
 }

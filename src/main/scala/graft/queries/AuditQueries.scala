@@ -528,6 +528,45 @@ object AuditQueries {
                floor(max(abs(cb - ct)) * 1e6 + 0.5) / 1e6 AS ks_stat
         FROM c""")),
 
+    // Cramér-von Mises on the same era split (§2 row 176): the
+    // BODY-weighted companion of drift_ks — KS sees only the single
+    // worst CDF point; CvM integrates the squared gap over the whole
+    // pooled support, so a broad small shift still registers. Exact
+    // pooled counts; per-value terms 12dp-dround'd into exact decimals.
+    // HASH-GREEN.
+    Q("drift_cvm",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        Drift.cvm(
+          o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          "o_totalprice")
+      },
+      Some(s"""
+        WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS bc FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        t AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS tc FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        m AS (SELECT coalesce(b.v, t.v) AS v, coalesce(bc, 0) AS bc, coalesce(tc, 0) AS tc
+              FROM b FULL OUTER JOIN t ON b.v = t.v),
+        tots AS (SELECT CAST(sum(bc) AS BIGINT) AS nb, CAST(sum(tc) AS BIGINT) AS nt FROM m),
+        c AS (SELECT v, bc, tc, nb, nt,
+                     CAST(sum(bc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(nb AS DOUBLE) AS cb,
+                     CAST(sum(tc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(nt AS DOUBLE) AS ct
+              FROM m, tots),
+        agg AS (SELECT max(nb) AS n_base, max(nt) AS n_target,
+                  CAST(round(sum(CAST(
+                    ${Q.sqlDround("(cb - ct) * (cb - ct) * (CAST(bc + tc AS DOUBLE) / CAST(nb + nt AS DOUBLE))", 12)}
+                    AS DECIMAL(38,12))), 8) AS DOUBLE) AS s
+                FROM c)
+        SELECT 'o_totalprice' AS column_name, n_base, n_target,
+               CASE WHEN n_base > 0 AND n_target > 0 THEN
+                 ${Q.sqlDround("CAST(n_base AS DOUBLE) * CAST(n_target AS DOUBLE) / (CAST(n_base + n_target AS DOUBLE) * CAST(n_base + n_target AS DOUBLE)) * s", 6)}
+               END AS cvm_stat
+        FROM agg""")),
+
     // Quantize-first KS — the 100 TB scale path: both sides bucket into 64
     // equal-width bins over the POOLED range before the CDF window, bounding
     // the window's input to 64 rows regardless of column cardinality. The

@@ -148,4 +148,23 @@ class DriftStatsSpec extends SparkSpec {
     assert(empty.forall(r => r.isNullAt(r.fieldIndex("js_div")) &&
       r.isNullAt(r.fieldIndex("hellinger")) && r.isNullAt(r.fieldIndex("tv_dist"))))
   }
+
+  test("cvm: hand-computed discrete statistic; identical samples score zero; body shift registers") {
+    import spark.implicits._
+    val b = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val t = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val same = graft.drift.Drift.cvm(b, t, "x").collect()(0)
+    assert(same.getAs[Double]("cvm_stat") == 0.0)
+    // hand case: base {1,2}, target {3,4} — pooled values 1..4, p_k=1/4;
+    // F_b = 0.5,1,1,1; F_t = 0,0,0.5,1 → squared gaps 0.25,1,0.25,0 →
+    // Σ·p = 0.375; factor = 2·2/16 = 0.25 → T = 0.09375
+    val d = graft.drift.Drift.cvm(
+      Seq(1.0, 2.0).toDF("x"), Seq(3.0, 4.0).toDF("x"), "x").collect()(0)
+    assert(d.getAs[Long]("n_base") == 2 && d.getAs[Long]("n_target") == 2)
+    assert(math.abs(d.getAs[Double]("cvm_stat") - 0.09375) < 1e-6)
+    // an empty side yields null, not NaN
+    val e = graft.drift.Drift.cvm(
+      Seq.empty[Double].toDF("x"), Seq(1.0).toDF("x"), "x").collect()(0)
+    assert(e.isNullAt(e.fieldIndex("cvm_stat")))
+  }
 }
