@@ -189,6 +189,50 @@ object TextQueries {
       Some(graft.text.Chunking.sqlChunk("documents", "doc_id", "text",
         maxTokens = 64, overlap = 16) + " ORDER BY doc_id, chunk_id")),
 
+    // χ² keyword extraction per source (§2 row 177 — Manning & Schütze
+    // §5.3.3): the terms that CHARACTERIZE each source against the rest
+    // — per-(source, term) 2×2 document contingency, exact long cells
+    // from one distinct-(doc, term) count, χ² a short IEEE chain,
+    // top-5 per source (ties by term). The mixture-debugging view.
+    // HASH-GREEN.
+    Q("text_keywords_chi2",
+      (s, dir) => graft.text.Vocab.keywordsChi2(
+          Tables.documents(s, dir), "source", "text", k = 5, minDf = 5)
+        .orderBy("source", "rank"),
+      Some(s"""
+        WITH kwtk AS (
+          SELECT source, doc_id,
+                 unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS term
+          FROM documents),
+        kwdf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS df_in
+                 FROM kwtk WHERE length(term) > 0 GROUP BY 1, 2),
+        kwt AS (SELECT term, CAST(sum(df_in) AS BIGINT) AS dft
+                FROM kwdf GROUP BY 1 HAVING sum(df_in) >= 5),
+        kwng AS (SELECT source, CAST(count(*) AS BIGINT) AS ng
+                 FROM documents GROUP BY 1),
+        kwn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        kwc AS (SELECT d.source, d.term, d.df_in,
+                  t.dft - d.df_in AS df_out,
+                  g.ng - d.df_in AS cc,
+                  n.n - g.ng - (t.dft - d.df_in) AS dd,
+                  n.n AS n
+                FROM kwdf d JOIN kwt t USING (term)
+                JOIN kwng g USING (source), kwn n),
+        kws AS (SELECT source, term, df_in, df_out,
+                  CASE WHEN (CAST(df_in AS DOUBLE) + df_out) *
+                            (CAST(cc AS DOUBLE) + dd) *
+                            (CAST(df_in AS DOUBLE) + cc) *
+                            (CAST(df_out AS DOUBLE) + dd) > 0 THEN
+                    ${Q.sqlDround(
+                      "CAST(n AS DOUBLE) * (CAST(df_in AS DOUBLE) * dd - CAST(df_out AS DOUBLE) * cc) * (CAST(df_in AS DOUBLE) * dd - CAST(df_out AS DOUBLE) * cc) / ((CAST(df_in AS DOUBLE) + df_out) * (CAST(cc AS DOUBLE) + dd) * (CAST(df_in AS DOUBLE) + cc) * (CAST(df_out AS DOUBLE) + dd))", 6)}
+                  END AS chi2
+                FROM kwc)
+        SELECT source, term, df_in, df_out, chi2, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY source
+            ORDER BY chi2 DESC, term) AS INT) AS rank
+          FROM kws WHERE chi2 IS NOT NULL) t
+        WHERE rank <= 5 ORDER BY source, rank""")),
+
     // Token-mass-weighted corpus quantiles (§2 row 175): "below what
     // doc length does half the TOKEN MASS live?" — per source, doc
     // token-count quantiles weighted by the token count itself;

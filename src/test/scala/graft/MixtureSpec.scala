@@ -124,4 +124,30 @@ class MixtureSpec extends SparkSpec {
     assert(math.abs(cums(0) - 4.0 / 9.0) < 1e-6)
     assert(cums.last <= 1.0)
   }
+
+  test("keywordsChi2: hand-computed contingency, minDf cap, tie order") {
+    import spark.implicits._
+    // sources: A has 4 docs, B has 4 docs. 'alpha' appears in all 4 A
+    // docs and 1 B doc (df 5 clears minDf=5); 'common' in every doc
+    // (chi2 = 0, den>0? a=4,b=4,c=0,d=0 -> den 0 -> dropped).
+    val docs = (
+      (1 to 4).map(i => ("A", s"alpha common filler$i")) ++
+      Seq(("B", "alpha common x y"), ("B", "common p q"),
+          ("B", "common r s"), ("B", "common t u"))
+    ).toDF("source", "text")
+    val out = graft.text.Vocab.keywordsChi2(docs, "source", "text",
+        k = 3, minDf = 5)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // alpha in A: a=4 b=1 c=0 d=3, N=8 -> chi2 = 8*(12-0)^2/(5*3*4*4)=4.8
+    val aAlpha = out.find(t => t._1 == "A" && t._2 == "alpha").get
+    assert(aAlpha._3 == 4 && aAlpha._4 == 1 && aAlpha._5 == 4.8)
+    // 'common' (den = 0) must not appear anywhere
+    assert(!out.exists(_._2 == "common"))
+    // rare terms below minDf never appear
+    assert(!out.exists(_._2.startsWith("filler")))
+    intercept[IllegalArgumentException] {
+      graft.text.Vocab.keywordsChi2(docs, "source", "text", k = 0)
+    }
+  }
 }
