@@ -106,10 +106,21 @@ object Cdc {
         s""""schema": "${esc(ddl)}", """ +
         s""""key_cols": [${keyCols.map(k => s""""${esc(k)}"""").mkString(", ")}], """ +
         s""""max_seq": $maxSeq}"""
+    // Write-then-rename, not truncate-in-place: create(overwrite=true)
+    // zeroes the live manifest before the new bytes land, so a concurrent
+    // reader could observe an empty/partial manifest and fail a read that
+    // the "reader sees old or new" lifecycle claim promises succeeds.
+    // HDFS rename is atomic; local/object stores give at worst a
+    // far-smaller replace window than a truncate-then-write.
+    val f = fs(spark, path)
     val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
-    val out = fs(spark, path).create(mp, true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/manifest.json.tmp")
+    val out = f.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (f.exists(mp)) f.delete(mp, false)
+    if (!f.rename(tmp, mp)) throw new IllegalStateException(
+      s"CDC manifest commit failed: could not rename $tmp over $mp")
   }
 
   private def readManifest(spark: org.apache.spark.sql.SparkSession,

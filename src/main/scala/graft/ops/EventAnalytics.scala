@@ -132,7 +132,7 @@ object EventAnalytics {
     require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
     val e = events
       .where(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol).cast(LongType).as("_u"),
+      .select(graft.Num.longKey(col(userCol), userCol).as("_u"),
         (us(tsCol) / lit(86400000000L)).cast(LongType).as("_d"))
     val horizon = e.agg(max("_d").as("_hmax"))
     val per = e.groupBy("_u")

@@ -36,7 +36,7 @@ object Quantiles {
                                   groupCols: Seq[String]): DataFrame = {
     val gs = groupCols.map(col)
     val hist = df.where(col(valueCol).isNotNull)
-      .select(gs :+ col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
+      .select(gs :+ graft.Num.dec4(col(valueCol), valueCol).as("_v"): _*)
       .groupBy(gs :+ col("_v"): _*)
       .agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
@@ -108,7 +108,7 @@ object Quantiles {
       lit(s"graft: exactWeighted weight '$weightCol' must be >= 0, got "),
       w0.cast("string")))).otherwise(w0)
     val hist = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull)
-      .select(gs :+ col(valueCol).cast(DecimalType(18, 4)).as("_v")
+      .select(gs :+ graft.Num.dec4(col(valueCol), valueCol).as("_v")
         :+ guarded.as("_w"): _*)
       .groupBy(gs :+ col("_v"): _*)
       .agg(sum(col("_w")).as("_c"))

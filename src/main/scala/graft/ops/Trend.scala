@@ -163,7 +163,7 @@ object Trend {
               sum(c) OVER (PARTITION BY $groupCol) AS n
             FROM tsh1),
        tsslope AS (SELECT $groupCol,
-              CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN s END) AS DOUBLE)
+              CAST(min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN s END) AS DOUBLE)
                 AS slope
             FROM tsc1 GROUP BY 1),
        tsres AS (SELECT d.$groupCol,
@@ -176,7 +176,7 @@ object Trend {
               sum(c) OVER (PARTITION BY $groupCol) AS n
             FROM tsh2),
        tsint AS (SELECT $groupCol,
-              CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN r END) AS DOUBLE)
+              CAST(min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN r END) AS DOUBLE)
                 AS intercept
             FROM tsc2 GROUP BY 1),
        tsnp AS (SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_pairs

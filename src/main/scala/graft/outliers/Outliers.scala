@@ -335,7 +335,7 @@ object Outliers {
             .as(out))
     val med = discMed(df, valueCol, "_gf_med")
     val rows = df.where(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast(DecimalType(18, 4)).as("_gf_v"))
+      .select(col(groupCol), graft.Num.dec4(col(valueCol), valueCol).as("_gf_v"))
       .join(broadcast(med), Seq(groupCol))
     val devs = rows.select(col(groupCol),
       abs(col("_gf_v") - col("_gf_med")).as("_gf_d"))
@@ -380,7 +380,7 @@ object Outliers {
       s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
     val gs = groupCols.map(col)
     val rows = df.where(col(valueCol).isNotNull)
-      .select(gs :+ col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
+      .select(gs :+ graft.Num.dec4(col(valueCol), valueCol).as("_v"): _*)
     // rank selection over the bounded value HISTOGRAM, not the corpus:
     // the value at rank r is the smallest distinct value whose cumulative
     // count reaches r, so the per-group sort touches ≤ |domain| rows

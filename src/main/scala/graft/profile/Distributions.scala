@@ -145,7 +145,16 @@ object Distributions {
       // that, widen per use or pre-aggregate
       .withColumn("_rank",
         expr("(_cumc - _c) * _c + (_c * (_c + 1)) div 2"))
-      .withColumn("_rv", col("_v") * col("_rank").cast(DecimalType(16, 0)))
+      // refuse loudly past the documented 1e16 contract — a silently
+      // nulled rank factor (non-ANSI overflow) would drop that block's
+      // mass from the rank-weighted sum and yield a WRONG Gini, the same
+      // failure class the negative-value guard above refuses
+      .withColumn("_rv", col("_v") * when(col("_rank") >= lit(1e16.toLong),
+        raise_error(concat(
+          lit(s"graft: gini rank factor overflows DECIMAL(16,0) " +
+            s"(per-group rank sums >= 1e16, ~1.4e8 rows/group) for '$valueCol': "),
+          col("_rank").cast("string"))))
+        .otherwise(col("_rank").cast(DecimalType(16, 0))))
       // descending cumulative count/value for the top-share lane
       .withColumn("_dcumc", sum("_c").over(desc))
       .withColumn("_dcumv", sum(col("_v") * col("_c")).over(desc))

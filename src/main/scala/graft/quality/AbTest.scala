@@ -93,7 +93,7 @@ object AbTest {
     val hist = df
       .where(col(armCol).isin("a", "b") && col(valueCol).isNotNull)
       .select(gs :+ col(armCol).as("_arm") :+
-        col(valueCol).cast(DecimalType(18, 4)).as("_v"): _*)
+        graft.Num.dec4(col(valueCol), valueCol).as("_v"): _*)
       .groupBy(gs :+ col("_v"): _*)
       .agg(sum(when(col("_arm") === "a", 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_arm") === "b", 1L).otherwise(0L)).as("_cb"))
@@ -198,9 +198,9 @@ object AbTest {
     val e = events
       .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
         col(valueCol).isNotNull)
-      .select(col(userCol).cast("long").as("u"),
+      .select(graft.Num.longKey(col(userCol), userCol).as("u"),
         unix_micros(col(tsCol)).as("us"),
-        col(valueCol).cast(DecimalType(18, 4)).as("v"))
+        graft.Num.dec4(col(valueCol), valueCol).as("v"))
     val pre = col("us") < cutoverUs
     val per0 = e.groupBy("u").agg(
       count(when(pre, 1)).as("n_pre"),

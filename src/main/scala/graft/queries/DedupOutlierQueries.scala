@@ -146,7 +146,7 @@ object DedupOutlierQueries {
                  sum(c) OVER (PARTITION BY event_type) AS n
                FROM h1),
         med AS (SELECT event_type, max(n) AS n,
-                  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS med
+                  min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN v END) AS med
                 FROM c1 GROUP BY 1),
         devs AS (SELECT vals.event_type, vals.v, med.med,
                    abs(v - med) AS d
@@ -158,7 +158,7 @@ object DedupOutlierQueries {
                  sum(c) OVER (PARTITION BY event_type) AS n
                FROM h2),
         madv AS (SELECT event_type,
-                   min(CASE WHEN cum >= ceil(0.5 * n) THEN d END) AS madv
+                   min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN d END) AS madv
                  FROM c2 GROUP BY 1),
         bnd AS (SELECT m.event_type, m.n, m.med, madv.madv,
                   CAST(m.med AS DOUBLE) - $sc * CAST(madv.madv AS DOUBLE) AS lo,

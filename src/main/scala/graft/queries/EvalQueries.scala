@@ -599,7 +599,7 @@ object EvalQueries {
           FROM pts p JOIN model m USING (event_type) WHERE p.calib),
         qh AS (
           SELECT event_type, res AS qraw FROM ranked
-          WHERE rn = least(CAST(ceil($oneMinusAlpha * (n_calib + 1)) AS BIGINT),
+          WHERE rn = least(CAST(ceil(CAST($oneMinusAlpha AS DOUBLE) * (n_calib + 1)) AS BIGINT),
                            n_calib)),
         cov AS (
           SELECT p.event_type, count(*) AS n_eval,

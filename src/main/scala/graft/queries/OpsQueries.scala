@@ -618,8 +618,8 @@ object OpsQueries {
           FROM means),
         sel AS (
           SELECT event_type, m, cnt FROM ranked
-          WHERE r = CAST(ceil(0.025 * cnt) AS INT)
-             OR r = cnt + 1 - CAST(ceil(0.025 * cnt) AS INT)),
+          WHERE r = CAST(ceil(CAST(0.025 AS DOUBLE) * cnt) AS INT)
+             OR r = cnt + 1 - CAST(ceil(CAST(0.025 AS DOUBLE) * cnt) AS INT)),
         ci AS (SELECT event_type, min(m) AS ci_lo, max(m) AS ci_hi,
                       max(cnt) AS n_replicates
                FROM sel GROUP BY 1)
@@ -744,8 +744,8 @@ object OpsQueries {
           FROM means),
         sel AS (
           SELECT event_type, m, cnt FROM ranked
-          WHERE r = CAST(ceil(0.025 * cnt) AS INT)
-             OR r = cnt + 1 - CAST(ceil(0.025 * cnt) AS INT)),
+          WHERE r = CAST(ceil(CAST(0.025 AS DOUBLE) * cnt) AS INT)
+             OR r = cnt + 1 - CAST(ceil(CAST(0.025 AS DOUBLE) * cnt) AS INT)),
         ci AS (SELECT event_type, min(m) AS ci_lo, max(m) AS ci_hi,
                       max(cnt) AS n_replicates
                FROM sel GROUP BY 1)

@@ -535,7 +535,12 @@ object StreamOps {
     *  - a change at a sequence the key has already applied or passed is
     *    DROPPED silently (the per-key granular form of the persisted
     *    lane's monotone-batch guard: replays and stale late arrivals
-    *    must not regress state);
+    *    must not regress state) — UNLESS it replays the currently-applied
+    *    sequence with a DIFFERENT op/payload, which means the log
+    *    disagrees with itself at one (key, seq) and the query FAILS,
+    *    restoring parity with the batch lane's duplicate refusal
+    *    ([[graft.ops.Cdc.applyChanges]]); an identical replay stays
+    *    suppressed, as at-least-once delivery requires;
     *  - two changes at one (key, seq) inside a trigger have no defined
     *    winner → the query FAILS (the streaming analogue of
     *    applyChanges' duplicate refusal — a poisoned log should stop the
@@ -574,6 +579,16 @@ object StreamOps {
               s"changelog carries op '$op' at key=$key — ops must be one of " +
                 graft.ops.Cdc.Ops.mkString(", "))
             if (cur.forall(_._1 < seq)) cur = Some((seq, op, pl))
+            else cur.filter(_._1 == seq).foreach { case (_, cop, cpl) =>
+              // replay at the APPLIED sequence: identical → suppress
+              // (at-least-once replays are normal); divergent → the log
+              // contradicts itself at one (key, seq) — poisoned, refuse,
+              // matching applyChanges' batch duplicate refusal
+              if (cop != op || cpl != pl) throw new IllegalStateException(
+                s"changelog replays (key=$key, seq=$seq) with a different " +
+                  s"op/payload than was applied ('$cop' vs '$op') — " +
+                  "divergent replay; fix the log")
+            }
           }
           cur match {
             // emit only when this trigger ADVANCED the key — a

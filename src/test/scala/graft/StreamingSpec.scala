@@ -840,4 +840,39 @@ class StreamingSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("ops must be one of")))
     q2.stop()
   }
+
+  test("cdcLatest refuses a divergent replay at the applied seq; identical stays suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // identical cross-trigger replay: normal at-least-once noise → suppressed
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    val q = graft.streaming.StreamOps.cdcLatest(
+        mem.toDF.toDF("k", "v", "x", "seq", "op"), "k", "seq", "op")
+      .writeStream.format("memory").queryName("cdc_replay_ok")
+      .outputMode("append").start()
+    mem.addData((1L, "a", 1.0, 2L, "U"))
+    q.processAllAvailable()
+    mem.addData((1L, "a", 1.0, 2L, "U")) // byte-identical replay
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("cdc_replay_ok").count() == 1,
+      "identical replay must stay suppressed")
+
+    // divergent cross-trigger replay at the APPLIED seq: the log
+    // contradicts itself — the query must die, like the batch refusal
+    val mem2 = MemoryStream[(Long, String, Double, Long, String)]
+    val q2 = graft.streaming.StreamOps.cdcLatest(
+        mem2.toDF.toDF("k", "v", "x", "seq", "op"), "k", "seq", "op")
+      .writeStream.format("memory").queryName("cdc_replay_bad")
+      .outputMode("append").start()
+    mem2.addData((1L, "a", 1.0, 2L, "U"))
+    q2.processAllAvailable()
+    mem2.addData((1L, "DIFFERENT", 9.0, 2L, "U"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e.getMessage.contains("divergent replay") ||
+      Option(e.getCause).exists(_.getMessage.contains("divergent replay")))
+    q2.stop()
+  }
 }

@@ -34,6 +34,21 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Oracle-SQL lint: bare `ceil(<decimal literal> * ...)` — DuckDB parses
+    # the literal as DECIMAL and ceils exactly, while the Spark side of every
+    # such site computes lit(x: Double) * n in binary doubles; whether the
+    # two agree depends on a per-site half-ulp analysis nobody should have
+    # to redo (the r11 winsorize red was exactly this class). Convention:
+    # always ceil(CAST(x AS DOUBLE) * ...) so both engines share the IEEE
+    # chain. Fails the gate on any bare site.
+    import re as _re
+    ceil_bare = _re.compile(r"ceil\(\s*\d+\.\d+\s*\*", _re.IGNORECASE)
+    for name, sql in sorted(oracles.items()):
+        hits = ceil_bare.findall(sql)
+        if hits:
+            print(f"FAIL {name}: bare decimal-literal ceil in oracle SQL "
+                  f"({hits[0]}...) — use ceil(CAST(x AS DOUBLE) * ...)")
+            n_fail += 1
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
