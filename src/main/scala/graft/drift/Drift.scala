@@ -545,4 +545,80 @@ object Drift {
              (col("n_base") + col("n_target")).cast(DoubleType)) * col("_s"), 6))
           .as("cvm_stat"))
   }
+
+  /** Per-period two-sample Cramér–von Mises against a fixed base — the
+    * [[psiByPeriod]] treatment for [[cvm]]: every period in the target is
+    * scored against the SAME base reference, so the sequential monitors
+    * (CUSUM, PSI-by-period) and the distributional ones share the
+    * dashboard shape (period, n, stat). `periodCol` must be a non-null
+    * integral target column derived upstream (e.g. `year*100+month`).
+    *
+    * Shape: base collapses once to its (value, count) histogram
+    * (≤ |domain| rows); the target to (period, value, count); the grid
+    * is periods × base-histogram (broadcast — the base histogram is
+    * dimension-sized) full-outer-merged with the target cells, and the
+    * CDF window runs per period over ≤ |pooled domain| rows — the corpus
+    * itself never sorts and never re-scans per period. For unbounded-
+    * cardinality columns at 100 TB pass `quantize > 0`: both sides bucket
+    * into equal-width bins over the POOLED global range first (the [[ks]]
+    * bound), capping every per-period window at `quantize` rows.
+    *
+    * Output: (period, n_base, n_target, cvm_stat 6dp), one row per target
+    * period; stat is null for a period with no mass on either side. */
+  def cvmByPeriod(base: DataFrame, target: DataFrame, column: String,
+                  periodCol: String, quantize: Int = 0): DataFrame = {
+    val x = col(column).cast(DoubleType)
+    def quantized(df: DataFrame, keep: Seq[Column]): DataFrame =
+      if (quantize <= 0) df.filter(x.isNotNull).select(keep :+ x.as("v"): _*)
+      else {
+        val bounds = broadcast(
+          base.filter(x.isNotNull).agg(min(x).as("_gf_l1"), max(x).as("_gf_h1"))
+            .crossJoin(target.filter(x.isNotNull)
+              .agg(min(x).as("_gf_l2"), max(x).as("_gf_h2")))
+            .select(least(col("_gf_l1"), col("_gf_l2")).as("_gf_lo"),
+              greatest(col("_gf_h1"), col("_gf_h2")).as("_gf_hi")))
+        df.filter(x.isNotNull).crossJoin(bounds)
+          .select(keep :+ graft.profile.Distributions
+            .quantizeExpr(x, col("_gf_lo"), col("_gf_hi"), quantize).as("v"): _*)
+      }
+    val b = quantized(base, Nil).groupBy("v").agg(count(lit(1)).as("bc"))
+    val t = quantized(target.filter(col(periodCol).isNotNull),
+        Seq(col(periodCol).as("period")))
+      .groupBy("period", "v").agg(count(lit(1)).as("tc"))
+    val periods = t.select("period").distinct()
+    // per-period pooled support: every base value in every period (the
+    // shared reference grid) plus the period's own values
+    val cells = periods.crossJoin(broadcast(b))
+      .join(t, Seq("period", "v"), "full_outer")
+      .select(col("period"), col("v"),
+        coalesce(col("bc"), lit(0L)).as("bc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("period")
+      .orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("period")
+    val cdf = cells
+      .withColumn("nb", sum("bc").over(tot))
+      .withColumn("nt", sum("tc").over(tot))
+      .withColumn("cb",
+        when(col("nb") > 0, sum("bc").over(w).cast(DoubleType) / col("nb")))
+      .withColumn("ct",
+        when(col("nt") > 0, sum("tc").over(w).cast(DoubleType) / col("nt")))
+    val pk = (col("bc") + col("tc")).cast(DoubleType) /
+      (col("nb") + col("nt")).cast(DoubleType)
+    val term = graft.Num.dround(
+      (col("cb") - col("ct")) * (col("cb") - col("ct")) * pk, 12)
+    cdf.groupBy("period")
+      .agg(
+        max(col("nb")).as("n_base"), max(col("nt")).as("n_target"),
+        round(sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 12))), 8)
+          .cast(DoubleType).as("_s"))
+      .select(col("period"), col("n_base"), col("n_target"),
+        when(col("n_base") > 0 && col("n_target") > 0, graft.Num.dround(
+          col("n_base").cast(DoubleType) * col("n_target").cast(DoubleType) /
+            ((col("n_base") + col("n_target")).cast(DoubleType) *
+             (col("n_base") + col("n_target")).cast(DoubleType)) * col("_s"), 6))
+          .as("cvm_stat"))
+      .orderBy("period")
+  }
 }

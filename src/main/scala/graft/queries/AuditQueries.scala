@@ -567,6 +567,64 @@ object AuditQueries {
                END AS cvm_stat
         FROM agg""")),
 
+    // CvM per month vs the fixed 1996 reference — the psiByPeriod
+    // treatment for row 176: sequential monitors (CUSUM, PSI-by-period)
+    // and the distributional ones now share the dashboard shape
+    // (period, n, stat). Base collapses ONCE to its value histogram and
+    // broadcasts onto every period's pooled support; the CDF window runs
+    // per period over histogram-sized frames.
+    Q("drift_cvm_timeseries",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val base = o.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val target = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .withColumn("period",
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+        Drift.cvmByPeriod(base, target, "o_totalprice", "period")
+      },
+      Some(s"""
+        WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate < TIMESTAMP '1997-01-01'
+                        AND o_totalprice IS NOT NULL),
+        tgt AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS period,
+                       CAST(o_totalprice AS DOUBLE) AS v
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_totalprice IS NOT NULL),
+        b AS (SELECT v, count(*) AS bc FROM base GROUP BY 1),
+        t AS (SELECT period, v, count(*) AS tc FROM tgt GROUP BY 1, 2),
+        periods AS (SELECT DISTINCT period FROM t),
+        grid AS (SELECT p.period, b.v, b.bc FROM periods p CROSS JOIN b),
+        cells AS (SELECT coalesce(g.period, t.period) AS period,
+                         coalesce(g.v, t.v) AS v,
+                         coalesce(g.bc, 0) AS bc, coalesce(t.tc, 0) AS tc
+                  FROM grid g FULL OUTER JOIN t
+                    ON g.period = t.period AND g.v = t.v),
+        c AS (SELECT period, v, bc, tc,
+                     sum(bc) OVER (PARTITION BY period) AS nb,
+                     sum(tc) OVER (PARTITION BY period) AS nt,
+                     CAST(sum(bc) OVER (PARTITION BY period ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(sum(bc) OVER (PARTITION BY period) AS DOUBLE) AS cb,
+                     CAST(sum(tc) OVER (PARTITION BY period ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(sum(tc) OVER (PARTITION BY period) AS DOUBLE) AS ct
+              FROM cells),
+        agg AS (SELECT period,
+                  CAST(max(nb) AS BIGINT) AS n_base,
+                  CAST(max(nt) AS BIGINT) AS n_target,
+                  CAST(round(sum(CAST(
+                    ${Q.sqlDround("(cb - ct) * (cb - ct) * (CAST(bc + tc AS DOUBLE) / CAST(nb + nt AS DOUBLE))", 12)}
+                    AS DECIMAL(38,12))), 8) AS DOUBLE) AS s
+                FROM c GROUP BY 1)
+        SELECT period, n_base, n_target,
+               CASE WHEN n_base > 0 AND n_target > 0 THEN
+                 ${Q.sqlDround("CAST(n_base AS DOUBLE) * CAST(n_target AS DOUBLE) / (CAST(n_base + n_target AS DOUBLE) * CAST(n_base + n_target AS DOUBLE)) * s", 6)}
+               END AS cvm_stat
+        FROM agg ORDER BY period""")),
+
     // Quantize-first KS — the 100 TB scale path: both sides bucket into 64
     // equal-width bins over the POOLED range before the CDF window, bounding
     // the window's input to 64 rows regardless of column cardinality. The

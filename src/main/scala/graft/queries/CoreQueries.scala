@@ -118,18 +118,25 @@ object CoreQueries {
         ORDER BY status, priority""")),
 
     // Anti join: customers with no orders (left_anti keeps build side tiny
-    // when orders' keys are aggregated first).
+    // when orders' keys are aggregated first). Every sf0.01 customer has
+    // orders, so the raw anti-join matches on EMPTY frames — no
+    // discriminating mass at driver scale; drop mod-13 custkeys from the
+    // orders side (the mod-7 fixture-corruption precedent) so the gate
+    // exercises real anti-join rows in both engines.
     Q("q_antijoin",
       (s, dir) => {
         val c = Tables.customer(s, dir)
-        val o = Tables.orders(s, dir).select("o_custkey").distinct()
+        val o = Tables.orders(s, dir)
+          .where(col("o_custkey") % 13 =!= 0)
+          .select("o_custkey").distinct()
         c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
       },
       Some("""
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_custkey % 13 <> 0)
         ORDER BY c_custkey""")),
 
     // Semi join: customers that DO have orders (dedup'd probe side).

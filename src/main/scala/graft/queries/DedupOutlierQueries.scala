@@ -57,21 +57,33 @@ object DedupOutlierQueries {
           FROM orders)
         WHERE cnt = 1 ORDER BY o_orderkey""")),
 
+    // sf0.01 prices carry no natural IQR outliers (the gate matched on
+    // empty frames) — plant 100× price spikes on mod-97 first lines (the
+    // mod-7 fixture-corruption precedent) so detect/bounds/row-filter all
+    // see discriminating mass at driver scale.
     Q("outliers_iqr",
       (s, dir) => {
-        val det = Outliers.detect(Tables.lineitem(s, dir),
-          Map("l_extendedprice" -> Iqr(1.5)))
+        val li = Tables.lineitem(s, dir).withColumn("l_extendedprice",
+          when(col("l_orderkey") % 97 === 0 && col("l_linenumber") === 1,
+            col("l_extendedprice") * 100).otherwise(col("l_extendedprice")))
+        val det = Outliers.detect(li, Map("l_extendedprice" -> Iqr(1.5)))
         Outliers.outlierRows(det)
           .select("l_orderkey", "l_linenumber", "l_extendedprice")
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""
-        WITH b AS (
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_orderkey % 97 = 0 AND l_linenumber = 1
+                      THEN l_extendedprice * 100 ELSE l_extendedprice END
+                   AS l_extendedprice
+          FROM lineitem),
+        b AS (
           SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
-          FROM lineitem)
+          FROM li)
         SELECT l_orderkey, l_linenumber, l_extendedprice
-        FROM lineitem, b
+        FROM li, b
         WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
            OR l_extendedprice > q3 + 1.5 * (q3 - q1)
         ORDER BY l_orderkey, l_linenumber""")),

@@ -107,6 +107,30 @@ class DriftStatsSpec extends SparkSpec {
     assert(nulls(1) === ((1000L, true)) && nulls(2) === ((500L, true)))
   }
 
+  test("cvmByPeriod scores each period against the same base reference") {
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    // period 1 mirrors the base; period 2 collapses to the top decile
+    val target = ((1 to 1000).map(i => ((i % 100).toDouble, 1)) ++
+      (1 to 500).map(i => (90.0 + i % 10, 2))).toDF("x", "p")
+    val out = Drift.cvmByPeriod(base, target, "x", "p")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("cvm_stat"))).toMap
+    assert(out(1)._1 == 1000L && out(1)._2 == 1000L)
+    assert(out(1)._3 < 1e-6, s"identical period drifted: ${out(1)}")
+    // CvM is normalized by (nb+nt)² — a full decile collapse lands near
+    // 0.06, orders of magnitude above the identical period's ~0
+    assert(out(2)._3 > 0.03, s"collapsed period not flagged: ${out(2)}")
+    // the per-period stat must equal the pairwise cvm() of that slice —
+    // the time-series form is the same statistic, not a variant
+    val solo = Drift.cvm(base, target.filter(col("p") === 2).select("x"), "x")
+      .collect().head.getAs[Double]("cvm_stat")
+    assert(out(2)._3 == solo, s"period-2 ${out(2)._3} != pairwise $solo")
+    // quantized lane: bounded support, statistic tracks exact
+    val q = Drift.cvmByPeriod(base, target, "x", "p", quantize = 20)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("cvm_stat")).toMap
+    assert(q(1) < 1e-6 && math.abs(q(2) - out(2)._3) < 0.05)
+  }
+
   test("psiAll scores every column in one melted pass") {
     val base = (1 to 1000).map(i => ((i % 100).toDouble, (i % 50).toDouble))
       .toDF("a", "b")
