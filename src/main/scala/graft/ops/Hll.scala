@@ -109,6 +109,71 @@ object Hll {
       graft.Num.dround(est, 4).as("est_distinct"): _*)
   }
 
+  /** 64-bit-hash register lane — removes the 32-bit lane's documented
+    * >100M-distinct/group ceiling (the omitted large-range correction
+    * only matters past ~2³²/30 ≈ 143M distinct; with a 64-bit hash the
+    * analogous threshold sits past 10¹⁷, structurally out of reach).
+    * Same register-verbatim portability: hash = first 16 md5 hex chars,
+    * carried as two 32-bit BIGINT halves so every step stays in exact
+    * BIGINT range (a single 64-bit word can exceed signed-long range):
+    *   - bucket = top p bits — from the HIGH half alone (hi div 2^(32−p));
+    *   - w = low 64−p bits = (hi mod 2^(32−p))·2³² + lo, < 2^56 for p ≥ 8;
+    *   - ρ = (64−p) − bitlen(w) + 1 on the same integer CASE ladder.
+    * Merge law and scale posture identical to [[registers]]. */
+  def registers64(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                  p: Int = 8): DataFrame = {
+    require(p >= 8 && p <= 12, s"precision p must be in [8, 12], got $p")
+    val wBits = 64 - p
+    val hiBits = 32 - p
+    val gs = groupCols.map(col)
+    val hexed = md5(col(keyCol).cast("string"))
+    val pre = df.where(col(keyCol).isNotNull)
+      .select(gs
+        :+ conv(substring(hexed, 1, 8), 16, 10).cast("long").as("_hi")
+        :+ conv(substring(hexed, 9, 8), 16, 10).cast("long").as("_lo"): _*)
+    val w = pmod(col("_hi"), lit(1L << hiBits)) * lit(1L << 32) + col("_lo")
+    val rho = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits) - bitlen(w, wBits) + 1)
+    pre
+      .select(gs :+ expr(s"_hi div ${1L << hiBits}").as("bucket")
+        :+ rho.as("rho"): _*)
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max("rho").as("max_rho"))
+  }
+
+  /** Estimator over 64-bit registers. The harmonic sum's integer units
+    * are 2^−(64−p+1): single terms fit BIGINT (≤ 2^56) but the m-register
+    * sum can reach 2^65, so it accumulates as exact DECIMAL(38,0) (both
+    * engines sum it exactly; only the one final divide is float). No
+    * large-range branch — that is the point of the lane. */
+  def estimate64(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                 p: Int = 8): DataFrame =
+    estimateFromRegisters64(registers64(df, keyCol, groupCols, p), groupCols, p)
+
+  /** The 64-bit estimator stage alone (the [[estimateFromRegisters]]
+    * twin over a (groupCols, bucket, max_rho) frame from [[registers64]]). */
+  def estimateFromRegisters64(regs: DataFrame, groupCols: Seq[String],
+                              p: Int): DataFrame = {
+    require(p >= 8 && p <= 12, s"precision p must be in [8, 12], got $p")
+    val m = 1L << p
+    val rhoMax = 64 - p + 1
+    val gs = groupCols.map(col)
+    val agg = regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_nonzero"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $rhoMax - max_rho)" +
+          " AS DECIMAL(38,0))")).as("s_pop"))
+    val sInt = col("s_pop") +
+      (lit(m) - col("n_nonzero")).cast("decimal(38,0)") * lit(1L << rhoMax)
+    val eRaw = lit(alphaM(p) * m * m * math.pow(2.0, rhoMax)) /
+      sInt.cast("double")
+    val vZero = lit(m) - col("n_nonzero")
+    val est = when(eRaw <= lit(2.5 * m) && vZero > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / vZero.cast("double")))
+      .otherwise(eRaw)
+    agg.select(gs :+ col("n_nonzero") :+ vZero.as("v_zero") :+
+      graft.Num.dround(est, 4).as("est_distinct"): _*)
+  }
+
   /** Pairwise set-overlap estimates between the values of `pairCol` —
     * inclusion–exclusion over merged sketches: |A ∩ B| ≈ Ê(A) + Ê(B) −
     * Ê(A ∪ B), where the union sketch is the register-wise MAX of the two
@@ -165,6 +230,33 @@ object Hll {
   /** DuckDB fragment: the 32-bit portable hash of `key`. */
   def sqlH32(key: String): String =
     s"CAST(CAST(concat('0x', substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+  /** DuckDB fragment: the HIGH/LOW 32-bit halves of the 64-bit hash. */
+  def sqlH64Hi(key: String): String = sqlH32(key)
+  def sqlH64Lo(key: String): String =
+    s"CAST(CAST(concat('0x', substring(md5(CAST($key AS VARCHAR)), 9, 8)) AS UBIGINT) AS BIGINT)"
+
+  /** DuckDB mirror of [[estimateFromRegisters64]] — HUGEINT harmonic sum
+    * (DuckDB's exact twin of the Spark side's DECIMAL(38,0) lane), same
+    * one final float divide and linear-counting branch. */
+  def sqlEstimateFromRegs64(regsRel: String, keyCols: Seq[String], p: Int): String = {
+    val m = 1L << p
+    val rhoMax = 64 - p + 1
+    val numer = alphaM(p) * m * m * math.pow(2.0, rhoMax)
+    val keys = keyCols.mkString(", ")
+    s"""SELECT $keys, n_nonzero, v_zero,
+           floor((CASE WHEN e_raw <= ${2.5 * m} AND v_zero > 0
+                  THEN ${m.toDouble} * ln(${m.toDouble} / CAST(v_zero AS DOUBLE))
+                  ELSE e_raw END) * 1e4 + 0.5) / 1e4 AS est_distinct
+       FROM (SELECT $keys, n_nonzero, ($m - n_nonzero) AS v_zero,
+               $numer / CAST(s_pop + CAST(($m - n_nonzero) AS HUGEINT)
+                 * (CAST(1 AS BIGINT) << $rhoMax) AS DOUBLE)
+                 AS e_raw
+             FROM (SELECT $keys, count(*) AS n_nonzero,
+                     sum(CAST(CAST(1 AS BIGINT) << ($rhoMax - max_rho) AS HUGEINT))
+                       AS s_pop
+                   FROM $regsRel GROUP BY $keys) hll_sums) hll_raw"""
+  }
 
   /** DuckDB fragment mirroring [[bitlen]]. */
   def sqlBitlen(w: String, maxBits: Int): String = {

@@ -817,6 +817,36 @@ object OpsQueries {
                  AS est_jaccard
         FROM inter ORDER BY id_a, id_b""")),
 
+    // 64-bit-hash HLL registers (§2 row 154 grown, r13): removes the
+    // 32-bit lane's documented >100M-distinct/group ceiling — the
+    // omitted large-range correction only matters past ~2³²/30; with a
+    // 64-bit hash the analogous threshold sits past 10¹⁷. The hash rides
+    // as two 32-bit BIGINT halves (bucket from the high half, the
+    // 56-bit low word reassembled exactly) so the register table stays
+    // verbatim-replayable — same md5-prefix fold, same integer ladder.
+    Q("sketch_hll64",
+      (s, dir) => graft.ops.Hll.registers64(
+          Tables.documents(s, dir), "text", Seq("source"), p = 8)
+        .orderBy("source", "bucket"),
+      Some(s"""
+        WITH $hllReg64Cte
+        SELECT source, bucket, max_rho FROM regs64
+        ORDER BY source, bucket""")),
+
+    // 64-bit HLL estimate: harmonic sum in exact integer units of 2^-57 —
+    // single terms fit BIGINT but the m-register sum can reach 2^65, so
+    // it accumulates as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both
+    // exact; one final float divide + the linear-counting branch.
+    Q("sketch_hll64_estimate",
+      (s, dir) => graft.ops.Hll.estimate64(
+          Tables.documents(s, dir), "text", Seq("source"), p = 8)
+        .orderBy("source"),
+      Some(s"""
+        WITH $hllReg64Cte,
+        est AS (${graft.ops.Hll.sqlEstimateFromRegs64("regs64", Seq("source"), 8)})
+        SELECT source, n_nonzero, v_zero, est_distinct
+        FROM est ORDER BY source""")),
+
     // Per-group OLS trend (§2 row 156): slope/intercept/R² of event
     // value against days-since-corpus-start — the drift-over-time
     // monitor. Exact-decimal moment sums, 2dp-rounded before the double
@@ -919,5 +949,26 @@ object OpsQueries {
                FROM pre),
        regs AS (SELECT source, bucket, max(rho) AS max_rho
                 FROM rho GROUP BY 1, 2)"""
+  }
+
+  /** Shared DuckDB CTE ending in `regs64(source, bucket, max_rho)` — the
+    * p=8 64-bit-hash register build, single owner for both sketch_hll64
+    * queries. Bucket from the high 32-bit half; the 56-bit low word
+    * reassembled as (hi mod 2^24)·2^32 + lo, exact BIGINTs throughout. */
+  private def hllReg64Cte: String = {
+    val wBits = 56
+    val hiBits = 24
+    s"""pre64 AS (SELECT source,
+            ${graft.ops.Hll.sqlH64Hi("text")} AS hi,
+            ${graft.ops.Hll.sqlH64Lo("text")} AS lo
+          FROM documents WHERE text IS NOT NULL),
+       w64 AS (SELECT source, hi // ${1L << hiBits} AS bucket,
+                 (hi % ${1L << hiBits}) * ${1L << 32} + lo AS w
+               FROM pre64),
+       rho64 AS (SELECT source, bucket,
+                   ${graft.ops.Hll.sqlRho("w", wBits)} AS rho
+                 FROM w64),
+       regs64 AS (SELECT source, bucket, max(rho) AS max_rho
+                  FROM rho64 GROUP BY 1, 2)"""
   }
 }

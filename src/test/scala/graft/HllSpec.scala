@@ -76,4 +76,32 @@ class HllSpec extends SparkSpec {
     intercept[IllegalArgumentException](Hll.registers(once, "k", Seq("grp"), p = 6))
     intercept[IllegalArgumentException](Hll.registers(once, "k", Seq("grp"), p = 13))
   }
+
+  test("64-bit lane: registers in range, merge law holds, estimate in band") {
+    val n = 50000
+    val df = (1L to n.toLong).map(i => ("g", s"document_$i")).toDF("grp", "k")
+    val regs = Hll.registers64(df, "k", Seq("grp")).collect()
+    // bucket = top 8 bits of a 64-bit hash via the HIGH half: [0, 256)
+    assert(regs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 256))
+    // ρ ∈ [1, 57] — the 56-bit word's ladder range
+    assert(regs.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 57))
+    val est = Hll.estimate64(df, "k", Seq("grp")).collect().head.getDouble(3)
+    assert(math.abs(est - n) / n < 0.20, s"64-bit estimate $est vs $n")
+    // merge law: reg64(A ∪ B) = max-merge(reg64(A), reg64(B))
+    val a = (1L to 3000L).map(i => ("g", s"ka$i")).toDF("grp", "k")
+    val b = (1L to 3000L).map(i => ("g", s"kb$i")).toDF("grp", "k")
+    val union = Hll.registers64(a.unionByName(b), "k", Seq("grp"))
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    val merged = Hll.registers64(a, "k", Seq("grp"))
+      .unionByName(Hll.registers64(b, "k", Seq("grp")))
+      .groupBy("grp", "bucket").agg(max("max_rho").as("max_rho"))
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(union == merged)
+    // duplicate invariance carries over; p=7 is below the 64-bit floor
+    val once = (1L to 100L).map(i => ("g", s"v$i")).toDF("grp", "k")
+    val thrice = once.unionByName(once).unionByName(once)
+    assert(Hll.estimate64(once, "k", Seq("grp")).collect().head ==
+      Hll.estimate64(thrice, "k", Seq("grp")).collect().head)
+    intercept[IllegalArgumentException](Hll.registers64(once, "k", Seq("grp"), p = 7))
+  }
 }
