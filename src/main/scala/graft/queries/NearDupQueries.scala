@@ -1285,6 +1285,84 @@ object NearDupQueries {
         SELECT query_id, neighbor_id, rank, cosine FROM ivfranked
         WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // Handed-codebook PQ (r13 — the ann_ivf_handed precedent extended to
+    // the ADC family): per-subspace Walsh ±0.125 codebooks are HANDED,
+    // so the oracle replays ENCODE (every subspace distance + argmin),
+    // the query LUT, and the ADC scan + rank — the asymmetric-distance
+    // algebra the rows-only sampled-codebook PQ lanes execute, pinned
+    // end to end. m=8 subspaces × ks=4 codes over the 64-dim embeddings.
+    Q("ann_pq_handed",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.sim.PqHanded.topK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", m = 8, ks = 4, ds = 8, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH ${graft.sim.PqHanded.sqlEncodeCtes("embeddings", 8, 4, 8)},
+        pqq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        ${graft.sim.PqHanded.sqlLutCtes("pqq", 8)}
+        ${graft.sim.PqHanded.sqlAdcSelect(10)}
+        ORDER BY query_id, rank""")),
+
+    // Handed IVFADC (r13): the full two-level production layout —
+    // handed-Lloyd coarse cells prune WHICH vectors score (nprobe=2),
+    // handed PQ codes compress WHAT is scored — with train, assign,
+    // probe, encode, LUT, and the candidate-scoped ADC scan ALL
+    // recomputed by one oracle. The sampled-seed ivfpq lanes stay the
+    // production path; this pins their end-to-end route.
+    Q("ann_ivfpq_handed",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val init = graft.sim.KMeansLloyd.walshInit(4, 64)
+        val cents = graft.sim.KMeansLloyd.lloydWalk(
+          e, "vec_id", "embedding", init, iters = 2)
+        val cells = graft.sim.KMeansLloyd.lloydAssignments(
+            e, "vec_id", "embedding", init, iters = 2)
+          .select(col("vec_id").as("neighbor_id"), col("cluster"))
+        val queries = e.filter(col("vec_id") < 5)
+        val probes = graft.sim.KMeansLloyd.probeCells(
+            queries, "vec_id", "embedding", cents, nprobe = 2)
+          .select(col("vec_id").as("query_id"), col("cluster"))
+        val cand = probes.join(cells, Seq("cluster"))
+          .select("query_id", "neighbor_id")
+        graft.sim.PqHanded.topK(e, queries, "vec_id", "embedding",
+            m = 8, ks = 4, ds = 8, k = 10, candidates = Some(cand))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH ${graft.sim.KMeansLloyd.sqlLloydWalk("embeddings",
+          graft.sim.KMeansLloyd.walshInit(4, 64), 2)},
+        ivfcells AS (
+          SELECT vid AS neighbor_id, cid AS cluster FROM (
+            SELECT vid, cid,
+              row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+            FROM kmd2) t WHERE rn = 1),
+        ivfq AS (SELECT vec_id AS qid, CAST(pos AS INT) AS pos,
+                   floor(CAST(xf AS DOUBLE) * 1e6 + 0.5) / 1e6 AS x
+                 FROM (SELECT vec_id, unnest(embedding) AS xf,
+                              unnest(range(len(embedding))) AS pos
+                       FROM embeddings WHERE vec_id < 5)),
+        ivfqd AS (
+          SELECT q.qid, c.cluster AS cid,
+                 sum(CAST(floor((q.x - c.centroid) * (q.x - c.centroid)
+                   * 1e10 + 0.5) / 1e10 AS DECIMAL(38,10))) AS d
+          FROM ivfq q JOIN kmfinal c ON q.pos = c.pos
+          GROUP BY 1, 2),
+        ivfprobe AS (
+          SELECT qid AS query_id, cid AS cluster FROM (
+            SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+            FROM ivfqd) t WHERE rn <= 2),
+        ivfcand AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM ivfprobe p JOIN ivfcells a ON a.cluster = p.cluster),
+        ${graft.sim.PqHanded.sqlEncodeCtes("embeddings", 8, 4, 8)},
+        pqq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        ${graft.sim.PqHanded.sqlLutCtes("pqq", 8)}
+        ${graft.sim.PqHanded.sqlAdcSelect(10, Some("ivfcand"))}
+        ORDER BY query_id, rank""")),
+
     // Portable SimHash fingerprints (§2 row 47's verifiable lane): the
     // 32-bit fingerprint TABLE itself is hash-compared — md5-prefix
     // token hashes, 32 signed bit sums, the positive-sum threshold —
