@@ -155,19 +155,23 @@ object PortableMinHash {
         END"""
   }
 
-  /** CTE chain ending in `sig(doc_id, p0 … p{k-1})` over relation
-    * `corpusRel(doc_id, text)`. */
-  def sqlSigCte(corpusRel: String, n: Int, k: Int): String = {
+  /** CTE chain ending in `{pfx}sig(doc_id, p0 … p{k-1})` over relation
+    * `corpusRel(doc_id, text)`. `pfx` prefixes every CTE name so the
+    * chain can compose into WITH blocks that already use `sig`/`tk`
+    * (the Gopher audit fragment owns `sig` in the composed curation
+    * oracle). */
+  def sqlSigCte(corpusRel: String, n: Int, k: Int,
+                pfx: String = ""): String = {
     val lanes = (0 until k)
       .map(i => s"min((${laneA(i)} * hp + ${laneB(i)}) % $P) AS p$i")
       .mkString(",\n                 ")
-    s"""tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+    s"""${pfx}tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
                FROM $corpusRel WHERE text IS NOT NULL),
-        sh AS (SELECT doc_id, unnest(${sqlShingles("l", n)}) AS s FROM tk),
-        hp AS (SELECT doc_id, ${graft.ops.Hll.sqlH32("s")} % $P AS hp FROM sh),
-        sig AS (SELECT doc_id,
+        ${pfx}sh AS (SELECT doc_id, unnest(${sqlShingles("l", n)}) AS s FROM ${pfx}tk),
+        ${pfx}hp AS (SELECT doc_id, ${graft.ops.Hll.sqlH32("s")} % $P AS hp FROM ${pfx}sh),
+        ${pfx}sig AS (SELECT doc_id,
                  $lanes
-                FROM hp GROUP BY doc_id)"""
+                FROM ${pfx}hp GROUP BY doc_id)"""
   }
 
   /** Melt `sig` to `(doc_id, lane, sig)` — the [[signatureTable]] mirror. */
@@ -176,30 +180,32 @@ object PortableMinHash {
       .map(i => s"SELECT doc_id, $i AS lane, p$i AS sig FROM sig")
       .mkString("\n          UNION ALL ")
 
-  /** CTE chain `sig` → `pr(id_a, id_b, est_jaccard)` (threshold applied). */
-  def sqlPairsCte(k: Int, bands: Int, threshold: Double): String = {
+  /** CTE chain `{pfx}sig` → `{pfx}pr(id_a, id_b, est_jaccard)` (threshold
+    * applied). `pfx` as in [[sqlSigCte]]. */
+  def sqlPairsCte(k: Int, bands: Int, threshold: Double,
+                  pfx: String = ""): String = {
     val r = k / bands
     val bk = (0 until bands).map { j =>
       val key = (j * r until (j + 1) * r)
         .map(i => s"CAST(p$i AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+      s"SELECT doc_id, $j AS band, $key AS key FROM ${pfx}sig"
     }.mkString("\n          UNION ALL ")
     val matches = (0 until k)
       .map(i => s"CASE WHEN sa.p$i = sb.p$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""bk AS (
+    s"""${pfx}bk AS (
           $bk),
-        cand AS (
+        ${pfx}cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+          FROM ${pfx}bk a JOIN ${pfx}bk b ON a.band = b.band AND a.key = b.key
           WHERE a.doc_id < b.doc_id),
-        est AS (
+        ${pfx}est AS (
           SELECT id_a, id_b,
                  CAST($matches AS DOUBLE) / $k AS est_jaccard
-          FROM cand
-          JOIN sig sa ON sa.doc_id = cand.id_a
-          JOIN sig sb ON sb.doc_id = cand.id_b),
-        pr AS (SELECT * FROM est WHERE est_jaccard >= $threshold)"""
+          FROM ${pfx}cand
+          JOIN ${pfx}sig sa ON sa.doc_id = ${pfx}cand.id_a
+          JOIN ${pfx}sig sb ON sb.doc_id = ${pfx}cand.id_b),
+        ${pfx}pr AS (SELECT * FROM ${pfx}est WHERE est_jaccard >= $threshold)"""
   }
 
   /** Final SELECT mirroring [[jaccardPairs]] — expects the [[sqlSigCte]]

@@ -212,6 +212,76 @@ object CorpusQueries {
     ORDER BY doc_id"""
   }
 
+  /** DuckDB mirror of the FULL portable curation chain
+    * (`llm_curation_full_portable`): the prefix oracle's stage owners
+    * plus the portable-MinHash near-dup chain (CTEs prefixed `mh` — the
+    * Gopher fragment owns the bare `sig` name) and the decontamination
+    * gram join, ending at the shard assignment. Every fragment comes
+    * from the query that individually oracles it. */
+  private def curationPortableOracle: String = {
+    val tokens = TextQueries.sqlTokenCount()
+    s"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    red AS (
+      SELECT doc_id, source, ${graft.text.CorpusOps.sqlRedact("text")} AS text
+      FROM documents WHERE doc_id % 17 <> 0),
+    t AS (
+      SELECT doc_id, source, text, ${TextQueries.qualityColsSql},
+             ${TextQueries.langScoresSql}
+      FROM red),
+    scored AS (
+      SELECT doc_id, source, text,
+             ${TextQueries.qualityScoreSql} AS q,
+             ${TextQueries.langCaseSql} AS lang
+      FROM t),
+    qg AS (
+      SELECT doc_id, source, text FROM scored WHERE q >= 0.3 AND lang = 'en'),
+    ${TextQueries.gopherAuditCtesOver("qg", minStopHits = 1)},
+    gk AS (
+      SELECT qg.doc_id, qg.source, qg.text
+      FROM qg JOIN audit USING (doc_id) WHERE audit.keep = 1),
+    lmref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+    ${TextQueries.lmScoreCtes("lmref", "gk")},
+    lmk AS (
+      SELECT gk.doc_id, gk.source, gk.text
+      FROM gk JOIN lmagg USING (doc_id)
+      WHERE lmagg.avg_logprob >= $LmGateMinLogprob),
+    ded AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ${TextQueries.sqlNormText()} AS n
+        FROM lmk)
+      QUALIFY row_number() OVER (PARTITION BY n ORDER BY doc_id) = 1),
+    ${graft.dedup.PortableMinHash.sqlSigCte("ded", 5, 32, pfx = "mh")},
+    ${graft.dedup.PortableMinHash.sqlPairsCte(32, 16, 0.5, pfx = "mh")},
+    nk AS (
+      SELECT doc_id, source, text FROM ded
+      WHERE doc_id NOT IN (SELECT id_b FROM mhpr)),
+    bg AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(${sqlNgrams("l", 8)}) AS gram
+        FROM (SELECT $sqlToks AS l FROM bench))
+      WHERE length(gram) > 0),
+    cg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(${sqlNgrams("l", 8)}) AS gram
+        FROM (SELECT doc_id, $sqlToks AS l FROM nk))
+      WHERE length(gram) > 0),
+    cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+    cln AS (SELECT doc_id, source, text FROM nk
+            WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    quot AS (
+      SELECT doc_id, text FROM cln
+      QUALIFY ${Quota.sqlQualify("source", "doc_id", 20)})
+    SELECT doc_id,
+           CAST(doc_id * ${graft.ops.Sharding.Mixer}
+             % ${graft.ops.Sharding.Modulus} % 16 AS INT) AS shard
+    FROM quot
+    WHERE ${Sampling.sqlWeightedKeep("doc_id",
+        s"least(1.0, CAST($tokens AS DOUBLE) / 60.0)")}
+    ORDER BY doc_id"""
+  }
+
   val all: Seq[Q] = Seq(
     // Exact substring dedup (Lee et al., ACL 2022): every 8-token span
     // occurring more than once in the corpus is cut from all but its
@@ -697,6 +767,54 @@ object CorpusQueries {
           .select("doc_id").orderBy("doc_id")
       },
       Some(curationPrefixOracle)),
+
+    // The flagship chain itself hash-green (r13): llm_curation_full with
+    // its one non-ANSI-expressible stage swapped for the verifiable
+    // twin — the xxhash64 LSH near-dup step rides the r12 PORTABLE
+    // MinHash lane (md5-prefix shingle hash, (a·h+b) mod 2³¹−1 lanes,
+    // band join, greedy smaller-id-wins), so EVERY stage — redact,
+    // quality + language gates, Gopher, LM gate, exact dedup, portable
+    // near-dup, benchmark decontamination, per-source quota, weighted
+    // sample, shard assignment — is ONE DuckDB-replayable plan. The
+    // zlib compression gate stays exclusive to the production chain
+    // (no ANSI form; pinned in TextSpec); everything else is the same
+    // composition, so a drift in any stage breaks THIS hash, not just
+    // the prefix's. Production keeps llm_curation_full (xxhash64 LSH).
+    Q("llm_curation_full_portable",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+        val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text", graft.text.CorpusOps.redact(col("text")))
+        val gated = corpus
+          .filter(graft.text.TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+            graft.text.TextAnalysis.languageId(col("text")) === "en")
+        val gophed = graft.text.GopherRules.filterDocs(gated, "text",
+          TextQueries.gopherCfg.copy(minStopHits = 1))
+        val lm = graft.text.LangModel.train(
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        val lmKeep = graft.text.LangModel.score(
+            gophed.select("doc_id", "text"), "doc_id", "text", lm,
+            hashKeys = true)
+          .filter(col("avg_logprob") >= LmGateMinLogprob).select("doc_id")
+        val lmKept = gophed.join(lmKeep, Seq("doc_id"), "left_semi")
+        val exact = graft.dedup.LlmDedup.exact(lmKept, "text", "doc_id")
+        val nearKept = graft.dedup.PortableMinHash.kept(exact,
+          "text", "doc_id", n = 5, k = 32, bands = 16, threshold = 0.5)
+        val near = exact.join(nearKept, Seq("doc_id"), "left_semi")
+        val contaminated = CorpusOps.decontaminate(near, bench,
+          "doc_id", "text", n = 8)
+        val clean = near.join(contaminated.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val capped = Quota.capPerGroup(clean, "source", "doc_id", n = 20)
+        Sampling.weightedSample(capped, "doc_id",
+            least(lit(1.0),
+              graft.text.TextAnalysis.tokenCount(col("text")).cast(DoubleType) / lit(60.0)))
+          .select(col("doc_id"),
+            graft.ops.Sharding.shardId(col("doc_id"), 16).as("shard"))
+          .orderBy("doc_id")
+      },
+      Some(curationPortableOracle)),
 
     // Snapshot diff: what changed between two corpus versions (the audit
     // a recurring crawl publishes with every refresh). Planted churn:
