@@ -464,4 +464,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"row-level shuffle join:\n$p")
   }
+
+  test("sketch_hll64: one scan, no explode, register max combines map-side") {
+    val p = plan("sketch_hll64")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
+    assert(!p.contains("Generate"), s"needless explode:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"register max lost map-side combine:\n$p")
+  }
+
+  test("drift_cvm_timeseries: base histogram broadcast onto periods, no cartesian") {
+    val p = plan("drift_cvm_timeseries")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"base histogram not broadcast:\n$p")
+  }
+
+  test("ann_pq_handed: codebook and LUT broadcast; no cartesian") {
+    val p = plan("ann_pq_handed")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LUT/codebook not broadcast:\n$p")
+  }
+
+  test("ann_ivfpq_handed and the portable curation chain: no cartesian anywhere") {
+    assert(!plan("ann_ivfpq_handed").contains("CartesianProduct"))
+    assert(!plan("llm_curation_full_portable").contains("CartesianProduct"))
+  }
 }
