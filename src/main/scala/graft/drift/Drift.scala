@@ -567,6 +567,48 @@ object Drift {
     * period; stat is null for a period with no mass on either side. */
   def cvmByPeriod(base: DataFrame, target: DataFrame, column: String,
                   periodCol: String, quantize: Int = 0): DataFrame = {
+    val cdf = perPeriodCdf(base, target, column, periodCol, quantize)
+    val pk = (col("bc") + col("tc")).cast(DoubleType) /
+      (col("nb") + col("nt")).cast(DoubleType)
+    val term = graft.Num.dround(
+      (col("cb") - col("ct")) * (col("cb") - col("ct")) * pk, 12)
+    cdf.groupBy("period")
+      .agg(
+        max(col("nb")).as("n_base"), max(col("nt")).as("n_target"),
+        round(sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 12))), 8)
+          .cast(DoubleType).as("_s"))
+      .select(col("period"), col("n_base"), col("n_target"),
+        when(col("n_base") > 0 && col("n_target") > 0, graft.Num.dround(
+          col("n_base").cast(DoubleType) * col("n_target").cast(DoubleType) /
+            ((col("n_base") + col("n_target")).cast(DoubleType) *
+             (col("n_base") + col("n_target")).cast(DoubleType)) * col("_s"), 6))
+          .as("cvm_stat"))
+      .orderBy("period")
+  }
+
+  /** Per-period KS against a fixed base — [[ks]] in [[cvmByPeriod]]'s
+    * dashboard shape, off the SAME shared per-period CDF frame: the
+    * third column of the (period, n, stat) drift dashboard. Output
+    * (period, n_base, n_target, ks_stat 6dp). */
+  def ksByPeriod(base: DataFrame, target: DataFrame, column: String,
+                 periodCol: String, quantize: Int = 0): DataFrame =
+    perPeriodCdf(base, target, column, periodCol, quantize)
+      .groupBy("period")
+      .agg(max(col("nb")).as("n_base"), max(col("nt")).as("n_target"),
+        max(abs(col("cb") - col("ct"))).as("_d"))
+      .select(col("period"), col("n_base"), col("n_target"),
+        when(col("n_base") > 0 && col("n_target") > 0,
+          graft.Num.dround(col("_d"), 6)).as("ks_stat"))
+      .orderBy("period")
+
+  /** The shared per-period pooled-CDF frame under [[cvmByPeriod]] and
+    * [[ksByPeriod]]: base collapses ONCE to its (value, count) histogram
+    * and broadcasts onto every target period's support; one CDF window
+    * per period over histogram-sized frames. Columns
+    * (period, v, bc, tc, nb, nt, cb, ct). */
+  private def perPeriodCdf(base: DataFrame, target: DataFrame,
+                           column: String, periodCol: String,
+                           quantize: Int): DataFrame = {
     val x = col(column).cast(DoubleType)
     def quantized(df: DataFrame, keep: Seq[Column]): DataFrame =
       if (quantize <= 0) df.filter(x.isNotNull).select(keep :+ x.as("v"): _*)
@@ -597,28 +639,12 @@ object Drift {
       .orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val tot = org.apache.spark.sql.expressions.Window.partitionBy("period")
-    val cdf = cells
+    cells
       .withColumn("nb", sum("bc").over(tot))
       .withColumn("nt", sum("tc").over(tot))
       .withColumn("cb",
         when(col("nb") > 0, sum("bc").over(w).cast(DoubleType) / col("nb")))
       .withColumn("ct",
         when(col("nt") > 0, sum("tc").over(w).cast(DoubleType) / col("nt")))
-    val pk = (col("bc") + col("tc")).cast(DoubleType) /
-      (col("nb") + col("nt")).cast(DoubleType)
-    val term = graft.Num.dround(
-      (col("cb") - col("ct")) * (col("cb") - col("ct")) * pk, 12)
-    cdf.groupBy("period")
-      .agg(
-        max(col("nb")).as("n_base"), max(col("nt")).as("n_target"),
-        round(sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 12))), 8)
-          .cast(DoubleType).as("_s"))
-      .select(col("period"), col("n_base"), col("n_target"),
-        when(col("n_base") > 0 && col("n_target") > 0, graft.Num.dround(
-          col("n_base").cast(DoubleType) * col("n_target").cast(DoubleType) /
-            ((col("n_base") + col("n_target")).cast(DoubleType) *
-             (col("n_base") + col("n_target")).cast(DoubleType)) * col("_s"), 6))
-          .as("cvm_stat"))
-      .orderBy("period")
   }
 }

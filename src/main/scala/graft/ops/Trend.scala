@@ -91,18 +91,9 @@ object Trend {
     import org.apache.spark.sql.expressions.Window
     val gs = groupCols.map(col)
     val gNames = groupCols
-    val rows0 = df.where(col(tsCol).isNotNull && col(valueCol).isNotNull)
     // x = days since the GLOBAL corpus start (the ols convention), so
     // the intercept reads as "level at corpus start", not at epoch 0
-    val minDay = rows0.agg(
-      min((unix_micros(col(tsCol)) / lit(UsPerDay)).cast("long")).as("_dmin"))
-    val daily = rows0.crossJoin(broadcast(minDay))
-      .select(gs :+ ((unix_micros(col(tsCol)) / lit(UsPerDay)).cast("long")
-        - col("_dmin")).as("_day") :+
-        col(valueCol).cast(DecimalType(14, 4)).as("_y"): _*)
-      .groupBy(gs :+ col("_day"): _*)
-      .agg(graft.Num.dround(
-        sum(col("_y")).cast("double") / count(lit(1)), 6).as("_yd"))
+    val daily = dailyMeans(df, tsCol, valueCol, groupCols)
     def discMedian6(d: DataFrame, vCol: String, out: String): DataFrame = {
       val hist = d
         .groupBy(gs :+ col(vCol).cast(DecimalType(18, 6)).as("_v"): _*)
@@ -136,6 +127,109 @@ object Trend {
       .select(gs :+ col("n_days") :+
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
         col("slope") :+ col("intercept"): _*)
+  }
+
+  /** The shared (groupCols, _day, _yd) daily-mean frame — exact-decimal
+    * means of the value at ≤4dp, 6dp-dround'd, days since the GLOBAL
+    * corpus start. One map-side-combined aggregation; the frames every
+    * series statistic here runs on are span-bounded. */
+  private def dailyMeans(df: DataFrame, tsCol: String, valueCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val rows0 = df.where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    val minDay = rows0.agg(
+      min((unix_micros(col(tsCol)) / lit(UsPerDay)).cast("long")).as("_dmin"))
+    rows0.crossJoin(broadcast(minDay))
+      .select(gs :+ ((unix_micros(col(tsCol)) / lit(UsPerDay)).cast("long")
+        - col("_dmin")).as("_day") :+
+        col(valueCol).cast(DecimalType(14, 4)).as("_y"): _*)
+      .groupBy(gs :+ col("_day"): _*)
+      .agg(graft.Num.dround(
+        sum(col("_y")).cast("double") / count(lit(1)), 6).as("_yd"))
+  }
+
+  /** Per-group Mann–Kendall trend test (Mann 1945; Kendall 1975) over
+    * daily means — the nonparametric IS-there-a-trend companion of
+    * [[theilSen]]'s HOW-steep: S = Σ_{i<j} sign(yd_j − yd_i) over all
+    * day pairs, variance with the tie correction
+    * Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z = (S − sign(S))/√Var. S, the tie counts, and
+    * both variance numerators are EXACT BIGINT arithmetic on the
+    * 6dp-exact daily means (sign of a difference of exact decimals is
+    * exact); only the /18 and the √ are float — IEEE-identical
+    * everywhere. Output (groupCols…, n_days, s, var_s 6dp, z 6dp);
+    * degenerate series (Var = 0) emit null z.
+    *
+    * 100 TB: the corpus collapses to (group, day) once; the pair join is
+    * O(span²) — bounded by the time window, never data volume. */
+  def mannKendall(df: DataFrame, tsCol: String, valueCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val gNames = groupCols
+    val daily = dailyMeans(df, tsCol, valueCol, groupCols)
+    val a = daily.select(gs :+ col("_day").as("_da") :+ col("_yd").as("_ya"): _*)
+    val b = daily.select(gs :+ col("_day").as("_db") :+ col("_yd").as("_yb"): _*)
+    val s = a.join(b, gNames).where(col("_da") < col("_db"))
+      .select(gs :+ signum(col("_yb") - col("_ya")).cast("long").as("_sgn"): _*)
+      .groupBy(gs: _*).agg(sum("_sgn").as("s"))
+    val ties = daily
+      .groupBy(gs :+ col("_yd"): _*).agg(count(lit(1)).as("_t"))
+      .groupBy(gs: _*)
+      .agg(sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+        .as("_corr"))
+    val nd = daily.groupBy(gs: _*).agg(count(lit(1)).as("n_days"))
+    val n = col("n_days")
+    val varS = (n * (n - 1) * (lit(2) * n + 5) - col("_corr"))
+      .cast("double") / 18.0
+    nd.join(s, gNames).join(ties, gNames)
+      .select(gs :+ col("n_days") :+ col("s") :+
+        graft.Num.dround(varS, 6).as("var_s") :+
+        when(varS > 0, graft.Num.dround(
+          (col("s") - signum(col("s"))).cast("double") / sqrt(varS), 6))
+          .as("z"): _*)
+  }
+
+  /** Per-group autocorrelation at lags 1…maxLag over daily means — the
+    * seasonality/persistence readout next to the trend tests: acf(L) =
+    * Σ e_t·e_{t+L} / Σ e_t² with e the 6dp-dround'd deviations from the
+    * series mean. Products dround to 10dp and accumulate as exact
+    * DECIMAL(38,10); one final divide. Missing days simply contribute no
+    * pair (the lag join is on the day INDEX). Output (groupCols…, lag,
+    * n_pairs, acf 6dp); a zero-variance series emits null acf.
+    *
+    * 100 TB: everything after the daily collapse is span×maxLag-bounded. */
+  def acf(df: DataFrame, tsCol: String, valueCol: String,
+          groupCols: Seq[String], maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val gs = groupCols.map(col)
+    val gNames = groupCols
+    val daily = dailyMeans(df, tsCol, valueCol, groupCols)
+    val stats = daily.groupBy(gs: _*).agg(graft.Num.dround(
+      sum(col("_yd").cast(DecimalType(38, 6))).cast("double") / count(lit(1)), 6)
+      .as("_mu"))
+    val centered = daily.join(broadcast(stats), gNames)
+      .select(gs :+ col("_day") :+
+        graft.Num.dround(col("_yd") - col("_mu"), 6).as("_e"): _*)
+    val den = centered
+      .select(gs :+ graft.Num.dround(col("_e") * col("_e"), 10).as("_p"): _*)
+      .groupBy(gs: _*)
+      .agg(sum(col("_p").cast(DecimalType(38, 10))).as("_den"))
+    val lagged = centered
+      .withColumn("lag", explode(array((1 to maxLag).map(lit): _*)))
+    val future = centered.select(gs :+ col("_day").as("_dayb") :+
+      col("_e").as("_eb"): _*)
+    val num = lagged.join(future, gNames)
+      .where(col("_dayb") === col("_day") + col("lag"))
+      .select(gs :+ col("lag") :+
+        graft.Num.dround(col("_e") * col("_eb"), 10).as("_p"): _*)
+      .groupBy(gs :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_p").cast(DecimalType(38, 10))).as("_num"))
+    num.join(broadcast(den), gNames)
+      .select(gs :+ col("lag") :+ col("n_pairs") :+
+        when(col("_den") > 0, graft.Num.dround(
+          col("_num").cast("double") / col("_den").cast("double"), 6))
+          .as("acf"): _*)
   }
 
   /** DuckDB mirror of [[theilSen]] over `table`, grouped by `groupCol` —
@@ -224,4 +318,79 @@ object Trend {
          CASE WHEN n >= 2 AND dx > 0 AND dy > 0
            THEN floor(num * num / (dx * dy) * 1e6 + 0.5) / 1e6 END AS r2
        FROM fit"""
+
+  /** Shared daily-mean CTE chain (mirror of [[dailyMeans]]): ends in
+    * `mkdaily(groupCol, day, yd)`. */
+  private def sqlDaily(table: String, tsCol: String, valueCol: String,
+                       groupCol: String): String =
+    s"""mkd0 AS (SELECT $groupCol, epoch_us($tsCol) // $UsPerDay AS rawday,
+              CAST($valueCol AS DECIMAL(14,4)) AS y
+            FROM $table
+            WHERE $tsCol IS NOT NULL AND $valueCol IS NOT NULL),
+       mkmin AS (SELECT min(rawday) AS dmin FROM mkd0),
+       mkdaily AS (SELECT $groupCol, rawday - dmin AS day,
+              floor(CAST(sum(y) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS yd
+            FROM mkd0, mkmin GROUP BY 1, 2)"""
+
+  /** DuckDB mirror of [[mannKendall]] over `table` grouped by
+    * `groupCol` — daily means, the sign-pair sum, tie correction,
+    * variance, and the continuity-corrected z all replayed. */
+  def sqlMannKendall(table: String, tsCol: String, valueCol: String,
+                     groupCol: String): String =
+    s"""${sqlDaily(table, tsCol, valueCol, groupCol)},
+       mks AS (SELECT a.$groupCol,
+                 CAST(sum(CASE WHEN b.yd > a.yd THEN 1
+                               WHEN b.yd < a.yd THEN -1 ELSE 0 END) AS BIGINT) AS s
+               FROM mkdaily a JOIN mkdaily b
+                 ON a.$groupCol = b.$groupCol AND a.day < b.day
+               GROUP BY 1),
+       mkties AS (SELECT $groupCol,
+                    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS corr
+                  FROM (SELECT $groupCol, count(*) AS t
+                        FROM mkdaily GROUP BY $groupCol, yd)
+                  GROUP BY 1),
+       mknd AS (SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_days
+                FROM mkdaily GROUP BY 1),
+       mkvar AS (SELECT n.$groupCol, n.n_days, s.s,
+                   CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                     - t.corr AS DOUBLE) / 18.0 AS var_s
+                 FROM mknd n JOIN mks s USING ($groupCol)
+                 JOIN mkties t USING ($groupCol))
+       SELECT $groupCol, n_days, s,
+              floor(var_s * 1e6 + 0.5) / 1e6 AS var_s,
+              CASE WHEN var_s > 0 THEN
+                floor(CAST(s - sign(s) AS DOUBLE) / sqrt(var_s) * 1e6 + 0.5) / 1e6
+              END AS z
+       FROM mkvar"""
+
+  /** DuckDB mirror of [[acf]] at lags 1…maxLag over `table` grouped by
+    * `groupCol`. */
+  def sqlAcf(table: String, tsCol: String, valueCol: String,
+             groupCol: String, maxLag: Int): String =
+    s"""${sqlDaily(table, tsCol, valueCol, groupCol)},
+       acmu AS (SELECT $groupCol,
+                  floor(CAST(sum(CAST(yd AS DECIMAL(38,6))) AS DOUBLE)
+                    / count(*) * 1e6 + 0.5) / 1e6 AS mu
+                FROM mkdaily GROUP BY 1),
+       acc AS (SELECT d.$groupCol, d.day,
+                 floor((d.yd - m.mu) * 1e6 + 0.5) / 1e6 AS e
+               FROM mkdaily d JOIN acmu m USING ($groupCol)),
+       acden AS (SELECT $groupCol,
+                   sum(CAST(floor(e * e * 1e10 + 0.5) / 1e10
+                     AS DECIMAL(38,10))) AS den
+                 FROM acc GROUP BY 1),
+       acnum AS (SELECT a.$groupCol, l.lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   sum(CAST(floor(a.e * b.e * 1e10 + 0.5) / 1e10
+                     AS DECIMAL(38,10))) AS num
+                 FROM acc a
+                 CROSS JOIN (SELECT unnest(generate_series(1, $maxLag)) AS lag) l
+                 JOIN acc b ON b.$groupCol = a.$groupCol
+                   AND b.day = a.day + l.lag
+                 GROUP BY 1, 2)
+       SELECT n.$groupCol, CAST(n.lag AS INT) AS lag, n.n_pairs,
+              CASE WHEN d.den > 0 THEN
+                floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) * 1e6 + 0.5) / 1e6
+              END AS acf
+       FROM acnum n JOIN acden d USING ($groupCol)"""
 }

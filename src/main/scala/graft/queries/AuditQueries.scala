@@ -625,6 +625,59 @@ object AuditQueries {
                END AS cvm_stat
         FROM agg ORDER BY period""")),
 
+    // KS per month vs the same fixed 1996 reference (r13): the third
+    // column of the (period, n, stat) drift dashboard — KS, CvM, and
+    // PSI now all ride period-shaped lanes; KS and CvM share ONE
+    // per-period pooled-CDF frame in the engine (Drift.perPeriodCdf).
+    Q("drift_ks_timeseries",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val base = o.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val target = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .withColumn("period",
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+        Drift.ksByPeriod(base, target, "o_totalprice", "period")
+      },
+      Some(s"""
+        WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate < TIMESTAMP '1997-01-01'
+                        AND o_totalprice IS NOT NULL),
+        tgt AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS period,
+                       CAST(o_totalprice AS DOUBLE) AS v
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_totalprice IS NOT NULL),
+        b AS (SELECT v, count(*) AS bc FROM base GROUP BY 1),
+        t AS (SELECT period, v, count(*) AS tc FROM tgt GROUP BY 1, 2),
+        periods AS (SELECT DISTINCT period FROM t),
+        grid AS (SELECT p.period, b.v, b.bc FROM periods p CROSS JOIN b),
+        cells AS (SELECT coalesce(g.period, t.period) AS period,
+                         coalesce(g.v, t.v) AS v,
+                         coalesce(g.bc, 0) AS bc, coalesce(t.tc, 0) AS tc
+                  FROM grid g FULL OUTER JOIN t
+                    ON g.period = t.period AND g.v = t.v),
+        c AS (SELECT period, v, bc, tc,
+                     sum(bc) OVER (PARTITION BY period) AS nb,
+                     sum(tc) OVER (PARTITION BY period) AS nt,
+                     CAST(sum(bc) OVER (PARTITION BY period ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(sum(bc) OVER (PARTITION BY period) AS DOUBLE) AS cb,
+                     CAST(sum(tc) OVER (PARTITION BY period ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(sum(tc) OVER (PARTITION BY period) AS DOUBLE) AS ct
+              FROM cells),
+        agg AS (SELECT period,
+                  CAST(max(nb) AS BIGINT) AS n_base,
+                  CAST(max(nt) AS BIGINT) AS n_target,
+                  max(abs(cb - ct)) AS d
+                FROM c GROUP BY 1)
+        SELECT period, n_base, n_target,
+               CASE WHEN n_base > 0 AND n_target > 0 THEN
+                 floor(d * 1e6 + 0.5) / 1e6 END AS ks_stat
+        FROM agg ORDER BY period""")),
+
     // Quantize-first KS — the 100 TB scale path: both sides bucket into 64
     // equal-width bins over the POOLED range before the CDF window, bounding
     // the window's input to 64 rows regardless of column cardinality. The

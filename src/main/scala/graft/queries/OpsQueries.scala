@@ -872,7 +872,35 @@ object OpsQueries {
         .orderBy("event_type"),
       Some(s"""
         WITH ${graft.ops.Trend.sqlTheilSen("events", "ts", "value", "event_type")}
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // Mann–Kendall trend test (r13): the nonparametric IS-there-a-trend
+    // companion of events_trend_theilsen's HOW-steep — S = Σ sign(Δ)
+    // over all day pairs, tie-corrected variance, continuity-corrected
+    // z; S and both variance numerators exact BIGINTs on 6dp-exact
+    // daily means, only /18 and √ are float. Pairs are O(span²) —
+    // bounded by the time window, never data volume.
+    Q("events_mann_kendall",
+      (s, dir) => graft.ops.Trend.mannKendall(
+          Tables.events(s, dir), "ts", "value", Seq("event_type"))
+        .orderBy("event_type"),
+      Some(s"""
+        WITH ${graft.ops.Trend.sqlMannKendall("events", "ts", "value", "event_type")}
+        ORDER BY event_type""")),
+
+    // Autocorrelation at lags 1-3 (r13): the persistence/seasonality
+    // readout next to the trend tests — deviations from the series mean
+    // (6dp exact), lag products 10dp-dround'd into exact DECIMAL(38,10)
+    // sums, one final divide; missing days contribute no pair (the lag
+    // join rides the day INDEX). Everything after the daily collapse is
+    // span×3-bounded.
+    Q("events_acf",
+      (s, dir) => graft.ops.Trend.acf(
+          Tables.events(s, dir), "ts", "value", Seq("event_type"), maxLag = 3)
+        .orderBy("event_type", "lag"),
+      Some(s"""
+        WITH ${graft.ops.Trend.sqlAcf("events", "ts", "value", "event_type", 3)}
+        ORDER BY event_type, lag"""))
   )
 
   /** The CDC fixture shared by cdc_apply and cdc_apply_persisted: the

@@ -92,4 +92,47 @@ class TrendSpec extends SparkSpec {
     val out = graft.ops.Trend.theilSen(rows, "ts", "v", Seq("grp")).collect()(0)
     assert(out.getAs[Long]("n_pairs") == 0 && out.isNullAt(out.fieldIndex("slope")))
   }
+
+  test("mannKendall: hand-computed S, tie correction, and z") {
+    // daily means 1, 3, 2, 2, 5 over days 0..4:
+    // pairs (i<j): signs = +(1,3) +(1,2) +(1,2) +(1,5) -(3,2) -(3,2)
+    //              +(3,5) 0(2,2) +(2,5) +(2,5) → S = 7 - 2 = 5
+    // ties: one group of t=2 (the 2s) → corr = 2·1·9 = 18
+    // Var = (5·4·15 − 18)/18 = 282/18; z = (5−1)/sqrt(282/18)
+    val rows = Seq(0 -> 1.0, 1 -> 3.0, 2 -> 2.0, 3 -> 2.0, 4 -> 5.0)
+      .map { case (d, v) => ("g", ts(d), v) }.toDF("grp", "ts", "v")
+    val out = Trend.mannKendall(rows, "ts", "v", Seq("grp")).collect()(0)
+    assert(out.getAs[Long]("n_days") == 5)
+    assert(out.getAs[Long]("s") == 5L, s"S = ${out.getAs[Long]("s")}")
+    assert(math.abs(out.getAs[Double]("var_s") - 282.0 / 18) < 1e-6)
+    val zExp = 4.0 / math.sqrt(282.0 / 18)
+    assert(math.abs(out.getAs[Double]("z") - zExp) < 1e-6)
+    // constant series: every pair ties → Var 0 → null z
+    val flat = Seq(0, 1, 2).map(d => ("g", ts(d), 4.0)).toDF("grp", "ts", "v")
+    val f = Trend.mannKendall(flat, "ts", "v", Seq("grp")).collect()(0)
+    assert(f.getAs[Long]("s") == 0L && f.isNullAt(f.fieldIndex("z")))
+  }
+
+  test("acf: alternating series — negative at lag 1, positive at lag 2") {
+    // daily means alternate 1, 3, 1, 3, 1, 3 → e alternates -1, +1;
+    // lag-1 products all -1 (acf -5/5·... num=-5, den=6 → -0.833333);
+    // lag-2 products all +1 → acf = 4/6
+    val rows = (0 until 6).map(d => ("g", ts(d), if (d % 2 == 0) 1.0 else 3.0))
+      .toDF("grp", "ts", "v")
+    val out = Trend.acf(rows, "ts", "v", Seq("grp"), maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(out(1)._1 == 5 && out(2)._1 == 4)
+    assert(math.abs(out(1)._2 - (-5.0 / 6)) < 1e-6, s"lag1 ${out(1)}")
+    assert(math.abs(out(2)._2 - 4.0 / 6) < 1e-6, s"lag2 ${out(2)}")
+    // missing day: pairs only form where both endpoints exist
+    val gappy = Seq(0, 1, 3).map(d => ("g", ts(d), d.toDouble))
+      .toDF("grp", "ts", "v")
+    val g = Trend.acf(gappy, "ts", "v", Seq("grp"), maxLag = 1).collect()(0)
+    assert(g.getAs[Long]("n_pairs") == 1, "only (0,1) pairs at lag 1")
+    // zero-variance series → null acf
+    val flat = Seq(0, 1, 2).map(d => ("g", ts(d), 2.0)).toDF("grp", "ts", "v")
+    val fl = Trend.acf(flat, "ts", "v", Seq("grp"), maxLag = 1).collect()(0)
+    assert(fl.isNullAt(fl.fieldIndex("acf")))
+  }
 }
