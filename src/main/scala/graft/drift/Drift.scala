@@ -601,6 +601,70 @@ object Drift {
           graft.Num.dround(col("_d"), 6)).as("ks_stat"))
       .orderBy("period")
 
+  /** Per-period KS p-values + Benjamini–Hochberg FDR control — the
+    * multiple-testing answer to "36 monthly KS stats, which are REAL?":
+    * testing every period at α = 0.05 expects ~2 false alarms per
+    * 40-period dashboard; BH caps the FALSE-DISCOVERY RATE at `q`
+    * instead. Per period: the asymptotic two-sample KS p-value
+    * p = 2 Σ_{k=1..terms} (−1)^{k−1} e^{−2k²λ²} at
+    * λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n_b·n_t/(n_b+n_t) (the
+    * Numerical-Recipes form), TRUNCATED at `terms` — the truncated sum
+    * IS the pinned cross-engine semantic (both engines compute the same
+    * 20 exp terms; the tail beyond is < e^{−800λ²}), clamped to [0, 1]
+    * and 6dp-dround'd. Then BH over the period family: rank p ascending
+    * (period tiebreak), reject all ranks ≤ max{i : p_(i) ≤ i·q/m}.
+    * Output (period, n_base, n_target, ks_stat, p_value, reject).
+    *
+    * Scale: everything after [[perPeriodCdf]] is periods-sized; the BH
+    * windows run over the period FAMILY (dozens of rows), never data. */
+  def ksFdrByPeriod(base: DataFrame, target: DataFrame, column: String,
+                    periodCol: String, q: Double = 0.05, terms: Int = 20,
+                    quantize: Int = 0): DataFrame = {
+    require(q > 0 && q < 1, s"FDR level q must be in (0, 1), got $q")
+    require(terms >= 1, s"terms must be >= 1, got $terms")
+    val ks = ksByPeriod(base, target, column, periodCol, quantize)
+    val ne = col("n_base").cast(DoubleType) * col("n_target").cast(DoubleType) /
+      (col("n_base") + col("n_target")).cast(DoubleType)
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * col("ks_stat")
+    val series = (1 to terms).map { k =>
+      val sign = if (k % 2 == 1) 1.0 else -1.0
+      lit(2.0 * sign) * exp(lit(-2.0 * k * k) * lam * lam)
+    }.reduce(_ + _)
+    // probks guard: below λ ≈ 0.3 the alternating series' terms decay
+    // too slowly for a fixed truncation (at λ = 0 the 20-term partial
+    // sum is literally 0, the OPPOSITE of the true p → 1 limit) — and
+    // the true p-value there is 1 to well past 6dp, so return 1
+    // exactly. The guard is part of the pinned semantic.
+    val p = when(lam < lit(0.3), lit(1.0)).otherwise(graft.Num.dround(
+      least(lit(1.0), greatest(lit(0.0), series)), 6))
+    val withP = ks.withColumn("p_value",
+      when(col("ks_stat").isNotNull, p))
+    import org.apache.spark.sql.expressions.Window
+    // NULLS LAST pinned explicitly: Spark defaults nulls-first ASC,
+    // DuckDB nulls-last — an unpinned order would diverge the BH ranks
+    val byP = Window.orderBy(col("p_value").asc_nulls_last, col("period"))
+    val fam = Window.partitionBy(lit(1))
+    val ranked = withP
+      .withColumn("_i", row_number().over(byP))
+      .withColumn("_m", count(lit(1)).over(fam))
+      .withColumn("_ok", col("p_value") <=
+        col("_i").cast(DoubleType) * lit(q) / col("_m").cast(DoubleType))
+      .withColumn("_kmax", max(when(col("_ok"), col("_i"))).over(fam))
+    ranked.select(col("period"), col("n_base"), col("n_target"),
+        col("ks_stat"), col("p_value"),
+        (col("_kmax").isNotNull && col("_i") <= col("_kmax")).as("reject"))
+      .orderBy("period")
+  }
+
+  /** DuckDB fragment: the truncated KS p-value series over a `lam`
+    * expression — the SAME `terms` exp terms the Spark side sums, each
+    * constant Scala-rendered so both engines parse identical doubles. */
+  def sqlKsPSeries(lam: String, terms: Int): String =
+    (1 to terms).map { k =>
+      val sign = if (k % 2 == 1) 2.0 else -2.0
+      s"($sign) * exp((${-2.0 * k * k}) * $lam * $lam)"
+    }.mkString(" + ")
+
   /** The shared per-period pooled-CDF frame under [[cvmByPeriod]] and
     * [[ksByPeriod]]: base collapses ONCE to its (value, count) histogram
     * and broadcasts onto every target period's support; one CDF window

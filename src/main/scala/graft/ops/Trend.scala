@@ -232,6 +232,64 @@ object Trend {
           .as("acf"): _*)
   }
 
+  /** Per-group index of dispersion (Fano factor) of DAILY EVENT COUNTS —
+    * the burstiness readout: fano = var/mean of the per-day count series;
+    * ≈ 1 for Poisson-like traffic, ≫ 1 for bursty feeds (the "did this
+    * source start arriving in clumps" anomaly signal next to the CUSUM
+    * level monitor). Daily counts are exact longs; mean and the sample
+    * variance ride the (Σc, Σc²) moments CAST to double (fixed IEEE op
+    * order on exact integers — identical everywhere); n_days < 2 emits
+    * null variance/fano. Output (groupCols…, n_days, total, mean 6dp,
+    * variance 6dp, fano 6dp).
+    *
+    * 100 TB: the corpus collapses to (group, day) counts map-side; the
+    * moment aggregation shuffles ≤ groups×span rows. */
+  def dispersion(df: DataFrame, tsCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val daily = df.where(col(tsCol).isNotNull)
+      .select(gs :+ (unix_micros(col(tsCol)) / lit(UsPerDay)).cast("long")
+        .as("_day"): _*)
+      .groupBy(gs :+ col("_day"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val agg = daily.groupBy(gs: _*).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("_c")).as("_sc"),
+      sum((col("_c") * col("_c")).cast(DecimalType(38, 0))).as("_scc"))
+    val n = col("n_days").cast("double")
+    val mean = col("_sc").cast("double") / n
+    val variance = (col("_scc").cast("double") -
+      col("_sc").cast("double") * col("_sc").cast("double") / n) / (n - 1)
+    agg.select(gs :+ col("n_days") :+ col("_sc").as("total") :+
+      graft.Num.dround(mean, 6).as("mean") :+
+      when(col("n_days") >= 2, graft.Num.dround(variance, 6)).as("variance") :+
+      when(col("n_days") >= 2 && col("_sc") > 0,
+        graft.Num.dround(variance / mean, 6)).as("fano"): _*)
+  }
+
+  /** DuckDB mirror of [[dispersion]] over `table` grouped by `groupCol`. */
+  def sqlDispersion(table: String, tsCol: String, groupCol: String): String =
+    s"""dpd AS (SELECT $groupCol, epoch_us($tsCol) // $UsPerDay AS day,
+              CAST(count(*) AS BIGINT) AS c
+            FROM $table WHERE $tsCol IS NOT NULL GROUP BY 1, 2),
+       dpa AS (SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 sum(CAST(c * c AS DECIMAL(38,0))) AS scc
+               FROM dpd GROUP BY 1),
+       dpf AS (SELECT $groupCol, n_days, sc,
+                 CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+                 (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                    / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1)
+                   AS variance
+               FROM dpa)
+       SELECT $groupCol, n_days, sc AS total,
+              floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+              CASE WHEN n_days >= 2
+                THEN floor(variance * 1e6 + 0.5) / 1e6 END AS variance,
+              CASE WHEN n_days >= 2 AND sc > 0
+                THEN floor(variance / mean * 1e6 + 0.5) / 1e6 END AS fano
+       FROM dpf"""
+
   /** DuckDB mirror of [[theilSen]] over `table`, grouped by `groupCol` —
     * daily means, the pair join, and both cumulative-histogram median
     * selections replayed. */

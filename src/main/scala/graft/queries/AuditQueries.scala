@@ -678,6 +678,85 @@ object AuditQueries {
                  floor(d * 1e6 + 0.5) / 1e6 END AS ks_stat
         FROM agg ORDER BY period""")),
 
+    // KS p-values + Benjamini-Hochberg across the period family (r13):
+    // testing 36 monthly stats at α=0.05 expects ~2 false alarms; BH
+    // caps the false-discovery rate at q=0.05 instead — the readout a
+    // drift dashboard should actually alert on. The p-value is the
+    // truncated (20-term) asymptotic KS series — the truncated sum IS
+    // the pinned cross-engine semantic — and the BH rank order pins
+    // NULLS LAST explicitly (Spark defaults nulls-first, DuckDB last).
+    Q("drift_ks_fdr",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val base = o.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val target = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .withColumn("period",
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+        Drift.ksFdrByPeriod(base, target, "o_totalprice", "period", q = 0.05)
+      },
+      Some(s"""
+        WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate < TIMESTAMP '1997-01-01'
+                        AND o_totalprice IS NOT NULL),
+        tgt AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS period,
+                       CAST(o_totalprice AS DOUBLE) AS v
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_totalprice IS NOT NULL),
+        b AS (SELECT v, count(*) AS bc FROM base GROUP BY 1),
+        t AS (SELECT period, v, count(*) AS tc FROM tgt GROUP BY 1, 2),
+        periods AS (SELECT DISTINCT period FROM t),
+        grid AS (SELECT p.period, b.v, b.bc FROM periods p CROSS JOIN b),
+        cells AS (SELECT coalesce(g.period, t.period) AS period,
+                         coalesce(g.v, t.v) AS v,
+                         coalesce(g.bc, 0) AS bc, coalesce(t.tc, 0) AS tc
+                  FROM grid g FULL OUTER JOIN t
+                    ON g.period = t.period AND g.v = t.v),
+        c AS (SELECT period, v, bc, tc,
+                     sum(bc) OVER (PARTITION BY period) AS nb,
+                     sum(tc) OVER (PARTITION BY period) AS nt,
+                     CAST(sum(bc) OVER (PARTITION BY period ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(sum(bc) OVER (PARTITION BY period) AS DOUBLE) AS cb,
+                     CAST(sum(tc) OVER (PARTITION BY period ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(sum(tc) OVER (PARTITION BY period) AS DOUBLE) AS ct
+              FROM cells),
+        agg AS (SELECT period,
+                  CAST(max(nb) AS BIGINT) AS n_base,
+                  CAST(max(nt) AS BIGINT) AS n_target,
+                  max(abs(cb - ct)) AS d
+                FROM c GROUP BY 1),
+        kss AS (SELECT period, n_base, n_target,
+                  CASE WHEN n_base > 0 AND n_target > 0 THEN
+                    floor(d * 1e6 + 0.5) / 1e6 END AS ks_stat
+                FROM agg),
+        lamt AS (SELECT period, n_base, n_target, ks_stat,
+                   (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * ks_stat AS lam
+                 FROM (SELECT *, CAST(n_base AS DOUBLE) * CAST(n_target AS DOUBLE)
+                         / CAST(n_base + n_target AS DOUBLE) AS ne FROM kss)),
+        pv AS (SELECT period, n_base, n_target, ks_stat,
+                 CASE WHEN ks_stat IS NULL THEN NULL
+                      WHEN lam < CAST(0.3 AS DOUBLE) THEN 1.0
+                      ELSE floor(least(1.0, greatest(0.0,
+                        ${Drift.sqlKsPSeries("lam", 20)})) * 1e6 + 0.5) / 1e6
+                 END AS p_value
+               FROM lamt),
+        bh AS (SELECT *,
+                 CAST(row_number() OVER (ORDER BY p_value ASC NULLS LAST, period)
+                   AS BIGINT) AS i,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+               FROM pv),
+        bh2 AS (SELECT *, CASE WHEN p_value <=
+                   CAST(i AS DOUBLE) * CAST(0.05 AS DOUBLE) / CAST(m AS DOUBLE)
+                 THEN i END AS oki FROM bh),
+        bh3 AS (SELECT *, max(oki) OVER () AS kmax FROM bh2)
+        SELECT period, n_base, n_target, ks_stat, p_value,
+               (kmax IS NOT NULL AND i <= kmax) AS reject
+        FROM bh3 ORDER BY period""")),
+
     // Quantize-first KS — the 100 TB scale path: both sides bucket into 64
     // equal-width bins over the POOLED range before the CDF window, bounding
     // the window's input to 64 rows regardless of column cardinality. The

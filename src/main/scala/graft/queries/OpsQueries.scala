@@ -900,7 +900,20 @@ object OpsQueries {
         .orderBy("event_type", "lag"),
       Some(s"""
         WITH ${graft.ops.Trend.sqlAcf("events", "ts", "value", "event_type", 3)}
-        ORDER BY event_type, lag"""))
+        ORDER BY event_type, lag""")),
+
+    // Index of dispersion / Fano factor of daily event counts (r13):
+    // the burstiness readout — ~1 for Poisson-like arrival, >>1 for
+    // clumped feeds; daily counts exact longs, moments CAST to double
+    // in a fixed IEEE chain. The "did this feed start arriving in
+    // bursts" alarm next to the CUSUM level monitor.
+    Q("events_dispersion",
+      (s, dir) => graft.ops.Trend.dispersion(
+          Tables.events(s, dir), "ts", Seq("event_type"))
+        .orderBy("event_type"),
+      Some(s"""
+        WITH ${graft.ops.Trend.sqlDispersion("events", "ts", "event_type")}
+        ORDER BY event_type"""))
   )
 
   /** The CDC fixture shared by cdc_apply and cdc_apply_persisted: the

@@ -131,6 +131,28 @@ class DriftStatsSpec extends SparkSpec {
     assert(q(1) < 1e-6 && math.abs(q(2) - out(2)._3) < 0.05)
   }
 
+  test("ksFdrByPeriod: identical periods accept, a shifted period rejects") {
+    val base = (1 to 2000).map(_.toDouble).toDF("x")
+    // periods 1-3 resample the base; period 4 is a hard shift
+    val target = ((1 to 2000).map(i => ((i % 2000 + 1).toDouble, 1)) ++
+      (1 to 2000).map(i => ((i % 1999 + 1).toDouble, 2)) ++
+      (1 to 2000).map(i => ((i % 1997 + 1).toDouble, 3)) ++
+      (1 to 2000).map(i => (i + 1500.0, 4))).toDF("x", "p")
+    val out = Drift.ksFdrByPeriod(base, target, "x", "p", q = 0.05)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Double]("p_value"), r.getAs[Boolean]("reject"))).toMap
+    assert(out(4)._2, s"shifted period not rejected: ${out(4)}")
+    assert(!out(1)._2 && !out(2)._2 && !out(3)._2,
+      s"near-identical periods falsely rejected: $out")
+    // p-values are proper probabilities and ordered sensibly
+    assert(out(4)._1 < 0.001 && out(1)._1 > 0.5)
+    // the whole family null: nothing rejects
+    val same = Drift.ksFdrByPeriod(base,
+        (1 to 2000).map(i => (i.toDouble, 1)).toDF("x", "p"), "x", "p")
+      .collect()
+    assert(same.forall(!_.getAs[Boolean]("reject")))
+  }
+
   test("psiAll scores every column in one melted pass") {
     val base = (1 to 1000).map(i => ((i % 100).toDouble, (i % 50).toDouble))
       .toDF("a", "b")

@@ -135,4 +135,24 @@ class TrendSpec extends SparkSpec {
     val fl = Trend.acf(flat, "ts", "v", Seq("grp"), maxLag = 1).collect()(0)
     assert(fl.isNullAt(fl.fieldIndex("acf")))
   }
+
+  test("dispersion: hand-computed Fano; constant-rate series sits at 0") {
+    // daily counts 1, 3, 2 → total 6, mean 2, var = ((1+9+4) - 36/3)/2 = 1
+    val rows = (Seq.fill(1)(0) ++ Seq.fill(3)(1) ++ Seq.fill(2)(2))
+      .map(d => ("g", ts(d), 1.0)).toDF("grp", "ts", "v")
+    val r = Trend.dispersion(rows, "ts", Seq("grp")).collect()(0)
+    assert(r.getAs[Long]("n_days") == 3 && r.getAs[Long]("total") == 6)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("variance") == 1.0)
+    assert(r.getAs[Double]("fano") == 0.5)
+    // perfectly regular traffic: zero variance → fano 0
+    val flat = (0 until 3).flatMap(d => Seq.fill(4)(d))
+      .map(d => ("g", ts(d), 1.0)).toDF("grp", "ts", "v")
+    val f = Trend.dispersion(flat, "ts", Seq("grp")).collect()(0)
+    assert(f.getAs[Double]("fano") == 0.0)
+    // single-day groups emit null variance/fano, not a 0/0
+    val one = Seq(("g", ts(0), 1.0)).toDF("grp", "ts", "v")
+    val o = Trend.dispersion(one, "ts", Seq("grp")).collect()(0)
+    assert(o.isNullAt(o.fieldIndex("variance")) && o.isNullAt(o.fieldIndex("fano")))
+  }
 }
