@@ -66,4 +66,57 @@ object Reports {
   /** The bundle's table of contents: (artifact, kind, path). */
   def contents(spark: SparkSession, outDir: String, runId: String): DataFrame =
     Artifacts.readManifest(spark, outDir, runId)
+
+  /** Render the bundle as ONE human-readable markdown document —
+    * `<outDir>/<runId>/report.md` — and return the markdown. The
+    * reference ships rendered report pages (m00_utils/report_html.py:1,
+    * m08_visuals/summary_plots.py:60); graft's answer is the DATA bundle
+    * plus this renderer: every table as a GitHub-markdown table, in
+    * manifest order, rows sorted by every column (deterministic output —
+    * two renders of one bundle are byte-identical), truncated at
+    * `maxRows` with an explicit elision note. Plot rendering stays a
+    * non-goal; the tables ARE what the reference's plots draw from.
+    *
+    * Driver-side by the bundle's own contract: report tables are
+    * SUMMARY-sized (per-module aggregates), so collecting them here is
+    * dimension-bounded at any corpus scale — `maxRows` additionally
+    * guards against a mis-filed corpus-sized frame. */
+  def renderMarkdown(spark: SparkSession, outDir: String, runId: String,
+                     maxRows: Int = 50): String = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    def cell(v: Any): String = v match {
+      case null => ""
+      case s: String => s.replace("|", "\\|").replace("\n", " ")
+      case other => other.toString
+    }
+    val entries = Artifacts.readManifest(spark, outDir, runId)
+      .filter(col("kind") === "report")
+      .select("artifact", "path").collect()
+    val sections = entries.map { e =>
+      val (name, path) = (e.getString(0), e.getString(1))
+      val df = spark.read.parquet(path)
+      val cols = df.columns.toSeq
+      // sort by every column for render determinism; cap AFTER the sort
+      val rows = df.orderBy(cols.map(col): _*).limit(maxRows + 1).collect()
+      val shown = rows.take(maxRows)
+      val header = cols.mkString("| ", " | ", " |")
+      val rule = cols.map(_ => "---").mkString("| ", " | ", " |")
+      val body = shown.map(r =>
+        cols.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |"))
+      val elision =
+        if (rows.length > maxRows)
+          Seq(s"", s"_…truncated at $maxRows rows_")
+        else Seq.empty
+      (Seq(s"## $name", "", header, rule) ++ body ++ elision).mkString("\n")
+    }
+    val md = (Seq(s"# Report bundle `$runId`", "") ++ sections)
+      .mkString("\n\n") + "\n"
+    val base = Artifacts.bundleDir(outDir, runId)
+    val p = new org.apache.hadoop.fs.Path(s"$base/report.md")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    md
+  }
 }

@@ -76,4 +76,32 @@ class ArtifactsSpec extends SparkSpec {
         Seq("a b" -> describe, "a_b" -> health), out, "r3")
     }
   }
+
+  test("renderMarkdown: deterministic document with tables, escaping, truncation") {
+    val describe = Seq(("a|x", 3L, 1.5), ("b", 2L, 9.0))
+      .toDF("column_name", "cnt", "mean")
+    val long = (1 to 60).map(i => (i, s"row$i")).toDF("id", "label")
+    val out = Files.createTempDirectory("graft-md").toString
+    Reports.writeBundle(spark,
+      Seq("describe" -> describe, "long" -> long), out, "r1")
+
+    val md = Reports.renderMarkdown(spark, out, "r1", maxRows = 50)
+    // a second render of the same bundle is byte-identical
+    assert(md == Reports.renderMarkdown(spark, out, "r1", maxRows = 50))
+    assert(md.startsWith("# Report bundle `r1`"))
+    assert(md.contains("## describe") && md.contains("## long"))
+    assert(md.contains("| column_name | cnt | mean |"))
+    // pipe in a cell escaped, so the table doesn't break
+    assert(md.contains("a\\|x"))
+    // 60-row table truncated at 50 with an explicit note
+    assert(md.contains("_…truncated at 50 rows_"))
+    assert(!md.contains("row59") || md.contains("row6"), "sorted order")
+    // the document landed next to the bundle
+    val path = java.nio.file.Paths.get(out, "r1", "report.md")
+    assert(java.nio.file.Files.exists(path))
+    assert(new String(java.nio.file.Files.readAllBytes(path), "UTF-8") == md)
+    intercept[IllegalArgumentException] {
+      Reports.renderMarkdown(spark, out, "r1", maxRows = 0)
+    }
+  }
 }
