@@ -74,6 +74,95 @@ object VocabDrift {
         graft.Num.dround((pNew - pOld) * log(pNew / pOld), 6).as("psi_term"))
   }
 
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) of the
+    * two snapshots' top-`depth` TERM RANKINGS — the ranking-stability
+    * companion of [[vocabDrift]]'s distribution comparison: PSI asks
+    * "did token MASS move?"; RBO asks "did the top-k LIST churn?" —
+    * robust to total-count shifts that leave the order intact, and
+    * top-weighted (a swap at rank 2 costs more than one at rank 90, the
+    * persistence parameter `p` setting how fast depth discounts).
+    *
+    * RBO_trunc = Σ_{d=1..D} (1−p)·p^{d−1}·|A_d ∩ B_d|/d, computed
+    * relationally: a term in both top-D lists ENTERS the intersection at
+    * depth e = max(rank_A, rank_B), so Σ_d w_d·X_d regroups as
+    * Σ_e c_e·W_e with W_e = Σ_{d=e..D} (1−p)p^{d−1}/d — the W_e are
+    * DRIVER-COMPUTED constants both engines read as identical literals
+    * (no cross-engine pow), the c_e exact longs, products 12dp-dround'd
+    * into exact DECIMAL(38,12). Ranks break ties on the term string.
+    * Output: one row (depth, n_common, rbo 6dp).
+    *
+    * 100 TB: two map-side-combined term counts; the rank window runs
+    * over the VOCABULARY frame (domain-bounded, the distinct-value CDF
+    * convention), and everything after the depth cut is ≤ D rows. */
+  def rbo(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+          p: Double = 0.9, depth: Int = 100): DataFrame = {
+    require(p > 0 && p < 1, s"persistence p must be in (0, 1), got $p")
+    require(depth >= 1 && depth <= 10000,
+      s"depth must be in [1, 1e4], got $depth")
+    import org.apache.spark.sql.expressions.Window
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    def ranks(df: DataFrame): DataFrame = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("_c"))
+      .withColumn("_r", row_number().over(
+        Window.orderBy(col("_c").desc, col("term"))))
+      .where(col("_r") <= depth)
+      .select(col("term"), col("_r"))
+    val ra = ranks(oldDf).withColumnRenamed("_r", "_ra")
+    val rb = ranks(newDf).withColumnRenamed("_r", "_rb")
+    val ce = ra.join(rb, "term")
+      .select(greatest(col("_ra"), col("_rb")).as("_e"))
+      .groupBy("_e").agg(count(lit(1)).as("_ce"))
+    val wts = rboWeights(p, depth).toDF("_e", "_w")
+    val term = graft.Num.dround(col("_ce").cast("double") * col("_w"), 12)
+    ce.join(broadcast(wts), Seq("_e"))
+      .agg(sum("_ce").as("n_common"),
+        sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .as("_s"))
+      .select(lit(depth).as("depth"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        graft.Num.dround(coalesce(col("_s"), lit(0)).cast("double"), 6)
+          .as("rbo"))
+  }
+
+  /** The regrouped RBO weights W_e = Σ_{d=e..D} (1−p)p^{d−1}/d —
+    * driver-computed once; the SQL mirror interpolates the SAME values. */
+  private[drift] def rboWeights(p: Double, depth: Int): Seq[(Int, Double)] =
+    (1 to depth).map { e =>
+      e -> (e to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+    }
+
+  /** DuckDB mirror of [[rbo]] over two text relations. */
+  def sqlRbo(oldRel: String, newRel: String, p: Double, depth: Int): String = {
+    def cnt(rel: String) =
+      s"""SELECT t.term, count(*) AS c
+          FROM $rel CROSS JOIN
+            unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(term)
+          WHERE length(t.term) > 0 GROUP BY 1"""
+    val wvals = rboWeights(p, depth)
+      .map { case (e, w) => s"($e, CAST($w AS DOUBLE))" }.mkString(", ")
+    s"""rca AS (${cnt(oldRel)}),
+       rcb AS (${cnt(newRel)}),
+       rra AS (SELECT term, r FROM (
+           SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r
+           FROM rca) t WHERE r <= $depth),
+       rrb AS (SELECT term, r FROM (
+           SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r
+           FROM rcb) t WHERE r <= $depth),
+       rce AS (SELECT greatest(a.r, b.r) AS e, count(*) AS ce
+               FROM rra a JOIN rrb b USING (term) GROUP BY 1),
+       rwt(e, w) AS (VALUES $wvals),
+       ragg AS (SELECT CAST(sum(ce) AS BIGINT) AS n_common,
+                  sum(CAST(floor(CAST(ce AS DOUBLE) * w * 1e12 + 0.5) / 1e12
+                    AS DECIMAL(38,12))) AS s
+                FROM rce JOIN rwt USING (e))
+       SELECT $depth AS depth, coalesce(n_common, 0) AS n_common,
+              floor(CAST(coalesce(s, 0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rbo
+       FROM ragg"""
+  }
+
   /** DuckDB mirror over two text relations (each exposing `text`),
     * parameterized by the same topK/smooth. Single oracle owner. */
   def sqlVocabDrift(oldRel: String, newRel: String,

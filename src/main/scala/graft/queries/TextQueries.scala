@@ -1085,7 +1085,26 @@ object TextQueries {
         WITH old_snap AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
         new_snap AS (SELECT text FROM documents WHERE doc_id % 2 = 1),
         ${graft.drift.VocabDrift.sqlVocabDrift("old_snap", "new_snap", 50, 1)}
-        ORDER BY term"""))
+        ORDER BY term""")),
+
+    // Rank-biased overlap of the snapshots' top-100 term rankings (r13 —
+    // Webber, Moffat & Zobel 2010): the ranking-stability companion of
+    // text_vocab_drift — PSI asks "did token mass move?", RBO asks "did
+    // the top-k LIST churn?", top-weighted by the p=0.9 persistence.
+    // The regrouped depth weights are driver-computed constants both
+    // engines read as identical literals (no cross-engine pow).
+    Q("text_vocab_rbo",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.drift.VocabDrift.rbo(
+          d.where(col("doc_id") % 2 === 0),
+          d.where(col("doc_id") % 2 === 1),
+          "text", p = 0.9, depth = 100)
+      },
+      Some(s"""
+        WITH old_snap AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        new_snap AS (SELECT text FROM documents WHERE doc_id % 2 = 1),
+        ${graft.drift.VocabDrift.sqlRbo("old_snap", "new_snap", 0.9, 100)}"""))
   )
 
   /** Handed BPE merge table for the hash-green token-budget oracles: two

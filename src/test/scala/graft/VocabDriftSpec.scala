@@ -62,4 +62,33 @@ class VocabDriftSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VocabDrift.vocabDrift(df, df, "text", smooth = 0))
   }
+
+  test("rbo: identical ranking hits the 1 - p^D closed form; disjoint is 0") {
+    // distinct counts per term so the ranking is unambiguous
+    val a = Seq.tabulate(5)(i => Seq.fill(5 - i)(s"t$i").mkString(" "))
+      .toDF("text")
+    val same = VocabDrift.rbo(a, a, "text", p = 0.9, depth = 5).collect()(0)
+    // identical top-D lists: RBO_trunc = (1-p) * sum p^(d-1) = 1 - p^D
+    assert(same.getAs[Long]("n_common") == 5)
+    assert(math.abs(same.getAs[Double]("rbo") - (1 - math.pow(0.9, 5))) < 1e-6)
+    val b = Seq.tabulate(5)(i => Seq.fill(5 - i)(s"u$i").mkString(" "))
+      .toDF("text")
+    val disj = VocabDrift.rbo(a, b, "text", p = 0.9, depth = 5).collect()(0)
+    assert(disj.getAs[Long]("n_common") == 0 && disj.getAs[Double]("rbo") == 0.0)
+    // a swap NEAR THE TOP costs more than the same swap deeper down:
+    // swap ranks 1,2 vs swap ranks 4,5
+    val topSwap = Seq(5 -> "t1", 4 -> "t0", 3 -> "t2", 2 -> "t3", 1 -> "t4")
+      .map { case (n, t) => Seq.fill(n)(t).mkString(" ") }.toDF("text")
+    val deepSwap = Seq(5 -> "t0", 4 -> "t1", 3 -> "t2", 2 -> "t4", 1 -> "t3")
+      .map { case (n, t) => Seq.fill(n)(t).mkString(" ") }.toDF("text")
+    val rTop = VocabDrift.rbo(a, topSwap, "text", p = 0.9, depth = 5)
+      .collect()(0).getAs[Double]("rbo")
+    val rDeep = VocabDrift.rbo(a, deepSwap, "text", p = 0.9, depth = 5)
+      .collect()(0).getAs[Double]("rbo")
+    assert(rTop < rDeep, s"top swap $rTop should cost more than deep $rDeep")
+    intercept[IllegalArgumentException](
+      VocabDrift.rbo(a, a, "text", p = 1.0))
+    intercept[IllegalArgumentException](
+      VocabDrift.rbo(a, a, "text", depth = 0))
+  }
 }
