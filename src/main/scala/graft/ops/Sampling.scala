@@ -186,6 +186,83 @@ object Sampling {
   def sqlBottomKBucket(key: String, seed: Long = 0L): String =
     sqlBucket(key, seed, BottomKPrime)
 
+  /** Neyman-allocation stratified sampling (Neyman 1934): split a fixed
+    * budget `totalN` across strata PROPORTIONAL TO N_h·S_h — bigger and
+    * more VARIABLE strata get more samples, the allocation that
+    * minimizes the stratified-mean variance at a fixed budget (equal or
+    * proportional allocation wastes budget on low-variance strata). The
+    * audit-set sizing move: "1000 human reviews across 20 sources, where
+    * do they go?".
+    *
+    * Plan arithmetic, cross-engine exact: N_h exact longs; S_h from
+    * (Σv, Σv²) exact-decimal sums of the ≤4dp values rounded to 2dp
+    * BEFORE the double conversion (the Trend.ols decSum rule), then the
+    * sample-variance closed form + sqrt in a fixed IEEE chain; share =
+    * w_h/Σw_h with the total from a strata-bounded window; alloc =
+    * min(N_h, floor(totalN·share + 0.5)) — the rounded allocations may
+    * sum to totalN ± strata/2 (documented; exact apportionment would
+    * need a largest-remainder pass nobody's audit batch needs).
+    * Zero-variance strata get alloc 0 (Neyman's own answer: a constant
+    * stratum needs ONE observation in theory, zero error either way — a
+    * caller wanting coverage floors can max(1, …) downstream);
+    * single-row strata have no sample variance and likewise weight 0.
+    * An ALL-degenerate family (Σw = 0) refuses — there is no allocation
+    * to compute.
+    *
+    * Selection: the [[bottomKSample]] order (Knuth bucket under its own
+    * prime, key tiebreak) cut at each stratum's OWN alloc — same
+    * sort-free [[TopK]] aggregator at k = max alloc, then the per-stratum
+    * cut by one broadcast join. Output: selected rows + `sample_rank`.
+    * [[neymanPlan]] exposes the allocation frame itself. */
+  def neymanPlan(df: DataFrame, strataCol: String, valueCol: String,
+                 totalN: Int): DataFrame = {
+    require(totalN >= 1, s"totalN must be >= 1, got $totalN")
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol).cast(DecimalType(14, 4))
+    val agg = df.where(col(valueCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(v), 2).cast("double").as("_sv"),
+        round(sum(v * v), 2).cast("double").as("_svv"))
+    val n = col("n_rows").cast("double")
+    val variance = (col("_svv") - col("_sv") * col("_sv") / n) / (n - 1)
+    val stddev = when(col("n_rows") >= 2, sqrt(greatest(variance, lit(0.0))))
+      .otherwise(lit(0.0))
+    val fam = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val withW = agg.withColumn("_w", n * stddev)
+      .withColumn("_wtot", sum("_w").over(fam))
+    // an all-degenerate family has no allocation basis — refuse loudly
+    val share = when(col("_wtot") <= 0.0, raise_error(lit(
+      "graft: neyman allocation undefined — every stratum is degenerate " +
+        "(zero variance or a single row); nothing to allocate by")))
+      .otherwise(col("_w") / col("_wtot"))
+    withW.select(col(strataCol), col("n_rows"),
+      graft.Num.dround(stddev, 6).as("stddev"),
+      graft.Num.dround(share, 6).as("share"),
+      least(col("n_rows"),
+        floor(lit(totalN.toDouble) * share + lit(0.5)).cast("long"))
+        .as("alloc"))
+  }
+
+  /** The rows themselves under a [[neymanPlan]] allocation — see there. */
+  def neymanSample(df: DataFrame, keyCol: String, strataCol: String,
+                   valueCol: String, totalN: Int, seed: Long = 0L): DataFrame = {
+    requireIntegralKey(df, keyCol)
+    val plan = neymanPlan(df, strataCol, valueCol, totalN)
+      .select(col(strataCol), col("alloc"))
+    val scored = df.select(col(strataCol),
+      (-bucket(col(keyCol), seed, BottomKPrime)).cast("double").as("_gf_neg"),
+      col(keyCol))
+    // one aggregator pass at the global cap, then each stratum's own cut
+    val sel = TopK.perGroup(scored, Seq(strataCol), "_gf_neg", keyCol, totalN)
+      .select(col(strataCol), col("id").as(keyCol),
+        col("rank").as("sample_rank"))
+      .join(broadcast(plan), Seq(strataCol))
+      .where(col("sample_rank") <= col("alloc"))
+      .drop("alloc")
+    df.join(sel, Seq(strataCol, keyCol))
+  }
+
   /** Exact-k WEIGHTED sampling without replacement per stratum
     * (Efraimidis & Spirakis 2006): each row draws key u^(1/w) and the
     * top-k keys are a weighted sample without replacement — the

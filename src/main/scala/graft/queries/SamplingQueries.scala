@@ -56,6 +56,74 @@ object SamplingQueries {
         WHERE sample_rank <= 7
         ORDER BY lang, sample_rank""")),
 
+    // Neyman-allocation plan (r13 — Neyman 1934): a fixed 100-review
+    // budget split across event types PROPORTIONAL TO N_h·S_h — the
+    // variance-minimizing allocation at a fixed budget, the audit-set
+    // sizing move. Moments ride the Trend.ols decSum rule (exact
+    // decimals, 2dp round before the double conversion); share/alloc a
+    // fixed IEEE chain the oracle replays.
+    Q("sample_neyman_plan",
+      (s, dir) => Sampling.neymanPlan(Tables.events(s, dir),
+          "event_type", "value", totalN = 100)
+        .orderBy("event_type"),
+      Some(s"""
+        WITH nagg AS (
+          SELECT event_type, count(*) AS n_rows,
+                 CAST(round(sum(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sv,
+                 CAST(round(sum(CAST(value AS DECIMAL(14,4))
+                   * CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS svv
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        nst AS (SELECT *, CASE WHEN n_rows >= 2 THEN
+                  sqrt(greatest((svv - sv * sv / CAST(n_rows AS DOUBLE))
+                    / (CAST(n_rows AS DOUBLE) - 1), 0.0))
+                ELSE 0.0 END AS sd FROM nagg),
+        nwt AS (SELECT *, CAST(n_rows AS DOUBLE) * sd AS w,
+                  sum(CAST(n_rows AS DOUBLE) * sd) OVER () AS wtot
+                FROM nst)
+        SELECT event_type, n_rows,
+               ${Q.sqlDround("sd", 6)} AS stddev,
+               ${Q.sqlDround("w / wtot", 6)} AS share,
+               least(n_rows, CAST(floor(CAST(100 AS DOUBLE) * (w / wtot) + 0.5)
+                 AS BIGINT)) AS alloc
+        FROM nwt ORDER BY event_type""")),
+
+    // The Neyman-selected rows themselves: the bottom-k hash order cut
+    // at each stratum's OWN allocation — nested-prefix property intact,
+    // the window form remains the oracle formulation.
+    Q("sample_neyman",
+      (s, dir) => Sampling.neymanSample(Tables.events(s, dir),
+          "event_id", "event_type", "value", totalN = 100)
+        .select(col("event_type"),
+          col("sample_rank").cast("int").as("sample_rank"), col("event_id"))
+        .orderBy("event_type", "sample_rank"),
+      Some(s"""
+        WITH nagg AS (
+          SELECT event_type, count(*) AS n_rows,
+                 CAST(round(sum(CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS sv,
+                 CAST(round(sum(CAST(value AS DECIMAL(14,4))
+                   * CAST(value AS DECIMAL(14,4))), 2) AS DOUBLE) AS svv
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        nst AS (SELECT *, CASE WHEN n_rows >= 2 THEN
+                  sqrt(greatest((svv - sv * sv / CAST(n_rows AS DOUBLE))
+                    / (CAST(n_rows AS DOUBLE) - 1), 0.0))
+                ELSE 0.0 END AS sd FROM nagg),
+        nwt AS (SELECT *, CAST(n_rows AS DOUBLE) * sd AS w,
+                  sum(CAST(n_rows AS DOUBLE) * sd) OVER () AS wtot
+                FROM nst),
+        nplan AS (SELECT event_type,
+                    least(n_rows, CAST(floor(CAST(100 AS DOUBLE) * (w / wtot)
+                      + 0.5) AS BIGINT)) AS alloc
+                  FROM nwt),
+        nrk AS (SELECT event_type, event_id,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY ${Sampling.sqlBottomKBucket("event_id")}, event_id)
+                    AS sample_rank
+                FROM events)
+        SELECT event_type, CAST(sample_rank AS INT) AS sample_rank, event_id
+        FROM nrk JOIN nplan USING (event_type)
+        WHERE sample_rank <= alloc
+        ORDER BY event_type, sample_rank""")),
+
     // Exact-k WEIGHTED sampling without replacement per language (§2
     // row 162 — Efraimidis & Spirakis): selection pressure ∝ n_chars,
     // exactly 6 docs per lang; the oracle re-ranks on the identical

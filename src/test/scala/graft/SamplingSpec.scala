@@ -228,4 +228,50 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("must be positive") ||
       Option(e.getCause).exists(_.getMessage.contains("must be positive")))
   }
+
+  test("neyman: allocation follows N_h * S_h; degenerate strata get zero") {
+    // stratum a: 100 rows, high spread; b: 100 rows, low spread;
+    // c: constant (S=0); d: single row
+    val rows =
+      (1 to 100).map(i => (i.toLong, "a", if (i % 2 == 0) 100.0 else 0.0)) ++
+      (1 to 100).map(i => (i.toLong + 1000, "b", if (i % 2 == 0) 51.0 else 49.0)) ++
+      (1 to 100).map(i => (i.toLong + 2000, "c", 10.0)) ++
+      Seq((3001L, "d", 5.0))
+    val df = rows.toDF("id", "grp", "v")
+    val plan = Sampling.neymanPlan(df, "grp", "v", totalN = 60)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("share"),
+          r.getAs[Long]("alloc"))).toMap
+    // equal sizes, so allocation ratio = stddev ratio ≈ 50.25 : 1.005
+    assert(plan("a")._3 > 50 && plan("b")._3 >= 1,
+      s"high-spread stratum should dominate: $plan")
+    assert(plan("c")._3 == 0 && plan("d")._3 == 0,
+      s"degenerate strata must get zero: $plan")
+    assert(math.abs(plan.values.map(_._2).sum - 1.0) < 1e-5, "shares sum to 1")
+
+    // the sample honors the per-stratum cut and the bottom-k nesting
+    val sel = Sampling.neymanSample(df, "id", "grp", "v", totalN = 60)
+    val byGrp = sel.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.getOrElse("a", 0L) == plan("a")._3)
+    assert(byGrp.getOrElse("b", 0L) == plan("b")._3)
+    assert(!byGrp.contains("c") && !byGrp.contains("d"))
+    // nested-prefix: the rank-<=j prefix of the selection is bottomK(j)
+    val j = math.min(3, plan("a")._3).toInt
+    val prefix = sel.where(col("grp") === "a" && col("sample_rank") <= j)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val bk = Sampling.bottomKSample(df.where(col("grp") === "a"), "id", "grp", j)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(prefix == bk)
+
+    // all-degenerate family refuses
+    val flat = Seq((1L, "x", 1.0), (2L, "x", 1.0)).toDF("id", "grp", "v")
+    val e2 = intercept[Exception] {
+      Sampling.neymanPlan(flat, "grp", "v", totalN = 10).collect()
+    }
+    assert(e2.getMessage.contains("degenerate") ||
+      Option(e2.getCause).exists(_.getMessage.contains("degenerate")))
+    intercept[IllegalArgumentException](
+      Sampling.neymanPlan(df, "grp", "v", totalN = 0))
+  }
 }
