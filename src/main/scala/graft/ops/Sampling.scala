@@ -47,6 +47,7 @@ object Sampling {
   private[graft] val QuotaPrime      = 999999761L
   private[graft] val BottomKPrime    = 999999751L
   private[graft] val WeightedKPrime  = 999999599L
+  private[graft] val NeymanPrime     = 999999937L
 
   /** Bucket in [0, Buckets) from a non-negative integral key; keys must
     * stay below ~3.4e9 to avoid BIGINT overflow in external engines (Spark
@@ -250,8 +251,12 @@ object Sampling {
     requireIntegralKey(df, keyCol)
     val plan = neymanPlan(df, strataCol, valueCol, totalN)
       .select(col(strataCol), col("alloc"))
+    // folded bucket under an own prime: the legacy shape overflows
+    // (loudly, under ANSI) past keys ~3.4e9 — the ladder's shifted
+    // event-id bands hit exactly that (the weightedKSample precedent)
     val scored = df.select(col(strataCol),
-      (-bucket(col(keyCol), seed, BottomKPrime)).cast("double").as("_gf_neg"),
+      (-bucketFolded(col(keyCol), seed, NeymanPrime)).cast("double")
+        .as("_gf_neg"),
       col(keyCol))
     // one aggregator pass at the global cap, then each stratum's own cut
     val sel = TopK.perGroup(scored, Seq(strataCol), "_gf_neg", keyCol, totalN)

@@ -116,7 +116,8 @@ object SamplingQueries {
                   FROM nwt),
         nrk AS (SELECT event_type, event_id,
                   row_number() OVER (PARTITION BY event_type
-                    ORDER BY ${Sampling.sqlBottomKBucket("event_id")}, event_id)
+                    ORDER BY ${Sampling.sqlBucketFolded("event_id", 0L,
+                      Sampling.NeymanPrime)}, event_id)
                     AS sample_rank
                 FROM events)
         SELECT event_type, CAST(sample_rank AS INT) AS sample_rank, event_id

@@ -256,13 +256,12 @@ class SamplingSpec extends SparkSpec {
     assert(byGrp.getOrElse("a", 0L) == plan("a")._3)
     assert(byGrp.getOrElse("b", 0L) == plan("b")._3)
     assert(!byGrp.contains("c") && !byGrp.contains("d"))
-    // nested-prefix: the rank-<=j prefix of the selection is bottomK(j)
-    val j = math.min(3, plan("a")._3).toInt
-    val prefix = sel.where(col("grp") === "a" && col("sample_rank") <= j)
+    // nested-prefix: a smaller budget's selection is a strict prefix of
+    // a larger one's (same hash order, lower cuts)
+    val small = Sampling.neymanSample(df, "id", "grp", "v", totalN = 20)
       .select("id").collect().map(_.getLong(0)).toSet
-    val bk = Sampling.bottomKSample(df.where(col("grp") === "a"), "id", "grp", j)
-      .select("id").collect().map(_.getLong(0)).toSet
-    assert(prefix == bk)
+    val big = sel.select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "smaller budget must nest inside larger")
 
     // all-degenerate family refuses
     val flat = Seq((1L, "x", 1.0), (2L, "x", 1.0)).toDF("id", "grp", "v")
