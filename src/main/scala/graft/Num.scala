@@ -36,8 +36,15 @@ object Num {
     * per-entity statistics (lifetimes, CUPED arms) instead of failing. */
   def longKey(c: Column, label: String): Column = {
     val cast = c.try_cast("bigint")
-    when(c.isNotNull && cast.isNull, raise_error(concat(
-      lit(s"graft: '$label' is not a BIGINT-coercible entity key: "),
-      c.cast("string")))).otherwise(cast)
+    // Round-trip guard: a fractional numeric TRUNCATES under a bigint
+    // cast (12.7 → 12), silently merging distinct malformed keys into one
+    // pseudo-entity — the exact failure this guard exists to refuse. The
+    // comparison side uses try_cast so a non-numeric string stays on the
+    // cast.isNull branch instead of throwing an anonymous ANSI error.
+    when(c.isNotNull &&
+      (cast.isNull || cast.cast("double") =!= c.try_cast("double")),
+      raise_error(concat(
+        lit(s"graft: '$label' is not a BIGINT-coercible entity key: "),
+        c.cast("string")))).otherwise(cast)
   }
 }

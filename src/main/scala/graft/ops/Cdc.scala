@@ -118,21 +118,51 @@ object Cdc {
     val out = f.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(mp)) f.delete(mp, false)
-    if (!f.rename(tmp, mp)) throw new IllegalStateException(
-      s"CDC manifest commit failed: could not rename $tmp over $mp")
+    // Atomic overwrite where the FS provides it (FileContext.rename with
+    // OVERWRITE — atomic on HDFS; plain FileSystem.rename refuses an
+    // existing target, which is why the naive shape needed a delete first
+    // and left a missing-manifest window between delete and rename).
+    // Stores without FileContext support fall back to delete+rename;
+    // readManifest absorbs that tiny window with a bounded retry.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        mp.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException |
+           _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(mp)) f.delete(mp, false)
+        if (!f.rename(tmp, mp)) throw new IllegalStateException(
+          s"CDC manifest commit failed: could not rename $tmp over $mp")
+    }
   }
 
   private def readManifest(spark: org.apache.spark.sql.SparkSession,
                            path: String): java.util.Map[String, Object] = {
     val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
-    if (!fs(spark, path).exists(mp)) throw new IllegalArgumentException(
-      s"no CDC snapshot manifest at $path — nothing was written here, or " +
-        "the write was interrupted before completion (manifest is last)")
-    val in = fs(spark, path).open(mp)
-    val raw =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    // Bounded retry on a missing manifest: on stores without an atomic
+    // overwrite-rename, a concurrent writeManifest has a tiny
+    // delete→rename window where no manifest exists — retry briefly
+    // before concluding nothing was ever written here.
+    def openRaw(attempt: Int): String = {
+      val f = fs(spark, path)
+      if (!f.exists(mp)) {
+        if (attempt < 5) { Thread.sleep(40L << attempt); openRaw(attempt + 1) }
+        else throw new IllegalArgumentException(
+          s"no CDC snapshot manifest at $path — nothing was written here, or " +
+            "the write was interrupted before completion (manifest is last)")
+      } else {
+        val in =
+          try f.open(mp)
+          catch {
+            case _: java.io.FileNotFoundException if attempt < 5 =>
+              Thread.sleep(40L << attempt); return openRaw(attempt + 1)
+          }
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+    }
+    val raw = openRaw(0)
     val m =
       try {
         val y = new org.yaml.snakeyaml.Yaml(

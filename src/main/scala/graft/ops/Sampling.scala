@@ -230,8 +230,14 @@ object Sampling {
     val stddev = when(col("n_rows") >= 2, sqrt(greatest(variance, lit(0.0))))
       .otherwise(lit(0.0))
     val fam = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val withW = agg.withColumn("_w", n * stddev)
-      .withColumn("_wtot", sum("_w").over(fam))
+    // w_h dround'd to a fixed scale, family total as an exact DECIMAL sum
+    // (the cvmByPeriod/rbo discipline): a raw double window sum is
+    // reduction-order-dependent in the last ulps, and row order after the
+    // groupBy shuffle is nondeterministic — a latent hash flake at a
+    // dround(share) or floor(totalN·share+0.5) boundary.
+    val withW = agg.withColumn("_w", graft.Num.dround(n * stddev, 6))
+      .withColumn("_wtot",
+        sum(col("_w").cast(DecimalType(38, 6))).over(fam).cast("double"))
     // an all-degenerate family has no allocation basis — refuse loudly
     val share = when(col("_wtot") <= 0.0, raise_error(lit(
       "graft: neyman allocation undefined — every stratum is degenerate " +

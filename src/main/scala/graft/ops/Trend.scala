@@ -181,8 +181,11 @@ object Trend {
     val n = col("n_days")
     val varS = (n * (n - 1) * (lit(2) * n + 5) - col("_corr"))
       .cast("double") / 18.0
-    nd.join(s, gNames).join(ties, gNames)
-      .select(gs :+ col("n_days") :+ col("s") :+
+    // LEFT join on s: a single-day group yields no pair rows, but the
+    // documented contract is that degenerate series surface as
+    // (n_days=1, s=0, var_s=0, z=null) — not as omitted rows.
+    nd.join(s, gNames, "left").join(ties, gNames)
+      .select(gs :+ col("n_days") :+ coalesce(col("s"), lit(0L)).as("s") :+
         graft.Num.dround(varS, 6).as("var_s") :+
         when(varS > 0, graft.Num.dround(
           (col("s") - signum(col("s"))).cast("double") / sqrt(varS), 6))
@@ -409,10 +412,11 @@ object Trend {
                   GROUP BY 1),
        mknd AS (SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_days
                 FROM mkdaily GROUP BY 1),
-       mkvar AS (SELECT n.$groupCol, n.n_days, s.s,
+       mkvar AS (SELECT n.$groupCol, n.n_days,
+                   CAST(coalesce(s.s, 0) AS BIGINT) AS s,
                    CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
                      - t.corr AS DOUBLE) / 18.0 AS var_s
-                 FROM mknd n JOIN mks s USING ($groupCol)
+                 FROM mknd n LEFT JOIN mks s USING ($groupCol)
                  JOIN mkties t USING ($groupCol))
        SELECT $groupCol, n_days, s,
               floor(var_s * 1e6 + 0.5) / 1e6 AS var_s,

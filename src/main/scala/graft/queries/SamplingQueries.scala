@@ -77,8 +77,9 @@ object SamplingQueries {
                   sqrt(greatest((svv - sv * sv / CAST(n_rows AS DOUBLE))
                     / (CAST(n_rows AS DOUBLE) - 1), 0.0))
                 ELSE 0.0 END AS sd FROM nagg),
-        nwt AS (SELECT *, CAST(n_rows AS DOUBLE) * sd AS w,
-                  sum(CAST(n_rows AS DOUBLE) * sd) OVER () AS wtot
+        nwt AS (SELECT *, floor(CAST(n_rows AS DOUBLE) * sd * 1e6 + 0.5) / 1e6 AS w,
+                  CAST(sum(CAST(floor(CAST(n_rows AS DOUBLE) * sd * 1e6 + 0.5) / 1e6
+                    AS DECIMAL(38,6))) OVER () AS DOUBLE) AS wtot
                 FROM nst)
         SELECT event_type, n_rows,
                ${Q.sqlDround("sd", 6)} AS stddev,
@@ -107,8 +108,9 @@ object SamplingQueries {
                   sqrt(greatest((svv - sv * sv / CAST(n_rows AS DOUBLE))
                     / (CAST(n_rows AS DOUBLE) - 1), 0.0))
                 ELSE 0.0 END AS sd FROM nagg),
-        nwt AS (SELECT *, CAST(n_rows AS DOUBLE) * sd AS w,
-                  sum(CAST(n_rows AS DOUBLE) * sd) OVER () AS wtot
+        nwt AS (SELECT *, floor(CAST(n_rows AS DOUBLE) * sd * 1e6 + 0.5) / 1e6 AS w,
+                  CAST(sum(CAST(floor(CAST(n_rows AS DOUBLE) * sd * 1e6 + 0.5) / 1e6
+                    AS DECIMAL(38,6))) OVER () AS DOUBLE) AS wtot
                 FROM nst),
         nplan AS (SELECT event_type,
                     least(n_rows, CAST(floor(CAST(100 AS DOUBLE) * (w / wtot)

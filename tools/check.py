@@ -43,13 +43,20 @@ def main():
     # chain. Fails the gate on any bare site.
     import re as _re
     ceil_bare = _re.compile(r"ceil\(\s*\d+\.\d+\s*\*", _re.IGNORECASE)
+    # Lint-failing oracles are EXCLUDED from the comparison loop below:
+    # counting the same oracle in both lanes would let n_pass+n_fail
+    # exceed the oracle count and overstate the PASS tally on a lint hit.
+    lint_failed = set()
     for name, sql in sorted(oracles.items()):
         hits = ceil_bare.findall(sql)
         if hits:
             print(f"FAIL {name}: bare decimal-literal ceil in oracle SQL "
                   f"({hits[0]}...) — use ceil(CAST(x AS DOUBLE) * ...)")
             n_fail += 1
+            lint_failed.add(name)
     for name, sql in sorted(oracles.items()):
+        if name in lint_failed:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
