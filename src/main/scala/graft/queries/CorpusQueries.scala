@@ -45,6 +45,30 @@ object CorpusQueries {
               '.17 ssn 123-45-6789'
          ELSE '' END"""
 
+  /** Deterministic v2 PII planting: the v1 trio on every 7th doc, plus a
+    * phone + Luhn-VALID test PAN on every 11th (alternating formats /
+    * networks), and a Luhn-FAILING 16-digit run on every 13th that the
+    * checksum gate must leave alone. */
+  private[queries] def plantPiiV2(df: DataFrame): DataFrame =
+    plantPii(df).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 11 === 0,
+          when(col("doc_id") % 2 === 0,
+            lit(" call +1-415-555-0123 card 4111111111111111"))
+            .otherwise(lit(" dial (415) 555-0123 card 5500005555555559")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" ref 4111111111111112 ok"))
+          .otherwise(lit(""))))
+
+  /** DuckDB mirror of [[plantPiiV2]]'s text expression. */
+  private[queries] val sqlPiiTextV2: String =
+    s"""($sqlPiiText) || CASE WHEN doc_id % 11 = 0 THEN
+           CASE WHEN doc_id % 2 = 0
+                THEN ' call +1-415-555-0123 card 4111111111111111'
+                ELSE ' dial (415) 555-0123 card 5500005555555559' END
+         ELSE '' END
+       || CASE WHEN doc_id % 13 = 0 THEN ' ref 4111111111111112 ok' ELSE '' END"""
+
   private val sqlToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
   /** Contamination fixture shared by the exact and Bloom decontamination
@@ -619,6 +643,29 @@ object CorpusQueries {
                CAST(len(regexp_extract_all(text, '${CorpusOps.Ipv4Pattern}')) AS INT) AS n_ip,
                CAST(len(regexp_extract_all(text, '${CorpusOps.SsnPattern}')) AS INT) AS n_ssn,
                md5(${CorpusOps.sqlRedact("text")}) AS redacted_hash
+        FROM t ORDER BY doc_id""")),
+
+    // v2 PII scan (r14): the v1 trio plus phone (two formats planted) and
+    // PAN gated by the Luhn checksum — every 11th doc gets a phone + a
+    // valid test PAN, every 13th a 16-digit Luhn-FAILING run that must
+    // count 0 and survive redaction untouched (the false-positive class
+    // the checksum exists to exclude).
+    Q("text_pii_v2",
+      (s, dir) => CorpusOps.piiSignalsV2(
+        plantPiiV2(Tables.documents(s, dir).select("doc_id", "text")),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $sqlPiiTextV2 AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '${CorpusOps.EmailPattern}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '${CorpusOps.Ipv4Pattern}')) AS INT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '${CorpusOps.SsnPattern}')) AS INT) AS n_ssn,
+               CAST(len(regexp_extract_all(text, '${CorpusOps.PhonePattern}')) AS INT) AS n_phone,
+               CAST(len(list_filter(regexp_extract_all(text, '${CorpusOps.PanPattern}'),
+                 x -> ${CorpusOps.sqlLuhnValid("x")})) AS INT) AS n_pan,
+               md5(${CorpusOps.sqlRedactV2("text")}) AS redacted_hash
         FROM t ORDER BY doc_id""")),
 
     // SemDedup: scaled clones (same direction => cosine 1) of every 10th

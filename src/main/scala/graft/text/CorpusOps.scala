@@ -304,6 +304,91 @@ object CorpusOps {
       md5(redact(c).cast("binary")).as("redacted_hash"))
   }
 
+  /** v2 PII pack: E.164/US phone (3-3-4 digit groups, optional +1/1
+    * prefix, REQUIRED separators between groups — a bare 11-digit run is
+    * not a phone) and 16-digit PAN candidates gated by the Luhn checksum
+    * (detection counts and redaction touch ONLY checksum-valid PANs; a
+    * 16-digit run failing Luhn is a random id, not a card — redacting it
+    * would be the false-positive class a release gate must not have).
+    * Same RE2-safe pattern discipline as the v1 trio (reference
+    * ingest_pipeline PII handling parity; patterns restricted to the
+    * subset Java and RE2 engines interpret identically). */
+  val PhonePattern =
+    "(\\+?1[-. ]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val PanPattern = "\\b[0-9]{16}\\b"
+
+  /** Luhn checksum of a 16-digit candidate string: for even length the
+    * doubled digits sit at ODD 1-based positions from the LEFT; dbl(d) =
+    * 2d − 9·[d ≥ 5]. Pure positional integer arithmetic — the identical
+    * expression runs in both engines ([[sqlLuhnValid]]). */
+  def luhnValid(c: Column): Column = {
+    val total = aggregate(sequence(lit(1), lit(16)), lit(0), (acc, p) => {
+      val d = c.substr(p, lit(1)).cast("int")
+      acc + when(p % 2 === 1, d * 2 - when(d >= 5, 9).otherwise(0)).otherwise(d)
+    })
+    length(c) === 16 && total % 10 === 0
+  }
+
+  /** DuckDB mirror of [[luhnValid]] over a VARCHAR expression `x`. */
+  def sqlLuhnValid(x: String): String =
+    s"""(length($x) = 16 AND list_sum(list_transform(generate_series(1, 16), p ->
+        CASE WHEN p % 2 = 1
+             THEN CAST(substring($x, p, 1) AS INT) * 2
+                  - CASE WHEN CAST(substring($x, p, 1) AS INT) >= 5 THEN 9 ELSE 0 END
+             ELSE CAST(substring($x, p, 1) AS INT) END)) % 10 = 0)"""
+
+  /** Luhn-valid PAN candidates of a text column, in document order. */
+  def validPans(c: Column): Column =
+    filter(regexp_extract_all(c, lit(PanPattern), lit(0)), luhnValid _)
+
+  /** v2 redaction order (the v1 contract extended): emails first, then
+    * Luhn-valid PANs (longest digit runs — scanned on the email-redacted
+    * text so an address's digit run can't double-count), then phones,
+    * then IPs, then SSNs. PAN replacement folds over the valid-candidate
+    * list with a \b-anchored literal pattern per candidate (digits only,
+    * so the built regex is injection-free); duplicate candidates are
+    * no-ops after the first global replace. */
+  def redactV2(c: Column): Column = {
+    val e = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val p = aggregate(validPans(e), e, (acc, x) =>
+      regexp_replace(acc, concat(lit("\\b"), x, lit("\\b")), lit("<PAN>")))
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(p, PhonePattern, "<PHONE>"),
+        Ipv4Pattern, "<IP>"),
+      SsnPattern, "<SSN>")
+  }
+
+  /** DuckDB mirror of [[redactV2]] — built from the SAME pattern
+    * constants and the same email → PAN → phone → IP → SSN order. */
+  def sqlRedactV2(e: String): String = {
+    val er = s"regexp_replace($e, '$EmailPattern', '<EMAIL>', 'g')"
+    val panFold =
+      s"""list_reduce(list_prepend($er,
+            list_filter(regexp_extract_all($er, '$PanPattern'),
+              x -> ${sqlLuhnValid("x")})),
+          (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '<PAN>', 'g'))"""
+    s"""regexp_replace(regexp_replace(regexp_replace($panFold,
+        '$PhonePattern', '<PHONE>', 'g'),
+        '$Ipv4Pattern', '<IP>', 'g'),
+        '$SsnPattern', '<SSN>', 'g')"""
+  }
+
+  /** Per-document v2 PII scan: the v1 counts plus phone and Luhn-valid
+    * PAN counts, and the md5 of the [[redactV2]] text. Counts scan the
+    * raw text; still one codegen'd per-row projection, no shuffle. */
+  def piiSignalsV2(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_count(c, lit(EmailPattern)).as("n_email"),
+      regexp_count(c, lit(Ipv4Pattern)).as("n_ip"),
+      regexp_count(c, lit(SsnPattern)).as("n_ssn"),
+      regexp_count(c, lit(PhonePattern)).as("n_phone"),
+      size(validPans(c)).as("n_pan"),
+      md5(redactV2(c).cast("binary")).as("redacted_hash"))
+  }
+
   /** Cross-document repeated-SPAN removal — exact substring dedup in the
     * style of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better" (ACL 2022, public paper): every n-token span that

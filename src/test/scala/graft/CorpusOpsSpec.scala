@@ -176,6 +176,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(red.contains("mail <EMAIL> and <EMAIL> ip <IP> ssn <SSN>"))
   }
 
+  test("piiSignalsV2 adds phone + Luhn-gated PAN; invalid checksum survives") {
+    val docs = Seq(
+      (1L, "call +1-415-555-0123 or (212) 555-9876 card 4111111111111111"),
+      (2L, "ref 4111111111111112 ok card 5500005555555559"),
+      (3L, "mail a@b.co ip 10.0.0.1 ssn 123-45-6789 plain 12345678901234567"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.piiSignalsV2(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: two phones (both formats), one valid PAN
+    assert((out(0).getInt(4), out(0).getInt(5)) === ((2, 1)))
+    // doc 2: the Luhn-failing run counts 0; the valid MasterCard counts 1
+    assert((out(1).getInt(4), out(1).getInt(5)) === ((0, 1)))
+    // doc 3: v1 trio intact; the 17-digit run is no PAN candidate at all
+    assert((out(2).getInt(1), out(2).getInt(2), out(2).getInt(3),
+      out(2).getInt(5)) === ((1, 1, 1, 0)))
+    val red = docs.select(CorpusOps.redactV2(col("text")).as("r"))
+      .as[String].collect()
+    assert(red(0) === "call <PHONE> or <PHONE> card <PAN>")
+    // checksum-failing 16-digit run is untouched; the valid one redacts
+    assert(red(1) === "ref 4111111111111112 ok card <PAN>")
+    assert(red(2) === "mail <EMAIL> ip <IP> ssn <SSN> plain 12345678901234567")
+  }
+
   test("semantic dedup drops scaled clones, keeps originals") {
     // 20 well-separated random-ish vectors + scaled clones of 5 of them
     val rnd = new scala.util.Random(7)
