@@ -300,6 +300,75 @@ object NormalizeQueries {
           FROM pairs)
         SELECT dirty_name, p_name AS match_id,
                floor(s * 1e6 + 0.5) / 1e6 AS score, n_candidates
-        FROM best WHERE rn = 1 ORDER BY dirty_name"""))
+        FROM best WHERE rn = 1 ORDER BY dirty_name""")),
+
+    // URL canonicalization (r14): scheme/host lowercased, default port +
+    // fragment stripped, tracking params removed (order of survivors
+    // preserved), empty path -> '/', non-URLs pass through trimmed. The
+    // fixture plants every variant class deterministically.
+    Q("normalize_url",
+      (s, dir) => Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", plantUrl)
+        .select(col("doc_id"), col("url"),
+          UrlOps.canonicalize(col("url")).as("url_canon"))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlPlantUrl AS url FROM documents)
+        SELECT doc_id, url, ${UrlOps.sqlCanonicalize("url")} AS url_canon
+        FROM t ORDER BY doc_id""")),
+
+    // URL-keyed dedup (r14): the free FIRST dedup pass of a web-corpus
+    // pipeline (RefinedWeb order) — group on the canonical form, keep the
+    // smallest doc_id. The fixture maps ~10 raw variants onto each
+    // canonical key (case, port, fragment, tracking-param churn).
+    Q("dedup_url",
+      (s, dir) => UrlOps.dedupByUrl(
+          Tables.documents(s, dir).select(col("doc_id"))
+            .withColumn("url", plantUrl),
+          "doc_id", "url")
+        .orderBy("url_canon"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlPlantUrl AS url FROM documents),
+        c AS (SELECT doc_id, ${UrlOps.sqlCanonicalize("url")} AS url_canon FROM t)
+        SELECT url_canon, min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM c GROUP BY url_canon ORDER BY url_canon"""))
   )
+
+  /** Deterministic URL planting over `documents`: three variant classes —
+    * https with default port + tracking params + fragment (case-mangled
+    * host), http:80 with a fbclid mixed among real params, and a
+    * passthrough non-URL — built so ~10 raw forms collapse per canonical
+    * key while real params (id=…) keep distinct keys distinct. */
+  private def plantUrl = {
+    val d = col("doc_id")
+    when(d % 10 === 9, concat(lit("  not a url "), d.cast("string"), lit("  ")))
+      .when(d % 3 === 0,
+        concat(lit("HTTP://Example"), (d % 7).cast("string"),
+          lit(".com:80/a/B"), (d % 20).cast("string"),
+          lit("?x="), (d % 4).cast("string"),
+          lit("&fbclid=f"), d.cast("string"), lit("&y=2")))
+      .otherwise(
+        concat(lit("HTTPS://WWW.Example"), (d % 7).cast("string"),
+          lit(".COM:443/Path"), (d % 20).cast("string"),
+          lit("?utm_source=feed&id="), (d % 4).cast("string"),
+          lit("&utm_campaign=c"), d.cast("string"),
+          lit("#sec"), d.cast("string")))
+  }
+
+  // def, not val: referenced from `all`'s initializer above — a val here
+  // would still be null when the query list is built
+  private def sqlPlantUrl: String =
+    """CASE WHEN doc_id % 10 = 9
+         THEN '  not a url ' || CAST(doc_id AS VARCHAR) || '  '
+       WHEN doc_id % 3 = 0
+         THEN 'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com:80/a/B' || CAST(doc_id % 20 AS VARCHAR)
+              || '?x=' || CAST(doc_id % 4 AS VARCHAR)
+              || '&fbclid=f' || CAST(doc_id AS VARCHAR) || '&y=2'
+       ELSE 'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+              || '.COM:443/Path' || CAST(doc_id % 20 AS VARCHAR)
+              || '?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR)
+              || '&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+              || '#sec' || CAST(doc_id AS VARCHAR) END"""
 }
