@@ -360,6 +360,70 @@ object Drift {
       .orderBy("period")
   }
 
+  /** Per-period bounded-divergence time series: one [[divergences]]-style
+    * (JS, Hellinger, TV) total per PERIOD of the target against the fixed
+    * base reference — the drift-dashboard family closed symmetrically
+    * (PSI has [[psiByPeriod]], KS/CvM have their per-period forms; this
+    * gives the ε-free bounded pack the same axis). Bins come from the
+    * BASE bounds so every period scores on the same grid.
+    *
+    * Scale: identical to [[psiByPeriod]] — one 1-row bounds pass, one
+    * ≤bins base aggregate, one ≤periods×bins target aggregate (map-side
+    * combined); totals are per-period decimal sums of 6dp-rounded terms
+    * over the cell frame. All-null periods surface as (period, 0, null…)
+    * rather than dropping. */
+  def divergencesByPeriod(base: DataFrame, target: DataFrame, column: String,
+                          periodCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"divergencesByPeriod needs bins > 0, got $bins")
+    val x = col(column).cast(DoubleType)
+    val bounds = base.agg(min(x).as("_gf_lo"), max(x).as("_gf_hi"))
+    val baseCnt = base.filter(x.isNotNull).crossJoin(broadcast(bounds))
+      .groupBy(psiBinId(x, bins).as("bin_id")).agg(count(lit(1)).as("base_cnt"))
+    val tgtCnt = target.filter(col(periodCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .groupBy(col(periodCol).as("period"),
+        when(x.isNotNull, psiBinId(x, bins)).as("bin_id"))
+      .agg(count(x).as("target_cnt"))
+    val periods = tgtCnt.select("period").distinct()
+    val allBins = base.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin_id"))
+    val perPeriod = org.apache.spark.sql.expressions.Window.partitionBy("period")
+    val p = col("bp"); val q = col("tp")
+    val m = (p + q) / lit(2.0)
+    val jsTerm = graft.Num.dround(
+      lit(0.5) * when(p > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        lit(0.5) * when(q > 0, q * log(q / m)).otherwise(lit(0.0)), 6)
+    val hellTerm = graft.Num.dround(
+      (sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)), 6)
+    val tvTerm = graft.Num.dround(lit(0.5) * abs(p - q), 6)
+    val cells = periods.crossJoin(allBins)
+      .join(tgtCnt, Seq("period", "bin_id"), "left")
+      .join(broadcast(baseCnt), Seq("bin_id"), "left")
+      .withColumn("base_cnt", coalesce(col("base_cnt"), lit(0L)))
+      .withColumn("target_cnt", coalesce(col("target_cnt"), lit(0L)))
+      .withColumn("bp", when(sum("base_cnt").over(perPeriod) > 0,
+        col("base_cnt").cast(DoubleType)
+          / sum("base_cnt").over(perPeriod).cast(DoubleType)))
+      .withColumn("tp", when(sum("target_cnt").over(perPeriod) > 0,
+        col("target_cnt").cast(DoubleType)
+          / sum("target_cnt").over(perPeriod).cast(DoubleType)))
+      .withColumn("js_term", jsTerm)
+      .withColumn("hell_term", hellTerm)
+      .withColumn("tv_term", tvTerm)
+    def decTotal(c: String): Column =
+      sum(col(c).cast(DecimalType(38, 6))).cast(DoubleType)
+    val bothSides = sum(col("base_cnt")) > 0 && sum(col("target_cnt")) > 0
+    cells.groupBy("period")
+      .agg(
+        sum("target_cnt").as("n_target"),
+        when(bothSides, decTotal("js_term")).as("js_div"),
+        when(bothSides,
+          graft.Num.dround(sqrt(lit(0.5) * decTotal("hell_term")), 6))
+          .as("hellinger"),
+        when(bothSides, decTotal("tv_term")).as("tv_dist"))
+      .orderBy("period")
+  }
+
   /** Freeze a PSI reference from a batch baseline: (lo, hi, per-bin
     * proportions). This is the dimension-sized snapshot a STREAMING drift
     * monitor carries — the baseline frame itself never rides the stream;

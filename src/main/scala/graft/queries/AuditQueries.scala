@@ -457,6 +457,62 @@ object AuditQueries {
                CAST(sum(CAST(psi_term AS DECIMAL(38,6))) AS DOUBLE) AS psi_total
         FROM scored GROUP BY period ORDER BY period""")),
 
+    // Bounded-divergence pack per month vs the fixed 1996 reference
+    // (r14): JS/Hellinger/TV get the same time-series axis PSI/KS/CvM
+    // already have — the drift-dashboard family closed symmetrically,
+    // off the same base-bounds grid so totals compare across periods.
+    Q("drift_divergence_timeseries",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val base = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val target = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .withColumn("period",
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+        Drift.divergencesByPeriod(base, target, "o_totalprice", "period", bins = 10)
+      },
+      Some("""
+        WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate < TIMESTAMP '1997-01-01'
+                        AND o_totalprice IS NOT NULL),
+        tgt AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS period,
+                       CAST(o_totalprice AS DOUBLE) AS x
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_totalprice IS NOT NULL),
+        bounds AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS DOUBLE) AS nb FROM base),
+        bb AS (SELECT CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM base, bounds GROUP BY 1),
+        tb AS (SELECT period,
+                      CAST(least(9.0, greatest(0.0, floor((x - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin_id,
+                      count(*) AS c FROM tgt, bounds GROUP BY 1, 2),
+        periods AS (SELECT DISTINCT period FROM tb),
+        bins AS (SELECT CAST(g AS INT) AS bin_id FROM generate_series(0, 9) t(g)),
+        cells AS (
+          SELECT p.period, b.bin_id,
+                 CAST(coalesce(tb.c, 0) AS BIGINT) AS target_cnt,
+                 CAST(coalesce(bb.c, 0) AS DOUBLE) / nb AS bp
+          FROM periods p CROSS JOIN bins b
+          LEFT JOIN tb ON tb.period = p.period AND tb.bin_id = b.bin_id
+          LEFT JOIN bb ON bb.bin_id = b.bin_id, bounds),
+        props AS (
+          SELECT period, target_cnt, bp,
+                 CAST(target_cnt AS DOUBLE)
+                   / sum(target_cnt) OVER (PARTITION BY period) AS tp
+          FROM cells),
+        terms AS (
+          SELECT period, target_cnt,
+                 floor((0.5 * (CASE WHEN bp > 0 THEN bp * ln(bp / ((bp + tp) / 2.0)) ELSE 0.0 END)
+                      + 0.5 * (CASE WHEN tp > 0 THEN tp * ln(tp / ((bp + tp) / 2.0)) ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS js_term,
+                 floor(((sqrt(bp) - sqrt(tp)) * (sqrt(bp) - sqrt(tp))) * 1e6 + 0.5) / 1e6 AS hell_term,
+                 floor((0.5 * abs(bp - tp)) * 1e6 + 0.5) / 1e6 AS tv_term
+          FROM props)
+        SELECT period, CAST(sum(target_cnt) AS BIGINT) AS n_target,
+               CAST(sum(CAST(js_term AS DECIMAL(38,6))) AS DOUBLE) AS js_div,
+               floor(sqrt(0.5 * CAST(sum(CAST(hell_term AS DECIMAL(38,6))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hellinger,
+               CAST(sum(CAST(tv_term AS DECIMAL(38,6))) AS DOUBLE) AS tv_dist
+        FROM terms GROUP BY period ORDER BY period""")),
+
     // Per-source drift: each source's QUALITY-SCORE distribution scored
     // against the whole corpus (psiByPeriod with period = source) — the
     // "which feed went bad" diagnostic a multi-source curation dashboard

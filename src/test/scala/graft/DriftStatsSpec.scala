@@ -107,6 +107,28 @@ class DriftStatsSpec extends SparkSpec {
     assert(nulls(1) === ((1000L, true)) && nulls(2) === ((500L, true)))
   }
 
+  test("divergencesByPeriod scores JS/Hellinger/TV per period on the base grid") {
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    val target = ((1 to 1000).map(i => (Some((i % 100).toDouble), 1)) ++
+      (1 to 500).map(i => (Some(90.0 + i % 10), 2)) ++
+      (1 to 50).map(_ => (Option.empty[Double], 3))).toDF("x", "p")
+    val out = Drift.divergencesByPeriod(base, target, "x", "p", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    // identical period: all three ~0
+    assert(out(1)._2.get < 1e-6 && out(1)._3.get < 1e-3 && out(1)._4.get < 1e-6,
+      s"identical period drifted: ${out(1)}")
+    // collapsed period: JS near ln2·(9/10 of mass moved), TV = 0.9
+    assert(out(2)._2.get > 0.4 && out(2)._4.get === 0.9,
+      s"collapsed period not flagged: ${out(2)}")
+    assert(out(2)._3.get > 0.5)
+    // outage month surfaces as (period, 0, null, null, null)
+    assert(out(3) === ((0L, None, None, None)))
+  }
+
   test("cvmByPeriod scores each period against the same base reference") {
     val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
     // period 1 mirrors the base; period 2 collapses to the top decile
