@@ -71,6 +71,25 @@ object CorpusQueries {
 
   private val sqlToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** Semantic-contamination fixture shared by the production and handed
+    * decontamination queries: bench = every 10th embedding; every
+    * (10k+1)th corpus vector is REPLACED by 2× the preceding bench
+    * vector — exact float scaling, so the clone's cosine to its source
+    * is 1 and (multiplication by a positive power of two preserves every
+    * dot product's sign exactly) it shares the source's LSH bucket and
+    * IVF cell by construction. Returns (corpus, bench). */
+  private def semanticContamination(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val bench = e.filter(col("vec_id") % 10 === 0)
+    val planted = bench.select((col("vec_id") + 1).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("_gf_bv"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      .join(planted, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("_gf_bv"), col("embedding")).as("embedding"))
+    (corpus, bench)
+  }
+
   /** Contamination fixture shared by the exact and Bloom decontamination
     * queries: docs ≡ 0 (mod 17) are the benchmark; corpus docs ≡ 1
     * (mod 17) get the preceding benchmark doc's text appended. Returns
@@ -683,6 +702,66 @@ object CorpusQueries {
           .select("vec_id").orderBy("vec_id")
       },
       None),
+
+    // Semantic decontamination (r14): benchmark items vs corpus in
+    // EMBEDDING space — catches reworded contamination that shares no
+    // 8-gram and no MinHash band. Fixture: every (10k+1)th corpus vector
+    // is replaced by 2× the preceding benchmark vector (exact float
+    // scaling → cosine 1, same IVF cell and same LSH bucket by
+    // construction). Rows-only (k-means cells are iterative/seeded);
+    // the handed twin below pins the machinery hash-green.
+    Q("decontaminate_semantic",
+      (s, dir) => {
+        val (corpus, bench) = semanticContamination(s, dir)
+        SemDedup.decontaminate(corpus, "vec_id", "embedding",
+            bench, "vec_id", "embedding", k = 16, threshold = 0.999, nprobe = 4)
+          .orderBy("vec_id")
+      },
+      None),
+
+    // The handed-plane hash-green twin (the ann_lsh_handed precedent):
+    // the same bucket -> cosine -> threshold -> best-match machinery
+    // under 4 explicit Walsh planes, fully DuckDB-replayable.
+    Q("decontaminate_semantic_handed",
+      (s, dir) => {
+        val (corpus, bench) = semanticContamination(s, dir)
+        SemDedup.decontaminateWithPlanes(corpus, "vec_id", "embedding",
+            bench, "vec_id", "embedding",
+            NearDupQueries.walshPlanes.take(4), threshold = 0.999)
+          .orderBy("vec_id")
+      },
+      Some {
+        val bucket = (v: String) => NearDupQueries.walshPlanes.take(4)
+          .zipWithIndex.map { case (w, p) =>
+            val arr = w.mkString("[", ", ", "]")
+            s"CASE WHEN list_dot_product($v, $arr) >= 0 THEN ${1L << p} ELSE 0 END"
+          }.mkString("\n                 + ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bench AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+        corp AS (
+          SELECT c.vec_id,
+                 CASE WHEN b.v IS NOT NULL
+                      THEN list_transform(b.v, x -> x * 2.0)
+                      ELSE c.v END AS v
+          FROM e c LEFT JOIN bench b ON b.vec_id + 1 = c.vec_id
+          WHERE c.vec_id % 10 <> 0),
+        cb AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM corp),
+        qb AS (SELECT vec_id AS qid, v AS qv, ${bucket("v")} AS bucket FROM bench),
+        cand AS (
+          SELECT cb.vec_id, qb.qid,
+                 floor((list_dot_product(cb.v, qb.qv) /
+                   (sqrt(list_dot_product(cb.v, cb.v)) *
+                    sqrt(list_dot_product(qb.qv, qb.qv)))) * 1e6 + 0.5) / 1e6 AS cosine
+          FROM cb JOIN qb ON cb.bucket = qb.bucket),
+        best AS (
+          SELECT vec_id, qid, cosine,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, qid DESC) AS rn
+          FROM cand WHERE cosine >= 0.999)
+        SELECT vec_id, qid AS bench_id, cosine
+        FROM best WHERE rn = 1 ORDER BY vec_id"""
+      }),
 
     // Incremental exact dedup: the existing corpus is the fingerprint
     // index; a new batch arrives with noisy clones of every 3rd doc

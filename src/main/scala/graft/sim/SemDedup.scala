@@ -64,6 +64,73 @@ object SemDedup {
     }
   }
 
+  /** Semantic decontamination: corpus items whose embedding sits at
+    * cosine >= `threshold` to ANY benchmark item — the embedding-space
+    * complement of the n-gram/MinHash decontamination routes, catching
+    * REWORDED contamination that shares no 8-gram and no MinHash band.
+    * Composes the [[Ivf]] cells with the cross-corpus shape of
+    * `MinHash.decontaminateNear`: the index trains on the CORPUS, the
+    * benchmark (dimension-sized by the decontamination contract — it is
+    * a benchmark, not a second corpus) probes its `nprobe` nearest cells
+    * through the single-collect probe plan, and only same-cell
+    * (corpus, bench) pairs pay one exact cosine. Returns contaminated
+    * corpus ids with their best bench match (ties break to the larger
+    * bench id — deterministic).
+    *
+    * 100 TB: corpus vectors never leave their cell partitioning; the
+    * probe frame is benchmark×nprobe rows, broadcast; driver traffic is
+    * O(bench × nprobe). Recall is the IVF cell trade — raise `nprobe`
+    * for boundary cases (the planted-clone class is immune: a scaled
+    * clone shares its source's cell by construction). */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    bench: DataFrame, benchId: String, benchVec: String,
+                    k: Int, threshold: Double = 0.95, iters: Int = 2,
+                    seed: Long = 42L, nprobe: Int = 4): DataFrame = {
+    val index = Ivf.train(corpus, corpusId, corpusVec, k, iters, seed)
+    val (probeRows, probeSchema) =
+      Ivf.collectProbes(index, bench, benchId, benchVec, nprobe)
+    val spark = corpus.sparkSession
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
+    index.indexed.join(broadcast(probesLocal), Seq("_gf_cid"))
+      .withColumn("_gf_cos",
+        graft.Num.dround(Similarity.cosine(col("_gf_v"), col("_gf_qv")), 6))
+      .filter(col("_gf_cos") >= threshold)
+      .groupBy(col("_gf_id").as(corpusId))
+      .agg(max(struct(col("_gf_cos"), col("_gf_qid"))).as("_gf_best"))
+      .select(col(corpusId),
+        col("_gf_best").getField("_gf_qid").as("bench_id"),
+        col("_gf_best").getField("_gf_cos").as("cosine"))
+  }
+
+  /** [[decontaminate]] under an EXPLICIT LSH plane matrix — the
+    * hash-green oracle lane (the `ann_lsh_handed` discipline): handed
+    * planes with exactly-representable entries make the bucket bits and
+    * the in-bucket cosine fully SQL-expressible, so the whole
+    * bucket → probe → threshold → best-match machinery is DuckDB-
+    * replayable while the k-means production route stays rows-only.
+    * Corpus buckets once; bench is broadcast. */
+  def decontaminateWithPlanes(corpus: DataFrame, corpusId: String,
+                              corpusVec: String, bench: DataFrame,
+                              benchId: String, benchVec: String,
+                              planes: Seq[Array[Double]],
+                              threshold: Double): DataFrame = {
+    require(planes.nonEmpty, "decontaminateWithPlanes needs at least one plane")
+    val cv = corpus.select(col(corpusId).as("_gf_id"), col(corpusVec).as("_gf_cv"))
+    val qv = bench.select(col(benchId).as("_gf_qid"), col(benchVec).as("_gf_qv"))
+    cv.withColumn("_gf_bucket", Similarity.bucketId(col("_gf_cv"), planes))
+      .join(broadcast(qv.withColumn("_gf_bucket",
+        Similarity.bucketId(col("_gf_qv"), planes))), Seq("_gf_bucket"))
+      .withColumn("_gf_cos",
+        graft.Num.dround(Similarity.cosine(col("_gf_cv"), col("_gf_qv")), 6))
+      .filter(col("_gf_cos") >= threshold)
+      .groupBy(col("_gf_id").as(corpusId))
+      .agg(max(struct(col("_gf_cos"), col("_gf_qid"))).as("_gf_best"))
+      .select(col(corpusId),
+        col("_gf_best").getField("_gf_qid").as("bench_id"),
+        col("_gf_best").getField("_gf_cos").as("cosine"))
+  }
+
   /** Keep one representative per semantic-duplicate component: train a
     * `k`-cell index (`k <= 0` auto-sizes to n/targetCell — the documented
     * SemDedup cell rule), collect within-cell pairs above `threshold`,

@@ -252,6 +252,21 @@ class CorpusOpsSpec extends SparkSpec {
       s"kept ${kept.length} of $orig originals — an original was wrongly dropped")
   }
 
+  test("semantic decontamination flags exactly the planted embedding clones") {
+    // Both routes (IVF production + handed-plane twin) must flag every
+    // vec_id % 10 == 1 corpus item (a 2x clone of the preceding bench
+    // vector) and nothing else, each matched to its source bench id.
+    val planted = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 === 1).select("vec_id").as[Long].collect().sorted
+    for (name <- Seq("decontaminate_semantic", "decontaminate_semantic_handed")) {
+      val out = SparkEntry.queries(name)(spark, sfDir)
+        .select("vec_id", "bench_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(out.map(_._1).toSeq === planted.toSeq, s"$name flagged set")
+      assert(out.forall { case (id, bid) => bid === id - 1 }, s"$name best match")
+    }
+  }
+
   test("weightedSample keeps everything at weight 1, nothing at 0 or null") {
     val df = (0L until 100L).map(i => (i, if (i < 50) 1.0 else 0.0))
       .toDF("id", "w")
