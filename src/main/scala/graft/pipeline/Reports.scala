@@ -83,40 +83,115 @@ object Reports {
     * guards against a mis-filed corpus-sized frame. */
   def renderMarkdown(spark: SparkSession, outDir: String, runId: String,
                      maxRows: Int = 50): String = {
-    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
     def cell(v: Any): String = v match {
       case null => ""
       case s: String => s.replace("|", "\\|").replace("\n", " ")
       case other => other.toString
     }
-    val entries = Artifacts.readManifest(spark, outDir, runId)
-      .filter(col("kind") === "report")
-      .select("artifact", "path").collect()
-    val sections = entries.map { e =>
-      val (name, path) = (e.getString(0), e.getString(1))
-      val df = spark.read.parquet(path)
-      val cols = df.columns.toSeq
-      // sort by every column for render determinism; cap AFTER the sort
-      val rows = df.orderBy(cols.map(col): _*).limit(maxRows + 1).collect()
-      val shown = rows.take(maxRows)
-      val header = cols.mkString("| ", " | ", " |")
-      val rule = cols.map(_ => "---").mkString("| ", " | ", " |")
-      val body = shown.map(r =>
-        cols.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |"))
-      val elision =
-        if (rows.length > maxRows)
-          Seq(s"", s"_…truncated at $maxRows rows_")
-        else Seq.empty
-      (Seq(s"## $name", "", header, rule) ++ body ++ elision).mkString("\n")
+    val sections = collectSections(spark, outDir, runId, maxRows).map {
+      case (name, cols, shown, truncated) =>
+        val header = cols.mkString("| ", " | ", " |")
+        val rule = cols.map(_ => "---").mkString("| ", " | ", " |")
+        val body = shown.map(r =>
+          cols.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |"))
+        val elision =
+          if (truncated) Seq(s"", s"_…truncated at $maxRows rows_")
+          else Seq.empty
+        (Seq(s"## $name", "", header, rule) ++ body ++ elision).mkString("\n")
     }
     val md = (Seq(s"# Report bundle `$runId`", "") ++ sections)
       .mkString("\n\n") + "\n"
+    writeDoc(spark, outDir, runId, "report.md", md)
+    md
+  }
+
+  /** Render the bundle as ONE self-contained HTML document —
+    * `<outDir>/<runId>/report.html` — beside the markdown render,
+    * closing the reference's `generate_html_report` surface
+    * (m00_utils/report_html.py:6): same manifest order, same
+    * sorted-rows determinism (two renders are byte-identical), same
+    * `maxRows` elision note, every cell HTML-escaped. Static markup
+    * only — no scripts, no external assets — so the file is archivable
+    * and renders identically anywhere. */
+  def renderHtml(spark: SparkSession, outDir: String, runId: String,
+                 maxRows: Int = 50): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    def cell(v: Any): String = v match {
+      case null => ""
+      case other => esc(other.toString)
+    }
+    val sections = collectSections(spark, outDir, runId, maxRows).map {
+      case (name, cols, shown, truncated) =>
+        val head = cols.map(c => s"<th>${esc(c)}</th>")
+          .mkString("<tr>", "", "</tr>")
+        val body = shown.map(r =>
+          cols.indices.map(i => s"<td>${cell(r.get(i))}</td>")
+            .mkString("<tr>", "", "</tr>")).mkString("\n")
+        val elision =
+          if (truncated) s"\n<p class=\"elision\">…truncated at $maxRows rows</p>"
+          else ""
+        s"""<section>
+           |<h2>${esc(name)}</h2>
+           |<table>
+           |<thead>$head</thead>
+           |<tbody>
+           |$body
+           |</tbody>
+           |</table>$elision
+           |</section>""".stripMargin
+    }
+    val html =
+      s"""<!DOCTYPE html>
+         |<html lang="en">
+         |<head>
+         |<meta charset="utf-8">
+         |<title>Report bundle ${esc(runId)}</title>
+         |<style>
+         |body { font-family: sans-serif; margin: 2em; }
+         |table { border-collapse: collapse; margin: 1em 0; }
+         |th, td { border: 1px solid #999; padding: 0.3em 0.6em; text-align: left; }
+         |th { background: #eee; }
+         |.elision { font-style: italic; }
+         |</style>
+         |</head>
+         |<body>
+         |<h1>Report bundle <code>${esc(runId)}</code></h1>
+         |${sections.mkString("\n\n")}
+         |</body>
+         |</html>
+         |""".stripMargin
+    writeDoc(spark, outDir, runId, "report.html", html)
+    html
+  }
+
+  /** The shared render substrate: (name, columns, rows, truncated) per
+    * report table — manifest order, rows sorted by every column for
+    * render determinism, capped AFTER the sort at `maxRows`. */
+  private def collectSections(spark: SparkSession, outDir: String,
+                              runId: String, maxRows: Int)
+      : Seq[(String, Seq[String], Seq[org.apache.spark.sql.Row], Boolean)] = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    val entries = Artifacts.readManifest(spark, outDir, runId)
+      .filter(col("kind") === "report")
+      .select("artifact", "path").collect()
+    entries.toSeq.map { e =>
+      val (name, path) = (e.getString(0), e.getString(1))
+      val df = spark.read.parquet(path)
+      val cols = df.columns.toSeq
+      val rows = df.orderBy(cols.map(col): _*).limit(maxRows + 1).collect()
+      (name, cols, rows.take(maxRows).toSeq, rows.length > maxRows)
+    }
+  }
+
+  private def writeDoc(spark: SparkSession, outDir: String, runId: String,
+                       fileName: String, text: String): Unit = {
     val base = Artifacts.bundleDir(outDir, runId)
-    val p = new org.apache.hadoop.fs.Path(s"$base/report.md")
+    val p = new org.apache.hadoop.fs.Path(s"$base/$fileName")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    md
   }
 }

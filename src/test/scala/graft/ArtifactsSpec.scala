@@ -104,4 +104,36 @@ class ArtifactsSpec extends SparkSpec {
       Reports.renderMarkdown(spark, out, "r1", maxRows = 0)
     }
   }
+
+  test("renderHtml: deterministic escaped document beside the markdown render") {
+    val describe = Seq(("a<x>&\"b\"", 3L, 1.5), ("b", 2L, 9.0))
+      .toDF("column_name", "cnt", "mean")
+    val long = (1 to 60).map(i => (i, s"row$i")).toDF("id", "label")
+    val out = Files.createTempDirectory("graft-html").toString
+    Reports.writeBundle(spark,
+      Seq("describe" -> describe, "long" -> long), out, "r1")
+
+    val html = Reports.renderHtml(spark, out, "r1", maxRows = 50)
+    // a second render of the same bundle is byte-identical
+    assert(html == Reports.renderHtml(spark, out, "r1", maxRows = 50))
+    assert(html.contains("<h1>Report bundle <code>r1</code></h1>"))
+    // tables in manifest order
+    val iDesc = html.indexOf("<h2>describe</h2>")
+    val iLong = html.indexOf("<h2>long</h2>")
+    assert(iDesc >= 0 && iLong > iDesc)
+    assert(html.contains("<th>column_name</th><th>cnt</th><th>mean</th>"))
+    // markup characters in a cell are escaped, not interpreted
+    assert(html.contains("a&lt;x&gt;&amp;&quot;b&quot;"))
+    assert(!html.contains("a<x>"))
+    // 60-row table truncated at 50 with the explicit note
+    assert(html.contains("…truncated at 50 rows"))
+    // no scripts, self-contained
+    assert(!html.contains("<script"))
+    val path = java.nio.file.Paths.get(out, "r1", "report.html")
+    assert(java.nio.file.Files.exists(path))
+    assert(new String(java.nio.file.Files.readAllBytes(path), "UTF-8") == html)
+    intercept[IllegalArgumentException] {
+      Reports.renderHtml(spark, out, "r1", maxRows = 0)
+    }
+  }
 }
