@@ -133,6 +133,11 @@ object Bench {
       warm(q)
       System.gc()
       def sample(): Option[Double] = {
+        // clear BEFORE the timer: queries with an in-plan persist (the
+        // curation chains materialize their multi-consumer gate stage)
+        // would otherwise have samples 2..n read sample 1's cache via
+        // plan-equality reuse and report warm-cache numbers as min
+        clearCaches()
         val t0 = System.nanoTime()
         try { materialize(q); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
@@ -247,6 +252,9 @@ object BenchOne {
       val q = byName.getOrElse(name,
         sys.error(s"unknown query '$name' (${byName.keys.toSeq.sorted.take(5).mkString(", ")}...)"))
       def once(): Double = {
+        // same between-sample cache clear as Bench (in-plan persists
+        // must not let later samples ride sample 1's cache)
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         q.run(spark, sfDir).queryExecution.toRdd.count(): Unit
         (System.nanoTime() - t0) / 1e9

@@ -94,7 +94,14 @@ object PortableMinHash {
             n: Int = 5, k: Int = 32, bands: Int = 16,
             threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    // The signature frame feeds FOUR consumers (two band-bucket sides +
+    // two estimator sides); exchange reuse covers the shuffle but not
+    // the post-shuffle lane folds, and nothing covers the consumers'
+    // re-derivation when the input itself is a derived frame. One doc ×
+    // (k+1) longs per row — the persist is signature-table-sized, never
+    // corpus-sized; callers' harnesses clear caches between queries.
     val sigs = signatures(df, textCol, idCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandBuckets(sigs, k, bands, "id_a")
       .join(bandBuckets(sigs, k, bands, "id_b"), Seq("_gf_band", "_gf_bk"))
       .filter(col("id_a") < col("id_b"))
