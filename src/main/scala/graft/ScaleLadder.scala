@@ -208,6 +208,10 @@ object ScaleLadder {
         println(s"[ladder] factor x$f dir=$dir queries=${alive.size}")
         queries.filter(q => alive(q.name)).foreach { q =>
           def once(): Double = {
+            // same between-sample cache clear as Bench: queries with an
+            // in-plan persist must pay their full cost every sample, or
+            // the ladder fits an exponent on warm-cache reads
+            spark.sharedState.cacheManager.clearCache()
             val t0 = System.nanoTime()
             q.run(spark, dir).queryExecution.toRdd.count(): Unit
             (System.nanoTime() - t0) / 1e9
