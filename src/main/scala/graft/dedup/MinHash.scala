@@ -94,7 +94,14 @@ object MinHash {
                          n: Int = 3, k: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
-    sigPairs(signatures(df, textCol, idCol, n, k), k, bands, threshold)
+    // The signature frame feeds FOUR consumers inside sigPairs (two
+    // band-bucket sides + two estimator joins); persist it so the
+    // shingle→hash→K-lane aggregation runs once (the PortableMinHash.pairs
+    // precedent, r14). One doc × (k+1) longs per row — signature-table-
+    // sized, never corpus-sized; harnesses clear caches between queries.
+    val sigs = signatures(df, textCol, idCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigPairs(sigs, k, bands, threshold)
   }
 
   /** (band, band_hash, id-as-`idAlias`) bucket rows of a signature frame
@@ -148,7 +155,9 @@ object MinHash {
                               threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     def sides(df: DataFrame, tag: String) = {
+      // each side feeds its band buckets AND its estimator join (r14)
       val sigs = signatures(df, textCol, idCol, n, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (sigs.select(col("_gf_id").as(s"id_$tag"), col("_gf_sig").as(s"_gf_sig_$tag")),
         bandBuckets(sigs, k, bands, s"id_$tag"))
     }
@@ -183,6 +192,11 @@ object MinHash {
     // re-shingle), survivors' signatures are an anti-join on ids, and
     // only those survivors probe the index. The signature aggregation's
     // exchange is reused across all consumers.
+    // NOT persisted (r14, measured): a persist here LOST 2.4 s at sf0.1 —
+    // AQE's runtime stage reuse already shares the signature exchange
+    // across this frame's consumers, and the extra cache materialization
+    // costs more than the post-shuffle lane folds it saves (contrast with
+    // nearDuplicatePairs/dedup, where the persist won ~2×).
     val batchSigs = signatures(batch, textCol, idCol, n, k)
     // anti-join build sides are insensitive to duplicate rows, so the
     // loser frames skip dedup entirely — only candIds dedups (each
@@ -291,7 +305,10 @@ object MinHash {
             n: Int = 3, k: Int = 64, bands: Int = 16,
             threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    // Multi-consumer persist (r14): sigs feeds the rep collapse, the
+    // dup-loser join, AND (as repSigs) all four sigPairs consumers.
     val sigs = signatures(df, textCol, idCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sigs.groupBy(col("_gf_sig"))
       .agg(min(col("_gf_id")).as("_gf_rep"))
     // m×1 per signature group: skew-safe (the hot key meets ONE build row)

@@ -61,7 +61,10 @@ object PortableSimHash {
     require(maxDist < blocks,
       s"pigeonhole completeness needs maxDist < blocks, got $maxDist >= $blocks")
     val width = Bits / blocks
+    // Same both-sides-of-the-self-join persist as SimHash.nearDuplicatePairs
+    // (r14): one (id, long) row per doc, never corpus-sized.
     val sims = simhashes(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sims.select(col("_gf_id"), col("_gf_sim"),
       posexplode(array((0 until blocks).map(j =>
         shiftrightunsigned(col("_gf_sim"), j * width)

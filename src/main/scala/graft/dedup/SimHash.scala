@@ -69,7 +69,13 @@ object SimHash {
     * Complete for maxDist < blocks (pigeonhole). */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+    // The fingerprint frame feeds BOTH sides of the block self-join;
+    // without a persist the tokenize→hash→64-bit-fold subtree executes
+    // twice (the PortableMinHash.pairs persist precedent, r14). One
+    // (id, long) row per doc — never corpus-sized; the harnesses clear
+    // caches between queries.
     val sims = simhashes(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sims.select(col("_gf_id"), col("_gf_sim"),
       posexplode(array((0 until blocks).map(i =>
         blockValue(col("_gf_sim"), i, blocks)): _*)).as(Seq("_gf_block", "_gf_bv")))

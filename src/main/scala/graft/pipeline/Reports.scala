@@ -42,10 +42,27 @@ object Reports {
       s"Reports.writeBundle: table names collide after directory " +
         s"normalization: ${tables.map(_._1).mkString(", ")}")
     val base = Artifacts.bundleDir(outDir, runId)
-    val entries = tables.map { case (name, df) =>
-      val p = s"$base/reports/${Artifacts.safe(name)}"
-      df.write.mode(SaveMode.Overwrite).parquet(p)
-      Artifacts.Entry(name, "report", p)
+    // The per-table writes are independent jobs over disjoint directories;
+    // submit them from a small thread pool so the next table's stages
+    // back-fill executors freed by the current one's tail
+    // (spark_optimization_guide §2.6 "overlap independent jobs"). Spark's
+    // scheduler runs concurrent actions safely; entry ORDER is preserved
+    // (Future.sequence), and the manifest still writes strictly LAST —
+    // the completeness-marker discipline is untouched.
+    val entries = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, tables.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(tables.map { case (name, df) =>
+        Future {
+          val p = s"$base/reports/${Artifacts.safe(name)}"
+          df.write.mode(SaveMode.Overwrite).parquet(p)
+          Artifacts.Entry(name, "report", p)
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
     }
     import spark.implicits._
     entries.toDF().write.mode(SaveMode.Overwrite).parquet(s"$base/manifest")

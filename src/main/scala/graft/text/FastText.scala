@@ -296,10 +296,14 @@ object FastText {
   }
 
   /** Full-batch logistic regression over hashed unigram+bigram features.
-    * `labelCol` must be 0/1. Deterministic up to float-reduction order
-    * (no RNG, zero init, fixed epoch count); the B-sized gradient is the
-    * only per-epoch collect (the IVF-centroid bounded-driver-state
-    * precedent). The step size follows the paper's schedule — linear
+    * `labelCol` must be 0/1. Fully deterministic — no RNG, zero init,
+    * fixed epoch count, and (r14) every cross-row accumulation is an
+    * exact integer sum of 1e12-grid-quantized contributions (the
+    * Profiler.describe powSum pattern), so the trained weights are
+    * bit-identical under any
+    * partition layout, core count, or shuffle merge order. The per-epoch
+    * driver traffic is ONE B-bounded collect (gradients + the loss row
+    * fused — the IVF-centroid bounded-driver-state precedent). The step size follows the paper's schedule — linear
     * decay from `lr` to 0 across the run — which is what lets a large
     * initial step (the mean-normalized features make the loss surface
     * flat) land without the tail oscillating. Unlabeled-class corner:
@@ -308,7 +312,8 @@ object FastText {
     *
     * `minibatchFraction` < 1 is the 100 TB epoch-cost bound: each epoch
     * trains on a DETERMINISTIC hash sample of the documents
-    * ([[graft.ops.Sampling.hashSample]] on the doc key, seed = epoch),
+    * ([[graft.ops.Sampling.hashSample]] on a content-derived doc key,
+    * seed = epoch),
     * so per-epoch join/aggregate volume is fraction-bounded while every
     * epoch still sees a different (but run-reproducible — still no RNG)
     * slice. Loss and gradients normalize by THAT epoch's sampled doc
@@ -329,23 +334,54 @@ object FastText {
 
     val labeled = docs.select(
         monotonically_increasing_id().as("_gf_id"),
+        // Sample key from CONTENT (label + text), not the synthetic id:
+        // monotonically_increasing_id encodes the scan-partition layout,
+        // so a mid-keyed epoch sample changed with the input split count
+        // (r14: the documents scan is parallelized now, and the driver
+        // benches at two core counts — the trained gate must not depend
+        // on either). Identical docs share a key and sample together —
+        // the doc-level sampling contract is unchanged; _gf_id stays the
+        // unique per-row GROUPING key only.
+        pmod(xxhash64(col(labelCol).cast(DoubleType), col(textCol)),
+          lit(1000000000L)).as("_gf_sk"),
         col(labelCol).cast(DoubleType).as("_gf_y"),
         gramsCol(col(textCol)).as("_gf_gs"))
       .filter(size(col("_gf_gs")) > 0)
     // (id, sample key, y, 1/n_f, bucket) incidence rows — featurized
     // ONCE, cached for the epoch loop; text is never touched again.
-    // _gf_sk folds the (unbounded) synthetic doc id into hashSample's
-    // documented key range; all of a doc's rows share it, so the epoch
-    // filter samples DOCUMENTS, not incidence rows.
-    val inc = labeled
-      .select(col("_gf_id"),
-        pmod(xxhash64(col("_gf_id")), lit(1000000000L)).as("_gf_sk"),
+    val incWide = labeled
+      .select(col("_gf_id"), col("_gf_sk"),
         col("_gf_y"),
         (lit(1.0) / size(col("_gf_gs"))).as("_gf_inv"),
         explode(col("_gf_gs")).as("_gf_g"))
       .select(col("_gf_id"), col("_gf_sk"), col("_gf_y"), col("_gf_inv"),
         pmod(xxhash64(col("_gf_g")), lit(buckets.toLong)).as("_gf_b"))
       .cache()
+    // Size the EPOCH-LOOP partitioning by the incidence volume, not the
+    // scan's parallelism (guide §2.2 "fewer, larger partitions"): the
+    // featurize pass above wants every core, but each of the ~2·epochs
+    // stages that replays the cached frame pays per-task scheduling and
+    // per-partition aggregate-state overhead — measured 17.4 s at 32
+    // scan-width partitions vs 10.1 s at 8 for the same trainer, tiny
+    // data. ~1M incidence rows (~40 MB) per partition keeps epoch tasks
+    // substantial at any scale; the one-off shuffle reads the cache, so
+    // featurization is never re-run.
+    val nInc = incWide.count()
+    // ~4M incidence rows ≈ 160 MB per epoch partition: measured locally,
+    // epoch cost is dominated by per-stage scheduling overhead down to ONE
+    // partition at bench scale (0.49 s/epoch at 1 partition vs ~1 s at 3),
+    // while at 100 TB the same target yields tens of thousands of
+    // healthy-sized partitions.
+    val epochParts = math.max(1L, math.min(nInc / 4000000L + 1L,
+      spark.sparkContext.defaultParallelism.toLong * 16L)).toInt
+    val inc =
+      if (epochParts >= incWide.rdd.getNumPartitions) incWide
+      else {
+        val re = incWide.repartition(epochParts).cache()
+        re.count(): Unit // materialize before releasing the wide cache
+        incWide.unpersist(false)
+        re
+      }
     val classes = labeled.select(col("_gf_y")).distinct().collect()
       .map(_.getDouble(0)).toSet
     require(classes.subsetOf(Set(0.0, 1.0)),
@@ -371,45 +407,84 @@ object FastText {
           else graft.ops.Sampling.hashSample(inc, "_gf_sk",
             minibatchFraction, seed = ep.toLong)
         // Per-doc margin + residual (p − y); one keyed aggregation,
-        // cached for the epoch (read twice: loss aggregate + gradient
-        // join) and released before the next weight frame.
+        // cached for the epoch (read twice INSIDE one fused action: loss
+        // aggregate + gradient join) and released before the next weight
+        // frame. Accumulation is exact (r14): per-incidence contributions
+        // quantize to an integer grid via floor(x·1e12 + 0.5) cast LONG,
+        // and the LONGs sum as DECIMAL(38,0) — Profiler.describe's powSum
+        // pattern: the long→decimal cast stays on Decimal's compact fast
+        // path, unlike a double→decimal cast, which allocates a
+        // BigDecimal per row (measured 2× the whole trainer's cost when
+        // this used dround + DECIMAL(38,12)). The exact integer total
+        // makes the margin — and the whole training trajectory —
+        // independent of partition layout and shuffle merge order: the
+        // documents scan is multi-split now and the driver benches at two
+        // core counts; raw double sums would have made the trained gate a
+        // different model per layout (the engine's bit-stable-under-
+        // distribution claim, applied to its own trainer).
+        val dec0 = DecimalType(38, 0)
+        def qsum(x: Column, scale: Column): Column =
+          sum(floor(x * scale + lit(0.5)).cast("long").cast(dec0))
+            .cast(DoubleType) / scale
+        val q12 = lit(1e12)
+        // Per-doc margin + residual (p − y): one keyed aggregation,
+        // cached for the epoch (read twice INSIDE one fused action) and
+        // released before the next weight frame. A window-over-id
+        // formulation (margin + residual in one shuffle, no join-back)
+        // was ALSO tried here — it lost (22.6 s vs 13.1 s for the 12-epoch
+        // trainer): two WindowExec sorts of the incidence per epoch cost
+        // more than the hash-aggregate + join-back they replace.
         val margins = epochInc.join(wDf, Seq("_gf_b"), "left")
           .groupBy(col("_gf_id"))
           .agg(first(col("_gf_y")).as("_gf_y"),
             first(col("_gf_inv")).as("_gf_inv"),
-            sum(coalesce(col("_gf_wv"), lit(0.0)) * col("_gf_inv")).as("_gf_m"))
+            qsum(coalesce(col("_gf_wv"), lit(0.0)) * col("_gf_inv"), q12)
+              .as("_gf_m"))
           .select(col("_gf_id"), col("_gf_y"), col("_gf_inv"),
             (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("_gf_m")))))
               .as("_gf_p"))
           .withColumn("_gf_r", col("_gf_p") - col("_gf_y"))
           .cache()
-        // Loss + bias gradient + the epoch's doc count: one 1-row
-        // aggregate. Clamp ln args away from 0 (a perfectly-separated
-        // fixture otherwise yields -inf). Normalization is by THIS
-        // epoch's doc count (= the full corpus at fraction 1.0).
-        val s = margins.agg(
-          sum(-(col("_gf_y") * log(greatest(col("_gf_p"), lit(1e-12)))
-            + (lit(1.0) - col("_gf_y"))
-              * log(greatest(lit(1.0) - col("_gf_p"), lit(1e-12)))))
-            .as("loss"),
-          sum(col("_gf_r")).as("rsum"),
-          count(lit(1)).as("n")).collect()(0)
-        val nEpoch = s.getLong(2).toDouble
+        // Loss + bias gradient + doc count + per-bucket gradients: ONE
+        // fused collect per epoch (the loss row rides bucket −1), halving
+        // the per-epoch job count — at scale each action is a pass over
+        // the epoch's incidence rows, so 2 actions/epoch was 2× the
+        // passes (guide §1.2: fewer passes first). Per-doc loss and
+        // residual terms ride the same quantized-long exact sums as the
+        // margin (loss at 1e9 — its magnitude is bounded by −ln 1e-12 —
+        // the rest at 1e12). Clamp ln args away from 0 (a perfectly-
+        // separated fixture otherwise yields -inf). Normalization is by
+        // THIS epoch's doc count.
+        val statsRow = margins.agg(
+          qsum(-(col("_gf_y") * log(greatest(col("_gf_p"), lit(1e-12)))
+              + (lit(1.0) - col("_gf_y"))
+                * log(greatest(lit(1.0) - col("_gf_p"), lit(1e-12)))),
+            lit(1e9)).as("_gf_g"),
+          qsum(col("_gf_r"), q12).as("_gf_rsum"),
+          count(lit(1)).as("_gf_n"))
+          .select(lit(-1L).as("_gf_b"), col("_gf_g"), col("_gf_rsum"),
+            col("_gf_n"))
+        // Per-bucket gradient: Σ_incidences r/n_f, B-bounded collect
+        // (the join against per-doc residuals re-selects the epoch's
+        // incidence subset — unsampled docs have no residual row).
+        val gradRows = epochInc
+          .join(margins.select(col("_gf_id"), col("_gf_r")), Seq("_gf_id"))
+          .groupBy(col("_gf_b"))
+          .agg(qsum(col("_gf_r") * col("_gf_inv"), q12).as("_gf_g"))
+          .select(col("_gf_b"), col("_gf_g"),
+            lit(null).cast(DoubleType).as("_gf_rsum"),
+            lit(null).cast("bigint").as("_gf_n"))
+        val statsFirst = statsRow.collect()
+        val rows = gradRows.collect() ++ statsFirst
+        val stats = rows.find(_.getLong(0) == -1L).get
+        val nEpoch = stats.getLong(3).toDouble
         if (nEpoch == 0) {
           // the sample landed empty — no evidence, no update
           losses += Double.NaN
         } else {
-          losses += s.getDouble(0) / nEpoch
-          val gradB = s.getDouble(1) / nEpoch
-          // Per-bucket gradient: Σ_incidences r/n_f, B-bounded collect
-          // (the join against per-doc residuals re-selects the epoch's
-          // incidence subset — unsampled docs have no residual row).
-          val grads = epochInc
-            .join(margins.select(col("_gf_id"), col("_gf_r")), Seq("_gf_id"))
-            .groupBy(col("_gf_b"))
-            .agg(sum(col("_gf_r") * col("_gf_inv")).as("_gf_g"))
-            .collect()
-          grads.foreach(r =>
+          losses += stats.getDouble(1) / nEpoch
+          val gradB = stats.getDouble(2) / nEpoch
+          rows.filter(_.getLong(0) >= 0L).foreach(r =>
             w(r.getLong(0).toInt) -= lrT * r.getDouble(1) / nEpoch)
           bias -= lrT * gradB
         }

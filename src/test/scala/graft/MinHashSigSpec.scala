@@ -68,6 +68,12 @@ class MinHashSigSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"explode in the per-row path:\n$plan")
     assert(!plan.contains("HashAggregate"), s"aggregate in the per-row path:\n$plan")
-    assert(!plan.contains("Exchange"), s"shuffle in the per-row path:\n$plan")
+    // the Tables.load scan-parallelism fix-up (r14) is a RoundRobin
+    // exchange above the scan; the pin still forbids ROW-LEVEL shuffles
+    // (hash/range), which is the failure class it exists for
+    val rowExchanges = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
+    assert(rowExchanges.isEmpty,
+      s"shuffle in the per-row path:\n${rowExchanges.mkString("\n")}")
   }
 }

@@ -387,7 +387,11 @@ class PlanQualitySpec extends SparkSpec {
   test("normalize_nfc: a pure projection — no shuffle except the final sort") {
     val p = plan("normalize_nfc")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(_.contains("rangepartitioning")),
+    // rangepartitioning = the final presentation sort; RoundRobin = the
+    // Tables.load scan-parallelism fix-up (r14) — the pin still catches
+    // the failure class it exists for: a row-level HASH shuffle.
+    assert(exchanges.forall(l =>
+      l.contains("rangepartitioning") || l.contains("RoundRobinPartitioning")),
       s"non-sort exchange in a projection op:\n${exchanges.mkString("\n")}")
     assert(p.contains("unicode_normalize") || p.contains("UnicodeNormalize"),
       s"native expression missing from the plan:\n$p")
@@ -440,7 +444,10 @@ class PlanQualitySpec extends SparkSpec {
   test("text_scripts: a pure projection — no shuffle except the final sort") {
     val p = plan("text_scripts")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(_.contains("rangepartitioning")),
+    // rangepartitioning = the final sort; RoundRobin = the Tables.load
+    // scan-parallelism fix-up (r14) — see normalize_nfc's pin.
+    assert(exchanges.forall(l =>
+      l.contains("rangepartitioning") || l.contains("RoundRobinPartitioning")),
       s"non-sort exchange in a projection op:\n${exchanges.mkString("\n")}")
     assert(!p.contains("HashAggregate"), s"unexpected aggregation:\n$p")
   }
