@@ -21,42 +21,41 @@ object DevScratch {
       System.err.println(f"AB $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
-
-    def relationalSignatures(df: org.apache.spark.sql.DataFrame,
-                             textCol: String, idCol: String,
-                             n: Int, k: Int) = {
-      val hashed = df
-        .select(col(idCol).as("_gf_id"),
-          explode(graft.dedup.MinHash.shingles(col(textCol), n)).as("_gf_s"))
-        .select(col("_gf_id"), xxhash64(col("_gf_s")).as("_gf_hh"))
-      hashed.groupBy("_gf_id")
-        .agg(min(xxhash64(col("_gf_hh"), lit(0))).as("_gf_m0"),
-          (1 until k).map(i => min(xxhash64(col("_gf_hh"), lit(i))).as(s"_gf_m$i")): _*)
-        .select(col("_gf_id"),
-          array((0 until k).map(i => col(s"_gf_m$i")): _*).as("_gf_sig"))
+    def mat(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(): Unit
     }
 
-    val corpus = graft.queries.NearDupQueries.truncatedCorpus(spark, dir)
+    // Stage-by-stage cost of the curation-chain prefix (llm_curation_sql_prefix)
     for (i <- 1 to 3) {
-      time(s"[$i] kernel sigs") {
-        graft.dedup.MinHash.signatures(corpus, "text", "doc_id", 5, 64)
-          .queryExecution.toRdd.count()
+      spark.sharedState.cacheManager.clearCache()
+      val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+      val corpus = docs.withColumn("text", graft.text.CorpusOps.redact(col("text")))
+      val gated = corpus
+        .filter(graft.text.TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+          graft.text.TextAnalysis.languageId(col("text")) === "en")
+      val gophed = graft.text.GopherRules.filterDocs(gated, "text",
+        graft.text.GopherRules.Config(minWords = 10, minStopHits = 1))
+      time(s"[$i] gophed") { mat(gophed) }
+      val lm = time(s"[$i] lm.train") {
+        graft.text.LangModel.train(docs.filter(col("doc_id") % 3 === 0), "text")
       }
-      time(s"[$i] relational sigs") {
-        relationalSignatures(corpus, "text", "doc_id", 5, 64)
-          .queryExecution.toRdd.count()
-      }
-      time(s"[$i] shingles only") {
-        corpus.select(graft.dedup.MinHash.shingles(col("text"), 5).as("s"))
-          .queryExecution.toRdd.count()
-      }
-      time(s"[$i] kernel no-repart") {
-        corpus.select(col("doc_id"),
-            graft.functions.GraftFunctions.minhashSig(
-              graft.dedup.MinHash.shingles(col("text"), 5), 64).as("_gf_sig"))
-          .filter(col("_gf_sig").isNotNull)
-          .queryExecution.toRdd.count()
-      }
+      val lmKeep = graft.text.LangModel.score(
+          gophed.select("doc_id", "text"), "doc_id", "text", lm, hashKeys = true)
+        .filter(col("avg_logprob") >= -3.52)
+        .select("doc_id")
+      val lmKept = gophed.join(lmKeep, Seq("doc_id"), "left_semi")
+      time(s"[$i] lmKept") { mat(lmKept) }
+      val exact = graft.dedup.LlmDedup.exact(lmKept, "text", "doc_id")
+      time(s"[$i] exact") { mat(exact) }
+      val capped = graft.ops.Quota.capPerGroup(exact, "source", "doc_id", n = 20)
+      time(s"[$i] capped") { mat(capped) }
+      val sampled = graft.ops.Sampling.weightedSample(capped, "doc_id",
+        least(lit(1.0),
+          graft.text.TextAnalysis.tokenCount(col("text"))
+            .cast(org.apache.spark.sql.types.DoubleType) / lit(60.0)))
+        .select("doc_id").orderBy("doc_id")
+      time(s"[$i] full prefix") { mat(sampled) }
+      lm.release()
     }
     spark.stop()
   }

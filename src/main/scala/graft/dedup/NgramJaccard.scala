@@ -22,9 +22,19 @@ object NgramJaccard {
     * estimated Jaccard before the exact rerank. */
   def pairs(df: DataFrame, textCol: String, idCol: String,
             n: Int = 3, threshold: Double = 0.5,
-            k: Int = 64, bands: Int = 16): DataFrame = {
-    val candidates = MinHash.nearDuplicatePairs(df, textCol, idCol, n, k, bands,
-      threshold = math.max(0.0, threshold - 0.2))
+            k: Int = 64, bands: Int = 16): DataFrame =
+    pairsOverCandidates(df,
+      MinHash.nearDuplicatePairs(df, textCol, idCol, n, k, bands,
+        threshold = math.max(0.0, threshold - 0.2)).select("id_a", "id_b"),
+      textCol, idCol, n, threshold)
+
+  /** [[pairs]] body over an EXTERNAL candidate frame `(id_a, id_b)` —
+    * callers that already hold a signature table (the dedup grader runs
+    * the MinHash detector next to this one) generate candidates from it
+    * once instead of re-shingling a second signature pass (r14). */
+  def pairsOverCandidates(df: DataFrame, candidates: DataFrame,
+                          textCol: String, idCol: String,
+                          n: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(idCol).as("_gf_sid"),
       array_distinct(MinHash.shingles(col(textCol), n)).as("_gf_sh"))
     candidates

@@ -189,11 +189,21 @@ object NearDupQueries {
         val corpus = truncatedCorpus(s, dir)
         val truth = corpus.filter(col("doc_id") >= 2000000)
           .select((col("doc_id") - 2000000).as("id_a"), col("doc_id").as("id_b"))
+        // ONE signature pass for both MinHash-family detectors (r14): the
+        // minhash and jaccard rows share the same (n=5, k=64) signature
+        // table — candidates for both come from one persisted frame
+        // instead of two independent shingle→hash→lane passes. Values are
+        // unchanged: sigPairs at 0.5 IS the minhash detector, and
+        // jaccard's candidate generator was always sigPairs at 0.3.
+        val sharedSigs = MinHash.signatures(corpus, "text", "doc_id", n = 5, k = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val methods = Seq(
-          "minhash" -> MinHash.nearDuplicatePairs(corpus, "text", "doc_id",
-            n = 5, k = 64, bands = 16, threshold = 0.5),
-          "jaccard" -> NgramJaccard.pairs(corpus, "text", "doc_id",
-            n = 5, threshold = 0.5),
+          "minhash" -> MinHash.sigPairs(sharedSigs, k = 64, bands = 16,
+            threshold = 0.5),
+          "jaccard" -> NgramJaccard.pairsOverCandidates(corpus,
+            MinHash.sigPairs(sharedSigs, k = 64, bands = 16, threshold = 0.3)
+              .select("id_a", "id_b"),
+            "text", "doc_id", n = 5, threshold = 0.5),
           // simhash grades LOW here by design: the fixture truncates 20%
           // of words, far past a 7-bit Hamming budget — the grader makes
           // that visible instead of leaving threshold folklore

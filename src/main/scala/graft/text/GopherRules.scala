@@ -60,8 +60,24 @@ object GopherRules {
   /** The paper's stopword signature: "the be to of and that have with". */
   val stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** The seven signal columns over a text column, in audit order. */
+  /** The seven signal columns over a text column, in audit order —
+    * extracted from the fused one-pass kernel
+    * ([[graft.functions.GopherSignals]], r14): the column composite below
+    * ([[signalsColumns]], kept as the spec's equivalence oracle)
+    * references the token/line arrays from CodegenFallback HOFs, which
+    * drops the projection out of whole-stage codegen and re-evaluates the
+    * split per reference. The seven struct-field extracts here share ONE
+    * kernel call via codegen subexpression elimination. */
   private def signals(c: Column): Seq[(String, Column)] = {
+    val k = graft.functions.GopherSignals.gopherSignals(c)
+    Seq("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+      "ellipsis_frac", "alpha_frac", "stop_hits").map(n => n -> k.getField(n))
+  }
+
+  /** The original built-in-column composite — retained as the equivalence
+    * oracle for the fused kernel (GopherRulesSpec pins kernel ≡ composite
+    * on edge cases and the real corpus). */
+  private[graft] def signalsColumns(c: Column): Seq[(String, Column)] = {
     val blank = length(trim(c)) === 0
     val toks = TextAnalysis.tokens(c)
     val nWords = when(blank, lit(0)).otherwise(size(toks))
@@ -136,29 +152,23 @@ object GopherRules {
   def filterDocs(docs: DataFrame, textCol: String,
                  cfg: Config = Config()): DataFrame = {
     // Rules reference signal columns by NAME; pack the signals into one
-    // struct column so the keep conjunction stays a single scan predicate
-    // over the raw text — zero shuffles, no join.
-    val packed = struct(signals(col(textCol)).map { case (n, c) => c.as(n) }: _*)
-    docs.withColumn("_gq", packed)
-      .filter(keepExpr(col("_gq"), cfg))
-      .drop("_gq")
+    // single scan predicate over the raw text — zero shuffles, no join;
+    // the verdict is ONE kernel call per row (r14: FilterExec runs no
+    // subexpression elimination, so the packed-struct form re-ran the
+    // signal walk once per rule reference)
+    docs.filter(keepFlag(col(textCol), cfg))
   }
 
   /** The keep conjunction as a standalone boolean column over raw text —
     * for callers that want the verdict WITHOUT dropping rows (the quality
     * panel reports it next to the other gates' verdicts). Same per-row
-    * zero-shuffle shape as [[filterDocs]]; codegen's common-subexpression
-    * elimination dedupes the packed signal struct across rule references. */
+    * zero-shuffle shape as [[filterDocs]]: one fused-kernel call per row
+    * ([[graft.functions.GopherSignals.gopherKeep]]); GopherRulesSpec pins
+    * flag ≡ audit.keep on edge cases and the real corpus. */
   def keepFlag(text: Column, cfg: Config = Config()): Column =
-    keepExpr(struct(signals(text).map { case (n, c) => c.as(n) }: _*), cfg)
+    graft.functions.GopherSignals.gopherKeep(text,
+      cfg.minWords, cfg.maxWords, cfg.minMeanWordLen, cfg.maxMeanWordLen,
+      cfg.maxSymbolWordRatio, cfg.maxBulletLineFrac, cfg.maxEllipsisLineFrac,
+      cfg.minAlphaWordFrac, cfg.minStopHits)
 
-  /** Keep conjunction over a packed signal struct. */
-  private def keepExpr(s: Column, cfg: Config): Column =
-    s("n_words") >= cfg.minWords && s("n_words") <= cfg.maxWords &&
-    s("mean_word_len") >= cfg.minMeanWordLen && s("mean_word_len") <= cfg.maxMeanWordLen &&
-    s("symbol_ratio") <= cfg.maxSymbolWordRatio &&
-    s("bullet_frac") <= cfg.maxBulletLineFrac &&
-    s("ellipsis_frac") <= cfg.maxEllipsisLineFrac &&
-    s("alpha_frac") >= cfg.minAlphaWordFrac &&
-    s("stop_hits") >= cfg.minStopHits
 }

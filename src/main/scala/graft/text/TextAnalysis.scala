@@ -52,8 +52,23 @@ object TextAnalysis {
 
   /** Heuristic language ID: language with the most stopword hits; ties
     * resolve in the fixed order of [[stopwords]] ("und" beats "unknown").
-    * Returns "unknown" when no list scores a hit. */
-  def languageId(c: Column): Column = {
+    * Returns "unknown" when no list scores a hit.
+    *
+    * Evaluates through the fused native kernel
+    * ([[graft.functions.LangId]], r14): the column composite below
+    * references the token array from TEN CodegenFallback HOFs (five
+    * vote filters × two references each), which drops the projection
+    * out of whole-stage codegen and re-evaluates the split per
+    * reference — the [[qualityScore]] pathology, squared.
+    * [[languageIdColumns]] keeps the composite as the spec's
+    * equivalence oracle. */
+  def languageId(c: Column): Column =
+    graft.functions.LangId.langId(c)
+
+  /** The original built-in-column composite — retained as the
+    * equivalence oracle for the fused kernel (TextSpec pins kernel ≡
+    * composite on edge cases and the real corpus). */
+  private[graft] def languageIdColumns(c: Column): Column = {
     val toks = tokens(c)
     val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
     val best = greatest(scores.map(_._2): _*)

@@ -108,4 +108,47 @@ class GopherRulesSpec extends SparkSpec {
       GopherRules.Config(minStopHits = -1)
     }
   }
+
+  test("fused signals kernel is value-identical to the column composite") {
+    import org.apache.spark.sql.functions.{col, not}
+    // edge cases for the kernel's single pass: blank/spaces (blank test is
+    // SPACES-only trim), tab-led text (empty first token counts), bullets
+    // and ellipses in every position, unicode letters + CJK (alpha uses
+    // \p{L}), supplementary-plane chars (length counts code points),
+    // symbol runs (non-overlapping '...' counts), stopword duplicates
+    // (distinct presence), single-line and trailing-newline documents
+    val edges = Seq("", " ", "   ", "\tword", "- bullet line\ntext…",
+      "• b1\n* b2\n‣ b3\n▪ b4\n- b5", "ends...\nends…\n...mid...",
+      "the the the be to of and that have with", "no stop words here",
+      "héllo wörld 中文 文字", "😀 𝔘nicode 😀😀", "### ## #", ".....",
+      "a\nb\nc\n", "\n\n", "one-line", "mixed - not bullet",
+      "the quick brown fox jumps over the lazy dog and that is of to in",
+      " \t mixed \r ", "a  b   c")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (edges ++ corpus).toDF("text")
+    val kernel = graft.functions.GopherSignals.gopherSignals(col("text"))
+    val composite = GopherRules.signalsColumns(col("text"))
+    val mismatches = df.select(
+        (composite.map { case (n, c) => c.as(s"c_$n") } ++
+          composite.map { case (n, _) => kernel.getField(n).as(s"k_$n") }): _*)
+      .filter(composite.map { case (n, _) =>
+        not(col(s"c_$n") <=> col(s"k_$n")) }.reduce(_ || _))
+      .count()
+    assert(mismatches == 0)
+
+    // and the one-call keep kernel agrees with the audit's conjunction
+    // (two configs so non-default thresholds are exercised)
+    Seq(GopherRules.Config(),
+        GopherRules.Config(minWords = 1, minStopHits = 0,
+          maxBulletLineFrac = 0.5, minAlphaWordFrac = 0.3)).foreach { cfg =>
+      val ided = df.withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      val viaFlag = ided.filter(GopherRules.keepFlag(col("text"), cfg))
+        .select("doc_id").as[Long].collect().toSet
+      val viaAudit = GopherRules.audit(ided, "doc_id", "text", cfg)
+        .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+      assert(viaFlag == viaAudit)
+    }
+  }
 }

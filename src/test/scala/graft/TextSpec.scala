@@ -54,6 +54,28 @@ class TextSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("fused langid kernel is value-identical to the column composite") {
+    // the quality-kernel edge set plus multilingual vote/tie cases: equal
+    // votes across languages must resolve in stopwords order, shared
+    // stopwords ("de"/"la"/"que"/"es" appear in several lists) must count
+    // for every list containing them, zh stopwords are non-ASCII
+    val edges = Seq("", " ", "\thello", "the", "der die das", "el la de",
+      "le la les", "的 是 了", "the der", "der the", "de de de",
+      "la la la", "que que", "es ist", "the and der und",
+      "héllo wörld straße 中文 的 是", "😀 emoji test", "!!!...###",
+      "mixed The DER el LE 的", "a  b   c", " \t mixed \r ",
+      "the quick brown fox and that is of to in")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (edges ++ corpus).toDF("t")
+    val mismatches = df.select(
+        TextAnalysis.languageId(col("t")).as("fused"),
+        TextAnalysis.languageIdColumns(col("t")).as("composite"))
+      .filter(not(col("fused") <=> col("composite")))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("quality score rises with longer less-noisy text") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and runs to the forest in a day that is bright",
