@@ -102,7 +102,15 @@ object Bench {
     // (codegen/JIT, FileIndex/footer caches) inside their first timed
     // sample — measured: text_quality_panel 7.06 s med in-lane vs 2.9 s
     // in a properly warmed fresh JVM. Every query now warms once per
-    // session before its timed samples.
+    // session, lazily, just before its timed samples. (r15: the former
+    // additional up-front `regs.foreach(warm)` pass warmed the WHOLE
+    // registry in session 1, but every restart — every `restartEvery`
+    // queries — wipes `warmedInSession`, so all but the first window's
+    // warm-ups were discarded and re-done lazily anyway: a full untimed
+    // registry pass (~8-12 min at sf0.1) of pure waste that pushed the
+    // full-registry run past the measurement harness's wall-clock window.
+    // Removing it changes no per-query number: each query still executes
+    // once untimed in its own session before its timed samples.)
     var warmedInSession = scala.collection.mutable.Set.empty[String]
     def warm(q: graft.queries.Q): Unit =
       if (!warmedInSession.contains(q.name)) {
@@ -110,8 +118,6 @@ object Bench {
         clearCaches()
         warmedInSession += q.name
       }
-
-    regs.foreach(warm)
 
     // Per query: (min, median, sample count). The min is the headline
     // (one-sided-noise steady-state estimator, as above); the median
