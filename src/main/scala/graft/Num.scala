@@ -30,6 +30,42 @@ object Num {
       c.cast("string")))).otherwise(cast)
   }
 
+  /** Exact, layout-independent sum of grid-quantized doubles — the cheap
+    * form of the DECIMAL(38,0) "qsum" discipline (FastText/Profiler):
+    * each value quantizes to the integer grid `q = floor(x·scale + 0.5)`
+    * (a long), and the q's accumulate EXACTLY as two plain LONG sums —
+    * the arithmetic split `q = (q >> 31)·2³¹ + (q & 0x7FFFFFFF)` — instead
+    * of a DECIMAL(38,0) sum. Long addition is exact and commutative, so
+    * the total is independent of partition layout and shuffle merge
+    * order; and a long-sum aggregation buffer stays on the codegen'd
+    * compact path, where a precision-38 decimal buffer boxes a BigDecimal
+    * per row (measured: the decimal form cost text_ft_train_score ~+4 s
+    * at 32c in r14).
+    *
+    * The recompose `(Σhi + Σlo >> 31)·2³¹ + (Σlo & 0x7FFFFFFF)` rounds the
+    * exact integer ΣQ to the nearest double in ONE IEEE add — bit-identical
+    * to what DECIMAL(38,0)→double produced — then divides by `scale`.
+    * Exactness bounds (documented, loud on overflow under ANSI): |ΣQ| and
+    * the per-group row count n must satisfy n·2³¹ < 2⁶³ (n < 4.3e9 rows
+    * per GROUP) and |Σ(q>>31)| < 2⁶³; the recompose is exact-to-nearest
+    * for |ΣQ| < 2⁸⁴. Null inputs are skipped by both halves alike; an
+    * all-null/empty group yields null, like sum(). */
+  def qsum(x: Column, scale: Column): Column = {
+    val q = floor(x * scale + lit(0.5)).cast("long")
+    val hiS = sum(shiftright(q, 31))
+    val loS = sum(q.bitwiseAND(lit(0x7FFFFFFFL)))
+    ((hiS + shiftright(loS, 31)).cast("double") * lit(2147483648.0) +
+      loS.bitwiseAND(lit(0x7FFFFFFFL)).cast("double")) / scale
+  }
+
+  /** Exact, layout-independent mean of grid-quantized doubles: [[qsum]]
+    * over count of non-null values. The drop-in hardening for a raw
+    * `avg(double)` whose partition-merge order must not leak into the
+    * result (Lloyd centroid updates, residual offsets): values land on
+    * the 1/scale grid, so the mean is deterministic under any scan split
+    * or shuffle geometry. */
+  def qmean(x: Column, scale: Column): Column = qsum(x, scale) / count(x)
+
   /** Entity-key coercion, enforced loudly: a non-null key that does not
     * cast to BIGINT refuses with a named error — a silently nulled key
     * would merge every malformed id into ONE pseudo-entity and corrupt

@@ -29,20 +29,23 @@ object Tables {
       .foldLeft(raw)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
     // Tiny (dimension-sized) files skip the parallelism fix-up: they are
     // broadcast-join fodder and a repartition Exchange under a
-    // BroadcastExchange is pure overhead. Two corpora are exempt from the
-    // byte threshold (r14, measured): `documents` and `events` compress to
-    // well under 2 MB at bench scale but carry per-row DERIVED work
-    // (tokenize → shingle → K-lane hashing, per-user sessionize windows)
-    // orders of magnitude above their byte size — and a single-row-group
-    // parquet file is unsplittable, so without the repartition every
-    // map-side stage of the text/event cohort ran on ONE core
-    // (spark_optimization_guide §2.5 "input skew: one huge unsplittable
-    // file — repartition immediately after the read"). `embeddings` stays
-    // on the tiny path FOR NOW: its train lanes (Ivf/IvfPq/Pca) accumulate
-    // raw doubles whose bit-pattern depends on partition merge order, so
-    // parallelizing that scan needs the exact-decimal hardening first
-    // (see OPTIMIZATION_r14.md "Not yet optimized").
-    val alwaysParallel = name == "documents" || name == "events"
+    // BroadcastExchange is pure overhead. Three corpora are exempt from
+    // the byte threshold: `documents` and `events` (r14, measured)
+    // compress to well under 2 MB at bench scale but carry per-row
+    // DERIVED work (tokenize → shingle → K-lane hashing, per-user
+    // sessionize windows) orders of magnitude above their byte size —
+    // and a single-row-group parquet file is unsplittable, so without
+    // the repartition every map-side stage of the text/event cohort ran
+    // on ONE core (spark_optimization_guide §2.5 "input skew: one huge
+    // unsplittable file — repartition immediately after the read").
+    // `embeddings` joins them in r15: its per-row work (dim-wide cosine /
+    // L2 / quantize kernels, posexplode melts) is likewise orders above
+    // its byte size, and the train lanes that blocked this (Ivf/IvfPq/Pq
+    // Lloyd means, Pca's moment merge + shift pick) now accumulate exact
+    // quantized longs (graft.Num.qsum/qmean), so the trained artifacts
+    // are bit-identical under any scan layout.
+    val alwaysParallel =
+      name == "documents" || name == "events" || name == "embeddings"
     if (!alwaysParallel &&
         new java.io.File(s"$dir/$name.parquet").length() < 2 * 1024 * 1024) df
     else autoParallel(spark, df)

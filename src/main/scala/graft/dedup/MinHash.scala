@@ -21,12 +21,15 @@ object MinHash {
 
   /** Word n-gram shingles; documents shorter than `n` tokens contribute a
     * single whole-document shingle. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(c)
+  def shingles(c: Column, n: Int = 3): Column =
+    shinglesOfTokens(TextAnalysis.tokens(c), n)
+
+  /** [[shingles]] over an already-tokenized array column — multi-detector
+    * callers materialize the token split once and shingle from it. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
 
   /** K-element MinHash signature as a single Column — the codegen'd
     * [[graft.functions.MinHashSig]] kernel (one generated loop per row;
@@ -70,9 +73,18 @@ object MinHash {
     * per-row loop writing a local array. Shingling itself dominates both
     * formulations; this one adds almost nothing on top of it. */
   def signatures(df: DataFrame, textCol: String, idCol: String,
-                 n: Int, k: Int): DataFrame = {
+                 n: Int, k: Int): DataFrame =
+    signaturesOfShingleCol(df, shingles(col(textCol), n), idCol, k)
+
+  /** [[signatures]] over an already-tokenized array column. */
+  def signaturesOfTokens(df: DataFrame, toksCol: String, idCol: String,
+                         n: Int, k: Int): DataFrame =
+    signaturesOfShingleCol(df, shinglesOfTokens(col(toksCol), n), idCol, k)
+
+  private def signaturesOfShingleCol(df: DataFrame, shingleCol: Column,
+                                     idCol: String, k: Int): DataFrame = {
     val hashed = df
-      .select(col(idCol).as("_gf_id"), explode(shingles(col(textCol), n)).as("_gf_s"))
+      .select(col(idCol).as("_gf_id"), explode(shingleCol).as("_gf_s"))
       .select(col("_gf_id"), xxhash64(col("_gf_s")).as("_gf_hh"))
     hashed.groupBy("_gf_id")
       .agg(min(xxhash64(col("_gf_hh"), lit(0))).as("_gf_m0"),
@@ -89,7 +101,14 @@ object MinHash {
     * (512 bytes at k=64) is joined back only for the pairs that survive
     * the bucket match and dedup, so each surviving pair pays exactly one
     * estimator. Shipping signatures with the band rows instead would
-    * multiply the shuffle by bands × sigBytes/20 (~400× at defaults). */
+    * multiply the shuffle by bands × sigBytes/20 (~400× at defaults).
+    *
+    * CACHE CONTRACT: the returned plan persists its signature-table-sized
+    * frame (multi-consumer subtree) and owns no action, so it cannot
+    * unpersist it. Long-lived sessions that call this repeatedly must
+    * clear or unpersist between calls (the Verify/Bench harnesses call
+    * `cacheManager.clearCache()` between queries); the same applies to
+    * [[SimHash.nearDuplicatePairs]] and [[PortableMinHash.pairs]]. */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, k: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7): DataFrame = {

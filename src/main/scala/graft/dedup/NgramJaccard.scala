@@ -34,9 +34,24 @@ object NgramJaccard {
     * once instead of re-shingling a second signature pass (r14). */
   def pairsOverCandidates(df: DataFrame, candidates: DataFrame,
                           textCol: String, idCol: String,
-                          n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("_gf_sid"),
-      array_distinct(MinHash.shingles(col(textCol), n)).as("_gf_sh"))
+                          n: Int, threshold: Double): DataFrame =
+    pairsOverCandidatesShingles(
+      df.select(col(idCol).as("_gf_sid"),
+        array_distinct(MinHash.shingles(col(textCol), n)).as("_gf_sh")),
+      candidates, threshold)
+
+  /** [[pairsOverCandidates]] over an already-tokenized array column. */
+  def pairsOverCandidatesTokens(df: DataFrame, candidates: DataFrame,
+                                toksCol: String, idCol: String,
+                                n: Int, threshold: Double): DataFrame =
+    pairsOverCandidatesShingles(
+      df.select(col(idCol).as("_gf_sid"),
+        array_distinct(MinHash.shinglesOfTokens(col(toksCol), n)).as("_gf_sh")),
+      candidates, threshold)
+
+  private def pairsOverCandidatesShingles(sh: DataFrame,
+                                          candidates: DataFrame,
+                                          threshold: Double): DataFrame = {
     candidates
       .join(sh.select(col("_gf_sid").as("id_a"), col("_gf_sh").as("_gf_sh_a")), Seq("id_a"))
       .join(sh.select(col("_gf_sid").as("id_b"), col("_gf_sh").as("_gf_sh_b")), Seq("id_b"))

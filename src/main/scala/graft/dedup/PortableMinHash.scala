@@ -54,11 +54,20 @@ object PortableMinHash {
     * explode shingles, hash each once, fold the k lane minima in ONE
     * map-side-combined aggregation (the [[MinHash.signatures]] shape). */
   def signatures(df: DataFrame, textCol: String, idCol: String,
-                 n: Int, k: Int): DataFrame = {
+                 n: Int, k: Int): DataFrame =
+    signaturesOfShingleCol(df, MinHash.shingles(col(textCol), n), idCol, k)
+
+  /** [[signatures]] over an already-tokenized array column. */
+  def signaturesOfTokens(df: DataFrame, toksCol: String, idCol: String,
+                         n: Int, k: Int): DataFrame =
+    signaturesOfShingleCol(df, MinHash.shinglesOfTokens(col(toksCol), n),
+      idCol, k)
+
+  private def signaturesOfShingleCol(df: DataFrame, shingleCol: Column,
+                                     idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val hashed = df
-      .select(col(idCol).as("_gf_id"),
-        explode(MinHash.shingles(col(textCol), n)).as("_gf_s"))
+      .select(col(idCol).as("_gf_id"), explode(shingleCol).as("_gf_s"))
       .select(col("_gf_id"), (graft.ops.Hll.h32(col("_gf_s")) % P).as("_gf_hp"))
     hashed.groupBy("_gf_id")
       .agg(min((col("_gf_hp") * laneA(0) + laneB(0)) % P).as(laneCol(0)),
@@ -92,7 +101,18 @@ object PortableMinHash {
     * (id_a, id_b, est_jaccard), id_a < id_b, est >= threshold. */
   def pairs(df: DataFrame, textCol: String, idCol: String,
             n: Int = 5, k: Int = 32, bands: Int = 16,
-            threshold: Double = 0.5): DataFrame = {
+            threshold: Double = 0.5): DataFrame =
+    pairsOverSigs(signatures(df, textCol, idCol, n, k), k, bands, threshold)
+
+  /** [[pairs]] over an already-tokenized array column. */
+  def pairsOfTokens(df: DataFrame, toksCol: String, idCol: String,
+                    n: Int, k: Int, bands: Int,
+                    threshold: Double): DataFrame =
+    pairsOverSigs(signaturesOfTokens(df, toksCol, idCol, n, k), k, bands,
+      threshold)
+
+  private def pairsOverSigs(sigFrame: DataFrame, k: Int, bands: Int,
+                            threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     // The signature frame feeds FOUR consumers (two band-bucket sides +
     // two estimator sides); exchange reuse covers the shuffle but not
@@ -100,7 +120,7 @@ object PortableMinHash {
     // re-derivation when the input itself is a derived frame. One doc ×
     // (k+1) longs per row — the persist is signature-table-sized, never
     // corpus-sized; callers' harnesses clear caches between queries.
-    val sigs = signatures(df, textCol, idCol, n, k)
+    val sigs = sigFrame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandBuckets(sigs, k, bands, "id_a")
       .join(bandBuckets(sigs, k, bands, "id_b"), Seq("_gf_band", "_gf_bk"))

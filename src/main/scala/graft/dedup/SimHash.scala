@@ -49,10 +49,18 @@ object SimHash {
     * aggregates (map-side combine). The nested higher-order-function fold
     * is interpreted per element per bit — orders of magnitude slower (see
     * MinHash.signatures for the same lesson). */
-  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashesOfTokenCol(df, TextAnalysis.tokens(col(textCol)), idCol)
+
+  /** [[simhashes]] over an already-tokenized array column. */
+  def simhashesOfTokens(df: DataFrame, toksCol: String,
+                        idCol: String): DataFrame =
+    simhashesOfTokenCol(df, col(toksCol), idCol)
+
+  private def simhashesOfTokenCol(df: DataFrame, toks: Column,
+                                  idCol: String): DataFrame = {
     val hashed = df
-      .select(col(idCol).as("_gf_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("_gf_t"))
+      .select(col(idCol).as("_gf_id"), explode(toks).as("_gf_t"))
       .select(col("_gf_id"), xxhash64(col("_gf_t")).as("_gf_hh"))
     val bitSum = (b: Int) =>
       sum(when(col("_gf_hh").bitwiseAND(1L << b) =!= 0L, 1L).otherwise(-1L))
@@ -68,13 +76,23 @@ object SimHash {
   /** Candidate pairs within `maxDist` Hamming bits (idA < idB).
     * Complete for maxDist < blocks (pigeonhole). */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
-                         maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+                         maxDist: Int = 3, blocks: Int = 4): DataFrame =
+    pairsOverSims(simhashes(df, textCol, idCol), maxDist, blocks)
+
+  /** [[nearDuplicatePairs]] over an already-tokenized array column. */
+  def nearDuplicatePairsOfTokens(df: DataFrame, toksCol: String,
+                                 idCol: String, maxDist: Int,
+                                 blocks: Int): DataFrame =
+    pairsOverSims(simhashesOfTokens(df, toksCol, idCol), maxDist, blocks)
+
+  private def pairsOverSims(simFrame: DataFrame, maxDist: Int,
+                            blocks: Int): DataFrame = {
     // The fingerprint frame feeds BOTH sides of the block self-join;
     // without a persist the tokenize→hash→64-bit-fold subtree executes
     // twice (the PortableMinHash.pairs persist precedent, r14). One
     // (id, long) row per doc — never corpus-sized; the harnesses clear
     // caches between queries.
-    val sims = simhashes(df, textCol, idCol)
+    val sims = simFrame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sims.select(col("_gf_id"), col("_gf_sim"),
       posexplode(array((0 until blocks).map(i =>

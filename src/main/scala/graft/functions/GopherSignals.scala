@@ -88,11 +88,20 @@ case class GopherKeepExpr(child: Expression,
       minMeanWordLen, maxMeanWordLen, maxSymbolWordRatio, maxBulletLineFrac,
       maxEllipsisLineFrac, minAlphaWordFrac, minStopHits)
 
+  // Double thresholds are emitted as longBitsToDouble(<bits>L), not
+  // string-interpolated: "Infinity"/"NaN" are legal Double values
+  // (reachable via string-parsed config thresholds) but invalid Java
+  // literals — interpolating them would fail codegen compilation and
+  // silently fall back to interpreted evaluation.
+  private def dlit(d: Double): String =
+    s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(d)}L)"
+
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.GopherSignals.keep($c, $minWords, $maxWords, " +
-        s"$minMeanWordLen, $maxMeanWordLen, $maxSymbolWordRatio, " +
-        s"$maxBulletLineFrac, $maxEllipsisLineFrac, $minAlphaWordFrac, " +
+        s"${dlit(minMeanWordLen)}, ${dlit(maxMeanWordLen)}, " +
+        s"${dlit(maxSymbolWordRatio)}, ${dlit(maxBulletLineFrac)}, " +
+        s"${dlit(maxEllipsisLineFrac)}, ${dlit(minAlphaWordFrac)}, " +
         s"$minStopHits)")
 
   override protected def withNewChildInternal(newChild: Expression): GopherKeepExpr =

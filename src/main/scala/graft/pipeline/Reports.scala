@@ -185,7 +185,14 @@ object Reports {
 
   /** The shared render substrate: (name, columns, rows, truncated) per
     * report table — manifest order, rows sorted by every column for
-    * render determinism, capped AFTER the sort at `maxRows`. */
+    * render determinism, capped AFTER the sort at `maxRows`.
+    *
+    * The per-table sort+collect jobs are independent; they are submitted
+    * from the same bounded thread pool as [[writeBundle]]'s writes
+    * (spark_optimization_guide §2.6 — each job is tiny, so most of its
+    * wall time is scheduling/collect latency that overlaps cleanly).
+    * Entry order is preserved via Future.sequence, so renders stay
+    * byte-identical to the sequential form. */
   private def collectSections(spark: SparkSession, outDir: String,
                               runId: String, maxRows: Int)
       : Seq[(String, Seq[String], Seq[org.apache.spark.sql.Row], Boolean)] = {
@@ -193,13 +200,22 @@ object Reports {
     val entries = Artifacts.readManifest(spark, outDir, runId)
       .filter(col("kind") === "report")
       .select("artifact", "path").collect()
-    entries.toSeq.map { e =>
-      val (name, path) = (e.getString(0), e.getString(1))
-      val df = spark.read.parquet(path)
-      val cols = df.columns.toSeq
-      val rows = df.orderBy(cols.map(col): _*).limit(maxRows + 1).collect()
-      (name, cols, rows.take(maxRows).toSeq, rows.length > maxRows)
-    }
+    if (entries.isEmpty) return Seq.empty
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, entries.length))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(entries.toSeq.map { e =>
+      Future {
+        val (name, path) = (e.getString(0), e.getString(1))
+        val df = spark.read.parquet(path)
+        val cols = df.columns.toSeq
+        val rows = df.orderBy(cols.map(col): _*).limit(maxRows + 1).collect()
+        (name, cols, rows.take(maxRows).toSeq, rows.length > maxRows)
+      }
+    }), Duration.Inf)
+    finally pool.shutdown()
   }
 
   private def writeDoc(spark: SparkSession, outDir: String, runId: String,

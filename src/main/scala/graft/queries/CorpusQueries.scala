@@ -938,7 +938,12 @@ object CorpusQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nearKept = graft.dedup.PortableMinHash.kept(exact,
           "text", "doc_id", n = 5, k = 32, bands = 16, threshold = 0.5)
+        // `near` feeds TWO consumers (the decontamination gram explode
+        // and the clean-side anti-join continuation); without its own
+        // persist each re-runs the md5 signature build + band join above
+        // it (r15, measured on top of the r14 `exact` persist).
         val near = exact.join(nearKept, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val contaminated = CorpusOps.decontaminate(near, bench,
           "doc_id", "text", n = 8)
         val clean = near.join(contaminated.select("doc_id"),

@@ -72,12 +72,17 @@ object NearDupQueries {
   private def gradeDetections(truth: DataFrame,
                               methods: Seq[(String, DataFrame)]): DataFrame = {
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    // truth pairs are unique (one planted clone per original), so a LEFT
+    // join against the marked truth counts hits without duplicating rows —
+    // n_detected and n_hits come out of ONE aggregation over ONE
+    // evaluation of the detector subplan (r15: the former detN/hitN pair
+    // re-executed every detector pipeline twice).
+    val marked = broadcast(truth.withColumn("_gf_hit", lit(1)))
     methods.map { case (name, pairs) =>
       val det = pairs.select(col("id_a"), col("id_b")).distinct()
-      val detN = det.agg(count(lit(1)).as("n_detected"))
-      val hitN = det.join(broadcast(truth), Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      nTrue.crossJoin(detN).crossJoin(hitN).select(
+      val counts = det.join(marked, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_detected"), count(col("_gf_hit")).as("n_hits"))
+      nTrue.crossJoin(counts).select(
         lit(name).as("method"), col("n_true"), col("n_detected"), col("n_hits"),
         when(col("n_detected") > 0, graft.Num.dround(
           col("n_hits").cast("double") / col("n_detected").cast("double"), 4))
@@ -189,37 +194,50 @@ object NearDupQueries {
         val corpus = truncatedCorpus(s, dir)
         val truth = corpus.filter(col("doc_id") >= 2000000)
           .select((col("doc_id") - 2000000).as("id_a"), col("doc_id").as("id_b"))
+        // ONE tokenizer pass for ALL FIVE detectors (r15, extending the
+        // r14 shared-signature move): every detector derives its grams
+        // from the same persisted (doc_id, tokens) frame, so
+        // split(lower(trim(text))) runs once instead of once per
+        // pipeline. Values are unchanged — the *OfTokens variants build
+        // the identical shingle/gram/hash expressions over the
+        // pre-materialized token array (corpus-sized persist,
+        // MEMORY_AND_DISK; harnesses clear caches between queries).
+        val tok = corpus.select(col("doc_id"),
+            graft.text.TextAnalysis.tokens(col("text")).as("_gf_toks"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // ONE signature pass for both MinHash-family detectors (r14): the
         // minhash and jaccard rows share the same (n=5, k=64) signature
         // table — candidates for both come from one persisted frame
         // instead of two independent shingle→hash→lane passes. Values are
         // unchanged: sigPairs at 0.5 IS the minhash detector, and
         // jaccard's candidate generator was always sigPairs at 0.3.
-        val sharedSigs = MinHash.signatures(corpus, "text", "doc_id", n = 5, k = 64)
+        val sharedSigs = MinHash.signaturesOfTokens(tok, "_gf_toks",
+            "doc_id", n = 5, k = 64)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val methods = Seq(
           "minhash" -> MinHash.sigPairs(sharedSigs, k = 64, bands = 16,
             threshold = 0.5),
-          "jaccard" -> NgramJaccard.pairsOverCandidates(corpus,
+          "jaccard" -> NgramJaccard.pairsOverCandidatesTokens(tok,
             MinHash.sigPairs(sharedSigs, k = 64, bands = 16, threshold = 0.3)
               .select("id_a", "id_b"),
-            "text", "doc_id", n = 5, threshold = 0.5),
+            "_gf_toks", "doc_id", n = 5, threshold = 0.5),
           // simhash grades LOW here by design: the fixture truncates 20%
           // of words, far past a 7-bit Hamming budget — the grader makes
           // that visible instead of leaving threshold folklore
-          "simhash" -> SimHash.nearDuplicatePairs(corpus, "text", "doc_id",
-            maxDist = 7, blocks = 8),
+          "simhash" -> SimHash.nearDuplicatePairsOfTokens(tok, "_gf_toks",
+            "doc_id", maxDist = 7, blocks = 8),
           // winnowing's GUARANTEED detection (any shared passage of
           // >= k+w-1 tokens) measured next to the probabilistic methods
           // — the truncated clone shares its whole surviving prefix, so
           // recall here isolates the df-cap's cost, not chance
-          "winnow" -> Winnow.overlapPairs(corpus, "doc_id", "text",
+          "winnow" -> Winnow.overlapPairsOfTokens(tok, "doc_id", "_gf_toks",
             k = 5, w = 4, minShared = 2, maxDf = 16),
           // the md5-lane portable twin graded against the xxhash64
           // production lane: same k/bands/threshold shape, so a recall
           // gap between the two rows would flag a lane-arithmetic bug
-          "minhash_portable" -> graft.dedup.PortableMinHash.pairs(corpus,
-            "text", "doc_id", n = 5, k = 32, bands = 16, threshold = 0.5))
+          "minhash_portable" -> graft.dedup.PortableMinHash.pairsOfTokens(
+            tok, "_gf_toks", "doc_id", n = 5, k = 32, bands = 16,
+            threshold = 0.5))
         gradeDetections(truth, methods)
       },
       None),
@@ -1063,28 +1081,56 @@ object NearDupQueries {
         val queries = e.filter(col("vec_id") < 5)
         val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 10)
-        val index = graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
-        val ivf = graft.sim.Ivf.topK(index, queries, "vec_id", "embedding",
-          k = 10, nprobe = 2)
+        // The route BUILDS are driver-synchronous job chains (Lloyd
+        // collects, probe collects, index-integrity counts) with no
+        // dependencies across routes except IVF→IVFADC/residual; running
+        // them sequentially left the cluster idle during every driver
+        // step. Submit the independent builds from a small thread pool
+        // (guide §2.6 — the writeBundle precedent): IVF and PQ train
+        // concurrently, then the three IVF-derived probes and the PQ
+        // probe overlap. Each route is internally unchanged and
+        // deterministic, so the graded numbers cannot move.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val (ivf, ivfadc, ivfadcR, pq) = try {
+          val fIndex = Future {
+            graft.sim.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+          }
+          // one Lloyd round: the harness scores a CHEAP pq config against
+          // the expensive ones — each extra round is a driver-synchronous
+          // collect job, and recall moves little on this fixture
+          val fPqIndex = Future {
+            graft.sim.Pq.train(e, "vec_id", "embedding", m = 16, ks = 16,
+              iters = 1)
+          }
+          val fIvf = fIndex.map(index => graft.sim.Ivf.topK(index,
+            queries, "vec_id", "embedding", k = 10, nprobe = 2))
+          // the two IVFADC variants at EQUAL m/ks/nprobe — the grid that
+          // decides whether residual encoding pays for its
+          // per-(query,cell) LUT cost on this corpus
+          val fIvfAdc = fIndex.zip(fPqIndex).map { case (index, pqIndex) =>
+            graft.sim.IvfPq.topK(graft.sim.IvfPq.build(index, pqIndex),
+              queries, "vec_id", "embedding", k = 10, nprobe = 2)
+          }
+          val fIvfAdcR = fIndex.map { index =>
+            graft.sim.IvfPq.topKResidual(
+              graft.sim.IvfPq.buildResidual(index, m = 16, ks = 16, iters = 1),
+              queries, "vec_id", "embedding", k = 10, nprobe = 2)
+          }
+          val fPq = fPqIndex.map(pqIndex => graft.sim.Pq.topK(pqIndex,
+            queries, "vec_id", "embedding", k = 10))
+          Await.result(
+            fIvf.zip(fIvfAdc).zip(fIvfAdcR).zip(fPq).map {
+              case (((a, b), c), d) => (a, b, c, d)
+            }, Duration.Inf)
+        } finally pool.shutdown()
         val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 10, nPlanes = 8)
         // same planes, 4 OR'd tables: the recall lever made measurable
         val lshOr = Similarity.lshTopK(e, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 10, nPlanes = 8, tables = 4)
-        // one Lloyd round: the harness scores a CHEAP pq config against
-        // the expensive ones — each extra round is a driver-synchronous
-        // collect job, and recall moves little on this fixture
-        val pqIndex = graft.sim.Pq.train(e, "vec_id", "embedding",
-          m = 16, ks = 16, iters = 1)
-        val pq = graft.sim.Pq.topK(pqIndex, queries, "vec_id", "embedding", k = 10)
-        // the two IVFADC variants at EQUAL m/ks/nprobe — the grid that
-        // decides whether residual encoding pays for its per-(query,cell)
-        // LUT cost on this corpus
-        val ivfadc = graft.sim.IvfPq.topK(graft.sim.IvfPq.build(index, pqIndex),
-          queries, "vec_id", "embedding", k = 10, nprobe = 2)
-        val resIdx = graft.sim.IvfPq.buildResidual(index, m = 16, ks = 16, iters = 1)
-        val ivfadcR = graft.sim.IvfPq.topKResidual(resIdx,
-          queries, "vec_id", "embedding", k = 10, nprobe = 2)
         // the 1-bit routes: raw Hamming order, and Hamming-shortlist +
         // exact rerank — the grid that shows how much of binary's 32×
         // scan saving the rerank stage buys back in recall

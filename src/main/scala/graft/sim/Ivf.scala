@@ -139,7 +139,32 @@ object Ivf {
     }
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"))
+    // Size the TRAINING-LOOP partitioning by corpus volume, not scan
+    // width (the FastText epoch-partitioning lesson, r15): every Lloyd
+    // round replays this frame, and each replay pays per-task scheduling
+    // overhead — measured at sf0.1, SemDedup.dedup over the 32-split
+    // scan ran 3.3 s vs 2.1 s over ≤8 splits for identical work. ~64k
+    // vectors (~20 MB at dim 64) per partition keeps loop tasks
+    // substantial at any scale while the same rule yields thousands of
+    // healthy partitions at 100 TB; HASH partitioning by _gf_id both
+    // skips round-robin's sort-before-repartition guard and lets the
+    // per-round assignment groupBy(_gf_id) reuse the partitioning. The
+    // persist is released before returning; one count job materializes
+    // it (the kc > 1 quota path needed that count anyway).
+    val base0 = corpus.select(col(idCol).as("_gf_id"), col(vecCol).as("_gf_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = base0.count()
+    val loopParts = math.max(1L, math.min(nRows / 65536L + 1L,
+      spark.sparkContext.defaultParallelism.toLong * 16L)).toInt
+    val base =
+      if (loopParts >= base0.rdd.getNumPartitions) base0
+      else {
+        val re = base0.repartition(loopParts, col("_gf_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        re.count(): Unit // materialize before releasing the wide cache
+        base0.unpersist(false)
+        re
+      }
 
     // ---- coarse level: Kc = ceil(sqrt(k)) when k is large ----
     // For small k a single level is both cheaper (no extra corpus pass)
@@ -157,12 +182,17 @@ object Ivf {
       .limit(kc).select("_gf_v").collect()
       .map(_.getSeq[Float](0).toArray).toSeq
 
+    // Lloyd means accumulate via the exact quantized-long sum
+    // (graft.Num.qmean, 1e-12 grid): a raw avg(double)'s partition-merge
+    // order leaks into the trained centroids, and the embeddings scan is
+    // multi-split now (r15) — the trained index must be bit-identical
+    // under any layout or core count, like the FastText gate.
     if (kc > 1) for (_ <- 1 to iters) {
       val assigned = assignCoarse(base, coarseDf(coarseSeq))
       val means = assigned
         .select(col("_gf_ccid"), posexplode(col("_gf_v")).as(Seq("_gf_pos", "_gf_x")))
         .groupBy("_gf_ccid", "_gf_pos")
-        .agg(avg(col("_gf_x")).as("_gf_m"))
+        .agg(graft.Num.qmean(col("_gf_x"), lit(1e12)).as("_gf_m"))
         .collect() // Kc×dim scalars — dimension-sized, like a master list
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
@@ -179,7 +209,8 @@ object Ivf {
     // persist it for the duration (MEMORY_AND_DISK: corpus-sized, so it
     // spills instead of OOMing; at extreme scale checkpoint to storage
     // instead) and release it before returning. The kc == 1 path is a
-    // constant column over the input — nothing to save.
+    // constant column over the already-persisted `base` — no second
+    // corpus-sized cache needed.
     val baseC = if (kc == 1) base.withColumn("_gf_ccid", lit(0))
                 else assignCoarse(base, coarse) // (_gf_id, _gf_v, _gf_ccid)
                   .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -191,9 +222,10 @@ object Ivf {
       if (kc == 1) {
         // distributed top-k by hash (TakeOrdered — no single-partition
         // window over the corpus); the per-cell window then ranks only
-        // these k rows
-        base.orderBy(xxhash64(col("_gf_id"), lit(seed)), col("_gf_id"))
-          .limit(k).withColumn("_gf_ccid", lit(0)).withColumn("_gf_q", lit(k))
+        // these k rows. Reads the persisted baseC (same rows, constant
+        // _gf_ccid = 0 already attached) instead of re-scanning.
+        baseC.orderBy(xxhash64(col("_gf_id"), lit(seed)), col("_gf_id"))
+          .limit(k).withColumn("_gf_q", lit(k))
       } else {
         // quota per coarse cell ∝ population, allocated by cumulative
         // floors (largest-remainder style) so Σ quota = k exactly when
@@ -201,7 +233,7 @@ object Ivf {
         // row is orphaned. The cumulative window runs over the Kc-row
         // count table only; the per-cell rank window sorts one coarse
         // cell (~n/√k rows) per task.
-        val total = base.count()
+        val total = nRows
         val wcum = Window.orderBy("_gf_ccid")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val quota = baseC.groupBy("_gf_ccid").count()
@@ -226,10 +258,11 @@ object Ivf {
     for (_ <- 1 to iters) {
       val assigned = assignFine(baseC, cells) // (_gf_id, _gf_v, _gf_cid)
       // distributed Lloyd update: K×dim means stay in a DataFrame
+      // (exact quantized-long mean — layout-independent, see above)
       val means = assigned
         .select(col("_gf_cid"), posexplode(col("_gf_v")).as(Seq("_gf_pos", "_gf_x")))
         .groupBy("_gf_cid", "_gf_pos")
-        .agg(avg(col("_gf_x")).as("_gf_m"))
+        .agg(graft.Num.qmean(col("_gf_x"), lit(1e12)).as("_gf_m"))
         .groupBy("_gf_cid")
         .agg(transform(array_sort(collect_list(struct(col("_gf_pos"), col("_gf_m")))),
           s => s.getField("_gf_m").cast("float")).as("_gf_nv"))
@@ -245,9 +278,10 @@ object Ivf {
 
     val indexed = assignFine(baseC, cells)
       .select(col("_gf_cid"), col("_gf_id"), col("_gf_v"))
-    // training is done with baseC; consumers of the (lazy) indexed plan
-    // recompute the coarse assignment once per action, as before
+    // training is done with base/baseC; consumers of the (lazy) indexed
+    // plan recompute the assignment once per action, as before
     if (kc > 1) baseC.unpersist(false)
+    base.unpersist(false)
     val dim = coarseSeq.headOption.map(_.length).getOrElse(0)
     IvfIndex(coarse, cells, indexed,
       Some(IvfMeta(dim, kc, nCells, "cosine", iters, seed)))

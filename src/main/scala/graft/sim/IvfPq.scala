@@ -63,7 +63,12 @@ object IvfPq {
     * sides and raises on mismatch (one extra pair of count jobs at build
     * time, on the same cached frames the join reads anyway). */
   def build(ivf: Ivf.IvfIndex, pq: Pq.PqIndex): IvfPqIndex = {
+    // `ivf.indexed` is a lazy assignment subplan (join + two aggregates
+    // over the corpus); it feeds BOTH the join and the integrity count —
+    // persist it for the build's duration so the assignment runs once
+    // (r15; released below once coCodes is materialized).
     val cells = ivf.indexed.select(col("_gf_cid"), col("_gf_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coCodes = cells.join(pq.codes, Seq("_gf_id"))
       .select(col("_gf_cid"), col("_gf_id"), col("_gf_code"))
       .cache()
@@ -72,6 +77,7 @@ object IvfPq {
     val joined = coCodes.count()
     val nPq = pq.codes.count()
     val nIvf = cells.count()
+    cells.unpersist(false)
     if (joined != nPq || joined != nIvf) throw new IllegalArgumentException(
       s"IvfPq.build: IVF and PQ indexes disagree — $nIvf cell-assigned " +
         s"vectors, $nPq coded vectors, $joined joined rows; the indexes " +
@@ -173,12 +179,21 @@ object IvfPq {
   def buildResidual(ivf: Ivf.IvfIndex, m: Int, ks: Int = 256,
                     iters: Int = 3, seed: Long = 42L,
                     trainSample: Int = 0): IvfPqResidualIndex = {
+    // `ivf.indexed` is a lazy assignment subplan; unpersisted, every
+    // consumer below (offset aggregate, PQ train sample, encode, coCodes
+    // join, integrity count) re-ran the whole corpus assignment — five
+    // executions measured ~6.7 s of ann_recall's build phase at sf0.1.
+    // Persist the normalized frame once for the build (released below).
     val normed = ivf.indexed.select(col("_gf_cid"), col("_gf_id"),
-      GraftFunctions.vecNormalize(col("_gf_v")).as("_gf_nv"))
+        GraftFunctions.vecNormalize(col("_gf_v")).as("_gf_nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = normed
       .select(col("_gf_cid"), posexplode(col("_gf_nv")).as(Seq("_gf_pos", "_gf_x")))
       .groupBy("_gf_cid", "_gf_pos")
-      .agg(avg(col("_gf_x")).as("_gf_mx"))
+      // exact quantized-long mean (graft.Num.qmean): a raw avg(double)'s
+      // partition-merge order would leak into the offsets now that the
+      // embeddings scan is multi-split (r15)
+      .agg(graft.Num.qmean(col("_gf_x"), lit(1e12)).as("_gf_mx"))
       .groupBy("_gf_cid")
       .agg(transform(
         array_sort(collect_list(struct(col("_gf_pos"), col("_gf_mx")))),
@@ -195,7 +210,8 @@ object IvfPq {
       .select(col("_gf_cid"), col("_gf_id"), col("_gf_code"))
       .cache()
     val joined = coCodes.count()
-    val nIvf = ivf.indexed.count()
+    val nIvf = normed.count() // same rows as ivf.indexed, off the cache
+    normed.unpersist(false)
     if (joined != nIvf) throw new IllegalArgumentException(
       s"IvfPq.buildResidual: $nIvf indexed vectors but $joined coded rows " +
         "— ids collide or the encode dropped rows")

@@ -21,11 +21,18 @@ import org.apache.spark.sql.types._
   * driver — the same bounded-driver-step shape as BPE's merge loop and
   * k-means' centroid update.
   *
-  * Determinism: the covariance accumulates IEEE doubles, so the last
-  * ulp depends on partition order; outputs are 6-dp-rounded and the
-  * registered query is rows-only (an eigendecomposition has no ANSI
-  * form). PcaSpec pins the algebra exactly: orthonormality, Av = λv
-  * residuals, trace preservation, and a closed-form 2-D fixture.
+  * Determinism (r15): the moment pass accumulates EXACT integers —
+  * every per-row contribution quantizes to the 1e-12 grid
+  * (q = floor(x·1e12 + 0.5), a long) and the q's sum as hi/lo long
+  * pairs (the graft.Num.qsum split: long addition is exact and
+  * commutative) — and the shift vector is the corpus row with the
+  * smallest xxhash64, not an order-dependent limit(1). So the fitted
+  * model is bit-identical under any partition layout, core count, or
+  * shuffle merge order — required now that the embeddings scan is
+  * multi-split. The registered query stays rows-only (an
+  * eigendecomposition has no ANSI form). PcaSpec pins the algebra
+  * exactly: orthonormality, Av = λv residuals, trace preservation, and
+  * a closed-form 2-D fixture.
   */
 object Pca {
 
@@ -38,49 +45,97 @@ object Pca {
     def dim: Int = mean.length
   }
 
-  /** Buffer: [0]=n, [1..d]=Σ(x−s), [1+d ..]=upper-tri Σ (x−s)_i·(x−s)_j.
-    * Accumulating SHIFTED moments (s = an arbitrary corpus vector) keeps
-    * the second-moment magnitudes near the covariance scale: the raw
-    * E[x_i x_j] − μ_i μ_j form cancels catastrophically when the mean
+  /** Moments: [0]=n, [1..d]=Σ(x−s), [1+d ..]=upper-tri Σ (x−s)_i·(x−s)_j.
+    * Accumulating SHIFTED moments (s = a deterministic corpus vector)
+    * keeps the second-moment magnitudes near the covariance scale: the
+    * raw E[x_i x_j] − μ_i μ_j form cancels catastrophically when the mean
     * offset dwarfs the variance (large-|μ| embeddings), degrading small
     * eigenpairs; the shifted form is the textbook fix and is algebraically
-    * identical (covariance is translation-invariant). */
+    * identical (covariance is translation-invariant).
+    *
+    * The buffer is EXACT-INTEGER (r15): [0]=n, then one (hi, lo) long
+    * pair per moment slot. Each per-row term quantizes to the 1e-12 grid
+    * (q = floor(x·1e12 + 0.5) as long) and accumulates via the split
+    * q = (q >> 31)·2³¹ + (q & 0x7FFFFFFF): `lo` collects the non-negative
+    * low halves (renormalized into `hi` before it can overflow), `hi` the
+    * signed high halves — all long adds, exact and commutative, so merge
+    * order cannot move the result (the raw-double buffer this replaces
+    * made the covariance's last ulp depend on partition merge order).
+    * finish() recomposes each ΣQ to the nearest double and divides by
+    * the grid — the graft.Num.qsum recompose. */
   private final class MomentAgg(d: Int, shift: Array[Double],
-      enc: org.apache.spark.sql.Encoder[Array[Double]])
-      extends Aggregator[Seq[Float], Array[Double], Array[Double]] {
+      encL: org.apache.spark.sql.Encoder[Array[Long]],
+      encD: org.apache.spark.sql.Encoder[Array[Double]])
+      extends Aggregator[Seq[Float], Array[Long], Array[Double]] {
     private val triLen = d * (d + 1) / 2
-    def zero: Array[Double] = new Array[Double](1 + d + triLen)
-    def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+    private val nSlots = d + triLen
+    private val Grid = 1e12
+    private val Mask = 0x7FFFFFFFL
+    private val LoCap = 1L << 62
+    def zero: Array[Long] = new Array[Long](1 + 2 * nSlots)
+    @inline private def add(b: Array[Long], slot: Int, x: Double): Unit = {
+      val q = math.floor(x * Grid + 0.5).toLong
+      val p = 1 + 2 * slot
+      b(p) += (q >> 31)
+      val lo = b(p + 1) + (q & Mask)
+      if (lo >= LoCap) { b(p) += (lo >> 31); b(p + 1) = lo & Mask }
+      else b(p + 1) = lo
+    }
+    def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
       require(v.length == d,
         s"Pca: vector of dim ${v.length} in a dim-$d corpus")
-      b(0) += 1.0
+      b(0) += 1L
       var i = 0
-      var p = 1 + d
+      var slot = d
       while (i < d) {
         val xi = v(i).toDouble - shift(i)
-        b(1 + i) += xi
+        add(b, i, xi)
         var j = i
-        while (j < d) { b(p) += xi * (v(j).toDouble - shift(j)); p += 1; j += 1 }
+        while (j < d) { add(b, slot, xi * (v(j).toDouble - shift(j))); slot += 1; j += 1 }
         i += 1
       }
       b
     }
-    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-      var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      a(0) += b(0)
+      var s = 0
+      while (s < nSlots) {
+        val p = 1 + 2 * s
+        a(p) += b(p)
+        val lo = a(p + 1) + b(p + 1) // both < 2⁶², no long overflow
+        if (lo >= LoCap) { a(p) += (lo >> 31); a(p + 1) = lo & Mask }
+        else a(p + 1) = lo
+        s += 1
+      }
       a
     }
-    def finish(r: Array[Double]): Array[Double] = r
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] = enc
-    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] = enc
+    def finish(r: Array[Long]): Array[Double] = {
+      val out = new Array[Double](1 + nSlots)
+      out(0) = r(0).toDouble
+      var s = 0
+      while (s < nSlots) {
+        val p = 1 + 2 * s
+        val hi = r(p) + (r(p + 1) >> 31)
+        val lo = r(p + 1) & Mask
+        out(1 + s) = (hi.toDouble * 2147483648.0 + lo.toDouble) / Grid
+        s += 1
+      }
+      out
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] = encL
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] = encD
   }
 
   /** Fit the spectrum: one distributed moment pass + driver Jacobi. The
-    * 1-row dim probe also hands the aggregator its shift vector (a real
-    * corpus point ≈ the mean's magnitude), so the second moments
-    * accumulate near the covariance scale — see [[MomentAgg]]. */
+    * 1-row shift probe picks the corpus row with the SMALLEST xxhash64
+    * (vector value as tie-break) — a deterministic, layout-independent
+    * choice where a bare limit(1) returned whichever partition answered
+    * first — and hands the aggregator its shift vector (a real corpus
+    * point ≈ the mean's magnitude), so the second moments accumulate
+    * near the covariance scale — see [[MomentAgg]]. */
   def fit(df: DataFrame, vecCol: String): Model = {
     val firstVec = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(vecCol)), col(vecCol))
       .limit(1).collect() match {
       case Array(row) => row.getSeq[Float](0)
       case _ => throw new IllegalArgumentException(
@@ -94,6 +149,7 @@ object Pca {
     val moments = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
       .as[Seq[Float]]
       .select(new MomentAgg(d, shift,
+        implicitly[org.apache.spark.sql.Encoder[Array[Long]]],
         implicitly[org.apache.spark.sql.Encoder[Array[Double]]]).toColumn)
       .head()
     val n = moments(0)
@@ -234,9 +290,9 @@ object Pca {
     df.select(col(idCol), array(scoreCols(col(vecCol), model, k): _*).as("pc"))
   }
 
-  /** [[project]] with SCALAR output columns `pc_0..pc_{k-1}` (6-dp rounded
-    * — the fit's moment sums are partition-order IEEE, like `spectrum`'s
-    * outputs) so the frame is flat and sortable by any consumer,
+  /** [[project]] with SCALAR output columns `pc_0..pc_{k-1}` (6-dp
+    * rounded, like `spectrum`'s outputs) so the frame is flat and
+    * sortable by any consumer,
     * including the correctness gate's canonicalizer. */
   def projectFlat(df: DataFrame, idCol: String, vecCol: String,
                   model: Model, k: Int): DataFrame = {

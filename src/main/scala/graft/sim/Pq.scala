@@ -176,7 +176,9 @@ object Pq {
         .select(col("_gf_m"), col("_gf_c"),
           posexplode(col("_gf_sv")).as(Seq("_gf_pos", "_gf_x")))
         .groupBy("_gf_m", "_gf_c", "_gf_pos")
-        .agg(avg(col("_gf_x")).as("_gf_mean"))
+        // exact quantized-long mean — codebooks must not depend on the
+        // sample's partition layout (multi-split embeddings scan, r15)
+        .agg(graft.Num.qmean(col("_gf_x"), lit(1e12)).as("_gf_mean"))
         .collect() // m×ks×ds doubles = ks×dim — dimension-sized
         .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (mc, rows) =>

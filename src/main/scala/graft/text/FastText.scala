@@ -302,8 +302,11 @@ object FastText {
     * Profiler.describe powSum pattern), so the trained weights are
     * bit-identical under any
     * partition layout, core count, or shuffle merge order. The per-epoch
-    * driver traffic is ONE B-bounded collect (gradients + the loss row
-    * fused — the IVF-centroid bounded-driver-state precedent). The step size follows the paper's schedule — linear
+    * driver traffic is TWO bounded collects — the 1-row loss/stats
+    * aggregate and the B-bounded gradient rows (a fused union and a
+    * window-over-id single-shuffle variant were both tried in r14 and
+    * measured slower; the two-collect hash-aggregate + join-back shape
+    * wins at this geometry). The step size follows the paper's schedule — linear
     * decay from `lr` to 0 across the run — which is what lets a large
     * initial step (the mean-normalized features make the loss surface
     * flat) land without the tail oscillating. Unlabeled-class corner:
@@ -363,7 +366,7 @@ object FastText {
     // stages that replays the cached frame pays per-task scheduling and
     // per-partition aggregate-state overhead — measured 17.4 s at 32
     // scan-width partitions vs 10.1 s at 8 for the same trainer, tiny
-    // data. ~1M incidence rows (~40 MB) per partition keeps epoch tasks
+    // data. The ~4M-rows-per-partition target below keeps epoch tasks
     // substantial at any scale; the one-off shuffle reads the cache, so
     // featurization is never re-run.
     val nInc = incWide.count()
@@ -374,14 +377,19 @@ object FastText {
     // healthy-sized partitions.
     val epochParts = math.max(1L, math.min(nInc / 4000000L + 1L,
       spark.sparkContext.defaultParallelism.toLong * 16L)).toInt
-    val inc =
-      if (epochParts >= incWide.rdd.getNumPartitions) incWide
-      else {
-        val re = incWide.repartition(epochParts).cache()
-        re.count(): Unit // materialize before releasing the wide cache
-        incWide.unpersist(false)
-        re
-      }
+    // HASH-partition by the doc id, not round-robin (r15): every epoch's
+    // margins aggregation groups by _gf_id, so a hashpartitioning(_gf_id)
+    // cache satisfies the grouping outright — the per-epoch margins
+    // Exchange (and its AQE stage materialization) disappears from all
+    // 2·epochs jobs. Hash repartition also skips round-robin's
+    // sort-before-repartition guard, and the assignment is deterministic
+    // by construction.
+    val inc = {
+      val re = incWide.repartition(epochParts, col("_gf_id")).cache()
+      re.count(): Unit // materialize before releasing the wide cache
+      incWide.unpersist(false)
+      re
+    }
     val classes = labeled.select(col("_gf_y")).distinct().collect()
       .map(_.getDouble(0)).toSet
     require(classes.subsetOf(Set(0.0, 1.0)),
@@ -407,25 +415,25 @@ object FastText {
           else graft.ops.Sampling.hashSample(inc, "_gf_sk",
             minibatchFraction, seed = ep.toLong)
         // Per-doc margin + residual (p − y); one keyed aggregation,
-        // cached for the epoch (read twice INSIDE one fused action: loss
+        // cached for the epoch (read by both per-epoch actions: loss
         // aggregate + gradient join) and released before the next weight
-        // frame. Accumulation is exact (r14): per-incidence contributions
-        // quantize to an integer grid via floor(x·1e12 + 0.5) cast LONG,
-        // and the LONGs sum as DECIMAL(38,0) — Profiler.describe's powSum
-        // pattern: the long→decimal cast stays on Decimal's compact fast
-        // path, unlike a double→decimal cast, which allocates a
-        // BigDecimal per row (measured 2× the whole trainer's cost when
-        // this used dround + DECIMAL(38,12)). The exact integer total
-        // makes the margin — and the whole training trajectory —
-        // independent of partition layout and shuffle merge order: the
-        // documents scan is multi-split now and the driver benches at two
-        // core counts; raw double sums would have made the trained gate a
-        // different model per layout (the engine's bit-stable-under-
-        // distribution claim, applied to its own trainer).
-        val dec0 = DecimalType(38, 0)
-        def qsum(x: Column, scale: Column): Column =
-          sum(floor(x * scale + lit(0.5)).cast("long").cast(dec0))
-            .cast(DoubleType) / scale
+        // frame. Accumulation is exact: per-incidence contributions
+        // quantize to an integer grid via floor(x·1e12 + 0.5) cast LONG
+        // and the longs sum exactly. r14 summed them as DECIMAL(38,0)
+        // (Profiler.describe's powSum pattern); r15 switches to
+        // graft.Num.qsum's dual-long split sum — bit-identical recompose
+        // (same nearest-double of the same exact integer total, pinned by
+        // FastTextSpec), but the aggregation buffer is two plain longs on
+        // the codegen compact path instead of a precision-38 decimal that
+        // boxes a BigDecimal per row (that boxing was the bulk of r14's
+        // +4 s exact-arithmetic tax on text_ft_train_score). The exact
+        // integer total makes the margin — and the whole training
+        // trajectory — independent of partition layout and shuffle merge
+        // order: the documents scan is multi-split and the driver benches
+        // at two core counts; raw double sums would have made the trained
+        // gate a different model per layout (the engine's bit-stable-
+        // under-distribution claim, applied to its own trainer).
+        def qsum(x: Column, scale: Column): Column = graft.Num.qsum(x, scale)
         val q12 = lit(1e12)
         // Per-doc margin + residual (p − y): one keyed aggregation,
         // cached for the epoch (read twice INSIDE one fused action) and
@@ -445,25 +453,24 @@ object FastText {
               .as("_gf_p"))
           .withColumn("_gf_r", col("_gf_p") - col("_gf_y"))
           .cache()
-        // Loss + bias gradient + doc count + per-bucket gradients: ONE
-        // fused collect per epoch (the loss row rides bucket −1), halving
-        // the per-epoch job count — at scale each action is a pass over
-        // the epoch's incidence rows, so 2 actions/epoch was 2× the
-        // passes (guide §1.2: fewer passes first). Per-doc loss and
-        // residual terms ride the same quantized-long exact sums as the
-        // margin (loss at 1e9 — its magnitude is bounded by −ln 1e-12 —
-        // the rest at 1e12). Clamp ln args away from 0 (a perfectly-
-        // separated fixture otherwise yields -inf). Normalization is by
-        // THIS epoch's doc count.
+        // Loss + bias gradient + doc count (one 1-row collect) and the
+        // per-bucket gradients (one B-bounded collect): TWO deliberate
+        // collects per epoch — a fused union (loss row riding a sentinel
+        // bucket) and a window-over-id single-shuffle variant were both
+        // tried in r14 and measured slower (15.6 s and 22.6 s vs 13.6 s);
+        // the hash-aggregate + join-back shape wins at this geometry.
+        // Per-doc loss and residual terms ride the same quantized-long
+        // exact sums as the margin (loss at 1e9 — its magnitude is
+        // bounded by −ln 1e-12 — the rest at 1e12). Clamp ln args away
+        // from 0 (a perfectly-separated fixture otherwise yields -inf).
+        // Normalization is by THIS epoch's doc count.
         val statsRow = margins.agg(
           qsum(-(col("_gf_y") * log(greatest(col("_gf_p"), lit(1e-12)))
               + (lit(1.0) - col("_gf_y"))
                 * log(greatest(lit(1.0) - col("_gf_p"), lit(1e-12)))),
-            lit(1e9)).as("_gf_g"),
+            lit(1e9)).as("_gf_loss"),
           qsum(col("_gf_r"), q12).as("_gf_rsum"),
           count(lit(1)).as("_gf_n"))
-          .select(lit(-1L).as("_gf_b"), col("_gf_g"), col("_gf_rsum"),
-            col("_gf_n"))
         // Per-bucket gradient: Σ_incidences r/n_f, B-bounded collect
         // (the join against per-doc residuals re-selects the epoch's
         // incidence subset — unsampled docs have no residual row).
@@ -471,20 +478,16 @@ object FastText {
           .join(margins.select(col("_gf_id"), col("_gf_r")), Seq("_gf_id"))
           .groupBy(col("_gf_b"))
           .agg(qsum(col("_gf_r") * col("_gf_inv"), q12).as("_gf_g"))
-          .select(col("_gf_b"), col("_gf_g"),
-            lit(null).cast(DoubleType).as("_gf_rsum"),
-            lit(null).cast("bigint").as("_gf_n"))
-        val statsFirst = statsRow.collect()
-        val rows = gradRows.collect() ++ statsFirst
-        val stats = rows.find(_.getLong(0) == -1L).get
-        val nEpoch = stats.getLong(3).toDouble
+        val stats = statsRow.collect()(0)
+        val nEpoch = stats.getLong(2).toDouble
         if (nEpoch == 0) {
           // the sample landed empty — no evidence, no update
           losses += Double.NaN
         } else {
-          losses += stats.getDouble(1) / nEpoch
-          val gradB = stats.getDouble(2) / nEpoch
-          rows.filter(_.getLong(0) >= 0L).foreach(r =>
+          val rows = gradRows.collect()
+          losses += stats.getDouble(0) / nEpoch
+          val gradB = stats.getDouble(1) / nEpoch
+          rows.foreach(r =>
             w(r.getLong(0).toInt) -= lrT * r.getDouble(1) / nEpoch)
           bias -= lrT * gradB
         }

@@ -61,24 +61,41 @@ object LangModel {
       (a, b) => struct(a.as("_gf_prev"), b.as("_gf_w")))
 
   /** Count tables from a reference corpus (its quality defines "normal"
-    * text — train on the trusted slice, score the crawl). */
+    * text — train on the trusted slice, score the crawl).
+    *
+    * ONE tokenize → explode → keyed count feeds BOTH tables (r15):
+    * unigrams ride a NULL `prev` next to the bigram pairs (a token is
+    * never SQL-null, so the lane marker is unambiguous), so the
+    * reference corpus is read and tokenized once instead of once per
+    * table — this train runs inside every curation chain. Counts are
+    * identical to the former two-aggregation form: same groups, same
+    * tallies (a sub-2-token doc simply contributes an empty bigram
+    * list). The combined cache is dropped once the two vocab-bounded
+    * count tables are materialized out of it. */
   def train(ref: DataFrame, textCol: String): Lm = {
     val base = ref.filter(length(trim(col(textCol))) > 0)
       .select(toks(col(textCol)).as("_gf_t"))
-    val unigrams = base
-      .select(explode(col("_gf_t")).as("_gf_w"))
-      .groupBy("_gf_w").agg(count(lit(1)).as("_gf_cw"))
+    val grams = base
+      .select(explode(concat(
+        transform(col("_gf_t"),
+          w => struct(lit(null).cast("string").as("_gf_prev"), w.as("_gf_w"))),
+        bigramPairs(col("_gf_t")))).as("_gf_bg"))
+      .select(col("_gf_bg._gf_prev").as("_gf_prev"),
+        col("_gf_bg._gf_w").as("_gf_w"))
+      .groupBy("_gf_prev", "_gf_w").agg(count(lit(1)).as("_gf_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unigrams = grams.filter(col("_gf_prev").isNull)
+      .select(col("_gf_w"), col("_gf_c").as("_gf_cw"))
       .cache()
-    val bigrams = base
-      .filter(size(col("_gf_t")) >= 2)
-      .select(explode(bigramPairs(col("_gf_t"))).as("_gf_bg"))
-      .select(col("_gf_bg._gf_prev").as("_gf_prev"), col("_gf_bg._gf_w").as("_gf_w"))
-      .groupBy("_gf_prev", "_gf_w").agg(count(lit(1)).as("_gf_cb"))
+    val bigrams = grams.filter(col("_gf_prev").isNotNull)
+      .select(col("_gf_prev"), col("_gf_w"), col("_gf_c").as("_gf_cb"))
       .cache()
     // sum over an EMPTY reference is SQL null — surface it as total 0 so
     // score()'s require gives the real diagnosis instead of an NPE here
     val total = Option(unigrams.agg(sum(col("_gf_cw"))).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+    bigrams.count(): Unit // materialize off the combined cache, then drop it
+    grams.unpersist(false)
     Lm(unigrams, bigrams, total)
   }
 

@@ -134,9 +134,13 @@ object TextAnalysis {
     * under it per element after project collapsing (O(len²) per row; the
     * MinHash lesson, SURVEY §8). Each slice evaluates the split once, so
     * the whole n-gram column is n linear passes. */
-  def ngrams(c: Column, n: Int): Column = {
+  def ngrams(c: Column, n: Int): Column = ngramsOfTokens(tokens(c), n)
+
+  /** [[ngrams]] over an already-tokenized array column — multi-detector
+    * callers (the dedup_recall grader) materialize the token split once
+    * and derive every detector's grams from it. */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"ngrams needs n >= 1, got $n")
-    val toks = tokens(c)
     val len = greatest(size(toks) - lit(n - 1), lit(0))
     val parts = (0 until n).map(i => slice(toks, lit(i + 1), len))
     parts.reduce((acc, p) => zip_with(acc, p, (x, y) => concat_ws(" ", x, y)))

@@ -49,12 +49,23 @@ object Winnow {
     * shorter than k tokens emit nothing; docs with fewer than w grams
     * emit the min over what they have (the single partial window). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 5, w: Int = 4): DataFrame = {
+                   k: Int = 5, w: Int = 4): DataFrame =
+    fingerprintsOfGramCol(df, TextAnalysis.ngrams(col(textCol), k), idCol, k, w)
+
+  /** [[fingerprints]] over an already-tokenized array column. */
+  def fingerprintsOfTokens(df: DataFrame, idCol: String, toksCol: String,
+                           k: Int, w: Int): DataFrame =
+    fingerprintsOfGramCol(df, TextAnalysis.ngramsOfTokens(col(toksCol), k),
+      idCol, k, w)
+
+  private def fingerprintsOfGramCol(df: DataFrame,
+                                    gramCol: org.apache.spark.sql.Column,
+                                    idCol: String,
+                                    k: Int, w: Int): DataFrame = {
     require(k >= 2 && k <= 12, s"gram size k must be in [2, 12], got $k")
     require(w >= 2 && w <= 64, s"window w must be in [2, 64], got $w")
     val grams = df
-      .select(col(idCol), posexplode(TextAnalysis.ngrams(col(textCol), k))
-        .as(Seq("pos", "gram")))
+      .select(col(idCol), posexplode(gramCol).as(Seq("pos", "gram")))
       .where(length(col("gram")) > 0)
       .select(col(idCol), col("pos").cast("long").as("pos"),
         (gramHash(col("gram")) * PosBase + (lit(PosMask) - col("pos")))
@@ -81,11 +92,22 @@ object Winnow {
     * part of the semantics, mirrored by the oracle). */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, w: Int = 4,
-                   minShared: Int = 2, maxDf: Int = 16): DataFrame = {
+                   minShared: Int = 2, maxDf: Int = 16): DataFrame =
+    overlapPairsOfFps(fingerprints(df, idCol, textCol, k, w), idCol,
+      minShared, maxDf)
+
+  /** [[overlapPairs]] over an already-tokenized array column. */
+  def overlapPairsOfTokens(df: DataFrame, idCol: String, toksCol: String,
+                           k: Int, w: Int,
+                           minShared: Int, maxDf: Int): DataFrame =
+    overlapPairsOfFps(fingerprintsOfTokens(df, idCol, toksCol, k, w), idCol,
+      minShared, maxDf)
+
+  private def overlapPairsOfFps(fpFrame: DataFrame, idCol: String,
+                                minShared: Int, maxDf: Int): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val fps = fingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol), col("fp_hash")).distinct()
+    val fps = fpFrame.select(col(idCol), col("fp_hash")).distinct()
     val kept = fps.groupBy("fp_hash").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
       .select("fp_hash")

@@ -32,6 +32,25 @@ class IvfSpec extends SparkSpec {
     assert(top.forall(_.getAs[Long]("neighbor_id") < 10L))
   }
 
+  test("train is bit-identical under different partition layouts (r15)") {
+    // the Lloyd means now accumulate exact quantized longs (Num.qmean) —
+    // a multi-split embeddings scan must train the identical index
+    val df = clustered.toDF("vec_id", "embedding")
+    def cellsOf(parts: Int): Seq[(Long, Seq[Long])] = {
+      val idx = Ivf.train(df.repartition(parts), "vec_id", "embedding",
+        k = 3, iters = 4)
+      val out = idx.cells.collect().map(r =>
+        r.getAs[Long]("_gf_cid") ->
+          r.getSeq[Float](r.fieldIndex("_gf_cv"))
+            .map(f => java.lang.Float.floatToIntBits(f).toLong).toSeq)
+        .sortBy(_._1).toSeq
+      idx.release()
+      out
+    }
+    assert(cellsOf(1) == cellsOf(5),
+      "trained fine centroids moved with the scan layout")
+  }
+
   test("nprobe widens recall beyond the first cluster") {
     val df = clustered.toDF("vec_id", "embedding")
     val index = Ivf.train(df, "vec_id", "embedding", k = 3, iters = 4)

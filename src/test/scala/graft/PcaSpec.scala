@@ -107,6 +107,19 @@ class PcaSpec extends SparkSpec {
     assert(ratios.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("fit is bit-identical under different partition layouts (r15)") {
+    val e = Tables.embeddings(spark, sfDir).select("embedding")
+    def model(parts: Int) = Pca.fit(e.repartition(parts), "embedding")
+    val a = model(1)
+    val b = model(7)
+    def bits(xs: Array[Double]) = xs.map(java.lang.Double.doubleToLongBits).toSeq
+    assert(bits(a.mean) == bits(b.mean), "mean moved with the layout")
+    assert(bits(a.eigenvalues) == bits(b.eigenvalues),
+      "eigenvalues moved with the layout")
+    assert(a.eigenvectors.map(bits).toSeq == b.eigenvectors.map(bits).toSeq,
+      "eigenvectors moved with the layout")
+  }
+
   test("misuse is refused: empty input, tiny dim, bad projection k, dim mix") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     assertThrows[IllegalArgumentException](Pca.fit(empty, "vec"))
